@@ -1,0 +1,167 @@
+package graft.config
+
+/** Signal-processing (hot-loop) parameters. Defaults mirror the
+  * reference's struct defaults (reference: src/PipelineConfig.jl:44-56);
+  * `shipped` mirrors config/pipeline/default.toml.
+  */
+case class SignalConfig(
+    agcAlpha: Float = 0.125f,
+    agcMinScale: Int = 4,
+    agcMaxScale: Int = 50,
+    winsorizeDeltaThreshold: Int = 10,
+    minPrice: Int = 36600,
+    maxPrice: Int = 43300,
+    maxJump: Int = 50,
+    encoderType: String = "amc",
+    cpmModulationIndex: Float = 0.5f,
+    cpmLutSize: Int = 1024,
+    amcCarrierPeriod: Float = 16.0f, // validated but never wired in the reference (TickHotLoopF32.jl:115)
+    amcLutSize: Int = 1024,
+    tickDerivativeImagScale: Float = 4.0f
+) {
+  def validate(): Seq[String] = {
+    val errs = Seq.newBuilder[String]
+    if (agcAlpha <= 0f || agcAlpha >= 1f) errs += s"agc_alpha must be in (0,1): $agcAlpha"
+    if (agcMinScale <= 0) errs += "agc_min_scale must be positive"
+    if (agcMaxScale < agcMinScale) errs += "agc_max_scale must be >= agc_min_scale"
+    if (winsorizeDeltaThreshold <= 0) errs += "winsorize_delta_threshold must be positive"
+    if (minPrice <= 0) errs += "min_price must be positive"
+    if (maxPrice <= minPrice) errs += "max_price must be > min_price"
+    if (maxJump <= 0) errs += "max_jump must be positive"
+    if (!Set("hexad16", "cpm", "amc", "derivative").contains(encoderType))
+      errs += s"unknown encoder_type: $encoderType"
+    if (cpmModulationIndex <= 0f || cpmModulationIndex > 1f)
+      errs += s"cpm_modulation_index must be in (0,1]: $cpmModulationIndex"
+    if (cpmLutSize != 1024) errs += "cpm_lut_size must be 1024"
+    if (amcLutSize != 1024) errs += "amc_lut_size must be 1024"
+    if (amcCarrierPeriod <= 0f) errs += "amc_carrier_period must be positive"
+    if (tickDerivativeImagScale <= 0f) errs += "tick_derivative_imag_scale must be positive"
+    errs.result()
+  }
+}
+
+/** Bar-processing parameters (reference: src/PipelineConfig.jl:100-115). */
+case class BarConfig(
+    enabled: Boolean = false,
+    ticksPerBar: Int = 21,
+    normalizationWindowBars: Int = 120,
+    winsorizeBarThreshold: Int = 50,
+    maxBarJump: Int = 100,
+    barDerivativeImagScale: Float = 4.0f,
+    barMethod: String = "boxcar"
+) {
+  def validate(): Seq[String] = {
+    val errs = Seq.newBuilder[String]
+    if (ticksPerBar <= 0) errs += "ticks_per_bar must be positive"
+    if (normalizationWindowBars <= 0) errs += "normalization_window_bars must be positive"
+    if (winsorizeBarThreshold <= 0) errs += "winsorize_bar_threshold must be positive"
+    if (maxBarJump <= 0) errs += "max_bar_jump must be positive"
+    if (barDerivativeImagScale <= 0f) errs += "bar_derivative_imag_scale must be positive"
+    if (!Set("boxcar", "FIR").contains(barMethod)) errs += s"bar_method must be boxcar|FIR: $barMethod"
+    errs.result()
+  }
+}
+
+case class FlowControlConfig(delayMs: Double = 0.0)
+case class ChannelConfig(priorityBufferSize: Int = 4096, standardBufferSize: Int = 2048)
+case class PerformanceConfig(
+    targetLatencyUs: Int = 500, maxLatencyUs: Int = 1000, targetThroughputTps: Float = 10000.0f)
+
+case class PipelineConfig(
+    pipelineName: String = "default",
+    tickFilePath: String = "",
+    signal: SignalConfig = SignalConfig(),
+    bars: BarConfig = BarConfig(),
+    flow: FlowControlConfig = FlowControlConfig(),
+    channels: ChannelConfig = ChannelConfig(),
+    performance: PerformanceConfig = PerformanceConfig()
+) {
+  def validate(): Seq[String] = {
+    val errs = Seq.newBuilder[String]
+    errs ++= signal.validate()
+    errs ++= bars.validate()
+    if (flow.delayMs < 0) errs += "delay_ms must be >= 0"
+    if (channels.priorityBufferSize <= 0) errs += "priority_buffer_size must be positive"
+    if (channels.standardBufferSize <= 0) errs += "standard_buffer_size must be positive"
+    if (performance.targetLatencyUs <= 0) errs += "target_latency_us must be positive"
+    if (performance.maxLatencyUs < performance.targetLatencyUs)
+      errs += "max_latency_us must be >= target_latency_us"
+    errs.result()
+  }
+}
+
+object PipelineConfig {
+  /** The reference's shipped config (reference: config/pipeline/default.toml). */
+  val shipped: PipelineConfig = PipelineConfig(
+    signal = SignalConfig(
+      encoderType = "derivative",
+      cpmModulationIndex = 0.2f,
+      tickDerivativeImagScale = 2.0f),
+    bars = BarConfig(
+      enabled = true,
+      ticksPerBar = 21,
+      normalizationWindowBars = 120,
+      winsorizeBarThreshold = 50,
+      maxBarJump = 100,
+      barDerivativeImagScale = 4.0f,
+      barMethod = "FIR")
+  )
+
+  /** Minimal TOML-subset loader covering the reference's config files:
+    * `[section]` headers, `key = value` with string/int/float/bool values,
+    * `#` comments. (reference: src/PipelineConfig.jl:382-466)
+    */
+  def fromToml(text: String): PipelineConfig = {
+    var section = ""
+    val kv = scala.collection.mutable.Map[String, String]()
+    text.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.startsWith("[") && line.endsWith("]")) section = line.substring(1, line.length - 1).trim
+      else if (line.contains("=")) {
+        val Array(k, v) = line.split("=", 2)
+        val key = (if (section.isEmpty) "" else section + ".") + k.trim
+        kv(key) = v.trim.stripPrefix("\"").stripSuffix("\"")
+      }
+    }
+    def s(k: String, d: String) = kv.getOrElse(k, d)
+    def i(k: String, d: Int) = kv.get(k).map(x => x.toDouble.toInt).getOrElse(d)
+    def f(k: String, d: Float) = kv.get(k).map(_.toFloat).getOrElse(d)
+    def b(k: String, d: Boolean) = kv.get(k).map(_.toBoolean).getOrElse(d)
+    val sig = SignalConfig()
+    val bar = BarConfig()
+    PipelineConfig(
+      pipelineName = s("pipeline_name", "default"),
+      tickFilePath = s("tick_file_path", ""),
+      signal = SignalConfig(
+        agcAlpha = f("signal_processing.agc_alpha", sig.agcAlpha),
+        agcMinScale = i("signal_processing.agc_min_scale", sig.agcMinScale),
+        agcMaxScale = i("signal_processing.agc_max_scale", sig.agcMaxScale),
+        winsorizeDeltaThreshold = i("signal_processing.winsorize_delta_threshold", sig.winsorizeDeltaThreshold),
+        minPrice = i("signal_processing.min_price", sig.minPrice),
+        maxPrice = i("signal_processing.max_price", sig.maxPrice),
+        maxJump = i("signal_processing.max_jump", sig.maxJump),
+        encoderType = s("signal_processing.encoder_type", sig.encoderType),
+        cpmModulationIndex = f("signal_processing.cpm_modulation_index", sig.cpmModulationIndex),
+        cpmLutSize = i("signal_processing.cpm_lut_size", sig.cpmLutSize),
+        amcCarrierPeriod = f("signal_processing.amc_carrier_period", sig.amcCarrierPeriod),
+        amcLutSize = i("signal_processing.amc_lut_size", sig.amcLutSize),
+        tickDerivativeImagScale = f("signal_processing.tick_derivative_imag_scale", sig.tickDerivativeImagScale)),
+      bars = BarConfig(
+        enabled = b("bar_processing.enabled", bar.enabled),
+        ticksPerBar = i("bar_processing.ticks_per_bar", bar.ticksPerBar),
+        normalizationWindowBars = i("bar_processing.normalization_window_bars", bar.normalizationWindowBars),
+        winsorizeBarThreshold = i("bar_processing.winsorize_bar_threshold", bar.winsorizeBarThreshold),
+        maxBarJump = i("bar_processing.max_bar_jump", bar.maxBarJump),
+        barDerivativeImagScale = f("bar_processing.bar_derivative_imag_scale", bar.barDerivativeImagScale),
+        barMethod = s("bar_processing.bar_method", bar.barMethod)),
+      flow = FlowControlConfig(delayMs = kv.get("flow_control.delay_ms").map(_.toDouble).getOrElse(0.0)),
+      channels = ChannelConfig(
+        priorityBufferSize = i("channels.priority_buffer_size", 4096),
+        standardBufferSize = i("channels.standard_buffer_size", 2048)),
+      performance = PerformanceConfig(
+        targetLatencyUs = i("performance.target_latency_us", 500),
+        maxLatencyUs = i("performance.max_latency_us", 1000),
+        targetThroughputTps = f("performance.target_throughput_tps", 10000.0f))
+    )
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Scalable total-order utilities.
+  *
+  * The reference pipeline's semantics hinge on one global sequential
+  * index (`tick_idx`, reference src/VolumeExpansion.jl:156,177). A naive
+  * `row_number().over(Window.orderBy(...))` serializes the whole dataset
+  * onto one partition — fatal at 100 TB. These helpers implement the
+  * standard two-pass prefix technique instead:
+  *
+  *   1. range-repartition by the order key (parallel sort),
+  *   2. per-partition partial aggregate (count / sum) — a tiny array,
+  *   3. exclusive prefix-scan of the partials on the driver,
+  *   4. broadcast offsets back and finish each partition locally.
+  *
+  * Wall-clock cost is one range shuffle + one lightweight job, with no
+  * single-partition bottleneck.
+  */
+object Ordered {
+
+  /** Append a dense 1-based global row index `outCol`, ordered by
+    * `orderCols`. Equivalent to row_number() over a global orderBy,
+    * but scalable (no single-partition window).
+    */
+  def withGlobalIndex(df: DataFrame, outCol: String, orderCols: String*): DataFrame = {
+    val sorted =
+      if (orderCols.isEmpty) df
+      else df.repartitionByRange(df.sparkSession.sessionState.conf.numShufflePartitions,
+        orderCols.map(col): _*).sortWithinPartitions(orderCols.map(col): _*)
+    zipWithOffsets(sorted, outCol, _ => 1L)
+  }
+
+  /** Append the 1-based global prefix sum (inclusive) of `valueCol`
+    * ordered by `orderCols` as `outCol`. `valueCol` must be integral.
+    */
+  def withPrefixSum(df: DataFrame, valueCol: String, outCol: String, orderCols: String*): DataFrame = {
+    val sorted =
+      if (orderCols.isEmpty) df
+      else df.repartitionByRange(df.sparkSession.sessionState.conf.numShufflePartitions,
+        orderCols.map(col): _*).sortWithinPartitions(orderCols.map(col): _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    zipWithOffsets(sorted, outCol, r => r.getAs[Number](vIdx).longValue())
+  }
+
+  /** Two-pass scan: per-partition sums of `weight`, driver prefix-scan,
+    * then a local running sum per partition starting at its offset.
+    */
+  private def zipWithOffsets(df: DataFrame, outCol: String, weight: Row => Long): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(df.schema.fields :+ StructField(outCol, LongType, nullable = false))
+    val rdd = df.rdd
+    rdd.cache()
+    // Pass 1: per-partition totals (one number per partition).
+    val partials: Array[Long] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L; it.foreach(r => s += weight(r)); Iterator((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    // Driver-side exclusive prefix scan (tiny: one entry per partition).
+    val offsets = partials.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    // Pass 2: local running sum from the partition's start offset.
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bc.value(pid)
+      it.map { r => acc += weight(r); Row.fromSeq(r.toSeq :+ acc) }
+    }
+    spark.createDataFrame(out, schema)
+  }
+}
