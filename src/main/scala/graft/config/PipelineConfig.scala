@@ -109,13 +109,33 @@ object PipelineConfig {
 
   /** Minimal TOML-subset loader covering the reference's config files:
     * `[section]` headers, `key = value` with string/int/float/bool values,
-    * `#` comments. (reference: src/PipelineConfig.jl:382-466)
+    * `#` comments (only outside quoted strings).
+    *
+    * Fallbacks for missing keys mirror `load_config_from_toml`'s literal
+    * defaults (reference: src/PipelineConfig.jl:397-459), which differ
+    * from the struct-constructor defaults: agc_alpha 0.0625 (not 0.125),
+    * min_price 39000, max_price 44000, encoder "cpm" (not "amc"),
+    * pipeline_name "loaded", tick_file_path "data/raw/YM 06-25.Last.txt".
     */
   def fromToml(text: String): PipelineConfig = {
     var section = ""
     val kv = scala.collection.mutable.Map[String, String]()
+    // Strip '#' comments, but not inside a double-quoted value.
+    def stripComment(line: String): String = {
+      var inQuote = false
+      val b = new StringBuilder
+      var done = false
+      line.foreach { c =>
+        if (!done) {
+          if (c == '"') { inQuote = !inQuote; b += c }
+          else if (c == '#' && !inQuote) done = true
+          else b += c
+        }
+      }
+      b.result()
+    }
     text.linesIterator.foreach { raw =>
-      val line = raw.takeWhile(_ != '#').trim
+      val line = stripComment(raw).trim
       if (line.startsWith("[") && line.endsWith("]")) section = line.substring(1, line.length - 1).trim
       else if (line.contains("=")) {
         val Array(k, v) = line.split("=", 2)
@@ -123,38 +143,45 @@ object PipelineConfig {
         kv(key) = v.trim.stripPrefix("\"").stripSuffix("\"")
       }
     }
+    // Wrap value parsing so a malformed value reports its key.
+    def parse[A](k: String, raw: String, what: String, f: String => A): A =
+      try f(raw)
+      catch {
+        case e: Exception =>
+          throw new IllegalArgumentException(
+            s"config key '$k': cannot parse '$raw' as $what", e)
+      }
     def s(k: String, d: String) = kv.getOrElse(k, d)
-    def i(k: String, d: Int) = kv.get(k).map(x => x.toDouble.toInt).getOrElse(d)
-    def f(k: String, d: Float) = kv.get(k).map(_.toFloat).getOrElse(d)
-    def b(k: String, d: Boolean) = kv.get(k).map(_.toBoolean).getOrElse(d)
-    val sig = SignalConfig()
-    val bar = BarConfig()
+    def i(k: String, d: Int) = kv.get(k).map(x => parse(k, x, "int", _.toDouble.toInt)).getOrElse(d)
+    def f(k: String, d: Float) = kv.get(k).map(x => parse(k, x, "float", _.toFloat)).getOrElse(d)
+    def dd(k: String, d: Double) = kv.get(k).map(x => parse(k, x, "double", _.toDouble)).getOrElse(d)
+    def b(k: String, d: Boolean) = kv.get(k).map(x => parse(k, x, "bool", _.toBoolean)).getOrElse(d)
     PipelineConfig(
-      pipelineName = s("pipeline_name", "default"),
-      tickFilePath = s("tick_file_path", ""),
+      pipelineName = s("pipeline_name", "loaded"),
+      tickFilePath = s("tick_file_path", "data/raw/YM 06-25.Last.txt"),
       signal = SignalConfig(
-        agcAlpha = f("signal_processing.agc_alpha", sig.agcAlpha),
-        agcMinScale = i("signal_processing.agc_min_scale", sig.agcMinScale),
-        agcMaxScale = i("signal_processing.agc_max_scale", sig.agcMaxScale),
-        winsorizeDeltaThreshold = i("signal_processing.winsorize_delta_threshold", sig.winsorizeDeltaThreshold),
-        minPrice = i("signal_processing.min_price", sig.minPrice),
-        maxPrice = i("signal_processing.max_price", sig.maxPrice),
-        maxJump = i("signal_processing.max_jump", sig.maxJump),
-        encoderType = s("signal_processing.encoder_type", sig.encoderType),
-        cpmModulationIndex = f("signal_processing.cpm_modulation_index", sig.cpmModulationIndex),
-        cpmLutSize = i("signal_processing.cpm_lut_size", sig.cpmLutSize),
-        amcCarrierPeriod = f("signal_processing.amc_carrier_period", sig.amcCarrierPeriod),
-        amcLutSize = i("signal_processing.amc_lut_size", sig.amcLutSize),
-        tickDerivativeImagScale = f("signal_processing.tick_derivative_imag_scale", sig.tickDerivativeImagScale)),
+        agcAlpha = f("signal_processing.agc_alpha", 0.0625f),
+        agcMinScale = i("signal_processing.agc_min_scale", 4),
+        agcMaxScale = i("signal_processing.agc_max_scale", 50),
+        winsorizeDeltaThreshold = i("signal_processing.winsorize_delta_threshold", 10),
+        minPrice = i("signal_processing.min_price", 39000),
+        maxPrice = i("signal_processing.max_price", 44000),
+        maxJump = i("signal_processing.max_jump", 50),
+        encoderType = s("signal_processing.encoder_type", "cpm"),
+        cpmModulationIndex = f("signal_processing.cpm_modulation_index", 0.5f),
+        cpmLutSize = i("signal_processing.cpm_lut_size", 1024),
+        amcCarrierPeriod = f("signal_processing.amc_carrier_period", 16.0f),
+        amcLutSize = i("signal_processing.amc_lut_size", 1024),
+        tickDerivativeImagScale = f("signal_processing.tick_derivative_imag_scale", 4.0f)),
       bars = BarConfig(
-        enabled = b("bar_processing.enabled", bar.enabled),
-        ticksPerBar = i("bar_processing.ticks_per_bar", bar.ticksPerBar),
-        normalizationWindowBars = i("bar_processing.normalization_window_bars", bar.normalizationWindowBars),
-        winsorizeBarThreshold = i("bar_processing.winsorize_bar_threshold", bar.winsorizeBarThreshold),
-        maxBarJump = i("bar_processing.max_bar_jump", bar.maxBarJump),
-        barDerivativeImagScale = f("bar_processing.bar_derivative_imag_scale", bar.barDerivativeImagScale),
-        barMethod = s("bar_processing.bar_method", bar.barMethod)),
-      flow = FlowControlConfig(delayMs = kv.get("flow_control.delay_ms").map(_.toDouble).getOrElse(0.0)),
+        enabled = b("bar_processing.enabled", false),
+        ticksPerBar = i("bar_processing.ticks_per_bar", 21),
+        normalizationWindowBars = i("bar_processing.normalization_window_bars", 120),
+        winsorizeBarThreshold = i("bar_processing.winsorize_bar_threshold", 50),
+        maxBarJump = i("bar_processing.max_bar_jump", 100),
+        barDerivativeImagScale = f("bar_processing.bar_derivative_imag_scale", 4.0f),
+        barMethod = s("bar_processing.bar_method", "boxcar")),
+      flow = FlowControlConfig(delayMs = dd("flow_control.delay_ms", 0.0)),
       channels = ChannelConfig(
         priorityBufferSize = i("channels.priority_buffer_size", 4096),
         standardBufferSize = i("channels.standard_buffer_size", 2048)),

@@ -8,18 +8,18 @@ import org.apache.spark.sql.functions._
   */
 object TickFunctions {
 
-  /** Pack the first 8 ASCII chars of a timestamp string into an Int64,
-    * 8 bits per char, big-endian; empty string packs to 0
-    * (reference: src/VolumeExpansion.jl:46-59).
+  /** Pack the first min(8, length) ASCII chars of a timestamp string
+    * into an Int64, 8 bits per char, big-endian within the packed bytes
+    * and low-aligned for short strings — e.g. "AB" packs to 0x4142, not
+    * 0x4142000000000000 — mirroring the reference's one-shift-per-present-
+    * char fold (reference: src/VolumeExpansion.jl:46-59).
     */
-  def encodeTimestamp(ts: Column): Column = {
-    val packed = (1 to 8).map { i =>
-      // ascii() of an out-of-range substring is 0, matching the
-      // reference's `min(8, length)` loop for short strings.
-      (ascii(substring(ts, i, 1)).cast("long") % 256) * lit(1L << (8 * (8 - i)))
-    }.reduce(_ + _)
-    packed
-  }
+  def encodeTimestamp(ts: Column): Column =
+    (1 to 8).foldLeft(lit(0L)) { (acc, i) =>
+      when(length(ts) >= i,
+        acc * 256L + (ascii(substring(ts, i, 1)).cast("long") % 256L)
+      ).otherwise(acc)
+    }
 
   /** Reverse of [[encodeTimestamp]] (debug helper; reference
     * src/VolumeExpansion.jl:68-81 — zero bytes are skipped).

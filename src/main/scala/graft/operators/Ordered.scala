@@ -52,8 +52,11 @@ object Ordered {
   private def zipWithOffsets(df: DataFrame, outCol: String, weight: Row => Long): DataFrame = {
     val spark = df.sparkSession
     val schema = StructType(df.schema.fields :+ StructField(outCol, LongType, nullable = false))
-    val rdd = df.rdd
-    rdd.cache()
+    // localCheckpoint (MEMORY_AND_DISK) + lineage truncation: pass 2 and
+    // task retries see exactly the rows pass 1 counted (repartitionByRange+
+    // sortWithinPartitions is not order-stable on tied keys, so a recompute
+    // could otherwise assign different indices than the pass-1 totals).
+    val rdd = df.rdd.localCheckpoint()
     // Pass 1: per-partition totals (one number per partition).
     val partials: Array[Long] = rdd
       .mapPartitionsWithIndex { (pid, it) =>

@@ -35,8 +35,13 @@ object Scan {
       emit: (S, Row) => Seq[Any]): DataFrame = {
     val spark = df.sparkSession
     val schema = StructType(df.schema.fields ++ appended)
-    val rdd = df.rdd
-    rdd.cache()
+    // localCheckpoint (MEMORY_AND_DISK) + lineage truncation: pass 2 and
+    // any task retry read the exact rows pass 1 folded — recomputation
+    // through a not-order-stable shuffle could silently disagree with the
+    // pass-1 partials for non-commutative combines. Block loss now fails
+    // loudly instead of corrupting; ContextCleaner reclaims the blocks
+    // once the returned DataFrame is unreferenced.
+    val rdd = df.rdd.localCheckpoint()
     val partials: Array[(Int, S)] = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var s = zero; it.foreach(r => s = combine(s, lift(r))); Iterator((pid, s))
