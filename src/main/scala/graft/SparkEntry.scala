@@ -1,13 +1,39 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
+  /** Session settings every entry point applies: classic (non-ANSI) SQL
+    * semantics — malformed casts yield null like the reference's
+    * drop-on-malformed parse (reference: src/VolumeExpansion.jl:95-113) —
+    * and nanosecond parquet timestamps read as-is.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def entry(spark: SparkSession): DataFrame = {
+    tune(spark)
+    graft.operators.TickPipeline.flagship(spark, "/root/testdata/sf0.001")
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val wrap: ((SparkSession, String) => DataFrame) => ((SparkSession, String) => DataFrame) =
+      f => (s, d) => f(tune(s), d)
+    (graft.relational.RelationalQueries.queries ++
+      graft.operators.TickQueries.queries ++
+      graft.llm.LlmQueries.queries)
+      .map { case (k, v) => k -> wrap(v) }
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    graft.relational.RelationalQueries.oracles ++
+      graft.operators.TickQueries.oracles ++
+      graft.llm.LlmQueries.oracles
 }

@@ -1,0 +1,357 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.config.{BarConfig, SignalConfig}
+import graft.functions.TickFunctions
+
+/** The tick-processing pipeline re-expressed as declarative Spark
+  * dataflow. Every reference "stateful" computation is order-indexed and
+  * algebraically cumulative (SURVEY.md §7.0), so the whole hot loop
+  * (reference: src/TickHotLoopF32.jl:287-437) lowers to window functions
+  * over `tick_idx` — no mutable state, no mapGroupsWithState.
+  *
+  * Numerics: this module computes in Double with explicit half-up
+  * rounding (`floor(x+0.5)`) so results are bit-reproducible across
+  * engines (the DuckDB oracle mirrors the same expressions). The
+  * reference computes in Float32 with ties-to-even rounding; the integer
+  * paths (clipping, Q16 fixed-point, phase accumulators) are exact either
+  * way, the float paths agree to ~1e-6 relative.
+  *
+  * Scale note: `Window.orderBy(tick_idx)` with no partition serializes
+  * onto one partition — fine for correctness tests, fatal at 100 TB. The
+  * scalable formulation of the same semantics is the two-pass prefix scan
+  * in [[Ordered]]/[[Scan]] (partials per chunk + driver prefix + local
+  * finish); see `hotLoopChunked` docs below.
+  */
+object TickPipeline {
+
+  import TickFunctions.{cpmLutIm, cpmLutRe, hexad16Im, hexad16Re}
+
+  /** Preloaded Q16 reciprocal before the first completed 144-tick bar
+    * (reference: src/TickHotLoopF32.jl:107).
+    */
+  val InvNormPreload: Long = math.rint(65536.0f / 8.67f).toLong // 7559
+  val TwoPowMinus16: Double = 1.52587890625e-5
+  val TicksPerStatsBar = 144 // hardcoded, independent of bar-processor config (TickHotLoopF32.jl:50)
+
+  // ------------------------------------------------------------------ T1/T2
+  /** Batch text tick source: read a `;`-delimited tick file, skip blank
+    * and malformed lines, keep file order (reference:
+    * src/VolumeExpansion.jl:145-218). `line_idx` is 1-based over
+    * surviving lines, assigned with the scalable two-pass index.
+    */
+  def readTickFile(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.textFile(path).toDF("value")
+      .withColumn("file_pos", monotonically_increasing_id())
+    Ordered.withGlobalIndex(parseTickLines(raw, col("value"), col("file_pos")),
+      "line_idx", "file_pos")
+  }
+
+  /** Parse `;`-delimited tick lines: exactly 5 fields, 4 int fields;
+    * malformed or blank rows are dropped (reference:
+    * src/VolumeExpansion.jl:95-113,163-171).
+    */
+  def parseTickLines(df: DataFrame, line: Column, orderCol: Column): DataFrame = {
+    val parts = split(line, ";")
+    df.select(orderCol.as("file_pos"),
+        trim(element_at(parts, 1)).as("ts_str"),
+        expr("try_cast(trim(element_at(split(value, ';'), 2)) as int)").as("bid"),
+        expr("try_cast(trim(element_at(split(value, ';'), 3)) as int)").as("ask"),
+        expr("try_cast(trim(element_at(split(value, ';'), 4)) as int)").as("last"),
+        expr("try_cast(trim(element_at(split(value, ';'), 5)) as int)").as("volume"),
+        size(parts).as("n_fields"))
+      .where(col("n_fields") === 5 &&
+        col("bid").isNotNull && col("ask").isNotNull &&
+        col("last").isNotNull && col("volume").isNotNull)
+      .drop("n_fields")
+  }
+
+  // ------------------------------------------------------------------ T7-T9
+  /** Volume expansion + line-level lag delta + global tick index
+    * (reference: src/VolumeExpansion.jl:175-214). Input needs
+    * (line_idx, ts_str, last, volume); extra columns pass through.
+    *
+    * Deltas are computed across *lines* before expansion; replica 1
+    * carries the real delta, replicas 2..v carry 0; the stream's very
+    * first tick carries 0. `tick_idx` = prefix-sum of volumes, dense and
+    * 1-based over the expanded stream.
+    */
+  def expandVolume(lines: DataFrame): DataFrame = {
+    val wLine = Window.orderBy("line_idx")
+    val wCum = wLine.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lines
+      .withColumn("line_delta",
+        coalesce(col("last") - lag("last", 1).over(wLine), lit(0)))
+      .withColumn("cum_vol", sum("volume").over(wCum))
+      .withColumn("replica_idx",
+        explode(when(col("volume") >= 1, sequence(lit(1), col("volume")))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("tick_idx", col("cum_vol") - col("volume") + col("replica_idx"))
+      .withColumn("timestamp", TickFunctions.encodeTimestamp(col("ts_str")))
+      .withColumn("raw_price", col("last"))
+      .withColumn("price_delta",
+        when(col("replica_idx") === 1, col("line_delta")).otherwise(lit(0)))
+      .drop("cum_vol")
+  }
+
+  // ----------------------------------------------------------------- T11-T24
+  /** The hot loop: validation/hold-last, jump guard, winsorization,
+    * 144-tick bar statistics, cumulative-mean normalization, Q16
+    * fixed-point ratio, and one of four encoders — all as window
+    * expressions over `tick_idx`.
+    *
+    * Input: (tick_idx, raw_price, price_delta [, ...passthrough]).
+    * Output adds: signal_re, signal_im, normalization, status_flag.
+    */
+  def hotLoop(ticks: DataFrame, cfg: SignalConfig): DataFrame = {
+    val wOrd = Window.orderBy("tick_idx")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+
+    val minP = lit(cfg.minPrice); val maxP = lit(cfg.maxPrice)
+    val maxJ = lit(cfg.maxJump); val winz = lit(cfg.winsorizeDeltaThreshold)
+
+    // Stage 1: validation classes. `first_valid` is the cumulative min of
+    // valid tick indices; four mutually exclusive row classes fall out
+    // (reference: TickHotLoopF32.jl:302-343).
+    val s1 = ticks
+      .withColumn("valid", col("raw_price").between(minP, maxP))
+      .withColumn("first_valid",
+        min(when(col("valid"), col("tick_idx"))).over(wCum))
+    val s2 = s1
+      .withColumn("is_pre", !col("valid") && col("first_valid").isNull)
+      .withColumn("is_hold", !col("valid") && col("first_valid").isNotNull)
+      .withColumn("is_first", col("valid") && col("tick_idx") === col("first_valid"))
+      .withColumn("is_elig", col("valid") && col("tick_idx") =!= col("first_valid"))
+      // Stage 2: jump guard then winsorize (order matters — reference
+      // clips before bar statistics, TickHotLoopF32.jl:347-359).
+      .withColumn("clip1", abs(col("price_delta")) > maxJ)
+      .withColumn("d1", when(col("clip1"),
+        when(col("price_delta") > 0, maxJ).otherwise(-maxJ)).otherwise(col("price_delta")))
+      .withColumn("clip2", abs(col("d1")) > winz)
+      .withColumn("d", when(col("clip2"),
+        when(col("d1") > 0, winz).otherwise(-winz)).otherwise(col("d1")))
+      .withColumn("flag_clip", col("clip1") || col("clip2"))
+      // Stage 3: position among eligible ticks → 144-tick stats bars.
+      .withColumn("elig_rn",
+        sum(when(col("is_elig"), 1L).otherwise(0L)).over(wCum))
+    val s3 = s2
+      .withColumn("bar_id",
+        when(col("is_elig"), floor((col("elig_rn") - 1) / lit(144.0)).cast("long")))
+      .withColumn("bar_pos",
+        when(col("is_elig"), col("elig_rn") - floor((col("elig_rn") - 1) / lit(144.0)).cast("long") * 144))
+      .withColumn("is_boundary", col("is_elig") && col("bar_pos") === 144)
+    // Stage 4: per-bar delta min/max (full-partition frame).
+    val wBar = Window.partitionBy("bar_id")
+    val s4 = s3
+      .withColumn("bar_min", min(when(col("is_elig"), col("d"))).over(wBar))
+      .withColumn("bar_max", max(when(col("is_elig"), col("d"))).over(wBar))
+    // Stage 5: completed-bar cumulative sums. A bar's (min,max) enters the
+    // running statistics exactly at its boundary tick, *before* that
+    // tick's own normalization (TickHotLoopF32.jl:383-405), which the
+    // current-row-inclusive frame reproduces.
+    val s5 = s4
+      .withColumn("k_bars",
+        coalesce(sum(when(col("is_boundary"), 1L)).over(wCum), lit(0L)))
+      .withColumn("sum_min",
+        coalesce(sum(when(col("is_boundary"), col("bar_min"))).over(wCum), lit(0L)))
+      .withColumn("sum_max",
+        coalesce(sum(when(col("is_boundary"), col("bar_max"))).over(wCum), lit(0L)))
+    // Stage 6: Q16 reciprocal + normalized ratio (TickHotLoopF32.jl:397-414).
+    val norm = greatest(
+      col("sum_max").cast("double") / col("k_bars") -
+        col("sum_min").cast("double") / col("k_bars"), lit(1.0))
+    val s6 = s5
+      .withColumn("inv_q16", when(col("k_bars") === 0, lit(InvNormPreload))
+        .otherwise(floor(lit(65536.0) / norm + 0.5).cast("long")))
+      .withColumn("ratio", when(col("is_elig"),
+        (col("d").cast("long") * col("inv_q16")).cast("double") * lit(TwoPowMinus16))
+        .otherwise(lit(0.0)))
+      .withColumn("normalization", when(col("is_elig"),
+        lit(1.0) / (col("inv_q16").cast("double") * lit(TwoPowMinus16)))
+        .otherwise(lit(1.0)))
+      .withColumn("status_flag",
+        when(col("is_hold"), lit(2))
+          .when(col("is_elig") && col("flag_clip"), lit(4))
+          .otherwise(lit(0)))
+
+    // Stage 7: encoder (plan-time selection — no per-row dispatch,
+    // TickHotLoopF32.jl:416-432).
+    val encoded = cfg.encoderType match {
+      case "derivative" =>
+        val prev = coalesce(
+          last(when(col("is_elig"), col("ratio")), ignoreNulls = true).over(wPrev),
+          lit(0.0))
+        // Hold/first ticks route through the zero-amplitude HEXAD16 path in
+        // the reference — output (0,0); prev_ratio only advances on
+        // eligible ticks (TickHotLoopF32.jl:310-318,257-282).
+        s6.withColumn("signal_re", when(col("is_elig"), col("ratio")).otherwise(lit(0.0)) + 0.0)
+          .withColumn("signal_im", when(col("is_elig"),
+            (col("ratio") - prev) * lit(cfg.tickDerivativeImagScale.toDouble))
+            .otherwise(lit(0.0)) + 0.0)
+      case "hexad16" =>
+        val phase = ((col("tick_idx") - 1) % 16).cast("int")
+        s6.withColumn("signal_re",
+            col("ratio") * TickFunctions.lutLookup(hexad16Re, phase + 1) + 0.0)
+          .withColumn("signal_im",
+            col("ratio") * TickFunctions.lutLookup(hexad16Im, phase + 1) + 0.0)
+      case "cpm" =>
+        val scale = 2.0 * cfg.cpmModulationIndex.toDouble * 2147483648.0
+        val withAcc = s6
+          .withColumn("inc", when(col("is_elig"),
+            floor(col("ratio") * lit(scale) + 0.5).cast("long")).otherwise(lit(0L)))
+          .withColumn("acc", pmod(sum(col("inc")).over(wCum), lit(4294967296L)))
+          .withColumn("lut_idx", floor(col("acc") / lit(4194304.0)).cast("int"))
+        withAcc
+          .withColumn("signal_re", when(col("is_pre"), lit(0.0))
+            .otherwise(TickFunctions.lutLookup(cpmLutRe, col("lut_idx") + 1)) + 0.0)
+          .withColumn("signal_im", when(col("is_pre"), lit(0.0))
+            .otherwise(TickFunctions.lutLookup(cpmLutIm, col("lut_idx") + 1)) + 0.0)
+      case "amc" =>
+        // Carrier advances by the hardcoded period-16 increment on every
+        // encoder call (holds included); amc_carrier_period config is
+        // deliberately not wired — reference quirk (TickHotLoopF32.jl:115).
+        val withAcc = s6
+          .withColumn("enc_rn", sum(when(!col("is_pre"), 1L).otherwise(0L)).over(wCum))
+          .withColumn("acc", pmod(col("enc_rn") * lit(268435456L), lit(4294967296L)))
+          .withColumn("lut_idx", floor(col("acc") / lit(4194304.0)).cast("int"))
+        withAcc
+          .withColumn("signal_re", when(col("is_pre"), lit(0.0))
+            .otherwise(col("ratio") * TickFunctions.lutLookup(cpmLutRe, col("lut_idx") + 1)) + 0.0)
+          .withColumn("signal_im", when(col("is_pre"), lit(0.0))
+            .otherwise(col("ratio") * TickFunctions.lutLookup(cpmLutIm, col("lut_idx") + 1)) + 0.0)
+      case other => throw new IllegalArgumentException(s"unknown encoder: $other")
+    }
+
+    encoded.drop("valid", "first_valid", "is_pre", "is_hold", "is_first",
+      "clip1", "d1", "d", "clip2", "flag_clip", "elig_rn", "bar_id", "bar_pos",
+      "is_boundary", "bar_min", "bar_max", "k_bars", "sum_min", "sum_max",
+      "inv_q16", "is_elig", "ratio", "inc", "acc", "lut_idx", "enc_rn")
+  }
+
+  // ----------------------------------------------------------------- T26-T33
+  /** Bar processor: tumbling count-window OHLC over ALL ticks (validity is
+    * not consulted — reference processes every message,
+    * src/BarProcessor.jl:163-202), boxcar averaging, cumulative high/low
+    * normalization recalculated every `normalizationWindowBars` bars,
+    * bar delta with jump guard + winsorization, derivative encoding.
+    *
+    * Returns one row per *completed* bar. FIR averaging is handled by
+    * [[FirFilter]] (separate, heavier path).
+    */
+  def bars(ticks: DataFrame, cfg: BarConfig): DataFrame = {
+    val n = cfg.ticksPerBar
+    val agg = ticks
+      .withColumn("bar_id0", floor((col("tick_idx") - 1) / lit(n.toDouble)).cast("long"))
+      .groupBy("bar_id0")
+      .agg(
+        count(lit(1)).as("cnt"),
+        min_by(col("raw_price"), col("tick_idx")).as("bar_open_raw"),
+        max("raw_price").as("bar_high_raw"),
+        min("raw_price").as("bar_low_raw"),
+        max_by(col("raw_price"), col("tick_idx")).as("bar_close_raw"),
+        max_by(col("timestamp"), col("tick_idx")).as("bar_end_timestamp"))
+      .where(col("cnt") === n)
+      .withColumn("bar_idx", col("bar_id0") + 1)
+
+    val wBarOrd = Window.orderBy("bar_idx")
+    val wBarCum = wBarOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val withAvg = agg.withColumn("bar_average_raw",
+      floor((col("bar_high_raw") + col("bar_low_raw") + col("bar_close_raw")).cast("double")
+        / 3.0 + 0.5).cast("int"))
+
+    // Normalization: cumulative avg(high)-avg(low) over all completed
+    // bars, but recalculated (and immediately applied) only every
+    // `normalizationWindowBars`-th bar; 1.0 before the first recalc
+    // (reference: src/BarProcessor.jl:247-270).
+    val recalc = col("bar_idx") % cfg.normalizationWindowBars === 0
+    val withNorm = withAvg
+      .withColumn("cum_high", sum(col("bar_high_raw").cast("long")).over(wBarCum))
+      .withColumn("cum_low", sum(col("bar_low_raw").cast("long")).over(wBarCum))
+      .withColumn("norm_here", greatest(
+        col("cum_high").cast("double") / col("bar_idx") -
+          col("cum_low").cast("double") / col("bar_idx"), lit(1.0)))
+      .withColumn("bar_normalization", coalesce(
+        last(when(recalc, col("norm_here")), ignoreNulls = true).over(wBarCum),
+        lit(1.0)))
+
+    val prevAvg = lag("bar_average_raw", 1).over(wBarOrd)
+    val d0 = coalesce(col("bar_average_raw") - prevAvg, lit(0))
+    val maxJ = lit(cfg.maxBarJump); val winz = lit(cfg.winsorizeBarThreshold)
+    val withDelta = withNorm
+      .withColumn("d0", d0)
+      .withColumn("clip1", abs(col("d0")) > maxJ)
+      .withColumn("d1", when(col("clip1"), when(col("d0") > 0, maxJ).otherwise(-maxJ))
+        .otherwise(col("d0")))
+      .withColumn("clip2", abs(col("d1")) > winz)
+      .withColumn("bar_price_delta", when(col("clip2"),
+        when(col("d1") > 0, winz).otherwise(-winz)).otherwise(col("d1")))
+      .withColumn("bar_flags",
+        when(col("clip1") || col("clip2"), lit(4)).otherwise(lit(0)))
+      .withColumn("prev_avg", prevAvg)
+
+    // Derivative encoding; prev_normalized divides the *previous average*
+    // by the *current* normalization — reference quirk
+    // (src/BarProcessor.jl:294-310); first bar's prev_normalized is 0.
+    withDelta
+      .withColumn("bar_signal_re",
+        col("bar_price_delta").cast("double") / col("bar_normalization") + 0.0)
+      .withColumn("bar_signal_im",
+        (col("bar_average_raw").cast("double") / col("bar_normalization") -
+          coalesce(col("prev_avg").cast("double") / col("bar_normalization"), lit(0.0)))
+          * lit(cfg.barDerivativeImagScale.toDouble) + 0.0)
+      .withColumn("bar_ticks", lit(n))
+      .withColumn("bar_volume", lit(n))
+      .select("bar_idx", "bar_ticks", "bar_volume", "bar_open_raw", "bar_high_raw",
+        "bar_low_raw", "bar_close_raw", "bar_average_raw", "bar_price_delta",
+        "bar_signal_re", "bar_signal_im", "bar_normalization", "bar_flags",
+        "bar_end_timestamp")
+  }
+
+  /** Left-join bar fields back onto their completing ticks (null on the
+    * other N-1 of N ticks) — the reference's message enrichment
+    * (src/BarProcessor.jl:312-328).
+    */
+  def enrich(ticksWithSignal: DataFrame, barsDf: DataFrame, ticksPerBar: Int): DataFrame =
+    ticksWithSignal.join(
+      barsDf.withColumn("bar_end_tick", col("bar_idx") * ticksPerBar)
+        .drop("bar_end_timestamp"),
+      ticksWithSignal("tick_idx") === col("bar_end_tick"), "left")
+      .drop("bar_end_tick")
+
+  // ------------------------------------------------------------------ ticks
+  /** Deterministic synthetic tick stream derived from the driver's
+    * lineitem table (pure integer arithmetic so the DuckDB oracle derives
+    * the identical stream). ~2% of prices fall outside the default valid
+    * range on each side, exercising hold-last.
+    */
+  def syntheticTicks(spark: SparkSession, sfDir: String): DataFrame = {
+    val wLine = Window.orderBy("l_orderkey", "l_linenumber")
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(
+        row_number().over(wLine).cast("long").as("line_idx"),
+        concat(
+          (lit(20250301) + (col("l_orderkey") + col("l_linenumber")) % 28).cast("string"),
+          lit(" 070000 0000000")).as("ts_str"),
+        (lit(39000) + (col("l_orderkey") * 7 + col("l_linenumber") * 131
+          + col("l_suppkey") * 17) % 5200 - 100).cast("int").as("last"),
+        (lit(1) + (col("l_orderkey") + col("l_linenumber")) % 3).cast("int").as("volume"))
+  }
+
+  /** Flagship end-to-end: synthetic ticks → expansion → hot loop
+    * (derivative encoder, the shipped default) → bar enrichment.
+    */
+  def flagship(spark: SparkSession, sfDir: String): DataFrame = {
+    val cfg = SignalConfig(encoderType = "derivative", minPrice = 39000,
+      maxPrice = 44000, tickDerivativeImagScale = 2.0f)
+    val barCfg = BarConfig(enabled = true, ticksPerBar = 21, barMethod = "boxcar")
+    val ticks = expandVolume(syntheticTicks(spark, sfDir))
+    val hot = hotLoop(ticks, cfg)
+    enrich(hot, bars(ticks, barCfg), barCfg.ticksPerBar)
+      .orderBy("tick_idx")
+  }
+}

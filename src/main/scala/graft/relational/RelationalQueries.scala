@@ -1,0 +1,587 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The declared relational query surface (SURVEY.md §2B, Q1–Q17) over the
+  * driver's TPC-H-ish tables, each paired with an ANSI-SQL oracle the
+  * driver runs on DuckDB.
+  *
+  * Determinism discipline (oracle hash-match):
+  *   - double aggregates go through DECIMAL (exact, order-independent)
+  *     and are cast back to double, identically on both sides;
+  *   - explicit `floor(x+0.5)` instead of engine-specific round();
+  *   - every result has a total ordering on its own columns;
+  *   - no nulls in output (rollup/cube keys are coalesced to 'ALL').
+  */
+object RelationalQueries {
+
+  private def li(s: SparkSession, d: String) = Tables.load(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables.load(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = Tables.load(s, d, "customer")
+  private def nat(s: SparkSession, d: String) = Tables.load(s, d, "nation")
+  private def reg(s: SparkSession, d: String) = Tables.load(s, d, "region")
+  private def part(s: SparkSession, d: String) = Tables.load(s, d, "part")
+  private def supp(s: SparkSession, d: String) = Tables.load(s, d, "supplier")
+
+  /** Exact decimal sum of a double column, returned as double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  // ---------------------------------------------------------------- Q1/Q2
+  /** Scan + projection + computed column; pushdown-friendly narrow read. */
+  def q01ScanProject(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .select($"l_orderkey", $"l_linenumber",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+  val q01Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |       l_extendedprice * (1.0 - l_discount) AS revenue
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ------------------------------------------------------------------- Q3
+  /** Predicate filter with between + equality + date bound. */
+  def q02Filter(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .where($"l_quantity".between(10, 20) && $"l_returnflag" === "R"
+        && $"l_shipdate" >= lit("1995-01-01").cast("timestamp_ntz"))
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity".cast("long").as("qty"))
+      .orderBy("l_orderkey", "l_linenumber")
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+      |FROM lineitem
+      |WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'R'
+      |  AND l_shipdate >= TIMESTAMP '1995-01-01'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ------------------------------------------------------------------- Q4
+  /** Row expansion: one output row per unit of l_linenumber (explode). */
+  def q03Explode(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .where($"l_orderkey" % 10 === 0)
+      .select($"l_orderkey", $"l_linenumber",
+        explode(sequence(lit(1L), $"l_linenumber".cast("long"))).as("replica"))
+      .orderBy("l_orderkey", "l_linenumber", "replica")
+  val q03Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |       unnest(generate_series(1, l_linenumber)) AS replica
+      |FROM lineitem WHERE l_orderkey % 10 = 0
+      |ORDER BY l_orderkey, l_linenumber, replica""".stripMargin
+
+  // ------------------------------------------------------------------- Q7
+  /** Hash aggregation with decimal-exact sums (TPC-H Q1 shape). */
+  def q04Agg(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(24,8)"))
+          .cast("double").as("sum_disc_price"),
+        (sum($"l_quantity".cast("decimal(18,2)")).cast("double") / count(lit(1)))
+          .as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  val q04Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ------------------------------------------------------------------- Q5
+  /** Star join with broadcast dimensions (nation, region are tiny). */
+  def q05JoinBroadcast(s: SparkSession, d: String): DataFrame =
+    cust(s, d)
+      .join(broadcast(nat(s, d)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(reg(s, d)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(count(lit(1)).as("customers"), dsum($"c_acctbal").as("total_acctbal"))
+      .orderBy("r_name", "n_name")
+  val q05Sql: String =
+    """SELECT r_name, n_name, COUNT(*) AS customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  /** Multi-way fact-to-fact join: revenue per nation. */
+  def q06JoinMultiway(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .join(ord(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(cust(s, d), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nat(s, d)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(24,8)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("line_count"))
+      .orderBy("n_name")
+  val q06Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS line_count
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Semi and anti join: customers with vs without orders, tagged. */
+  def q07SemiAnti(s: SparkSession, d: String): DataFrame = {
+    val c = cust(s, d); val o = ord(s, d)
+    val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("customers"))
+      .withColumn("tag", lit("with_orders"))
+    val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("customers"))
+      .withColumn("tag", lit("no_orders"))
+    withO.unionByName(without).select($"tag", $"c_mktsegment", $"customers")
+      .orderBy("tag", "c_mktsegment")
+  }
+  val q07Sql: String =
+    """SELECT 'with_orders' AS tag, c_mktsegment, COUNT(*) AS customers
+      |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT 'no_orders' AS tag, c_mktsegment, COUNT(*) AS customers
+      |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY tag, c_mktsegment""".stripMargin
+
+  /** Left outer join + conditional aggregation: lineitem count per order,
+    * including empty orders, histogrammed.
+    */
+  def q08OuterAgg(s: SparkSession, d: String): DataFrame = {
+    val perOrder = ord(s, d)
+      .join(li(s, d), $"o_orderkey" === $"l_orderkey", "left")
+      .groupBy($"o_orderkey")
+      .agg(count($"l_linenumber").as("line_cnt"))
+    perOrder.groupBy($"line_cnt").agg(count(lit(1)).as("orders"))
+      .orderBy("line_cnt")
+  }
+  val q08Sql: String =
+    """SELECT line_cnt, COUNT(*) AS orders FROM (
+      |  SELECT o_orderkey, COUNT(l_linenumber) AS line_cnt
+      |  FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY o_orderkey
+      |) GROUP BY line_cnt ORDER BY line_cnt""".stripMargin
+
+  // ------------------------------------------------------------------ Q10
+  /** Ranking window: top-3 orders per customer by totalprice. */
+  def q09WindowTopK(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    ord(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= 3)
+      .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+  val q09Sql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders
+      |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** Analytic window frames: running and sliding aggregates per customer. */
+  def q10WindowFrames(s: SparkSession, d: String): DataFrame = {
+    val byCust = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val running = byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sliding = byCust.rowsBetween(-2, 0)
+    ord(s, d)
+      .select($"o_custkey", $"o_orderkey",
+        sum($"o_totalprice".cast("decimal(18,2)")).over(running)
+          .cast("double").as("running_total"),
+        (sum($"o_totalprice".cast("decimal(18,2)")).over(sliding).cast("double")
+          / count(lit(1)).over(sliding)).as("sliding_avg3"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+  val q10Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_run AS DOUBLE) AS running_total,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_slide AS DOUBLE)
+      |    / COUNT(*) OVER w_slide AS sliding_avg3
+      |FROM orders
+      |WINDOW
+      |  w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  w_slide AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** lag/lead: day gaps between consecutive orders of a customer. */
+  def q11LagLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    ord(s, d)
+      .select($"o_custkey", $"o_orderkey",
+        coalesce(datediff($"o_orderdate".cast("date"),
+          lag($"o_orderdate", 1).over(w).cast("date")), lit(-1)).as("gap_days"),
+        coalesce(lead($"o_orderkey", 1).over(w), lit(-1)).as("next_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+  val q11Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  COALESCE(date_diff('day',
+      |    CAST(lag(o_orderdate, 1) OVER w AS DATE),
+      |    CAST(o_orderdate AS DATE)), -1) AS gap_days,
+      |  COALESCE(lead(o_orderkey, 1) OVER w, -1) AS next_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------------- Q8
+  /** Distinct aggregation. */
+  def q12Distinct(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("distinct_orders"),
+        countDistinct($"l_suppkey").as("distinct_suppliers"),
+        count(lit(1)).as("total_rows"))
+      .orderBy("l_returnflag")
+  val q12Sql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS distinct_orders,
+      |  COUNT(DISTINCT l_suppkey) AS distinct_suppliers, COUNT(*) AS total_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------------- Q9
+  /** Rollup with coalesced (null-free) grouping keys. */
+  def q13Rollup(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("cnt"), dsum($"l_quantity").as("sum_qty"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"cnt", $"sum_qty")
+      .orderBy("returnflag", "linestatus")
+  val q13Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |       COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** Cube. */
+  def q14Cube(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("sum_total"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("orderstatus"),
+        coalesce($"o_orderpriority", lit("ALL")).as("orderpriority"),
+        $"cnt", $"sum_total")
+      .orderBy("orderstatus", "orderpriority")
+  val q14Sql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+      |       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+      |       COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY orderstatus, orderpriority""".stripMargin
+
+  // ------------------------------------------------------------------ Q12
+  /** Set operations: customers ordering in 1994 vs 1995 (distinct keys). */
+  def q15SetOps(s: SparkSession, d: String): DataFrame = {
+    val o = ord(s, d)
+    def yr(y: Int) = o.where(year($"o_orderdate") === y).select($"o_custkey")
+    val both = yr(1994).intersect(yr(1995)).withColumn("tag", lit("both"))
+    val only94 = yr(1994).except(yr(1995)).withColumn("tag", lit("only_1994"))
+    val any = yr(1994).union(yr(1995)).distinct().withColumn("tag", lit("any"))
+    both.unionByName(only94).unionByName(any)
+      .select($"tag", $"o_custkey").orderBy("tag", "o_custkey")
+  }
+  val q15Sql: String =
+    """WITH y94 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994),
+      |     y95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+      |SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM y94 INTERSECT SELECT o_custkey FROM y95)
+      |UNION ALL
+      |SELECT 'only_1994' AS tag, o_custkey FROM (SELECT o_custkey FROM y94 EXCEPT SELECT o_custkey FROM y95)
+      |UNION ALL
+      |SELECT 'any' AS tag, o_custkey FROM (SELECT o_custkey FROM y94 UNION SELECT o_custkey FROM y95)
+      |ORDER BY tag, o_custkey""".stripMargin
+
+  // ------------------------------------------------------------------ Q11
+  /** Global sort + limit with full tiebreak. */
+  def q16SortLimit(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+      .limit(100)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+  val q16Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+      |LIMIT 100""".stripMargin
+
+  // ------------------------------------------------------------------ Q13
+  /** Math/bitwise scalar functions (integer-exact). */
+  def q17ScalarMath(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .where($"l_orderkey" % 25 === 0)
+      .select($"l_orderkey", $"l_linenumber",
+        pmod($"l_orderkey" * -3 + $"l_linenumber", lit(7)).as("pm"),
+        shiftleft($"l_linenumber", 3).as("shl"),
+        shiftright($"l_orderkey", 2).as("shr"),
+        ($"l_orderkey".bitwiseAND(lit(255))).as("band"),
+        ($"l_orderkey".bitwiseOR($"l_linenumber")).as("bor"),
+        ($"l_orderkey".bitwiseXOR($"l_linenumber")).as("bxor"),
+        least($"l_orderkey" % 100, $"l_linenumber" * 10).as("lst"),
+        greatest($"l_orderkey" % 100, $"l_linenumber" * 10).as("grt"),
+        abs($"l_linenumber" - 4).as("ab"),
+        signum($"l_linenumber" - 4).cast("int").as("sgn"),
+        floor($"l_orderkey" / 3.0).cast("long").as("flr"),
+        ceil($"l_orderkey" / 3.0).cast("long").as("cl"))
+      .orderBy("l_orderkey", "l_linenumber")
+  val q17Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  ((l_orderkey * -3 + l_linenumber) % 7 + 7) % 7 AS pm,
+      |  l_linenumber << 3 AS shl,
+      |  l_orderkey >> 2 AS shr,
+      |  l_orderkey & 255 AS band,
+      |  l_orderkey | l_linenumber AS bor,
+      |  xor(l_orderkey, l_linenumber) AS bxor,
+      |  least(l_orderkey % 100, l_linenumber * 10) AS lst,
+      |  greatest(l_orderkey % 100, l_linenumber * 10) AS grt,
+      |  abs(l_linenumber - 4) AS ab,
+      |  CAST(sign(l_linenumber - 4) AS INTEGER) AS sgn,
+      |  CAST(floor(l_orderkey / 3.0) AS BIGINT) AS flr,
+      |  CAST(ceil(l_orderkey / 3.0) AS BIGINT) AS cl
+      |FROM lineitem WHERE l_orderkey % 25 = 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ------------------------------------------------------------------ Q14
+  /** String scalar functions. */
+  def q18ScalarString(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .where($"p_partkey" % 5 === 0)
+      .select($"p_partkey",
+        lower($"p_name").as("lo"),
+        upper($"p_brand").as("up"),
+        length($"p_name").as("len"),
+        substring($"p_name", 1, 5).as("sub"),
+        concat($"p_brand", lit("#"), $"p_type").as("cat"),
+        trim(lit("  x  ")).as("trm"),
+        regexp_extract($"p_name", "^(\\w+)", 1).as("first_word"),
+        element_at(split($"p_type", " "), 1).as("type_head"),
+        reverse($"p_brand").as("rev"),
+        lpad($"p_partkey".cast("string"), 8, "0").as("padded"))
+      .orderBy("p_partkey")
+  val q18Sql: String =
+    """SELECT p_partkey,
+      |  lower(p_name) AS lo, upper(p_brand) AS up, length(p_name) AS len,
+      |  substring(p_name, 1, 5) AS sub,
+      |  concat(p_brand, '#', p_type) AS cat,
+      |  trim('  x  ') AS trm,
+      |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+      |  string_split(p_type, ' ')[1] AS type_head,
+      |  reverse(p_brand) AS rev,
+      |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded
+      |FROM part WHERE p_partkey % 5 = 0 ORDER BY p_partkey""".stripMargin
+
+  // ------------------------------------------------------------------ Q15
+  /** Date/time scalar functions on the events table. */
+  def q19DateTime(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events")
+      .where($"event_id" % 20 === 0)
+      .select($"event_id",
+        year($"ts").as("yr"), month($"ts").as("mo"),
+        dayofmonth($"ts").as("dom"), hour($"ts").as("hr"),
+        minute($"ts").as("mi"), quarter($"ts").as("qtr"),
+        date_trunc("day", $"ts").cast("date").cast("string").as("day_str"),
+        date_format($"ts", "yyyy-MM").as("ym"))
+      .orderBy("event_id")
+  val q19Sql: String =
+    """SELECT event_id,
+      |  year(ts) AS yr, month(ts) AS mo, day(ts) AS dom, hour(ts) AS hr,
+      |  minute(ts) AS mi, quarter(ts) AS qtr,
+      |  CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day_str,
+      |  strftime(ts, '%Y-%m') AS ym
+      |FROM events WHERE event_id % 20 = 0 ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------ Q16
+  /** Array construction + aggregation into sorted lists. */
+  def q20ArrayAgg(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .where($"o_custkey" % 50 === 0)
+      .groupBy($"o_custkey")
+      .agg(sort_array(collect_list($"o_orderkey")).as("orderkeys"))
+      .select($"o_custkey", $"orderkeys",
+        size($"orderkeys").as("n_orders"),
+        element_at($"orderkeys", 1).as("first_key"))
+      .orderBy("o_custkey")
+  val q20Sql: String =
+    """SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys,
+      |  len(list(o_orderkey)) AS n_orders,
+      |  list_sort(list(o_orderkey))[1] AS first_key
+      |FROM orders WHERE o_custkey % 50 = 0
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** Higher-order array functions over the embeddings table: element access,
+    * transform, and a sequential-order dot product (same fold order on both
+    * engines; rounded to absorb any residual float divergence).
+    */
+  def q21ArrayHigherOrder(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+      .where($"vec_id" < 50)
+      .select($"vec_id", $"label",
+        size($"embedding").as("dim"),
+        floor(element_at($"embedding", 1).cast("double") * 1e6 + 0.5).as("e1_micro"),
+        floor(aggregate(transform($"embedding", x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x) * 1e4 + 0.5).as("sqnorm_x1e4"))
+      .orderBy("vec_id")
+  val q21Sql: String =
+    """SELECT vec_id, label, len(embedding) AS dim,
+      |  floor(CAST(embedding[1] AS DOUBLE) * 1e6 + 0.5) AS e1_micro,
+      |  floor(list_sum(list_transform(embedding,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 1e4 + 0.5) AS sqnorm_x1e4
+      |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------------------- Q6
+  /** Non-equi (range) join: orders bucketed into price bands. */
+  def q22RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val bands = s.createDataFrame(Seq(
+      ("band0", 0.0, 50000.0), ("band1", 50000.0, 150000.0),
+      ("band2", 150000.0, 300000.0), ("band3", 300000.0, 1e9)))
+      .toDF("band", "lo", "hi")
+    ord(s, d)
+      .join(broadcast(bands), $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+      .groupBy($"band")
+      .agg(count(lit(1)).as("orders"), dsum($"o_totalprice").as("sum_total"))
+      .orderBy("band")
+  }
+  val q22Sql: String =
+    """WITH bands(band, lo, hi) AS (VALUES
+      |  ('band0', 0.0, 50000.0), ('band1', 50000.0, 150000.0),
+      |  ('band2', 150000.0, 300000.0), ('band3', 300000.0, 1e9))
+      |SELECT band, COUNT(*) AS orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY band ORDER BY band""".stripMargin
+
+  /** As-of flavored: for each 'purchase' event, the most recent prior
+    * 'click' event of the same user (event-time ordered, ignore-nulls
+    * last_value over preceding frame).
+    */
+  def q23AsOf(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("prior_click",
+        last(when($"event_type" === "click", $"event_id"), ignoreNulls = true).over(w))
+      .where($"event_type" === "purchase")
+      .select($"user_id", $"event_id", coalesce($"prior_click", lit(-1)).as("prior_click"))
+      .orderBy("user_id", "event_id")
+  }
+  val q23Sql: String =
+    """SELECT user_id, event_id, COALESCE(prior_click, -1) AS prior_click FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click
+      |  FROM events
+      |) WHERE event_type = 'purchase' ORDER BY user_id, event_id""".stripMargin
+
+  // ------------------------------------------------------------------ Q17
+  /** UDAF surface: exponentially weighted average (alpha = 0.5, exact in
+    * binary) of order totals per customer, via the typed Aggregator in
+    * [[graft.functions.EmaAggregator]]; oracle uses the closed form.
+    * Rounded to 4 dp: the recurrence and closed form associate float adds
+    * differently.
+    */
+  def q24Ema(s: SparkSession, d: String): DataFrame = {
+    val emaUdaf = udaf(new graft.functions.EmaAggregator(0.5))
+    ord(s, d).groupBy($"o_custkey")
+      .agg(emaUdaf(
+        datediff($"o_orderdate".cast("date"), lit("1990-01-01").cast("date")).cast("long"),
+        $"o_orderkey", $"o_totalprice").as("ema_raw"),
+        count(lit(1)).as("n_orders"))
+      .select($"o_custkey", floor($"ema_raw" * 1e4 + 0.5).as("ema_x1e4"), $"n_orders")
+      .orderBy("o_custkey")
+  }
+  val q24Sql: String =
+    """SELECT o_custkey,
+      |  floor(SUM(o_totalprice * power(0.5, CAST(n - rn AS DOUBLE)
+      |        + (CASE WHEN rn = 1 THEN 0 ELSE 1 END))) * 1e4 + 0.5) AS ema_x1e4,
+      |  COUNT(*) AS n_orders
+      |FROM (
+      |  SELECT o_custkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_custkey) AS n
+      |  FROM orders
+      |) GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** Approximate distinct (HLL) — no SQL oracle (rows-only check). */
+  def q25ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_orderkey").as("approx_orders"))
+      .orderBy("l_returnflag")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_project" -> q01ScanProject _,
+    "q02_filter" -> q02Filter _,
+    "q03_explode" -> q03Explode _,
+    "q04_agg" -> q04Agg _,
+    "q05_join_broadcast" -> q05JoinBroadcast _,
+    "q06_join_multiway" -> q06JoinMultiway _,
+    "q07_semi_anti" -> q07SemiAnti _,
+    "q08_outer_agg" -> q08OuterAgg _,
+    "q09_window_topk" -> q09WindowTopK _,
+    "q10_window_frames" -> q10WindowFrames _,
+    "q11_lag_lead" -> q11LagLead _,
+    "q12_distinct" -> q12Distinct _,
+    "q13_rollup" -> q13Rollup _,
+    "q14_cube" -> q14Cube _,
+    "q15_setops" -> q15SetOps _,
+    "q16_sort_limit" -> q16SortLimit _,
+    "q17_scalar_math" -> q17ScalarMath _,
+    "q18_scalar_string" -> q18ScalarString _,
+    "q19_datetime" -> q19DateTime _,
+    "q20_array_agg" -> q20ArrayAgg _,
+    "q21_array_higher_order" -> q21ArrayHigherOrder _,
+    "q22_range_join" -> q22RangeJoin _,
+    "q23_asof" -> q23AsOf _,
+    "q24_ema_udaf" -> q24Ema _,
+    "q25_approx_distinct" -> q25ApproxDistinct _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_scan_project" -> q01Sql,
+    "q02_filter" -> q02Sql,
+    "q03_explode" -> q03Sql,
+    "q04_agg" -> q04Sql,
+    "q05_join_broadcast" -> q05Sql,
+    "q06_join_multiway" -> q06Sql,
+    "q07_semi_anti" -> q07Sql,
+    "q08_outer_agg" -> q08Sql,
+    "q09_window_topk" -> q09Sql,
+    "q10_window_frames" -> q10Sql,
+    "q11_lag_lead" -> q11Sql,
+    "q12_distinct" -> q12Sql,
+    "q13_rollup" -> q13Sql,
+    "q14_cube" -> q14Sql,
+    "q15_setops" -> q15Sql,
+    "q16_sort_limit" -> q16Sql,
+    "q17_scalar_math" -> q17Sql,
+    "q18_scalar_string" -> q18Sql,
+    "q19_datetime" -> q19Sql,
+    "q20_array_agg" -> q20Sql,
+    "q21_array_higher_order" -> q21Sql,
+    "q22_range_join" -> q22Sql,
+    "q23_asof" -> q23Sql,
+    "q24_ema_udaf" -> q24Sql
+    // q25_approx_distinct intentionally omitted: HLL has no exact oracle.
+  )
+
+  // $"..." interpolator without importing a bound spark session's implicits
+  private implicit class Dollar(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}
