@@ -1,0 +1,62 @@
+package graft.config
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Config loading/validation (reference: src/PipelineConfig.jl). */
+class PipelineConfigSpec extends AnyFunSuite {
+
+  test("empty TOML falls back to the reference loader's literal defaults") {
+    val c = PipelineConfig.fromToml("")
+    assert(c.signal.agcAlpha == 0.0625f)       // not the struct default 0.125
+    assert(c.signal.minPrice == 39000 && c.signal.maxPrice == 44000)
+    assert(c.signal.encoderType == "cpm")      // not the struct default "amc"
+    assert(c.pipelineName == "loaded")
+    assert(c.tickFilePath == "data/raw/YM 06-25.Last.txt")
+    assert(!c.bars.enabled && c.bars.barMethod == "boxcar")
+  }
+
+  test("parses sections, comments, quotes") {
+    val c = PipelineConfig.fromToml(
+      """pipeline_name = "p1"  # trailing comment
+        |tick_file_path = "dir/with#hash.txt"
+        |[signal_processing]
+        |encoder_type = "derivative"
+        |min_price = 36600
+        |# full-line comment
+        |[bar_processing]
+        |enabled = true
+        |ticks_per_bar = 21
+        |""".stripMargin)
+    assert(c.pipelineName == "p1")
+    assert(c.tickFilePath == "dir/with#hash.txt") // '#' inside quotes kept
+    assert(c.signal.encoderType == "derivative")
+    assert(c.signal.minPrice == 36600)
+    assert(c.bars.enabled && c.bars.ticksPerBar == 21)
+  }
+
+  test("malformed values report the offending key") {
+    val e = intercept[IllegalArgumentException] {
+      PipelineConfig.fromToml("[signal_processing]\nmin_price = banana\n")
+    }
+    assert(e.getMessage.contains("signal_processing.min_price"))
+    assert(e.getMessage.contains("banana"))
+  }
+
+  test("validation catches the reference's rules") {
+    assert(SignalConfig().validate().isEmpty)
+    assert(SignalConfig(agcAlpha = 1.5f).validate().nonEmpty)
+    assert(SignalConfig(maxPrice = 1, minPrice = 2).validate().nonEmpty)
+    assert(SignalConfig(encoderType = "nope").validate().nonEmpty)
+    assert(BarConfig(ticksPerBar = 0).validate().nonEmpty)
+    assert(BarConfig(barMethod = "IIR").validate().nonEmpty)
+    assert(PipelineConfig(performance =
+      PerformanceConfig(targetLatencyUs = 10, maxLatencyUs = 5)).validate().nonEmpty)
+  }
+
+  test("shipped config mirrors default.toml") {
+    val c = PipelineConfig.shipped
+    assert(c.signal.encoderType == "derivative")
+    assert(c.signal.tickDerivativeImagScale == 2.0f)
+    assert(c.bars.enabled && c.bars.ticksPerBar == 21 && c.bars.barMethod == "FIR")
+  }
+}
