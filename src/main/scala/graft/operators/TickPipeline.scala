@@ -260,9 +260,12 @@ object TickPipeline {
     val wBarOrd = Window.orderBy("bar_idx")
     val wBarCum = wBarOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val withAvg = agg.withColumn("bar_average_raw",
-      floor((col("bar_high_raw") + col("bar_low_raw") + col("bar_close_raw")).cast("double")
-        / 3.0 + 0.5).cast("int"))
+    val withAvg =
+      if (cfg.barMethod == "FIR")
+        agg.join(firBarAverages(ticks, n), Seq("bar_idx"), "inner")
+      else agg.withColumn("bar_average_raw",
+        floor((col("bar_high_raw") + col("bar_low_raw") + col("bar_close_raw")).cast("double")
+          / 3.0 + 0.5).cast("int"))
 
     // Normalization: cumulative avg(high)-avg(low) over all completed
     // bars, but recalculated (and immediately applied) only every
@@ -310,6 +313,39 @@ object TickPipeline {
         "bar_low_raw", "bar_close_raw", "bar_average_raw", "bar_price_delta",
         "bar_signal_re", "bar_signal_im", "bar_normalization", "bar_flags",
         "bar_end_timestamp")
+  }
+
+  /** FIR anti-aliasing bar average (reference: src/BarProcessor.jl:169-174,
+    * 345-358): at each bar-completion tick b, the dot product of the
+    * decimation filter with the trailing `taps` raw prices (zero-filled
+    * before stream start).
+    *
+    * Scalable formulation: instead of a `taps`-wide window frame per row
+    * (1087 elements materialized per tick), each tick *scatters* its
+    * ~taps/N per-boundary contributions `coeff[b - t + 1] * price` and a
+    * hash aggregation with map-side combine sums them per boundary.
+    * Contributions are rounded to fixed-point (1e-9) longs so the sum is
+    * order-independent — bit-identical under any partitioning and
+    * mirrorable by the DuckDB oracle.
+    */
+  def firBarAverages(ticks: DataFrame, n: Int): DataFrame = {
+    val coeffs = graft.functions.FirFilter.predefined(n)
+    val taps = coeffs.length
+    val coeffLit = typedLit(coeffs.toSeq)
+    ticks
+      .select(col("tick_idx"), col("raw_price"),
+        explode(sequence(
+          ((col("tick_idx") + n - 1) / n).cast("long") * n,
+          ((col("tick_idx") + taps - 1) / n).cast("long") * n,
+          lit(n.toLong))).as("b_tick"))
+      .withColumn("term",
+        floor(element_at(coeffLit, (col("b_tick") - col("tick_idx") + 1).cast("int"))
+          * col("raw_price") * 1e9 + 0.5).cast("long"))
+      .groupBy("b_tick")
+      .agg(sum("term").as("dot_scaled"))
+      .select((col("b_tick") / n).cast("long").as("bar_idx"),
+        floor(col("dot_scaled").cast("double") / 1e9 + 0.5).cast("int")
+          .as("bar_average_raw"))
   }
 
   /** Left-join bar fields back onto their completing ticks (null on the

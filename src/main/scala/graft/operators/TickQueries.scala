@@ -296,23 +296,13 @@ object TickQueries {
     TickPipeline.bars(
       TickPipeline.expandVolume(TickPipeline.syntheticTicks(s, d)), barCfg)
       .orderBy("bar_idx")
-  val qBarsBoxcarSql: String = {
+  /** Bar chain SQL from a `complete` CTE carrying
+    * (bar_idx, OHLC, bar_average_raw, bar_end_timestamp).
+    */
+  private def barsChainSql(prefixCtes: String): String = {
     val n = barCfg.ticksPerBar
     s"""WITH $ticksCte,
-       |agg AS (
-       |  SELECT CAST(floor((tick_idx - 1) / ${n}.0) AS BIGINT) AS bar_id0,
-       |    COUNT(*) AS cnt,
-       |    min_by(raw_price, tick_idx) AS bar_open_raw,
-       |    max(raw_price) AS bar_high_raw,
-       |    min(raw_price) AS bar_low_raw,
-       |    max_by(raw_price, tick_idx) AS bar_close_raw,
-       |    max_by(ts_packed, tick_idx) AS bar_end_timestamp
-       |  FROM ticks GROUP BY 1),
-       |complete AS (
-       |  SELECT *, bar_id0 + 1 AS bar_idx,
-       |    CAST(floor(CAST(bar_high_raw + bar_low_raw + bar_close_raw AS DOUBLE)
-       |      / 3.0 + 0.5) AS INTEGER) AS bar_average_raw
-       |  FROM agg WHERE cnt = $n),
+       |$prefixCtes,
        |norm0 AS (
        |  SELECT *,
        |    SUM(CAST(bar_high_raw AS BIGINT)) OVER wc AS cum_high,
@@ -360,6 +350,65 @@ object TickQueries {
        |FROM final ORDER BY bar_idx""".stripMargin
   }
 
+  private def aggCte: String = {
+    val n = barCfg.ticksPerBar
+    s"""agg AS (
+       |  SELECT CAST(floor((tick_idx - 1) / ${n}.0) AS BIGINT) AS bar_id0,
+       |    COUNT(*) AS cnt,
+       |    min_by(raw_price, tick_idx) AS bar_open_raw,
+       |    max(raw_price) AS bar_high_raw,
+       |    min(raw_price) AS bar_low_raw,
+       |    max_by(raw_price, tick_idx) AS bar_close_raw,
+       |    max_by(ts_packed, tick_idx) AS bar_end_timestamp
+       |  FROM ticks GROUP BY 1)""".stripMargin
+  }
+
+  val qBarsBoxcarSql: String = {
+    val n = barCfg.ticksPerBar
+    barsChainSql(
+      s"""$aggCte,
+         |complete AS (
+         |  SELECT *, bar_id0 + 1 AS bar_idx,
+         |    CAST(floor(CAST(bar_high_raw + bar_low_raw + bar_close_raw AS DOUBLE)
+         |      / 3.0 + 0.5) AS INTEGER) AS bar_average_raw
+         |  FROM agg WHERE cnt = $n)""".stripMargin)
+  }
+
+  /** T28/T29: FIR anti-aliasing bar average — scatter/gather convolution
+    * with order-independent fixed-point accumulation, coefficients shared
+    * with the oracle as literals.
+    */
+  def qBarsFir(s: SparkSession, d: String): DataFrame =
+    TickPipeline.bars(
+      TickPipeline.expandVolume(TickPipeline.syntheticTicks(s, d)),
+      barCfg.copy(barMethod = "FIR"))
+      .orderBy("bar_idx")
+  val qBarsFirSql: String = {
+    val n = barCfg.ticksPerBar
+    val coeffs = graft.functions.FirFilter.predefined(n)
+    val taps = coeffs.length
+    barsChainSql(
+      s"""$aggCte,
+         |scat AS (
+         |  SELECT tick_idx, raw_price,
+         |    unnest(generate_series(
+         |      ((tick_idx + ${n - 1}) // $n) * $n,
+         |      ((tick_idx + ${taps - 1}) // $n) * $n,
+         |      $n)) AS b_tick
+         |  FROM ticks),
+         |fir AS (
+         |  SELECT b_tick // $n AS bar_idx,
+         |    CAST(floor(CAST(SUM(CAST(floor(
+         |        cf[CAST(b_tick - tick_idx + 1 AS INTEGER)] * raw_price * 1e9 + 0.5)
+         |      AS BIGINT)) AS DOUBLE) / 1e9 + 0.5) AS INTEGER) AS bar_average_raw
+         |  FROM scat, (SELECT ${TickFunctions.sqlArray(coeffs)} AS cf) const
+         |  GROUP BY 1),
+         |complete AS (
+         |  SELECT a.*, a.bar_id0 + 1 AS bar_idx, f.bar_average_raw
+         |  FROM agg a JOIN fir f ON a.bar_id0 + 1 = f.bar_idx
+         |  WHERE a.cnt = $n)""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_tick_parse" -> qTickParse _,
     "t02_volume_expansion" -> qVolumeExpansion _,
@@ -367,7 +416,8 @@ object TickQueries {
     "t04_hotloop_hexad16" -> qHotHexad16 _,
     "t05_hotloop_cpm" -> qHotCpm _,
     "t06_hotloop_amc" -> qHotAmc _,
-    "t07_bars_boxcar" -> qBarsBoxcar _
+    "t07_bars_boxcar" -> qBarsBoxcar _,
+    "t08_bars_fir" -> qBarsFir _
   )
 
   val oracles: Map[String, String] = Map(
@@ -377,6 +427,7 @@ object TickQueries {
     "t04_hotloop_hexad16" -> qHotHexad16Sql,
     "t05_hotloop_cpm" -> qHotCpmSql,
     "t06_hotloop_amc" -> qHotAmcSql,
-    "t07_bars_boxcar" -> qBarsBoxcarSql
+    "t07_bars_boxcar" -> qBarsBoxcarSql,
+    "t08_bars_fir" -> qBarsFirSql
   )
 }

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.SparkSpec
+import graft.config.BarConfig
+import graft.operators.TickPipeline
+
+/** FIR design spec targets + distributed convolution semantics
+  * (reference: src/FIRFilter.jl:35-86, src/BarProcessor.jl:345-358).
+  */
+class FirFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("M=21 design hits the reference's Kaiser order formula: 1055 taps") {
+    // The reference's comment claims "order ≈ 1086 (1087 taps)"
+    // (FIRFilter.jl:69) but its own Kaiser estimate — ceil((80-8) /
+    // (2.285*2π*0.2/(2*21))) = 1054, forced even — yields 1055 taps; we
+    // reproduce the formula, not the comment.
+    assert(FirFilter.m21.length == 1055)
+  }
+
+  test("unit DC gain, symmetric (linear phase)") {
+    val h = FirFilter.m21
+    assert(math.abs(h.sum - 1.0) < 1e-12)
+    (0 until h.length / 2).foreach(i =>
+      assert(math.abs(h(i) - h(h.length - 1 - i)) < 1e-15))
+  }
+
+  test("meets the dB spec: <=0.1 dB passband ripple, >=78 dB stopband") {
+    val h = FirFilter.m21
+    val fNyqNew = 1.0 / 42.0
+    // passband samples
+    Seq(0.0, 0.3, 0.6, 0.79).map(_ * 0.8 * fNyqNew).foreach { f =>
+      val db = 20 * math.log10(FirFilter.responseAt(h, f))
+      assert(math.abs(db) <= 0.1, s"passband $f -> $db dB")
+    }
+    // stopband samples (from the new Nyquist up)
+    Seq(1.0, 1.5, 3.0, 8.0).map(_ * fNyqNew).foreach { f =>
+      val db = 20 * math.log10(FirFilter.responseAt(h, f))
+      assert(db <= -78.0, s"stopband $f -> $db dB")
+    }
+  }
+
+  test("constant price stream convolves to that price (after warm-up)") {
+    val n = 21
+    val ticks = (1 to 2200).map(i => (i.toLong, 41000))
+      .toDF("tick_idx", "raw_price").withColumn("timestamp", lit(0L))
+    val lastBar = 2200 / n // firBarAverages alone also scatters past the
+    // data's end; bars() filters those via the cnt==n join, so cap here.
+    val avgs = TickPipeline.firBarAverages(ticks, n)
+      .where(col("bar_idx") <= lastBar)
+      .orderBy("bar_idx").select($"bar_idx", $"bar_average_raw")
+      .as[(Long, Int)].collect()
+    // After the 1055-tap buffer fills (bar >= ceil(1055/21)=51), the
+    // unit-DC-gain filter must reproduce the constant price exactly.
+    avgs.filter(_._1 >= 51).foreach { case (b, a) =>
+      assert(a == 41000, s"bar $b -> $a")
+    }
+    // Early bars see the zero padding -> strictly smaller output.
+    assert(avgs.head._2 < 41000)
+  }
+
+  test("FIR bars integrate into the bar chain") {
+    val cfg = BarConfig(enabled = true, ticksPerBar = 21, barMethod = "FIR")
+    val prices = (1 to 130).map(i => 41000 + (i * 13 % 40))
+    val ticks = prices.zipWithIndex.map { case (p, i) => (i + 1L, p) }
+      .toDF("tick_idx", "raw_price").withColumn("timestamp", lit(0L))
+    val out = TickPipeline.bars(ticks, cfg)
+    assert(out.count() == 6) // 130/21 complete bars
+    val row = out.orderBy("bar_idx").select($"bar_price_delta").as[Int].head()
+    assert(row == 0) // first bar delta
+  }
+}
