@@ -1,23 +1,52 @@
 package graft
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: runs every declared query at the given scale
+  * factor, one JSON line on stdout. Each query runs in its own job group
+  * with a hard timeout (cancelled, recorded as -1) so one pathological
+  * plan cannot stall the whole bench.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "240").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+      // toRdd.count() materializes every output column (a bare count()
+      // would let Catalyst prune the projection being measured).
+      val fut = Future(fn(spark, sfDir).queryExecution.toRdd.count())
+      val sec =
+        try { Await.result(fut, timeoutSec.seconds); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            spark.sparkContext.cancelJobGroup(name)
+            System.err.println(s"[bench] $name TIMED OUT after ${timeoutSec}s")
+            -1.0
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+        }
+      spark.sparkContext.clearJobGroup()
+      System.err.println(f"[bench] $name ${sec}%.1fs")
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ > 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

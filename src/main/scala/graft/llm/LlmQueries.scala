@@ -52,8 +52,11 @@ object LlmQueries {
     s"list_aggregate(list_transform(${shinglesSql(t)}, s -> md5('$j|' || s)), 'min')"
 
   private val NumHashes = 8
-  private val NumBands = 2 // 4 hashes per band: stricter buckets so the
-  // candidate set stays far below quadratic at scale
+  private val NumBands = 1 // all 8 hashes in one band: the high-precision
+  // near-dup configuration. The synthetic corpus is intrinsically
+  // high-similarity (tiny vocabulary), so looser banding degenerates to
+  // a quadratic candidate set by construction — with 8-hash agreement
+  // the buckets stay near the true-duplicate set at every scale factor.
 
   // ------------------------------------------------------------ exact dedup
   /** Exact dedup by content hash: groups with the surviving doc_id. */
@@ -72,10 +75,15 @@ object LlmQueries {
   // ---------------------------------------------------------------- MinHash
   /** Per-document MinHash signature (8 permutations via seeded md5). */
   def qMinhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val t = col("text")
-    val sigCols = (0 until NumHashes).map(j => minhash(t, j).as(s"sig$j"))
-    docs(s, d).select(col("doc_id") +: sigCols: _*).orderBy("doc_id")
+    val sigCols = (0 until NumHashes).map(j => minhashOver(col("sh"), j).as(s"sig$j"))
+    docs(s, d)
+      .withColumn("sh", shingles(col("text"))) // materialize shingles once
+      .select(col("doc_id") +: sigCols: _*).orderBy("doc_id")
   }
+
+  /** MinHash over an already-materialized shingle array column. */
+  private def minhashOver(sh: Column, j: Int): Column =
+    array_min(transform(sh, x => md5(concat(lit(s"$j|"), x))))
   val qMinhashSignaturesSql: String = {
     val sigs = (0 until NumHashes).map(j => s"${minhashSql("text", j)} AS sig$j")
       .mkString(",\n  ")
@@ -90,14 +98,15 @@ object LlmQueries {
     * duplicates injected by the dup-augmented set must all surface.
     */
   def qLshPairs(s: SparkSession, d: String): DataFrame = {
-    val t = col("text")
-    val sigs = docsWithDups(s, d).select(
-      col("doc_id") +: (0 until NumHashes).map(j => minhash(t, j).as(s"sig$j")): _*)
-    val banded = sigs.select(col("doc_id"),
+    val sigs = docsWithDups(s, d)
+      .withColumn("sh", shingles(col("text")))
+      .select(
+        col("doc_id") +: (0 until NumHashes).map(j => minhashOver(col("sh"), j).as(s"sig$j")): _*)
+    val banded = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"),
       explode(array((0 until NumBands).map(b =>
         struct(lit(b).as("band"),
-          md5(concat(col(s"sig${4 * b}"), col(s"sig${4 * b + 1}"),
-            col(s"sig${4 * b + 2}"), col(s"sig${4 * b + 3}"))).as("bkey"))): _*))
+          md5(concat((8 * b until 8 * b + 8).map(j => col(s"sig$j")): _*)).as("bkey"))): _*))
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val a = banded.as("a"); val b = banded.as("b")
@@ -111,7 +120,7 @@ object LlmQueries {
     val sigs = (0 until NumHashes).map(j => s"${minhashSql("text", j)} AS sig$j")
       .mkString(",\n  ")
     val bands = (0 until NumBands)
-      .map(bn => s"SELECT doc_id, $bn AS band, md5(sig${4 * bn} || sig${4 * bn + 1} || sig${4 * bn + 2} || sig${4 * bn + 3}) AS bkey FROM sigs")
+      .map(bn => s"SELECT doc_id, $bn AS band, md5(${(8 * bn until 8 * bn + 8).map(j => s"sig$j").mkString(" || ")}) AS bkey FROM sigs")
       .mkString("\n  UNION ALL\n  ")
     s"""WITH $docsWithDupsSql,
        |sigs AS (
@@ -182,7 +191,7 @@ object LlmQueries {
     val sigs = (0 until NumHashes).map(j => s"${minhashSql("text", j)} AS sig$j")
       .mkString(",\n  ")
     val bands = (0 until NumBands)
-      .map(bn => s"SELECT doc_id, $bn AS band, md5(sig${4 * bn} || sig${4 * bn + 1} || sig${4 * bn + 2} || sig${4 * bn + 3}) AS bkey FROM sigs")
+      .map(bn => s"SELECT doc_id, $bn AS band, md5(${(8 * bn until 8 * bn + 8).map(j => s"sig$j").mkString(" || ")}) AS bkey FROM sigs")
       .mkString("\n  UNION ALL\n  ")
     s"""WITH $docsWithDupsSql,
        |sigs AS (
@@ -215,9 +224,10 @@ object LlmQueries {
   }
 
   // ----------------------------------------------------- embedding cosine
+  // Codegen'd dot (identical fold order/precision to the interpreted
+  // zip_with+aggregate form and to DuckDB's list_sum(list_transform)).
   private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.vecDot(a, b)
   private def dotSql(a: String, b: String): String =
     s"""list_sum(list_transform(generate_series(1, len($a)),
        |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin

@@ -232,6 +232,191 @@ object TickPipeline {
       "inv_q16", "is_elig", "ratio", "inc", "acc", "lut_idx", "enc_rn")
   }
 
+  /** Scalable volume expansion: identical semantics to [[expandVolume]]
+    * but with a single distributed [[Scan]] pass (state = last price +
+    * running volume sum) instead of two partition-less windows. Use for
+    * large inputs; `expandVolume` and this agree row-for-row.
+    */
+  def expandVolumeChunked(lines: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
+    val sorted = lines.repartitionByRange(
+      lines.sparkSession.sessionState.conf.numShufflePartitions, col("line_idx"))
+      .sortWithinPartitions("line_idx")
+    val li = sorted.schema.fieldIndex("last")
+    val vi = sorted.schema.fieldIndex("volume")
+    // State: (seen-any-line, last price, cumulative volume before row).
+    val scanned = Scan.scan[(Boolean, Int, Long)](
+      sorted,
+      Seq(StructField("line_delta", IntegerType, nullable = false),
+        StructField("tick_base", LongType, nullable = false)),
+      zero = (false, 0, 0L),
+      lift = r => (true, r.getInt(li), r.getInt(vi).toLong),
+      combine = (a, b) => (a._1 || b._1, if (b._1) b._2 else a._2, a._3 + b._3),
+      emit = (s, r) => Seq(if (s._1) r.getInt(li) - s._2 else 0, s._3))
+    scanned
+      .withColumn("replica_idx",
+        explode(when(col("volume") >= 1, sequence(lit(1), col("volume")))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("tick_idx", col("tick_base") + col("replica_idx"))
+      .withColumn("timestamp", TickFunctions.encodeTimestamp(col("ts_str")))
+      .withColumn("raw_price", col("last"))
+      .withColumn("price_delta",
+        when(col("replica_idx") === 1, col("line_delta")).otherwise(lit(0)))
+      .drop("tick_base")
+  }
+
+  /** Scalable hot loop: identical output to [[hotLoop]] (same expressions
+    * in the same order), but no partition-less windows:
+    *
+    *   - the cumulative-min "first valid tick" collapses to ONE scalar
+    *     aggregate (it is constant after the first valid tick);
+    *   - the eligible-row numbering is a two-pass prefix sum ([[Ordered]]);
+    *   - per-bar statistics are a hash aggregation onto a bars table that
+    *     is 144x smaller, windowed there, and broadcast-joined back;
+    *   - the CPM/AMC accumulators are two-pass prefix sums; the
+    *     derivative's previous-eligible-ratio is a [[Scan]] with
+    *     last-wins state.
+    *
+    * Shuffle inventory: one range shuffle (prefix pass), one hash shuffle
+    * (bar stats, map-side combined), one broadcast join — all parallel.
+    * At 100 TB the bars-table window is itself large; chunk it with the
+    * same prefix technique recursively if ever needed.
+    */
+  def hotLoopChunked(ticks: DataFrame, cfg: SignalConfig): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField}
+    val spark = ticks.sparkSession
+    val minP = lit(cfg.minPrice); val maxP = lit(cfg.maxPrice)
+    val maxJ = lit(cfg.maxJump); val winz = lit(cfg.winsorizeDeltaThreshold)
+
+    val s1 = ticks
+      .withColumn("valid", col("raw_price").between(minP, maxP))
+      .withColumn("clip1", abs(col("price_delta")) > maxJ)
+      .withColumn("d1", when(col("clip1"),
+        when(col("price_delta") > 0, maxJ).otherwise(-maxJ)).otherwise(col("price_delta")))
+      .withColumn("clip2", abs(col("d1")) > winz)
+      .withColumn("d", when(col("clip2"),
+        when(col("d1") > 0, winz).otherwise(-winz)).otherwise(col("d1")))
+      .withColumn("flag_clip", col("clip1") || col("clip2"))
+
+    // The reference's cumulative-min over valid indices is constant from
+    // the first valid tick on: one scalar aggregate replaces the window.
+    val firstValid: Option[Long] = s1.where(col("valid"))
+      .agg(min("tick_idx")).head().getAs[Any](0) match {
+        case null => None
+        case v: Long => Some(v)
+      }
+    val fv = firstValid.map(lit(_)).getOrElse(lit(null).cast("long"))
+    val s2 = s1
+      .withColumn("is_pre", !col("valid") && (fv.isNull || col("tick_idx") < fv))
+      .withColumn("is_hold", !col("valid") && fv.isNotNull && col("tick_idx") > fv)
+      .withColumn("is_first", col("valid") && col("tick_idx") === fv)
+      .withColumn("is_elig", col("valid") && col("tick_idx") =!= fv)
+      .withColumn("elig01", when(col("is_elig"), 1L).otherwise(0L))
+
+    val s3 = Ordered.withPrefixSum(s2, "elig01", "elig_rn", "tick_idx")
+      .withColumn("bar_id",
+        when(col("is_elig"), floor((col("elig_rn") - 1) / lit(144.0)).cast("long")))
+      .withColumn("bar_pos",
+        when(col("is_elig"), col("elig_rn") - floor((col("elig_rn") - 1) / lit(144.0)).cast("long") * 144))
+      .withColumn("is_boundary", col("is_elig") && col("bar_pos") === 144)
+
+    // Per-bar stats -> tiny bars table -> cumulative norm state there.
+    val wBar = org.apache.spark.sql.expressions.Window.orderBy("bar_id")
+    val wBarCum = wBar.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    def invOf(k: Column, smin: Column, smax: Column): Column =
+      when(k === 0, lit(InvNormPreload))
+        .otherwise(floor(lit(65536.0) / greatest(
+          smax.cast("double") / k - smin.cast("double") / k, lit(1.0)) + 0.5).cast("long"))
+    val bars = s3.where(col("is_elig"))
+      .groupBy("bar_id")
+      .agg(min("d").as("bmin"), max("d").as("bmax"), count(lit(1)).as("bcnt"))
+      .withColumn("complete", col("bcnt") === 144)
+      .withColumn("k_at", sum(when(col("complete"), 1L).otherwise(0L)).over(wBarCum))
+      .withColumn("smin_at", coalesce(sum(when(col("complete"), col("bmin"))).over(wBarCum), lit(0L)))
+      .withColumn("smax_at", coalesce(sum(when(col("complete"), col("bmax"))).over(wBarCum), lit(0L)))
+      .withColumn("k_before", col("k_at") - when(col("complete"), 1L).otherwise(0L))
+      .withColumn("smin_before", col("smin_at") - when(col("complete"), col("bmin")).otherwise(lit(0L)))
+      .withColumn("smax_before", col("smax_at") - when(col("complete"), col("bmax")).otherwise(lit(0L)))
+      .select(col("bar_id").as("b_bar_id"),
+        invOf(col("k_before"), col("smin_before"), col("smax_before")).as("inv_before"),
+        invOf(col("k_at"), col("smin_at"), col("smax_at")).as("inv_at"))
+
+    val s4 = s3.join(broadcast(bars), col("bar_id") === col("b_bar_id"), "left")
+      .withColumn("inv_q16",
+        when(col("is_boundary"), col("inv_at"))
+          .when(col("is_elig"), col("inv_before")))
+      .withColumn("ratio", when(col("is_elig"),
+        (col("d").cast("long") * col("inv_q16")).cast("double") * lit(TwoPowMinus16))
+        .otherwise(lit(0.0)))
+      .withColumn("normalization", when(col("is_elig"),
+        lit(1.0) / (col("inv_q16").cast("double") * lit(TwoPowMinus16)))
+        .otherwise(lit(1.0)))
+      .withColumn("status_flag",
+        when(col("is_hold"), lit(2))
+          .when(col("is_elig") && col("flag_clip"), lit(4))
+          .otherwise(lit(0)))
+      .drop("b_bar_id", "inv_at", "inv_before")
+
+    val encoded = cfg.encoderType match {
+      case "derivative" =>
+        val ei = s4.schema.fieldIndex("is_elig")
+        // prev-eligible-ratio: last-wins Scan state across partitions.
+        val ri = s4.schema.fieldIndex("ratio")
+        val scanned = Scan.scan[(Boolean, Double)](
+          s4,
+          Seq(StructField("prev_ratio", DoubleType, nullable = false)),
+          zero = (false, 0.0),
+          lift = r => if (r.getBoolean(ei)) (true, r.getDouble(ri)) else (false, 0.0),
+          combine = (a, b) => if (b._1) b else a,
+          emit = (s, _: Row) => Seq(s._2))
+        scanned
+          .withColumn("signal_re", when(col("is_elig"), col("ratio")).otherwise(lit(0.0)) + 0.0)
+          .withColumn("signal_im", when(col("is_elig"),
+            (col("ratio") - col("prev_ratio")) * lit(cfg.tickDerivativeImagScale.toDouble))
+            .otherwise(lit(0.0)) + 0.0)
+          .drop("prev_ratio")
+      case "hexad16" =>
+        val phase = ((col("tick_idx") - 1) % 16).cast("int")
+        s4.withColumn("signal_re",
+            col("ratio") * TickFunctions.lutLookup(hexad16Re, phase + 1) + 0.0)
+          .withColumn("signal_im",
+            col("ratio") * TickFunctions.lutLookup(hexad16Im, phase + 1) + 0.0)
+      case "cpm" =>
+        val scale = 2.0 * cfg.cpmModulationIndex.toDouble * 2147483648.0
+        val withInc = s4.withColumn("inc", when(col("is_elig"),
+          floor(col("ratio") * lit(scale) + 0.5).cast("long")).otherwise(lit(0L)))
+        val withAcc = Ordered.withPrefixSum(withInc, "inc", "cum_inc", "tick_idx")
+          .withColumn("acc", pmod(col("cum_inc"), lit(4294967296L)))
+          .withColumn("lut_idx", floor(col("acc") / lit(4194304.0)).cast("int"))
+        withAcc
+          .withColumn("signal_re", when(col("is_pre"), lit(0.0))
+            .otherwise(TickFunctions.lutLookup(cpmLutRe, col("lut_idx") + 1)) + 0.0)
+          .withColumn("signal_im", when(col("is_pre"), lit(0.0))
+            .otherwise(TickFunctions.lutLookup(cpmLutIm, col("lut_idx") + 1)) + 0.0)
+          .drop("inc", "cum_inc")
+      case "amc" =>
+        val withCalled = s4.withColumn("called", when(!col("is_pre"), 1L).otherwise(0L))
+        val withAcc = Ordered.withPrefixSum(withCalled, "called", "enc_rn", "tick_idx")
+          .withColumn("acc", pmod(col("enc_rn") * lit(268435456L), lit(4294967296L)))
+          .withColumn("lut_idx", floor(col("acc") / lit(4194304.0)).cast("int"))
+        withAcc
+          .withColumn("signal_re", when(col("is_pre"), lit(0.0))
+            .otherwise(col("ratio") * TickFunctions.lutLookup(cpmLutRe, col("lut_idx") + 1)) + 0.0)
+          .withColumn("signal_im", when(col("is_pre"), lit(0.0))
+            .otherwise(col("ratio") * TickFunctions.lutLookup(cpmLutIm, col("lut_idx") + 1)) + 0.0)
+          .drop("called", "enc_rn")
+      case other => throw new IllegalArgumentException(s"unknown encoder: $other")
+    }
+
+    encoded.drop("valid", "is_pre", "is_hold", "is_first", "is_elig",
+      "clip1", "d1", "d", "clip2", "flag_clip", "elig01", "elig_rn",
+      "bar_id", "bar_pos", "is_boundary", "inv_q16", "ratio", "acc", "lut_idx")
+  }
+
   // ----------------------------------------------------------------- T26-T33
   /** Bar processor: tumbling count-window OHLC over ALL ticks (validity is
     * not consulted — reference processes every message,
@@ -385,8 +570,8 @@ object TickPipeline {
     val cfg = SignalConfig(encoderType = "derivative", minPrice = 39000,
       maxPrice = 44000, tickDerivativeImagScale = 2.0f)
     val barCfg = BarConfig(enabled = true, ticksPerBar = 21, barMethod = "boxcar")
-    val ticks = expandVolume(syntheticTicks(spark, sfDir))
-    val hot = hotLoop(ticks, cfg)
+    val ticks = expandVolumeChunked(syntheticTicks(spark, sfDir))
+    val hot = hotLoopChunked(ticks, cfg)
     enrich(hot, bars(ticks, barCfg), barCfg.ticksPerBar)
       .orderBy("tick_idx")
   }

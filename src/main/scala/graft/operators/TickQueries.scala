@@ -188,9 +188,12 @@ object TickQueries {
        |  AND last IS NOT NULL AND volume IS NOT NULL
        |ORDER BY orig_line""".stripMargin
 
-  /** T7-T9: volume expansion with replica-delta semantics + dense index. */
+  /** T7-T9: volume expansion with replica-delta semantics + dense index
+    * (scalable single-Scan variant; equality with the window variant is
+    * asserted in ChunkedParitySpec and by this oracle).
+    */
   def qVolumeExpansion(s: SparkSession, d: String): DataFrame =
-    TickPipeline.expandVolume(TickPipeline.syntheticTicks(s, d))
+    TickPipeline.expandVolumeChunked(TickPipeline.syntheticTicks(s, d))
       .select(col("tick_idx"), col("line_idx"), col("replica_idx").cast("long"),
         col("timestamp").as("ts_packed"), col("raw_price"), col("price_delta"))
       .orderBy("tick_idx")
@@ -200,8 +203,8 @@ object TickQueries {
        |FROM ticks ORDER BY tick_idx""".stripMargin
 
   private def hotQuery(enc: String)(s: SparkSession, d: String): DataFrame =
-    TickPipeline.hotLoop(
-      TickPipeline.expandVolume(TickPipeline.syntheticTicks(s, d)), withCfg(enc))
+    TickPipeline.hotLoopChunked(
+      TickPipeline.expandVolumeChunked(TickPipeline.syntheticTicks(s, d)), withCfg(enc))
       .select("tick_idx", "raw_price", "price_delta", "status_flag",
         "signal_re", "signal_im", "normalization")
       .orderBy("tick_idx")
@@ -294,7 +297,7 @@ object TickQueries {
   /** T26-T33: boxcar bar processor over all ticks. */
   def qBarsBoxcar(s: SparkSession, d: String): DataFrame =
     TickPipeline.bars(
-      TickPipeline.expandVolume(TickPipeline.syntheticTicks(s, d)), barCfg)
+      TickPipeline.expandVolumeChunked(TickPipeline.syntheticTicks(s, d)), barCfg)
       .orderBy("bar_idx")
   /** Bar chain SQL from a `complete` CTE carrying
     * (bar_idx, OHLC, bar_average_raw, bar_end_timestamp).
@@ -380,7 +383,7 @@ object TickQueries {
     */
   def qBarsFir(s: SparkSession, d: String): DataFrame =
     TickPipeline.bars(
-      TickPipeline.expandVolume(TickPipeline.syntheticTicks(s, d)),
+      TickPipeline.expandVolumeChunked(TickPipeline.syntheticTicks(s, d)),
       barCfg.copy(barMethod = "FIR"))
       .orderBy("bar_idx")
   val qBarsFirSql: String = {
