@@ -17,10 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries {
 
+  // The driver's tables are single small parquet files -> one input
+  // partition; without an explicit repartition every md5/shingle/dot
+  // projection would run on a single core. (On a real cluster the input
+  // would already be many files/row-groups.)
   private def docs(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"$d/documents.parquet")
+    s.read.parquet(s"$d/documents.parquet").repartition(s.sparkContext.defaultParallelism)
   private def embs(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"$d/embeddings.parquet")
+    s.read.parquet(s"$d/embeddings.parquet").repartition(s.sparkContext.defaultParallelism)
 
   /** Documents augmented with exact duplicates (doc_id+100000 for every
     * 10th doc) so dedup operators have real work; both engines construct
