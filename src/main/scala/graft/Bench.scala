@@ -41,6 +41,13 @@ object Bench {
             -1.0
         }
       spark.sparkContext.clearJobGroup()
+      // Drop blocks this query persisted/localCheckpointed (Scan/Ordered
+      // checkpoint their inputs; LSH persists signatures) — without this
+      // the storage layer accumulates every query's blocks and the tail
+      // of the run degrades under memory pressure.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.err.println(f"[bench] $name ${sec}%.1fs")
       name -> sec
     }

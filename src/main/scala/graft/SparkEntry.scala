@@ -26,7 +26,8 @@ object SparkEntry {
       f => (s, d) => f(tune(s), d)
     (graft.relational.RelationalQueries.queries ++
       graft.operators.TickQueries.queries ++
-      graft.llm.LlmQueries.queries)
+      graft.llm.LlmQueries.queries ++
+      graft.media.MediaQueries.queries)
       .map { case (k, v) => k -> wrap(v) }
   }
 
@@ -35,5 +36,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.relational.RelationalQueries.oracles ++
       graft.operators.TickQueries.oracles ++
-      graft.llm.LlmQueries.oracles
+      graft.llm.LlmQueries.oracles ++
+      graft.media.MediaQueries.oracles
 }

@@ -1,0 +1,102 @@
+package graft.media
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media asset: an opaque binary payload plus typed metadata. The
+  * engine treats image/audio/video as `binary` columns end-to-end (scan,
+  * shuffle, feature extraction) — only the innermost decode touches the
+  * bytes, so the plan stays columnar and the payload is never parsed by
+  * Catalyst.
+  */
+case class MediaIn(
+    media_id: Long,
+    kind: String,
+    payload: Array[Byte],
+    width: Int,        // image: pixels per row (fake geometry)
+    sample_rate: Int,  // audio
+    frame_size: Int)   // video: bytes per frame
+
+/** Decoded per-asset features emitted by [[MediaOps.decodeFeatures]]. */
+case class MediaFeatures(
+    media_id: Long,
+    kind: String,
+    byte_count: Int,
+    byte_sum: Long,
+    byte_min: Int,
+    byte_max: Int,
+    checksum: Long)
+
+/** Multimodal column plumbing: a deterministic media table derived from
+  * `documents` (payload = UTF-8 bytes of the text — a stand-in for real
+  * image/audio/video blobs), and a batched decode/feature-extract path.
+  *
+  * The decode itself is a STUB: the container has no image/audio codecs,
+  * so [[decodeOne]] computes deterministic byte-level features where a
+  * real deployment would invoke the codec. Everything around it — the
+  * binary schema, the partitioning, the batched iterator shape (the
+  * Scala analog of `mapInPandas`'s record-batch contract), the typed
+  * Encoder plumbing — is real and tested.
+  */
+object MediaOps {
+
+  /** Media manifest over the documents table: one asset per doc, kind
+    * cycling image/audio/video by id, payload as a binary column.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit(16).as("width"),
+        lit(8000).as("sample_rate"),
+        lit(32).as("frame_size"))
+
+  /** Batch size of the decode path — the `mapInPandas` batch analog:
+    * decoders amortize per-call setup (codec init, model load) across a
+    * batch, so the iterator is consumed in groups, not row-at-a-time.
+    */
+  val DecodeBatchSize = 64
+
+  /** Batched decode/feature-extract over the media table. Runs as one
+    * narrow `mapPartitions` stage: no shuffle, payload bytes never leave
+    * the executor.
+    */
+  def decodeFeatures(media: Dataset[MediaIn]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        // a real decoder would init the codec once per batch here
+        batch.map(decodeOne)
+      }
+    }
+  }
+
+  /** STUB decode: deterministic byte-level features standing in for the
+    * real codec call (pixel stats / PCM stats / container probe). The
+    * container ships no image/audio libraries; a production build swaps
+    * only this function.
+    */
+  private def decodeOne(m: MediaIn): MediaFeatures = {
+    val bytes = m.payload
+    var sum = 0L
+    var wsum = 0L
+    var mn = 255
+    var mx = 0
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      sum += v
+      wsum += (i + 1).toLong * v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    if (bytes.isEmpty) { mn = 0; mx = 0 }
+    MediaFeatures(m.media_id, m.kind, bytes.length, sum, mn, mx, wsum)
+  }
+}

@@ -1,0 +1,157 @@
+package graft.media
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.BinaryFunctions.{byteSum, byteWeightedSum}
+
+/** Oracle-checked multimodal-column queries: binary payload manifest,
+  * batched decode/feature-extract (the `mapInPandas`-shaped stub path),
+  * image resize, and video frame sampling. The payload is the UTF-8
+  * encoding of all-ASCII document text, so every byte-level feature is
+  * reproducible in DuckDB from the text column (byte == codepoint) —
+  * giving the binary plumbing a cell-exact oracle despite DuckDB never
+  * seeing the binary column.
+  */
+object MediaQueries {
+
+  /** media manifest CTE shared by all oracles. */
+  private val mediaSql: String =
+    """media AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    text, length(text) AS n
+      |  FROM documents)""".stripMargin
+
+  /** Σ ascii over text[lo..hi] (1-based inclusive), the oracle mirror of
+    * [[graft.functions.BinaryByteFold]] on a payload slice.
+    */
+  private def asciiSumSql(lo: String, hi: String, weightFromSliceStart: Boolean = false): String = {
+    val w = if (weightFromSliceStart) s"(i - ($lo) + 1) * " else ""
+    s"CAST(coalesce(list_sum(list_transform(generate_series($lo, $hi), " +
+      s"i -> $w ascii(substring(text, i, 1)))), 0) AS BIGINT)"
+  }
+
+  // ----------------------------------------------------- decode / features
+  /** Batched decode + feature extraction through the typed
+    * `mapPartitions` path (see [[MediaOps.decodeFeatures]]).
+    */
+  def qMediaDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    MediaOps.decodeFeatures(MediaOps.mediaTable(s, d).as[MediaIn])
+      .toDF()
+      .orderBy("media_id")
+  }
+  val qMediaDecodeSql: String =
+    s"""WITH $mediaSql
+       |SELECT media_id, kind,
+       |  CAST(n AS INTEGER) AS byte_count,
+       |  ${asciiSumSql("1", "n")} AS byte_sum,
+       |  CAST(list_aggregate(list_transform(generate_series(1, n),
+       |    i -> ascii(substring(text, i, 1))), 'min') AS INTEGER) AS byte_min,
+       |  CAST(list_aggregate(list_transform(generate_series(1, n),
+       |    i -> ascii(substring(text, i, 1))), 'max') AS INTEGER) AS byte_max,
+       |  CAST(list_sum(list_transform(generate_series(1, n),
+       |    i -> i * ascii(substring(text, i, 1)))) AS BIGINT) AS checksum
+       |FROM media ORDER BY media_id""".stripMargin
+
+  // -------------------------------------------------------------- resize
+  /** Image resize stub: 8-block average "thumbnail" computed with the
+    * codegen'd byte fold over payload slices — the scatter/gather shape
+    * of a real thumbnailer (per-block reduce), bytes standing in for
+    * pixels.
+    */
+  def qImageResize(s: SparkSession, d: String): DataFrame = {
+    val n = length(col("payload"))
+    def blockAvg(j: Int): Column = {
+      val lo = floor(lit(j) * n / 8).cast("int")        // 0-based start
+      val hi = floor(lit(j + 1) * n / 8).cast("int")    // 0-based end (excl)
+      val len = (hi - lo)
+      floor(byteSum(col("payload").substr(lo + 1, len)) / len).cast("long")
+    }
+    MediaOps.mediaTable(s, d)
+      .where(col("kind") === "image")
+      .select(col("media_id") +: (0 until 8).map(j => blockAvg(j).as(s"t$j")): _*)
+      .orderBy("media_id")
+  }
+  val qImageResizeSql: String = {
+    val blocks = (0 until 8).map { j =>
+      val lo = s"(($j * n) // 8)"
+      val hi = s"((${j + 1} * n) // 8)"
+      s"CAST(${asciiSumSql(s"$lo + 1", hi)} // ($hi - $lo) AS BIGINT) AS t$j"
+    }.mkString(",\n  ")
+    s"""WITH $mediaSql
+       |SELECT media_id,
+       |  $blocks
+       |FROM media WHERE kind = 'image' ORDER BY media_id""".stripMargin
+  }
+
+  // -------------------------------------------------------- frame sampling
+  /** Video frame sampling stub: every 2nd fixed-size frame of the
+    * payload, per-frame byte sum + position-weighted checksum. One
+    * narrow generate + slice per row — no shuffle until the final sort.
+    */
+  def qFrameSample(s: SparkSession, d: String): DataFrame = {
+    val n = length(col("payload"))
+    val nFrames = floor((n + 31) / 32).cast("int")
+    MediaOps.mediaTable(s, d)
+      .where(col("kind") === "video")
+      .select(col("media_id"), col("payload"), n.as("n"), nFrames.as("nf"))
+      .withColumn("frame_idx", explode(sequence(lit(0), col("nf") - 1, lit(2))))
+      .select(
+        col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        least(lit(32), col("n") - col("frame_idx") * 32).cast("int").as("frame_len"),
+        byteSum(col("payload").substr(col("frame_idx") * 32 + 1,
+          least(lit(32), col("n") - col("frame_idx") * 32))).as("frame_sum"),
+        byteWeightedSum(col("payload").substr(col("frame_idx") * 32 + 1,
+          least(lit(32), col("n") - col("frame_idx") * 32))).as("frame_wsum"))
+      .orderBy("media_id", "frame_idx")
+  }
+  val qFrameSampleSql: String =
+    s"""WITH $mediaSql,
+       |frames AS (
+       |  SELECT media_id, n,
+       |    unnest(generate_series(0, ((n + 31) // 32) - 1, 2)) AS frame_idx,
+       |    text
+       |  FROM media WHERE kind = 'video')
+       |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |  CAST(least(32, n - frame_idx * 32) AS INTEGER) AS frame_len,
+       |  ${asciiSumSql("frame_idx * 32 + 1", "least((frame_idx + 1) * 32, n)")} AS frame_sum,
+       |  ${asciiSumSql("frame_idx * 32 + 1", "least((frame_idx + 1) * 32, n)", weightFromSliceStart = true)} AS frame_wsum
+       |FROM frames ORDER BY media_id, frame_idx""".stripMargin
+
+  // ------------------------------------------------------- manifest stats
+  /** Per-kind manifest statistics over the binary payload column. */
+  def qMediaStats(s: SparkSession, d: String): DataFrame =
+    MediaOps.mediaTable(s, d)
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(length(col("payload"))).as("total_bytes"),
+        min("media_id").as("first_id"),
+        max("media_id").as("last_id"),
+        floor(sum(length(col("payload"))) * 1000.0 / count(lit(1)) + 0.5)
+          .cast("long").as("avg_bytes_x1000"))
+      .orderBy("kind")
+  val qMediaStatsSql: String =
+    s"""WITH $mediaSql
+       |SELECT kind, COUNT(*) AS n_assets, CAST(sum(n) AS BIGINT) AS total_bytes,
+       |  min(media_id) AS first_id, max(media_id) AS last_id,
+       |  CAST(floor(sum(n) * 1000.0 / COUNT(*) + 0.5) AS BIGINT) AS avg_bytes_x1000
+       |FROM media GROUP BY kind ORDER BY kind""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_media_decode" -> qMediaDecode _,
+    "m02_image_resize" -> qImageResize _,
+    "m03_frame_sample" -> qFrameSample _,
+    "m04_media_stats" -> qMediaStats _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m01_media_decode" -> qMediaDecodeSql,
+    "m02_image_resize" -> qImageResizeSql,
+    "m03_frame_sample" -> qFrameSampleSql,
+    "m04_media_stats" -> qMediaStatsSql
+  )
+}

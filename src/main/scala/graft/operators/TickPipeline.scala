@@ -551,10 +551,14 @@ object TickPipeline {
     * range on each side, exercising hold-last.
     */
   def syntheticTicks(spark: SparkSession, sfDir: String): DataFrame = {
-    val wLine = Window.orderBy("l_orderkey", "l_linenumber")
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // Column-pruned scan + two-pass chunked index: (l_orderkey,
+    // l_linenumber) is the lineitem PK so the dense index is
+    // deterministic, and no single-partition window sort is needed.
+    val keyed = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_suppkey")
+    Ordered.withGlobalIndex(keyed, "line_idx", "l_orderkey", "l_linenumber")
       .select(
-        row_number().over(wLine).cast("long").as("line_idx"),
+        col("line_idx"),
         concat(
           (lit(20250301) + (col("l_orderkey") + col("l_linenumber")) % 28).cast("string"),
           lit(" 070000 0000000")).as("ts_str"),

@@ -1,0 +1,73 @@
+package graft.media
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.BinaryFunctions
+
+class MediaOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("byteSum / byteWeightedSum fold bytes unsigned, codegen and interpreted agree") {
+    val df = Seq(
+      ("a", Array[Byte](1, 2, 3)),
+      ("b", Array[Byte](0, -1)), // -1 reads as 0xff = 255
+      ("c", Array.empty[Byte]))
+      .toDF("k", "bin")
+    val got = df.select($"k", BinaryFunctions.byteSum($"bin").as("s"),
+      BinaryFunctions.byteWeightedSum($"bin").as("w"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("a", 6L, 1L * 1 + 2L * 2 + 3L * 3),
+      ("b", 255L, 2L * 255),
+      ("c", 0L, 0L)))
+  }
+
+  test("decodeFeatures matches a straight per-row computation, batched path") {
+    val media = (1L to 200L).map { i =>
+      val payload = s"payload-$i-${"x" * (i % 37).toInt}".getBytes("UTF-8")
+      MediaIn(i, if (i % 3 == 0) "image" else "video", payload, 16, 8000, 32)
+    }
+    val got = MediaOps.decodeFeatures(media.toDS()).collect().sortBy(_.media_id)
+    media.zip(got).foreach { case (m, f) =>
+      val bytes = m.payload.map(_ & 0xff)
+      assert(f.media_id == m.media_id)
+      assert(f.byte_count == bytes.length)
+      assert(f.byte_sum == bytes.map(_.toLong).sum)
+      assert(f.byte_min == bytes.min && f.byte_max == bytes.max)
+      assert(f.checksum == bytes.zipWithIndex.map { case (b, i) => (i + 1).toLong * b }.sum)
+    }
+  }
+
+  test("media queries run end-to-end on sf0.001 with expected shapes") {
+    val d = "/root/testdata/sf0.001"
+    val decode = MediaQueries.qMediaDecode(spark, d)
+    val nDocs = spark.read.parquet(s"$d/documents.parquet").count()
+    assert(decode.count() == nDocs)
+    assert(decode.where($"byte_sum" <= 0 || $"byte_count" <= 0).count() == 0)
+
+    val thumbs = MediaQueries.qImageResize(spark, d)
+    assert(thumbs.columns.toSeq == Seq("media_id", "t0", "t1", "t2", "t3", "t4", "t5", "t6", "t7"))
+    // every block average is a printable-ASCII mean
+    val bad = thumbs.where((1 to 7).map(j => col(s"t$j") < 32 || col(s"t$j") > 126)
+      .reduce(_ || _)).count()
+    assert(bad == 0)
+
+    val frames = MediaQueries.qFrameSample(spark, d)
+    assert(frames.where($"frame_idx" % 2 =!= 0).count() == 0) // every 2nd frame
+    assert(frames.where($"frame_len" < 1 || $"frame_len" > 32).count() == 0)
+
+    val stats = MediaQueries.qMediaStats(spark, d).collect()
+    assert(stats.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
+  }
+
+  test("frame slicing reconciles with whole-payload byte sum") {
+    val d = "/root/testdata/sf0.001"
+    val row = MediaOps.mediaTable(spark, d).where($"kind" === "video")
+      .orderBy("media_id").limit(1).select($"payload").collect()(0)
+    val payload = row.getAs[Array[Byte]]("payload")
+    val total = payload.map(b => (b & 0xff).toLong).sum
+    val frameSums = payload.grouped(32).map(_.map(b => (b & 0xff).toLong).sum).sum
+    assert(total == frameSums)
+  }
+}
