@@ -39,7 +39,19 @@ object Prof {
       graft.functions.TickFunctions.encodeTimestamp(col("ts_str")).as("ts_packed"),
       col("bid"), col("ask"), col("last"), col("volume"))
     time("parsed+encodeTs")(enc)
+    val indexed = graft.operators.Ordered.withGlobalIndex(parsed, "line_idx2", "file_pos")
+    time("parsed+index")(indexed)
+    time("parsed+index+orderBy")(indexed.orderBy("line_idx2"))
     time("t01 full (with orderBy)")(TickQueries.queries("t01_tick_parse")(spark, sfDir))
+    val expanded = TickPipeline.syntheticTicksExpanded(spark, sfDir)
+    time("expanded (no orderBy)")(expanded)
+    time("t02 full (with orderBy)")(TickQueries.queries("t02_volume_expansion")(spark, sfDir))
+    val cfg = graft.config.SignalConfig(encoderType = "derivative", minPrice = 39000,
+      maxPrice = 44000, tickDerivativeImagScale = 2.0f)
+    val hot = TickPipeline.hotLoopChunked(TickPipeline.syntheticTicksExpanded(spark, sfDir),
+      cfg, assumeOrdered = true)
+    time("hotloop derivative (no orderBy)")(hot)
+    time("t03 full (with orderBy)")(TickQueries.queries("t03_hotloop_derivative")(spark, sfDir))
     spark.stop()
   }
 }

@@ -14,12 +14,17 @@ object TickFunctions {
     * 0x4142000000000000 — mirroring the reference's one-shift-per-present-
     * char fold (reference: src/VolumeExpansion.jl:46-59).
     */
-  def encodeTimestamp(ts: Column): Column =
-    (1 to 8).foldLeft(lit(0L)) { (acc, i) =>
-      when(length(ts) >= i,
-        acc * 256L + (ascii(substring(ts, i, 1)).cast("long") % 256L)
-      ).otherwise(acc)
-    }
+  def encodeTimestamp(ts: Column): Column = {
+    // One branch per possible packed length: linear expression size. The
+    // obvious fold `when(len >= i, acc*256 + byte).otherwise(acc)` embeds
+    // the accumulator twice per level — a 2^8 expression-tree blowup that
+    // overflows codegen and drops the scan to interpreted evaluation.
+    def byteAt(i: Int): Column = ascii(substring(ts, i, 1)).cast("long") % 256L
+    def packed(l: Int): Column =
+      (1 to l).map(i => shiftleft(byteAt(i), 8 * (l - i)): Column).reduce(_ + _)
+    val len = least(length(ts), lit(8))
+    (1 to 8).foldLeft(lit(0L)) { (acc, l) => when(len === l, packed(l)).otherwise(acc) }
+  }
 
   /** Reverse of [[encodeTimestamp]] (debug helper; reference
     * src/VolumeExpansion.jl:68-81 — zero bytes are skipped).
