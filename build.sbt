@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage-codegen methods can exceed HotSpot's 8000-byte
+  // DontCompileHugeMethods cutoff; without this flag they run interpreted
+  // forever (observed 20-50x slowdowns on wide projections).
+  "-XX:-DontCompileHugeMethods",
+  "-XX:ReservedCodeCacheSize=512m",
+  // local[32] with several deserialized Row checkpoints in flight needs
+  // real heap headroom: 8g thrashes in full GCs at sf0.1 (the host has
+  // 128 GiB; Spark normally gets this via spark-submit --driver-memory).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -25,10 +25,15 @@ object Bench {
     implicit val ec: ExecutionContext = ExecutionContext.global
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
       // toRdd.count() materializes every output column (a bare count()
-      // would let Catalyst prune the projection being measured).
-      val fut = Future(fn(spark, sfDir).queryExecution.toRdd.count())
+      // would let Catalyst prune the projection being measured). The job
+      // group must be set INSIDE the future — SparkContext job groups are
+      // thread-local, so setting it on this thread would leave the pool
+      // thread ungrouped and make the timeout cancellation a no-op.
+      val fut = Future {
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        fn(spark, sfDir).queryExecution.toRdd.count()
+      }
       val sec =
         try { Await.result(fut, timeoutSec.seconds); (System.nanoTime() - t0) / 1e9 }
         catch {

@@ -15,15 +15,16 @@ object TickFunctions {
     * char fold (reference: src/VolumeExpansion.jl:46-59).
     */
   def encodeTimestamp(ts: Column): Column = {
-    // One branch per possible packed length: linear expression size. The
-    // obvious fold `when(len >= i, acc*256 + byte).otherwise(acc)` embeds
-    // the accumulator twice per level — a 2^8 expression-tree blowup that
-    // overflows codegen and drops the scan to interpreted evaluation.
+    // Branch-free and expression-minimal (generated code must stay well
+    // under the JIT's 8000-byte huge-method limit or the scan drops to
+    // interpreted bytecode): pack all 8 fixed positions — absent chars
+    // contribute 0 via ascii('') = 0 — then low-align with one unsigned
+    // right-shift of the 8*(8-len) empty trailing bits. For len = 0 the
+    // packed value is already 0, so the (mod-64) shift is harmless.
     def byteAt(i: Int): Column = ascii(substring(ts, i, 1)).cast("long") % 256L
-    def packed(l: Int): Column =
-      (1 to l).map(i => shiftleft(byteAt(i), 8 * (l - i)): Column).reduce(_ + _)
+    val packed8 = (1 to 8).map(i => shiftleft(byteAt(i), 8 * (8 - i)): Column).reduce(_ + _)
     val len = least(length(ts), lit(8))
-    (1 to 8).foldLeft(lit(0L)) { (acc, l) => when(len === l, packed(l)).otherwise(acc) }
+    call_function("shiftrightunsigned", packed8, ((lit(8) - len) * 8).cast("int"))
   }
 
   /** Reverse of [[encodeTimestamp]] (debug helper; reference

@@ -1,8 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.graftext.GraftInternal
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Scalable total-order utilities.
   *
@@ -18,7 +21,8 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *   4. broadcast offsets back and finish each partition locally.
   *
   * Wall-clock cost is one range shuffle + one lightweight job, with no
-  * single-partition bottleneck.
+  * single-partition bottleneck. Like [[Scan]], execution stays on
+  * Tungsten InternalRows end-to-end.
   */
 object Ordered {
 
@@ -35,7 +39,7 @@ object Ordered {
   }
 
   /** Append the 1-based global prefix sum (inclusive) of `valueCol`
-    * ordered by `orderCols` as `outCol`. `valueCol` must be integral.
+    * ordered by `orderCols` as `outCol`. `valueCol` must be int or long.
     */
   def withPrefixSum(df: DataFrame, valueCol: String, outCol: String, orderCols: String*): DataFrame = {
     val sorted =
@@ -43,20 +47,28 @@ object Ordered {
       else df.repartitionByRange(df.sparkSession.sessionState.conf.numShufflePartitions,
         orderCols.map(col): _*).sortWithinPartitions(orderCols.map(col): _*)
     val vIdx = sorted.schema.fieldIndex(valueCol)
-    zipWithOffsets(sorted, outCol, r => r.getAs[Number](vIdx).longValue())
+    val weight: InternalRow => Long = sorted.schema(valueCol).dataType match {
+      case LongType    => r => r.getLong(vIdx)
+      case IntegerType => r => r.getInt(vIdx).toLong
+      case other => throw new IllegalArgumentException(
+        s"withPrefixSum needs an int/long column, got $valueCol: $other")
+    }
+    zipWithOffsets(sorted, outCol, weight)
   }
 
   /** Two-pass scan: per-partition sums of `weight`, driver prefix-scan,
     * then a local running sum per partition starting at its offset.
     */
-  private def zipWithOffsets(df: DataFrame, outCol: String, weight: Row => Long): DataFrame = {
+  private def zipWithOffsets(df: DataFrame, outCol: String, weight: InternalRow => Long): DataFrame = {
     val spark = df.sparkSession
+    val inTypes = df.schema.fields.map(_.dataType)
+    val nIn = inTypes.length
     val schema = StructType(df.schema.fields :+ StructField(outCol, LongType, nullable = false))
     // localCheckpoint (MEMORY_AND_DISK) + lineage truncation: pass 2 and
     // task retries see exactly the rows pass 1 counted (repartitionByRange+
     // sortWithinPartitions is not order-stable on tied keys, so a recompute
     // could otherwise assign different indices than the pass-1 totals).
-    val rdd = df.rdd.localCheckpoint()
+    val rdd = df.queryExecution.toRdd.map(_.copy()).localCheckpoint()
     // Pass 1: per-partition totals (one number per partition).
     val partials: Array[Long] = rdd
       .mapPartitionsWithIndex { (pid, it) =>
@@ -69,8 +81,15 @@ object Ordered {
     // Pass 2: local running sum from the partition's start offset.
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = bc.value(pid)
-      it.map { r => acc += weight(r); Row.fromSeq(r.toSeq :+ acc) }
+      it.map { r =>
+        acc += weight(r)
+        val vals = new Array[Any](nIn + 1)
+        var i = 0
+        while (i < nIn) { vals(i) = r.get(i, inTypes(i)); i += 1 }
+        vals(nIn) = acc
+        new GenericInternalRow(vals): InternalRow
+      }
     }
-    spark.createDataFrame(out, schema)
+    GraftInternal.internalCreateDataFrame(spark, out, schema)
   }
 }

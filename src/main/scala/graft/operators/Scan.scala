@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graftext.GraftInternal
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Distributed sequential scan over a totally-ordered DataFrame.
   *
@@ -22,42 +25,132 @@ import org.apache.spark.sql.types.StructType
   * must already be partition-ordered consistently with the desired total
   * order (e.g. produced by `repartitionByRange.sortWithinPartitions` or
   * a freshly-read file source).
+  *
+  * Execution works on '''InternalRow''' (UnsafeRow) end-to-end: the
+  * input is the plan's Tungsten output, cached as compact binary rows
+  * (cheap to hold, Externalizable-fast to spill), and results re-enter
+  * Catalyst via `internalCreateDataFrame` — no boxed-Row materialization
+  * on either side. Callers address fields by ordinal
+  * (`schema.fieldIndex`) with the primitive getters.
+  *
+  * When a computation needs SEVERAL dependent running states (state B's
+  * per-row update reads the running value of state A — e.g. the hot
+  * loop's bar statistics need the global eligible-row number), use
+  * [[scanRounds]]: the input is checkpointed ONCE and each round adds one
+  * lightweight fold job over the cached partitions, instead of chaining
+  * full `scan` calls that each re-materialize the widening dataset.
   */
 object Scan {
 
-  /** @param emit (stateBeforeRow, row) => appended column values */
-  def scan[S: scala.reflect.ClassTag](
+  /** One round of a multi-round scan: a monoid folded over the ordered
+    * stream whose `lift` may read the running (pre-row, from stream
+    * start) states of all EARLIER rounds.
+    *
+    * States are `Any`-typed (each round casts its own); `combine` must be
+    * associative with identity `zero`. `step` advances a running state by
+    * one row — override when a direct update is cheaper than
+    * `combine(run, lift(...))` (the default).
+    */
+  trait Round extends Serializable {
+    def zero: Any
+    /** @param prev prev(k) = running state of round k BEFORE this row (k < this round's index) */
+    def lift(prev: Array[Any], row: InternalRow): Any
+    def combine(a: Any, b: Any): Any
+    def step(run: Any, prev: Array[Any], row: InternalRow): Any = combine(run, lift(prev, row))
+  }
+
+  /** Multi-round scan: localCheckpoint `df`'s Tungsten rows once, then
+    * for each round run one fold job (per-partition partials of that
+    * round's monoid, with all earlier rounds' running states replayed
+    * locally from their already-computed partition offsets), prefix-scan
+    * the partials on the driver, and finally emit appended columns in one
+    * lazy pass seeded with every round's offsets.
+    *
+    * Jobs: exactly `rounds.length` eager fold jobs (the first also
+    * materializes the checkpoint); the emit pass is lazy.
+    *
+    * @param emit (runningStatesBeforeRow, row) => appended column values,
+    *             in Catalyst internal representation (primitives / null)
+    */
+  def scanRounds(
       df: DataFrame,
-      appended: Seq[org.apache.spark.sql.types.StructField],
-      zero: S,
-      lift: Row => S,
-      combine: (S, S) => S,
-      emit: (S, Row) => Seq[Any]): DataFrame = {
+      appended: Seq[StructField],
+      rounds: IndexedSeq[Round],
+      emit: (Array[Any], InternalRow) => Seq[Any]): DataFrame = {
     val spark = df.sparkSession
-    val schema = StructType(df.schema.fields ++ appended)
-    // localCheckpoint (MEMORY_AND_DISK) + lineage truncation: pass 2 and
-    // any task retry read the exact rows pass 1 folded — recomputation
-    // through a not-order-stable shuffle could silently disagree with the
-    // pass-1 partials for non-commutative combines. Block loss now fails
-    // loudly instead of corrupting; ContextCleaner reclaims the blocks
-    // once the returned DataFrame is unreferenced.
-    val rdd = df.rdd.localCheckpoint()
-    val partials: Array[(Int, S)] = rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        var s = zero; it.foreach(r => s = combine(s, lift(r))); Iterator((pid, s))
-      }
-      .collect()
-    val byPid = partials.sortBy(_._1).map(_._2)
-    val offsets = byPid.scanLeft(zero)(combine)
-    val bc = spark.sparkContext.broadcast(offsets)
+    val sc = spark.sparkContext
+    val inSchema = df.schema
+    val schema = StructType(inSchema.fields ++ appended)
+    val inTypes = inSchema.fields.map(_.dataType)
+    val nIn = inTypes.length
+    val nOut = nIn + appended.length
+    // localCheckpoint (MEMORY_AND_DISK) + lineage truncation: every fold
+    // and the emit pass read the exact rows the first pass saw — a
+    // recompute through a not-order-stable shuffle could silently
+    // disagree with the collected partials for non-commutative combines.
+    // `.copy()` detaches each UnsafeRow from the scan's reused buffer.
+    val rdd = df.queryExecution.toRdd.map(_.copy()).localCheckpoint()
+    val nRounds = rounds.length
+    // offsets(j)(pid) = round-j running state at partition pid's first row.
+    val offsets = new Array[Array[Any]](nRounds)
+    for (j <- 0 until nRounds) {
+      val bcPrev = sc.broadcast(offsets.take(j))
+      val rnds = rounds
+      val partials: Array[(Int, Any)] = rdd.mapPartitionsWithIndex { (pid, it) =>
+        val prevOff = bcPrev.value
+        val run = Array.tabulate[Any](j)(k => prevOff(k)(pid))
+        val round = rnds(j)
+        var part = round.zero
+        it.foreach { r =>
+          part = round.combine(part, round.lift(run, r))
+          // Advance earlier rounds descending: round k's step reads only
+          // run(<k), which at that point still holds pre-row values.
+          var k = j - 1
+          while (k >= 0) { run(k) = rnds(k).step(run(k), run, r); k -= 1 }
+        }
+        Iterator((pid, part))
+      }.collect()
+      val byPid = partials.sortBy(_._1).map(_._2)
+      offsets(j) = byPid.scanLeft(rounds(j).zero)(rounds(j).combine).toArray
+    }
+    val bcOff = sc.broadcast(offsets)
+    val rnds = rounds
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var acc = bc.value(pid)
+      val off = bcOff.value
+      val run = Array.tabulate[Any](nRounds)(k => off(k)(pid))
       it.map { r =>
-        val extra = emit(acc, r)
-        acc = combine(acc, lift(r))
-        Row.fromSeq(r.toSeq ++ extra)
+        val extra = emit(run, r)
+        var k = nRounds - 1
+        while (k >= 0) { run(k) = rnds(k).step(run(k), run, r); k -= 1 }
+        val vals = new Array[Any](nOut)
+        var i = 0
+        while (i < nIn) { vals(i) = r.get(i, inTypes(i)); i += 1 }
+        val itE = extra.iterator
+        while (itE.hasNext) { vals(i) = itE.next(); i += 1 }
+        new GenericInternalRow(vals): InternalRow
       }
     }
-    spark.createDataFrame(out, schema)
+    GraftInternal.internalCreateDataFrame(spark, out, schema)
+  }
+
+  /** Single-state scan (the common case): see [[scanRounds]].
+    *
+    * @param emit (stateBeforeRow, row) => appended column values
+    */
+  def scan[S: scala.reflect.ClassTag](
+      df: DataFrame,
+      appended: Seq[StructField],
+      zero: S,
+      lift: InternalRow => S,
+      combine: (S, S) => S,
+      emit: (S, InternalRow) => Seq[Any]): DataFrame = {
+    val (z, l, c) = (zero, lift, combine)
+    val round: Round = new Round {
+      def zero: Any = z
+      def lift(prev: Array[Any], row: InternalRow): Any = l(row)
+      def combine(a: Any, b: Any): Any = c(a.asInstanceOf[S], b.asInstanceOf[S])
+    }
+    scanRounds(df, appended, IndexedSeq(round),
+      (states, row) => emit(states(0).asInstanceOf[S], row))
   }
 }

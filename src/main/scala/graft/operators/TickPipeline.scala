@@ -55,14 +55,15 @@ object TickPipeline {
     * src/VolumeExpansion.jl:95-113,163-171).
     */
   def parseTickLines(df: DataFrame, line: Column, orderCol: Column): DataFrame = {
-    val parts = split(line, ";")
-    df.select(orderCol.as("file_pos"),
-        trim(element_at(parts, 1)).as("ts_str"),
-        expr("try_cast(trim(element_at(split(value, ';'), 2)) as int)").as("bid"),
-        expr("try_cast(trim(element_at(split(value, ';'), 3)) as int)").as("ask"),
-        expr("try_cast(trim(element_at(split(value, ';'), 4)) as int)").as("last"),
-        expr("try_cast(trim(element_at(split(value, ';'), 5)) as int)").as("volume"),
-        size(parts).as("n_fields"))
+    // Split ONCE into an array column, then project fields from it — five
+    // inline `split` copies would quintuple the generated code (and the
+    // per-row work wherever codegen falls back to interpretation).
+    def intAt(i: Int) = trim(element_at(col("parts"), i)).try_cast("int")
+    df.select(orderCol.as("file_pos"), split(line, ";").as("parts"))
+      .select(col("file_pos"),
+        trim(element_at(col("parts"), 1)).as("ts_str"),
+        intAt(2).as("bid"), intAt(3).as("ask"), intAt(4).as("last"),
+        intAt(5).as("volume"), size(col("parts")).as("n_fields"))
       .where(col("n_fields") === 5 &&
         col("bid").isNotNull && col("ask").isNotNull &&
         col("last").isNotNull && col("volume").isNotNull)
@@ -282,30 +283,32 @@ object TickPipeline {
   /** Scalable hot loop: identical output to [[hotLoop]] (same expressions
     * in the same order), with NO partition-less window, NO broadcast of an
     * unbounded table, and NO extra shuffle. The whole reference recurrence
-    * is strictly causal in `tick_idx`, so it fuses into at most three
-    * chained [[Scan]] passes over the already-ordered stream
+    * is strictly causal in `tick_idx`, so it lowers to ONE multi-round
+    * [[Scan.scanRounds]] over the already-ordered stream — the input is
+    * checkpointed once and each round is a lightweight fold job
     * ([[ScanStates]] holds the monoid algebras):
     *
-    *   1. [[ScanStates.EligState]]: row classes (pre/hold/first/eligible)
-    *      + eligible-row and encoder-call numbering — the conditional
-    *      two-branch prefix monoid (subsumes the old driver-side
-    *      "first valid tick" aggregate);
-    *   2. [[ScanStates.BarSeg]]: the cumulative 144-tick bar statistics
-    *      (completed-bar count, sums of per-bar min/max winsorized delta,
-    *      open-bar partial) emitting the Q16 reciprocal per tick —
-    *      subsumes the old bars aggregate + window + broadcast join;
-    *   3. encoder chain state where needed: running CPM phase sum, or the
-    *      derivative's previous-eligible-ratio (last-wins). HEXAD16 and
-    *      AMC are closed-form (phase from tick/encoder index) — no third
-    *      pass.
+    *   - round 0, [[ScanStates.EligState]]: row classes
+    *     (pre/hold/first/eligible) + eligible-row and encoder-call
+    *     numbering — the conditional two-branch prefix monoid;
+    *   - round 1, [[ScanStates.BarSeg]]: cumulative 144-tick bar
+    *     statistics (completed-bar count, sums of per-bar min/max
+    *     winsorized delta, open-bar partial) — reads round 0's running
+    *     eligible count for globally-aligned bar segmentation;
+    *   - round 2 (derivative/cpm only): encoder chain state — the
+    *     derivative's previous-eligible-ratio (last-wins) or the running
+    *     CPM phase-increment sum, each reading rounds 0-1 to reconstruct
+    *     the row's Q16 ratio. HEXAD16 and AMC are closed-form (phase from
+    *     tick/encoder index) — no third round.
     *
     * Shuffle inventory: zero when `assumeOrdered` (the expand scan's range
     * partitioning carries through), else one range shuffle up front.
     */
   def hotLoopChunked(ticks: DataFrame, cfg: SignalConfig,
       assumeOrdered: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StructField}
+    import Scan.Round
     import ScanStates._
     val minP = lit(cfg.minPrice); val maxP = lit(cfg.maxPrice)
     val maxJ = lit(cfg.maxJump); val winz = lit(cfg.winsorizeDeltaThreshold)
@@ -325,67 +328,121 @@ object TickPipeline {
         when(col("d1") > 0, winz).otherwise(-winz)).otherwise(col("d1")))
       .withColumn("flag_clip", col("clip1") || col("clip2"))
 
-    // Scan 1: row classes + eligible/encoder numbering.
     val vIdx = s1.schema.fieldIndex("valid")
-    val s2 = Scan.scan[EligState](
-      s1,
+    val dIdx = s1.schema.fieldIndex("d")
+    val preload = InvNormPreload // local copies: keep the scan closures
+    val statsBar = TicksPerStatsBar // free of the enclosing object
+    def invQ16(k: Long, sm: Long, sx: Long): Long =
+      if (k == 0) preload
+      else math.floor(65536.0 /
+        math.max(sx.toDouble / k - sm.toDouble / k, 1.0) + 0.5).toLong
+    // Row-inclusive Q16 reciprocal: a boundary tick's own bar enters the
+    // running stats before that tick's ratio (matches the window
+    // formulation and the reference, TickHotLoopF32.jl:383-405).
+    def invFor(seg: BarSeg, rowElig: Boolean, rowBoundary: Boolean, d: Int): Long = {
+      val (k, sm, sx, cmn, cmx, open) = barCumulative(seg)
+      if (rowElig && rowBoundary) {
+        val nm = if (open) math.min(cmn, d) else d
+        val nx = if (open) math.max(cmx, d) else d
+        invQ16(k + 1, sm + nm, sx + nx)
+      } else invQ16(k, sm, sx)
+    }
+    // The Q16 ratio of an ELIGIBLE row, from the pre-row running states —
+    // double arithmetic in the same shape as the `ratio` column below.
+    def rowRatio(prev: Array[Any], r: InternalRow): Double = {
+      val e = prev(0).asInstanceOf[EligState]
+      val eligRn = e.eligNP + 1
+      val d = r.getInt(dIdx)
+      val inv = invFor(prev(1).asInstanceOf[BarSeg], rowElig = true,
+        eligRn % statsBar == 0, d)
+      (d.toLong * inv).toDouble * TwoPowMinus16
+    }
+
+    val eligRound: Round = new Round {
+      def zero: Any = eligZero
+      def lift(prev: Array[Any], r: InternalRow): Any = eligLift(r.getBoolean(vIdx))
+      def combine(a: Any, b: Any): Any =
+        eligCombine(a.asInstanceOf[EligState], b.asInstanceOf[EligState])
+    }
+    val barRound: Round = new Round {
+      def zero: Any = barZero
+      def lift(prev: Array[Any], r: InternalRow): Any = {
+        val e = prev(0).asInstanceOf[EligState]
+        if (!(r.getBoolean(vIdx) && e.anyValid)) barZero
+        else {
+          val eligRn = e.eligNP + 1
+          barLift(isElig = true, (eligRn - 1) / statsBar,
+            r.getInt(dIdx), eligRn % statsBar == 0)
+        }
+      }
+      def combine(a: Any, b: Any): Any =
+        barCombine(a.asInstanceOf[BarSeg], b.asInstanceOf[BarSeg])
+    }
+    val scaleCpm = 2.0 * cfg.cpmModulationIndex.toDouble * 2147483648.0
+    val encRound: Option[Round] = cfg.encoderType match {
+      case "derivative" => Some(new Round { // last eligible ratio, last-wins
+        def zero: Any = (false, 0.0)
+        def lift(prev: Array[Any], r: InternalRow): Any = {
+          val e = prev(0).asInstanceOf[EligState]
+          if (r.getBoolean(vIdx) && e.anyValid) (true, rowRatio(prev, r))
+          else (false, 0.0)
+        }
+        def combine(a: Any, b: Any): Any = {
+          val bb = b.asInstanceOf[(Boolean, Double)]
+          if (bb._1) bb else a
+        }
+      })
+      case "cpm" => Some(new Round { // running phase-increment sum
+        def zero: Any = 0L
+        def lift(prev: Array[Any], r: InternalRow): Any = {
+          val e = prev(0).asInstanceOf[EligState]
+          if (r.getBoolean(vIdx) && e.anyValid)
+            math.floor(rowRatio(prev, r) * scaleCpm + 0.5).toLong
+          else 0L
+        }
+        def combine(a: Any, b: Any): Any = a.asInstanceOf[Long] + b.asInstanceOf[Long]
+      })
+      case "hexad16" | "amc" => None
+      case other => throw new IllegalArgumentException(s"unknown encoder: $other")
+    }
+    val isDeriv = cfg.encoderType == "derivative"
+    val isCpm = cfg.encoderType == "cpm"
+
+    val appended =
       Seq(StructField("is_pre", BooleanType, nullable = false),
         StructField("is_hold", BooleanType, nullable = false),
         StructField("is_first", BooleanType, nullable = false),
         StructField("is_elig", BooleanType, nullable = false),
         StructField("elig_rn", LongType, nullable = false),
-        StructField("enc_rn", LongType, nullable = false)),
-      zero = eligZero,
-      lift = r => eligLift(r.getBoolean(vIdx)),
-      combine = eligCombine,
-      emit = (s, r) => {
-        val valid = r.getBoolean(vIdx); val seen = s.anyValid
+        StructField("enc_rn", LongType, nullable = false),
+        StructField("inv_q16", LongType, nullable = false)) ++
+      (if (isDeriv) Seq(StructField("prev_ratio", DoubleType, nullable = false))
+       else if (isCpm) Seq(StructField("cum_inc", LongType, nullable = false))
+       else Nil)
+
+    val scanned = Scan.scanRounds(s1, appended,
+      IndexedSeq(eligRound, barRound) ++ encRound,
+      (st, r) => {
+        val e = st(0).asInstanceOf[EligState]
+        val valid = r.getBoolean(vIdx); val seen = e.anyValid
         val isElig = valid && seen; val isPre = !valid && !seen
-        Seq(isPre, !valid && seen, valid && !seen, isElig,
-          s.eligNP + (if (isElig) 1L else 0L),
-          s.encNP + (if (!isPre) 1L else 0L))
+        val eligRn = e.eligNP + (if (isElig) 1L else 0L)
+        val encRn = e.encNP + (if (!isPre) 1L else 0L)
+        val boundary = isElig && eligRn % statsBar == 0
+        val d = r.getInt(dIdx)
+        val inv = invFor(st(1).asInstanceOf[BarSeg], isElig, boundary, d)
+        val base = Seq[Any](isPre, !valid && seen, valid && !seen, isElig,
+          eligRn, encRn, inv)
+        if (isDeriv) base :+ st(2).asInstanceOf[(Boolean, Double)]._2
+        else if (isCpm) {
+          val inc = if (isElig)
+            math.floor((d.toLong * inv).toDouble * TwoPowMinus16 * scaleCpm + 0.5).toLong
+          else 0L
+          base :+ (st(2).asInstanceOf[Long] + inc) // inclusive running sum
+        } else base
       })
 
-    val s3 = s2
-      .withColumn("bar_id",
-        when(col("is_elig"), floor((col("elig_rn") - 1) / lit(144.0)).cast("long")))
-      .withColumn("bar_pos",
-        when(col("is_elig"), col("elig_rn") - floor((col("elig_rn") - 1) / lit(144.0)).cast("long") * 144))
-      .withColumn("is_boundary", col("is_elig") && col("bar_pos") === 144)
-
-    // Scan 2: cumulative bar-normalization state -> Q16 reciprocal.
-    // Matches the window formulation: a bar's (min,max) enters the running
-    // sums exactly at its boundary tick, before that tick's own ratio.
-    val preload = InvNormPreload // local copy: keeps the Scan closures
-    // free of a reference to this (non-serializable) enclosing object
-    def invQ16(k: Long, sm: Long, sx: Long): Long =
-      if (k == 0) preload
-      else math.floor(65536.0 /
-        math.max(sx.toDouble / k - sm.toDouble / k, 1.0) + 0.5).toLong
-    val eIdx = s3.schema.fieldIndex("is_elig")
-    val dIdx = s3.schema.fieldIndex("d")
-    val bIdx = s3.schema.fieldIndex("bar_id")
-    val bdIdx = s3.schema.fieldIndex("is_boundary")
-    val withInv = Scan.scan[BarSeg](
-      s3,
-      Seq(StructField("inv_q16", LongType, nullable = false)),
-      zero = barZero,
-      lift = r => if (!r.getBoolean(eIdx)) barZero
-        else barLift(isElig = true, r.getLong(bIdx), r.getInt(dIdx), r.getBoolean(bdIdx)),
-      combine = barCombine,
-      emit = (s, r) => {
-        val (k, sm, sx, cmn, cmx, open) = barCumulative(s)
-        val inv =
-          if (r.getBoolean(eIdx) && r.getBoolean(bdIdx)) {
-            val d = r.getInt(dIdx)
-            val nm = if (open) math.min(cmn, d) else d
-            val nx = if (open) math.max(cmx, d) else d
-            invQ16(k + 1, sm + nm, sx + nx)
-          } else invQ16(k, sm, sx)
-        Seq(inv)
-      })
-
-    val s4 = withInv
+    val s4 = scanned
       .withColumn("ratio", when(col("is_elig"),
         (col("d").cast("long") * col("inv_q16")).cast("double") * lit(TwoPowMinus16))
         .otherwise(lit(0.0)))
@@ -397,24 +454,12 @@ object TickPipeline {
           .when(col("is_elig") && col("flag_clip"), lit(4))
           .otherwise(lit(0)))
 
-    // Scan 3 (derivative/cpm only): encoder chain state.
     val encoded = cfg.encoderType match {
       case "derivative" =>
-        val ei = s4.schema.fieldIndex("is_elig")
-        val ri = s4.schema.fieldIndex("ratio")
-        val scanned = Scan.scan[(Boolean, Double)](
-          s4,
-          Seq(StructField("prev_ratio", DoubleType, nullable = false)),
-          zero = (false, 0.0),
-          lift = r => if (r.getBoolean(ei)) (true, r.getDouble(ri)) else (false, 0.0),
-          combine = (a, b) => if (b._1) b else a,
-          emit = (s, _: Row) => Seq(s._2))
-        scanned
-          .withColumn("signal_re", when(col("is_elig"), col("ratio")).otherwise(lit(0.0)) + 0.0)
+        s4.withColumn("signal_re", when(col("is_elig"), col("ratio")).otherwise(lit(0.0)) + 0.0)
           .withColumn("signal_im", when(col("is_elig"),
             (col("ratio") - col("prev_ratio")) * lit(cfg.tickDerivativeImagScale.toDouble))
             .otherwise(lit(0.0)) + 0.0)
-          .drop("prev_ratio")
       case "hexad16" =>
         val phase = ((col("tick_idx") - 1) % 16).cast("int")
         s4.withColumn("signal_re",
@@ -422,33 +467,18 @@ object TickPipeline {
           .withColumn("signal_im",
             col("ratio") * TickFunctions.lutLookup(hexad16Im, phase + 1) + 0.0)
       case "cpm" =>
-        val scale = 2.0 * cfg.cpmModulationIndex.toDouble * 2147483648.0
-        val withIncDf = s4.withColumn("inc", when(col("is_elig"),
-          floor(col("ratio") * lit(scale) + 0.5).cast("long")).otherwise(lit(0L)))
-        val ii = withIncDf.schema.fieldIndex("inc")
-        val withAcc = Scan.scan[Long](
-          withIncDf,
-          Seq(StructField("cum_inc", LongType, nullable = false)),
-          zero = 0L,
-          lift = r => r.getLong(ii),
-          combine = _ + _,
-          emit = (s, r) => Seq(s + r.getLong(ii)))
-          .withColumn("acc", pmod(col("cum_inc"), lit(4294967296L)))
+        s4.withColumn("acc", pmod(col("cum_inc"), lit(4294967296L)))
           .withColumn("lut_idx", floor(col("acc") / lit(4194304.0)).cast("int"))
-        withAcc
           .withColumn("signal_re", when(col("is_pre"), lit(0.0))
             .otherwise(TickFunctions.lutLookup(cpmLutRe, col("lut_idx") + 1)) + 0.0)
           .withColumn("signal_im", when(col("is_pre"), lit(0.0))
             .otherwise(TickFunctions.lutLookup(cpmLutIm, col("lut_idx") + 1)) + 0.0)
-          .drop("inc", "cum_inc")
       case "amc" =>
         // Carrier phase is closed-form in the encoder-call number from
-        // Scan 1 (hardcoded period-16 increment — reference quirk,
+        // round 0 (hardcoded period-16 increment — reference quirk,
         // TickHotLoopF32.jl:115).
-        val withAcc = s4
-          .withColumn("acc", pmod(col("enc_rn") * lit(268435456L), lit(4294967296L)))
+        s4.withColumn("acc", pmod(col("enc_rn") * lit(268435456L), lit(4294967296L)))
           .withColumn("lut_idx", floor(col("acc") / lit(4194304.0)).cast("int"))
-        withAcc
           .withColumn("signal_re", when(col("is_pre"), lit(0.0))
             .otherwise(col("ratio") * TickFunctions.lutLookup(cpmLutRe, col("lut_idx") + 1)) + 0.0)
           .withColumn("signal_im", when(col("is_pre"), lit(0.0))
@@ -458,7 +488,7 @@ object TickPipeline {
 
     encoded.drop("valid", "is_pre", "is_hold", "is_first", "is_elig",
       "clip1", "d1", "d", "clip2", "flag_clip", "elig_rn", "enc_rn",
-      "bar_id", "bar_pos", "is_boundary", "inv_q16", "ratio", "acc", "lut_idx")
+      "inv_q16", "ratio", "acc", "lut_idx", "prev_ratio", "cum_inc")
   }
 
   // ----------------------------------------------------------------- T26-T33
@@ -472,6 +502,7 @@ object TickPipeline {
     * [[FirFilter]] (separate, heavier path).
     */
   def bars(ticks: DataFrame, cfg: BarConfig): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField}
     val n = cfg.ticksPerBar
     val agg = ticks
@@ -501,45 +532,60 @@ object TickPipeline {
       ticks.sparkSession.sessionState.conf.numShufflePartitions, col("bar_idx"))
       .sortWithinPartitions("bar_idx")
 
-    // Scan 1: running high/low sums + previous bar average (monoid:
-    // two sums and a last-wins pair).
+    // One multi-round scan (checkpoint the bars once):
+    //   round 0 — running high/low sums + previous bar average (monoid:
+    //   two sums and a last-wins pair);
+    //   round 1 — normalization: cumulative avg(high)-avg(low) over all
+    //   completed bars, recalculated (and immediately applied) only every
+    //   `normalizationWindowBars`-th bar, 1.0 before the first recalc
+    //   (reference: src/BarProcessor.jl:247-270) — a last-wins carry whose
+    //   lift reads round 0's running sums.
     val hiIdx = sortedBars.schema.fieldIndex("bar_high_raw")
     val loIdx = sortedBars.schema.fieldIndex("bar_low_raw")
     val avIdx = sortedBars.schema.fieldIndex("bar_average_raw")
-    val withCums = Scan.scan[(Long, Long, Boolean, Int)](
-      sortedBars,
+    val biIdx = sortedBars.schema.fieldIndex("bar_idx")
+    val normEvery = cfg.normalizationWindowBars
+    val cumRound: Scan.Round = new Scan.Round {
+      def zero: Any = (0L, 0L, false, 0)
+      def lift(prev: Array[Any], r: InternalRow): Any =
+        (r.getInt(hiIdx).toLong, r.getInt(loIdx).toLong, true, r.getInt(avIdx))
+      def combine(a: Any, b: Any): Any = {
+        val aa = a.asInstanceOf[(Long, Long, Boolean, Int)]
+        val bb = b.asInstanceOf[(Long, Long, Boolean, Int)]
+        (aa._1 + bb._1, aa._2 + bb._2, aa._3 || bb._3, if (bb._3) bb._4 else aa._4)
+      }
+    }
+    def normHere(cums: (Long, Long, Boolean, Int), r: InternalRow): Double = {
+      val bi = r.getLong(biIdx)
+      math.max((cums._1 + r.getInt(hiIdx)).toDouble / bi -
+        (cums._2 + r.getInt(loIdx)).toDouble / bi, 1.0)
+    }
+    val normRound: Scan.Round = new Scan.Round {
+      def zero: Any = (false, 1.0)
+      def lift(prev: Array[Any], r: InternalRow): Any =
+        if (r.getLong(biIdx) % normEvery == 0)
+          (true, normHere(prev(0).asInstanceOf[(Long, Long, Boolean, Int)], r))
+        else (false, 0.0)
+      def combine(a: Any, b: Any): Any = {
+        val bb = b.asInstanceOf[(Boolean, Double)]
+        if (bb._1) bb else a
+      }
+    }
+    val withNorm = Scan.scanRounds(sortedBars,
       Seq(StructField("cum_high", LongType, nullable = false),
         StructField("cum_low", LongType, nullable = false),
-        StructField("prev_avg", IntegerType, nullable = true)),
-      zero = (0L, 0L, false, 0),
-      lift = r => (r.getInt(hiIdx).toLong, r.getInt(loIdx).toLong, true, r.getInt(avIdx)),
-      combine = (a, b) => (a._1 + b._1, a._2 + b._2, a._3 || b._3,
-        if (b._3) b._4 else a._4),
-      emit = (s, r) => Seq(s._1 + r.getInt(hiIdx), s._2 + r.getInt(loIdx),
-        if (s._3) s._4 else null))
-
-    // Normalization: cumulative avg(high)-avg(low) over all completed
-    // bars, but recalculated (and immediately applied) only every
-    // `normalizationWindowBars`-th bar; 1.0 before the first recalc
-    // (reference: src/BarProcessor.jl:247-270). Scan 2: last-wins carry
-    // of the recalc value.
-    val withNormHere = withCums
-      .withColumn("recalc", col("bar_idx") % cfg.normalizationWindowBars === 0)
-      .withColumn("norm_here", greatest(
-        col("cum_high").cast("double") / col("bar_idx") -
-          col("cum_low").cast("double") / col("bar_idx"), lit(1.0)))
-    val rcIdx = withNormHere.schema.fieldIndex("recalc")
-    val nhIdx = withNormHere.schema.fieldIndex("norm_here")
-    val withNorm = Scan.scan[(Boolean, Double)](
-      withNormHere,
-      Seq(StructField("bar_normalization", DoubleType, nullable = false)),
-      zero = (false, 1.0),
-      lift = r => if (r.getBoolean(rcIdx)) (true, r.getDouble(nhIdx)) else (false, 0.0),
-      combine = (a, b) => if (b._1) b else a,
-      emit = (s, r) => Seq(
-        if (r.getBoolean(rcIdx)) r.getDouble(nhIdx)
-        else if (s._1) s._2 else 1.0))
-      .drop("recalc", "norm_here")
+        StructField("prev_avg", IntegerType, nullable = true),
+        StructField("bar_normalization", DoubleType, nullable = false)),
+      IndexedSeq(cumRound, normRound),
+      (st, r) => {
+        val c = st(0).asInstanceOf[(Long, Long, Boolean, Int)]
+        val n = st(1).asInstanceOf[(Boolean, Double)]
+        val norm =
+          if (r.getLong(biIdx) % normEvery == 0) normHere(c, r)
+          else if (n._1) n._2 else 1.0
+        Seq(c._1 + r.getInt(hiIdx), c._2 + r.getInt(loIdx),
+          if (c._3) c._4 else null, norm)
+      })
 
     val d0 = coalesce(col("bar_average_raw") - col("prev_avg"), lit(0))
     val maxJ = lit(cfg.maxBarJump); val winz = lit(cfg.winsorizeBarThreshold)

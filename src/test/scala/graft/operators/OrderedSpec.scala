@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField}
@@ -38,13 +38,14 @@ class OrderedSpec extends SparkSpec {
     val in = Ordered.withGlobalIndex(
       (1 to 100).map(i => (i, if (i % 7 == 0) i else 0)).toDF("ord", "v")
         .repartition(5), "idx", "ord")
+    val vIdx = in.schema.fieldIndex("v")
     val out = Scan.scan[Int](
       in,
       Seq(StructField("held", IntegerType, nullable = false)),
       zero = 0,
-      lift = r => r.getAs[Int]("v") match { case 0 => 0; case v => v },
+      lift = r => r.getInt(vIdx),
       combine = (a, b) => if (b != 0) b else a,
-      emit = (s, _: Row) => Seq(s))
+      emit = (s, _: InternalRow) => Seq(s))
     val got = out.select($"ord", $"held").as[(Int, Int)].collect().sortBy(_._1)
     var expectHeld = 0
     got.foreach { case (ord, held) =>
