@@ -20,6 +20,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner frees checkpoint blocks / broadcasts only after the
+      // driver GCs their weak refs; the default 30min periodic GC lets 50
+      // queries' blocks pile up and the tail of the run degrade 5-20x.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     implicit val ec: ExecutionContext = ExecutionContext.global
@@ -52,7 +56,8 @@ object Bench {
       // of the run degrades under memory pressure.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
+      System.gc() // promptly surface dead RDD/broadcast weak refs to the cleaner
       System.err.println(f"[bench] $name ${sec}%.1fs")
       name -> sec
     }

@@ -22,9 +22,8 @@ object Prof2 {
       System.err.println(f"[prof2] $name: ${(System.nanoTime() - t0) / 1e9}%.1fs ($n rows)")
     }
 
-    import graft.operators.TickQueries
     for (i <- 1 to reps) {
-      time(s"$q#$i")(TickQueries.queries(q)(spark, sfDir))
+      time(s"$q#$i")(SparkEntry.queries(q)(spark, sfDir))
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }

@@ -410,6 +410,50 @@ object TickQueries {
          |  WHERE a.cnt = $n)""".stripMargin)
   }
 
+  /** T4: the 7-column tick capture window over the derivative hot loop
+    * (skip 100 ticks, take 2000) — the capture sink's projection/filter
+    * under the oracle.
+    */
+  def qTickCapture(s: SparkSession, d: String): DataFrame =
+    graft.sources.Capture.tickCapture(
+      TickPipeline.hotLoopChunked(
+        TickPipeline.syntheticTicksExpanded(s, d), withCfg("derivative"), assumeOrdered = true),
+      tickStart = 100, numRecords = 2000)
+      .orderBy("tick_idx")
+  val qTickCaptureSql: String =
+    s"""SELECT CAST(tick_idx AS INTEGER) AS tick_idx,
+       |  CAST(raw_price AS INTEGER) AS raw_price,
+       |  CAST(price_delta AS INTEGER) AS price_delta,
+       |  CAST(signal_re AS REAL) AS complex_signal_real,
+       |  CAST(signal_im AS REAL) AS complex_signal_imag,
+       |  CAST(normalization AS REAL) AS normalization,
+       |  CAST(status_flag AS TINYINT) AS status_flag
+       |FROM ($qHotDerivativeSql)
+       |WHERE tick_idx > 100 AND tick_idx <= 2100
+       |ORDER BY tick_idx""".stripMargin
+
+  /** T4: the 11-column bar capture over the boxcar bar chain. */
+  def qBarCapture(s: SparkSession, d: String): DataFrame =
+    graft.sources.Capture.barCapture(
+      TickPipeline.bars(TickPipeline.syntheticTicksExpanded(s, d), barCfg),
+      ticksPerBar = barCfg.ticksPerBar, tickStart = 0, numRecords = 500)
+      .orderBy("bar_idx")
+  val qBarCaptureSql: String =
+    s"""SELECT CAST(bar_idx AS BIGINT) AS bar_idx,
+       |  CAST(bar_open_raw AS INTEGER) AS bar_open_raw,
+       |  CAST(bar_high_raw AS INTEGER) AS bar_high_raw,
+       |  CAST(bar_low_raw AS INTEGER) AS bar_low_raw,
+       |  CAST(bar_close_raw AS INTEGER) AS bar_close_raw,
+       |  CAST(bar_volume AS INTEGER) AS bar_volume,
+       |  CAST(bar_ticks AS INTEGER) AS bar_ticks,
+       |  CAST(bar_signal_re AS REAL) AS bar_complex_signal_real,
+       |  CAST(bar_signal_im AS REAL) AS bar_complex_signal_imag,
+       |  CAST(bar_normalization AS REAL) AS bar_normalization,
+       |  CAST(bar_flags AS TINYINT) AS bar_flags
+       |FROM ($qBarsBoxcarSql)
+       |WHERE bar_idx > 0 AND bar_idx <= 500
+       |ORDER BY bar_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_tick_parse" -> qTickParse _,
     "t02_volume_expansion" -> qVolumeExpansion _,
@@ -418,7 +462,9 @@ object TickQueries {
     "t05_hotloop_cpm" -> qHotCpm _,
     "t06_hotloop_amc" -> qHotAmc _,
     "t07_bars_boxcar" -> qBarsBoxcar _,
-    "t08_bars_fir" -> qBarsFir _
+    "t08_bars_fir" -> qBarsFir _,
+    "t09_tick_capture" -> qTickCapture _,
+    "t10_bar_capture" -> qBarCapture _
   )
 
   val oracles: Map[String, String] = Map(
@@ -429,6 +475,8 @@ object TickQueries {
     "t05_hotloop_cpm" -> qHotCpmSql,
     "t06_hotloop_amc" -> qHotAmcSql,
     "t07_bars_boxcar" -> qBarsBoxcarSql,
-    "t08_bars_fir" -> qBarsFirSql
+    "t08_bars_fir" -> qBarsFirSql,
+    "t09_tick_capture" -> qTickCaptureSql,
+    "t10_bar_capture" -> qBarCaptureSql
   )
 }

@@ -3,11 +3,13 @@ package graft.streaming
 import java.util.concurrent.ConcurrentLinkedQueue
 import java.util.concurrent.atomic.AtomicLong
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
-import graft.config.SignalConfig
+import graft.config.{FlowControlConfig, SignalConfig}
 
 /** Structured Streaming variant of the tick pipeline (SURVEY.md §2B
   * Q18-Q20; reference: the channel-based pipeline of
@@ -28,6 +30,14 @@ object TickStream {
     */
   def readTickStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.option("maxFilesPerTrigger", 1).text(dir)
+
+  /** T10: the reference's flow-control delay (inter-tick sleep,
+    * src/VolumeExpansion.jl:18-30) maps to micro-batch cadence — a
+    * processing-time trigger of the configured delay. `delayMs = 0`
+    * (reference "no delay") triggers as fast as data arrives.
+    */
+  def triggerFor(fc: FlowControlConfig): Trigger =
+    Trigger.ProcessingTime(math.max(0L, math.ceil(fc.delayMs).toLong))
 
   /** Stateful hot loop over a parsed tick stream. Input rows must carry
     * (tick_idx, timestamp, raw_price, price_delta); rows within a
@@ -57,50 +67,179 @@ object TickStream {
   case object Monitoring extends ConsumerType // drop-on-full
   case object Analytics extends ConsumerType  // drop-on-full
 
-  /** Per-consumer delivery stats (reference: TripleSplitSystem.jl:272-305). */
+  /** Per-consumer delivery stats (reference: TripleSplitSystem.jl:272-305).
+    * The queue exists only for local (reference-emulation) delivery; the
+    * distributed path counts without materializing on the driver.
+    */
   final class ConsumerStats(val name: String, val kind: ConsumerType, val bufferSize: Int) {
     val messagesSent = new AtomicLong
     val messagesDropped = new AtomicLong
     val queue = new ConcurrentLinkedQueue[TickOut]()
+    /** Current buffer fill consulted by the drop policy. Local delivery
+      * fills `queue`; an external sink can override via [[fillProbe]]. */
+    @volatile var fillProbe: () => Int = () => queue.size
     def fillRatio: Double =
-      if (bufferSize == 0) 0.0 else queue.size.toDouble / bufferSize
+      if (bufferSize == 0) 0.0 else fillProbe().toDouble / bufferSize
+  }
+
+  /** T34: consumer registry with subscribe/unsubscribe (reference:
+    * TripleSplitSystem.jl:109-128 subscribe!, :142-154 unsubscribe!) and
+    * T36 manager-level broadcast totals (:297-305).
+    */
+  final class ConsumerRegistry {
+    private val consumers = new java.util.concurrent.ConcurrentHashMap[String, ConsumerStats]()
+    val totalBroadcasts = new AtomicLong
+    val successfulBroadcasts = new AtomicLong
+
+    def subscribe(name: String, kind: ConsumerType, bufferSize: Int): ConsumerStats = {
+      val c = new ConsumerStats(name, kind, bufferSize)
+      val prev = consumers.putIfAbsent(name, c)
+      if (prev != null)
+        throw new IllegalArgumentException(s"consumer '$name' already subscribed")
+      c
+    }
+    def unsubscribe(name: String): Boolean = consumers.remove(name) != null
+    def get(name: String): Option[ConsumerStats] = Option(consumers.get(name))
+    def active: Seq[ConsumerStats] = consumers.values.asScala.toSeq.sortBy(_.name)
+
+    /** Manager stats (reference: TripleSplitSystem.jl:297-305). */
+    def managerStats: Map[String, Long] = Map(
+      "total_broadcasts" -> totalBroadcasts.get(),
+      "successful_broadcasts" -> successfulBroadcasts.get(),
+      "active_consumers" -> active.size.toLong)
   }
 
   /** Multi-consumer broadcast with the reference's priority/drop policy:
     * PRIORITY consumers always receive every row (in Spark, a normal
     * sink — backpressure is intrinsic to micro-batching); MONITORING /
-    * ANALYTICS consumers drop (and count) rows beyond their buffer.
-    * Implemented as one `foreachBatch` fan-out so all consumers observe
-    * the same micro-batch — mirroring broadcast_to_all!
-    * (TripleSplitSystem.jl:172-259).
+    * ANALYTICS consumers drop (and count) rows beyond their buffer room.
+    * One `foreachBatch` fan-out so all consumers observe the same
+    * micro-batch — mirroring broadcast_to_all! (TripleSplitSystem.jl:172-259).
+    *
+    * The hot path is driver-light: per batch, ONE small aggregate job
+    * computes (count, min tick); the drop cutoff follows from the dense
+    * `tick_idx` (first `room` rows are `tick_idx < minTick + room` — no
+    * sort, no collect). Delivery happens partition-side through
+    * `partitionSink` (rows stream through executors; sent/dropped counts
+    * come from the aggregate). `localDeliver` instead collects each
+    * consumer's share to the driver queues — the reference-emulation mode
+    * used by parity tests; never use it at scale.
     */
   def broadcastTo(
       enriched: Dataset[TickOut],
-      consumers: Seq[ConsumerStats],
+      registry: ConsumerRegistry,
       checkpoint: String,
-      deliver: (ConsumerStats, Seq[TickOut]) => Unit = enqueueDeliver): StreamingQuery =
+      partitionSink: Option[(String, Iterator[TickOut]) => Unit] = None,
+      localDeliver: Boolean = false,
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
     enriched.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.ProcessingTime(0))
+      .trigger(trigger)
       .foreachBatch { (batch: Dataset[TickOut], _: Long) =>
-        val rows = batch.orderBy(col("tick_idx")).collect().toSeq
-        consumers.foreach {
-          case c if c.kind == Priority =>
-            deliver(c, rows)
-            c.messagesSent.addAndGet(rows.size)
-          case c =>
-            val room = math.max(0, c.bufferSize - c.queue.size)
-            val (take, drop) = rows.splitAt(room)
-            deliver(c, take)
-            c.messagesSent.addAndGet(take.size)
-            c.messagesDropped.addAndGet(drop.size)
-        }
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val persisted = batch.persist()
+        try {
+          val head = persisted.agg(count(lit(1)), min(col("tick_idx"))).head()
+          val n = head.getLong(0)
+          val minTick = if (n == 0) 0L else head.getLong(1)
+          registry.totalBroadcasts.incrementAndGet()
+          if (n > 0) {
+            registry.active.foreach { c =>
+              val room = c.kind match {
+                case Priority => n
+                case _ => math.max(0L, (c.bufferSize - c.fillProbe()).toLong)
+              }
+              val sent = math.min(n, room)
+              val share =
+                if (sent == n) persisted
+                else persisted.filter(col("tick_idx") < minTick + room)
+              if (localDeliver) {
+                // Reference-emulation: in-process queues on the driver.
+                share.orderBy(col("tick_idx")).collect().foreach(c.queue.add)
+              } else
+                partitionSink.foreach { sink =>
+                  val name = c.name
+                  share.as[TickOut].foreachPartition((it: Iterator[TickOut]) => sink(name, it))
+                }
+              c.messagesSent.addAndGet(sent)
+              c.messagesDropped.addAndGet(n - sent)
+            }
+            registry.successfulBroadcasts.incrementAndGet()
+          }
+          ()
+        } finally persisted.unpersist()
       }
       .start()
 
-  private def enqueueDeliver(c: ConsumerStats, rows: Seq[TickOut]): Unit =
-    rows.foreach(c.queue.add)
+  /** T38 metrics snapshot (reference: PipelineOrchestrator.jl:19-33). */
+  final case class PipelineStats(
+      ticksProcessed: Long, batches: Long, wallMs: Long) {
+    def ticksPerSec: Double =
+      if (wallMs <= 0) 0.0 else ticksProcessed * 1000.0 / wallMs
+  }
+
+  /** T37/T38/T39: managed pipeline — start the fan-out under a metrics
+    * clock, report progress, expose stats, stop cooperatively.
+    *
+    * Reference mapping: run_pipeline! with metrics + progress every N
+    * ticks (PipelineOrchestrator.jl:340-432, per-tick timing :116-186),
+    * stop_pipeline! (:206-213) — here the progress callback fires per
+    * micro-batch (the Spark unit of work) and `stop()` drains the
+    * in-flight batch before terminating, then emits the final snapshot.
+    */
+  final class ManagedPipeline private[streaming] (
+      val query: StreamingQuery,
+      registry: ConsumerRegistry,
+      startedAtMs: Long,
+      onComplete: PipelineStats => Unit) {
+    def stats: PipelineStats = {
+      val progress = query.recentProgress
+      PipelineStats(
+        ticksProcessed = progress.map(_.numInputRows).sum,
+        batches = progress.length.toLong,
+        wallMs = System.currentTimeMillis() - startedAtMs)
+    }
+    def managerStats: Map[String, Long] = registry.managerStats
+    /** Cooperative stop: finish the running micro-batch, then terminate
+      * and fire the completion callback with final stats. */
+    def stop(): PipelineStats = {
+      query.processAllAvailable()
+      query.stop()
+      query.awaitTermination()
+      val s = stats
+      onComplete(s)
+      s
+    }
+  }
+
+  /** Start a managed fan-out pipeline (T37/T38): trigger cadence from
+    * flow control (T10), per-batch progress callback, completion hook.
+    */
+  def runManaged(
+      enriched: Dataset[TickOut],
+      registry: ConsumerRegistry,
+      checkpoint: String,
+      flow: FlowControlConfig = FlowControlConfig(),
+      partitionSink: Option[(String, Iterator[TickOut]) => Unit] = None,
+      localDeliver: Boolean = false,
+      onProgress: PipelineStats => Unit = _ => (),
+      onComplete: PipelineStats => Unit = _ => ()): ManagedPipeline = {
+    val t0 = System.currentTimeMillis()
+    val query = broadcastTo(enriched, registry, checkpoint, partitionSink,
+      localDeliver, triggerFor(flow))
+    val managed = new ManagedPipeline(query, registry, t0, onComplete)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.id == query.id) onProgress(managed.stats)
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) enriched.sparkSession.streams.removeListener(this)
+    }
+    enriched.sparkSession.streams.addListener(listener)
+    managed
+  }
 
   /** Event-time windowed aggregation with watermark over the events table
     * shape (Q18): tumbling count + sum per window and type.

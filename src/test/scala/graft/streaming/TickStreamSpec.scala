@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -65,10 +67,11 @@ class TickStreamSpec extends SparkSpec {
     val ticks = mkTicks(300)
     val input = MemoryStream[TickIn]
     val enriched = TickStream.hotLoopStream(input.toDS(), cfg)
-    val prio = new TickStream.ConsumerStats("prio", TickStream.Priority, 64)
-    val mon = new TickStream.ConsumerStats("mon", TickStream.Monitoring, 100)
+    val registry = new TickStream.ConsumerRegistry
+    val prio = registry.subscribe("prio", TickStream.Priority, 64)
+    val mon = registry.subscribe("mon", TickStream.Monitoring, 100)
     val ckpt = Files.createTempDirectory("ckpt2").toString
-    val query = TickStream.broadcastTo(enriched, Seq(prio, mon), ckpt)
+    val query = TickStream.broadcastTo(enriched, registry, ckpt, localDeliver = true)
     try {
       input.addData(ticks: _*)
       query.processAllAvailable()
@@ -76,7 +79,98 @@ class TickStreamSpec extends SparkSpec {
       assert(mon.messagesSent.get() == 100)
       assert(mon.messagesDropped.get() == 200) // buffer 100, drop the rest
       assert(prio.queue.size == 300 && mon.queue.size == 100)
+      // the dropped share is the TAIL: the kept rows are the first 100
+      assert(mon.queue.asScala.map(_.tick_idx).max == 100)
+      assert(registry.managerStats("total_broadcasts") >= 1)
+      assert(registry.managerStats("successful_broadcasts") >= 1)
     } finally query.stop()
+  }
+
+  test("T34 registry: subscribe -> deliver -> unsubscribe; duplicate names rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    val registry = new TickStream.ConsumerRegistry
+    registry.subscribe("a", TickStream.Priority, 8)
+    intercept[IllegalArgumentException](registry.subscribe("a", TickStream.Analytics, 8))
+    val input = MemoryStream[TickIn]
+    val enriched = TickStream.hotLoopStream(input.toDS(), cfg)
+    val ckpt = Files.createTempDirectory("ckpt3").toString
+    val query = TickStream.broadcastTo(enriched, registry, ckpt, localDeliver = true)
+    try {
+      input.addData(mkTicks(50): _*); query.processAllAvailable()
+      assert(registry.get("a").get.messagesSent.get() == 50)
+      // late subscriber sees only post-subscription batches; removed one stops
+      val b = registry.subscribe("b", TickStream.Analytics, 1000)
+      assert(registry.unsubscribe("a"))
+      assert(!registry.unsubscribe("a"))
+      input.addData(mkTicks(80).map(t => t.copy(tick_idx = t.tick_idx + 50)): _*)
+      query.processAllAvailable()
+      assert(b.messagesSent.get() == 80)
+      assert(registry.get("a").isEmpty)
+      assert(registry.managerStats("active_consumers") == 1)
+    } finally query.stop()
+  }
+
+  test("distributed fan-out: no driver collect, counts from aggregate + partition sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val ticks = mkTicks(300)
+    val input = MemoryStream[TickIn]
+    val enriched = TickStream.hotLoopStream(input.toDS(), cfg)
+    val registry = new TickStream.ConsumerRegistry
+    val prio = registry.subscribe("prio", TickStream.Priority, 64)
+    val mon = registry.subscribe("mon", TickStream.Monitoring, 120)
+    // partition-side delivery: count rows per consumer via accumulators
+    val sentPrio = spark.sparkContext.longAccumulator("sent_prio")
+    val sentMon = spark.sparkContext.longAccumulator("sent_mon")
+    val sink: (String, Iterator[TickOut]) => Unit = { (name, it) =>
+      val n = it.size.toLong
+      if (name == "prio") sentPrio.add(n) else sentMon.add(n)
+    }
+    val ckpt = Files.createTempDirectory("ckpt4").toString
+    val query = TickStream.broadcastTo(enriched, registry, ckpt, partitionSink = Some(sink))
+    try {
+      input.addData(ticks: _*)
+      query.processAllAvailable()
+      assert(prio.messagesSent.get() == 300 && sentPrio.value == 300L)
+      assert(mon.messagesSent.get() == 120 && sentMon.value == 120L)
+      assert(mon.messagesDropped.get() == 180)
+      assert(prio.queue.isEmpty && mon.queue.isEmpty) // nothing on the driver
+    } finally query.stop()
+  }
+
+  test("T37/T38/T39 managed pipeline: stats, progress callback, cooperative stop") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TickIn]
+    val enriched = TickStream.hotLoopStream(input.toDS(), cfg)
+    val registry = new TickStream.ConsumerRegistry
+    registry.subscribe("prio", TickStream.Priority, 64)
+    val ckpt = Files.createTempDirectory("ckpt5").toString
+    @volatile var completed: Option[TickStream.PipelineStats] = None
+    val managed = TickStream.runManaged(enriched, registry, ckpt,
+      flow = graft.config.FlowControlConfig(delayMs = 0.0),
+      localDeliver = true,
+      onComplete = s => completed = Some(s))
+    try {
+      input.addData(mkTicks(200): _*)
+      managed.query.processAllAvailable()
+      val s = managed.stats
+      assert(s.ticksProcessed == 200 && s.batches >= 1 && s.wallMs >= 0)
+      assert(managed.managerStats("successful_broadcasts") >= 1)
+    } finally {
+      val fin = managed.stop()
+      assert(fin.ticksProcessed == 200)
+      assert(completed.exists(_.ticksProcessed == 200))
+      assert(!managed.query.isActive)
+    }
+  }
+
+  test("T10 flow-control delay maps to the processing-time trigger") {
+    import org.apache.spark.sql.streaming.Trigger
+    assert(TickStream.triggerFor(graft.config.FlowControlConfig(delayMs = 25.0)) ==
+      Trigger.ProcessingTime(25))
+    assert(TickStream.triggerFor(graft.config.FlowControlConfig(delayMs = 0.0)) ==
+      Trigger.ProcessingTime(0))
+    assert(TickStream.triggerFor(graft.config.FlowControlConfig(delayMs = 0.4)) ==
+      Trigger.ProcessingTime(1)) // sub-ms delays round up, not to zero
   }
 
   test("event-time windowed aggregation with watermark (Q18)") {
