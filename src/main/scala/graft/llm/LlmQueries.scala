@@ -57,13 +57,20 @@ object LlmQueries {
 
   // MinHash universal-hash lanes over the single md5-derived base hash.
   private val P = 2147483647L // 2^31 - 1 (prime)
-  private val LaneA = Seq(1L, 3L, 5L, 7L, 11L, 13L, 17L, 19L)
-  private val LaneB = Seq(0L, 17L, 131L, 1031L, 8191L, 65537L, 524287L, 6700417L)
-  private val NumHashes = 8
-  // 2 bands x 4 rows: candidate threshold s* = (1/b)^(1/r) = 0.84. Honest
-  // for this corpus: measured cross-document 4-gram Jaccard tops out at
-  // ~0.41 (false-candidate rate <= 0.41^4 = 3% per band) while true
-  // duplicates sit at 1.0 (always surfaced).
+  private val LaneA = Seq(1L, 3L, 5L, 7L, 11L, 13L, 17L, 19L,
+    23L, 29L, 31L, 37L, 41L, 43L, 47L, 53L)
+  private val LaneB = Seq(0L, 17L, 131L, 1031L, 8191L, 65537L, 524287L, 6700417L,
+    127L, 257L, 509L, 2053L, 16411L, 262147L, 1048573L, 33554467L)
+  private val NumHashes = 16
+  // 2 bands x 8 rows: candidate threshold s* = (1/b)^(1/r) = 0.917.
+  // Sized to the measured corpus: effective cross-document MinHash
+  // similarity runs ~0.46 on the synthetic texts, so r=4 banding admits
+  // ~9% of ALL pairs as candidates (1.36M at sf0.1 — the candidate set,
+  // not the scorer, becomes the quadratic cost); r=8 cuts the per-band
+  // false-candidate rate to s^8 (~0.2% at s=0.46) while true duplicates
+  // (s=1.0) still match every band. Lanes are cheap integer mixes of the
+  // one md5 per shingle — precision here is bought with arithmetic, not
+  // extra hashing passes.
   private val NumBands = 2
   private val RowsPerBand = NumHashes / NumBands
 
@@ -210,21 +217,21 @@ object LlmQueries {
   def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val dd = docsWithDups(s, d)
     val pairs = lshPairsOf(bandedSignatures(dd))
-    val docShingles = dd
-      .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
-    val sizes = docShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = pairs
-      .join(docShingles.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(docShingles.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    // One row per DOC carrying its distinct-shingle SET as an array; the
+    // intersection is computed per candidate pair with a single codegen'd
+    // array_intersect — no explode to (pair x shingle) rows, whose shuffle
+    // (candidates x ~|text| rows) dominated the naive plan. The doc-array
+    // side is |docs| rows and joins by key, so the only per-pair state in
+    // flight is the two arrays the scorer needs.
+    val docSets = dd.select(col("doc_id"),
+      array_distinct(shingles(col("text"))).as("sh_set"))
     pairs
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("n_inter"))
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
-      .select(col("doc_a"), col("doc_b"), col("n_inter"),
-        col("za.n_sh").as("n_a"), col("zb.n_sh").as("n_b"))
+      .join(docSets.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(docSets.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("za.sh_set"), col("zb.sh_set"))).cast("long").as("n_inter"),
+        size(col("za.sh_set")).cast("long").as("n_a"),
+        size(col("zb.sh_set")).cast("long").as("n_b"))
       .orderBy("doc_a", "doc_b")
   }
   val qNgramJaccardSql: String =

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.window.WindowExec
+
+import graft.SparkSpec
+import graft.llm.LlmQueries
+import graft.relational.RelationalQueries
+
+/** Physical-plan shape guards for the scale-critical paths. Correctness is
+  * covered by the oracle gate; these tests pin the PLAN properties that make
+  * the operators viable at the 100 TB design point, so a refactor that
+  * silently reintroduces an all-pairs join or an unpartitioned global window
+  * fails in CI rather than in the bench log.
+  */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String = df.queryExecution.sparkPlan.toString
+
+  private def assertNoAllPairs(name: String, df: DataFrame): Unit = {
+    val p = planOf(df)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"$name plan contains BroadcastNestedLoopJoin (all-pairs):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"$name plan contains CartesianProduct (all-pairs):\n$p")
+  }
+
+  // The LSH-bucketed similarity operators must candidate-generate through
+  // equi-joins on bucket keys — never an all-pairs product. (l06 is the
+  // declared brute-force baseline and is exempt by contract.)
+  test("l05 ngram-jaccard scores LSH candidates with equi-joins only") {
+    assertNoAllPairs("l05", LlmQueries.queries("l05_ngram_jaccard")(spark, sf))
+  }
+  test("l08 embedding near-dup joins home-bucket to probes, not all pairs") {
+    assertNoAllPairs("l08", LlmQueries.queries("l08_embed_neardup")(spark, sf))
+  }
+  test("l13 ANN top-k joins probe keys to buckets, not all pairs") {
+    assertNoAllPairs("l13", LlmQueries.queries("l13_ann_topk")(spark, sf))
+  }
+
+  // The benched hot-loop path must never fall back to an unpartitioned
+  // global window (WindowExec with empty partitionSpec serializes the whole
+  // table onto one task) — total order is handled by the two-pass Scan.
+  test("t03 chunked hot loop has no unpartitioned window") {
+    val df = graft.operators.TickQueries.queries("t03_hotloop_derivative")(spark, sf)
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.isEmpty,
+      s"t03 plan has ${unpartitioned.size} unpartitioned WindowExec node(s)")
+  }
+  test("t07 bars path has no unpartitioned window") {
+    val df = graft.operators.TickQueries.queries("t07_bars_boxcar")(spark, sf)
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.isEmpty,
+      s"t07 plan has ${unpartitioned.size} unpartitioned WindowExec node(s)")
+  }
+
+  // Narrow projections must prune at the parquet scan: a 3-column query
+  // over the 16-column lineitem table must not read unrelated columns.
+  test("q01 scan prunes unprojected lineitem columns") {
+    val p = planOf(RelationalQueries.queries("q01_scan_project")(spark, sf))
+    assert(p.contains("l_extendedprice"), p)
+    assert(!p.contains("l_comment"), s"q01 reads l_comment it never uses:\n$p")
+    assert(!p.contains("l_shipdate"), s"q01 reads l_shipdate it never uses:\n$p")
+  }
+
+  // Filters must reach the scan as pushed data filters.
+  test("q02 filter pushes predicates into the parquet scan") {
+    val p = planOf(RelationalQueries.queries("q02_filter")(spark, sf))
+    // The plan's PushedFilters list is elided in toString, so assert the
+    // head of the list — a non-empty pushdown always leads with IsNotNull
+    // of the first filtered column.
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      s"q02 predicates not pushed to the parquet scan:\n$p")
+  }
+}
