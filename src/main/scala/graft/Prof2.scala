@@ -12,6 +12,7 @@ object Prof2 {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.tune(spark)
@@ -22,10 +23,11 @@ object Prof2 {
       System.err.println(f"[prof2] $name: ${(System.nanoTime() - t0) / 1e9}%.1fs ($n rows)")
     }
 
-    for (i <- 1 to reps) {
-      time(s"$q#$i")(SparkEntry.queries(q)(spark, sfDir))
+    for (i <- 1 to reps; name <- q.split(",")) {
+      time(s"$name#$i")(SparkEntry.queries(name)(spark, sfDir))
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
     }
     spark.stop()
   }
