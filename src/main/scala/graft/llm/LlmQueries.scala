@@ -11,15 +11,23 @@ import org.apache.spark.sql.functions._
   * scoring, token counting, fingerprinting).
   *
   * Hashing discipline: exactly ONE md5 per shingle. The 64-bit base hash is
-  * the first 15 hex chars of md5 (60 bits), reduced mod p = 2^31-1; the 8
-  * MinHash lanes are universal hashes `(a_j*h + b_j) mod p` of that single
-  * base hash — 8x less hashing than one md5 per lane, identical on both
-  * engines (Spark `conv(hex,16,10)`, DuckDB `CAST('0x'||hex AS BIGINT)`).
+  * the first 15 hex chars of md5 (60 bits), reduced mod p = 2^31-1; the
+  * MinHash lanes (NumHashes of them) are universal hashes
+  * `(a_j*h + b_j) mod p` of that single base hash — one md5 total instead
+  * of one per lane, identical on both engines (Spark `conv(hex,16,10)`,
+  * DuckDB `CAST('0x'||hex AS BIGINT)`).
   *
   * Scale shape: shingles are EXPLODED to rows and min-aggregated, not held
   * as per-document arrays — md5 is provably evaluated once per shingle
   * (no expression-inlining hazard), the whole path is codegen'd, and the
   * hash aggregate does map-side partial mins.
+  *
+  * Storage note: the LSH paths persist small intermediates (banded
+  * signatures, bucketed embeddings) that are consumed twice in one plan;
+  * a DataFrame builder cannot unpersist them before its action runs, so
+  * callers owning the session should sweep
+  * `sparkContext.getPersistentRDDs...unpersist` after materializing
+  * results (Bench/Verify do exactly this between queries).
   */
 object LlmQueries {
 
@@ -81,7 +89,8 @@ object LlmQueries {
       .select(col("doc_id"),
         (conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % P).as("h"))
 
-  /** Per-document 8-lane MinHash signature from the exploded hashes. */
+  /** Per-document NumHashes-lane MinHash signature from the exploded
+    * hashes. */
   private def minhashSignatures(base: DataFrame): DataFrame = {
     val lanes = (0 until NumHashes).map(j =>
       min((col("h") * LaneA(j) + LaneB(j)) % P).as(s"sig$j"))
@@ -120,8 +129,8 @@ object LlmQueries {
        |FROM dd GROUP BY md5(text) ORDER BY fp""".stripMargin
 
   // ---------------------------------------------------------------- MinHash
-  /** Per-document MinHash signature (8 universal-hash lanes, one md5 per
-    * shingle).
+  /** Per-document MinHash signature (NumHashes universal-hash lanes, one
+    * md5 per shingle).
     */
   def qMinhashSignatures(s: SparkSession, d: String): DataFrame =
     minhashSignatures(docs(s, d)).orderBy("doc_id")

@@ -137,7 +137,7 @@ object Scan {
     *
     * @param emit (stateBeforeRow, row) => appended column values
     */
-  def scan[S: scala.reflect.ClassTag](
+  def scan[S](
       df: DataFrame,
       appended: Seq[StructField],
       zero: S,

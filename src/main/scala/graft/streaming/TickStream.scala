@@ -90,6 +90,12 @@ object TickStream {
     private val consumers = new java.util.concurrent.ConcurrentHashMap[String, ConsumerStats]()
     val totalBroadcasts = new AtomicLong
     val successfulBroadcasts = new AtomicLong
+    /** Exact rows seen by the fan-out, accumulated per micro-batch inside
+      * foreachBatch — the metrics source for [[ManagedPipeline.stats]]
+      * (`query.recentProgress` is capped at
+      * spark.sql.streaming.numRecentProgressUpdates entries and would
+      * silently undercount long runs). */
+    val rowsBroadcast = new AtomicLong
 
     def subscribe(name: String, kind: ConsumerType, bufferSize: Int): ConsumerStats = {
       val c = new ConsumerStats(name, kind, bufferSize)
@@ -117,9 +123,11 @@ object TickStream {
     * micro-batch — mirroring broadcast_to_all! (TripleSplitSystem.jl:172-259).
     *
     * The hot path is driver-light: per batch, ONE small aggregate job
-    * computes (count, min tick); the drop cutoff follows from the dense
-    * `tick_idx` (first `room` rows are `tick_idx < minTick + room` — no
-    * sort, no collect). Delivery happens partition-side through
+    * computes the batch count; a consumer that must drop pays one extra
+    * top-`room` job (TakeOrdered — O(n log room), no full sort) to find
+    * its cutoff tick, so delivery is exact even when `tick_idx` has gaps
+    * (upstream drops, files split across triggers). Delivery happens
+    * partition-side through
     * `partitionSink` (rows stream through executors; sent/dropped counts
     * come from the aggregate). `localDeliver` instead collects each
     * consumer's share to the driver queues — the reference-emulation mode
@@ -141,10 +149,9 @@ object TickStream {
         import spark.implicits._
         val persisted = batch.persist()
         try {
-          val head = persisted.agg(count(lit(1)), min(col("tick_idx"))).head()
-          val n = head.getLong(0)
-          val minTick = if (n == 0) 0L else head.getLong(1)
+          val n = persisted.agg(count(lit(1))).head().getLong(0)
           registry.totalBroadcasts.incrementAndGet()
+          registry.rowsBroadcast.addAndGet(n)
           if (n > 0) {
             registry.active.foreach { c =>
               val room = c.kind match {
@@ -154,7 +161,16 @@ object TickStream {
               val sent = math.min(n, room)
               val share =
                 if (sent == n) persisted
-                else persisted.filter(col("tick_idx") < minTick + room)
+                else if (sent == 0) persisted.filter(lit(false))
+                else {
+                  // cutoff = the sent-th smallest tick_idx (tick_idx is
+                  // unique, so <= cutoff delivers exactly `sent` rows even
+                  // across gaps in the index)
+                  val cutoff = persisted.select(col("tick_idx"))
+                    .orderBy(col("tick_idx")).limit(sent.toInt)
+                    .agg(max(col("tick_idx"))).head().getLong(0)
+                  persisted.filter(col("tick_idx") <= cutoff)
+                }
               if (localDeliver) {
                 // Reference-emulation: in-process queues on the driver.
                 share.orderBy(col("tick_idx")).collect().foreach(c.queue.add)
@@ -194,13 +210,13 @@ object TickStream {
       registry: ConsumerRegistry,
       startedAtMs: Long,
       onComplete: PipelineStats => Unit) {
-    def stats: PipelineStats = {
-      val progress = query.recentProgress
+    def stats: PipelineStats =
+      // Counters come from the registry's exact foreachBatch accounting,
+      // not query.recentProgress (which is a bounded ring buffer).
       PipelineStats(
-        ticksProcessed = progress.map(_.numInputRows).sum,
-        batches = progress.length.toLong,
+        ticksProcessed = registry.rowsBroadcast.get(),
+        batches = registry.totalBroadcasts.get(),
         wallMs = System.currentTimeMillis() - startedAtMs)
-    }
     def managerStats: Map[String, Long] = registry.managerStats
     /** Cooperative stop: finish the running micro-batch, then terminate
       * and fire the completion callback with final stats. */
@@ -227,17 +243,29 @@ object TickStream {
       onProgress: PipelineStats => Unit = _ => (),
       onComplete: PipelineStats => Unit = _ => ()): ManagedPipeline = {
     val t0 = System.currentTimeMillis()
-    val query = broadcastTo(enriched, registry, checkpoint, partitionSink,
-      localDeliver, triggerFor(flow))
-    val managed = new ManagedPipeline(query, registry, t0, onComplete)
+    // The listener must be registered BEFORE the query starts or a fast
+    // first micro-batch can complete unobserved; since the query id only
+    // exists after start, listener threads gate on a latch until it is
+    // assigned (the listener bus runs on its own thread, so awaiting
+    // there cannot deadlock this one).
+    val idSet = new java.util.concurrent.CountDownLatch(1)
+    @volatile var managed: ManagedPipeline = null
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
-        if (e.progress.id == query.id) onProgress(managed.stats)
-      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == query.id) enriched.sparkSession.streams.removeListener(this)
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        idSet.await()
+        if (e.progress.id == managed.query.id) onProgress(managed.stats)
+      }
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = {
+        idSet.await()
+        if (e.id == managed.query.id) enriched.sparkSession.streams.removeListener(this)
+      }
     }
     enriched.sparkSession.streams.addListener(listener)
+    val query = broadcastTo(enriched, registry, checkpoint, partitionSink,
+      localDeliver, triggerFor(flow))
+    managed = new ManagedPipeline(query, registry, t0, onComplete)
+    idSet.countDown()
     managed
   }
 

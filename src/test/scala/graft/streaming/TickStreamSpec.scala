@@ -86,6 +86,27 @@ class TickStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("drop cutoff is rank-based: gapped tick_idx still delivers exactly room rows") {
+    implicit val sqlCtx = spark.sqlContext
+    // tick_idx 1, 4, 7, ... — gaps arise whenever upstream parsing drops
+    // lines; the cutoff must count rows, not index arithmetic
+    val ticks = mkTicks(300).map(t => t.copy(tick_idx = t.tick_idx * 3 - 2))
+    val input = MemoryStream[TickIn]
+    val enriched = TickStream.hotLoopStream(input.toDS(), cfg)
+    val registry = new TickStream.ConsumerRegistry
+    val mon = registry.subscribe("mon", TickStream.Monitoring, 100)
+    val ckpt = Files.createTempDirectory("ckpt6").toString
+    val query = TickStream.broadcastTo(enriched, registry, ckpt, localDeliver = true)
+    try {
+      input.addData(ticks: _*)
+      query.processAllAvailable()
+      assert(mon.messagesSent.get() == 100 && mon.messagesDropped.get() == 200)
+      // exactly the 100 smallest ids survive: 1..298 step 3
+      val got = mon.queue.asScala.map(_.tick_idx).toSeq.sorted
+      assert(got.size == 100 && got == (1L to 298L by 3L))
+    } finally query.stop()
+  }
+
   test("T34 registry: subscribe -> deliver -> unsubscribe; duplicate names rejected") {
     implicit val sqlCtx = spark.sqlContext
     val registry = new TickStream.ConsumerRegistry
