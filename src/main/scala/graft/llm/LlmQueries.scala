@@ -460,6 +460,96 @@ object LlmQueries {
        |SELECT query_id, rank, neighbor_id, cos_x1e6
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------------------------- IVF ANN
+  /** IVF-flat ANN top-k: the centroid-bucketed similarity-search scale
+    * path, complementing the hyperplane-LSH composition of [[qAnnTopk]].
+    * Coarse quantizer = a deterministic corpus sample (vec_id % 37 == 11;
+    * "training-free" sampled centroids — the standard IVF baseline when
+    * k-means iterations aren't warranted, K ~ N/37 lists). Build: every
+    * candidate joins the broadcast centroid table (K tiny => a
+    * broadcast product of |V| x K dot products, the classic LINEAR IVF
+    * assignment cost — not an all-pairs candidate join) and lands in its
+    * nearest centroid's inverted list. Search: each query probes its
+    * nprobe=4 nearest lists (EQUI-join on list id), exact cosine
+    * re-ranks, top-5. Assignment and ranking order by the same
+    * `floor(cos*1e6+0.5)` integers the output carries (c_id/neighbor_id
+    * tiebreaks), so both engines rank identically.
+    */
+  def qIvfTopk(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d).select(col("vec_id"), col("embedding"),
+      sqrt(dotD(col("embedding"), col("embedding"))).as("nrm"))
+    val cent = e.where(col("vec_id") % 37 === 11)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+        col("nrm").as("cn"))
+    def cos(v: Column, n: Column): Column =
+      floor(dotD(v, col("cv")) / (n * col("cn")) * 1e6 + 0.5).cast("long")
+    val lists = e.where(col("vec_id") >= 10)
+      .join(broadcast(cent))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        col("nrm").as("nn"), col("c_id"),
+        cos(col("embedding"), col("nrm")).as("cc"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("neighbor_id").orderBy(col("cc").desc, col("c_id").asc)))
+      .where(col("r") === 1)
+      .select(col("neighbor_id"), col("nv"), col("nn"), col("c_id"))
+    val probes = e.where(col("vec_id") < 10)
+      .join(broadcast(cent))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("c_id"),
+        cos(col("embedding"), col("nrm")).as("cc"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cc").desc, col("c_id").asc)))
+      .where(col("r") <= 4)
+      .select(col("query_id"), col("qv"), col("qn"), col("c_id"))
+    val scored = probes.join(lists, Seq("c_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        floor(dotD(col("qv"), col("nv")) / (col("qn") * col("nn"))
+          * 1e6 + 0.5).cast("long").as("cos_x1e6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_x1e6").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "cos_x1e6")
+      .orderBy("query_id", "rank")
+  }
+  val qIvfTopkSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS cn
+       |  FROM e WHERE vec_id % 37 = 11),
+       |asg AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS nv, nrm AS nn, c_id,
+       |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cc
+       |  FROM e CROSS JOIN cent WHERE vec_id >= 10),
+       |lists AS (
+       |  SELECT neighbor_id, nv, nn, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+       |      ORDER BY cc DESC, c_id ASC) AS r FROM asg)
+       |  WHERE r = 1),
+       |qasg AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, c_id,
+       |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cc
+       |  FROM e CROSS JOIN cent WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT query_id, qv, qn, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cc DESC, c_id ASC) AS r FROM qasg)
+       |  WHERE r <= 4),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(floor(${dotSql("qv", "nv")} / (qn * nn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cos_x1e6
+       |  FROM probes JOIN lists USING (c_id)),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cos_x1e6
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // ----------------------------------------------------------- text analysis
   private val lexicons: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist"),
@@ -582,7 +672,8 @@ object LlmQueries {
     "l10_quality" -> qQuality _,
     "l11_token_count" -> qTokenCount _,
     "l12_fingerprint" -> qFingerprint _,
-    "l13_ann_topk" -> qAnnTopk _
+    "l13_ann_topk" -> qAnnTopk _,
+    "l14_ivf_topk" -> qIvfTopk _
   )
 
   val oracles: Map[String, String] = Map(
@@ -598,6 +689,7 @@ object LlmQueries {
     "l10_quality" -> qQualitySql,
     "l11_token_count" -> qTokenCountSql,
     "l12_fingerprint" -> qFingerprintSql,
-    "l13_ann_topk" -> qAnnTopkSql
+    "l13_ann_topk" -> qAnnTopkSql,
+    "l14_ivf_topk" -> qIvfTopkSql
   )
 }
