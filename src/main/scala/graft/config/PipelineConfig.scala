@@ -191,4 +191,58 @@ object PipelineConfig {
         targetThroughputTps = f("performance.target_throughput_tps", 10000.0f))
     )
   }
+
+  /** TOML serialization (T6's save half; reference:
+    * src/PipelineConfig.jl:477-524 save_config_to_toml) — same sections
+    * and keys as [[fromToml]] reads, so save -> load round-trips.
+    */
+  def toToml(c: PipelineConfig): String = {
+    def q(s: String) = "\"" + s + "\""
+    s"""pipeline_name = ${q(c.pipelineName)}
+       |tick_file_path = ${q(c.tickFilePath)}
+       |
+       |[signal_processing]
+       |agc_alpha = ${c.signal.agcAlpha}
+       |agc_min_scale = ${c.signal.agcMinScale}
+       |agc_max_scale = ${c.signal.agcMaxScale}
+       |winsorize_delta_threshold = ${c.signal.winsorizeDeltaThreshold}
+       |min_price = ${c.signal.minPrice}
+       |max_price = ${c.signal.maxPrice}
+       |max_jump = ${c.signal.maxJump}
+       |encoder_type = ${q(c.signal.encoderType)}
+       |cpm_modulation_index = ${c.signal.cpmModulationIndex}
+       |cpm_lut_size = ${c.signal.cpmLutSize}
+       |amc_carrier_period = ${c.signal.amcCarrierPeriod}
+       |amc_lut_size = ${c.signal.amcLutSize}
+       |tick_derivative_imag_scale = ${c.signal.tickDerivativeImagScale}
+       |
+       |[bar_processing]
+       |enabled = ${c.bars.enabled}
+       |ticks_per_bar = ${c.bars.ticksPerBar}
+       |normalization_window_bars = ${c.bars.normalizationWindowBars}
+       |winsorize_bar_threshold = ${c.bars.winsorizeBarThreshold}
+       |max_bar_jump = ${c.bars.maxBarJump}
+       |bar_derivative_imag_scale = ${c.bars.barDerivativeImagScale}
+       |bar_method = ${q(c.bars.barMethod)}
+       |
+       |[flow_control]
+       |delay_ms = ${c.flow.delayMs}
+       |
+       |[channels]
+       |priority_buffer_size = ${c.channels.priorityBufferSize}
+       |standard_buffer_size = ${c.channels.standardBufferSize}
+       |
+       |[performance]
+       |target_latency_us = ${c.performance.targetLatencyUs}
+       |max_latency_us = ${c.performance.maxLatencyUs}
+       |target_throughput_tps = ${c.performance.targetThroughputTps}
+       |""".stripMargin
+  }
+
+  /** Save to a file path (creates parent directories). */
+  def save(c: PipelineConfig, path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, toToml(c))
+  }
 }

@@ -59,4 +59,24 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(c.signal.tickDerivativeImagScale == 2.0f)
     assert(c.bars.enabled && c.bars.ticksPerBar == 21 && c.bars.barMethod == "FIR")
   }
+
+  test("T6 save half: toToml round-trips through fromToml") {
+    val cfgs = Seq(
+      PipelineConfig(),
+      PipelineConfig.shipped,
+      PipelineConfig(pipelineName = "x", tickFilePath = "/tmp/a#b.txt",
+        signal = SignalConfig(encoderType = "cpm", agcAlpha = 0.0625f),
+        bars = BarConfig(enabled = true, barMethod = "FIR"),
+        flow = FlowControlConfig(delayMs = 2.5)))
+    cfgs.foreach { c =>
+      assert(PipelineConfig.fromToml(PipelineConfig.toToml(c)) == c)
+    }
+  }
+
+  test("save writes a loadable file") {
+    val f = java.nio.file.Files.createTempDirectory("cfg").resolve("sub/p.toml")
+    PipelineConfig.save(PipelineConfig.shipped, f.toString)
+    val loaded = PipelineConfig.fromToml(java.nio.file.Files.readString(f))
+    assert(loaded == PipelineConfig.shipped)
+  }
 }
