@@ -427,9 +427,11 @@ object RelationalQueries {
       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
   /** Higher-order array functions over the embeddings table: element access,
-    * transform, and a sequential dot product. Both engines run the IDENTICAL
-    * left fold (Spark `aggregate` vs DuckDB `list_reduce` seeded with 0.0),
-    * so the double result is bit-identical — no rounding ties possible.
+    * transform, and a sequential dot product. Both engines run the same
+    * left fold (Spark `aggregate` vs DuckDB `list_reduce` seeded with 0.0)
+    * in double precision; the output is floored to integers. Spark's
+    * `floor` returns LONG while DuckDB's returns DOUBLE, so the oracle
+    * casts to BIGINT to align the hashed representation.
     */
   def q21ArrayHigherOrder(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
@@ -442,11 +444,11 @@ object RelationalQueries {
       .orderBy("vec_id")
   val q21Sql: String =
     """SELECT vec_id, label, len(embedding) AS dim,
-      |  floor(CAST(embedding[1] AS DOUBLE) * 1e6 + 0.5) AS e1_micro,
-      |  floor(list_reduce(
+      |  CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS e1_micro,
+      |  CAST(floor(list_reduce(
       |        list_prepend(0.0, list_transform(embedding,
       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-      |        (acc, x) -> acc + x) * 1e4 + 0.5) AS sqnorm_x1e4
+      |        (acc, x) -> acc + x) * 1e4 + 0.5) AS BIGINT) AS sqnorm_x1e4
       |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin
 
   // ------------------------------------------------------------------- Q6
@@ -497,11 +499,12 @@ object RelationalQueries {
   // ------------------------------------------------------------------ Q17
   /** UDAF surface: exponentially weighted average (alpha = 0.5, exact in
     * binary) of order totals per customer, via the typed Aggregator in
-    * [[graft.functions.EmaAggregator]]. The oracle runs the IDENTICAL
+    * [[graft.functions.EmaAggregator]]. The oracle runs the same
     * recurrence fold (`acc' = (1-a)*acc + a*x` over the same ordering) via
-    * DuckDB's `list_reduce` on an ordered list aggregate: 0.5-multiplies
-    * are exact in binary, and the single rounding add per step sees
-    * bit-identical operands on both engines — so the doubles match exactly.
+    * DuckDB's `list_reduce` on an ordered list aggregate; 0.5-multiplies
+    * are exact in binary so the fold sees identical operands on both
+    * engines. The floored output is cast to BIGINT in the oracle because
+    * DuckDB's `floor` returns DOUBLE where Spark's returns LONG.
     */
   def q24Ema(s: SparkSession, d: String): DataFrame = {
     val emaUdaf = udaf(new graft.functions.EmaAggregator(0.5))
@@ -515,8 +518,8 @@ object RelationalQueries {
   }
   val q24Sql: String =
     """SELECT o_custkey,
-      |  floor(list_reduce(list(o_totalprice ORDER BY o_orderdate, o_orderkey),
-      |        (acc, x) -> 0.5 * acc + 0.5 * x) * 1e4 + 0.5) AS ema_x1e4,
+      |  CAST(floor(list_reduce(list(o_totalprice ORDER BY o_orderdate, o_orderkey),
+      |        (acc, x) -> 0.5 * acc + 0.5 * x) * 1e4 + 0.5) AS BIGINT) AS ema_x1e4,
       |  COUNT(*) AS n_orders
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
