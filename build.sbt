@@ -35,4 +35,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // real heap headroom: 8g thrashes in full GCs at sf0.1 (the host has
   // 128 GiB; Spark normally gets this via spark-submit --driver-memory).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Spark's ContextCleaner (periodicGC.interval) and the bench harness
+  // call System.gc() regularly to surface dead block/broadcast weak
+  // refs; without this flag each call is a stop-the-world FULL GC of the
+  // 32g heap (observed 10-50s of GC inside a single measured query).
+  // Concurrent explicit GC keeps the weak-ref processing without the
+  // pause.
+  "-XX:+ExplicitGCInvokesConcurrent",
 )

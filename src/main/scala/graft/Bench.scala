@@ -54,6 +54,30 @@ object Bench {
           graft.functions.TickFunctions.encodeTimestamp(col("ts_str")))
       graft.operators.Ordered.withGlobalIndex(warmParsed, "tick_idx", "file_pos")
         .queryExecution.toRdd.count()
+      // Warm the multi-round Scan machinery (checkpoint, fold rounds,
+      // emit) and every encoder's generated projection: the hot-loop
+      // queries otherwise pay 30-50s of C2/codegen warm-up spread over
+      // their first measurements (t03-t06 measured 5-10x their
+      // steady-state cost without this).
+      val warmTicks = spark.range(1, 20001, 1, 8).select(
+        col("id").as("tick_idx"),
+        (lit(41000) + (col("id") * 7) % 100).cast("int").as("raw_price"),
+        when(col("id") === 1, lit(0))
+          .otherwise((col("id") * 13) % 9 - 4).cast("int").as("price_delta"))
+      for (enc <- Seq("derivative", "hexad16", "cpm", "amc")) {
+        val cfg = graft.config.SignalConfig(encoderType = enc,
+          minPrice = 39000, maxPrice = 44000, cpmModulationIndex = 0.5f,
+          tickDerivativeImagScale = 2.0f)
+        graft.operators.TickPipeline.hotLoopChunked(warmTicks, cfg, assumeOrdered = true)
+          .queryExecution.toRdd.count()
+      }
+      // ...and the bar paths (boxcar scan chain + FIR partial-dot fold).
+      val warmBarTicks = warmTicks.withColumn("timestamp", lit(0L))
+      graft.operators.TickPipeline.bars(warmBarTicks,
+        graft.config.BarConfig(enabled = true, ticksPerBar = 21,
+          barMethod = "boxcar")).queryExecution.toRdd.count()
+      graft.operators.TickPipeline.firBarAverages(warmBarTicks, 21)
+        .queryExecution.toRdd.count()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))

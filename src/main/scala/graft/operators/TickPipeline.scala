@@ -251,7 +251,8 @@ object TickPipeline {
     * in a single two-pass scan, then explodes. Output stays globally
     * ordered by `tick_idx` — downstream scans need no re-sort.
     */
-  private def expandSortedLines(sorted: DataFrame, emitLineIdx: Boolean): DataFrame = {
+  private def expandSortedLines(sorted: DataFrame, emitLineIdx: Boolean,
+      emitTimestamp: Boolean = true): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
     val li = sorted.schema.fieldIndex("last")
     val vi = sorted.schema.fieldIndex("volume")
@@ -268,12 +269,14 @@ object TickPipeline {
       combine = (a, b) => (a._1 + b._1, a._2 || b._2, if (b._2) b._3 else a._3, a._4 + b._4),
       emit = (s, r) => Seq[Any](if (s._2) r.getInt(li) - s._3 else 0, s._4) ++
         (if (emitLineIdx) Seq(s._1 + 1) else Nil))
-    scanned
+    val exploded = scanned
       .withColumn("replica_idx",
         explode(when(col("volume") >= 1, sequence(lit(1), col("volume")))
           .otherwise(array().cast("array<int>"))))
       .withColumn("tick_idx", col("tick_base") + col("replica_idx"))
-      .withColumn("timestamp", TickFunctions.encodeTimestamp(col("ts_str")))
+    (if (emitTimestamp)
+       exploded.withColumn("timestamp", TickFunctions.encodeTimestamp(col("ts_str")))
+     else exploded)
       .withColumn("raw_price", col("last"))
       .withColumn("price_delta",
         when(col("replica_idx") === 1, col("line_delta")).otherwise(lit(0)))
@@ -623,29 +626,45 @@ object TickPipeline {
     * decimation filter with the trailing `taps` raw prices (zero-filled
     * before stream start).
     *
-    * Scalable formulation: instead of a `taps`-wide window frame per row
-    * (1087 elements materialized per tick), each tick *scatters* its
-    * ~taps/N per-boundary contributions `coeff[b - t + 1] * price` and a
-    * hash aggregation with map-side combine sums them per boundary.
-    * Contributions are rounded to fixed-point (1e-9) longs so the sum is
+    * Scalable formulation: each tick contributes `coeff[b - t + 1] *
+    * price` to its ~taps/N overlapping boundaries. The contributions are
+    * accumulated *inside each partition* (a typed `mapPartitions` folding
+    * into a boundary-keyed map — the classic map-side reduce), so only
+    * one pre-summed row per (partition, boundary) is shuffled: ~bars per
+    * partition + taps/N overlap rows, a ~taps/N (≈52×) shuffle-volume
+    * reduction over scattering one row per (tick, boundary) term. A tiny
+    * hash aggregation then folds the per-partition partials. Each term is
+    * rounded to fixed-point (1e-9) longs BEFORE summation so the total is
     * order-independent — bit-identical under any partitioning and
     * mirrorable by the DuckDB oracle.
     */
   def firBarAverages(ticks: DataFrame, n: Int): DataFrame = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
     val coeffs = graft.functions.FirFilter.predefined(n)
     val taps = coeffs.length
-    val coeffLit = typedLit(coeffs.toSeq)
     ticks
-      .select(col("tick_idx"), col("raw_price"),
-        explode(sequence(
-          ((col("tick_idx") + n - 1) / n).cast("long") * n,
-          ((col("tick_idx") + taps - 1) / n).cast("long") * n,
-          lit(n.toLong))).as("b_tick"))
-      .withColumn("term",
-        floor(element_at(coeffLit, (col("b_tick") - col("tick_idx") + 1).cast("int"))
-          * col("raw_price") * 1e9 + 0.5).cast("long"))
+      .select(col("tick_idx"), col("raw_price").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        // boundary tick -> running fixed-point dot partial
+        val acc = scala.collection.mutable.LongMap.empty[Long]
+        it.foreach { case (t, price) =>
+          // boundaries b = multiples of n with 1 <= b - t + 1 <= taps
+          var b = ((t + n - 1) / n) * n
+          val bMax = ((t + taps - 1) / n) * n
+          while (b <= bMax) {
+            val c = coeffs((b - t).toInt) // coeff[b - t + 1], 0-based array
+            acc(b) = acc.getOrElse(b, 0L) +
+              math.floor(c * price * 1e9 + 0.5).toLong
+            b += n
+          }
+        }
+        acc.iterator.map { case (b, s) => (b, s) }
+      }
+      .toDF("b_tick", "partial")
       .groupBy("b_tick")
-      .agg(sum("term").as("dot_scaled"))
+      .agg(sum("partial").as("dot_scaled"))
       .select((col("b_tick") / n).cast("long").as("bar_idx"),
         floor(col("dot_scaled").cast("double") / 1e9 + 0.5).cast("int")
           .as("bar_average_raw"))
@@ -690,21 +709,30 @@ object TickPipeline {
     * together, then expansion — output globally ordered by `tick_idx`
     * (feed [[hotLoopChunked]] with `assumeOrdered = true`). Saves the
     * second range shuffle + scan of the index-then-expand composition.
+    *
+    * `withTimestamp = false` skips the ts_str build + 8-byte pack
+    * entirely — the string column cannot be pruned through the expand
+    * scan's RDD barrier, so consumers that never read `timestamp` (the
+    * hot-loop queries) should opt out at the source: the checkpointed
+    * line rows shrink to a handful of primitive columns.
     */
-  def syntheticTicksExpanded(spark: SparkSession, sfDir: String): DataFrame = {
+  def syntheticTicksExpanded(spark: SparkSession, sfDir: String,
+      withTimestamp: Boolean = true): DataFrame = {
     val keyed = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_suppkey")
+    val tsCol =
+      if (withTimestamp) Seq(concat(
+        (lit(20250301) + (col("l_orderkey") + col("l_linenumber")) % 28).cast("string"),
+        lit(" 070000 0000000")).as("ts_str"))
+      else Nil
     val sorted = keyed.repartitionByRange(
       spark.sessionState.conf.numShufflePartitions, col("l_orderkey"), col("l_linenumber"))
       .sortWithinPartitions("l_orderkey", "l_linenumber")
-      .select(
-        concat(
-          (lit(20250301) + (col("l_orderkey") + col("l_linenumber")) % 28).cast("string"),
-          lit(" 070000 0000000")).as("ts_str"),
+      .select(tsCol ++ Seq(
         (lit(39000) + (col("l_orderkey") * 7 + col("l_linenumber") * 131
           + col("l_suppkey") * 17) % 5200 - 100).cast("int").as("last"),
-        (lit(1) + (col("l_orderkey") + col("l_linenumber")) % 3).cast("int").as("volume"))
-    expandSortedLines(sorted, emitLineIdx = true)
+        (lit(1) + (col("l_orderkey") + col("l_linenumber")) % 3).cast("int").as("volume")): _*)
+    expandSortedLines(sorted, emitLineIdx = true, emitTimestamp = withTimestamp)
   }
 
   /** Flagship end-to-end: synthetic ticks → expansion → hot loop

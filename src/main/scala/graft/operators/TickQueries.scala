@@ -204,7 +204,11 @@ object TickQueries {
 
   private def hotQuery(enc: String)(s: SparkSession, d: String): DataFrame =
     TickPipeline.hotLoopChunked(
-      TickPipeline.syntheticTicksExpanded(s, d), withCfg(enc), assumeOrdered = true)
+      // The hot queries never read `timestamp`: skip the ts_str build and
+      // keep the scan checkpoints all-primitive (see syntheticTicksExpanded).
+      TickPipeline.syntheticTicksExpanded(s, d, withTimestamp = false)
+        .select("tick_idx", "raw_price", "price_delta"),
+      withCfg(enc), assumeOrdered = true)
       .select("tick_idx", "raw_price", "price_delta", "status_flag",
         "signal_re", "signal_im", "normalization")
       .orderBy("tick_idx")
@@ -417,7 +421,9 @@ object TickQueries {
   def qTickCapture(s: SparkSession, d: String): DataFrame =
     graft.sources.Capture.tickCapture(
       TickPipeline.hotLoopChunked(
-        TickPipeline.syntheticTicksExpanded(s, d), withCfg("derivative"), assumeOrdered = true),
+        TickPipeline.syntheticTicksExpanded(s, d, withTimestamp = false)
+          .select("tick_idx", "raw_price", "price_delta"),
+        withCfg("derivative"), assumeOrdered = true),
       tickStart = 100, numRecords = 2000)
       .orderBy("tick_idx")
   val qTickCaptureSql: String =
