@@ -463,22 +463,31 @@ object LlmQueries {
   // ------------------------------------------------------------- IVF ANN
   /** IVF-flat ANN top-k: the centroid-bucketed similarity-search scale
     * path, complementing the hyperplane-LSH composition of [[qAnnTopk]].
-    * Coarse quantizer = a deterministic corpus sample (vec_id % 37 == 11;
-    * "training-free" sampled centroids — the standard IVF baseline when
-    * k-means iterations aren't warranted, K ~ N/37 lists). Build: every
-    * candidate joins the broadcast centroid table (K tiny => a
-    * broadcast product of |V| x K dot products, the classic LINEAR IVF
-    * assignment cost — not an all-pairs candidate join) and lands in its
-    * nearest centroid's inverted list. Search: each query probes its
-    * nprobe=4 nearest lists (EQUI-join on list id), exact cosine
-    * re-ranks, top-5. Assignment and ranking order by the same
-    * `floor(cos*1e6+0.5)` integers the output carries (c_id/neighbor_id
-    * tiebreaks), so both engines rank identically.
+    * Coarse quantizer = a deterministic corpus sample (vec_id % stride ==
+    * 11 with stride = max(37, ceil(N/1000)); "training-free" sampled
+    * centroids — the standard IVF baseline when k-means iterations aren't
+    * warranted). The stride scales with the corpus so K stays BOUNDED at
+    * ~1000 lists regardless of N: at 10^9 vectors (100 TB-class corpus)
+    * the broadcast centroid table is 1000 x 64 floats ≈ 256 KB, and the
+    * |V| x K assignment is 10^12 dot products spread across the cluster —
+    * linear in N, exactly the standard IVF build cost. (A fixed sampling
+    * RATE would instead grow K linearly with N, blowing up both the
+    * broadcast and the assignment — the round-3 scale caveat this stride
+    * removes.) Build: every candidate joins the broadcast centroid table
+    * and lands in its nearest centroid's inverted list. Search: each
+    * query probes its nprobe=4 nearest lists (EQUI-join on list id),
+    * exact cosine re-ranks, top-5. Assignment and ranking order by the
+    * same `floor(cos*1e6+0.5)` integers the output carries
+    * (c_id/neighbor_id tiebreaks), so both engines rank identically.
+    * The corpus count N comes from a driver-side `count()` (parquet
+    * metadata — no full scan); the oracle computes the identical stride
+    * with a scalar subquery, keeping both engines in lockstep.
     */
   def qIvfTopk(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d).select(col("vec_id"), col("embedding"),
       sqrt(dotD(col("embedding"), col("embedding"))).as("nrm"))
-    val cent = e.where(col("vec_id") % 37 === 11)
+    val stride = math.max(37L, math.ceil(embs(s, d).count() / 1000.0).toLong)
+    val cent = e.where(col("vec_id") % stride === 11)
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"),
         col("nrm").as("cn"))
     def cos(v: Column, n: Column): Column =
@@ -516,8 +525,10 @@ object LlmQueries {
     s"""WITH e AS (SELECT vec_id, embedding,
        |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |  FROM embeddings),
+       |stride AS (SELECT greatest(37, CAST(ceil(COUNT(*) / 1000.0) AS BIGINT)) AS k
+       |  FROM embeddings),
        |cent AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS cn
-       |  FROM e WHERE vec_id % 37 = 11),
+       |  FROM e WHERE vec_id % (SELECT k FROM stride) = 11),
        |asg AS (
        |  SELECT vec_id AS neighbor_id, embedding AS nv, nrm AS nn, c_id,
        |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
