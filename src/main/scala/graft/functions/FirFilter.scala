@@ -2,16 +2,26 @@ package graft.functions
 
 /** Anti-aliasing decimation FIR design (reference: src/FIRFilter.jl:35-86).
   *
-  * The reference designs an equiripple low-pass with Remez exchange at
-  * the Kaiser-estimated order (M=21 → order 1054, 1055 taps by its own Kaiser estimate; the source comment citing 1087 taps overstates it). This port
-  * keeps the identical specification surface — passband 80% of the new
-  * Nyquist, 0.1 dB passband ripple, 80 dB stopband, Kaiser order
-  * estimate forced even — but uses a Kaiser-windowed sinc design instead
-  * of Remez exchange: at order ~1086 the barycentric Remez solve is
-  * numerically fragile, while the windowed design meets the same dB spec
-  * (verified by the frequency-response test in FirFilterSpec) and is a
-  * pure, reproducible driver-side computation. Design runs once on the
-  * driver; coefficients ship to executors as a literal array.
+  * The reference designs an equiripple low-pass with Parks-McClellan
+  * (Remez exchange) at the Kaiser-estimated order (M=21 → order 1054,
+  * 1055 taps by its own Kaiser estimate; the source comment citing 1087
+  * taps overstates it). This port keeps the identical specification
+  * surface — passband 80% of the new Nyquist, 0.1 dB passband ripple,
+  * 80 dB stopband, Kaiser order estimate forced even. `predefined`
+  * ships the Remez equiripple design when the exchange converges
+  * ([[remezLowpass]], a Type-I exchange on the stable FIRST barycentric
+  * form with log-space weights — verified to reach true equiripple
+  * through order ~400, e.g. M=4/M=8 decimators). At the reference's own
+  * orders (M=21 → 1054, M=144 → 7222) the double-precision exchange
+  * degenerates — the extremal node weights span hundreds of decades and
+  * the leveled-error solve falls below machine precision, the same
+  * regime where MATLAB/scipy firpm fail — so [[designDecimationFilter]]
+  * falls back to the Kaiser-windowed sinc ([[kaiserLowpass]]): THE
+  * SHIPPED M=21/M=144 COEFFICIENTS ARE KAISER, a documented deviation
+  * from the reference's DSP.jl equiripple output meeting the same dB
+  * spec (FirFilterSpec checks both designs against the spec at both M).
+  * Design runs once on the driver; coefficients ship to executors as a
+  * literal array.
   */
 object FirFilter {
 
@@ -36,7 +46,299 @@ object FirFilter {
     if (est % 2 == 1) est + 1 else est
   }
 
-  /** Design the decimation-by-M anti-aliasing low-pass.
+  /** Derived design parameters shared by both design methods. */
+  private final case class Spec(
+      fPass: Double, fStop: Double, deltaP: Double, deltaS: Double,
+      atten: Double, order: Int)
+
+  private def specFor(m: Int, fs: Double, aPassDb: Double, aStopDb: Double,
+      passbandFraction: Double): Spec = {
+    require(m >= 2, s"decimation factor must be >= 2: $m")
+    val fNyqNew = fs / (2.0 * m)
+    val fPass = passbandFraction * fNyqNew / fs // normalized (cycles/sample)
+    val fStop = fNyqNew / fs
+    val deltaP = (math.pow(10, aPassDb / 20) - 1) / (math.pow(10, aPassDb / 20) + 1)
+    val deltaS = math.pow(10, -aStopDb / 20)
+    val atten = -20.0 * math.log10(math.min(deltaP, deltaS))
+    Spec(fPass, fStop, deltaP, deltaS, atten, kaiserOrder(atten, fStop - fPass))
+  }
+
+  /** Kaiser-windowed sinc at the spec's estimated order (the round-3
+    * design, kept as the documented fallback path).
+    */
+  def kaiserLowpass(
+      m: Int,
+      fs: Double = 1.0,
+      aPassDb: Double = 0.1,
+      aStopDb: Double = 80.0,
+      passbandFraction: Double = 0.8): Array[Double] = {
+    val sp = specFor(m, fs, aPassDb, aStopDb, passbandFraction)
+    val beta =
+      if (sp.atten > 50) 0.1102 * (sp.atten - 8.7)
+      else if (sp.atten >= 21) 0.5842 * math.pow(sp.atten - 21, 0.4) + 0.07886 * (sp.atten - 21)
+      else 0.0
+    val order = sp.order
+    val n = order + 1
+    val fc = (sp.fPass + sp.fStop) / 2.0 // normalized cutoff (cycles/sample)
+    val mid = order / 2.0
+    val i0b = besselI0(beta)
+    val h = Array.tabulate(n) { i =>
+      val x = i - mid
+      val sinc = if (x == 0.0) 2.0 * fc else math.sin(2.0 * math.Pi * fc * x) / (math.Pi * x)
+      val w = besselI0(beta * math.sqrt(math.max(0.0, 1.0 - (x / mid) * (x / mid)))) / i0b
+      sinc * w
+    }
+    normalizeDc(h)
+  }
+
+  /** Barycentric-Lagrange interpolant through (x_k, y_k) whose node
+    * weights are kept in LOG space (logw, sgn) and combined per
+    * evaluation point with log-sum-exp. At orders in the thousands the
+    * weights span hundreds of decades — any fixed global normalization
+    * underflows the terms that dominate far from the densest node
+    * cluster, which is exactly why textbook Parks-McClellan
+    * implementations die above ~1000 taps.
+    */
+  private final class Bary(xs: Array[Double], var ys: Array[Double]) {
+    private val n = xs.length
+    private val logw = new Array[Double](n)
+    private val sgnw = new Array[Double](n)
+    locally {
+      var k = 0
+      while (k < n) {
+        var s = 0.0; var neg = 0
+        var j = 0
+        while (j < n) {
+          if (j != k) {
+            val d = xs(k) - xs(j)
+            if (d < 0) neg += 1
+            s -= math.log(math.abs(d))
+          }
+          j += 1
+        }
+        logw(k) = s
+        sgnw(k) = if (neg % 2 == 0) 1.0 else -1.0
+        k += 1
+      }
+    }
+    private val lt = new Array[Double](n) // scratch: per-point log terms
+    private val st = new Array[Double](n) // scratch: per-point signs
+    def apply(xv: Double): Double = {
+      // FIRST (modified Lagrange) barycentric form — backward stable for
+      // arbitrary node sets (Higham 2004), unlike the second form whose
+      // denominator cancels catastrophically at points mid-gap between
+      // the two bands: P(x) = Σ_j ℓ_j(x) y_j with
+      // log|ℓ_j(x)| = Σ_i log|x - x_i| - log|x - x_j| + log w_j.
+      var logL = 0.0
+      var negAll = 0
+      var j = 0
+      while (j < n) {
+        val d = xv - xs(j)
+        if (math.abs(d) < 1e-15) return ys(j)
+        logL += math.log(math.abs(d))
+        if (d < 0) negAll += 1
+        j += 1
+      }
+      var mx = Double.NegativeInfinity
+      j = 0
+      while (j < n) {
+        val d = xv - xs(j)
+        lt(j) = logL - math.log(math.abs(d)) + logw(j)
+        // sign(ℓ_j) = sign(∏_{i≠j}(x - x_i)) * sgn(w_j)
+        val negOthers = if (d < 0) negAll - 1 else negAll
+        st(j) = (if (negOthers % 2 == 0) 1.0 else -1.0) * sgnw(j)
+        if (lt(j) > mx) mx = lt(j)
+        j += 1
+      }
+      var acc = 0.0
+      j = 0
+      while (j < n) {
+        acc += st(j) * math.exp(lt(j) - mx) * ys(j)
+        j += 1
+      }
+      acc * math.exp(mx)
+    }
+  }
+
+  /** Parks-McClellan equiripple low-pass via Remez exchange (reference:
+    * src/FIRFilter.jl:64-75 calls DSP.jl's `remez` with exactly these
+    * two bands). Type-I (even order, odd taps): H(f) = P(cos 2πf) with
+    * P of degree r = order/2, equioscillating between the weighted band
+    * targets at r+2 extremal frequencies. See [[Bary]] for the numerical
+    * treatment that keeps the exchange solvable at order ~7000.
+    *
+    * @return taps, or None if the exchange failed to converge
+    */
+  def remezLowpass(
+      order: Int,
+      fPass: Double,
+      fStop: Double,
+      wPass: Double,
+      wStop: Double,
+      gridDensity: Int = 16,
+      maxIter: Int = 40): Option[Array[Double]] = {
+    require(order % 2 == 0, s"Type-I design needs an even order: $order")
+    val r = order / 2            // polynomial degree in x = cos(2πf)
+    val nExt = r + 2             // equioscillation count
+    // ---- dense evaluation grid over both bands, uniform in f per band
+    // (x = cos 2πf makes a uniform-f grid Chebyshev-dense in x — extrema
+    // of P(cos 2πf) are near-uniform in f).
+    val nGrid = math.max(gridDensity * nExt, 256)
+    val passFrac = math.max(0.05, math.min(0.95,
+      fPass / (fPass + (0.5 - fStop))))
+    val nPassG = math.max(8, math.round(nGrid * passFrac).toInt)
+    val nStopG = math.max(8, nGrid - nPassG)
+    val grid = new Array[Double](nPassG + nStopG)
+    var g = 0
+    while (g < nPassG) { // f in [0, fPass]
+      grid(g) = fPass * g / (nPassG - 1.0); g += 1
+    }
+    while (g < nPassG + nStopG) { // f in [fStop, 0.5]
+      val j = g - nPassG
+      grid(g) = fStop + (0.5 - fStop) * j / (nStopG - 1.0); g += 1
+    }
+    val gx = grid.map(f => math.cos(2.0 * math.Pi * f))
+    def desired(f: Double): Double = if (f <= fPass) 1.0 else 0.0
+    def weight(f: Double): Double = if (f <= fPass) wPass else wStop
+    // ---- initial extremal guess: per-band counts proportional to the
+    // band's grid share, both edges of both bands included (the classic
+    // PM initialization).
+    var ext = {
+      val nPassE = math.max(2, math.min(nExt - 2,
+        math.round(nExt * nPassG.toDouble / grid.length).toInt))
+      val nStopE = nExt - nPassE
+      val pass = Array.tabulate(nPassE)(k =>
+        grid(((nPassG - 1).toLong * k / (nPassE - 1)).toInt))
+      val stop = Array.tabulate(nStopE)(k =>
+        grid(nPassG + ((nStopG - 1).toLong * k / (nStopE - 1)).toInt))
+      pass ++ stop
+    }
+    var delta = 0.0
+    var converged = false
+    var it = 0
+    var lastInterp: Bary = null
+    while (it < maxIter && !converged) {
+      val x = ext.map(f => math.cos(2.0 * math.Pi * f))
+      // δ solved from the equioscillation constraint at the LAST extremal
+      // point. The interpolant through the first nExt-1 extrema at the
+      // δ-offset targets is affine in δ:
+      //   P_δ(x) = P_0(x) − δ·Q(x),
+      // with P_0 interpolating D_k and Q interpolating σ_k/W_k. Forcing
+      // P_δ(x_last) = D_last − σ_last·δ/W_last gives
+      //   δ = (P_0(x_last) − D_last) / (Q(x_last) − σ_last/W_last).
+      // This replaces the textbook Σw_k-ratio formula, whose alternating
+      // sums cancel below double precision once the exchange has a few
+      // hundred nodes — the two evaluations here are backward-stable
+      // first-form interpolations instead.
+      val nn = nExt - 1
+      val cx = java.util.Arrays.copyOf(x, nn)
+      val d0 = Array.tabulate(nn)(k => desired(ext(k)))
+      val q0 = Array.tabulate(nn) { k =>
+        (if (k % 2 == 0) 1.0 else -1.0) / weight(ext(k))
+      }
+      val bary = new Bary(cx, d0)
+      val xLast = x(nExt - 1)
+      val p0Last = bary(xLast)
+      bary.ys = q0
+      val qLast = bary(xLast)
+      val sgnLast = if ((nExt - 1) % 2 == 0) 1.0 else -1.0
+      delta = (p0Last - desired(ext(nExt - 1))) /
+        (qLast - sgnLast / weight(ext(nExt - 1)))
+      val cy = Array.tabulate(nn) { k =>
+        val sign = if (k % 2 == 0) 1.0 else -1.0
+        desired(ext(k)) - sign * delta / weight(ext(k))
+      }
+      bary.ys = cy
+      val interp = bary
+      lastInterp = interp
+      // ---- error on the grid, pick the new alternating extrema
+      val err = new Array[Double](grid.length)
+      g = 0
+      while (g < grid.length) {
+        val f = grid(g)
+        val e = weight(f) * (desired(f) - interp(gx(g)))
+        // cap overflowed evaluations: ±Inf stays a valid huge candidate
+        // for the exchange instead of poisoning signum/products with NaN
+        err(g) = if (e.isInfinity) math.signum(e) * 1e300
+                 else if (e.isNaN) 0.0 else e
+        g += 1
+      }
+      // local |err| maxima with alternation (multiple exchange): one best
+      // candidate per sign run, then the best nExt-long window.
+      // Candidate extrema: local maxima of |err| with the four band-edge
+      // grid points always included (the equiripple error attains extrema
+      // at band edges even when grid neighbors don't make them local
+      // maxima), then alternation enforced by keeping the larger |err| of
+      // same-sign neighbors.
+      val cand = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val edgeIdx = Set(0, nPassG - 1, nPassG, grid.length - 1)
+      g = 0
+      while (g < grid.length) {
+        val e = err(g)
+        val isMax = edgeIdx.contains(g) ||
+          ((g == 0 || math.abs(e) >= math.abs(err(g - 1))) &&
+           (g == grid.length - 1 || math.abs(e) > math.abs(err(g + 1))))
+        if (isMax) {
+          if (cand.nonEmpty && math.signum(err(cand.last)) == math.signum(e)) {
+            if (math.abs(e) > math.abs(err(cand.last))) { cand.remove(cand.length - 1); cand += g }
+          } else cand += g
+        }
+        g += 1
+      }
+      if (sys.env.contains("GRAFT_REMEZ_DEBUG")) {
+        var maxE0 = 0.0
+        var gg = 0
+        while (gg < grid.length) { maxE0 = math.max(maxE0, math.abs(err(gg))); gg += 1 }
+        System.err.println(f"[remez] it=$it delta=$delta%.6e maxE=$maxE0%.6e cand=${cand.length} need=$nExt")
+      }
+      if (cand.length < nExt) return None // degenerate — not enough alternations
+      // classic trim: drop from the end with the smaller |err| until the
+      // set has size nExt — keeps the global max error in the set (the
+      // convergence proof requires it) and preserves alternation.
+      var lo = 0; var hi = cand.length - 1
+      while (hi - lo + 1 > nExt) {
+        if (math.abs(err(cand(lo))) < math.abs(err(cand(hi)))) lo += 1 else hi -= 1
+      }
+      val newExt = Array.tabulate(nExt)(k => grid(cand(lo + k)))
+      // convergence: largest grid error within 1e-4 relative of |δ|
+      var maxE = 0.0
+      g = 0
+      while (g < grid.length) { maxE = math.max(maxE, math.abs(err(g))); g += 1 }
+      converged = (maxE - math.abs(delta)) <= 1e-4 * math.abs(delta)
+      ext = newExt
+      it += 1
+    }
+    if (!converged || lastInterp == null) return None
+    // ---- final coefficients: sample the converged interpolant at
+    // order+1 uniform frequencies, inverse real-even DFT to the
+    // symmetric impulse response.
+    val n = order + 1 // odd
+    val hf = new Array[Double](r + 1)
+    var k = 0
+    while (k <= r) { hf(k) = lastInterp(math.cos(2.0 * math.Pi * k / n)); k += 1 }
+    val hh = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      // h[i] = (1/n) [H(0) + 2 Σ_{k=1}^{r} H(k/n) cos(2πk(i - r)/n)]
+      var s = hf(0)
+      k = 1
+      while (k <= r) { s += 2.0 * hf(k) * math.cos(2.0 * math.Pi * k * (i - r) / n); k += 1 }
+      hh(i) = s / n
+      i += 1
+    }
+    Some(hh)
+  }
+
+  private def normalizeDc(h: Array[Double]): Array[Double] = {
+    // Normalize to exactly unit DC gain so a constant-price stream yields
+    // that price back (the property FirFilterSpec pins down).
+    val s = h.sum
+    h.map(_ / s)
+  }
+
+  /** Design the decimation-by-M anti-aliasing low-pass: Remez equiripple
+    * at the Kaiser-estimated order (the reference's method), falling back
+    * to the Kaiser-windowed sinc if the exchange does not converge.
     *
     * @return taps (order+1 coefficients, symmetric, unit DC gain)
     */
@@ -46,32 +348,18 @@ object FirFilter {
       aPassDb: Double = 0.1,
       aStopDb: Double = 80.0,
       passbandFraction: Double = 0.8): Array[Double] = {
-    require(m >= 2, s"decimation factor must be >= 2: $m")
-    val fNyqNew = fs / (2.0 * m)
-    val fPass = passbandFraction * fNyqNew
-    val fStop = fNyqNew
-    val deltaP = (math.pow(10, aPassDb / 20) - 1) / (math.pow(10, aPassDb / 20) + 1)
-    val deltaS = math.pow(10, -aStopDb / 20)
-    val atten = -20.0 * math.log10(math.min(deltaP, deltaS))
-    val order = kaiserOrder(atten, (fStop - fPass) / fs)
-    val beta =
-      if (atten > 50) 0.1102 * (atten - 8.7)
-      else if (atten >= 21) 0.5842 * math.pow(atten - 21, 0.4) + 0.07886 * (atten - 21)
-      else 0.0
-    val n = order + 1
-    val fc = (fPass + fStop) / 2.0 / fs // normalized cutoff (cycles/sample)
-    val mid = order / 2.0
-    val i0b = besselI0(beta)
-    val h = Array.tabulate(n) { i =>
-      val x = i - mid
-      val sinc = if (x == 0.0) 2.0 * fc else math.sin(2.0 * math.Pi * fc * x) / (math.Pi * x)
-      val w = besselI0(beta * math.sqrt(math.max(0.0, 1.0 - (x / mid) * (x / mid)))) / i0b
-      sinc * w
-    }
-    // Normalize to exactly unit DC gain so a constant-price stream yields
-    // that price back (the property FirFilterSpec pins down).
-    val s = h.sum
-    h.map(_ / s)
+    val sp = specFor(m, fs, aPassDb, aStopDb, passbandFraction)
+    // Retry the exchange on a denser grid when it degenerates (extrema
+    // closer than the grid step collapse into one candidate). Densities
+    // are bounded for very high orders — each retry is O(density ·
+    // nExt²) per iteration.
+    val densities = if (sp.order > 3000) Seq(16, 24) else Seq(16, 32, 64)
+    densities.iterator
+      .map(gd => remezLowpass(sp.order, sp.fPass, sp.fStop,
+        wPass = 1.0 / sp.deltaP, wStop = 1.0 / sp.deltaS, gridDensity = gd))
+      .collectFirst { case Some(h) => h }
+      .map(normalizeDc)
+      .getOrElse(kaiserLowpass(m, fs, aPassDb, aStopDb, passbandFraction))
   }
 
   /** Frequency response magnitude at normalized frequency f (cycles/sample). */

@@ -27,19 +27,47 @@ class FirFilterSpec extends SparkSpec {
       assert(math.abs(h(i) - h(h.length - 1 - i)) < 1e-15))
   }
 
-  test("meets the dB spec: <=0.1 dB passband ripple, >=78 dB stopband") {
-    val h = FirFilter.m21
-    val fNyqNew = 1.0 / 42.0
+  private def checkSpec(h: Array[Double], m: Int, label: String): Unit = {
+    val fNyqNew = 1.0 / (2.0 * m)
     // passband samples
     Seq(0.0, 0.3, 0.6, 0.79).map(_ * 0.8 * fNyqNew).foreach { f =>
       val db = 20 * math.log10(FirFilter.responseAt(h, f))
-      assert(math.abs(db) <= 0.1, s"passband $f -> $db dB")
+      assert(math.abs(db) <= 0.1, s"$label passband $f -> $db dB")
     }
     // stopband samples (from the new Nyquist up)
-    Seq(1.0, 1.5, 3.0, 8.0).map(_ * fNyqNew).foreach { f =>
+    Seq(1.0, 1.5, 3.0, 8.0).map(_ * fNyqNew).filter(_ <= 0.5).foreach { f =>
       val db = 20 * math.log10(FirFilter.responseAt(h, f))
-      assert(db <= -78.0, s"stopband $f -> $db dB")
+      assert(db <= -78.0, s"$label stopband $f -> $db dB")
     }
+  }
+
+  test("meets the dB spec: <=0.1 dB passband ripple, >=78 dB stopband") {
+    checkSpec(FirFilter.m21, 21, "m21")
+  }
+
+  test("T29: shipped AND Kaiser designs meet the dB spec at M=21 and M=144") {
+    // The shipped predefined() design is Remez equiripple where the
+    // exchange converges and the Kaiser windowed sinc otherwise (at
+    // M=21/144 the double-precision exchange degenerates — see the
+    // FirFilter scaladoc — so shipped == Kaiser there). Both paths are
+    // held to the same dB spec at both reference decimations.
+    checkSpec(FirFilter.m21, 21, "shipped m21")
+    checkSpec(FirFilter.kaiserLowpass(21), 21, "kaiser m21")
+    checkSpec(FirFilter.m144, 144, "shipped m144")
+    checkSpec(FirFilter.kaiserLowpass(144), 144, "kaiser m144")
+  }
+
+  test("T29: Remez exchange reaches true equiripple at a moderate order (M=4)") {
+    // M=4 -> order 202: the exchange converges and ships; the result is
+    // a genuine equiripple (stopband attenuation well beyond the
+    // windowed design's, here < -100 dB vs Kaiser's -87 dB).
+    val h = FirFilter.designDecimationFilter(4)
+    checkSpec(h, 4, "remez m4")
+    val fNyqNew = 1.0 / 8.0
+    val stopDb = Seq(1.0, 1.5, 2.0, 3.0).map(_ * fNyqNew).filter(_ <= 0.5)
+      .map(f => 20 * math.log10(FirFilter.responseAt(h, f))).max
+    assert(stopDb <= -95.0, s"equiripple stopband only $stopDb dB — " +
+      "looks like the Kaiser fallback shipped at M=4")
   }
 
   test("constant price stream convolves to that price (after warm-up)") {
