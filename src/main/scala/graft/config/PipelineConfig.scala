@@ -134,13 +134,36 @@ object PipelineConfig {
       }
       b.result()
     }
+    // TOML basic-string unescape (the inverse of toToml's q): a single
+    // left-to-right pass so "\\\"" decodes as backslash-then-quote.
+    def unescape(s: String): String = {
+      val b = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case '"'  => b += '"';  i += 2
+            case '\\' => b += '\\'; i += 2
+            case 'n'  => b += '\n'; i += 2
+            case 't'  => b += '\t'; i += 2
+            case other => b += c; b += other; i += 2
+          }
+        } else { b += c; i += 1 }
+      }
+      b.result()
+    }
     text.linesIterator.foreach { raw =>
       val line = stripComment(raw).trim
       if (line.startsWith("[") && line.endsWith("]")) section = line.substring(1, line.length - 1).trim
       else if (line.contains("=")) {
         val Array(k, v) = line.split("=", 2)
         val key = (if (section.isEmpty) "" else section + ".") + k.trim
-        kv(key) = v.trim.stripPrefix("\"").stripSuffix("\"")
+        val t = v.trim
+        kv(key) =
+          if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\""))
+            unescape(t.substring(1, t.length - 1))
+          else t
       }
     }
     // Wrap value parsing so a malformed value reports its key.
@@ -197,7 +220,10 @@ object PipelineConfig {
     * and keys as [[fromToml]] reads, so save -> load round-trips.
     */
   def toToml(c: PipelineConfig): String = {
-    def q(s: String) = "\"" + s + "\""
+    // TOML basic-string escaping: backslash first, then quote — a
+    // Windows-style path or an embedded quote must survive the
+    // save -> load round-trip.
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     s"""pipeline_name = ${q(c.pipelineName)}
        |tick_file_path = ${q(c.tickFilePath)}
        |

@@ -96,6 +96,18 @@ object TickStream {
       * spark.sql.streaming.numRecentProgressUpdates entries and would
       * silently undercount long runs). */
     val rowsBroadcast = new AtomicLong
+    /** Per-batch fan-out latency extrema/total (ms) — the batch is the
+      * honest Spark analog of the reference's per-tick µs min/max/avg
+      * (PipelineOrchestrator.jl:116-186). */
+    val batchMsMin = new AtomicLong(Long.MaxValue)
+    val batchMsMax = new AtomicLong(Long.MinValue)
+    val batchMsSum = new AtomicLong
+    private[streaming] def recordBatchMs(ms: Long): Unit = {
+      batchMsMin.accumulateAndGet(ms, math.min)
+      batchMsMax.accumulateAndGet(ms, math.max)
+      batchMsSum.addAndGet(ms)
+      ()
+    }
 
     def subscribe(name: String, kind: ConsumerType, bufferSize: Int): ConsumerStats = {
       val c = new ConsumerStats(name, kind, bufferSize)
@@ -147,6 +159,7 @@ object TickStream {
       .foreachBatch { (batch: Dataset[TickOut], _: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
+        val batchT0 = System.currentTimeMillis()
         val persisted = batch.persist()
         try {
           val n = persisted.agg(count(lit(1))).head().getLong(0)
@@ -184,14 +197,19 @@ object TickStream {
             }
             registry.successfulBroadcasts.incrementAndGet()
           }
+          registry.recordBatchMs(System.currentTimeMillis() - batchT0)
           ()
         } finally persisted.unpersist()
       }
       .start()
 
-  /** T38 metrics snapshot (reference: PipelineOrchestrator.jl:19-33). */
+  /** T38 metrics snapshot (reference: PipelineOrchestrator.jl:19-33).
+    * Batch-latency min/max/avg are the micro-batch analog of the
+    * reference's per-tick µs extrema; 0 until the first batch completes.
+    */
   final case class PipelineStats(
-      ticksProcessed: Long, batches: Long, wallMs: Long) {
+      ticksProcessed: Long, batches: Long, wallMs: Long,
+      batchMsMin: Long = 0L, batchMsMax: Long = 0L, batchMsAvg: Double = 0.0) {
     def ticksPerSec: Double =
       if (wallMs <= 0) 0.0 else ticksProcessed * 1000.0 / wallMs
   }
@@ -210,13 +228,19 @@ object TickStream {
       registry: ConsumerRegistry,
       startedAtMs: Long,
       onComplete: PipelineStats => Unit) {
-    def stats: PipelineStats =
+    def stats: PipelineStats = {
       // Counters come from the registry's exact foreachBatch accounting,
       // not query.recentProgress (which is a bounded ring buffer).
+      val batches = registry.totalBroadcasts.get()
       PipelineStats(
         ticksProcessed = registry.rowsBroadcast.get(),
-        batches = registry.totalBroadcasts.get(),
-        wallMs = System.currentTimeMillis() - startedAtMs)
+        batches = batches,
+        wallMs = System.currentTimeMillis() - startedAtMs,
+        batchMsMin = if (batches == 0) 0L else registry.batchMsMin.get(),
+        batchMsMax = if (batches == 0) 0L else registry.batchMsMax.get(),
+        batchMsAvg = if (batches == 0) 0.0
+                     else registry.batchMsSum.get().toDouble / batches)
+    }
     def managerStats: Map[String, Long] = registry.managerStats
     /** Cooperative stop: finish the running micro-batch, then terminate
       * and fire the completion callback with final stats. */
@@ -231,7 +255,11 @@ object TickStream {
   }
 
   /** Start a managed fan-out pipeline (T37/T38): trigger cadence from
-    * flow control (T10), per-batch progress callback, completion hook.
+    * flow control (T10), progress callback on a rows-crossed cadence
+    * (the reference logs every 10k ticks,
+    * PipelineOrchestrator.jl:366-374 — here checked at each micro-batch,
+    * the Spark unit of progress; `progressEveryRows <= 0` reports every
+    * batch), completion hook.
     */
   def runManaged(
       enriched: Dataset[TickOut],
@@ -241,7 +269,8 @@ object TickStream {
       partitionSink: Option[(String, Iterator[TickOut]) => Unit] = None,
       localDeliver: Boolean = false,
       onProgress: PipelineStats => Unit = _ => (),
-      onComplete: PipelineStats => Unit = _ => ()): ManagedPipeline = {
+      onComplete: PipelineStats => Unit = _ => (),
+      progressEveryRows: Long = 0L): ManagedPipeline = {
     val t0 = System.currentTimeMillis()
     // The listener must be registered BEFORE the query starts or a fast
     // first micro-batch can complete unobserved; since the query id only
@@ -250,20 +279,41 @@ object TickStream {
     // there cannot deadlock this one).
     val idSet = new java.util.concurrent.CountDownLatch(1)
     @volatile var managed: ManagedPipeline = null
+    val lastReportedRows = new AtomicLong(0L)
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
-        idSet.await()
-        if (e.progress.id == managed.query.id) onProgress(managed.stats)
+        // Time-bounded: if start() failed, the latch is counted down in
+        // the catch below, but never block the SHARED listener bus
+        // indefinitely on an unforeseen path either.
+        idSet.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        if (managed != null && e.progress.id == managed.query.id) {
+          val s = managed.stats
+          val prev = lastReportedRows.get()
+          if (progressEveryRows <= 0L ||
+              s.ticksProcessed / progressEveryRows > prev / progressEveryRows) {
+            lastReportedRows.set(s.ticksProcessed)
+            onProgress(s)
+          }
+        }
       }
       override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = {
-        idSet.await()
-        if (e.id == managed.query.id) enriched.sparkSession.streams.removeListener(this)
+        idSet.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        if (managed == null || e.id == managed.query.id)
+          enriched.sparkSession.streams.removeListener(this)
       }
     }
     enriched.sparkSession.streams.addListener(listener)
-    val query = broadcastTo(enriched, registry, checkpoint, partitionSink,
-      localDeliver, triggerFor(flow))
+    val query =
+      try broadcastTo(enriched, registry, checkpoint, partitionSink,
+        localDeliver, triggerFor(flow))
+      catch { case e: Throwable =>
+        // A failed start must not leave the listener gating the shared
+        // bus thread on a latch that will never count down.
+        enriched.sparkSession.streams.removeListener(listener)
+        idSet.countDown()
+        throw e
+      }
     managed = new ManagedPipeline(query, registry, t0, onComplete)
     idSet.countDown()
     managed

@@ -67,7 +67,13 @@ class PipelineConfigSpec extends AnyFunSuite {
       PipelineConfig(pipelineName = "x", tickFilePath = "/tmp/a#b.txt",
         signal = SignalConfig(encoderType = "cpm", agcAlpha = 0.0625f),
         bars = BarConfig(enabled = true, barMethod = "FIR"),
-        flow = FlowControlConfig(delayMs = 2.5)))
+        flow = FlowControlConfig(delayMs = 2.5)),
+      // Backslashes and embedded quotes must survive serialization
+      // (Windows-style paths, quoted names).
+      PipelineConfig(pipelineName = "say \"hi\"",
+        tickFilePath = "C:\\Users\\Keith\\data\\YM 06-25.Last.txt"),
+      PipelineConfig(pipelineName = "trailing backslash\\",
+        tickFilePath = "\\\\server\\share\\q\"uote"))
     cfgs.foreach { c =>
       assert(PipelineConfig.fromToml(PipelineConfig.toToml(c)) == c)
     }

@@ -176,6 +176,10 @@ class TickStreamSpec extends SparkSpec {
       val s = managed.stats
       assert(s.ticksProcessed == 200 && s.batches >= 1 && s.wallMs >= 0)
       assert(managed.managerStats("successful_broadcasts") >= 1)
+      // T38 batch-latency granularity: min/max/avg populated once a
+      // batch has completed, and mutually consistent.
+      assert(s.batchMsMin >= 0 && s.batchMsMax >= s.batchMsMin)
+      assert(s.batchMsAvg >= s.batchMsMin && s.batchMsAvg <= s.batchMsMax)
     } finally {
       val fin = managed.stop()
       assert(fin.ticksProcessed == 200)
