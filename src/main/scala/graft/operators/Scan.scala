@@ -133,6 +133,24 @@ object Scan {
     GraftInternal.internalCreateDataFrame(spark, out, schema)
   }
 
+  /** Pure plan barrier: re-enters Catalyst through an `ExistingRDD` scan
+    * so no optimizer rule (predicate pushdown, project collapse) can
+    * cross it. Unlike [[scanRounds]] this is LAZY — no job, no
+    * checkpoint — and the upstream plan re-evaluates per downstream job,
+    * so only fence projections that are cheap to recompute.
+    *
+    * Use case: a filter referencing several parsed fields that
+    * PushDownPredicates would otherwise rewrite into N inlined copies of
+    * the whole parse expression below the projection — observed to grow
+    * the t01 generated filter past any JIT budget (five full copies of
+    * the synthetic line-builder, 50s+ wall until C2 caught up). A real
+    * file source is a natural fence; this gives derived sources the same
+    * boundary.
+    */
+  def planFence(df: DataFrame): DataFrame =
+    GraftInternal.internalCreateDataFrame(df.sparkSession,
+      df.queryExecution.toRdd.map(_.copy()), df.schema)
+
   /** Single-state scan (the common case): see [[scanRounds]].
     *
     * @param emit (stateBeforeRow, row) => appended column values

@@ -146,15 +146,21 @@ object TickQueries {
 
   // ---------------------------------------------------------------- queries
 
-  /** T2/T3: line parsing with malformed/blank drop + timestamp packing. */
+  /** T2/T3: line parsing with malformed/blank drop + timestamp packing.
+    * The synthetic line build sits behind a [[Scan.planFence]]: a real
+    * tick source is a text-file scan (a natural optimizer boundary), and
+    * without the fence PushDownPredicates inlines five copies of the
+    * whole line-builder into the parse filter — a generated method far
+    * past the JIT budget.
+    */
   def qTickParse(s: SparkSession, d: String): DataFrame = {
-    val lines = TickPipeline.syntheticTicks(s, d)
-      .withColumn("value",
+    val lines = Scan.planFence(TickPipeline.syntheticTicks(s, d)
+      .select(col("line_idx"),
         when(col("line_idx") % 97 === 0, lit("malformed;data"))
           .when(col("line_idx") % 89 === 0, lit(""))
           .otherwise(concat(col("ts_str"), lit(";"), (col("last") - 1).cast("string"),
             lit(";"), col("last").cast("string"), lit(";"), col("last").cast("string"),
-            lit(";"), col("volume").cast("string"))))
+            lit(";"), col("volume").cast("string"))).as("value")))
       .where(length(trim(col("value"))) > 0)
     TickPipeline.parseTickLines(lines, col("value"), col("line_idx"))
       .select(col("file_pos").as("orig_line"),
