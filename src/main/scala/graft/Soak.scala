@@ -17,6 +17,11 @@ object Soak {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "30s")
+      // same straggler mitigation as Bench (see the comment there)
+      .config("spark.speculation", "true")
+      .config("spark.speculation.interval", "1s")
+      .config("spark.speculation.multiplier", "4")
+      .config("spark.speculation.quantile", "0.75")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.tune(spark)
