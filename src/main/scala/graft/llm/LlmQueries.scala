@@ -670,6 +670,103 @@ object LlmQueries {
       |  len(list_distinct(string_split(text, ' '))) AS vocab
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style quality-filter verdicts (Rae et al. 2021 §A1.1-style
+    * document rules, re-expressed over the synthetic corpus): word-count
+    * bounds, mean-word-length bounds, numeric-word density, and a
+    * minimum distinct-stopword requirement, plus the conjunction verdict.
+    * Every rule is integer arithmetic (mean word length as the cross
+    * inequality `3·n_words <= n_nonspace <= 10·n_words` — no division),
+    * so outputs are exact on both engines.
+    */
+  def qQualityFilter(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nWords = size(words)
+    val nNonspace = length(regexp_replace(col("text"), " ", ""))
+    val digitWords = size(filter(words, w => w.rlike("^[0-9]+$")))
+    val stopDistinct = size(array_intersect(
+      array_distinct(words),
+      array(Seq("the", "a", "and", "of", "to").map(lit): _*)))
+    docs(s, d)
+      .select(col("doc_id"),
+        nWords.as("n_words"),
+        (nWords >= 5 && nWords <= 100000).as("rule_wordcount"),
+        (nNonspace >= nWords * 3 && nNonspace <= nWords * 10).as("rule_meanwordlen"),
+        (digitWords * 5 <= nWords).as("rule_digits"),
+        (stopDistinct >= 2).as("rule_stopwords"))
+      .withColumn("keep",
+        col("rule_wordcount") && col("rule_meanwordlen") &&
+          col("rule_digits") && col("rule_stopwords"))
+      .orderBy("doc_id")
+  }
+  val qQualityFilterSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    string_split(text, ' ') AS ws,
+      |    length(regexp_replace(text, ' ', '', 'g')) AS n_nonspace
+      |  FROM documents),
+      |rules AS (
+      |  SELECT doc_id,
+      |    len(ws) AS n_words,
+      |    (len(ws) >= 5 AND len(ws) <= 100000) AS rule_wordcount,
+      |    (n_nonspace >= len(ws) * 3 AND n_nonspace <= len(ws) * 10) AS rule_meanwordlen,
+      |    (len(list_filter(ws, w -> regexp_matches(w, '^[0-9]+$'))) * 5 <= len(ws))
+      |      AS rule_digits,
+      |    (len(list_intersect(list_distinct(ws), ['the', 'a', 'and', 'of', 'to'])) >= 2)
+      |      AS rule_stopwords
+      |  FROM base)
+      |SELECT doc_id, n_words, rule_wordcount, rule_meanwordlen, rule_digits,
+      |  rule_stopwords,
+      |  (rule_wordcount AND rule_meanwordlen AND rule_digits AND rule_stopwords) AS keep
+      |FROM rules ORDER BY doc_id""".stripMargin
+
+  /** Benchmark-contamination check: word-8-gram overlap between each
+    * corpus document and a fixed "benchmark" slice (doc_id % 17 == 3 —
+    * the stand-in for an eval set). The benchmark's distinct gram set is
+    * BROADCAST (eval sets are small constants — at 100 TB the corpus
+    * side grows, the broadcast side doesn't) and candidates join on the
+    * gram's md5 — never an all-pairs document comparison. A document is
+    * flagged when >= 5% of its distinct 8-grams appear in the benchmark.
+    */
+  def qContamination(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val grams = transform(
+      sequence(lit(1), greatest(size(words) - 7, lit(1))),
+      i => md5(concat_ws(" ", slice(words, i, lit(8)))))
+    val base = docs(s, d).select(col("doc_id"), explode(grams).as("g")).distinct()
+    val bench = base.where(col("doc_id") % 17 === 3).select("g").distinct()
+    val corpus = base.where(col("doc_id") % 17 =!= 3)
+    val totals = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val shared = corpus.join(broadcast(bench), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    totals.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") * 20 >= col("n_grams"))
+      .orderBy("doc_id")
+  }
+  val qContaminationSql: String =
+    """WITH gr AS (
+      |  SELECT DISTINCT doc_id,
+      |    md5(gram) AS g
+      |  FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(
+      |        generate_series(1, greatest(len(string_split(text, ' ')) - 7, 1)),
+      |        i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')))
+      |        AS gram
+      |    FROM documents)),
+      |bench AS (SELECT DISTINCT g FROM gr WHERE doc_id % 17 = 3),
+      |corpus AS (SELECT * FROM gr WHERE doc_id % 17 <> 3),
+      |totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id),
+      |shared AS (
+      |  SELECT doc_id, COUNT(*) AS n_shared
+      |  FROM corpus WHERE g IN (SELECT g FROM bench)
+      |  GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_grams, COALESCE(s.n_shared, 0) AS n_shared,
+      |  (COALESCE(s.n_shared, 0) * 20 >= t.n_grams) AS contaminated
+      |FROM totals t LEFT JOIN shared s ON t.doc_id = s.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -684,7 +781,9 @@ object LlmQueries {
     "l11_token_count" -> qTokenCount _,
     "l12_fingerprint" -> qFingerprint _,
     "l13_ann_topk" -> qAnnTopk _,
-    "l14_ivf_topk" -> qIvfTopk _
+    "l14_ivf_topk" -> qIvfTopk _,
+    "l15_quality_filter" -> qQualityFilter _,
+    "l16_contamination" -> qContamination _
   )
 
   val oracles: Map[String, String] = Map(
@@ -701,6 +800,8 @@ object LlmQueries {
     "l11_token_count" -> qTokenCountSql,
     "l12_fingerprint" -> qFingerprintSql,
     "l13_ann_topk" -> qAnnTopkSql,
-    "l14_ivf_topk" -> qIvfTopkSql
+    "l14_ivf_topk" -> qIvfTopkSql,
+    "l15_quality_filter" -> qQualityFilterSql,
+    "l16_contamination" -> qContaminationSql
   )
 }

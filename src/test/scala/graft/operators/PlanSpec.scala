@@ -38,6 +38,14 @@ class PlanSpec extends SparkSpec {
   test("l13 ANN top-k joins probe keys to buckets, not all pairs") {
     assertNoAllPairs("l13", LlmQueries.queries("l13_ann_topk")(spark, sf))
   }
+  test("l16 contamination semi-joins the broadcast benchmark gram set") {
+    val df = LlmQueries.queries("l16_contamination")(spark, sf)
+    assertNoAllPairs("l16", df)
+    // the corpus-side probe must be a broadcast hash join on the gram key
+    // (the benchmark set is the small fixed side at any corpus scale)
+    assert(planOf(df).contains("BroadcastHashJoin"),
+      s"l16 plan lacks the broadcast semi-join:\n${planOf(df)}")
+  }
 
   // The benched hot-loop path must never fall back to an unpartitioned
   // global window (WindowExec with empty partitionSpec serializes the whole
