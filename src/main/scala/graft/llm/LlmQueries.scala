@@ -728,11 +728,21 @@ object LlmQueries {
     * flagged when >= 5% of its distinct 8-grams appear in the benchmark.
     */
   def qContamination(s: SparkSession, d: String): DataFrame = {
-    val words = split(col("text"), " ")
+    // `ws` must be a materialized column, NOT an expression inlined into
+    // the transform lambda: a lambda-body split(text) re-evaluates once
+    // PER ARRAY ELEMENT (one full-text split per gram). Referenced twice
+    // and non-cheap, the alias survives CollapseProject.
+    val ws = col("ws")
     val grams = transform(
-      sequence(lit(1), greatest(size(words) - 7, lit(1))),
-      i => md5(concat_ws(" ", slice(words, i, lit(8)))))
-    val base = docs(s, d).select(col("doc_id"), explode(grams).as("g")).distinct()
+      sequence(lit(1), greatest(size(ws) - 7, lit(1))),
+      i => md5(concat_ws(" ", slice(ws, i, lit(8)))))
+    // consumed three times (benchmark set, totals, shared) — persist the
+    // exploded gram rows once; callers sweep persisted RDDs after the
+    // action (see the storage note in the object scaladoc)
+    val base = docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(grams).as("g")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = base.where(col("doc_id") % 17 === 3).select("g").distinct()
     val corpus = base.where(col("doc_id") % 17 =!= 3)
     val totals = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
