@@ -16,12 +16,10 @@ object Soak {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
+      // No spark.speculation: it is a no-op in local mode (the
+      // speculation thread only starts for non-local masters). Soak
+      // numbers are read with the host-stall caveat in mind instead.
       .config("spark.cleaner.periodicGC.interval", "30s")
-      // same straggler mitigation as Bench (see the comment there)
-      .config("spark.speculation", "true")
-      .config("spark.speculation.interval", "1s")
-      .config("spark.speculation.multiplier", "4")
-      .config("spark.speculation.quantile", "0.75")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.tune(spark)

@@ -123,11 +123,18 @@ object PipelineConfig {
     // Strip '#' comments, but not inside a double-quoted value.
     def stripComment(line: String): String = {
       var inQuote = false
+      var escaped = false
       val b = new StringBuilder
       var done = false
       line.foreach { c =>
         if (!done) {
-          if (c == '"') { inQuote = !inQuote; b += c }
+          // Mirror the unescape pass: inside a quoted value a backslash
+          // protects the next character, so an escaped quote (\") must
+          // not flip inQuote (else `name = "say \"#hi\""` truncates at
+          // the '#' and breaks the save->load round-trip).
+          if (escaped) { b += c; escaped = false }
+          else if (c == '\\' && inQuote) { b += c; escaped = true }
+          else if (c == '"') { inQuote = !inQuote; b += c }
           else if (c == '#' && !inQuote) done = true
           else b += c
         }

@@ -180,6 +180,11 @@ object FirFilter {
     require(order % 2 == 0, s"Type-I design needs an even order: $order")
     val r = order / 2            // polynomial degree in x = cos(2πf)
     val nExt = r + 2             // equioscillation count
+    // Degenerate exchange: with fewer than 4 extrema one band gets < 2
+    // nodes and the per-band initial guess divides by zero (nStopE-1).
+    // Order 2 is below any meaningful equiripple design — report the
+    // documented non-convergence instead of throwing.
+    if (nExt < 4) return None
     // ---- dense evaluation grid over both bands, uniform in f per band
     // (x = cos 2πf makes a uniform-f grid Chebyshev-dense in x — extrema
     // of P(cos 2πf) are near-uniform in f).

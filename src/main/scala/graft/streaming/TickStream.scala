@@ -279,6 +279,7 @@ object TickStream {
     // there cannot deadlock this one).
     val idSet = new java.util.concurrent.CountDownLatch(1)
     @volatile var managed: ManagedPipeline = null
+    @volatile var aborted = false
     val lastReportedRows = new AtomicLong(0L)
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -299,7 +300,13 @@ object TickStream {
       }
       override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = {
         idSet.await(30, java.util.concurrent.TimeUnit.SECONDS)
-        if (managed == null || e.id == managed.query.id)
+        // Self-remove only for OUR query's termination or an explicitly
+        // failed start (`aborted`). Inferring the failed-start case from
+        // `managed == null` after a timed-out await would detach this
+        // listener whenever startup legitimately exceeds 30s (slow
+        // checkpoint dir) and an UNRELATED query on the shared session
+        // terminates in that window — silently killing onProgress.
+        if (aborted || (managed != null && e.id == managed.query.id))
           enriched.sparkSession.streams.removeListener(this)
       }
     }
@@ -310,6 +317,7 @@ object TickStream {
       catch { case e: Throwable =>
         // A failed start must not leave the listener gating the shared
         // bus thread on a latch that will never count down.
+        aborted = true
         enriched.sparkSession.streams.removeListener(listener)
         idSet.countDown()
         throw e

@@ -73,7 +73,12 @@ class PipelineConfigSpec extends AnyFunSuite {
       PipelineConfig(pipelineName = "say \"hi\"",
         tickFilePath = "C:\\Users\\Keith\\data\\YM 06-25.Last.txt"),
       PipelineConfig(pipelineName = "trailing backslash\\",
-        tickFilePath = "\\\\server\\share\\q\"uote"))
+        tickFilePath = "\\\\server\\share\\q\"uote"),
+      // An escaped quote FOLLOWED by '#' inside the value: stripComment
+      // must not treat the \" as a quote toggle and truncate the rest of
+      // the value as a comment.
+      PipelineConfig(pipelineName = "say \"#hi\" loudly",
+        tickFilePath = "a\"#\"b#c.txt"))
     cfgs.foreach { c =>
       assert(PipelineConfig.fromToml(PipelineConfig.toToml(c)) == c)
     }

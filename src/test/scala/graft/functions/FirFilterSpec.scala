@@ -70,6 +70,12 @@ class FirFilterSpec extends SparkSpec {
       "looks like the Kaiser fallback shipped at M=4")
   }
 
+  test("T29: degenerate exchange (order 2) returns None, not a crash") {
+    // order 2 -> nExt = 3: one band would get a single extremum and the
+    // per-band initial guess would divide by zero without the guard.
+    assert(FirFilter.remezLowpass(2, 0.1, 0.2, 1.0, 1.0).isEmpty)
+  }
+
   test("constant price stream convolves to that price (after warm-up)") {
     val n = 21
     val ticks = (1 to 2200).map(i => (i.toLong, 41000))
