@@ -3,24 +3,60 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scratch profiling harness (not part of the driver contract). */
+import graft.functions.FirFilter
+
+/** Profiling harness (not part of the driver contract). One entry point,
+  * env-selected modes:
+  *
+  *   - `PROF_MODE=repeat` (default): run `PROF_QUERY` (comma-separated
+  *     names from [[SparkEntry.queries]]) `PROF_REPS` times each —
+  *     steady-state per-query wall clock.
+  *   - `PROF_MODE=t01`: stage-by-stage decomposition of the tick parse /
+  *     expansion / hot-loop chain.
+  *   - `PROF_MODE=q25`: exact vs approx distinct-count decomposition.
+  *   - `PROF_MODE=fir`: Remez convergence + dB-spec report for the
+  *     predefined decimation designs (no Spark session).
+  */
 object Prof {
   def main(args: Array[String]): Unit = {
+    val mode = sys.env.getOrElse("PROF_MODE", "repeat")
+    if (mode == "fir") { fir(); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.tune(spark)
-
-    def time(name: String)(df: => DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      val n = df.queryExecution.toRdd.count()
-      System.err.println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.1fs ($n rows)")
+    mode match {
+      case "repeat" => repeat(spark, sfDir)
+      case "t01"    => t01Stages(spark, sfDir)
+      case "q25"    => q25Stages(spark, sfDir)
+      case other    => sys.error(s"unknown PROF_MODE: $other")
     }
+    spark.stop()
+  }
 
+  private def time(name: String)(df: => DataFrame): Unit = {
+    val t0 = System.nanoTime()
+    val n = df.queryExecution.toRdd.count()
+    System.err.println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.1fs ($n rows)")
+  }
+
+  private def repeat(spark: SparkSession, sfDir: String): Unit = {
+    val q = sys.env.getOrElse("PROF_QUERY", "t01_tick_parse")
+    val reps = sys.env.getOrElse("PROF_REPS", "4").toInt
+    for (i <- 1 to reps; name <- q.split(",")) {
+      time(s"$name#$i")(SparkEntry.queries(name)(spark, sfDir))
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+  }
+
+  private def t01Stages(spark: SparkSession, sfDir: String): Unit = {
     import graft.operators.{TickPipeline, TickQueries}
     val base = TickPipeline.syntheticTicks(spark, sfDir)
     time("synthetic")(base)
@@ -52,6 +88,51 @@ object Prof {
       cfg, assumeOrdered = true)
     time("hotloop derivative (no orderBy)")(hot)
     time("t03 full (with orderBy)")(TickQueries.queries("t03_hotloop_derivative")(spark, sfDir))
-    spark.stop()
+  }
+
+  private def q25Stages(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    time("scan count")(li.groupBy($"l_returnflag").agg(count(lit(1))))
+    time("countDistinct only")(
+      li.groupBy($"l_returnflag").agg(countDistinct($"l_orderkey")))
+    time("approx rsd=0.05 only")(
+      li.groupBy($"l_returnflag").agg(approx_count_distinct($"l_orderkey", 0.05)))
+    time("approx rsd=0.01 only")(
+      li.groupBy($"l_returnflag").agg(approx_count_distinct($"l_orderkey", 0.01)))
+    time("both rsd=0.01")(
+      li.groupBy($"l_returnflag").agg(approx_count_distinct($"l_orderkey", 0.01),
+        countDistinct($"l_orderkey")))
+    li.groupBy($"l_returnflag").agg(approx_count_distinct($"l_orderkey", 0.01))
+      .explain("formatted")
+  }
+
+  private def fir(): Unit = {
+    for (m <- Seq(4, 8, 21, 144)) {
+      val fNyqNew = 1.0 / (2.0 * m)
+      def specReport(name: String, h: Array[Double]): Unit = {
+        val passDb = Seq(0.0, 0.3, 0.6, 0.79, 1.0).map(_ * 0.8 * fNyqNew)
+          .map(f => math.abs(20 * math.log10(FirFilter.responseAt(h, f)))).max
+        val stopDb = Seq(1.0, 1.2, 1.5, 3.0, 8.0).map(_ * fNyqNew)
+          .filter(_ <= 0.5)
+          .map(f => 20 * math.log10(FirFilter.responseAt(h, f))).max
+        println(f"m=$m $name: taps=${h.length} passRipple=$passDb%.4f dB stopMax=$stopDb%.2f dB dc=${h.sum}%.6f")
+      }
+      val t0 = System.nanoTime()
+      val ship = FirFilter.designDecimationFilter(m)
+      val t1 = System.nanoTime()
+      specReport("shipped", ship)
+      println(f"  design time ${(t1 - t0) / 1e9}%.1fs")
+      specReport("kaiser", FirFilter.kaiserLowpass(m))
+      // did remez itself converge?
+      val fPass = 0.8 * fNyqNew; val fStop = fNyqNew
+      val deltaP = (math.pow(10, 0.1 / 20) - 1) / (math.pow(10, 0.1 / 20) + 1)
+      val deltaS = math.pow(10, -80.0 / 20)
+      val order = FirFilter.kaiserOrder(
+        -20.0 * math.log10(math.min(deltaP, deltaS)), fStop - fPass)
+      val t2 = System.nanoTime()
+      val rz = FirFilter.remezLowpass(order, fPass, fStop, 1 / deltaP, 1 / deltaS)
+      println(f"  remez(order=$order) converged=${rz.isDefined} in ${(System.nanoTime() - t2) / 1e9}%.1fs")
+    }
   }
 }

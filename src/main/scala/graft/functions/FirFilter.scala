@@ -7,19 +7,20 @@ package graft.functions
   * 1055 taps by its own Kaiser estimate; the source comment citing 1087
   * taps overstates it). This port keeps the identical specification
   * surface — passband 80% of the new Nyquist, 0.1 dB passband ripple,
-  * 80 dB stopband, Kaiser order estimate forced even. `predefined`
-  * ships the Remez equiripple design when the exchange converges
-  * ([[remezLowpass]], a Type-I exchange on the stable FIRST barycentric
-  * form with log-space weights — verified to reach true equiripple
-  * through order ~400, e.g. M=4/M=8 decimators). At the reference's own
-  * orders (M=21 → 1054, M=144 → 7222) the double-precision exchange
-  * degenerates — the extremal node weights span hundreds of decades and
-  * the leveled-error solve falls below machine precision, the same
-  * regime where MATLAB/scipy firpm fail — so [[designDecimationFilter]]
-  * falls back to the Kaiser-windowed sinc ([[kaiserLowpass]]): THE
-  * SHIPPED M=21/M=144 COEFFICIENTS ARE KAISER, a documented deviation
-  * from the reference's DSP.jl equiripple output meeting the same dB
-  * spec (FirFilterSpec checks both designs against the spec at both M).
+  * 80 dB stopband, Kaiser order estimate forced even — and THE SHIPPED
+  * COEFFICIENTS ARE TRUE EQUIRIPPLE AT EVERY SUPPORTED M, including the
+  * reference's own orders (M=21 → 1054, M=144 → 7222): the exchange
+  * ([[remezLowpass]]) runs on the stable FIRST barycentric form with
+  * log-space node weights, a per-band Chebyshev-clustered error grid
+  * (the edge-most ripple pair compresses ~n² tighter than a uniform
+  * grid's step and silently vanishes above order ~1000 otherwise), an
+  * alternation-preserving pair-removal candidate trim, and — above order
+  * ~400, where a cold start degenerates — reference scaling
+  * ([[remezLowpassScaled]]): converge a half-order design and seed the
+  * next exchange with its stretched extremal set, doubling up a ladder.
+  * The Kaiser-windowed sinc ([[kaiserLowpass]]) remains only as the
+  * documented fallback if the exchange ever fails to converge
+  * (FirFilterSpec asserts it does NOT ship at M∈{4,21,144}).
   * Design runs once on the driver; coefficients ship to executors as a
   * literal array.
   */
@@ -121,39 +122,41 @@ object FirFilter {
         k += 1
       }
     }
-    private val lt = new Array[Double](n) // scratch: per-point log terms
-    private val st = new Array[Double](n) // scratch: per-point signs
     def apply(xv: Double): Double = {
       // FIRST (modified Lagrange) barycentric form — backward stable for
       // arbitrary node sets (Higham 2004), unlike the second form whose
       // denominator cancels catastrophically at points mid-gap between
       // the two bands: P(x) = Σ_j ℓ_j(x) y_j with
       // log|ℓ_j(x)| = Σ_i log|x - x_i| - log|x - x_j| + log w_j.
+      // Thread-safe (local scratch): the exchange evaluates the error
+      // grid from a parallel loop at high orders.
+      val lt = new Array[Double](n) // per-point log terms
       var logL = 0.0
       var negAll = 0
       var j = 0
       while (j < n) {
         val d = xv - xs(j)
         if (math.abs(d) < 1e-15) return ys(j)
-        logL += math.log(math.abs(d))
+        val ld = math.log(math.abs(d))
+        lt(j) = ld // stash: reused below instead of a second log()
+        logL += ld
         if (d < 0) negAll += 1
         j += 1
       }
       var mx = Double.NegativeInfinity
       j = 0
       while (j < n) {
-        val d = xv - xs(j)
-        lt(j) = logL - math.log(math.abs(d)) + logw(j)
-        // sign(ℓ_j) = sign(∏_{i≠j}(x - x_i)) * sgn(w_j)
-        val negOthers = if (d < 0) negAll - 1 else negAll
-        st(j) = (if (negOthers % 2 == 0) 1.0 else -1.0) * sgnw(j)
+        lt(j) = logL - lt(j) + logw(j)
         if (lt(j) > mx) mx = lt(j)
         j += 1
       }
       var acc = 0.0
       j = 0
       while (j < n) {
-        acc += st(j) * math.exp(lt(j) - mx) * ys(j)
+        // sign(ℓ_j) = sign(∏_{i≠j}(x - x_i)) * sgn(w_j)
+        val negOthers = if (xv - xs(j) < 0) negAll - 1 else negAll
+        val s = (if (negOthers % 2 == 0) 1.0 else -1.0) * sgnw(j)
+        acc += s * math.exp(lt(j) - mx) * ys(j)
         j += 1
       }
       acc * math.exp(mx)
@@ -176,7 +179,24 @@ object FirFilter {
       wPass: Double,
       wStop: Double,
       gridDensity: Int = 16,
-      maxIter: Int = 40): Option[Array[Double]] = {
+      maxIter: Int = 40): Option[Array[Double]] =
+    remezCore(order, fPass, fStop, wPass, wStop, gridDensity, maxIter, null)
+      .map { case (_, interp) => interpToTaps(order, interp) }
+
+  /** The exchange itself. Returns the converged extremal frequencies
+    * (for reference scaling to a higher order) plus the converged
+    * interpolant; `init` seeds the extremal set (null = the classic
+    * proportional per-band guess).
+    */
+  private def remezCore(
+      order: Int,
+      fPass: Double,
+      fStop: Double,
+      wPass: Double,
+      wStop: Double,
+      gridDensity: Int,
+      maxIter: Int,
+      init: Array[Double]): Option[(Array[Double], Bary)] = {
     require(order % 2 == 0, s"Type-I design needs an even order: $order")
     val r = order / 2            // polynomial degree in x = cos(2πf)
     val nExt = r + 2             // equioscillation count
@@ -185,9 +205,13 @@ object FirFilter {
     // Order 2 is below any meaningful equiripple design — report the
     // documented non-convergence instead of throwing.
     if (nExt < 4) return None
-    // ---- dense evaluation grid over both bands, uniform in f per band
-    // (x = cos 2πf makes a uniform-f grid Chebyshev-dense in x — extrema
-    // of P(cos 2πf) are near-uniform in f).
+    // ---- dense evaluation grid over both bands, Chebyshev-clustered
+    // WITHIN each band (uniform in θ with f = lo + (hi-lo)(1-cosθ)/2):
+    // the equiripple error's extrema compress toward BOTH edges of each
+    // band, and a uniform-in-f grid provably loses the edge-most ripple
+    // pair once their spacing (~width·π²/2n² near an edge) falls under
+    // the grid step — observed as a deterministic 2-short candidate
+    // count at order 1054 that no uniform density up to 64 fixed.
     val nGrid = math.max(gridDensity * nExt, 256)
     val passFrac = math.max(0.05, math.min(0.95,
       fPass / (fPass + (0.5 - fStop))))
@@ -196,11 +220,14 @@ object FirFilter {
     val grid = new Array[Double](nPassG + nStopG)
     var g = 0
     while (g < nPassG) { // f in [0, fPass]
-      grid(g) = fPass * g / (nPassG - 1.0); g += 1
+      grid(g) = fPass * 0.5 * (1.0 - math.cos(math.Pi * g / (nPassG - 1.0)))
+      g += 1
     }
     while (g < nPassG + nStopG) { // f in [fStop, 0.5]
       val j = g - nPassG
-      grid(g) = fStop + (0.5 - fStop) * j / (nStopG - 1.0); g += 1
+      grid(g) = fStop + (0.5 - fStop) * 0.5 *
+        (1.0 - math.cos(math.Pi * j / (nStopG - 1.0)))
+      g += 1
     }
     val gx = grid.map(f => math.cos(2.0 * math.Pi * f))
     def desired(f: Double): Double = if (f <= fPass) 1.0 else 0.0
@@ -208,16 +235,20 @@ object FirFilter {
     // ---- initial extremal guess: per-band counts proportional to the
     // band's grid share, both edges of both bands included (the classic
     // PM initialization).
-    var ext = {
-      val nPassE = math.max(2, math.min(nExt - 2,
-        math.round(nExt * nPassG.toDouble / grid.length).toInt))
-      val nStopE = nExt - nPassE
-      val pass = Array.tabulate(nPassE)(k =>
-        grid(((nPassG - 1).toLong * k / (nPassE - 1)).toInt))
-      val stop = Array.tabulate(nStopE)(k =>
-        grid(nPassG + ((nStopG - 1).toLong * k / (nStopE - 1)).toInt))
-      pass ++ stop
-    }
+    var ext =
+      if (init != null) { require(init.length == nExt); init }
+      else {
+        // Positions uniform in f per band (NOT uniform grid indices: the
+        // grid clusters at band edges, and an index-uniform guess would
+        // leave band centers unsupported — interpolant blows up 1e19).
+        val nPassE = math.max(2, math.min(nExt - 2,
+          math.round(nExt * nPassG.toDouble / grid.length).toInt))
+        val nStopE = nExt - nPassE
+        val pass = Array.tabulate(nPassE)(k => fPass * k / (nPassE - 1.0))
+        val stop = Array.tabulate(nStopE)(k =>
+          fStop + (0.5 - fStop) * k / (nStopE - 1.0))
+        pass ++ stop
+      }
     var delta = 0.0
     var converged = false
     var it = 0
@@ -256,17 +287,18 @@ object FirFilter {
       bary.ys = cy
       val interp = bary
       lastInterp = interp
-      // ---- error on the grid, pick the new alternating extrema
+      // ---- error on the grid, pick the new alternating extrema.
+      // Parallel: each grid point is an independent O(nExt) barycentric
+      // evaluation — at order 7222 this pass is ~2·10⁸ log/exp calls and
+      // dominates the design wall-clock.
       val err = new Array[Double](grid.length)
-      g = 0
-      while (g < grid.length) {
-        val f = grid(g)
-        val e = weight(f) * (desired(f) - interp(gx(g)))
+      java.util.stream.IntStream.range(0, grid.length).parallel().forEach { gi =>
+        val f = grid(gi)
+        val e = weight(f) * (desired(f) - interp(gx(gi)))
         // cap overflowed evaluations: ±Inf stays a valid huge candidate
         // for the exchange instead of poisoning signum/products with NaN
-        err(g) = if (e.isInfinity) math.signum(e) * 1e300
-                 else if (e.isNaN) 0.0 else e
-        g += 1
+        err(gi) = if (e.isInfinity) math.signum(e) * 1e300
+                  else if (e.isNaN) 0.0 else e
       }
       // local |err| maxima with alternation (multiple exchange): one best
       // candidate per sign run, then the best nExt-long window.
@@ -294,17 +326,32 @@ object FirFilter {
         var maxE0 = 0.0
         var gg = 0
         while (gg < grid.length) { maxE0 = math.max(maxE0, math.abs(err(gg))); gg += 1 }
-        System.err.println(f"[remez] it=$it delta=$delta%.6e maxE=$maxE0%.6e cand=${cand.length} need=$nExt")
+        val passC = cand.count(_ < nPassG)
+        System.err.println(f"[remez] it=$it delta=$delta%.6e maxE=$maxE0%.6e cand=${cand.length} need=$nExt passC=$passC")
       }
       if (cand.length < nExt) return None // degenerate — not enough alternations
-      // classic trim: drop from the end with the smaller |err| until the
-      // set has size nExt — keeps the global max error in the set (the
-      // convergence proof requires it) and preserves alternation.
-      var lo = 0; var hi = cand.length - 1
-      while (hi - lo + 1 > nExt) {
-        if (math.abs(err(cand(lo))) < math.abs(err(cand(hi)))) lo += 1 else hi -= 1
+      // Trim excess candidates by removing ADJACENT pairs of locally
+      // smallest |err| (removing two neighbors of opposite sign keeps the
+      // remaining sequence alternating and never evicts the global max —
+      // the convergence proof requires it to stay). The old end-only trim
+      // provably diverges when the cold start yields many excess
+      // candidates: dropping 20+ nodes from the band ends evicts the
+      // edge extrema and the next interpolant swings to 1e11.
+      if ((cand.length - nExt) % 2 == 1) {
+        if (math.abs(err(cand.head)) <= math.abs(err(cand.last))) cand.remove(0)
+        else cand.remove(cand.length - 1)
       }
-      val newExt = Array.tabulate(nExt)(k => grid(cand(lo + k)))
+      while (cand.length > nExt) {
+        var bi = 0; var bv = Double.MaxValue
+        var i = 0
+        while (i < cand.length - 1) {
+          val v = math.max(math.abs(err(cand(i))), math.abs(err(cand(i + 1))))
+          if (v < bv) { bv = v; bi = i }
+          i += 1
+        }
+        cand.remove(bi + 1); cand.remove(bi)
+      }
+      val newExt = Array.tabulate(nExt)(k => grid(cand(k)))
       // convergence: largest grid error within 1e-4 relative of |δ|
       var maxE = 0.0
       g = 0
@@ -314,24 +361,127 @@ object FirFilter {
       it += 1
     }
     if (!converged || lastInterp == null) return None
-    // ---- final coefficients: sample the converged interpolant at
-    // order+1 uniform frequencies, inverse real-even DFT to the
-    // symmetric impulse response.
+    Some((ext, lastInterp))
+  }
+
+  /** Sample the converged interpolant at order+1 uniform frequencies and
+    * inverse real-even DFT to the symmetric impulse response.
+    */
+  private def interpToTaps(order: Int, interp: Bary): Array[Double] = {
+    val r = order / 2
     val n = order + 1 // odd
     val hf = new Array[Double](r + 1)
-    var k = 0
-    while (k <= r) { hf(k) = lastInterp(math.cos(2.0 * math.Pi * k / n)); k += 1 }
+    java.util.stream.IntStream.rangeClosed(0, r).parallel().forEach { k =>
+      hf(k) = interp(math.cos(2.0 * math.Pi * k / n))
+    }
     val hh = new Array[Double](n)
-    var i = 0
-    while (i < n) {
+    java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
       // h[i] = (1/n) [H(0) + 2 Σ_{k=1}^{r} H(k/n) cos(2πk(i - r)/n)]
       var s = hf(0)
-      k = 1
+      var k = 1
       while (k <= r) { s += 2.0 * hf(k) * math.cos(2.0 * math.Pi * k * (i - r) / n); k += 1 }
       hh(i) = s / n
-      i += 1
     }
-    Some(hh)
+    hh
+  }
+
+  /** Reference-scaled Remez: converge the exchange at a ladder of
+    * doubling orders, seeding each rung's extremal set by per-band
+    * index interpolation of the previous rung's converged extrema (the
+    * publicly documented technique behind robust Parks-McClellan
+    * implementations at degrees in the thousands — a near-optimal
+    * starting reference keeps every quantity in the exchange well away
+    * from the cancellation regime that kills the cold-started iteration
+    * above order ~400).
+    */
+  def remezLowpassScaled(
+      order: Int,
+      fPass: Double,
+      fStop: Double,
+      wPass: Double,
+      wStop: Double,
+      gridDensity: Int = 16,
+      maxIter: Int = 40): Option[Array[Double]] = {
+    require(order % 2 == 0, s"Type-I design needs an even order: $order")
+    // Ladder: target, target/2, ... down to a cold-startable base.
+    val ladder = Iterator.iterate(order)(o => (o / 2 + 1) / 2 * 2)
+      .takeWhile(_ > 250).toList.reverse
+    if (ladder.isEmpty) // small order: the cold start is already reliable
+      return remezCore(order, fPass, fStop, wPass, wStop, gridDensity,
+        maxIter, null).map { case (_, i) => interpToTaps(order, i) }
+    val base = math.max(4, (ladder.head / 2 + 1) / 2 * 2)
+    // One rung: seed from the converged lower-order extrema. The
+    // proportional band allocation can be off by a node pair at the
+    // doubled order (the seeded interpolant then oscillates 2 short and
+    // the exchange degenerates, observed at 528 -> 1054) — retry the
+    // rung shifting nodes between the bands before giving up.
+    def rung(prevExt: Array[Double], o: Int): Option[(Array[Double], Bary)] = {
+      val r = Iterator(0, 1, -1, 2, -2, 3, 4, 5, 6)
+        .map { dPass =>
+          val seeded = scaleExtrema(prevExt, o / 2 + 2, fPass, fStop, dPass)
+          remezCore(o, fPass, fStop, wPass, wStop, gridDensity, maxIter, seeded)
+        }
+        .collectFirst { case Some(r) => r }
+      if (sys.env.contains("GRAFT_REMEZ_DEBUG")) r.foreach { case (e, _) =>
+        System.err.println(s"[remez] rung order=$o converged: " +
+          s"pass=${e.count(_ <= fPass)} stop=${e.count(_ >= fStop)}")
+      }
+      r
+    }
+    // Climb prevOrder -> target; when the direct rung fails (a 2x step is
+    // too aggressive for some band geometries — the seeded interpolant
+    // swings to O(1/deltaS) mid-band and the error loses alternations),
+    // bisect: converge an intermediate order first. Depth-bounded.
+    def climb(prevOrder: Int, prevExt: Array[Double], target: Int,
+        depth: Int): Option[(Array[Double], Bary)] =
+      rung(prevExt, target).orElse {
+        if (depth >= 4 || target - prevOrder < 16) {
+          System.err.println(s"[remez] ladder rung $prevOrder -> $target failed")
+          None
+        } else {
+          val mid = ((prevOrder + target) / 2 + 1) / 2 * 2
+          climb(prevOrder, prevExt, mid, depth + 1).flatMap { case (extMid, _) =>
+            climb(mid, extMid, target, depth + 1)
+          }
+        }
+      }
+    var cur = remezCore(base, fPass, fStop, wPass, wStop,
+      gridDensity, maxIter, null).map { case (e, i) => (base, e, i) }
+    for (o <- ladder if cur.isDefined) {
+      val (prevOrder, prevExt, _) = cur.get
+      cur = climb(prevOrder, prevExt, o, 0).map { case (e, i) => (o, e, i) }
+    }
+    cur match {
+      case Some((o, _, interp)) if o == order => Some(interpToTaps(order, interp))
+      case _ => None
+    }
+  }
+
+  /** Stretch a converged extremal set to `nExt2` nodes: split at the band
+    * gap, give each band a node count proportional to its share (≥ 2),
+    * and linearly interpolate each band's index-parameterized extremal
+    * curve at the new resolution. Band edges stay pinned exactly.
+    */
+  private def scaleExtrema(ext: Array[Double], nExt2: Int,
+      fPass: Double, fStop: Double, dPass: Int = 0): Array[Double] = {
+    val pass = ext.filter(_ <= fPass)
+    val stop = ext.filter(_ >= fStop)
+    val nPass2 = math.max(2, math.min(nExt2 - 2,
+      math.round(nExt2 * pass.length.toDouble / ext.length).toInt + dPass))
+    val nStop2 = nExt2 - nPass2
+    // A band the converged set barely touched (narrow passband at large
+    // M) stretches from its bounds instead of a degenerate 0/1-node fit.
+    def stretch(src: Array[Double], n2: Int, lo: Double, hi: Double): Array[Double] =
+      if (src.length < 2)
+        Array.tabulate(n2)(k => lo + (hi - lo) * k / math.max(1, n2 - 1))
+      else
+        Array.tabulate(n2) { k =>
+          val t = k.toDouble * (src.length - 1) / (n2 - 1)
+          val i = math.min(src.length - 2, t.toInt)
+          val fr = t - i
+          src(i) * (1 - fr) + src(i + 1) * fr
+        }
+    stretch(pass, nPass2, 0.0, fPass) ++ stretch(stop, nStop2, fStop, 0.5)
   }
 
   private def normalizeDc(h: Array[Double]): Array[Double] = {
@@ -354,13 +504,14 @@ object FirFilter {
       aStopDb: Double = 80.0,
       passbandFraction: Double = 0.8): Array[Double] = {
     val sp = specFor(m, fs, aPassDb, aStopDb, passbandFraction)
-    // Retry the exchange on a denser grid when it degenerates (extrema
-    // closer than the grid step collapse into one candidate). Densities
-    // are bounded for very high orders — each retry is O(density ·
-    // nExt²) per iteration.
+    // Reference-scaled exchange first (converges at every shipped order,
+    // including M=21 -> 1054 and M=144 -> 7222); retry on a denser grid
+    // when it degenerates (extrema closer than the grid step collapse
+    // into one candidate). Each retry is O(density · nExt²) per
+    // iteration, so densities are bounded for very high orders.
     val densities = if (sp.order > 3000) Seq(16, 24) else Seq(16, 32, 64)
     densities.iterator
-      .map(gd => remezLowpass(sp.order, sp.fPass, sp.fStop,
+      .map(gd => remezLowpassScaled(sp.order, sp.fPass, sp.fStop,
         wPass = 1.0 / sp.deltaP, wStop = 1.0 / sp.deltaS, gridDensity = gd))
       .collectFirst { case Some(h) => h }
       .map(normalizeDc)

@@ -91,9 +91,16 @@ object Scan {
     // `.copy()` detaches each UnsafeRow from the scan's reused buffer.
     val rdd = df.queryExecution.toRdd.map(_.copy()).localCheckpoint()
     val nRounds = rounds.length
+    val timing = sys.env.contains("GRAFT_SCAN_TIMING")
+    val tCkpt0 = if (timing) System.nanoTime() else 0L
+    if (timing) { // materialize the checkpoint alone for attribution
+      rdd.count()
+      System.err.println(f"[scan] checkpoint: ${(System.nanoTime() - tCkpt0) / 1e9}%.2fs")
+    }
     // offsets(j)(pid) = round-j running state at partition pid's first row.
     val offsets = new Array[Array[Any]](nRounds)
     for (j <- 0 until nRounds) {
+      val tR0 = if (timing) System.nanoTime() else 0L
       val bcPrev = sc.broadcast(offsets.take(j))
       val rnds = rounds
       val partials: Array[(Int, Any)] = rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -112,6 +119,8 @@ object Scan {
       }.collect()
       val byPid = partials.sortBy(_._1).map(_._2)
       offsets(j) = byPid.scanLeft(rounds(j).zero)(rounds(j).combine).toArray
+      if (timing)
+        System.err.println(f"[scan] fold round $j: ${(System.nanoTime() - tR0) / 1e9}%.2fs")
     }
     val bcOff = sc.broadcast(offsets)
     val rnds = rounds

@@ -61,6 +61,32 @@ object TickStream {
       }
   }
 
+  /** Multi-symbol scale-out of [[hotLoopStream]]: key by instrument and
+    * each group runs the SAME sequential recurrence independently —
+    * state, parallelism and shuffle all partition by symbol, so the
+    * single-key total-order bottleneck disappears at fleet scale (one
+    * group per instrument, thousands of instruments spread across
+    * executors). `tick_idx` orders ticks WITHIN a symbol.
+    */
+  def hotLoopStreamKeyed(ticks: Dataset[(String, TickIn)],
+      cfg: SignalConfig): Dataset[(String, TickOut)] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HotLoopState, (String, TickOut)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (sym, it, state: GroupState[HotLoopState]) =>
+          var s = state.getOption.getOrElse(HotLoopState())
+          val outs = it.toSeq.sortBy(_._2.tick_idx).map { case (_, t) =>
+            val (s2, o) = HotLoopStep.step(s, t, cfg)
+            s = s2
+            (sym, o)
+          }
+          state.update(s)
+          outs.iterator
+      }
+  }
+
   /** Consumer types (reference: src/TripleSplitSystem.jl:16-20). */
   sealed trait ConsumerType
   case object Priority extends ConsumerType   // lossless, backpressures

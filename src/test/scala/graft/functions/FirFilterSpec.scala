@@ -46,15 +46,32 @@ class FirFilterSpec extends SparkSpec {
   }
 
   test("T29: shipped AND Kaiser designs meet the dB spec at M=21 and M=144") {
-    // The shipped predefined() design is Remez equiripple where the
-    // exchange converges and the Kaiser windowed sinc otherwise (at
-    // M=21/144 the double-precision exchange degenerates — see the
-    // FirFilter scaladoc — so shipped == Kaiser there). Both paths are
-    // held to the same dB spec at both reference decimations.
+    // The shipped predefined() design is the reference's design method —
+    // Remez equiripple at the Kaiser-estimated order (reference
+    // FIRFilter.jl:64-75 via DSP.jl remez) — with the Kaiser windowed
+    // sinc as documented fallback only. Both paths are held to the same
+    // dB spec at both reference decimations.
     checkSpec(FirFilter.m21, 21, "shipped m21")
     checkSpec(FirFilter.kaiserLowpass(21), 21, "kaiser m21")
     checkSpec(FirFilter.m144, 144, "shipped m144")
     checkSpec(FirFilter.kaiserLowpass(144), 144, "kaiser m144")
+  }
+
+  test("T29: shipped M=21 and M=144 are TRUE equiripple, not the Kaiser fallback") {
+    // Equiripple at the (conservative) Kaiser-estimated order lands
+    // ~-102 dB stopband; the windowed sinc at the same order only
+    // reaches ~-81 dB. A stopband beyond -95 dB at full tap count is
+    // therefore proof the exchange converged at the reference's own
+    // orders (1054 / 7222) — the round-4 parity gap, now closed by the
+    // reference-scaled exchange on the Chebyshev-clustered grid.
+    for ((h, m, taps) <- Seq((FirFilter.m21, 21, 1055), (FirFilter.m144, 144, 7223))) {
+      assert(h.length == taps)
+      val fNyqNew = 1.0 / (2.0 * m)
+      val stopDb = Seq(1.0, 1.5, 3.0, 8.0).map(_ * fNyqNew).filter(_ <= 0.5)
+        .map(f => 20 * math.log10(FirFilter.responseAt(h, f))).max
+      assert(stopDb <= -95.0, s"shipped m$m stopband only $stopDb dB — " +
+        "Kaiser fallback shipped; the exchange regressed")
+    }
   }
 
   test("T29: Remez exchange reaches true equiripple at a moderate order (M=4)") {
