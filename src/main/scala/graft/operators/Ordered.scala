@@ -64,11 +64,12 @@ object Ordered {
     val inTypes = df.schema.fields.map(_.dataType)
     val nIn = inTypes.length
     val schema = StructType(df.schema.fields :+ StructField(outCol, LongType, nullable = false))
-    // localCheckpoint (MEMORY_AND_DISK) + lineage truncation: pass 2 and
-    // task retries see exactly the rows pass 1 counted (repartitionByRange+
+    // localCheckpoint (storage level via GRAFT_SCAN_CHECKPOINT_LEVEL, see
+    // Scan.scanRounds) + lineage truncation: pass 2 and task retries see
+    // exactly the rows pass 1 counted (repartitionByRange+
     // sortWithinPartitions is not order-stable on tied keys, so a recompute
     // could otherwise assign different indices than the pass-1 totals).
-    val rdd = df.queryExecution.toRdd.map(_.copy()).localCheckpoint()
+    val rdd = Scan.checkpointed(df)
     // Pass 1: per-partition totals (one number per partition).
     val partials: Array[Long] = rdd
       .mapPartitionsWithIndex { (pid, it) =>

@@ -84,12 +84,17 @@ object Scan {
     val inTypes = inSchema.fields.map(_.dataType)
     val nIn = inTypes.length
     val nOut = nIn + appended.length
-    // localCheckpoint (MEMORY_AND_DISK) + lineage truncation: every fold
-    // and the emit pass read the exact rows the first pass saw — a
-    // recompute through a not-order-stable shuffle could silently
-    // disagree with the collected partials for non-commutative combines.
-    // `.copy()` detaches each UnsafeRow from the scan's reused buffer.
-    val rdd = df.queryExecution.toRdd.map(_.copy()).localCheckpoint()
+    // localCheckpoint + lineage truncation: every fold and the emit pass
+    // read the exact rows the first pass saw — a recompute through a
+    // not-order-stable shuffle could silently disagree with the collected
+    // partials for non-commutative combines. `.copy()` detaches each
+    // UnsafeRow from the scan's reused buffer. Storage level is tunable
+    // (GRAFT_SCAN_CHECKPOINT_LEVEL): the MEMORY_AND_DISK default is
+    // right for working sets within the storage pool; at 10x+ the cached
+    // object rows crowd the heap and every stage GC-thrashes (Soak: 36x
+    // checkpoint slowdown for 2.5x rows) — DISK_ONLY/MEMORY_AND_DISK_SER
+    // trade per-row codec cost for heap headroom.
+    val rdd = Scan.checkpointed(df)
     val nRounds = rounds.length
     val timing = sys.env.contains("GRAFT_SCAN_TIMING")
     val tCkpt0 = if (timing) System.nanoTime() else 0L
@@ -140,6 +145,20 @@ object Scan {
       }
     }
     GraftInternal.internalCreateDataFrame(spark, out, schema)
+  }
+
+  /** The checkpointed Tungsten-row RDD backing a scan: storage level
+    * selected by GRAFT_SCAN_CHECKPOINT_LEVEL (default MEMORY_AND_DISK;
+    * see [[scanRounds]]).
+    */
+  private[operators] def checkpointed(df: DataFrame) = {
+    val rows = df.queryExecution.toRdd.map(_.copy())
+    sys.env.get("GRAFT_SCAN_CHECKPOINT_LEVEL") match {
+      case Some(name) => rows
+        .persist(org.apache.spark.storage.StorageLevel.fromString(name))
+        .localCheckpoint()
+      case None => rows.localCheckpoint()
+    }
   }
 
   /** Pure plan barrier: re-enters Catalyst through an `ExistingRDD` scan
