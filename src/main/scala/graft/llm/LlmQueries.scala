@@ -777,6 +777,114 @@ object LlmQueries {
       |FROM totals t LEFT JOIN shared s ON t.doc_id = s.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  // -------------------------------------------- near-dup cluster resolution
+  /** l17: resolve the LSH candidate-pair graph into near-dup CLUSTERS and
+    * pick one keeper per cluster — the step that turns a pair list into
+    * an actual deduplicated corpus. Distributed min-label propagation:
+    * every doc starts labeled with itself; each round every doc takes the
+    * min label over itself and its neighbors; fixpoint = connected
+    * components (cluster_id = min doc_id in the component).
+    *
+    * Scale shape: each round is one equi-join + hash agg on the edge
+    * list — no driver-side graph. Rounds needed = graph diameter, and
+    * LSH dup-clusters are near-cliques (every member shares a bucket
+    * with most others), so 2-3 rounds close them; the loop detects the
+    * fixpoint with one tiny agg per round (the label SUM is monotone
+    * decreasing under min-propagation, so sum-unchanged == fixpoint —
+    * no row-wise old-vs-new join). Labels are localCheckpointed per
+    * round to keep the iterative plan from growing exponentially.
+    */
+  def qDedupClusters(s: SparkSession, d: String): DataFrame = {
+    val dd = docsWithDups(s, d)
+    val pairs = lshPairsOf(bandedSignatures(dd))
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = dd.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      df.agg(org.apache.spark.sql.functions.sum("cluster_id")).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var rounds = 0
+    var fixed = false
+    while (!fixed && rounds < 20) {
+      val nbrMin = edges.join(labels, col("v") === col("doc_id"))
+        .groupBy(col("u")).agg(min("cluster_id").as("nbr_min"))
+      val next = labels.as("l")
+        .join(nbrMin, col("l.doc_id") === col("u"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.cluster_id"),
+            coalesce(col("nbr_min"), col("l.cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      val nextSum = labelSum(next)
+      fixed = nextSum == prevSum
+      prevSum = nextSum
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+  val qDedupClustersSql: String =
+    s"""WITH RECURSIVE $docsWithDupsSql,
+       |$pairsSqlCtes,
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |minreach AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)
+       |SELECT d.doc_id,
+       |  least(d.doc_id, COALESCE(m.mv, d.doc_id)) AS cluster_id,
+       |  (least(d.doc_id, COALESCE(m.mv, d.doc_id)) = d.doc_id) AS is_keeper
+       |FROM dd d LEFT JOIN minreach m ON d.doc_id = m.u
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------------------- PII scrub
+  /** l18: PII redaction — emails and IPv4 addresses are counted and
+    * replaced with redaction tokens. The corpus text is deterministically
+    * augmented with synthetic PII (both engines build the identical
+    * strings) since the driver corpus is clean. Counting uses
+    * regexp_extract_all / regexp_replace with engine-portable patterns
+    * (no lookaround, POSIX classes only). Scale shape: pure row-local
+    * projection — codegen'd, shuffle-free.
+    */
+  def qPiiScrub(s: SparkSession, d: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val pii = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or admin"),
+      col("doc_id"), lit("@mail.test from 10."), col("doc_id") % 256,
+      lit(".0.1"))
+    docs(s, d)
+      .select(col("doc_id"), pii.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(email), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(ip), lit(0))).cast("long").as("n_ips"),
+        md5(regexp_replace(regexp_replace(col("t"), email, "[EMAIL]"),
+          ip, "[IP]")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+  val qPiiScrubSql: String =
+    """WITH pii AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id || '@example.com or admin' ||
+      |    doc_id || '@mail.test from 10.' || (doc_id % 256) || '.0.1' AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |    AS n_emails,
+      |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+      |    AS n_ips,
+      |  md5(regexp_replace(regexp_replace(t,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS scrubbed_md5
+      |FROM pii ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -793,7 +901,9 @@ object LlmQueries {
     "l13_ann_topk" -> qAnnTopk _,
     "l14_ivf_topk" -> qIvfTopk _,
     "l15_quality_filter" -> qQualityFilter _,
-    "l16_contamination" -> qContamination _
+    "l16_contamination" -> qContamination _,
+    "l17_dedup_clusters" -> qDedupClusters _,
+    "l18_pii_scrub" -> qPiiScrub _
   )
 
   val oracles: Map[String, String] = Map(
@@ -812,6 +922,8 @@ object LlmQueries {
     "l13_ann_topk" -> qAnnTopkSql,
     "l14_ivf_topk" -> qIvfTopkSql,
     "l15_quality_filter" -> qQualityFilterSql,
-    "l16_contamination" -> qContaminationSql
+    "l16_contamination" -> qContaminationSql,
+    "l17_dedup_clusters" -> qDedupClustersSql,
+    "l18_pii_scrub" -> qPiiScrubSql
   )
 }

@@ -552,6 +552,52 @@ object RelationalQueries {
       |       TRUE AS approx_within_5pct
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------------------------ Q21+
+  /** Pivot: wide per-linestatus quantity totals, one column per return
+    * flag (explicit value list so the plan needs no extra distinct-values
+    * job — the scalable form at 100 TB; an unlisted-values pivot adds one
+    * full pass just to learn the column set). Map-side partial aggregation
+    * then one shuffle on the 2-value group key.
+    */
+  def q26Pivot(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .groupBy($"l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dsum($"l_quantity"))
+      .select($"l_linestatus", $"A".as("qty_a"), $"N".as("qty_n"),
+        $"R".as("qty_r"))
+      .orderBy("l_linestatus")
+  val q26Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** Unpivot (melt): the inverse of q26 — stack the wide flag columns
+    * back to (linestatus, flag, qty) rows. Row-local generator, no
+    * shuffle beyond q26's aggregation.
+    */
+  def q27Unpivot(s: SparkSession, d: String): DataFrame =
+    q26Pivot(s, d)
+      .select($"l_linestatus",
+        expr("stack(3, 'A', qty_a, 'N', qty_n, 'R', qty_r)")
+          .as(Seq("returnflag", "sum_qty")))
+      .orderBy("l_linestatus", "returnflag")
+  val q27Sql: String =
+    """WITH wide AS (
+      |  SELECT l_linestatus,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+      |  FROM lineitem GROUP BY l_linestatus)
+      |SELECT l_linestatus, 'A' AS returnflag, qty_a AS sum_qty FROM wide
+      |UNION ALL
+      |SELECT l_linestatus, 'N', qty_n FROM wide
+      |UNION ALL
+      |SELECT l_linestatus, 'R', qty_r FROM wide
+      |ORDER BY l_linestatus, returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -577,7 +623,9 @@ object RelationalQueries {
     "q22_range_join" -> q22RangeJoin _,
     "q23_asof" -> q23AsOf _,
     "q24_ema_udaf" -> q24Ema _,
-    "q25_approx_distinct" -> q25ApproxDistinct _
+    "q25_approx_distinct" -> q25ApproxDistinct _,
+    "q26_pivot" -> q26Pivot _,
+    "q27_unpivot" -> q27Unpivot _
   )
 
   val oracles: Map[String, String] = Map(
@@ -605,7 +653,9 @@ object RelationalQueries {
     "q22_range_join" -> q22Sql,
     "q23_asof" -> q23Sql,
     "q24_ema_udaf" -> q24Sql,
-    "q25_approx_distinct" -> q25Sql
+    "q25_approx_distinct" -> q25Sql,
+    "q26_pivot" -> q26Sql,
+    "q27_unpivot" -> q27Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits
