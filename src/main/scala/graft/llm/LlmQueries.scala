@@ -885,6 +885,58 @@ object LlmQueries {
       |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS scrubbed_md5
       |FROM pii ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- repetition filter
+  /** l19: Gopher-style repetition signals — the complement of the l15
+    * rule filter: documents dominated by repeated content are low-value
+    * training data. Integer-exact outputs (word count, distinct-word
+    * count, max word-bigram occurrence) plus an integer-threshold verdict
+    * (<40% distinct words OR any bigram repeated >= 8 times), so there
+    * are no cross-engine float ties. Scale shape: one explode + two hash
+    * aggs keyed by (doc, gram) — same shuffle profile as the l16
+    * contamination gram join; everything else is row-local.
+    */
+  def qRepetition(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct_words"),
+        col("w"))
+    val bigrams = base.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ", element_at(col("w"), i),
+          element_at(col("w"), i + 1)))).as("g"))
+    val topBi = bigrams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("max_bigram_count"))
+    base.join(topBi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        coalesce(col("max_bigram_count"), lit(0L)).as("max_bigram_count"),
+        (col("n_distinct_words") * 5 < col("n_words") * 2 ||
+          coalesce(col("max_bigram_count"), lit(0L)) >= 8).as("too_repetitive"))
+      .orderBy("doc_id")
+  }
+  val qRepetitionSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |base AS (
+      |  SELECT doc_id, len(w) AS n_words,
+      |         len(list_distinct(w)) AS n_distinct_words
+      |  FROM w),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i + 1])) AS g
+      |  FROM w),
+      |topbi AS (
+      |  SELECT doc_id, max(c) AS max_bigram_count
+      |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)
+      |  GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_words, b.n_distinct_words,
+      |  COALESCE(t.max_bigram_count, 0) AS max_bigram_count,
+      |  (b.n_distinct_words * 5 < b.n_words * 2
+      |   OR COALESCE(t.max_bigram_count, 0) >= 8) AS too_repetitive
+      |FROM base b LEFT JOIN topbi t ON b.doc_id = t.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -903,7 +955,8 @@ object LlmQueries {
     "l15_quality_filter" -> qQualityFilter _,
     "l16_contamination" -> qContamination _,
     "l17_dedup_clusters" -> qDedupClusters _,
-    "l18_pii_scrub" -> qPiiScrub _
+    "l18_pii_scrub" -> qPiiScrub _,
+    "l19_repetition" -> qRepetition _
   )
 
   val oracles: Map[String, String] = Map(
@@ -924,6 +977,7 @@ object LlmQueries {
     "l15_quality_filter" -> qQualityFilterSql,
     "l16_contamination" -> qContaminationSql,
     "l17_dedup_clusters" -> qDedupClustersSql,
-    "l18_pii_scrub" -> qPiiScrubSql
+    "l18_pii_scrub" -> qPiiScrubSql,
+    "l19_repetition" -> qRepetitionSql
   )
 }

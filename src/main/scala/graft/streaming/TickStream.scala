@@ -363,4 +363,19 @@ object TickStream {
       .agg(count(lit(1)).as("events"), sum("value").as("sum_value"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("events"), col("sum_value"))
+
+  /** Q18 companion: SESSION windows — activity bursts per event type,
+    * closed after `gap` of event-time silence. Dynamic windows merge as
+    * events arrive (Spark's native session_window state store handles the
+    * merge; partitioned by type, so state scales with active sessions per
+    * key, not stream length).
+    */
+  def sessionizedEventCounts(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("event_type"))
+      .agg(count(lit(1)).as("events"), sum("value").as("sum_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("event_type"),
+        col("events"), col("sum_value"))
 }

@@ -83,4 +83,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"),
       s"q02 predicates not pushed to the parquet scan:\n$p")
   }
+
+  // The cluster-resolution label rounds are equi-joins on doc ids; an
+  // all-pairs fallback here would be quadratic in the corpus.
+  test("l17 cluster resolution propagates labels with equi-joins only") {
+    assertNoAllPairs("l17", LlmQueries.queries("l17_dedup_clusters")(spark, sf))
+  }
+  // Repetition signals shuffle on (doc, gram) only — never all-pairs.
+  test("l19 repetition filter aggregates grams with equi-shuffles only") {
+    assertNoAllPairs("l19", LlmQueries.queries("l19_repetition")(spark, sf))
+  }
+  // Pivot compiles to exactly the two-level aggregate (inner
+  // group-by-(key, pivot-col) sum, then pivotfirst) with column pruning
+  // reaching the scan — and, because the value list is explicit, planning
+  // never runs the eager distinct-values collect job over the corpus.
+  test("q26 pivot plans as the two-level aggregate with a pruned scan") {
+    val df = RelationalQueries.queries("q26_pivot")(spark, sf)
+    val p = planOf(df)
+    val aggCount = "HashAggregate|SortAggregate|ObjectHashAggregate".r
+      .findAllIn(p).size
+    assert(aggCount == 4, // partial+final for each of the two levels
+      s"q26 has $aggCount aggregate nodes (expected 4):\n$p")
+    assert(p.contains("pivotfirst"), s"q26 lost the pivot aggregate:\n$p")
+    assert(!p.contains("l_comment"), s"q26 reads l_comment it never uses:\n$p")
+  }
 }

@@ -244,4 +244,20 @@ class TickStreamSpec extends SparkSpec {
     // 00:00:10 and 00:00:50 share the [00:00, 00:01) window
     assert(out == Set(("click", 2L, 3.0), ("view", 1L, 3.0), ("click", 1L, 4.0)))
   }
+
+  test("event-time session windows merge bursts and split on gaps (Q18)") {
+    val events = Seq(
+      // click burst 1: 00:10 and 00:40 chain (gap 30s < 1 min)
+      ("2024-01-01 00:00:10", "click", 1.0), ("2024-01-01 00:00:40", "click", 2.0),
+      // click burst 2: 02:30 — more than 1 min after 00:40 + gap
+      ("2024-01-01 00:02:30", "click", 4.0),
+      // view overlaps burst 1's time range but sessions are per-type
+      ("2024-01-01 00:00:30", "view", 3.0))
+      .toDF("ts_s", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = TickStream.sessionizedEventCounts(events, "1 minute", "10 minutes")
+      .select($"event_type", $"events", $"sum_value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(out == Set(("click", 2L, 3.0), ("click", 1L, 4.0), ("view", 1L, 3.0)))
+  }
 }
