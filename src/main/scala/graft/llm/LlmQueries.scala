@@ -800,7 +800,14 @@ object LlmQueries {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = dd.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // Seed with round 1 computed directly off the edge list (labels start
+    // as self-ids, so the first propagation is just min neighbor id) —
+    // one join round saved.
+    val nbrMin0 = edges.groupBy(col("u")).agg(min("v").as("nbr_min"))
+    var labels = dd.select(col("doc_id"))
+      .join(nbrMin0, col("doc_id") === col("u"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("nbr_min"), col("doc_id"))).as("cluster_id"))
       .localCheckpoint()
     def labelSum(df: DataFrame): Long =
       df.agg(org.apache.spark.sql.functions.sum("cluster_id")).head().getLong(0)
@@ -885,6 +892,44 @@ object LlmQueries {
       |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS scrubbed_md5
       |FROM pii ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- stratified sample
+  /** l20: deterministic stratified subsampling — the training-data mixing
+    * primitive: each source stratum keeps a configured fraction of its
+    * documents, selected by a content-independent hash of the doc id so
+    * the sample is reproducible across runs, engines and cluster layouts
+    * (no `rand()`, no per-partition RNG state). Row-local projection +
+    * filter; the keep decision needs no shuffle at any corpus size.
+    */
+  def qStratifiedSample(s: SparkSession, d: String): DataFrame = {
+    // synthetic source strata + per-stratum keep-rates (percent)
+    val rate = map(
+      lit(0), lit(100), lit(1), lit(50), lit(2), lit(50),
+      lit(3), lit(25), lit(4), lit(25), lit(5), lit(10), lit(6), lit(10))
+    val stratum = (col("doc_id") % 7).cast("int")
+    val bucket =
+      (conv(substring(md5(concat(lit("strat"), col("doc_id"))), 1, 7), 16, 10)
+        .cast("long") % 100).cast("int")
+    docs(s, d)
+      .select(col("doc_id"), stratum.as("stratum"), bucket.as("bucket"),
+        element_at(rate, stratum).as("keep_pct"))
+      .withColumn("kept", col("bucket") < col("keep_pct"))
+      .orderBy("doc_id")
+  }
+  val qStratifiedSampleSql: String =
+    """SELECT doc_id,
+      |  CAST(doc_id % 7 AS INTEGER) AS stratum,
+      |  CAST(CAST('0x' || substring(md5('strat' || doc_id), 1, 7) AS BIGINT) % 100
+      |    AS INTEGER) AS bucket,
+      |  CASE CAST(doc_id % 7 AS INTEGER)
+      |    WHEN 0 THEN 100 WHEN 1 THEN 50 WHEN 2 THEN 50
+      |    WHEN 3 THEN 25 WHEN 4 THEN 25 ELSE 10 END AS keep_pct,
+      |  (CAST(CAST('0x' || substring(md5('strat' || doc_id), 1, 7) AS BIGINT) % 100
+      |    AS INTEGER) <
+      |   CASE CAST(doc_id % 7 AS INTEGER)
+      |     WHEN 0 THEN 100 WHEN 1 THEN 50 WHEN 2 THEN 50
+      |     WHEN 3 THEN 25 WHEN 4 THEN 25 ELSE 10 END) AS kept
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------- repetition filter
   /** l19: Gopher-style repetition signals — the complement of the l15
     * rule filter: documents dominated by repeated content are low-value
@@ -956,7 +1001,8 @@ object LlmQueries {
     "l16_contamination" -> qContamination _,
     "l17_dedup_clusters" -> qDedupClusters _,
     "l18_pii_scrub" -> qPiiScrub _,
-    "l19_repetition" -> qRepetition _
+    "l19_repetition" -> qRepetition _,
+    "l20_stratified_sample" -> qStratifiedSample _
   )
 
   val oracles: Map[String, String] = Map(
@@ -978,6 +1024,7 @@ object LlmQueries {
     "l16_contamination" -> qContaminationSql,
     "l17_dedup_clusters" -> qDedupClustersSql,
     "l18_pii_scrub" -> qPiiScrubSql,
-    "l19_repetition" -> qRepetitionSql
+    "l19_repetition" -> qRepetitionSql,
+    "l20_stratified_sample" -> qStratifiedSampleSql
   )
 }
