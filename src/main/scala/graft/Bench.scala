@@ -26,12 +26,14 @@ object Bench {
     * result; unlisted queries default to a 3s reference.
     */
   private val referenceSec: Map[String, Double] = Map(
-    "t01_tick_parse" -> 17.0, "t02_volume_expansion" -> 3.7,
-    "t03_hotloop_derivative" -> 11.0, "t04_hotloop_hexad16" -> 3.3,
-    "t05_hotloop_cpm" -> 10.7, "t06_hotloop_amc" -> 2.4,
-    "t07_bars_boxcar" -> 1.4, "t08_bars_fir" -> 2.5,
-    "t09_tick_capture" -> 1.7, "t10_bar_capture" -> 3.2,
-    "l03_lsh_pairs" -> 3.0, "l05_ngram_jaccard" -> 3.8
+    "t01_tick_parse" -> 2.6, "t02_volume_expansion" -> 2.5,
+    "t03_hotloop_derivative" -> 3.0, "t04_hotloop_hexad16" -> 1.9,
+    "t05_hotloop_cpm" -> 1.8, "t06_hotloop_amc" -> 2.5,
+    "t07_bars_boxcar" -> 2.9, "t08_bars_fir" -> 3.8,
+    "t09_tick_capture" -> 1.7, "t10_bar_capture" -> 1.6,
+    "l03_lsh_pairs" -> 3.0, "l05_ngram_jaccard" -> 3.8,
+    "l16_contamination" -> 5.0, "l17_dedup_clusters" -> 14.0,
+    "l19_repetition" -> 4.0
   )
 
   def main(args: Array[String]): Unit = {

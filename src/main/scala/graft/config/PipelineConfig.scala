@@ -278,4 +278,38 @@ object PipelineConfig {
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.writeString(p, toToml(c))
   }
+
+  /** T6: default-config discovery with working-directory priority
+    * (reference: src/PipelineConfig.jl:300-327 get_default_config_path):
+    * `cwd`/config/pipeline/default.toml if present, else the same path
+    * under the library home (`home`, for projects embedding this library
+    * that keep the shipped config there).
+    */
+  def defaultConfigPath(
+      cwd: String = sys.props("user.dir"),
+      home: String = sys.env.getOrElse("GRAFT_HOME", sys.props("user.dir"))): String = {
+    val local = java.nio.file.Paths.get(cwd, "config", "pipeline", "default.toml")
+    if (java.nio.file.Files.isRegularFile(local)) local.toAbsolutePath.toString
+    else java.nio.file.Paths.get(home, "config", "pipeline", "default.toml")
+      .toAbsolutePath.toString
+  }
+
+  /** T6: create-if-missing (reference: src/PipelineConfig.jl:329-353) —
+    * writes the constructor-default config so a fresh checkout has an
+    * editable file.
+    */
+  def ensureConfigExists(path: String): Unit =
+    if (!java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(path)))
+      save(PipelineConfig(), path)
+
+  /** T6: load the default config, creating it first if missing
+    * (reference: src/PipelineConfig.jl:255-265 load_default_config).
+    */
+  def loadDefault(
+      cwd: String = sys.props("user.dir"),
+      home: String = sys.env.getOrElse("GRAFT_HOME", sys.props("user.dir"))): PipelineConfig = {
+    val p = defaultConfigPath(cwd, home)
+    ensureConfigExists(p)
+    fromToml(java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
+  }
 }

@@ -84,6 +84,26 @@ class PipelineConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("T6 default-config discovery: cwd priority, create-if-missing, load") {
+    val cwd = java.nio.file.Files.createTempDirectory("cfgcwd").toString
+    val home = java.nio.file.Files.createTempDirectory("cfghome").toString
+    // no local config -> home path; loadDefault creates it with
+    // constructor defaults and round-trips
+    val p0 = PipelineConfig.defaultConfigPath(cwd, home)
+    assert(p0.startsWith(home))
+    assert(PipelineConfig.loadDefault(cwd, home) == PipelineConfig())
+    assert(java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(p0)))
+    // a cwd-local config takes priority once present
+    val localPath = java.nio.file.Paths.get(cwd, "config", "pipeline", "default.toml")
+    PipelineConfig.save(PipelineConfig(pipelineName = "local"), localPath.toString)
+    assert(PipelineConfig.defaultConfigPath(cwd, home) ==
+      localPath.toAbsolutePath.toString)
+    assert(PipelineConfig.loadDefault(cwd, home).pipelineName == "local")
+    // ensureConfigExists never overwrites an existing file
+    PipelineConfig.ensureConfigExists(localPath.toString)
+    assert(PipelineConfig.loadDefault(cwd, home).pipelineName == "local")
+  }
+
   test("save writes a loadable file") {
     val f = java.nio.file.Files.createTempDirectory("cfg").resolve("sub/p.toml")
     PipelineConfig.save(PipelineConfig.shipped, f.toString)
