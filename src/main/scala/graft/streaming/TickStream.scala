@@ -378,4 +378,15 @@ object TickStream {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("event_type"),
         col("events"), col("sum_value"))
+
+  /** Streaming exact dedup with BOUNDED state (the streaming counterpart
+    * of the batch l01 dedup): duplicate `event_id`s arriving within the
+    * watermark horizon are dropped, and the per-key state expires once
+    * the watermark passes — state size tracks the horizon, not the
+    * stream length, so the operator survives unbounded streams.
+    */
+  def dedupEventsWithinWatermark(events: DataFrame, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
 }

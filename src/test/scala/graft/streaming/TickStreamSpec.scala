@@ -260,4 +260,31 @@ class TickStreamSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSet
     assert(out == Set(("click", 2L, 3.0), ("click", 1L, 4.0), ("view", 1L, 3.0)))
   }
+
+  test("streaming dedup within watermark drops cross-batch duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val out = TickStream.dedupEventsWithinWatermark(
+      input.toDS().toDF("event_id", "ts", "value"), "10 minutes")
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val query = out.writeStream
+      .format("memory").queryName("dedup_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ("a", ts("2024-01-01 00:00:01"), 1.0),
+        ("a", ts("2024-01-01 00:00:02"), 2.0), // in-batch dup
+        ("b", ts("2024-01-01 00:00:03"), 3.0))
+      query.processAllAvailable()
+      input.addData(
+        ("a", ts("2024-01-01 00:00:30"), 4.0), // cross-batch dup, in horizon
+        ("c", ts("2024-01-01 00:01:00"), 5.0))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_out").select($"event_id").as[String]
+        .collect().sorted.toSeq
+      assert(ids == Seq("a", "b", "c"))
+    } finally query.stop()
+  }
 }
