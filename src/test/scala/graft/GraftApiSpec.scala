@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.config.{BarConfig, PipelineConfig, SignalConfig}
+
+/** The one-import facade must drive the reference workflow end-to-end:
+  * config -> tick file -> expansion -> hot loop -> bar enrichment.
+  */
+class GraftApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeTickFile(): String = {
+    val dir = Files.createTempDirectory("ticks")
+    val lines = (1 to 400).map { i =>
+      val p = 40000 + (i * 37) % 600
+      f"20250305 0700${i % 60}%02d 0000000;${p - 1};$p;$p;${i % 3 + 1}"
+    } :+ "malformed;row" :+ "" // parser must drop these
+    val f = dir.resolve("ticks.txt")
+    Files.writeString(f, lines.mkString("\n"))
+    f.toString
+  }
+
+  test("runPipeline: config-driven file -> expansion -> hot loop -> bars") {
+    val cfg = PipelineConfig(
+      tickFilePath = writeTickFile(),
+      signal = SignalConfig(encoderType = "derivative", minPrice = 39000,
+        maxPrice = 44000, tickDerivativeImagScale = 2.0f),
+      bars = BarConfig(enabled = true, ticksPerBar = 21, barMethod = "boxcar"))
+    val out = Graft.runPipeline(spark, cfg)
+    val n = out.count()
+    assert(n > 400) // volume expansion multiplies rows
+    // the hot loop produced signal columns; bar enrichment attached on
+    // boundary rows
+    assert(out.columns.contains("signal_re") && out.columns.contains("bar_idx"))
+    assert(out.where($"bar_idx".isNotNull).count() > 0)
+    // tick_idx is the dense 1..n total order
+    val idx = out.select(max($"tick_idx")).as[Long].head()
+    assert(idx == n)
+  }
+
+  test("facade primitives: parse drops malformed, timestamp round-trips") {
+    val path = writeTickFile()
+    val parsed = Graft.readTickFile(spark, path)
+    assert(parsed.count() == 400) // the malformed + blank lines dropped
+    val packed = parsed.select(
+      Graft.decodeTimestamp(Graft.encodeTimestamp($"ts_str")).as("rt"),
+      substring($"ts_str", 1, 8).as("head8"))
+    assert(packed.where($"rt" =!= $"head8").count() == 0)
+  }
+}
