@@ -598,6 +598,41 @@ object RelationalQueries {
       |SELECT l_linestatus, 'R', qty_r FROM wide
       |ORDER BY l_linestatus, returnflag""".stripMargin
 
+  /** Exact grouped quantiles with the discrete "value at ceil(p*n) in
+    * sorted order" definition — deterministic across engines (no
+    * interpolation arithmetic to diverge on), ties irrelevant (the value
+    * AT a multiset position is unique however ties are ordered). The
+    * window is partitioned by the group key, so no single-task global
+    * sort; at 100 TB per-group sorts are the exact path and
+    * `approx_percentile` (t-digest, one pass, mergeable) is the
+    * documented approximate alternative.
+    */
+  def q28Quantiles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = li(s, d).select($"l_returnflag", $"l_quantity".cast("long").as("q"))
+    val byFlag = Window.partitionBy("l_returnflag")
+    val r = base
+      .withColumn("rn", row_number().over(byFlag.orderBy($"q")))
+      .withColumn("n", count(lit(1)).over(byFlag))
+    def at(p: Double) = max(when($"rn" === ceil($"n" * p).cast("long"), $"q"))
+    r.groupBy($"l_returnflag")
+      .agg(at(0.5).as("p50"), at(0.9).as("p90"), at(0.99).as("p99"))
+      .orderBy("l_returnflag")
+  }
+  val q28Sql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+      |r AS (
+      |  SELECT l_returnflag, q,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY q) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM b)
+      |SELECT l_returnflag,
+      |  MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN q END) AS p50,
+      |  MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN q END) AS p90,
+      |  MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN q END) AS p99
+      |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -625,7 +660,8 @@ object RelationalQueries {
     "q24_ema_udaf" -> q24Ema _,
     "q25_approx_distinct" -> q25ApproxDistinct _,
     "q26_pivot" -> q26Pivot _,
-    "q27_unpivot" -> q27Unpivot _
+    "q27_unpivot" -> q27Unpivot _,
+    "q28_quantiles" -> q28Quantiles _
   )
 
   val oracles: Map[String, String] = Map(
@@ -655,7 +691,8 @@ object RelationalQueries {
     "q24_ema_udaf" -> q24Sql,
     "q25_approx_distinct" -> q25Sql,
     "q26_pivot" -> q26Sql,
-    "q27_unpivot" -> q27Sql
+    "q27_unpivot" -> q27Sql,
+    "q28_quantiles" -> q28Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits
