@@ -31,12 +31,32 @@ object Prof {
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.tune(spark)
     mode match {
-      case "repeat" => repeat(spark, sfDir)
-      case "t01"    => t01Stages(spark, sfDir)
-      case "q25"    => q25Stages(spark, sfDir)
-      case other    => sys.error(s"unknown PROF_MODE: $other")
+      case "repeat"  => repeat(spark, sfDir)
+      case "t01"     => t01Stages(spark, sfDir)
+      case "q25"     => q25Stages(spark, sfDir)
+      case "explain" => explain(spark, sfDir)
+      case other     => sys.error(s"unknown PROF_MODE: $other")
     }
     spark.stop()
+  }
+
+  /** Dump formatted physical plans for the headline queries (PROF_QUERY
+    * comma-list, default a representative cross-section) — the committed
+    * PLANS artifact showing pushdown, broadcast and exchange placement.
+    */
+  private def explain(spark: SparkSession, sfDir: String): Unit = {
+    val names = sys.env.getOrElse("PROF_QUERY",
+      "q01_scan_project,q02_filter,q04_agg,q05_join_broadcast,q26_pivot," +
+        "l03_lsh_pairs,l13_ann_topk,l16_contamination,l17_dedup_clusters," +
+        "t03_hotloop_derivative,t07_bars_boxcar").split(",")
+    for (name <- names) {
+      println(s"\n## $name\n")
+      println("```")
+      println(SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      println("```")
+    }
   }
 
   private def time(name: String)(df: => DataFrame): Unit = {
