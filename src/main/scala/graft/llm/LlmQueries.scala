@@ -792,7 +792,13 @@ object LlmQueries {
     * fixpoint with one tiny agg per round (the label SUM is monotone
     * decreasing under min-propagation, so sum-unchanged == fixpoint —
     * no row-wise old-vs-new join). Labels are localCheckpointed per
-    * round to keep the iterative plan from growing exponentially.
+    * round to keep the iterative plan from growing exponentially; the
+    * cost at scale is one full label-table materialization per round
+    * (label rows are (id, id) pairs — a few bytes/doc, far below the
+    * corpus itself), the accepted price of every iterative distributed
+    * CC formulation. For adversarial long-chain graphs the same loop
+    * bounds rounds at O(log n) if seeded with large-star/small-star
+    * steps — not needed for LSH duplicate graphs.
     */
   def qDedupClusters(s: SparkSession, d: String): DataFrame = {
     val dd = docsWithDups(s, d)
