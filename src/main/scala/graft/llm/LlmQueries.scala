@@ -898,6 +898,38 @@ object LlmQueries {
       |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS scrubbed_md5
       |FROM pii ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------- edit distance
+  /** l21: Levenshtein re-scoring of the LSH candidate pairs — the
+    * character-level complement of l05's set-based Jaccard for fuzzy
+    * dedup (catches small in-place edits that shift every downstream
+    * shingle). Integer-exact output. Scale shape: O(len_a*len_b) per
+    * pair, but ONLY on LSH-pruned candidates — never all-pairs — and
+    * each pair is row-local after the two doc-text joins.
+    */
+  def qEditDistance(s: SparkSession, d: String): DataFrame = {
+    val dd = docsWithDups(s, d)
+    val pairs = lshPairsOf(bandedSignatures(dd))
+    val texts = dd.select(col("doc_id"), col("text"))
+    pairs
+      .join(texts.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(texts.as("tb"), col("doc_b") === col("tb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta.text"), col("tb.text")).cast("long").as("edit_dist"),
+        length(col("ta.text")).cast("long").as("len_a"),
+        length(col("tb.text")).cast("long").as("len_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+  val qEditDistanceSql: String =
+    s"""WITH $docsWithDupsSql,
+       |$pairsSqlCtes
+       |SELECT p.doc_a, p.doc_b,
+       |  levenshtein(ta.text, tb.text) AS edit_dist,
+       |  length(ta.text) AS len_a, length(tb.text) AS len_b
+       |FROM pairs p
+       |JOIN dd ta ON p.doc_a = ta.doc_id
+       |JOIN dd tb ON p.doc_b = tb.doc_id
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+
   // ----------------------------------------------------- stratified sample
   /** l20: deterministic stratified subsampling — the training-data mixing
     * primitive: each source stratum keeps a configured fraction of its
@@ -1008,7 +1040,8 @@ object LlmQueries {
     "l17_dedup_clusters" -> qDedupClusters _,
     "l18_pii_scrub" -> qPiiScrub _,
     "l19_repetition" -> qRepetition _,
-    "l20_stratified_sample" -> qStratifiedSample _
+    "l20_stratified_sample" -> qStratifiedSample _,
+    "l21_edit_distance" -> qEditDistance _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1031,6 +1064,7 @@ object LlmQueries {
     "l17_dedup_clusters" -> qDedupClustersSql,
     "l18_pii_scrub" -> qPiiScrubSql,
     "l19_repetition" -> qRepetitionSql,
-    "l20_stratified_sample" -> qStratifiedSampleSql
+    "l20_stratified_sample" -> qStratifiedSampleSql,
+    "l21_edit_distance" -> qEditDistanceSql
   )
 }

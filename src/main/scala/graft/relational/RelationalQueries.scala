@@ -633,6 +633,36 @@ object RelationalQueries {
       |  MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN q END) AS p99
       |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** The rank-family window functions not covered by q09-q11: ntile,
+    * dense_rank, percent_rank, cume_dist over a per-group ordering with
+    * a full tiebreak (rank functions are order-sensitive, so the ORDER
+    * BY must be total for cross-engine determinism). percent_rank /
+    * cume_dist are exact rational arithmetic on identical operands —
+    * no float divergence.
+    */
+  def q29WindowRanks(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    ord(s, d)
+      .where($"o_orderkey" % 50 === 0)
+      .select($"o_orderpriority", $"o_orderkey",
+        ntile(4).over(w).as("quartile"),
+        dense_rank().over(w).as("drank"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+  val q29Sql: String =
+    """SELECT o_orderpriority, o_orderkey,
+      |  NTILE(4) OVER w AS quartile,
+      |  DENSE_RANK() OVER w AS drank,
+      |  PERCENT_RANK() OVER w AS prank,
+      |  CUME_DIST() OVER w AS cdist
+      |FROM orders WHERE o_orderkey % 50 = 0
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice DESC, o_orderkey ASC)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -661,7 +691,8 @@ object RelationalQueries {
     "q25_approx_distinct" -> q25ApproxDistinct _,
     "q26_pivot" -> q26Pivot _,
     "q27_unpivot" -> q27Unpivot _,
-    "q28_quantiles" -> q28Quantiles _
+    "q28_quantiles" -> q28Quantiles _,
+    "q29_window_ranks" -> q29WindowRanks _
   )
 
   val oracles: Map[String, String] = Map(
@@ -692,7 +723,8 @@ object RelationalQueries {
     "q25_approx_distinct" -> q25Sql,
     "q26_pivot" -> q26Sql,
     "q27_unpivot" -> q27Sql,
-    "q28_quantiles" -> q28Sql
+    "q28_quantiles" -> q28Sql,
+    "q29_window_ranks" -> q29Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits
