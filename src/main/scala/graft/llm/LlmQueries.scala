@@ -930,6 +930,44 @@ object LlmQueries {
        |JOIN dd tb ON p.doc_b = tb.doc_id
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
 
+  // --------------------------------------------------------- URL filtering
+  /** l22: URL/domain filtering — extract the host from each document's
+    * URLs and flag documents whose domain is on a blocklist (crawl
+    * hygiene: the blocklist is a small constant set, BROADCAST against
+    * the corpus — the corpus side grows, the blocklist side doesn't).
+    * The driver corpus has no URLs, so both engines append the identical
+    * synthetic URL per document. Row-local extract + broadcast semi-join.
+    */
+  def qUrlFilter(s: SparkSession, d: String): DataFrame = {
+    val hostRe = "https?://([A-Za-z0-9.-]+)"
+    val withUrl = docs(s, d).select(col("doc_id"),
+      concat(lit("see http://site"), col("doc_id") % 20,
+        lit(".example.org/page"), col("doc_id")).as("t"))
+    val blocked = s.createDataFrame(
+      Seq(3, 7, 11).map(k => Tuple1(s"site$k.example.org")))
+      .toDF("bad_domain")
+    withUrl
+      .select(col("doc_id"),
+        regexp_extract(col("t"), hostRe, 1).as("domain"))
+      .join(broadcast(blocked), col("domain") === col("bad_domain"), "left")
+      .select(col("doc_id"), col("domain"),
+        col("bad_domain").isNotNull.as("blocked"))
+      .orderBy("doc_id")
+  }
+  val qUrlFilterSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'see http://site' || (doc_id % 20) || '.example.org/page' || doc_id AS t
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, regexp_extract(t, 'https?://([A-Za-z0-9.-]+)', 1) AS domain
+      |  FROM u),
+      |bl AS (SELECT unnest(['site3.example.org', 'site7.example.org',
+      |                      'site11.example.org']) AS bad_domain)
+      |SELECT e.doc_id, e.domain, (bl.bad_domain IS NOT NULL) AS blocked
+      |FROM e LEFT JOIN bl ON e.domain = bl.bad_domain
+      |ORDER BY e.doc_id""".stripMargin
+
   // ----------------------------------------------------- stratified sample
   /** l20: deterministic stratified subsampling — the training-data mixing
     * primitive: each source stratum keeps a configured fraction of its
@@ -1041,7 +1079,8 @@ object LlmQueries {
     "l18_pii_scrub" -> qPiiScrub _,
     "l19_repetition" -> qRepetition _,
     "l20_stratified_sample" -> qStratifiedSample _,
-    "l21_edit_distance" -> qEditDistance _
+    "l21_edit_distance" -> qEditDistance _,
+    "l22_url_filter" -> qUrlFilter _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1065,6 +1104,7 @@ object LlmQueries {
     "l18_pii_scrub" -> qPiiScrubSql,
     "l19_repetition" -> qRepetitionSql,
     "l20_stratified_sample" -> qStratifiedSampleSql,
-    "l21_edit_distance" -> qEditDistanceSql
+    "l21_edit_distance" -> qEditDistanceSql,
+    "l22_url_filter" -> qUrlFilterSql
   )
 }

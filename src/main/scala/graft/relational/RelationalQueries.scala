@@ -663,6 +663,31 @@ object RelationalQueries {
       |             ORDER BY o_totalprice DESC, o_orderkey ASC)
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
 
+  /** Correlated scalar subquery: orders beating 1.5x their customer's
+    * average order value. Catalyst decorrelates this into an aggregate +
+    * join (RewriteCorrelatedScalarSubquery) — no per-row re-execution —
+    * which is exactly the 100 TB-safe plan. The inner AVG runs on
+    * DECIMAL so both engines compute the identical exact rational
+    * (double AVG would be partial-order-dependent).
+    */
+  def q30CorrelatedSubquery(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM parquet.`$d/orders.parquet` o
+         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+         |  (SELECT CAST(1.5 AS DECIMAL(4,2)) * AVG(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+         |   FROM parquet.`$d/orders.parquet` o2
+         |   WHERE o2.o_custkey = o.o_custkey)
+         |ORDER BY o_orderkey""".stripMargin)
+  val q30Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+      |  (SELECT CAST(1.5 AS DECIMAL(4,2)) * AVG(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+      |   FROM orders o2
+      |   WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -692,7 +717,8 @@ object RelationalQueries {
     "q26_pivot" -> q26Pivot _,
     "q27_unpivot" -> q27Unpivot _,
     "q28_quantiles" -> q28Quantiles _,
-    "q29_window_ranks" -> q29WindowRanks _
+    "q29_window_ranks" -> q29WindowRanks _,
+    "q30_correlated_subquery" -> q30CorrelatedSubquery _
   )
 
   val oracles: Map[String, String] = Map(
@@ -724,7 +750,8 @@ object RelationalQueries {
     "q26_pivot" -> q26Sql,
     "q27_unpivot" -> q27Sql,
     "q28_quantiles" -> q28Sql,
-    "q29_window_ranks" -> q29Sql
+    "q29_window_ranks" -> q29Sql,
+    "q30_correlated_subquery" -> q30Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits
