@@ -93,6 +93,25 @@ class PlanSpec extends SparkSpec {
   test("l19 repetition filter aggregates grams with equi-shuffles only") {
     assertNoAllPairs("l19", LlmQueries.queries("l19_repetition")(spark, sf))
   }
+  // The correlated scalar subquery must decorrelate into an aggregate +
+  // join — a surviving per-row ScalarSubquery node would re-execute the
+  // inner aggregate once per outer row.
+  test("q30 correlated subquery decorrelates into an aggregate + join") {
+    val df = RelationalQueries.queries("q30_correlated_subquery")(spark, sf)
+    val p = planOf(df)
+    assert(!p.contains("ScalarSubquery"),
+      s"q30 still carries a per-row scalar subquery:\n$p")
+    assert(p.contains("Join") && p.contains("Aggregate"),
+      s"q30 lost the decorrelated agg+join shape:\n$p")
+  }
+  // The URL blocklist is the constant small side: the probe must stay a
+  // broadcast join at any corpus scale.
+  test("l22 URL filter broadcasts the blocklist") {
+    val p = planOf(LlmQueries.queries("l22_url_filter")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"l22 lost the broadcast blocklist join:\n$p")
+  }
+
   // Pivot compiles to exactly the two-level aggregate (inner
   // group-by-(key, pivot-col) sum, then pivotfirst) with column pruning
   // reaching the scan — and, because the value list is explicit, planning
