@@ -55,6 +55,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     implicit val ec: ExecutionContext = ExecutionContext.global
+    // Live TASK accounting for quiesce(): a cancelled job leaves
+    // statusTracker's active-job list immediately (the job-end event posts
+    // on cancellation) while its interrupted tasks are still running —
+    // polling job ids would return before the zombie writers exit. Task
+    // start/end events track the actual threads.
+    val activeTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskStart(t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit = {
+        activeTasks.incrementAndGet(); ()
+      }
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        activeTasks.decrementAndGet(); ()
+      }
+    })
     // Untimed warmup: one pass over the scan/hash-agg/sort/codegen and
     // expression-eval infrastructure so the first measured query reflects
     // steady-state cost, not HotSpot/codegen compilation (~6s of the
@@ -113,19 +127,19 @@ object Bench {
     }
 
     /** After a timeout cancellation, wait for the cancelled job group's
-      * interrupted zombie tasks to actually drain. Without this the
-      * per-query unpersist + GC below lets ContextCleaner delete shuffle
-      * dirs out from under still-writing tasks — the r4 bench died
-      * exactly this way (BypassMergeSortShuffleWriter "Unable to delete
-      * file for partition", then a fatal SparkContext shutdown).
+      * interrupted zombie TASKS to actually drain (task-level, not job
+      * level — see the listener above). Without this the per-query
+      * unpersist + GC below lets ContextCleaner delete shuffle dirs out
+      * from under still-writing tasks — the r4 bench died exactly this
+      * way (BypassMergeSortShuffleWriter "Unable to delete file for
+      * partition", then a fatal SparkContext shutdown).
       */
     def quiesce(): Unit = {
-      val tracker = spark.sparkContext.statusTracker
       val deadline = System.nanoTime() + 30L * 1000L * 1000L * 1000L
-      while (tracker.getActiveJobIds.nonEmpty && System.nanoTime() < deadline)
+      while (activeTasks.get() > 0 && System.nanoTime() < deadline)
         Thread.sleep(200)
-      if (tracker.getActiveJobIds.nonEmpty)
-        System.err.println("[bench] WARNING: cancelled jobs still active after 30s")
+      if (activeTasks.get() > 0)
+        System.err.println(s"[bench] WARNING: ${activeTasks.get()} cancelled tasks still running after 30s")
     }
 
     def once(name: String, fn: (SparkSession, String) => DataFrame): Double = {
@@ -182,7 +196,13 @@ object Bench {
       }
       runs += once(name, fn)
       runs += once(name, fn)
-      val threshold = math.max(5.0 * referenceSec.getOrElse(name, 3.0), 10.0)
+      // The reference times are calibrated at sf0.1 — at any other scale
+      // legitimate runtimes would trip the threshold and double the
+      // bench, so retries only arm at the calibration scale.
+      val calibrated = sfDir.contains("sf0.1")
+      val threshold =
+        if (calibrated) math.max(5.0 * referenceSec.getOrElse(name, 3.0), 10.0)
+        else Double.MaxValue
       var extra = 0
       while (best > threshold && extra < 2) {
         System.err.println(
@@ -195,7 +215,12 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (sec, runs) = measure(name, fn)
-      val runsJson = runs.map(r => f"$r%.3f").mkString("[", ",", "]")
+      // Locale-proof (the f interpolator renders a decimal COMMA under
+      // comma-decimal default locales, silently corrupting the JSON);
+      // Double.toString is locale-independent.
+      val runsJson = runs
+        .map(r => (math.rint(r * 1000) / 1000).toString)
+        .mkString("[", ",", "]")
       System.err.println(f"[bench] $name ${sec}%.1fs (runs: ${runs.map(r => f"$r%.1f").mkString(", ")})")
       // Incremental, parseable: one line per query so a crash near the
       // end of the run cannot erase every earlier measurement.

@@ -835,6 +835,10 @@ object LlmQueries {
       labels = next
       rounds += 1
     }
+    if (!fixed)
+      System.err.println(s"[l17] WARNING: label propagation hit the $rounds-round " +
+        "cap before fixpoint — a duplicate chain longer than the cap exists and " +
+        "cluster ids are not yet component minima")
     edges.unpersist()
     labels
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
@@ -1023,7 +1027,11 @@ object LlmQueries {
         size(col("w")).cast("long").as("n_words"),
         size(array_distinct(col("w"))).cast("long").as("n_distinct_words"),
         col("w"))
-    val bigrams = base.select(col("doc_id"),
+    // Guard single-word docs: sequence(1, 0) yields the DESCENDING array
+    // [1, 0] in Spark (not empty like DuckDB's generate_series) and
+    // element_at(w, 0) throws — filter before building grams on BOTH
+    // engines so the shapes stay identical.
+    val bigrams = base.where(size(col("w")) >= 2).select(col("doc_id"),
       explode(transform(sequence(lit(1), size(col("w")) - 1),
         i => concat_ws(" ", element_at(col("w"), i),
           element_at(col("w"), i + 1)))).as("g"))
@@ -1046,7 +1054,7 @@ object LlmQueries {
       |  SELECT doc_id,
       |    unnest(list_transform(generate_series(1, len(w) - 1),
       |      i -> w[i] || ' ' || w[i + 1])) AS g
-      |  FROM w),
+      |  FROM w WHERE len(w) >= 2),
       |topbi AS (
       |  SELECT doc_id, max(c) AS max_bigram_count
       |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)

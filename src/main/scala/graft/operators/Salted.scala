@@ -28,6 +28,9 @@ object Salted {
   def join(facts: DataFrame, dims: DataFrame, key: String, s: Int,
       saltSource: Seq[Column] = Nil): DataFrame = {
     require(s >= 1, s"salt fan-out must be >= 1: $s")
+    require(!facts.columns.contains("__salt") && !dims.columns.contains("__salt"),
+      "input already has a __salt column — withColumn would clobber it and " +
+        "the final drop would silently lose it")
     val src = if (saltSource.nonEmpty) saltSource else facts.columns.map(col).toSeq
     val salted = facts.withColumn("__salt", pmod(hash(src: _*), lit(s)))
     val exploded = dims.withColumn("__salt",
