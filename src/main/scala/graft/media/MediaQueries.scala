@@ -141,17 +141,53 @@ object MediaQueries {
        |  CAST(floor(sum(n) * 1000.0 / COUNT(*) + 0.5) AS BIGINT) AS avg_bytes_x1000
        |FROM media GROUP BY kind ORDER BY kind""".stripMargin
 
+  // ------------------------------------------------------------ media dedup
+  /** m05: binary-content media dedup — group by content hash of the raw
+    * payload BYTES (Spark's md5 runs on the binary column; the oracle
+    * reproduces it as md5(text) because the stub payload is the UTF-8
+    * encoding of all-ASCII text, so bytes == codepoints), with a coarse
+    * byte-sum "perceptual" bucket per group (the stand-in for a pHash at
+    * 100 TB: both are one codegen'd pass over the payload producing a
+    * small groupable key). Dup-augmented like the document dedup suite
+    * so the operator has real work.
+    */
+  def qMediaDedup(s: SparkSession, d: String): DataFrame = {
+    val base = MediaOps.mediaTable(s, d)
+    val dd = base.unionByName(
+      base.where(col("media_id") % 10 === 0)
+        .withColumn("media_id", col("media_id") + 100000))
+    dd.groupBy(md5(col("payload")).as("fp"))
+      .agg(count(lit(1)).as("copies"), min("media_id").as("keeper"),
+        // Column `/` is always DOUBLE division — cast back for the
+        // integer bucket (byte sums are non-negative, so truncation
+        // equals DuckDB's floor `//`).
+        (min(byteSum(col("payload"))) / 100L).cast("long").as("pbucket"))
+      .orderBy("fp")
+  }
+  val qMediaDedupSql: String =
+    s"""WITH $mediaSql,
+       |mm AS (
+       |  SELECT media_id, text, n FROM media
+       |  UNION ALL
+       |  SELECT media_id + 100000 AS media_id, text, n
+       |  FROM media WHERE media_id % 10 = 0)
+       |SELECT md5(text) AS fp, COUNT(*) AS copies, min(media_id) AS keeper,
+       |  min(${asciiSumSql("1", "n")}) // 100 AS pbucket
+       |FROM mm GROUP BY md5(text) ORDER BY fp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_decode" -> qMediaDecode _,
     "m02_image_resize" -> qImageResize _,
     "m03_frame_sample" -> qFrameSample _,
-    "m04_media_stats" -> qMediaStats _
+    "m04_media_stats" -> qMediaStats _,
+    "m05_media_dedup" -> qMediaDedup _
   )
 
   val oracles: Map[String, String] = Map(
     "m01_media_decode" -> qMediaDecodeSql,
     "m02_image_resize" -> qImageResizeSql,
     "m03_frame_sample" -> qFrameSampleSql,
-    "m04_media_stats" -> qMediaStatsSql
+    "m04_media_stats" -> qMediaStatsSql,
+    "m05_media_dedup" -> qMediaDedupSql
   )
 }
