@@ -15,25 +15,54 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
 
-  /** Best-known steady-state seconds per query, from the committed
-    * BENCH_r03 artifact corrected by the round-4 judge's clean rerun for
-    * the queries where r3 itself had recorded a host stall (t04, t08).
+  /** Best-known steady-state seconds per query: the minimum over every
+    * committed round-5 artifact (BENCH_LOCAL_r05a-e + BENCH_r05) — the
+    * round-5 verdict found the previous table stale/incomplete, which let
+    * stalled readings 5-11x steady state sail through un-retried.
     * Used ONLY to detect polluted measurements — this host sporadically
     * pins 2-3 RUNNABLE tasks at ~1000x their siblings' per-row cost
     * (verified via jstack; independent of query/plan/GC), and a stalled
     * run misreports a query by 10-60s. A measurement above
-    * 5x-the-reference triggers a re-run (up to 2). Never reported as a
-    * result; unlisted queries default to a 3s reference.
+    * 5x-the-reference triggers a re-run (up to 4, with a sleep between
+    * them — a stall epoch outlasts back-to-back re-runs). Never reported
+    * as a result; unlisted queries default to a 3s reference.
     */
   private val referenceSec: Map[String, Double] = Map(
-    "t01_tick_parse" -> 2.6, "t02_volume_expansion" -> 2.5,
-    "t03_hotloop_derivative" -> 3.0, "t04_hotloop_hexad16" -> 1.9,
-    "t05_hotloop_cpm" -> 1.8, "t06_hotloop_amc" -> 2.5,
-    "t07_bars_boxcar" -> 2.9, "t08_bars_fir" -> 3.8,
-    "t09_tick_capture" -> 1.7, "t10_bar_capture" -> 1.6,
-    "l03_lsh_pairs" -> 3.0, "l05_ngram_jaccard" -> 3.8,
-    "l16_contamination" -> 5.0, "l17_dedup_clusters" -> 14.0,
-    "l19_repetition" -> 4.0
+    "l01_dedup_exact" -> 0.7, "l02_minhash_signatures" -> 0.7,
+    "l03_lsh_pairs" -> 1.6, "l04_simhash" -> 1.2,
+    "l05_ngram_jaccard" -> 1.8, "l06_cosine_topk" -> 0.5,
+    "l07_ann_lsh" -> 0.6, "l08_embed_neardup" -> 0.9,
+    "l09_langid" -> 0.6, "l10_quality" -> 0.8,
+    "l11_token_count" -> 0.6, "l12_fingerprint" -> 0.6,
+    "l13_ann_topk" -> 0.5, "l14_ivf_topk" -> 0.9,
+    "l15_quality_filter" -> 0.6, "l16_contamination" -> 2.4,
+    "l17_dedup_clusters" -> 4.0, "l18_pii_scrub" -> 0.6,
+    "l19_repetition" -> 1.3, "l20_stratified_sample" -> 0.5,
+    "l21_edit_distance" -> 2.8, "l22_url_filter" -> 0.6,
+    "m01_media_decode" -> 0.6, "m02_image_resize" -> 0.5,
+    "m03_frame_sample" -> 0.5, "m04_media_stats" -> 0.3,
+    "m05_media_dedup" -> 1.0,
+    "q01_scan_project" -> 0.6, "q02_filter" -> 0.4,
+    "q03_explode" -> 0.4, "q04_agg" -> 1.0,
+    "q05_join_broadcast" -> 0.4, "q06_join_multiway" -> 1.0,
+    "q07_semi_anti" -> 0.4, "q08_outer_agg" -> 0.8,
+    "q09_window_topk" -> 0.4, "q10_window_frames" -> 0.5,
+    "q11_lag_lead" -> 0.5, "q12_distinct" -> 1.0,
+    "q13_rollup" -> 0.8, "q14_cube" -> 0.5,
+    "q15_setops" -> 0.4, "q16_sort_limit" -> 0.3,
+    "q17_scalar_math" -> 0.3, "q18_scalar_string" -> 0.2,
+    "q19_datetime" -> 0.3, "q20_array_agg" -> 0.2,
+    "q21_array_higher_order" -> 0.2, "q22_range_join" -> 0.3,
+    "q23_asof" -> 0.4, "q24_ema_udaf" -> 0.5,
+    "q25_approx_distinct" -> 1.1, "q26_pivot" -> 0.4,
+    "q27_unpivot" -> 0.5, "q28_quantiles" -> 1.4,
+    "q29_window_ranks" -> 0.3, "q30_correlated_subquery" -> 0.6,
+    "q31_grouping_sets" -> 0.8,
+    "t01_tick_parse" -> 1.7, "t02_volume_expansion" -> 1.3,
+    "t03_hotloop_derivative" -> 2.5, "t04_hotloop_hexad16" -> 1.9,
+    "t05_hotloop_cpm" -> 1.6, "t06_hotloop_amc" -> 1.4,
+    "t07_bars_boxcar" -> 1.6, "t08_bars_fir" -> 2.4,
+    "t09_tick_capture" -> 1.4, "t10_bar_capture" -> 1.5
   )
 
   def main(args: Array[String]): Unit = {
@@ -198,16 +227,23 @@ object Bench {
       runs += once(name, fn)
       // The reference times are calibrated at sf0.1 — at any other scale
       // legitimate runtimes would trip the threshold and double the
-      // bench, so retries only arm at the calibration scale.
-      val calibrated = sfDir.contains("sf0.1")
+      // bench, so retries only arm at the calibration scale. Exact
+      // basename match: a substring test would also arm at e.g.
+      // sf0.15 or sf0.1_big and double the bench at the wrong scale.
+      val calibrated = new java.io.File(sfDir).getName == "sf0.1"
       val threshold =
         if (calibrated) math.max(5.0 * referenceSec.getOrElse(name, 3.0), 10.0)
         else Double.MaxValue
       var extra = 0
-      while (best > threshold && extra < 2) {
+      while (best > threshold && extra < 4) {
         System.err.println(
           f"[bench] $name min ${best}%.1fs > ${threshold}%.1fs threshold — re-running (stall suspected)")
         extra += 1
+        // A stall epoch outlasts back-to-back re-runs (round 5: l21
+        // burned both retries inside one epoch and still committed 7x
+        // steady state) — sleep between attempts so later retries land
+        // in a different window. Backoff: 5s, 10s, 15s, 20s.
+        Thread.sleep(5000L * extra)
         runs += once(name, fn)
       }
       (best, runs.toList)

@@ -192,28 +192,39 @@ object LlmQueries {
   // ---------------------------------------------------------------- SimHash
   /** 16-bit SimHash over word tokens; bit source is the parity of the
     * j-th hex char of md5(token) (engine-portable bit extraction).
+    *
+    * One md5 per WORD, total (the file's hashing discipline): the hash
+    * array is bound as its own aliased projection, so the 16 per-bit
+    * parity folds below reference the computed hex strings — an alias
+    * that is non-cheap and referenced 16 times survives CollapseProject,
+    * and the per-element lambda work is just ascii/substring. The
+    * previous form recomputed md5(w) inside every bit-plane transform
+    * (16 hashes per word) and was the suite's slowest query.
     */
   def qSimhash(s: SparkSession, d: String): DataFrame = {
-    val words = split(col("text"), " ")
+    val hashed = docs(s, d).select(col("doc_id"),
+      transform(split(col("text"), " "), w => md5(w)).as("hs"))
     val bits = (0 until 16).map { j =>
-      val contrib = aggregate(
-        transform(words, w => ascii(substring(md5(w), j + 1, 1)) % 2 * 2 - 1),
-        lit(0), (acc, x) => acc + x)
+      val contrib = aggregate(col("hs"), lit(0),
+        (acc, h) => acc + ascii(substring(h, j + 1, 1)) % 2 * 2 - 1)
       when(contrib > 0, lit(1L << j)).otherwise(lit(0L))
     }
-    docs(s, d)
-      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+    hashed.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
       .orderBy("doc_id")
   }
   val qSimhashSql: String = {
     val bits = (0 until 16).map { j =>
-      s"""CASE WHEN list_sum(list_transform(string_split(text, ' '),
-         |    w -> ascii(substring(md5(w), ${j + 1}, 1)) % 2 * 2 - 1)) > 0
+      s"""CASE WHEN list_sum(list_transform(hs,
+         |    h -> ascii(substring(h, ${j + 1}, 1)) % 2 * 2 - 1)) > 0
          |  THEN ${1L << j} ELSE 0 END""".stripMargin
     }.mkString(" +\n  ")
-    s"""SELECT doc_id,
+    s"""WITH hashed AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(text, ' '), w -> md5(w)) AS hs
+       |  FROM documents)
+       |SELECT doc_id,
        |  $bits AS simhash
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |FROM hashed ORDER BY doc_id""".stripMargin
   }
 
   // --------------------------------------------------------- n-gram Jaccard
@@ -796,13 +807,41 @@ object LlmQueries {
     * cost at scale is one full label-table materialization per round
     * (label rows are (id, id) pairs — a few bytes/doc, far below the
     * corpus itself), the accepted price of every iterative distributed
-    * CC formulation. For adversarial long-chain graphs the same loop
-    * bounds rounds at O(log n) if seeded with large-star/small-star
-    * steps — not needed for LSH duplicate graphs.
+    * CC formulation. Adversarial long-chain graphs are handled too:
+    * every round ends with a pointer-jumping shortcut
+    * (label := label(label)), the two-step contraction of
+    * large-star/small-star, so a diameter-D component closes in
+    * O(log D) rounds — the 60-round cap corresponds to diameter ~2^60
+    * and is unreachable; hitting it is an invariant violation, not a
+    * warning.
     */
   def qDedupClusters(s: SparkSession, d: String): DataFrame = {
     val dd = docsWithDups(s, d)
     val pairs = lshPairsOf(bandedSignatures(dd))
+    connectedComponents(dd.select(col("doc_id")), pairs)
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Distributed connected components over an undirected candidate-pair
+    * graph: labels every vertex with the minimum doc_id of its component.
+    *
+    * Min-label propagation (one equi-join + hash agg per round, no
+    * driver-side graph) accelerated with pointer jumping: after each
+    * neighbor-min step, labels chase one level of indirection
+    * (label := label(label), taking the min), which halves the residual
+    * chain depth — rounds are O(log diameter) worst-case instead of
+    * O(diameter), so a 40-hop duplicate chain resolves in ~6 rounds.
+    * Fixpoint is detected with one O(1) agg per round: the label sum is
+    * monotone non-increasing under min-propagation, so sum-unchanged ==
+    * fixpoint (coalesced to 0 so an empty vertex set terminates instead
+    * of NPE-ing).
+    *
+    * @param vertices one column `doc_id`
+    * @param pairs    two columns `doc_a`, `doc_b` (undirected edges;
+    *                 orientation and duplicates are both tolerated)
+    */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -810,39 +849,51 @@ object LlmQueries {
     // as self-ids, so the first propagation is just min neighbor id) —
     // one join round saved.
     val nbrMin0 = edges.groupBy(col("u")).agg(min("v").as("nbr_min"))
-    var labels = dd.select(col("doc_id"))
+    var labels = vertices.select(col("doc_id"))
       .join(nbrMin0, col("doc_id") === col("u"), "left")
       .select(col("doc_id"),
         least(col("doc_id"), coalesce(col("nbr_min"), col("doc_id"))).as("cluster_id"))
       .localCheckpoint()
     def labelSum(df: DataFrame): Long =
-      df.agg(org.apache.spark.sql.functions.sum("cluster_id")).head().getLong(0)
+      df.agg(coalesce(org.apache.spark.sql.functions.sum("cluster_id"), lit(0L)))
+        .head().getLong(0)
     var prevSum = labelSum(labels)
     var rounds = 0
     var fixed = false
-    while (!fixed && rounds < 20) {
+    while (!fixed && rounds < 60) {
       val nbrMin = edges.join(labels, col("v") === col("doc_id"))
         .groupBy(col("u")).agg(min("cluster_id").as("nbr_min"))
-      val next = labels.as("l")
+      val propagated = labels.as("l")
         .join(nbrMin, col("l.doc_id") === col("u"), "left")
         .select(col("l.doc_id").as("doc_id"),
           least(col("l.cluster_id"),
             coalesce(col("nbr_min"), col("l.cluster_id"))).as("cluster_id"))
+        // consumed twice by the shortcut self-join below; cached only
+        // until the eager localCheckpoint materializes `next`
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Pointer-jumping shortcut: follow one level of label indirection.
+      // Every cluster_id is itself a doc_id present in the label table
+      // (labels are component-member ids), so the self-join is total.
+      val next = propagated.as("p")
+        .join(propagated.select(col("doc_id").as("pid"),
+          col("cluster_id").as("plabel")), col("p.cluster_id") === col("pid"))
+        .select(col("p.doc_id").as("doc_id"),
+          least(col("p.cluster_id"), col("plabel")).as("cluster_id"))
         .localCheckpoint()
+      propagated.unpersist()
       val nextSum = labelSum(next)
       fixed = nextSum == prevSum
       prevSum = nextSum
       labels = next
       rounds += 1
     }
-    if (!fixed)
-      System.err.println(s"[l17] WARNING: label propagation hit the $rounds-round " +
-        "cap before fixpoint — a duplicate chain longer than the cap exists and " +
-        "cluster ids are not yet component minima")
     edges.unpersist()
+    if (!fixed)
+      throw new IllegalStateException(
+        s"connectedComponents failed to reach fixpoint in $rounds rounds — " +
+          "impossible for any finite graph under pointer jumping (diameter " +
+          "would exceed 2^60); indicates label-table corruption")
     labels
-      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
-      .orderBy("doc_id")
   }
   val qDedupClustersSql: String =
     s"""WITH RECURSIVE $docsWithDupsSql,

@@ -31,12 +31,15 @@ case class MediaFeatures(
   * `documents` (payload = UTF-8 bytes of the text — a stand-in for real
   * image/audio/video blobs), and a batched decode/feature-extract path.
   *
-  * The decode itself is a STUB: the container has no image/audio codecs,
-  * so [[decodeOne]] computes deterministic byte-level features where a
-  * real deployment would invoke the codec. Everything around it — the
-  * binary schema, the partitioning, the batched iterator shape (the
-  * Scala analog of `mapInPandas`'s record-batch contract), the typed
-  * Encoder plumbing — is real and tested.
+  * Decode is two-tier: payloads that ARE real images (PNG/JPEG by magic
+  * bytes) decode through `javax.imageio` — in the JDK, no container
+  * codecs needed — and the emitted features are decoded grayscale PIXEL
+  * stats. Everything else (the synthetic corpus payloads, and the
+  * audio/video kinds this container has no codecs for) falls through to
+  * deterministic byte-level features standing in for the codec call.
+  * The surrounding plumbing — binary schema, partitioning, batched
+  * iterator shape (the Scala analog of `mapInPandas`'s record-batch
+  * contract), typed Encoder — is identical for both tiers.
   */
 object MediaOps {
 
@@ -76,13 +79,15 @@ object MediaOps {
     }
   }
 
-  /** STUB decode: deterministic byte-level features standing in for the
-    * real codec call (pixel stats / PCM stats / container probe). The
-    * container ships no image/audio libraries; a production build swaps
-    * only this function.
+  /** Per-asset decode. Real images (PNG/JPEG magic) go through the
+    * imageio codec and report PIXEL stats over the decoded grayscale
+    * raster; all other payloads report byte-level features standing in
+    * for the codec call (pixel stats / PCM stats / container probe) —
+    * the synthetic corpus payloads are UTF-8 text, so the oracle
+    * contract for them is exactly this byte path.
     */
-  private def decodeOne(m: MediaIn): MediaFeatures = {
-    val bytes = m.payload
+  private[media] def decodeOne(m: MediaIn): MediaFeatures = {
+    val bytes = decodeImageGray(m.payload).getOrElse(m.payload)
     var sum = 0L
     var wsum = 0L
     var mn = 255
@@ -98,5 +103,29 @@ object MediaOps {
     }
     if (bytes.isEmpty) { mn = 0; mx = 0 }
     MediaFeatures(m.media_id, m.kind, bytes.length, sum, mn, mx, wsum)
+  }
+
+  /** Real codec path: if the payload carries a PNG or JPEG signature,
+    * decode it with `javax.imageio` and return the 8-bit grayscale
+    * raster (row-major, one byte per pixel, so byte_count = w*h).
+    * Returns None for non-image payloads or undecodable bytes — the
+    * caller falls back to the byte-level features. Headless-safe: only
+    * BufferedImage/Raster, no display resources.
+    */
+  private[media] def decodeImageGray(b: Array[Byte]): Option[Array[Byte]] = {
+    val isPng = b.length > 8 && (b(0) & 0xff) == 0x89 &&
+      b(1) == 'P'.toByte && b(2) == 'N'.toByte && b(3) == 'G'.toByte
+    val isJpeg = b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+    if (!isPng && !isJpeg) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))).map { img =>
+        val gray = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g = gray.createGraphics()
+        try g.drawImage(img, 0, 0, null) finally g.dispose()
+        gray.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+      }
+      catch { case _: java.io.IOException => None } // truncated/corrupt container
   }
 }

@@ -24,6 +24,11 @@ object Salted {
     * hash(), so the plan stays deterministic (no rand(): retried tasks
     * must salt identically or a recompute changes the result under
     * non-idempotent sinks).
+    *
+    * The default salt source is every hashable fact column — map columns
+    * are excluded because Spark's hash() rejects MapType at analysis, and
+    * hashing wide rows costs; pass an explicit `saltSource` (any one
+    * high-cardinality column suffices) to bound that cost.
     */
   def join(facts: DataFrame, dims: DataFrame, key: String, s: Int,
       saltSource: Seq[Column] = Nil): DataFrame = {
@@ -31,10 +36,23 @@ object Salted {
     require(!facts.columns.contains("__salt") && !dims.columns.contains("__salt"),
       "input already has a __salt column — withColumn would clobber it and " +
         "the final drop would silently lose it")
-    val src = if (saltSource.nonEmpty) saltSource else facts.columns.map(col).toSeq
+    val src =
+      if (saltSource.nonEmpty) saltSource
+      else facts.schema.fields.toSeq
+        .filterNot(f => hasMapType(f.dataType)).map(f => col(f.name))
+    require(src.nonEmpty,
+      "no hashable fact columns to derive a deterministic salt from — " +
+        "pass an explicit saltSource")
     val salted = facts.withColumn("__salt", pmod(hash(src: _*), lit(s)))
     val exploded = dims.withColumn("__salt",
       explode(sequence(lit(0), lit(s - 1))))
     salted.join(exploded, Seq(key, "__salt")).drop("__salt")
+  }
+
+  private def hasMapType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMapType(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hasMapType(a.elementType)
+    case _ => false
   }
 }

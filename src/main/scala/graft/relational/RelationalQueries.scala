@@ -688,6 +688,31 @@ object RelationalQueries {
       |   WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Bare GROUPING SETS (Q9's third form next to rollup/cube): an
+    * explicit NON-hierarchical set list — (status, priority), (priority),
+    * () — which neither ROLLUP nor CUBE can express (rollup drops the
+    * trailing key first; this keeps the second key alone). Spark expands
+    * the three sets into a single Expand + one hash aggregate: one scan,
+    * one shuffle for all granularities, same scale shape as rollup/cube.
+    */
+  def q31GroupingSets(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+         |       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+         |       COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+         |FROM parquet.`$d/orders.parquet`
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+         |ORDER BY orderstatus, orderpriority""".stripMargin)
+  val q31Sql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+      |       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+      |       COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+      |ORDER BY orderstatus, orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -718,7 +743,8 @@ object RelationalQueries {
     "q27_unpivot" -> q27Unpivot _,
     "q28_quantiles" -> q28Quantiles _,
     "q29_window_ranks" -> q29WindowRanks _,
-    "q30_correlated_subquery" -> q30CorrelatedSubquery _
+    "q30_correlated_subquery" -> q30CorrelatedSubquery _,
+    "q31_grouping_sets" -> q31GroupingSets _
   )
 
   val oracles: Map[String, String] = Map(
@@ -751,7 +777,8 @@ object RelationalQueries {
     "q27_unpivot" -> q27Sql,
     "q28_quantiles" -> q28Sql,
     "q29_window_ranks" -> q29Sql,
-    "q30_correlated_subquery" -> q30Sql
+    "q30_correlated_subquery" -> q30Sql,
+    "q31_grouping_sets" -> q31Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits

@@ -66,7 +66,9 @@ object TickStream {
     * state, parallelism and shuffle all partition by symbol, so the
     * single-key total-order bottleneck disappears at fleet scale (one
     * group per instrument, thousands of instruments spread across
-    * executors). `tick_idx` orders ticks WITHIN a symbol.
+    * executors). Rows within a micro-batch are sorted by `tick_idx`
+    * before folding (same contract as [[hotLoopStream]]: a lower
+    * tick_idx arriving in a LATER batch folds in arrival order).
     */
   def hotLoopStreamKeyed(ticks: Dataset[(String, TickIn)],
       cfg: SignalConfig): Dataset[(String, TickOut)] = {

@@ -39,6 +39,44 @@ class MediaOpsSpec extends SparkSpec {
     }
   }
 
+  test("real PNG payloads decode through imageio to pixel stats; JPEG path engages") {
+    // A 7x5 grayscale PNG with a known checkerboard-ish gradient: the
+    // decoded features must be PIXEL stats (count = w*h), not container
+    // byte stats (a PNG payload is longer than w*h and starts with magic).
+    val (w, h) = (7, 5)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val px = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    img.getRaster.setDataElements(0, 0, w, h, px)
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", buf))
+    val png = buf.toByteArray
+    assert(png.length != w * h) // container != raster, or the assert below proves nothing
+
+    val got = MediaOps.decodeFeatures(
+      Seq(MediaIn(1L, "image", png, w, 8000, 32)).toDS()).collect()(0)
+    val u = px.map(_ & 0xff)
+    assert(got.byte_count == w * h)
+    assert(got.byte_sum == u.map(_.toLong).sum)
+    assert(got.byte_min == u.min && got.byte_max == u.max)
+    assert(got.checksum == u.zipWithIndex.map { case (b, i) => (i + 1).toLong * b }.sum)
+
+    // JPEG: lossy, so only pin that the codec path engaged (pixel-count
+    // features, not container-byte features).
+    val jbuf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", jbuf))
+    val jgot = MediaOps.decodeFeatures(
+      Seq(MediaIn(2L, "image", jbuf.toByteArray, w, 8000, 32)).toDS()).collect()(0)
+    assert(jgot.byte_count == w * h)
+
+    // Corrupt container: PNG magic but truncated body falls back to the
+    // byte tier instead of throwing mid-stage.
+    val broken = png.take(12)
+    val bgot = MediaOps.decodeFeatures(
+      Seq(MediaIn(3L, "image", broken, w, 8000, 32)).toDS()).collect()(0)
+    assert(bgot.byte_count == 12)
+  }
+
   test("media queries run end-to-end on sf0.001 with expected shapes") {
     val d = "/root/testdata/sf0.001"
     val decode = MediaQueries.qMediaDecode(spark, d)
