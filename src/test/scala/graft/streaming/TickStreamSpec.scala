@@ -261,6 +261,67 @@ class TickStreamSpec extends SparkSpec {
     assert(out == Set(("click", 2L, 3.0), ("click", 1L, 4.0), ("view", 1L, 3.0)))
   }
 
+  test("composed e2e: watermark dedup -> keyed hot loop -> priority/drop fan-out, one query") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d")
+    // Two instruments with globally-unique tick_idx (the fan-out cutoff
+    // keys on it); an at-least-once source re-delivers some ticks across
+    // micro-batches, so the dedup stage must drop them BEFORE they would
+    // corrupt the sequential hot-loop state.
+    val ymTicks = {
+      val rnd = new scala.util.Random(29)
+      (1 to 150).map(i => TickIn(i.toLong, 7L, 39000 + rnd.nextInt(5200) - 100,
+        if (i == 1) 0 else rnd.nextInt(41) - 20))
+    }
+    val esTicks = {
+      val rnd = new scala.util.Random(31)
+      (1 to 120).map(i => TickIn((1000 + i).toLong, 7L, 39000 + rnd.nextInt(5200) - 100,
+        if (i == 1) 0 else rnd.nextInt(41) - 20))
+    }
+    val expectedYm = HotLoopStep.run(ymTicks, cfg)
+    val expectedEs = HotLoopStep.run(esTicks, cfg)
+
+    val keyed: Seq[(String, TickIn)] = ymTicks.map(("YM", _)) ++ esTicks.map(("ES", _))
+    // (symbol, tick, event-time); duplicates carry a later event time,
+    // like a real replayed source.
+    val b1 = keyed.take(180).zipWithIndex.map { case ((s, t), i) => (s, t, ts(i / 10)) }
+    val replayed = keyed.slice(150, 180).zipWithIndex
+      .map { case ((s, t), i) => (s, t, ts(20 + i / 10)) } // 30 dups of b1's tail
+    val b2 = keyed.drop(180).zipWithIndex.map { case ((s, t), i) => (s, t, ts(21 + i / 10)) }
+
+    val input = MemoryStream[(String, TickIn, java.sql.Timestamp)]
+    val deduped = TickStream.dedupEventsWithinWatermark(
+      input.toDF().toDF("sym", "tick", "ts")
+        .withColumn("event_id",
+          concat($"sym", lit("#"), $"tick.tick_idx".cast("string"))),
+      "10 minutes")
+      .select($"sym", $"tick").as[(String, TickIn)]
+    val enriched = TickStream.hotLoopStreamKeyed(deduped, cfg).map(_._2)
+    val registry = new TickStream.ConsumerRegistry
+    val prio = registry.subscribe("prio", TickStream.Priority, 64)
+    val mon = registry.subscribe("mon", TickStream.Monitoring, 100)
+    val ckpt = Files.createTempDirectory("ckpt7").toString
+    val query = TickStream.broadcastTo(enriched, registry, ckpt, localDeliver = true)
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(replayed ++ b2: _*); query.processAllAvailable()
+      // Dedup: exactly one delivery per distinct tick despite the replay.
+      assert(prio.messagesSent.get() == 270 && prio.messagesDropped.get() == 0)
+      val got = prio.queue.asScala.toSeq
+      assert(got.map(_.tick_idx).distinct.size == 270)
+      // Hot-loop state parity: the replayed ticks must NOT have re-folded —
+      // every emitted row equals the clean single-run fold per symbol.
+      val bySym = got.groupBy(t => if (t.tick_idx >= 1000) "ES" else "YM")
+        .view.mapValues(_.sortBy(_.tick_idx).toSeq)
+      assert(bySym("YM") == expectedYm)
+      assert(bySym("ES") == expectedEs)
+      // Drop policy still applies downstream of the stateful stages: the
+      // monitoring consumer keeps only its buffer's worth.
+      assert(mon.messagesSent.get() == 100)
+      assert(mon.messagesDropped.get() == 170)
+    } finally query.stop()
+  }
+
   test("streaming dedup within watermark drops cross-batch duplicates") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
