@@ -249,7 +249,13 @@ object Bench {
       (best, runs.toList)
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated filter for quick local iteration on a few
+    // queries (the driver always runs the full surface).
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .map { case (name, fn) =>
       val (sec, runs) = measure(name, fn)
       // Locale-proof (the f interpolator renders a decimal COMMA under
       // comma-decimal default locales, silently corrupting the JSON);

@@ -105,6 +105,34 @@ object MediaOps {
     MediaFeatures(m.media_id, m.kind, bytes.length, sum, mn, mx, wsum)
   }
 
+  /** Real thumbnailer tier for image payloads: decode via imageio and
+    * scale to (w, h) with bilinear interpolation into an 8-bit grayscale
+    * raster (row-major, w*h bytes). None for non-image payloads — the
+    * relational m02 query keeps its byte-fold "block thumbnail" for
+    * those, same two-tier contract as [[decodeOne]].
+    */
+  private[media] def resizeImageGray(b: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    require(w > 0 && h > 0, s"thumbnail dims must be positive: ${w}x$h")
+    val isPng = b.length > 8 && (b(0) & 0xff) == 0x89 &&
+      b(1) == 'P'.toByte && b(2) == 'N'.toByte && b(3) == 'G'.toByte
+    val isJpeg = b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+    if (!isPng && !isJpeg) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))).map { img =>
+        val thumb = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g = thumb.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        thumb.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+      }
+      catch { case _: java.io.IOException => None }
+  }
+
   /** Real codec path: if the payload carries a PNG or JPEG signature,
     * decode it with `javax.imageio` and return the 8-bit grayscale
     * raster (row-major, one byte per pixel, so byte_count = w*h).

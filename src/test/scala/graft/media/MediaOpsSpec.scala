@@ -77,6 +77,21 @@ class MediaOpsSpec extends SparkSpec {
     assert(bgot.byte_count == 12)
   }
 
+  test("resizeImageGray: real bilinear thumbnail for PNG, None for non-images") {
+    // Constant-value image: any interpolation of a constant is the
+    // constant, so the thumbnail is exactly assertable.
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, 8, 8, Array.fill(64)(200.toByte))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val thumb = MediaOps.resizeImageGray(buf.toByteArray, 4, 3).get
+    assert(thumb.length == 4 * 3)
+    assert(thumb.forall(b => (b & 0xff) == 200))
+    // Non-image payload: falls to the byte-fold tier (None here).
+    assert(MediaOps.resizeImageGray("plain text".getBytes("UTF-8"), 4, 4).isEmpty)
+  }
+
   test("media queries run end-to-end on sf0.001 with expected shapes") {
     val d = "/root/testdata/sf0.001"
     val decode = MediaQueries.qMediaDecode(spark, d)
