@@ -1117,6 +1117,141 @@ object LlmQueries {
       |FROM base b LEFT JOIN topbi t ON b.doc_id = t.doc_id
       |ORDER BY b.doc_id""".stripMargin
 
+  /** Chunk-level exact dedup (C4-style duplicate-span removal at a fixed
+    * 8-word granularity): every document is cut into consecutive 8-word
+    * chunks, the corpus-wide FIRST occurrence of each chunk (smallest
+    * (doc_id, pos)) is kept and every later occurrence marked duplicate,
+    * and each document reports its chunk counts plus an md5 fingerprint
+    * of its kept text. First-occurrence resolution is an equi-join
+    * against a hash-aggregated min over the encoded (doc_id, pos) key —
+    * no windows, no driver state; at 100 TB this is one explode + one
+    * map-side-combining agg + one shuffle join on the chunk hash.
+    * Runs on the duplicate-augmented corpus so the operator has real
+    * cross-document work.
+    */
+  def qChunkDedup(s: SparkSession, d: String): DataFrame = {
+    val chunks = docsWithDups(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1L), ceil(size(col("w")) / 8.0).cast("long")))
+          .as("pos"))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ",
+          slice(col("w"), ((col("pos") - 1) * 8 + 1).cast("int"), lit(8)))
+          .as("g"),
+        (col("doc_id") * 1000000L + col("pos")).as("k"))
+    val firsts = chunks.groupBy("g").agg(min("k").as("fk"))
+    chunks.join(firsts, Seq("g"))
+      .withColumn("dup", col("k") =!= col("fk"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
+        md5(concat_ws(" ",
+          transform(
+            sort_array(collect_list(
+              when(!col("dup"), struct(col("pos"), col("g"))))),
+            kept => kept.getField("g")))).as("kept_fp"))
+      .orderBy("doc_id")
+  }
+  val qChunkDedupSql: String =
+    s"""WITH $docsWithDupsSql,
+      |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM dd),
+      |ch AS (
+      |  SELECT doc_id,
+      |    unnest(generate_series(1, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS pos,
+      |    w
+      |  FROM w),
+      |chunks AS (
+      |  SELECT doc_id, pos,
+      |    array_to_string(list_slice(w, (pos - 1) * 8 + 1, least(pos * 8, len(w))), ' ') AS g
+      |  FROM ch),
+      |firsts AS (
+      |  SELECT g, min(doc_id * 1000000 + pos) AS fk FROM chunks GROUP BY g),
+      |marked AS (
+      |  SELECT c.doc_id, c.pos, c.g,
+      |    (c.doc_id * 1000000 + c.pos) <> f.fk AS dup
+      |  FROM chunks c JOIN firsts f ON c.g = f.g)
+      |SELECT doc_id,
+      |  COUNT(*) AS n_chunks,
+      |  COUNT(*) FILTER (WHERE dup) AS n_dup_chunks,
+      |  md5(COALESCE(string_agg(g, ' ' ORDER BY pos) FILTER (WHERE NOT dup), '')) AS kept_fp
+      |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Concat-and-chunk sequence packing (the standard LLM pretraining
+    * packer): within each language stream, documents are laid end-to-end
+    * in doc_id order at ~4 chars/token and cut into fixed 512-token
+    * training sequences; each document reports the sequence span it lands
+    * in. The only non-local step is one cumulative sum PARTITIONED BY
+    * language — at 100 TB each language stream's prefix sum shuffles
+    * once on its own key; there is no global ordering anywhere.
+    */
+  def qSequencePacking(s: SparkSession, d: String): DataFrame = {
+    val cap = 512L
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        greatest(lit(1L), ceil(length(col("text")) / 4.0).cast("long"))
+          .as("est_tokens"))
+      .withColumn("start_ofs", coalesce(sum("est_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("est_tokens"), col("start_ofs"),
+        expr(s"start_ofs div $cap").as("first_seq"),
+        expr(s"(start_ofs + est_tokens - 1) div $cap").as("last_seq"),
+        (expr(s"(start_ofs + est_tokens - 1) div $cap")
+          - expr(s"start_ofs div $cap") + 1).as("n_seqs_spanned"))
+      .orderBy("doc_id")
+  }
+  val qSequencePackingSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    greatest(1, CAST(ceil(length(text) / 4.0) AS BIGINT)) AS est_tokens
+      |  FROM documents),
+      |ofs AS (
+      |  SELECT doc_id, lang, est_tokens,
+      |    COALESCE(SUM(est_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_ofs
+      |  FROM tok)
+      |SELECT doc_id, lang, est_tokens, start_ofs,
+      |  start_ofs // 512 AS first_seq,
+      |  (start_ofs + est_tokens - 1) // 512 AS last_seq,
+      |  (start_ofs + est_tokens - 1) // 512 - start_ofs // 512 + 1 AS n_seqs_spanned
+      |FROM ofs ORDER BY doc_id""".stripMargin
+
+  /** Rare-term index: an inverted-index pass producing per-(doc, term)
+    * term frequency and corpus document frequency, keeping each
+    * document's top-3 most-distinctive terms ranked by (tf DESC, df ASC,
+    * term ASC) — a tf-idf ordering expressed entirely in integers so the
+    * ranking is bit-identical on any engine (no libm log in the
+    * comparator). Two hash aggregations plus a window partitioned by
+    * doc_id; the df side is a term-keyed agg that at 100 TB shuffles
+    * once on the term and joins back on the same key.
+    */
+  def qRareTermIndex(s: SparkSession, d: String): DataFrame = {
+    val tf = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val rw = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .withColumn("rnk", row_number().over(rw))
+      .where(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+  val qRareTermIndexSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |ranked AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
+      |  FROM tf JOIN df ON tf.term = df.term)
+      |SELECT doc_id, term, tf, df, rnk FROM ranked WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -1139,7 +1274,10 @@ object LlmQueries {
     "l19_repetition" -> qRepetition _,
     "l20_stratified_sample" -> qStratifiedSample _,
     "l21_edit_distance" -> qEditDistance _,
-    "l22_url_filter" -> qUrlFilter _
+    "l22_url_filter" -> qUrlFilter _,
+    "l23_chunk_dedup" -> qChunkDedup _,
+    "l24_sequence_packing" -> qSequencePacking _,
+    "l25_rare_term_index" -> qRareTermIndex _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1164,6 +1302,9 @@ object LlmQueries {
     "l19_repetition" -> qRepetitionSql,
     "l20_stratified_sample" -> qStratifiedSampleSql,
     "l21_edit_distance" -> qEditDistanceSql,
-    "l22_url_filter" -> qUrlFilterSql
+    "l22_url_filter" -> qUrlFilterSql,
+    "l23_chunk_dedup" -> qChunkDedupSql,
+    "l24_sequence_packing" -> qSequencePackingSql,
+    "l25_rare_term_index" -> qRareTermIndexSql
   )
 }

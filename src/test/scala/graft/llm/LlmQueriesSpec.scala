@@ -43,6 +43,62 @@ class LlmQueriesSpec extends SparkSpec {
     assert(LlmQueries.connectedComponents(vertices, pairs).count() == 0L)
   }
 
+  test("chunk dedup marks every chunk of an exact copy as duplicate") {
+    // docsWithDups appends doc_id+100000 copies of every 10th doc; each
+    // copy's chunks all first occur in the original (smaller doc_id), so
+    // the copy keeps nothing and its kept fingerprint is md5 of the
+    // empty string. Originals are first occurrences of their own text.
+    val got = LlmQueries.qChunkDedup(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_chunks", "n_dup_chunks", "kept_fp")
+      .as[(Long, Long, Long, String)].collect()
+    val copies = got.filter(_._1 >= 100000L)
+    assert(copies.nonEmpty)
+    copies.foreach { case (id, n, dup, fp) =>
+      assert(n == dup, s"copy $id kept ${n - dup} chunks")
+      assert(fp == "d41d8cd98f00b204e9800998ecf8427e", s"copy $id fp $fp")
+    }
+    // every copy's original keeps at least its own first chunk
+    val byId = got.map(r => r._1 -> r).toMap
+    copies.foreach { case (id, _, _, _) =>
+      val (_, n, dup, _) = byId(id - 100000L)
+      assert(dup < n, s"original ${id - 100000L} lost all chunks")
+    }
+  }
+
+  test("sequence packing offsets are per-language prefix sums") {
+    val got = LlmQueries.qSequencePacking(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "est_tokens", "start_ofs", "first_seq",
+        "last_seq", "n_seqs_spanned")
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect()
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      var run = 0L
+      rows.sortBy(_._1).foreach { case (id, _, tok, start, first, last, span) =>
+        assert(start == run, s"doc $id start_ofs $start, expected $run")
+        assert(first == start / 512 && last == (start + tok - 1) / 512)
+        assert(span == last - first + 1 && span >= 1)
+        run += tok
+      }
+    }
+  }
+
+  test("rare-term index ranks by (tf desc, df asc, term asc) with top-3 per doc") {
+    val got = LlmQueries.qRareTermIndex(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "term", "tf", "df", "rnk")
+      .as[(Long, String, Long, Long, Long)].collect()
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.length <= 3)
+      sorted.sliding(2).foreach {
+        case Array((_, ta, tfa, dfa, _), (_, tb, tfb, dfb, _)) =>
+          val ordered = tfa > tfb || (tfa == tfb &&
+            (dfa < dfb || (dfa == dfb && ta < tb)))
+          assert(ordered, s"doc $id rank order violated: ($ta,$tfa,$dfa) vs ($tb,$tfb,$dfb)")
+        case _ => ()
+      }
+    }
+  }
+
   test("simhash plan computes md5 once per word (no per-bit-plane rehash)") {
     // The 16 parity folds must reference the single materialized hash
     // array: exactly one md5 in the optimized plan. CollapseProject keeps

@@ -126,4 +126,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("pivotfirst"), s"q26 lost the pivot aggregate:\n$p")
     assert(!p.contains("l_comment"), s"q26 reads l_comment it never uses:\n$p")
   }
+
+  // Chunk dedup's first-occurrence resolution must be an equi-join on the
+  // chunk text against the hash-aggregated min key — never all-pairs.
+  test("l23 chunk dedup resolves first occurrences with an equi-join") {
+    assertNoAllPairs("l23", LlmQueries.queries("l23_chunk_dedup")(spark, sf))
+  }
+
+  // Sequence packing's prefix sum must stay partitioned by language: an
+  // unpartitioned cumulative window would serialize the whole corpus onto
+  // one task at 100 TB.
+  test("l24 sequence packing windows are partitioned by language") {
+    val df = LlmQueries.queries("l24_sequence_packing")(spark, sf)
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "l24 lost its window")
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.isEmpty,
+      s"l24 plan has ${unpartitioned.size} unpartitioned WindowExec node(s)")
+  }
+
+  // The rare-term index's df side joins back on the term key and its
+  // ranking window is partitioned by doc — no all-pairs, no global window.
+  test("l25 rare-term index joins tf to df on the term key") {
+    val df = LlmQueries.queries("l25_rare_term_index")(spark, sf)
+    assertNoAllPairs("l25", df)
+    val unpartitioned = df.queryExecution.sparkPlan
+      .collect { case w: WindowExec => w }.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.isEmpty,
+      s"l25 plan has ${unpartitioned.size} unpartitioned WindowExec node(s)")
+  }
 }
