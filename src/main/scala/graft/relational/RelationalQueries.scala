@@ -713,6 +713,37 @@ object RelationalQueries {
       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
       |ORDER BY orderstatus, orderpriority""".stripMargin
 
+  /** Recursive CTE (Spark 4's UnionLoop): walks the implicit binary-tree
+    * hierarchy parent(id) = id div 2 over the documents table from the
+    * root and reports the population per depth. Each recursion step is a
+    * fully distributed equi-join of the base table against the previous
+    * frontier — the loop adds rounds, never a driver-side traversal, so
+    * a 100 TB hierarchy walks in O(depth) shuffle joins exactly like the
+    * l17 connected-components rounds. DuckDB's WITH RECURSIVE computes
+    * the identical fixpoint (integer division `div` vs `//`).
+    */
+  def q32RecursiveCte(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""WITH RECURSIVE r AS (
+         |  SELECT doc_id, 0 AS depth
+         |  FROM parquet.`$d/documents.parquet` WHERE doc_id = 0
+         |  UNION ALL
+         |  SELECT d.doc_id, r.depth + 1
+         |  FROM parquet.`$d/documents.parquet` d
+         |  JOIN r ON d.doc_id div 2 = r.doc_id AND d.doc_id <> 0)
+         |SELECT depth, COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
+         |       MAX(doc_id) AS max_id
+         |FROM r GROUP BY depth ORDER BY depth""".stripMargin)
+  val q32Sql: String =
+    """WITH RECURSIVE r AS (
+      |  SELECT doc_id, 0 AS depth FROM documents WHERE doc_id = 0
+      |  UNION ALL
+      |  SELECT d.doc_id, r.depth + 1
+      |  FROM documents d JOIN r ON d.doc_id // 2 = r.doc_id AND d.doc_id <> 0)
+      |SELECT depth, COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
+      |       MAX(doc_id) AS max_id
+      |FROM r GROUP BY depth ORDER BY depth""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -744,7 +775,8 @@ object RelationalQueries {
     "q28_quantiles" -> q28Quantiles _,
     "q29_window_ranks" -> q29WindowRanks _,
     "q30_correlated_subquery" -> q30CorrelatedSubquery _,
-    "q31_grouping_sets" -> q31GroupingSets _
+    "q31_grouping_sets" -> q31GroupingSets _,
+    "q32_recursive_cte" -> q32RecursiveCte _
   )
 
   val oracles: Map[String, String] = Map(
@@ -778,7 +810,8 @@ object RelationalQueries {
     "q28_quantiles" -> q28Sql,
     "q29_window_ranks" -> q29Sql,
     "q30_correlated_subquery" -> q30Sql,
-    "q31_grouping_sets" -> q31Sql
+    "q31_grouping_sets" -> q31Sql,
+    "q32_recursive_cte" -> q32Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits
