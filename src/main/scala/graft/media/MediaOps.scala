@@ -87,7 +87,9 @@ object MediaOps {
     * contract for them is exactly this byte path.
     */
   private[media] def decodeOne(m: MediaIn): MediaFeatures = {
-    val bytes = decodeImageGray(m.payload).getOrElse(m.payload)
+    val bytes = decodeImageGray(m.payload)
+      .orElse(decodeAudioPcm(m.payload))
+      .getOrElse(m.payload)
     var sum = 0L
     var wsum = 0L
     var mn = 255
@@ -155,5 +157,31 @@ object MediaOps {
           .asInstanceOf[java.awt.image.DataBufferByte].getData
       }
       catch { case _: java.io.IOException => None } // truncated/corrupt container
+  }
+
+  /** Real audio codec tier: if the payload carries a RIFF/WAVE signature,
+    * decode it with `javax.sound.sampled` (in the JDK — no container
+    * codecs needed) and return the raw PCM frame bytes (the data chunk,
+    * headers stripped), so the emitted features are SAMPLE stats rather
+    * than container-byte stats. Returns None for non-WAV payloads or
+    * unsupported encodings — the caller falls back to byte-level
+    * features, same two-tier contract as [[decodeImageGray]].
+    */
+  private[media] def decodeAudioPcm(b: Array[Byte]): Option[Array[Byte]] = {
+    val isRiffWave = b.length > 12 &&
+      b(0) == 'R'.toByte && b(1) == 'I'.toByte &&
+      b(2) == 'F'.toByte && b(3) == 'F'.toByte &&
+      b(8) == 'W'.toByte && b(9) == 'A'.toByte &&
+      b(10) == 'V'.toByte && b(11) == 'E'.toByte
+    if (!isRiffWave) None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try Some(in.readAllBytes()) finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
   }
 }

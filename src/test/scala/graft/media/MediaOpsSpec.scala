@@ -114,6 +114,38 @@ class MediaOpsSpec extends SparkSpec {
     assert(stats.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
   }
 
+  test("real WAV payloads decode through javax.sound to PCM sample stats") {
+    // A 16-bit mono PCM WAV with a known sawtooth: decoded features must
+    // be stats over the raw PCM data bytes (headers stripped), not over
+    // the container (which is 44+ bytes longer and starts with 'RIFF').
+    val frames = 100
+    val pcm = Array.tabulate(frames * 2)(i => ((i * 31 + 7) % 256 - 128).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    val wav = buf.toByteArray
+    assert(wav.length > pcm.length) // container adds headers
+
+    val got = MediaOps.decodeFeatures(
+      Seq(MediaIn(1L, "audio", wav, 16, 8000, 32)).toDS()).collect()(0)
+    val u = pcm.map(_ & 0xff)
+    assert(got.byte_count == pcm.length)
+    assert(got.byte_sum == u.map(_.toLong).sum)
+    assert(got.byte_min == u.min && got.byte_max == u.max)
+    assert(got.checksum == u.zipWithIndex.map { case (b, i) => (i + 1).toLong * b }.sum)
+  }
+
+  test("truncated WAV container falls back to byte-level features (no crash)") {
+    val junk = "RIFF....WAVEnot-really-a-wav".getBytes("UTF-8")
+    val got = MediaOps.decodeFeatures(
+      Seq(MediaIn(2L, "audio", junk, 16, 8000, 32)).toDS()).collect()(0)
+    val u = junk.map(_ & 0xff)
+    assert(got.byte_count == junk.length && got.byte_sum == u.map(_.toLong).sum)
+  }
+
   test("frame slicing reconciles with whole-payload byte sum") {
     val d = "/root/testdata/sf0.001"
     val row = MediaOps.mediaTable(spark, d).where($"kind" === "video")
