@@ -391,4 +391,24 @@ object TickStream {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join (the streaming counterpart of the batch
+    * range/as-of joins q22/q23): each tick pairs with every quote on the
+    * same symbol whose event time falls within `tolerance` at or before
+    * the tick. Both sides carry watermarks and the join condition is a
+    * symbol equality plus a BOUNDED time range, which is exactly what
+    * lets Spark expire both join state stores at watermark + tolerance —
+    * state tracks the time horizon, not the stream length, so the join
+    * survives unbounded streams at any scale. Shapes:
+    * ticks(symbol, tick_ts, price), quotes(q_symbol, quote_ts, bid).
+    */
+  def joinTicksWithQuotes(ticks: DataFrame, quotes: DataFrame,
+      watermark: String, tolerance: String): DataFrame =
+    ticks.withWatermark("tick_ts", watermark)
+      .join(quotes.withWatermark("quote_ts", watermark),
+        expr(s"""symbol = q_symbol AND
+                 quote_ts >= tick_ts - INTERVAL $tolerance AND
+                 quote_ts <= tick_ts"""))
+      .select(col("symbol"), col("tick_ts"), col("price"),
+        col("quote_ts"), col("bid"))
 }

@@ -348,4 +348,39 @@ class TickStreamSpec extends SparkSpec {
       assert(ids == Seq("a", "b", "c"))
     } finally query.stop()
   }
+
+  test("stream-stream interval join pairs ticks with in-horizon quotes only") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val tickIn = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val quoteIn = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val joined = TickStream.joinTicksWithQuotes(
+      tickIn.toDS().toDF("symbol", "tick_ts", "price"),
+      quoteIn.toDS().toDF("q_symbol", "quote_ts", "bid"),
+      watermark = "10 seconds", tolerance = "5 seconds")
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_ssj").toString
+    val query = joined.writeStream
+      .format("memory").queryName("ssj_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      quoteIn.addData(
+        ("ES", ts("2024-01-01 00:00:01"), 100.25), // in horizon of the :06 tick
+        ("ES", ts("2024-01-01 00:00:05"), 100.50), // in horizon
+        ("YM", ts("2024-01-01 00:00:05"), 999.0))  // wrong symbol
+      tickIn.addData(("ES", ts("2024-01-01 00:00:06"), 101.0))
+      query.processAllAvailable()
+      quoteIn.addData(("ES", ts("2024-01-01 00:00:20"), 100.75)) // after the tick
+      tickIn.addData(("ES", ts("2024-01-01 00:00:26"), 102.0))   // window [:21, :26] excludes the :20 quote
+      query.processAllAvailable()
+      val got = spark.table("ssj_out")
+        .select($"tick_ts".cast("string"), $"quote_ts".cast("string"), $"bid")
+        .as[(String, String, Double)].collect().sorted.toSeq
+      // tick :06 matches quotes :01 and :05 (ES, within [-5s, 0]);
+      // the YM quote never joins; tick :26's window [:21, :26] excludes :20.
+      assert(got == Seq(
+        ("2024-01-01 00:00:06", "2024-01-01 00:00:01", 100.25),
+        ("2024-01-01 00:00:06", "2024-01-01 00:00:05", 100.50)))
+    } finally query.stop()
+  }
 }
