@@ -1239,6 +1239,72 @@ object LlmQueries {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
       .orderBy(col("doc_id"), col("rnk"))
   }
+  /** Product-quantization code assignment (the compression step an ANN
+    * index runs before storing billions of vectors): the 64-dim embedding
+    * splits into 4 subspaces of 16 dims; each subvector is assigned to
+    * its nearest of 16 deterministic codebook centroids (stride-sampled
+    * vectors, same public-index discipline as l14's IVF centroids), so a
+    * vector compresses 64 floats -> 4 code bytes. The codebook is 64
+    * tiny rows broadcast everywhere; assignment is a broadcast join on
+    * the subspace id plus a per-(vector, subspace) argmin window —
+    * embarrassingly parallel at any corpus size. Distances are the
+    * 3-dot expansion |a|^2 - 2ab + |b|^2 quantized to 1e-6 with the
+    * suite's floor(+0.5) discipline (identical on both engines).
+    */
+  def qPqCodes(s: SparkSession, d: String): DataFrame = {
+    val subs = embs(s, d)
+      .select(col("vec_id"),
+        explode(sequence(lit(0L), lit(3L))).as("sub_id"), col("embedding"))
+      .select(col("vec_id"), col("sub_id"),
+        slice(col("embedding"), (col("sub_id") * 16 + 1).cast("int"), lit(16))
+          .as("sv"))
+    val csub = embs(s, d)
+      .where(col("vec_id").between(10, 115) && (col("vec_id") - 10) % 7 === 0)
+      .select(expr("(vec_id - 10) div 7").as("c_id"),
+        explode(sequence(lit(0L), lit(3L))).as("sub_id"), col("embedding"))
+      .select(col("c_id"), col("sub_id"),
+        slice(col("embedding"), (col("sub_id") * 16 + 1).cast("int"), lit(16))
+          .as("cs"))
+    val scored = subs.join(broadcast(csub), Seq("sub_id"))
+      .select(col("vec_id"), col("sub_id"), col("c_id"),
+        floor((dotD(col("sv"), col("sv")) - lit(2) * dotD(col("sv"), col("cs"))
+          + dotD(col("cs"), col("cs"))) * 1e6 + 0.5).cast("long").as("d2_x1e6"))
+    val w = Window.partitionBy("vec_id", "sub_id")
+      .orderBy(col("d2_x1e6").asc, col("c_id").asc)
+    scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
+      .select(col("vec_id"), col("sub_id"), col("c_id").as("code"),
+        col("d2_x1e6"))
+      .orderBy("vec_id", "sub_id")
+  }
+  val qPqCodesSql: String = {
+    def dot(a: String, b: String) =
+      s"""list_sum(list_transform(generate_series(1, len($a)),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+    s"""WITH m AS (SELECT unnest(generate_series(0, 3)) AS sub_id),
+      |sub AS (
+      |  SELECT vec_id, sub_id,
+      |    list_slice(embedding, sub_id*16+1, sub_id*16+16) AS sv
+      |  FROM embeddings CROSS JOIN m),
+      |cent AS (
+      |  SELECT (vec_id - 10) // 7 AS c_id, embedding AS cv
+      |  FROM embeddings
+      |  WHERE vec_id BETWEEN 10 AND 115 AND (vec_id - 10) % 7 = 0),
+      |csub AS (
+      |  SELECT c_id, sub_id, list_slice(cv, sub_id*16+1, sub_id*16+16) AS cs
+      |  FROM cent CROSS JOIN m),
+      |scored AS (
+      |  SELECT s.vec_id, s.sub_id, c.c_id,
+      |    CAST(floor((${dot("s.sv", "s.sv")}
+      |      - 2*${dot("s.sv", "c.cs")}
+      |      + ${dot("c.cs", "c.cs")}) * 1e6 + 0.5) AS BIGINT) AS d2_x1e6
+      |  FROM sub s JOIN csub c ON s.sub_id = c.sub_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+      |    ORDER BY d2_x1e6 ASC, c_id ASC) AS r FROM scored)
+      |SELECT vec_id, sub_id, c_id AS code, d2_x1e6 FROM ranked WHERE r = 1
+      |ORDER BY vec_id, sub_id""".stripMargin
+  }
+
   val qRareTermIndexSql: String =
     """WITH t AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -1277,7 +1343,8 @@ object LlmQueries {
     "l22_url_filter" -> qUrlFilter _,
     "l23_chunk_dedup" -> qChunkDedup _,
     "l24_sequence_packing" -> qSequencePacking _,
-    "l25_rare_term_index" -> qRareTermIndex _
+    "l25_rare_term_index" -> qRareTermIndex _,
+    "l26_pq_codes" -> qPqCodes _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1305,6 +1372,7 @@ object LlmQueries {
     "l22_url_filter" -> qUrlFilterSql,
     "l23_chunk_dedup" -> qChunkDedupSql,
     "l24_sequence_packing" -> qSequencePackingSql,
-    "l25_rare_term_index" -> qRareTermIndexSql
+    "l25_rare_term_index" -> qRareTermIndexSql,
+    "l26_pq_codes" -> qPqCodesSql
   )
 }

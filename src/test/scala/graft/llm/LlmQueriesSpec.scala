@@ -99,6 +99,23 @@ class LlmQueriesSpec extends SparkSpec {
     }
   }
 
+  test("PQ codes: sampled codebook vectors self-assign at distance zero") {
+    val got = LlmQueries.qPqCodes(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "sub_id", "code", "d2_x1e6")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length % 4 == 0 && got.nonEmpty)
+    // every vector gets exactly one code per subspace
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == Seq(0L, 1L, 2L, 3L), s"vec $id")
+    }
+    // the centroid source vectors (vec_id = 10 + 7*c) must pick themselves
+    (0 to 15).foreach { c =>
+      val rows = got.filter(_._1 == 10L + 7 * c)
+      assert(rows.forall(r => r._3 == c && r._4 == 0L),
+        s"centroid $c self-assignment violated: ${rows.toSeq}")
+    }
+  }
+
   test("simhash plan computes md5 once per word (no per-bit-plane rehash)") {
     // The 16 parity folds must reference the single materialized hash
     // array: exactly one md5 in the optimized plan. CollapseProject keeps

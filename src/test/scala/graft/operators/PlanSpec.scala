@@ -145,6 +145,15 @@ class PlanSpec extends SparkSpec {
       s"l24 plan has ${unpartitioned.size} unpartitioned WindowExec node(s)")
   }
 
+  // PQ code assignment must broadcast the 64-row codebook — a shuffle of
+  // the corpus against it would be a scale bug.
+  test("l26 PQ codes broadcast the codebook") {
+    val df = LlmQueries.queries("l26_pq_codes")(spark, sf)
+    assertNoAllPairs("l26", df)
+    assert(planOf(df).contains("BroadcastHashJoin"),
+      s"l26 lost the broadcast codebook join:\n${planOf(df)}")
+  }
+
   // The rare-term index's df side joins back on the term key and its
   // ranking window is partitioned by doc — no all-pairs, no global window.
   test("l25 rare-term index joins tf to df on the term key") {
