@@ -1177,6 +1177,57 @@ object LlmQueries {
       |  md5(COALESCE(string_agg(g, ' ' ORDER BY pos) FILTER (WHERE NOT dup), '')) AS kept_fp
       |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Boilerplate detection (the cross-document line-frequency filter C4
+    * and Gopher run before training): a chunk that appears in >= 3
+    * DISTINCT documents is boilerplate (headers, footers, license
+    * blurbs); each document reports its boilerplate chunk count, an
+    * integer percentage, and a mostly-boilerplate verdict. Same 8-word
+    * chunk granularity and explode + hash-agg + equi-join shape as
+    * [[qChunkDedup]] — the chunk-df agg does map-side partial counts, so
+    * at 100 TB the only wide op is one shuffle on the chunk text.
+    */
+  def qBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val chunks = docsWithDups(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1L), ceil(size(col("w")) / 8.0).cast("long")))
+          .as("pos"))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ",
+          slice(col("w"), ((col("pos") - 1) * 8 + 1).cast("int"), lit(8)))
+          .as("g"))
+    val cdf = chunks.groupBy("g")
+      .agg(count_distinct(col("doc_id")).as("chunk_df"))
+    chunks.join(cdf, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("chunk_df") >= 3, 1L).otherwise(0L)).as("n_boiler_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_boiler_chunks"),
+        expr("n_boiler_chunks * 100 div n_chunks").as("boiler_pct"),
+        (col("n_boiler_chunks") * 2 >= col("n_chunks")).as("mostly_boilerplate"))
+      .orderBy("doc_id")
+  }
+  val qBoilerplateSql: String =
+    s"""WITH $docsWithDupsSql,
+      |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM dd),
+      |ch AS (
+      |  SELECT doc_id,
+      |    unnest(generate_series(1, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS pos,
+      |    w
+      |  FROM w),
+      |chunks AS (
+      |  SELECT doc_id, pos,
+      |    array_to_string(list_slice(w, (pos - 1) * 8 + 1, least(pos * 8, len(w))), ' ') AS g
+      |  FROM ch),
+      |cdf AS (SELECT g, COUNT(DISTINCT doc_id) AS chunk_df FROM chunks GROUP BY g)
+      |SELECT c.doc_id,
+      |  COUNT(*) AS n_chunks,
+      |  COUNT(*) FILTER (WHERE d.chunk_df >= 3) AS n_boiler_chunks,
+      |  (COUNT(*) FILTER (WHERE d.chunk_df >= 3)) * 100 // COUNT(*) AS boiler_pct,
+      |  (COUNT(*) FILTER (WHERE d.chunk_df >= 3)) * 2 >= COUNT(*) AS mostly_boilerplate
+      |FROM chunks c JOIN cdf d ON c.g = d.g
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
   /** Concat-and-chunk sequence packing (the standard LLM pretraining
     * packer): within each language stream, documents are laid end-to-end
     * in doc_id order at ~4 chars/token and cut into fixed 512-token
@@ -1344,7 +1395,8 @@ object LlmQueries {
     "l23_chunk_dedup" -> qChunkDedup _,
     "l24_sequence_packing" -> qSequencePacking _,
     "l25_rare_term_index" -> qRareTermIndex _,
-    "l26_pq_codes" -> qPqCodes _
+    "l26_pq_codes" -> qPqCodes _,
+    "l27_boilerplate" -> qBoilerplate _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1373,6 +1425,7 @@ object LlmQueries {
     "l23_chunk_dedup" -> qChunkDedupSql,
     "l24_sequence_packing" -> qSequencePackingSql,
     "l25_rare_term_index" -> qRareTermIndexSql,
-    "l26_pq_codes" -> qPqCodesSql
+    "l26_pq_codes" -> qPqCodesSql,
+    "l27_boilerplate" -> qBoilerplateSql
   )
 }

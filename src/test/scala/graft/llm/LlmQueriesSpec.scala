@@ -99,6 +99,20 @@ class LlmQueriesSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate counts respect the 3-distinct-doc threshold") {
+    // A chunk shared by only an original+copy pair (2 distinct docs) is
+    // NOT boilerplate; the integer percentage and verdict must derive
+    // from the counts exactly.
+    val got = LlmQueries.qBoilerplate(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_chunks", "n_boiler_chunks", "boiler_pct",
+        "mostly_boilerplate")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, n, b, pct, mostly) =>
+      assert(b <= n && pct == b * 100 / n && mostly == (b * 2 >= n), s"doc $id")
+    }
+  }
+
   test("PQ codes: sampled codebook vectors self-assign at distance zero") {
     val got = LlmQueries.qPqCodes(spark, "/root/testdata/sf0.001")
       .select("vec_id", "sub_id", "code", "d2_x1e6")
