@@ -744,6 +744,28 @@ object RelationalQueries {
       |       MAX(doc_id) AS max_id
       |FROM r GROUP BY depth ORDER BY depth""".stripMargin
 
+  /** NOT IN with a nullable subquery — the classic three-valued-logic
+    * trap (one NULL in the subquery empties the result under ANSI
+    * semantics). Spark must plan this as a null-aware anti join (NAAJ),
+    * not a plain LeftAnti: the build side is the small filtered customer
+    * set, broadcast with its null flag, so the probe stays a streaming
+    * hash lookup at any fact-table scale. PlanSpec pins the NAAJ shape.
+    */
+  def q33NullAwareAnti(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""SELECT o_orderpriority, COUNT(*) AS n
+         |FROM parquet.`$d/orders.parquet`
+         |WHERE o_custkey NOT IN
+         |  (SELECT c_custkey FROM parquet.`$d/customer.parquet`
+         |   WHERE c_acctbal < 0)
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  val q33Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n
+      |FROM orders
+      |WHERE o_custkey NOT IN
+      |  (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -776,7 +798,8 @@ object RelationalQueries {
     "q29_window_ranks" -> q29WindowRanks _,
     "q30_correlated_subquery" -> q30CorrelatedSubquery _,
     "q31_grouping_sets" -> q31GroupingSets _,
-    "q32_recursive_cte" -> q32RecursiveCte _
+    "q32_recursive_cte" -> q32RecursiveCte _,
+    "q33_null_aware_anti" -> q33NullAwareAnti _
   )
 
   val oracles: Map[String, String] = Map(
@@ -811,7 +834,8 @@ object RelationalQueries {
     "q29_window_ranks" -> q29Sql,
     "q30_correlated_subquery" -> q30Sql,
     "q31_grouping_sets" -> q31Sql,
-    "q32_recursive_cte" -> q32Sql
+    "q32_recursive_cte" -> q32Sql,
+    "q33_null_aware_anti" -> q33Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits

@@ -145,6 +145,19 @@ class PlanSpec extends SparkSpec {
       s"l24 plan has ${unpartitioned.size} unpartitioned WindowExec node(s)")
   }
 
+  // NOT IN over a nullable subquery must plan as the broadcast
+  // null-aware anti join (the trailing `true` flag on the LeftAnti
+  // BroadcastHashJoin) — a fallback to BroadcastNestedLoopJoin would be
+  // quadratic at fact-table scale, and dropping the null-aware flag
+  // would silently change three-valued-logic semantics.
+  test("q33 NOT IN plans as a broadcast null-aware anti join") {
+    val p = planOf(RelationalQueries.queries("q33_null_aware_anti")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q33 fell back to BroadcastNestedLoopJoin:\n$p")
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"q33 lost the null-aware anti join flag:\n$p")
+  }
+
   // PQ code assignment must broadcast the 64-row codebook — a shuffle of
   // the corpus against it would be a scale bug.
   test("l26 PQ codes broadcast the codebook") {
