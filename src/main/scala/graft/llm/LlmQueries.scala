@@ -957,9 +957,13 @@ object LlmQueries {
   /** l21: Levenshtein re-scoring of the LSH candidate pairs — the
     * character-level complement of l05's set-based Jaccard for fuzzy
     * dedup (catches small in-place edits that shift every downstream
-    * shingle). Integer-exact output. Scale shape: O(len_a*len_b) per
-    * pair, but ONLY on LSH-pruned candidates — never all-pairs — and
-    * each pair is row-local after the two doc-text joins.
+    * shingle). Integer-exact output. Scale shape: worst-case
+    * O(len_a*len_b) per pair, but ONLY on LSH-pruned candidates — never
+    * all-pairs — each pair is row-local after the two doc-text joins,
+    * and the kernel is [[graft.functions.LevenshteinTrimmed]]: the
+    * shared prefix/suffix is stripped before the DP (distance-
+    * preserving), so near-dups — the only pairs LSH emits — cost
+    * O(edit_window²), not O(document²).
     */
   def qEditDistance(s: SparkSession, d: String): DataFrame = {
     val dd = docsWithDups(s, d)
@@ -969,7 +973,8 @@ object LlmQueries {
       .join(texts.as("ta"), col("doc_a") === col("ta.doc_id"))
       .join(texts.as("tb"), col("doc_b") === col("tb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("ta.text"), col("tb.text")).cast("long").as("edit_dist"),
+        graft.functions.TextFunctions.levenshteinTrimmed(
+          col("ta.text"), col("tb.text")).cast("long").as("edit_dist"),
         length(col("ta.text")).cast("long").as("len_a"),
         length(col("tb.text")).cast("long").as("len_b"))
       .orderBy("doc_a", "doc_b")

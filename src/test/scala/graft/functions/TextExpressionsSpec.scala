@@ -1,0 +1,92 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** LevenshteinTrimmed must be value-identical to Spark's built-in
+  * `levenshtein` on every input — the trimming is an optimization, not
+  * a semantics change. Pinned on adversarial shapes (shared prefix only,
+  * shared suffix only, both, neither, empties, repeats, multi-byte code
+  * points) and on seeded random pairs, through BOTH the interpreted
+  * kernel and the codegen'd whole-stage path.
+  */
+class TextExpressionsSpec extends SparkSpec {
+
+  private def kernel(a: String, b: String): Int =
+    LevenshteinTrimmed.distance(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+
+  private val adversarial: Seq[(String, String)] = Seq(
+    ("", ""), ("", "abc"), ("abc", ""), ("abc", "abc"),
+    ("kitten", "sitting"), ("flaw", "lawn"),
+    // shared prefix only / suffix only / both
+    ("prefix-aaaa-X", "prefix-aaaa-Y"),
+    ("X-common-tail", "Y-common-tail"),
+    ("same-head-A-same-tail", "same-head-BB-same-tail"),
+    // trim must stop at the first mismatch even inside runs
+    ("aaaaaaab", "aaaaaaba"), ("abababab", "babababa"),
+    // one string contained in the other (suffix trim exhausts a side)
+    ("abcdef", "abcXdef"), ("abcdef", "cdef"), ("abcdef", "abcd"),
+    // multi-byte code points, incl. an astral pair (surrogates)
+    ("héllo wörld", "hèllo wörld"), ("日本語テキスト", "日本語デキスト"),
+    ("a😀b", "a😁b"), ("😀", ""))
+
+  test("kernel matches Spark levenshtein on adversarial pairs") {
+    val s = spark
+    import s.implicits._
+    val df = adversarial.toDF("a", "b")
+      .select(expr("levenshtein(a, b)").as("ref"),
+        TextFunctions.levenshteinTrimmed(col("a"), col("b")).as("got"),
+        col("a"), col("b"))
+    df.collect().foreach { r =>
+      assert(r.getInt(0) == r.getInt(1),
+        s"mismatch on (${r.getString(2)}, ${r.getString(3)})")
+    }
+  }
+
+  test("kernel matches Spark levenshtein on seeded random pairs") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdeé日😀 "
+    def randStr(): String = {
+      val n = rnd.nextInt(30)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < n) { sb.append(alphabet.charAt(rnd.nextInt(alphabet.length))); i += 1 }
+      // Drop unpaired surrogates the random slice may have produced.
+      sb.toString.filter(c => !Character.isSurrogate(c)) +
+        (if (rnd.nextBoolean()) "😀" else "")
+    }
+    val pairs = Seq.fill(300)((randStr(), randStr())) ++
+      // near-dup shape: long shared pre/suffix, tiny edit window
+      Seq.fill(50) {
+        val core = Seq.fill(200)(alphabet.charAt(rnd.nextInt(5))).mkString
+        (core, core.patch(rnd.nextInt(core.length), "XY", rnd.nextInt(3)))
+      }
+    val s = spark
+    import s.implicits._
+    val bad = pairs.toDF("a", "b")
+      .select(expr("levenshtein(a, b)").as("ref"),
+        TextFunctions.levenshteinTrimmed(col("a"), col("b")).as("got"))
+      .where(col("ref") =!= col("got"))
+    assert(bad.count() == 0)
+  }
+
+  test("interpreted eval agrees with the codegen path") {
+    adversarial.foreach { case (a, b) =>
+      val viaSpark = spark.range(1)
+        .select(levenshtein(lit(a), lit(b))).head().getInt(0)
+      assert(kernel(a, b) == viaSpark, s"interpreted mismatch on ($a, $b)")
+    }
+  }
+
+  test("null propagates") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", null: String), (null: String, "b"), ("a", "b"))
+      .toDF("a", "b")
+      .select(TextFunctions.levenshteinTrimmed(col("a"), col("b")).as("d"))
+    assert(df.collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0)).toSeq
+      == Seq(-1, -1, 1))
+  }
+}
