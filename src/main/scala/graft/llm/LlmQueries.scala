@@ -1374,6 +1374,113 @@ object LlmQueries {
       |SELECT doc_id, term, tf, df, rnk FROM ranked WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin
 
+  // ------------------------------------------------------------ k-means
+  /** Distributed k-means (Lloyd) refinement — the training step behind
+    * l14's IVF lists and l26's PQ codebooks, which both stride-SAMPLE
+    * centroids; real index builds then run a few Lloyd iterations to
+    * tighten them. Two full iterations (assign → update → assign →
+    * update) over quantized integer vectors:
+    *
+    *  - Quantize once: `floor(x * 1024 + 0.5)` per component (1024 is a
+    *    power of two, so the multiply is exact in double; the whole
+    *    pipeline after this line is BIGINT arithmetic — bit-identical on
+    *    any engine, no float summation-order hazards).
+    *  - Assign: each vector joins the BROADCAST centroid table (k=16
+    *    rows — at 10⁹ vectors and k=4096 still a sub-MB broadcast) and
+    *    takes the argmin integer L2 distance (ties → lowest c_id).
+    *  - Update: explode the 64 positions, one hash agg keyed
+    *    (c_id, pos) — the only shuffle per iteration, on a key space of
+    *    k×dims regardless of corpus size — then floor-mean and rebuild
+    *    the centroid array ordered by position. Empty clusters drop out
+    *    (join semantics, same on both engines).
+    *
+    * Output: per-cluster membership count and integer inertia from the
+    * second assignment, plus the component-sum checksum of the final
+    * centroids. Scale shape per iteration: broadcast join + two hash
+    * aggs; rounds are a small constant — the classic mini-batch-free
+    * Lloyd layout for a 100 TB corpus.
+    */
+  def qKmeansRefine(s: SparkSession, d: String): DataFrame = {
+    val dims = 64
+    val quant = embs(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1024.0 + 0.5).cast("long")).as("qv"))
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    def assign(cent: DataFrame): DataFrame =
+      quant.join(broadcast(cent))
+        .select(col("vec_id"), col("qv"), col("c_id"),
+          l2(col("qv"), col("cv")).as("dist"))
+        .withColumn("r", row_number().over(Window.partitionBy("vec_id")
+          .orderBy(col("dist").asc, col("c_id").asc)))
+        .where(col("r") === 1)
+        .select(col("vec_id"), col("qv"), col("c_id"), col("dist"))
+    def update(asg: DataFrame): DataFrame =
+      asg.select(col("c_id"),
+          explode(sequence(lit(1), lit(dims))).as("pos"), col("qv"))
+        .select(col("c_id"), col("pos"), element_at(col("qv"), col("pos")).as("v"))
+        .groupBy("c_id", "pos")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .select(col("c_id"), col("pos"),
+          floor(col("sv").cast("double") / col("n")).cast("long").as("m"))
+        .groupBy("c_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s0 => s0.getField("m")).as("cv"))
+    val c0 = quant.where(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("qv").as("cv"))
+    val c1 = update(assign(c0))
+    val a2 = assign(c1)
+    val c2 = update(a2)
+    val stats = a2.groupBy("c_id")
+      .agg(count(lit(1)).as("n_members"), sum("dist").as("inertia"))
+    val csum = c2.select(col("c_id"),
+      aggregate(col("cv"), lit(0L), (acc, x) => acc + x).as("centroid_sum"))
+    stats.join(csum, Seq("c_id"))
+      .select("c_id", "n_members", "inertia", "centroid_sum")
+      .orderBy("c_id")
+  }
+  val qKmeansRefineSql: String = {
+    def l2(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, 64), i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+    s"""WITH quant AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |pos AS (SELECT unnest(generate_series(1, 64)) AS pos),
+       |c0 AS (SELECT vec_id AS c_id, qv AS cv FROM quant WHERE vec_id < 16),
+       |a1 AS (
+       |  SELECT vec_id, qv, c_id, dist FROM (
+       |    SELECT q.vec_id, q.qv, c.c_id, ${l2("q.qv", "c.cv")} AS dist,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${l2("q.qv", "c.cv")} ASC, c.c_id ASC) AS r
+       |    FROM quant q CROSS JOIN c0 c) WHERE r = 1),
+       |m1 AS (
+       |  SELECT c_id, pos,
+       |    CAST(floor(CAST(sum(qv[pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+       |  FROM a1 CROSS JOIN pos GROUP BY c_id, pos),
+       |c1 AS (SELECT c_id, list(m ORDER BY pos) AS cv FROM m1 GROUP BY c_id),
+       |a2 AS (
+       |  SELECT vec_id, qv, c_id, dist FROM (
+       |    SELECT q.vec_id, q.qv, c.c_id, ${l2("q.qv", "c.cv")} AS dist,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${l2("q.qv", "c.cv")} ASC, c.c_id ASC) AS r
+       |    FROM quant q CROSS JOIN c1 c) WHERE r = 1),
+       |m2 AS (
+       |  SELECT c_id, pos,
+       |    CAST(floor(CAST(sum(qv[pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+       |  FROM a2 CROSS JOIN pos GROUP BY c_id, pos),
+       |c2 AS (SELECT c_id, list(m ORDER BY pos) AS cv FROM m2 GROUP BY c_id),
+       |stats AS (
+       |  SELECT c_id, COUNT(*) AS n_members, SUM(dist) AS inertia
+       |  FROM a2 GROUP BY c_id),
+       |csum AS (
+       |  SELECT c_id, CAST(list_sum(cv) AS BIGINT) AS centroid_sum FROM c2)
+       |SELECT s.c_id, s.n_members, s.inertia, c.centroid_sum
+       |FROM stats s JOIN csum c ON s.c_id = c.c_id
+       |ORDER BY s.c_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -1401,7 +1508,8 @@ object LlmQueries {
     "l24_sequence_packing" -> qSequencePacking _,
     "l25_rare_term_index" -> qRareTermIndex _,
     "l26_pq_codes" -> qPqCodes _,
-    "l27_boilerplate" -> qBoilerplate _
+    "l27_boilerplate" -> qBoilerplate _,
+    "l28_kmeans_refine" -> qKmeansRefine _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1431,6 +1539,7 @@ object LlmQueries {
     "l24_sequence_packing" -> qSequencePackingSql,
     "l25_rare_term_index" -> qRareTermIndexSql,
     "l26_pq_codes" -> qPqCodesSql,
-    "l27_boilerplate" -> qBoilerplateSql
+    "l27_boilerplate" -> qBoilerplateSql,
+    "l28_kmeans_refine" -> qKmeansRefineSql
   )
 }

