@@ -766,6 +766,36 @@ object RelationalQueries {
       |  (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** LATERAL correlated table subquery — each customer's top-2 orders
+    * by price, a per-row dependent table expression (SQL:2016 LATERAL,
+    * native in DuckDB). Catalyst decorrelates the ORDER BY + LIMIT
+    * inner query into a rank window over an equi-join on the
+    * correlation key — ONE shuffle keyed by customer at any scale,
+    * never a per-outer-row re-execution of the inner query. PlanSpec
+    * pins the decorrelated no-reexecution shape.
+    */
+  def q34Lateral(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+         |FROM parquet.`$d/customer.parquet` c,
+         |LATERAL (
+         |  SELECT o_orderkey, o_totalprice
+         |  FROM parquet.`$d/orders.parquet`
+         |  WHERE o_custkey = c.c_custkey
+         |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+         |WHERE c.c_custkey % 100 = 1
+         |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
+  val q34Sql: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c,
+      |LATERAL (
+      |  SELECT o_orderkey, o_totalprice
+      |  FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+      |WHERE c.c_custkey % 100 = 1
+      |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -799,7 +829,8 @@ object RelationalQueries {
     "q30_correlated_subquery" -> q30CorrelatedSubquery _,
     "q31_grouping_sets" -> q31GroupingSets _,
     "q32_recursive_cte" -> q32RecursiveCte _,
-    "q33_null_aware_anti" -> q33NullAwareAnti _
+    "q33_null_aware_anti" -> q33NullAwareAnti _,
+    "q34_lateral" -> q34Lateral _
   )
 
   val oracles: Map[String, String] = Map(
@@ -835,7 +866,8 @@ object RelationalQueries {
     "q30_correlated_subquery" -> q30Sql,
     "q31_grouping_sets" -> q31Sql,
     "q32_recursive_cte" -> q32Sql,
-    "q33_null_aware_anti" -> q33Sql
+    "q33_null_aware_anti" -> q33Sql,
+    "q34_lateral" -> q34Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits

@@ -167,6 +167,36 @@ class PlanSpec extends SparkSpec {
       s"l26 lost the broadcast codebook join:\n${planOf(df)}")
   }
 
+  // LATERAL (ORDER BY ... LIMIT k) must decorrelate into a rank window
+  // over an equi-join on the correlation key — a per-outer-row inner
+  // re-execution (nested-loop lateral) would re-scan orders once per
+  // customer at fact-table scale.
+  test("q34 lateral decorrelates into a windowed equi-join") {
+    val df = RelationalQueries.queries("q34_lateral")(spark, sf)
+    val p = planOf(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q34 plans a non-equi lateral join:\n$p")
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"q34 lost the partitioned rank window:\n$p")
+  }
+
+  // k-means assignment must broadcast the k-row centroid table against
+  // the corpus (a bounded-fanout broadcast product, like l14's IVF
+  // assignment) and keep every argmin window partitioned by vector — a
+  // CartesianProduct or a global window would serialize the corpus.
+  test("l28 k-means broadcasts centroids and partitions the argmin") {
+    val df = LlmQueries.queries("l28_kmeans_refine")(spark, sf)
+    val p = planOf(df)
+    assert(p.contains("Broadcast"), s"l28 lost the centroid broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"l28 plans a non-broadcast cartesian:\n$p")
+    val unpartitioned = df.queryExecution.sparkPlan
+      .collect { case w: WindowExec => w }.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.isEmpty,
+      s"l28 plan has ${unpartitioned.size} unpartitioned WindowExec node(s)")
+  }
+
   // The rare-term index's df side joins back on the term key and its
   // ranking window is partitioned by doc — no all-pairs, no global window.
   test("l25 rare-term index joins tf to df on the term key") {
