@@ -1481,6 +1481,47 @@ object LlmQueries {
        |ORDER BY s.c_id""".stripMargin
   }
 
+  // ---------------------------------------------------------- BPE pairs
+  /** BPE merge-pair statistics — the counting kernel of byte-pair-
+    * encoding tokenizer training (round 1: every adjacent character
+    * pair inside a word, weighted by the word's corpus frequency; the
+    * max pair becomes the first merge). The scale trick is aggregation
+    * ORDER: first collapse the corpus to its vocabulary with one hash
+    * agg (words repeat enormously — the vocabulary is orders of
+    * magnitude smaller than the corpus), THEN explode each distinct
+    * word's length-1 positions and weight pairs by the word frequency.
+    * The pair explosion runs over the vocabulary, never the corpus;
+    * both shuffles (word key, pair key) are plain hash aggs. Single-char
+    * words are filtered BEFORE the position sequence — Spark's
+    * `sequence(1, 0)` yields a DESCENDING two-element array, the same
+    * hazard l19 guards.
+    */
+  def qBpePairs(s: SparkSession, d: String): DataFrame = {
+    val vocab = docs(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    vocab
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), (length(col("w")) - 1).cast("int"))).as("i"))
+      .select(substring(col("w"), col("i"), lit(2)).as("pair"), col("freq"))
+      .groupBy("pair").agg(sum("freq").as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair").asc)
+      .limit(20)
+  }
+  val qBpePairsSql: String =
+    """WITH w AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |vocab AS (
+      |  SELECT w, COUNT(*) AS freq FROM w WHERE length(w) >= 2 GROUP BY w),
+      |pairs AS (
+      |  SELECT substr(w, i, 2) AS pair, freq
+      |  FROM vocab, LATERAL (
+      |    SELECT unnest(generate_series(1, length(w) - 1)) AS i) t)
+      |SELECT pair, SUM(freq) AS pair_count
+      |FROM pairs GROUP BY pair
+      |ORDER BY pair_count DESC, pair ASC LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -1509,7 +1550,8 @@ object LlmQueries {
     "l25_rare_term_index" -> qRareTermIndex _,
     "l26_pq_codes" -> qPqCodes _,
     "l27_boilerplate" -> qBoilerplate _,
-    "l28_kmeans_refine" -> qKmeansRefine _
+    "l28_kmeans_refine" -> qKmeansRefine _,
+    "l29_bpe_pairs" -> qBpePairs _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1540,6 +1582,7 @@ object LlmQueries {
     "l25_rare_term_index" -> qRareTermIndexSql,
     "l26_pq_codes" -> qPqCodesSql,
     "l27_boilerplate" -> qBoilerplateSql,
-    "l28_kmeans_refine" -> qKmeansRefineSql
+    "l28_kmeans_refine" -> qKmeansRefineSql,
+    "l29_bpe_pairs" -> qBpePairsSql
   )
 }
