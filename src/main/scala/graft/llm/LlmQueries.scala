@@ -1522,6 +1522,58 @@ object LlmQueries {
       |FROM pairs GROUP BY pair
       |ORDER BY pair_count DESC, pair ASC LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------- domain mixing
+  /** Domain-mix rebalancing — the step that turns a crawl's natural
+    * domain skew into a training mix: per-source keep rates are computed
+    * FROM the corpus (first pass: one tiny per-source hash agg + one
+    * global agg, both broadcast back), then each document is kept by a
+    * row-local deterministic hash threshold
+    * `bucket(doc_id) * n_source < quota * 10^6` — over-represented
+    * sources are downsampled toward an equal share of a half-corpus
+    * budget, under-represented sources pass through whole. Unlike
+    * rank-based sampling there is NO per-source sort or window: after
+    * the two broadcast joins the keep decision is a pure map, so the
+    * plan is one scan + two tiny aggs at any corpus size, and the kept
+    * SET (not just the count) is reproducible across engines and
+    * cluster layouts. All-integer arithmetic; l20's md5-prefix bucket
+    * discipline.
+    */
+  def qDomainMix(s: SparkSession, d: String): DataFrame = {
+    val perSrc = docs(s, d).groupBy("source").agg(count(lit(1)).as("n_src"))
+    val quota = docs(s, d)
+      .agg(count(lit(1)).as("n_total"),
+        countDistinct(col("source")).as("n_sources"))
+      .select(expr("(n_total div 2) div n_sources").as("quota"))
+    val bucket =
+      (conv(substring(md5(concat(lit("mix"), col("doc_id"))), 1, 7), 16, 10)
+        .cast("long") % 1000000L)
+    docs(s, d)
+      .join(broadcast(perSrc), Seq("source"))
+      .crossJoin(broadcast(quota))
+      .select(col("source"), col("doc_id"), col("n_src"), col("quota"),
+        (bucket * col("n_src") < col("quota") * 1000000L).as("kept"))
+      .groupBy("source", "n_src", "quota")
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+      .select("source", "n_src", "quota", "n_kept", "kept_id_sum")
+      .orderBy("source")
+  }
+  val qDomainMixSql: String =
+    """WITH per AS (
+      |  SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+      |g AS (
+      |  SELECT (COUNT(*) // 2) // COUNT(DISTINCT source) AS quota
+      |  FROM documents),
+      |b AS (
+      |  SELECT d.source, d.doc_id, p.n_src, g.quota,
+      |    (CAST('0x' || substring(md5('mix' || d.doc_id), 1, 7) AS BIGINT)
+      |      % 1000000) * p.n_src < g.quota * 1000000 AS kept
+      |  FROM documents d JOIN per p USING (source) CROSS JOIN g)
+      |SELECT source, n_src, quota,
+      |  SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+      |  SUM(CASE WHEN kept THEN doc_id ELSE 0 END) AS kept_id_sum
+      |FROM b GROUP BY source, n_src, quota ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -1551,7 +1603,8 @@ object LlmQueries {
     "l26_pq_codes" -> qPqCodes _,
     "l27_boilerplate" -> qBoilerplate _,
     "l28_kmeans_refine" -> qKmeansRefine _,
-    "l29_bpe_pairs" -> qBpePairs _
+    "l29_bpe_pairs" -> qBpePairs _,
+    "l30_domain_mix" -> qDomainMix _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1583,6 +1636,7 @@ object LlmQueries {
     "l26_pq_codes" -> qPqCodesSql,
     "l27_boilerplate" -> qBoilerplateSql,
     "l28_kmeans_refine" -> qKmeansRefineSql,
-    "l29_bpe_pairs" -> qBpePairsSql
+    "l29_bpe_pairs" -> qBpePairsSql,
+    "l30_domain_mix" -> qDomainMixSql
   )
 }
