@@ -1574,6 +1574,74 @@ object LlmQueries {
       |  SUM(CASE WHEN kept THEN doc_id ELSE 0 END) AS kept_id_sum
       |FROM b GROUP BY source, n_src, quota ORDER BY source""".stripMargin
 
+  // ------------------------------------------------- simhash pair mining
+  /** SimHash near-dup candidate pairs via pigeonhole banding — the
+    * web-scale dedup design of Manku/Jain/Das Sarma (WWW'07): documents
+    * within Hamming distance 3 of each other on a 32-bit simhash MUST
+    * agree on at least one of 4 disjoint 8-bit bands, so candidate
+    * generation is 4 equi-joins on tiny band buckets and the quadratic
+    * space is never touched. The 32-bit fingerprint extends l04's
+    * discipline — ONE md5 + ONE hex-prefix conv per word, 32 bit-lanes
+    * folded from that single integer — and the final Hamming check is
+    * one xor + bit_count per surviving candidate. All integer; the
+    * complement of l03's MinHash banding (set-similarity there,
+    * bit-vector similarity here).
+    */
+  def qSimhashPairs(s: SparkSession, d: String): DataFrame = {
+    val hashed = docsWithDups(s, d).select(col("doc_id"),
+      transform(split(col("text"), " "),
+        w => conv(substring(md5(w), 1, 8), 16, 10).cast("long")).as("hw"))
+    val bits = (0 until 32).map { j =>
+      val contrib = aggregate(col("hw"), lit(0),
+        (acc, h) => acc + (shiftright(h, j) % 2).cast("int") * 2 - 1)
+      when(contrib > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    val sims = hashed.select(col("doc_id"), bits.reduce(_ + _).as("sim"))
+    val banded = sims.select(col("doc_id"), col("sim"),
+      explode(sequence(lit(0), lit(3))).as("band_id"))
+      .select(col("doc_id"), col("sim"), col("band_id"),
+        expr("shiftright(sim, band_id * 8)")
+          .bitwiseAND(lit(255L)).as("band_val"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long")
+          .as("hamming"))
+      .where(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+  val qSimhashPairsSql: String = {
+    val bits = (0 until 32).map { j =>
+      s"""CASE WHEN list_sum(list_transform(hw,
+         |    h -> CAST((h >> $j) % 2 AS INTEGER) * 2 - 1)) > 0
+         |  THEN CAST(${1L << j} AS BIGINT) ELSE 0 END""".stripMargin
+    }.mkString(" +\n  ")
+    s"""WITH $docsWithDupsSql,
+       |hashed AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '),
+       |    w -> CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)) AS hw
+       |  FROM dd),
+       |sims AS (SELECT doc_id, $bits AS sim FROM hashed),
+       |banded AS (
+       |  SELECT doc_id, sim, band_id, (sim >> (band_id * 8)) & 255 AS band_val
+       |  FROM sims CROSS JOIN
+       |    (SELECT unnest(generate_series(0, 3)) AS band_id) b),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.sim AS sim_a, y.sim AS sim_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band_id = y.band_id AND x.band_val = y.band_val
+       |    AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -1604,7 +1672,8 @@ object LlmQueries {
     "l27_boilerplate" -> qBoilerplate _,
     "l28_kmeans_refine" -> qKmeansRefine _,
     "l29_bpe_pairs" -> qBpePairs _,
-    "l30_domain_mix" -> qDomainMix _
+    "l30_domain_mix" -> qDomainMix _,
+    "l31_simhash_pairs" -> qSimhashPairs _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1637,6 +1706,7 @@ object LlmQueries {
     "l27_boilerplate" -> qBoilerplateSql,
     "l28_kmeans_refine" -> qKmeansRefineSql,
     "l29_bpe_pairs" -> qBpePairsSql,
-    "l30_domain_mix" -> qDomainMixSql
+    "l30_domain_mix" -> qDomainMixSql,
+    "l31_simhash_pairs" -> qSimhashPairsSql
   )
 }
