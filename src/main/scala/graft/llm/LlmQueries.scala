@@ -1642,6 +1642,51 @@ object LlmQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ------------------------------------------------- source overlap matrix
+  /** Cross-source n-gram overlap matrix — the corpus diagnostic behind
+    * "is subset A leaking into subset B" (mirror sites, syndicated text,
+    * duplicated dumps): for every pair of sources, how many distinct
+    * word-8-grams they share. Shape: distinct (gram, source) pairs (one
+    * hash agg — the gram side collapses massively), then a self
+    * equi-join ON THE GRAM KEY and one pair-keyed count; the matrix is
+    * |sources|² tiny. The corpus is bucketed into 7 deterministic
+    * pseudo-sources keyed by doc_id so the planted cross-bucket
+    * duplicates give the matrix real mass (a real corpus would group by
+    * its `source` column directly — same plan). The l16 inlining hazard
+    * applies: `ws` is a materialized column, never a lambda-body split.
+    */
+  def qSourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val ws = col("ws")
+    val grams = transform(
+      sequence(lit(1), greatest(size(ws) - 7, lit(1))),
+      i => md5(concat_ws(" ", slice(ws, i, lit(8)))))
+    val sg = docsWithDups(s, d)
+      .select(concat(lit("s"), col("doc_id") % 7).as("src"),
+        split(col("text"), " ").as("ws"))
+      .select(col("src"), explode(grams).as("g")).distinct()
+    sg.as("a").join(sg.as("b"),
+        col("a.g") === col("b.g") && col("a.src") < col("b.src"))
+      .select(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("shared_grams"))
+      .orderBy("src_a", "src_b")
+  }
+  val qSourceOverlapSql: String =
+    s"""WITH $docsWithDupsSql,
+       |sg AS (
+       |  SELECT DISTINCT 's' || (doc_id % 7) AS src, md5(gram) AS g
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(
+       |        generate_series(1, greatest(len(string_split(text, ' ')) - 7, 1)),
+       |        i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')))
+       |        AS gram
+       |    FROM dd))
+       |SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS shared_grams
+       |FROM sg a JOIN sg b ON a.g = b.g AND a.src < b.src
+       |GROUP BY a.src, b.src
+       |ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -1673,7 +1718,8 @@ object LlmQueries {
     "l28_kmeans_refine" -> qKmeansRefine _,
     "l29_bpe_pairs" -> qBpePairs _,
     "l30_domain_mix" -> qDomainMix _,
-    "l31_simhash_pairs" -> qSimhashPairs _
+    "l31_simhash_pairs" -> qSimhashPairs _,
+    "l32_source_overlap" -> qSourceOverlap _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1707,6 +1753,7 @@ object LlmQueries {
     "l28_kmeans_refine" -> qKmeansRefineSql,
     "l29_bpe_pairs" -> qBpePairsSql,
     "l30_domain_mix" -> qDomainMixSql,
-    "l31_simhash_pairs" -> qSimhashPairsSql
+    "l31_simhash_pairs" -> qSimhashPairsSql,
+    "l32_source_overlap" -> qSourceOverlapSql
   )
 }
