@@ -48,7 +48,7 @@ object Bench {
     "q34_lateral" -> 0.8,
     "m01_media_decode" -> 0.6, "m02_image_resize" -> 0.5,
     "m03_frame_sample" -> 0.5, "m04_media_stats" -> 0.3,
-    "m05_media_dedup" -> 1.0,
+    "m05_media_dedup" -> 1.0, "m06_media_hamming" -> 1.5,
     "q01_scan_project" -> 0.6, "q02_filter" -> 0.4,
     "q03_explode" -> 0.4, "q04_agg" -> 1.0,
     "q05_join_broadcast" -> 0.4, "q06_join_multiway" -> 1.0,

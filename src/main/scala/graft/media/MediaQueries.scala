@@ -175,12 +175,87 @@ object MediaQueries {
        |  min(${asciiSumSql("1", "n")}) // 100 AS pbucket
        |FROM mm GROUP BY md5(text) ORDER BY fp""".stripMargin
 
+  // --------------------------------------------- perceptual Hamming pairs
+  /** Perceptual near-dup PAIR mining on the binary payloads — m05 finds
+    * exact copies by content hash; this finds *near*-copies by
+    * perceptual fingerprint, with l31's pigeonhole banding transplanted
+    * to the media column. Fingerprint: 16 bits, bit j set iff block j's
+    * byte sum exceeds its proportional share of the whole payload's sum
+    * (block mean > global mean — the aHash construction, integer-exact
+    * via the codegen'd [[graft.functions.BinaryByteFold]]). Banding: 2
+    * disjoint 8-bit halves — Hamming distance <= 1 guarantees one half
+    * matches, so candidates come from 2 equi-joins on small buckets and
+    * the verify is one xor + bit_count. All integer on both engines.
+    */
+  def qMediaHammingPairs(s: SparkSession, d: String): DataFrame = {
+    val base = MediaOps.mediaTable(s, d)
+    val dd = base.unionByName(
+      base.where(col("media_id") % 10 === 0)
+        .withColumn("media_id", col("media_id") + 100000))
+    val n = length(col("payload"))
+    val total = byteSum(col("payload"))
+    def blockSum(j: Int): Column = {
+      val lo = floor(lit(j) * n / 16).cast("int")
+      val hi = floor(lit(j + 1) * n / 16).cast("int")
+      byteSum(col("payload").substr(lo + 1, hi - lo))
+    }
+    val bits = (0 until 16).map { j =>
+      when(blockSum(j) * 16 > total, lit(1L << j)).otherwise(lit(0L))
+    }
+    val fps = dd.select(col("media_id"), bits.reduce(_ + _).as("fp"))
+    val banded = fps.select(col("media_id"), col("fp"),
+        explode(sequence(lit(0), lit(1))).as("band_id"))
+      .select(col("media_id"), col("fp"), col("band_id"),
+        expr("shiftright(fp, band_id * 8)").bitwiseAND(lit(255L)).as("bv"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.bv") === col("y.bv") &&
+        col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
+      .distinct()
+      .select(col("media_a"), col("media_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
+      .where(col("hamming") <= 1)
+      .orderBy("media_a", "media_b")
+  }
+  val qMediaHammingPairsSql: String = {
+    val bits = (0 until 16).map { j =>
+      val lo = s"(($j * n) // 16)"
+      val hi = s"((${j + 1} * n) // 16)"
+      s"""CASE WHEN ${asciiSumSql(s"$lo + 1", hi)} * 16 >
+         |    ${asciiSumSql("1", "n")}
+         |  THEN CAST(${1L << j} AS BIGINT) ELSE 0 END""".stripMargin
+    }.mkString(" +\n  ")
+    s"""WITH $mediaSql,
+       |mm AS (
+       |  SELECT media_id, text, n FROM media
+       |  UNION ALL
+       |  SELECT media_id + 100000 AS media_id, text, n
+       |  FROM media WHERE media_id % 10 = 0),
+       |fps AS (SELECT media_id, $bits AS fp FROM mm),
+       |banded AS (
+       |  SELECT media_id, fp, band_id, (fp >> (band_id * 8)) & 255 AS bv
+       |  FROM fps CROSS JOIN
+       |    (SELECT unnest(generate_series(0, 1)) AS band_id) b),
+       |cand AS (
+       |  SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
+       |    x.fp AS fp_a, y.fp AS fp_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band_id = y.band_id AND x.bv = y.bv
+       |    AND x.media_id < y.media_id)
+       |SELECT media_a, media_b,
+       |  CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 1
+       |ORDER BY media_a, media_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_decode" -> qMediaDecode _,
     "m02_image_resize" -> qImageResize _,
     "m03_frame_sample" -> qFrameSample _,
     "m04_media_stats" -> qMediaStats _,
-    "m05_media_dedup" -> qMediaDedup _
+    "m05_media_dedup" -> qMediaDedup _,
+    "m06_media_hamming" -> qMediaHammingPairs _
   )
 
   val oracles: Map[String, String] = Map(
@@ -188,6 +263,7 @@ object MediaQueries {
     "m02_image_resize" -> qImageResizeSql,
     "m03_frame_sample" -> qFrameSampleSql,
     "m04_media_stats" -> qMediaStatsSql,
-    "m05_media_dedup" -> qMediaDedupSql
+    "m05_media_dedup" -> qMediaDedupSql,
+    "m06_media_hamming" -> qMediaHammingPairsSql
   )
 }
