@@ -148,6 +148,56 @@ class LlmQueriesSpec extends SparkSpec {
     assert(inertia2 > 0, "degenerate zero inertia on the synthetic corpus")
   }
 
+  test("BPE pairs are 2-char, capped at 20, counts descending") {
+    val got = LlmQueries.qBpePairs(spark, "/root/testdata/sf0.001")
+      .as[(String, Long)].collect()
+    assert(got.nonEmpty && got.length <= 20)
+    assert(got.forall(_._1.length == 2), s"non-2-char pair in ${got.toSeq}")
+    assert(got.forall(_._2 > 0))
+    val counts = got.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "pair counts not descending")
+  }
+
+  test("domain mix: under-quota sources pass through whole, none exceed n_src") {
+    val got = LlmQueries.qDomainMix(spark, "/root/testdata/sf0.001")
+      .select("source", "n_src", "quota", "n_kept")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val quotas = got.map(_._3).distinct
+    assert(quotas.length == 1, s"quota must be global, got ${quotas.toSeq}")
+    got.foreach { case (src, n, q, kept) =>
+      assert(kept <= n, s"$src keeps more than it has")
+      // bucket < 1e6 and n <= quota makes bucket*n < quota*1e6 always true
+      if (n <= q) assert(kept == n, s"under-quota source $src lost rows")
+    }
+  }
+
+  test("simhash banding finds every planted exact copy at hamming 0") {
+    val got = LlmQueries.qSimhashPairs(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect()
+    assert(got.forall(_._3 <= 3), "pair beyond the declared Hamming radius")
+    val found = got.filter(r => r._3 == 0).map(r => (r._1, r._2)).toSet
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id").as[Long].collect()
+    val planted = docs.filter(_ % 10 == 0).map(d => (d, d + 100000L))
+    planted.foreach { p =>
+      assert(found.contains(p), s"planted exact copy $p not mined at hamming 0")
+    }
+  }
+
+  test("source overlap matrix is strictly upper-triangular with positive mass") {
+    val got = LlmQueries.qSourceOverlap(spark, "/root/testdata/sf0.001")
+      .as[(String, String, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b, n) => a < b && n > 0 })
+    // planted copies land 5 buckets away (100000 % 7 == 5), so at least
+    // one cross-bucket pair must carry the duplicated text's mass
+    assert(got.map(_._3).max >= 8,
+      "no pair shows the planted duplicate overlap")
+  }
+
   test("simhash plan computes md5 once per word (no per-bit-plane rehash)") {
     // The 16 parity folds must reference the single materialized hash
     // array: exactly one md5 in the optimized plan. CollapseProject keeps

@@ -114,6 +114,20 @@ class MediaOpsSpec extends SparkSpec {
     assert(stats.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
   }
 
+  test("perceptual Hamming pairs find every planted copy at distance 0") {
+    val d = "/root/testdata/sf0.001"
+    val got = MediaQueries.qMediaHammingPairs(spark, d)
+      .as[(Long, Long, Long)].collect()
+    assert(got.forall(_._3 <= 1), "pair beyond the declared Hamming radius")
+    val zero = got.filter(_._3 == 0).map(r => (r._1, r._2)).toSet
+    val ids = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id").as[Long].collect()
+    ids.filter(_ % 10 == 0).foreach { m =>
+      assert(zero.contains((m, m + 100000L)),
+        s"planted media copy ($m, ${m + 100000L}) not mined")
+    }
+  }
+
   test("real WAV payloads decode through javax.sound to PCM sample stats") {
     // A 16-bit mono PCM WAV with a known sawtooth: decoded features must
     // be stats over the raw PCM data bytes (headers stripped), not over
