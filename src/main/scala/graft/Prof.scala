@@ -35,6 +35,7 @@ object Prof {
       case "t01"     => t01Stages(spark, sfDir)
       case "q25"     => q25Stages(spark, sfDir)
       case "explain" => explain(spark, sfDir)
+      case "l21"     => l21Stages(spark, sfDir)
       case other     => sys.error(s"unknown PROF_MODE: $other")
     }
     spark.stop()
@@ -56,6 +57,49 @@ object Prof {
         .queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
       println("```")
+    }
+  }
+
+  /** Decompose l21: candidate gen alone, + text joins, + levenshtein. */
+  private def l21Stages(spark: SparkSession, sfDir: String): Unit = {
+    import graft.llm.LlmQueries
+    def fresh(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val dd = base.unionByName(
+      base.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000))
+    val texts = dd.select(col("doc_id"), col("text"))
+    for (i <- 1 to 2) {
+      time(s"pairs-only#$i")(LlmQueries.qLshPairs(spark, sfDir)); fresh()
+      time(s"pairs+joins#$i") {
+        LlmQueries.qLshPairs(spark, sfDir)
+          .join(texts.as("ta"), col("doc_a") === col("ta.doc_id"))
+          .join(texts.as("tb"), col("doc_b") === col("tb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            (length(col("ta.text")) + length(col("tb.text"))).as("lens"))
+      }; fresh()
+      time(s"lev-nosort#$i") {
+        LlmQueries.qLshPairs(spark, sfDir)
+          .join(texts.as("ta"), col("doc_a") === col("ta.doc_id"))
+          .join(texts.as("tb"), col("doc_b") === col("tb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            graft.functions.TextFunctions.levenshteinTrimmed(
+              col("ta.text"), col("tb.text")).cast("long").as("edit_dist"))
+      }; fresh()
+      time(s"sort-nolev#$i") {
+        LlmQueries.qLshPairs(spark, sfDir)
+          .join(texts.as("ta"), col("doc_a") === col("ta.doc_id"))
+          .join(texts.as("tb"), col("doc_b") === col("tb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            (length(col("ta.text")) + length(col("tb.text"))).as("lens"))
+          .orderBy("doc_a", "doc_b")
+      }; fresh()
+      time(s"full-l21#$i")(LlmQueries.qEditDistance(spark, sfDir)); fresh()
     }
   }
 

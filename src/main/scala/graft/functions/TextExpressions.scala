@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftext.GraftColumns
 import org.apache.spark.sql.types._
@@ -93,9 +93,105 @@ object LevenshteinTrimmed {
   }
 }
 
+/** Fused 16-lane MinHash signature of a text column, computed row-locally
+  * in one pass over the character-4-gram shingles.
+  *
+  * Value-identical to the explode → md5 → conv → 16×min-aggregate
+  * pipeline it replaces (same shingle positions `1..max(len-3,1)`, same
+  * `first-15-hex-chars(md5) % P` base hash, same `(h*A_j + B_j) % P`
+  * universal-hash lanes — P = 2³¹−1 keeps every product inside a long),
+  * but it materializes ZERO (doc × shingle) rows and needs NO
+  * aggregation shuffle: the signature is a scalar projection, so the
+  * whole candidate-generation front half of the dedup suite becomes
+  * map-only. `min` over a multiset equals `min` over the set, so the
+  * kernel doesn't need the distinct the exploded form also skipped.
+  * Corpus discipline: exactly ONE md5 per shingle, here literally one
+  * `MessageDigest.digest` call.
+  */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(t: Any): Any =
+    MinHashSig.sig(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSig.sig($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  private val P = 2147483647L // 2^31 - 1 (prime)
+  private val A = Array(1L, 3L, 5L, 7L, 11L, 13L, 17L, 19L,
+    23L, 29L, 31L, 37L, 41L, 43L, 47L, 53L)
+  private val B = Array(0L, 17L, 131L, 1031L, 8191L, 65537L, 524287L, 6700417L,
+    127L, 257L, 509L, 2053L, 16411L, 262147L, 1048573L, 33554467L)
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** Static kernel, called from both interpreted eval and codegen.
+    *
+    * Shingle positions are CODE POINTS, matching Spark's `substr` and
+    * DuckDB's `substring` (both code-point based) — NOT UTF-16 units, so
+    * astral characters shingle identically to the exploded form. One
+    * pass records the UTF-8 byte offset of each code-point start; each
+    * shingle is then a `(offset, length)` slice of the original byte
+    * array fed straight to the digest — zero per-shingle allocation.
+    */
+  def sig(t: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = t.getBytes
+    val nb = bytes.length
+    // offs(c) = byte offset where code point c starts; offs(len) = nb.
+    val offs = new Array[Int](nb + 1)
+    var len = 0
+    var p = 0
+    while (p < nb) {
+      offs(len) = p
+      len += 1
+      p += UTF8String.numBytesForFirstByte(bytes(p))
+    }
+    offs(len) = nb
+    val n = math.max(len - 3, 1)
+    val mins = Array.fill(16)(Long.MaxValue)
+    val digest = md.get()
+    var i = 0
+    while (i < n) {
+      val start = offs(i)
+      val end = offs(math.min(i + 4, len))
+      digest.reset()
+      digest.update(bytes, start, end - start)
+      val d = digest.digest()
+      // first 15 hex chars of the md5 = bytes 0..6 + the high nibble of
+      // byte 7 (exactly what conv(substring(hex, 1, 15), 16, 10) parses)
+      var h = 0L
+      var k = 0
+      while (k < 7) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      h = ((h << 4) | ((d(7) & 0xffL) >>> 4)) % P
+      var j = 0
+      while (j < 16) {
+        val v = (h * A(j) + B(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+}
+
 object TextFunctions {
   /** Column wrapper for [[LevenshteinTrimmed]]. */
   def levenshteinTrimmed(a: Column, b: Column): Column =
     GraftColumns.column(LevenshteinTrimmed(
       GraftColumns.expression(a), GraftColumns.expression(b)))
+
+  /** Column wrapper for [[MinHashSig]]. */
+  def minhashSig(t: Column): Column =
+    GraftColumns.column(MinHashSig(GraftColumns.expression(t)))
 }

@@ -89,12 +89,22 @@ object LlmQueries {
       .select(col("doc_id"),
         (conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % P).as("h"))
 
-  /** Per-document NumHashes-lane MinHash signature from the exploded
-    * hashes. */
+  /** Per-document NumHashes-lane MinHash signature. Computed by the
+    * fused row-local kernel [[graft.functions.MinHashSig]] — one pass
+    * over the shingles per document, zero exploded rows, zero
+    * aggregation shuffle; value-identical to the historical
+    * explode+groupBy pipeline over [[shingleHashes]] (which remains the
+    * oracle's formulation and l01's hash discipline reference). The
+    * `mh` alias is materialized once and referenced 16 times — CollapseProject
+    * keeps non-cheap multiply-referenced aliases, so the kernel runs
+    * once per document (the l04 inlining lesson).
+    */
   private def minhashSignatures(base: DataFrame): DataFrame = {
-    val lanes = (0 until NumHashes).map(j =>
-      min((col("h") * LaneA(j) + LaneB(j)) % P).as(s"sig$j"))
-    shingleHashes(base).groupBy("doc_id").agg(lanes.head, lanes.tail: _*)
+    val sigCols = (0 until NumHashes).map(j =>
+      element_at(col("mh"), j + 1).as(s"sig$j"))
+    base.select(col("doc_id"),
+        graft.functions.TextFunctions.minhashSig(col("text")).as("mh"))
+      .select(col("doc_id") +: sigCols: _*)
   }
 
   /** Oracle CTEs mirroring [[shingleHashes]]/[[minhashSignatures]] over a
@@ -969,15 +979,22 @@ object LlmQueries {
     val dd = docsWithDups(s, d)
     val pairs = lshPairsOf(bandedSignatures(dd))
     val texts = dd.select(col("doc_id"), col("text"))
+    // Sort BEFORE the DP projection: a global orderBy is a range
+    // exchange whose partitioner SAMPLES its child — the child lineage
+    // executes twice (sampling pass + shuffle write). With the O(len²)
+    // kernel above the Sort instead, the double-executed child is just
+    // the joins, and every edit distance is computed exactly once.
     pairs
       .join(texts.as("ta"), col("doc_a") === col("ta.doc_id"))
       .join(texts.as("tb"), col("doc_b") === col("tb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("ta.text").as("text_a"),
+        col("tb.text").as("text_b"))
+      .orderBy("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"),
         graft.functions.TextFunctions.levenshteinTrimmed(
-          col("ta.text"), col("tb.text")).cast("long").as("edit_dist"),
-        length(col("ta.text")).cast("long").as("len_a"),
-        length(col("tb.text")).cast("long").as("len_b"))
-      .orderBy("doc_a", "doc_b")
+          col("text_a"), col("text_b")).cast("long").as("edit_dist"),
+        length(col("text_a")).cast("long").as("len_a"),
+        length(col("text_b")).cast("long").as("len_b"))
   }
   val qEditDistanceSql: String =
     s"""WITH $docsWithDupsSql,

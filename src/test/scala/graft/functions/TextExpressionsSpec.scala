@@ -80,6 +80,49 @@ class TextExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("minhash_sig matches the exploded explode→md5→min pipeline") {
+    // The fused kernel must be value-identical to the historical
+    // explode + md5 + conv + 16×min-aggregate formulation (which is
+    // still the DuckDB oracle's shape) — including on empty strings,
+    // sub-shingle-length strings, and astral code points, where the
+    // shingle positions are CODE POINTS (Spark substr semantics), not
+    // UTF-16 units.
+    val texts = Seq(
+      "", "a", "abc", "abcd", "abcde",
+      "the quick brown fox jumps over the lazy dog",
+      "héllo wörld", "日本語テキストのサンプル",
+      "a😀b😁c😂d", "😀😀😀😀😀", "mixed 日本 and 😀 astral ends😀")
+    val s = spark
+    import s.implicits._
+    val base = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val P = 2147483647L
+    val laneA = Seq(1L, 3L, 5L, 7L, 11L, 13L, 17L, 19L,
+      23L, 29L, 31L, 37L, 41L, 43L, 47L, 53L)
+    val laneB = Seq(0L, 17L, 131L, 1031L, 8191L, 65537L, 524287L, 6700417L,
+      127L, 257L, 509L, 2053L, 16411L, 262147L, 1048573L, 33554467L)
+    val exploded = base
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), greatest(length(col("text")) - 3, lit(1))),
+        i => col("text").substr(i, lit(4)))).as("sh"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long") % P).as("h"))
+      .groupBy("doc_id")
+      .agg(laneA.indices.map(j =>
+        min((col("h") * laneA(j) + laneB(j)) % P).as(s"sig$j")).head,
+        laneA.indices.map(j =>
+          min((col("h") * laneA(j) + laneB(j)) % P).as(s"sig$j")).tail: _*)
+    val fused = base.select(col("doc_id"),
+      TextFunctions.minhashSig(col("text")).as("mh"))
+    val joined = exploded.join(fused, "doc_id").collect()
+    assert(joined.length == texts.length)
+    joined.foreach { r =>
+      val sigs = (1 to 16).map(r.getLong)
+      val mh = r.getSeq[Long](17)
+      assert(sigs == mh, s"doc ${r.getLong(0)}: exploded $sigs vs fused $mh")
+    }
+  }
+
   test("null propagates") {
     val s = spark
     import s.implicits._
