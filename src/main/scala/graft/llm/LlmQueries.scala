@@ -255,14 +255,22 @@ object LlmQueries {
     // flight is the two arrays the scorer needs.
     val docSets = dd.select(col("doc_id"),
       array_distinct(shingles(col("text"))).as("sh_set"))
+    // Sort BEFORE the intersection projection (the l21 lesson): the
+    // orderBy's range partitioner samples its child, so whatever sits
+    // below the Sort executes twice. Carrying the two shingle arrays
+    // through the exchange costs one pass of array shuffle; computing
+    // array_intersect below the Sort would cost a full second
+    // evaluation of every intersection.
     pairs
       .join(docSets.as("za"), col("doc_a") === col("za.doc_id"))
       .join(docSets.as("zb"), col("doc_b") === col("zb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("za.sh_set"), col("zb.sh_set"))).cast("long").as("n_inter"),
-        size(col("za.sh_set")).cast("long").as("n_a"),
-        size(col("zb.sh_set")).cast("long").as("n_b"))
+        col("za.sh_set").as("sh_a"), col("zb.sh_set").as("sh_b"))
       .orderBy("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_inter"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
   }
   val qNgramJaccardSql: String =
     s"""WITH $docsWithDupsSql,
@@ -769,6 +777,10 @@ object LlmQueries {
     val totals = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val shared = corpus.join(broadcast(bench), Seq("g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    // No pre-sort persist here: the orderBy double-execution (see
+    // qEditDistance) re-runs only the two aggs over the ALREADY-cached
+    // gram table, which an A/B bench showed is cheaper than
+    // materializing the verdict rows a second time.
     totals.join(shared, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
