@@ -1716,6 +1716,208 @@ object LlmQueries {
        |GROUP BY a.src, b.src
        |ORDER BY src_a, src_b""".stripMargin
 
+  // ------------------------------------------- exact-substring repeats
+  /** l33: positional exact-substring duplication (the hashed-n-gram
+    * formulation of Lee et al. 2021's ExactSubstr dedup, arXiv
+    * 2107.06499 — suffix-array spans become word-8-gram occurrence
+    * counts). A position is "repeated" when its 8-gram occurs anywhere
+    * else in the corpus (including intra-document repeats); per document
+    * we report total positions and repeated positions — exactly the span
+    * mass ExactSubstr would cut. Scale shape: one explode + two hash
+    * aggs + a semi join on the gram hash; the gram-count table is the
+    * corpus-sized artifact every substring-dedup run owns, sharded by
+    * the hash — never a suffix array on one node.
+    */
+  def qSubstringRepeats(s: SparkSession, d: String): DataFrame = {
+    // ws bound as a column (not inlined into the per-position slice) —
+    // the l16 lambda-body lesson: an inlined split would re-split the
+    // full text once per emitted position.
+    val pg = docsWithDups(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), greatest(size(col("ws")) - 7, lit(1))))
+          .as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("ws"), col("pos"), lit(8)))).as("g"))
+      // consumed three times (global counts, repeated positions, totals)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repeatedGrams = pg.groupBy("g")
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+    val totals = pg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val rep = pg.join(repeatedGrams, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_repeated"))
+    totals.join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"))
+      .orderBy("doc_id")
+  }
+  val qSubstringRepeatsSql: String =
+    s"""WITH $docsWithDupsSql,
+       |pg AS (
+       |  SELECT doc_id, pos,
+       |    md5(array_to_string(
+       |      list_slice(string_split(text, ' '), pos, pos + 7), ' ')) AS g
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      unnest(generate_series(1,
+       |        greatest(len(string_split(text, ' ')) - 7, 1))) AS pos
+       |    FROM dd)),
+       |gcnt AS (SELECT g, COUNT(*) AS cnt FROM pg GROUP BY g),
+       |totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM pg GROUP BY doc_id),
+       |rep AS (
+       |  SELECT doc_id, COUNT(*) AS n_repeated FROM pg
+       |  WHERE g IN (SELECT g FROM gcnt WHERE cnt >= 2)
+       |  GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_grams, COALESCE(r.n_repeated, 0) AS n_repeated
+       |FROM totals t LEFT JOIN rep r ON t.doc_id = r.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  // ------------------------------------------------ unigram LM surprisal
+  /** l34: unigram-LM rarity surprisal — the integer-exact stand-in for
+    * the perplexity filter of CCNet (arXiv 1911.00359): instead of a
+    * KenLM log-prob, score each token by its inverse corpus frequency
+    * `n_total div cnt` (a hapax scores the full corpus size, "the"
+    * scores ~1) and report each document's total and max. High
+    * surprisal_mass / n_tokens ≈ high perplexity; has_hapax marks docs
+    * holding a corpus-unique token. Integer division keeps every cell
+    * BIGINT-exact across engines (Spark `div` ↔ DuckDB `//`).
+    * Scale shape: one explode, one hash agg for the frequency table,
+    * one shuffle equi-join on the token, one per-doc hash agg. The
+    * frequency table is vocabulary-sized (≪ corpus) and the O(1)
+    * n_total joins in via broadcast.
+    */
+  def qRaritySurprisal(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      // consumed three times (frequency table, corpus total, scoring)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wc = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = toks.select(count(lit(1)).as("n_total"))
+    toks.join(wc, Seq("w"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), expr("n_total div cnt").as("rarity"),
+        col("n_total"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("rarity")).as("surprisal_mass"),
+        max(col("rarity")).as("max_rarity"),
+        (max(col("rarity")) === first(col("n_total"))).as("has_hapax"))
+      .orderBy("doc_id")
+  }
+  val qRaritySurprisalSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+      |total AS (SELECT COUNT(*) AS n_total FROM toks)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  SUM(n_total // cnt) AS surprisal_mass,
+      |  MAX(n_total // cnt) AS max_rarity,
+      |  MAX(n_total // cnt) = any_value(n_total) AS has_hapax
+      |FROM toks JOIN wc USING (w) CROSS JOIN total
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- DSIR importance weights
+  /** l35: hashed-n-gram importance weights (the DSIR recipe, arXiv
+    * 2302.03169): tokens hash into 1024 buckets; a document's affinity
+    * to a target slice (the doc_id%17==3 eval stand-in, as in l16) vs
+    * the background is the bucket-count mass its tokens draw from each
+    * side. Output keeps the exact integer masses and the cross-
+    * multiplied ratio verdict `prefer_target` (target_mass/N_target >
+    * background_mass/N_background without any division — engine-exact).
+    * Scale shape: the bucket tables are bounded by the 1024 buckets
+    * regardless of corpus size and BROADCAST back; the token table
+    * itself is never reshuffled beyond its two bounded aggregations.
+    */
+  def qImportanceWeights(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % 1024)
+          .as("b"))
+      // consumed three times (target counts, background counts, scoring)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val isTarget = col("doc_id") % 17 === 3
+    val tcnt = toks.where(isTarget).groupBy("b")
+      .agg(count(lit(1)).as("tc"))
+    val bcnt = toks.where(!isTarget).groupBy("b")
+      .agg(count(lit(1)).as("bc"))
+    val totals = toks.select(
+      sum(when(isTarget, 1L).otherwise(0L)).as("nt"),
+      sum(when(isTarget, 0L).otherwise(1L)).as("nb"))
+    toks
+      .join(broadcast(tcnt), Seq("b"), "left")
+      .join(broadcast(bcnt), Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("tc"), lit(0L))).as("target_mass"),
+        sum(coalesce(col("bc"), lit(0L))).as("background_mass"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_tokens"), col("target_mass"),
+        col("background_mass"),
+        (col("target_mass") * col("nb") >
+          col("background_mass") * col("nt")).as("prefer_target"))
+      .orderBy("doc_id")
+  }
+  val qImportanceWeightsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) % 1024 AS b
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)),
+      |tcnt AS (SELECT b, COUNT(*) AS tc FROM toks WHERE doc_id % 17 = 3
+      |         GROUP BY b),
+      |bcnt AS (SELECT b, COUNT(*) AS bc FROM toks WHERE doc_id % 17 <> 3
+      |         GROUP BY b),
+      |totals AS (
+      |  SELECT SUM(CASE WHEN doc_id % 17 = 3 THEN 1 ELSE 0 END) AS nt,
+      |         SUM(CASE WHEN doc_id % 17 = 3 THEN 0 ELSE 1 END) AS nb
+      |  FROM toks)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  SUM(COALESCE(tc, 0)) AS target_mass,
+      |  SUM(COALESCE(bc, 0)) AS background_mass,
+      |  (SUM(COALESCE(tc, 0)) * any_value(nb) >
+      |   SUM(COALESCE(bc, 0)) * any_value(nt)) AS prefer_target
+      |FROM toks
+      |LEFT JOIN tcnt USING (b)
+      |LEFT JOIN bcnt USING (b)
+      |CROSS JOIN totals
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------- vocabulary coverage
+  /** l36: tokenizer-vocabulary coverage — fix the vocab as the corpus's
+    * top-16 words (frequency desc, word asc — a deterministic total
+    * order) and report each document's token count and out-of-vocabulary
+    * mass, the coverage audit run before committing to a tokenizer.
+    * Scale shape: the vocab is a top-k over the bounded distinct-word
+    * table and BROADCAST; the per-doc pass is one hash agg over the
+    * token stream.
+    */
+  def qVocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("cnt").desc, col("w").asc)))
+      .where(col("r") <= 16).select(col("w"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .orderBy("doc_id")
+  }
+  val qVocabCoverageSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |vocab AS (
+      |  SELECT w FROM (
+      |    SELECT w, row_number() OVER (ORDER BY COUNT(*) DESC, w) AS r
+      |    FROM toks GROUP BY w) WHERE r <= 16)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  SUM(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END) AS n_oov
+      |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -1748,7 +1950,11 @@ object LlmQueries {
     "l29_bpe_pairs" -> qBpePairs _,
     "l30_domain_mix" -> qDomainMix _,
     "l31_simhash_pairs" -> qSimhashPairs _,
-    "l32_source_overlap" -> qSourceOverlap _
+    "l32_source_overlap" -> qSourceOverlap _,
+    "l33_substring_repeats" -> qSubstringRepeats _,
+    "l34_rarity_surprisal" -> qRaritySurprisal _,
+    "l35_importance_weights" -> qImportanceWeights _,
+    "l36_vocab_coverage" -> qVocabCoverage _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1783,6 +1989,10 @@ object LlmQueries {
     "l29_bpe_pairs" -> qBpePairsSql,
     "l30_domain_mix" -> qDomainMixSql,
     "l31_simhash_pairs" -> qSimhashPairsSql,
-    "l32_source_overlap" -> qSourceOverlapSql
+    "l32_source_overlap" -> qSourceOverlapSql,
+    "l33_substring_repeats" -> qSubstringRepeatsSql,
+    "l34_rarity_surprisal" -> qRaritySurprisalSql,
+    "l35_importance_weights" -> qImportanceWeightsSql,
+    "l36_vocab_coverage" -> qVocabCoverageSql
   )
 }

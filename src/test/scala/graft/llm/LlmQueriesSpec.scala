@@ -198,6 +198,76 @@ class LlmQueriesSpec extends SparkSpec {
       "no pair shows the planted duplicate overlap")
   }
 
+  test("substring repeats: planted exact copies are fully repeated span mass") {
+    // Every 8-gram of a planted copy (doc_id+100000) also occurs in its
+    // original, so both sides of each copy pair must report
+    // n_repeated == n_grams. Unique docs must keep n_repeated < n_grams
+    // somewhere (the corpus is not all duplicates).
+    val got = LlmQueries.qSubstringRepeats(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect()
+    val copies = got.filter(_._1 >= 100000L)
+    assert(copies.nonEmpty)
+    copies.foreach { case (id, n, rep) =>
+      assert(n == rep, s"copy $id has only $rep/$n repeated positions")
+    }
+    val originals = copies.map(_._1 - 100000L).toSet
+    got.filter(r => originals.contains(r._1)).foreach { case (id, n, rep) =>
+      assert(n == rep, s"original $id of a copy has only $rep/$n repeated")
+    }
+    assert(got.exists { case (_, n, rep) => rep < n },
+      "every doc fully repeated — corpus degenerate for this pin")
+  }
+
+  test("rarity surprisal: mass bounds hold and hapax flag is exact") {
+    // Every token's rarity is in [1, n_total] (cnt>=1 always; cnt=1 →
+    // rarity = n_total exactly), so n_tokens <= surprisal_mass <=
+    // n_tokens * n_total and max_rarity = n_total iff has_hapax.
+    val got = LlmQueries.qRaritySurprisal(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    val nTotal = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(split(col("text"), " "))).count()
+    assert(got.map(_._2).sum == nTotal, "per-doc token counts must tile corpus")
+    got.foreach { case (id, n, mass, mx, hapax) =>
+      assert(n > 0 && mass >= n, s"doc $id mass $mass below token count $n")
+      assert(mx >= 1 && mx <= nTotal && mass <= n * nTotal)
+      assert(hapax == (mx == nTotal), s"doc $id hapax flag inconsistent")
+    }
+    assert(got.map(t => t._3.toDouble / t._2).distinct.length > 1,
+      "mean rarity never varies — corpus degenerate for this pin")
+  }
+
+  test("importance weights: own-slice tokens guarantee mass lower bounds") {
+    // A target-slice doc's tokens each contribute at least themselves to
+    // the target bucket counts, so target_mass >= n_tokens there (and
+    // symmetrically background_mass >= n_tokens off-slice). Both masses
+    // are draws from corpus-wide counts, so neither is ever negative.
+    val got = LlmQueries.qImportanceWeights(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, n, tm, bm, _) =>
+      assert(tm >= 0 && bm >= 0 && n > 0)
+      if (id % 17 == 3) assert(tm >= n, s"target doc $id mass $tm < $n")
+      else assert(bm >= n, s"background doc $id mass $bm < $n")
+    }
+    assert(got.exists(_._5) && got.exists(!_._5),
+      "prefer_target verdict never splits — thresholding degenerate")
+  }
+
+  test("vocab coverage: OOV mass is bounded and non-degenerate") {
+    val got = LlmQueries.qVocabCoverage(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, n, oov) =>
+      assert(oov >= 0 && oov <= n, s"doc $id oov $oov outside [0, $n]")
+    }
+    // The 16-word vocab covers the frequent function words, so most docs
+    // must mix in-vocab and OOV tokens.
+    assert(got.exists { case (_, n, oov) => oov > 0 && oov < n },
+      "no doc mixes vocab and OOV tokens")
+  }
+
   test("simhash plan computes md5 once per word (no per-bit-plane rehash)") {
     // The 16 parity folds must reference the single materialized hash
     // array: exactly one md5 in the optimized plan. CollapseProject keeps
