@@ -207,4 +207,30 @@ class PlanSpec extends SparkSpec {
     assert(unpartitioned.isEmpty,
       s"l25 plan has ${unpartitioned.size} unpartitioned WindowExec node(s)")
   }
+
+  // l33's repeated-gram membership probe must stay a semi join on the
+  // gram hash — materializing the repeated set any other way (e.g. an
+  // IN-subquery falling back to a nested-loop existence check) would
+  // drag the corpus-sized gram table through a non-equi path.
+  test("l33 substring repeats semi-joins the repeated-gram set") {
+    val df = LlmQueries.queries("l33_substring_repeats")(spark, sf)
+    assertNoAllPairs("l33", df)
+    assert(planOf(df).contains("LeftSemi"),
+      s"l33 lost the left-semi membership probe:\n${planOf(df)}")
+  }
+
+  // l34/l35/l36 join per-token streams back to bounded side tables (the
+  // 1024 DSIR buckets, the top-16 vocab, the O(1) corpus total). Those
+  // sides must broadcast — a shuffle there repartitions the full token
+  // stream once per side table.
+  test("l35 importance weights broadcast both bucket-count tables") {
+    val p = planOf(LlmQueries.queries("l35_importance_weights")(spark, sf))
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2,
+      s"l35 lost a bucket-table broadcast:\n$p")
+  }
+  test("l36 vocab coverage broadcasts the top-k vocabulary") {
+    val p = planOf(LlmQueries.queries("l36_vocab_coverage")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"l36 lost the vocab broadcast:\n$p")
+  }
 }
