@@ -1918,6 +1918,90 @@ object LlmQueries {
       |  SUM(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END) AS n_oov
       |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- semantic dedup
+  /** l37: SemDeDup-style semantic deduplication (arXiv 2303.09540):
+    * cluster the embedding space (IVF-style stride-sampled centroids, as
+    * l14 — bounded K, broadcast), then within each cluster compare every
+    * vector against its LOWER-id cluster-mates and prune any whose best
+    * such cosine clears 0.35 — the keep-lowest-id policy SemDeDup's
+    * "keep one per semantic duplicate group" reduces to under a
+    * deterministic total order. Output keeps the evidence columns
+    * (best_lower_id/best_lower_cos, NULL for each cluster's minimum).
+    * Scale shape: centroid assignment is a broadcast join (≈256 KB at
+    * 10^9 vectors); the pairwise stage is an equi-join on c_id so each
+    * comparison lives inside one cluster's partition — N²/K in-cluster
+    * work total, which production SemDeDup bounds by raising K with N
+    * (paper uses K ≈ N/10⁵) or recursing on oversized clusters; the
+    * composition here is the fixed-K single level, verified bit-exactly.
+    */
+  def qSemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d).select(col("vec_id"), col("embedding"),
+      sqrt(dotD(col("embedding"), col("embedding"))).as("nrm"))
+    val stride = math.max(37L, math.ceil(embs(s, d).count() / 1000.0).toLong)
+    val cent = e.where(col("vec_id") % stride === 11)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+        col("nrm").as("cn"))
+    val asg = e.join(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"),
+        floor(dotD(col("embedding"), col("cv")) / (col("nrm") * col("cn"))
+          * 1e6 + 0.5).cast("long").as("cc"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cc").desc, col("c_id").asc)))
+      .where(col("r") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"))
+      // consumed twice (both sides of the in-cluster pair join) + output
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = asg.select(col("c_id"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = asg.select(col("c_id"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val best = a.join(b, Seq("c_id")).where(col("id_b") < col("id_a"))
+      .select(col("id_a"), col("id_b"),
+        floor(dotD(col("va"), col("vb")) / (col("na") * col("nb"))
+          * 1e6 + 0.5).cast("long").as("cos_x1e6"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("id_a").orderBy(col("cos_x1e6").desc, col("id_b").asc)))
+      .where(col("r") === 1)
+    asg.join(best, asg("vec_id") === best("id_a"), "left")
+      .select(col("vec_id"), col("c_id"),
+        col("id_b").as("best_lower_id"),
+        col("cos_x1e6").as("best_lower_cos"),
+        coalesce(col("cos_x1e6") >= 350000L, lit(false)).as("pruned"))
+      .orderBy("vec_id")
+  }
+  val qSemanticDedupSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |stride AS (SELECT greatest(37, CAST(ceil(COUNT(*) / 1000.0) AS BIGINT)) AS k
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS cn
+       |  FROM e WHERE vec_id % (SELECT k FROM stride) = 11),
+       |asg AS (
+       |  SELECT vec_id, embedding, nrm, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cc DESC, c_id ASC) AS r FROM (
+       |      SELECT e.vec_id, e.embedding, e.nrm, c_id,
+       |        CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+       |          * 1e6 + 0.5) AS BIGINT) AS cc
+       |      FROM e CROSS JOIN cent))
+       |  WHERE r = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    CAST(floor(${dotSql("a.embedding", "b.embedding")}
+       |      / (a.nrm * b.nrm) * 1e6 + 0.5) AS BIGINT) AS cos_x1e6
+       |  FROM asg a JOIN asg b ON a.c_id = b.c_id AND b.vec_id < a.vec_id),
+       |best AS (
+       |  SELECT id_a, id_b, cos_x1e6 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id_a
+       |      ORDER BY cos_x1e6 DESC, id_b ASC) AS r FROM pairs)
+       |  WHERE r = 1)
+       |SELECT asg.vec_id, asg.c_id, id_b AS best_lower_id,
+       |  cos_x1e6 AS best_lower_cos,
+       |  COALESCE(cos_x1e6 >= 350000, false) AS pruned
+       |FROM asg LEFT JOIN best ON asg.vec_id = best.id_a
+       |ORDER BY asg.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -1954,7 +2038,8 @@ object LlmQueries {
     "l33_substring_repeats" -> qSubstringRepeats _,
     "l34_rarity_surprisal" -> qRaritySurprisal _,
     "l35_importance_weights" -> qImportanceWeights _,
-    "l36_vocab_coverage" -> qVocabCoverage _
+    "l36_vocab_coverage" -> qVocabCoverage _,
+    "l37_semantic_dedup" -> qSemanticDedup _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1993,6 +2078,7 @@ object LlmQueries {
     "l33_substring_repeats" -> qSubstringRepeatsSql,
     "l34_rarity_surprisal" -> qRaritySurprisalSql,
     "l35_importance_weights" -> qImportanceWeightsSql,
-    "l36_vocab_coverage" -> qVocabCoverageSql
+    "l36_vocab_coverage" -> qVocabCoverageSql,
+    "l37_semantic_dedup" -> qSemanticDedupSql
   )
 }

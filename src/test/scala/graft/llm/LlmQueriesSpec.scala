@@ -218,6 +218,30 @@ class LlmQueriesSpec extends SparkSpec {
       "every doc fully repeated — corpus degenerate for this pin")
   }
 
+  test("semantic dedup: cluster minima survive and evidence is consistent") {
+    // Each cluster's lowest vec_id has no lower-id mate: NULL evidence,
+    // never pruned (keep-lowest policy is total). Every non-minimum has
+    // a best_lower_id strictly below it in the SAME cluster, and pruned
+    // iff its best cosine clears the 0.35 threshold.
+    val got = LlmQueries.qSemanticDedup(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Option[Long], Option[Long], Boolean)].collect()
+    assert(got.nonEmpty)
+    val clusterOf = got.map(r => r._1 -> r._2).toMap
+    val minOf = got.groupBy(_._2).map { case (c, rs) => c -> rs.map(_._1).min }
+    got.foreach { case (id, c, bid, bcos, pruned) =>
+      if (id == minOf(c)) {
+        assert(bid.isEmpty && bcos.isEmpty && !pruned,
+          s"cluster-min $id carries evidence or got pruned")
+      } else {
+        assert(bid.nonEmpty && bid.get < id && clusterOf(bid.get) == c,
+          s"doc $id best match ${bid} not a lower-id cluster-mate")
+        assert(pruned == (bcos.get >= 350000L), s"doc $id verdict mismatch")
+      }
+    }
+    assert(got.exists(_._5) && got.exists(!_._5),
+      "pruned verdict never splits — threshold degenerate at this SF")
+  }
+
   test("rarity surprisal: mass bounds hold and hapax flag is exact") {
     // Every token's rarity is in [1, n_total] (cnt>=1 always; cnt=1 →
     // rarity = n_total exactly), so n_tokens <= surprisal_mass <=

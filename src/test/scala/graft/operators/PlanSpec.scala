@@ -228,6 +228,20 @@ class PlanSpec extends SparkSpec {
     assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2,
       s"l35 lost a bucket-table broadcast:\n$p")
   }
+  // l37's pairwise stage must be the in-cluster equi-join on c_id. The
+  // every-vector-vs-every-centroid broadcast product is by design (the
+  // centroid table is BOUNDED, same as l14's IVF build) — what must
+  // never appear is an unbounded all-pairs product: no CartesianProduct,
+  // and the vector-vs-vector comparison joins on the cluster key.
+  test("l37 semantic dedup compares only within clusters") {
+    val p = planOf(LlmQueries.queries("l37_semantic_dedup")(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"l37 plan contains CartesianProduct (all-pairs):\n$p")
+    assert(p.contains("SortMergeJoin [c_id") || p.contains("ShuffledHashJoin [c_id")
+      || p.contains("BroadcastHashJoin [c_id"),
+      s"l37 pairwise stage is not an equi-join on c_id:\n$p")
+  }
+
   test("l36 vocab coverage broadcasts the top-k vocabulary") {
     val p = planOf(LlmQueries.queries("l36_vocab_coverage")(spark, sf))
     assert(p.contains("BroadcastHashJoin"),
