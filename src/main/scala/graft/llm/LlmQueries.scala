@@ -1918,6 +1918,57 @@ object LlmQueries {
       |  SUM(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END) AS n_oov
       |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- dedup keep policy
+  /** l38: duplicate-cluster resolution policy — the step after l17's
+    * connected components in every production dedup run: within each
+    * near-dup cluster keep ONE representative, chosen by a quality
+    * policy rather than by id (here: most tokens, tie → lowest doc_id —
+    * the "keep the longest member" rule common in web-corpus pipelines).
+    * Output carries the full audit trail: every doc's cluster, token
+    * count, the cluster's kept_id, and its own verdict. Scale shape:
+    * l17's CC rounds plus one window partitioned by cluster_id — the
+    * policy argmax never leaves the cluster's partition.
+    */
+  def qDedupKeepPolicy(s: SparkSession, d: String): DataFrame = {
+    val dd = docsWithDups(s, d)
+    val pairs = lshPairsOf(bandedSignatures(dd))
+    val clusters = connectedComponents(dd.select(col("doc_id")), pairs)
+      .select(col("doc_id"), col("cluster_id"))
+    val toks = dd.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    clusters.join(toks, Seq("doc_id"))
+      .withColumn("kept_id", first(col("doc_id")).over(w))
+      .withColumn("is_kept", col("doc_id") === col("kept_id"))
+      .orderBy("doc_id")
+  }
+  val qDedupKeepPolicySql: String =
+    s"""WITH RECURSIVE $docsWithDupsSql,
+       |$pairsSqlCtes,
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |minreach AS (SELECT u, min(v) AS mv FROM reach GROUP BY u),
+       |labels AS (
+       |  SELECT d.doc_id,
+       |    least(d.doc_id, COALESCE(m.mv, d.doc_id)) AS cluster_id
+       |  FROM dd d LEFT JOIN minreach m ON d.doc_id = m.u),
+       |toks AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM dd)
+       |SELECT l.doc_id, l.cluster_id, t.n_tokens,
+       |  first_value(l.doc_id) OVER (PARTITION BY l.cluster_id
+       |    ORDER BY t.n_tokens DESC, l.doc_id ASC) AS kept_id,
+       |  l.doc_id = first_value(l.doc_id) OVER (PARTITION BY l.cluster_id
+       |    ORDER BY t.n_tokens DESC, l.doc_id ASC) AS is_kept
+       |FROM labels l JOIN toks t ON l.doc_id = t.doc_id
+       |ORDER BY l.doc_id""".stripMargin
+
   // ------------------------------------------------------- semantic dedup
   /** l37: SemDeDup-style semantic deduplication (arXiv 2303.09540):
     * cluster the embedding space (IVF-style stride-sampled centroids, as
@@ -2039,7 +2090,8 @@ object LlmQueries {
     "l34_rarity_surprisal" -> qRaritySurprisal _,
     "l35_importance_weights" -> qImportanceWeights _,
     "l36_vocab_coverage" -> qVocabCoverage _,
-    "l37_semantic_dedup" -> qSemanticDedup _
+    "l37_semantic_dedup" -> qSemanticDedup _,
+    "l38_dedup_keep_policy" -> qDedupKeepPolicy _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2079,6 +2131,7 @@ object LlmQueries {
     "l34_rarity_surprisal" -> qRaritySurprisalSql,
     "l35_importance_weights" -> qImportanceWeightsSql,
     "l36_vocab_coverage" -> qVocabCoverageSql,
-    "l37_semantic_dedup" -> qSemanticDedupSql
+    "l37_semantic_dedup" -> qSemanticDedupSql,
+    "l38_dedup_keep_policy" -> qDedupKeepPolicySql
   )
 }

@@ -218,6 +218,31 @@ class LlmQueriesSpec extends SparkSpec {
       "every doc fully repeated — corpus degenerate for this pin")
   }
 
+  test("dedup keep policy: one keeper per cluster, ties keep the original") {
+    // Exactly one is_kept per cluster_id; kept_id is that keeper for all
+    // members. Planted copies (doc_id+100000) tie their original on
+    // token count, so the tiebreak must keep the ORIGINAL and drop the
+    // copy whenever the pair shares a cluster (exact copies always do —
+    // identical MinHash signatures collide in every band).
+    val got = LlmQueries.qDedupKeepPolicy(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._2).foreach { case (c, rs) =>
+      val keepers = rs.filter(_._5)
+      assert(keepers.length == 1, s"cluster $c has ${keepers.length} keepers")
+      val k = keepers.head._1
+      rs.foreach(r => assert(r._4 == k, s"doc ${r._1} kept_id ${r._4} != $k"))
+      assert(rs.forall(r => keepers.head._3 > r._3
+        || (keepers.head._3 == r._3 && k <= r._1)),
+        s"cluster $c keeper $k not policy-maximal")
+    }
+    val byId = got.map(r => r._1 -> r).toMap
+    got.filter(_._1 >= 100000L).foreach { case (id, c, _, kept, isKept) =>
+      assert(byId(id - 100000L)._2 == c, s"copy $id split from its original")
+      assert(!isKept && kept != id, s"planted copy $id survived its original")
+    }
+  }
+
   test("semantic dedup: cluster minima survive and evidence is consistent") {
     // Each cluster's lowest vec_id has no lower-id mate: NULL evidence,
     // never pruned (keep-lowest policy is total). Every non-minimum has
