@@ -43,7 +43,10 @@ object Bench {
     "l25_rare_term_index" -> 1.4, "l26_pq_codes" -> 1.0, "l27_boilerplate" -> 1.5,
     "l28_kmeans_refine" -> 1.5, "l29_bpe_pairs" -> 1.0,
     "l30_domain_mix" -> 0.8, "l31_simhash_pairs" -> 2.0,
-    "l32_source_overlap" -> 2.0,
+    "l32_source_overlap" -> 2.0, "l33_substring_repeats" -> 1.2,
+    "l34_rarity_surprisal" -> 0.7, "l35_importance_weights" -> 0.9,
+    "l36_vocab_coverage" -> 0.9, "l37_semantic_dedup" -> 1.5,
+    "l38_dedup_keep_policy" -> 3.6,
     "q32_recursive_cte" -> 2.5, "q33_null_aware_anti" -> 0.6,
     "q34_lateral" -> 0.8,
     "m01_media_decode" -> 0.6, "m02_image_resize" -> 0.5,
