@@ -46,7 +46,7 @@ object Bench {
     "l32_source_overlap" -> 2.0, "l33_substring_repeats" -> 1.2,
     "l34_rarity_surprisal" -> 0.7, "l35_importance_weights" -> 0.9,
     "l36_vocab_coverage" -> 0.9, "l37_semantic_dedup" -> 1.5,
-    "l38_dedup_keep_policy" -> 3.6,
+    "l38_dedup_keep_policy" -> 3.3,
     "q32_recursive_cte" -> 2.5, "q33_null_aware_anti" -> 0.6,
     "q34_lateral" -> 0.8,
     "m01_media_decode" -> 0.6, "m02_image_resize" -> 0.5,
@@ -241,8 +241,10 @@ object Bench {
       // basename match: a substring test would also arm at e.g.
       // sf0.15 or sf0.1_big and double the bench at the wrong scale.
       val calibrated = new java.io.File(sfDir).getName == "sf0.1"
+      // 4x multiplier + 8s floor: round 6's stalled readings (t01 8.5s vs
+      // 1.7 ref, l38 13.7s vs 3.3 ref) sailed under the old 5x/10s gates.
       val threshold =
-        if (calibrated) math.max(5.0 * referenceSec.getOrElse(name, 3.0), 10.0)
+        if (calibrated) math.max(4.0 * referenceSec.getOrElse(name, 3.0), 8.0)
         else Double.MaxValue
       var extra = 0
       while (best > threshold && extra < 4) {
@@ -280,10 +282,17 @@ object Bench {
       Console.out.flush()
       name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The total line must survive the driver's bounded stdout-tail capture
+    // (round 6: 88 full-precision Double.toString values pushed the line
+    // past the capture window — the head of the line was cut off and the
+    // driver recorded parsed:null). Millisecond precision keeps the line
+    // ~2.5 KB at the current surface; full precision stays in the
+    // per-query incremental lines above.
+    def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

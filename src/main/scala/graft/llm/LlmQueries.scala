@@ -1293,8 +1293,8 @@ object LlmQueries {
       |  FROM documents),
       |ofs AS (
       |  SELECT doc_id, lang, est_tokens,
-      |    COALESCE(SUM(est_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_ofs
+      |    CAST(COALESCE(SUM(est_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_ofs
       |  FROM tok)
       |SELECT doc_id, lang, est_tokens, start_ofs,
       |  start_ofs // 512 AS first_seq,
@@ -1501,7 +1501,7 @@ object LlmQueries {
        |  FROM a2 CROSS JOIN pos GROUP BY c_id, pos),
        |c2 AS (SELECT c_id, list(m ORDER BY pos) AS cv FROM m2 GROUP BY c_id),
        |stats AS (
-       |  SELECT c_id, COUNT(*) AS n_members, SUM(dist) AS inertia
+       |  SELECT c_id, COUNT(*) AS n_members, CAST(SUM(dist) AS BIGINT) AS inertia
        |  FROM a2 GROUP BY c_id),
        |csum AS (
        |  SELECT c_id, CAST(list_sum(cv) AS BIGINT) AS centroid_sum FROM c2)
@@ -1547,7 +1547,7 @@ object LlmQueries {
       |  SELECT substr(w, i, 2) AS pair, freq
       |  FROM vocab, LATERAL (
       |    SELECT unnest(generate_series(1, length(w) - 1)) AS i) t)
-      |SELECT pair, SUM(freq) AS pair_count
+      |SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
       |FROM pairs GROUP BY pair
       |ORDER BY pair_count DESC, pair ASC LIMIT 20""".stripMargin
 
@@ -1599,8 +1599,8 @@ object LlmQueries {
       |      % 1000000) * p.n_src < g.quota * 1000000 AS kept
       |  FROM documents d JOIN per p USING (source) CROSS JOIN g)
       |SELECT source, n_src, quota,
-      |  SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
-      |  SUM(CASE WHEN kept THEN doc_id ELSE 0 END) AS kept_id_sum
+      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
       |FROM b GROUP BY source, n_src, quota ORDER BY source""".stripMargin
 
   // ------------------------------------------------- simhash pair mining
@@ -1810,7 +1810,7 @@ object LlmQueries {
       |wc AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
       |total AS (SELECT COUNT(*) AS n_total FROM toks)
       |SELECT doc_id, COUNT(*) AS n_tokens,
-      |  SUM(n_total // cnt) AS surprisal_mass,
+      |  CAST(SUM(n_total // cnt) AS BIGINT) AS surprisal_mass,
       |  MAX(n_total // cnt) AS max_rarity,
       |  MAX(n_total // cnt) = any_value(n_total) AS has_hapax
       |FROM toks JOIN wc USING (w) CROSS JOIN total
@@ -1873,8 +1873,8 @@ object LlmQueries {
       |         SUM(CASE WHEN doc_id % 17 = 3 THEN 0 ELSE 1 END) AS nb
       |  FROM toks)
       |SELECT doc_id, COUNT(*) AS n_tokens,
-      |  SUM(COALESCE(tc, 0)) AS target_mass,
-      |  SUM(COALESCE(bc, 0)) AS background_mass,
+      |  CAST(SUM(COALESCE(tc, 0)) AS BIGINT) AS target_mass,
+      |  CAST(SUM(COALESCE(bc, 0)) AS BIGINT) AS background_mass,
       |  (SUM(COALESCE(tc, 0)) * any_value(nb) >
       |   SUM(COALESCE(bc, 0)) * any_value(nt)) AS prefer_target
       |FROM toks
@@ -1915,7 +1915,7 @@ object LlmQueries {
       |    SELECT w, row_number() OVER (ORDER BY COUNT(*) DESC, w) AS r
       |    FROM toks GROUP BY w) WHERE r <= 16)
       |SELECT doc_id, COUNT(*) AS n_tokens,
-      |  SUM(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END) AS n_oov
+      |  CAST(SUM(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
       |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------- dedup keep policy
