@@ -2053,6 +2053,150 @@ object LlmQueries {
        |FROM asg LEFT JOIN best ON asg.vec_id = best.id_a
        |ORDER BY asg.vec_id""".stripMargin
 
+  // ------------------------------------------------- incremental dedup
+  /** Prefix-named copies of the sig/band CTEs so one oracle can carry
+    * two independent corpora (the fixed-name forms above stay as-is for
+    * every existing oracle).
+    */
+  private def sigsSqlCtesNamed(src: String, p: String): String = {
+    val lanes = (0 until NumHashes).map(j =>
+      s"min((h * ${LaneA(j)} + ${LaneB(j)}) % $P) AS sig$j").mkString(",\n    ")
+    s"""${p}sh AS (
+       |  SELECT doc_id, unnest(${shinglesSql("text")}) AS s FROM $src),
+       |${p}hp AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) % $P AS h
+       |  FROM ${p}sh),
+       |${p}sigs AS (
+       |  SELECT doc_id,
+       |    $lanes
+       |  FROM ${p}hp GROUP BY doc_id)""".stripMargin
+  }
+  private def bandedSqlCteNamed(p: String): String = {
+    val bands = (0 until NumBands).map { b =>
+      val cat = (RowsPerBand * b until RowsPerBand * (b + 1))
+        .map(j => s"CAST(sig$j AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bkey FROM ${p}sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""${p}banded AS (
+       |  $bands)""".stripMargin
+  }
+
+  /** Incremental ingestion dedup: a NEW batch of documents is deduped
+    * against the EXISTING corpus without ever re-deduping the corpus
+    * itself — the shape a continuously-crawled 100 TB corpus needs
+    * (each snapshot only pays for its own delta). Batch = exact copies
+    * (doc_id+100000, every 10th doc) plus suffix-perturbed near-copies
+    * (doc_id+200000, every 10th+5, ` tail tail tail` appended).
+    * Membership tests are two semi-joins keyed by content hashes:
+    * md5(text) for exact, (band, bkey) MinHash-LSH buckets for near —
+    * both shuffle-by-key equi-joins with no broadcast requirement, so
+    * corpus and batch can both be arbitrarily large. Verdict order:
+    * exact beats near beats keep.
+    */
+  def qIncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val corpus = docs(s, d).select(col("doc_id"), col("text"))
+    val batch = corpus.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      .unionByName(corpus.where(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" tail tail tail")).as("text")))
+    val corpusFp = corpus.select(md5(col("text")).as("fp")).distinct()
+    val exactFlag = batch.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(corpusFp, Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(true).as("exact_dup"))
+    val corpusBands = bandedSignatures(corpus)
+      .select(col("band"), col("bkey")).distinct()
+    val bandFlag = bandedSignatures(batch)
+      .join(corpusBands, Seq("band", "bkey"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .select(col("doc_id"), lit(true).as("band_dup"))
+    batch.select(col("doc_id"))
+      .join(exactFlag, Seq("doc_id"), "left")
+      .join(bandFlag, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("band_dup"), lit(false)).as("band_dup"),
+        when(coalesce(col("exact_dup"), lit(false)), lit("drop_exact"))
+          .when(coalesce(col("band_dup"), lit(false)), lit("drop_near"))
+          .otherwise(lit("keep")).as("verdict"))
+      .orderBy("doc_id")
+  }
+  val qIncrementalDedupSql: String =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+       |batch AS (
+       |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 200000 AS doc_id, text || ' tail tail tail' AS text
+       |  FROM documents WHERE doc_id % 10 = 5),
+       |${sigsSqlCtesNamed("corpus", "c")},
+       |${bandedSqlCteNamed("c")},
+       |${sigsSqlCtesNamed("batch", "b")},
+       |${bandedSqlCteNamed("b")},
+       |cfp AS (SELECT DISTINCT md5(text) AS fp FROM corpus),
+       |exactf AS (
+       |  SELECT DISTINCT b.doc_id FROM batch b
+       |  JOIN cfp ON md5(b.text) = cfp.fp),
+       |cbk AS (SELECT DISTINCT band, bkey FROM cbanded),
+       |bandf AS (
+       |  SELECT DISTINCT bb.doc_id FROM bbanded bb
+       |  JOIN cbk USING (band, bkey))
+       |SELECT b.doc_id,
+       |  e.doc_id IS NOT NULL AS exact_dup,
+       |  f.doc_id IS NOT NULL AS band_dup,
+       |  CASE WHEN e.doc_id IS NOT NULL THEN 'drop_exact'
+       |       WHEN f.doc_id IS NOT NULL THEN 'drop_near'
+       |       ELSE 'keep' END AS verdict
+       |FROM batch b
+       |LEFT JOIN exactf e ON b.doc_id = e.doc_id
+       |LEFT JOIN bandf f ON b.doc_id = f.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
+  // ------------------------------------------------- text normalization
+  /** Canonicalization-aware dedup: normalize text (lowercase, strip
+    * non-alphanumerics, collapse whitespace) and flag documents whose
+    * canonical form already appeared under a lower doc_id — the
+    * normalize-then-hash pass every crawl pipeline runs before exact
+    * dedup (casing/punctuation variants hash apart raw but collapse
+    * canonically). Row-local regex work plus ONE shuffle keyed by the
+    * canonical text for the min-doc_id window — identical cost shape to
+    * exact dedup at any scale. Upper-cased `!!`-suffixed variants
+    * (doc_id+100000, every 10th doc) give the canonicalizer real work.
+    */
+  def qTextNormalize(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val all = base.unionByName(
+      base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(upper(col("text")), lit("!!")).as("text")))
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val w = Window.partitionBy("norm")
+    all.withColumn("norm", norm)
+      .select(col("doc_id"),
+        size(split(col("norm"), " ")).cast("long").as("n_tokens_norm"),
+        (col("norm") =!= col("text")).as("changed"),
+        substring(md5(col("norm")), 1, 8).as("fp"),
+        (min(col("doc_id")).over(w) < col("doc_id")).as("canon_dup"))
+      .orderBy("doc_id")
+  }
+  val qTextNormalizeSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, upper(text) || '!!' AS text
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |n AS (
+      |  SELECT doc_id, text,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |         ' +', ' ', 'g')) AS norm
+      |  FROM base)
+      |SELECT doc_id,
+      |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens_norm,
+      |  norm <> text AS changed,
+      |  substring(md5(norm), 1, 8) AS fp,
+      |  min(doc_id) OVER (PARTITION BY norm) < doc_id AS canon_dup
+      |FROM n ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -2091,7 +2235,9 @@ object LlmQueries {
     "l35_importance_weights" -> qImportanceWeights _,
     "l36_vocab_coverage" -> qVocabCoverage _,
     "l37_semantic_dedup" -> qSemanticDedup _,
-    "l38_dedup_keep_policy" -> qDedupKeepPolicy _
+    "l38_dedup_keep_policy" -> qDedupKeepPolicy _,
+    "l39_incremental_dedup" -> qIncrementalDedup _,
+    "l40_text_normalize" -> qTextNormalize _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2132,6 +2278,8 @@ object LlmQueries {
     "l35_importance_weights" -> qImportanceWeightsSql,
     "l36_vocab_coverage" -> qVocabCoverageSql,
     "l37_semantic_dedup" -> qSemanticDedupSql,
-    "l38_dedup_keep_policy" -> qDedupKeepPolicySql
+    "l38_dedup_keep_policy" -> qDedupKeepPolicySql,
+    "l39_incremental_dedup" -> qIncrementalDedupSql,
+    "l40_text_normalize" -> qTextNormalizeSql
   )
 }

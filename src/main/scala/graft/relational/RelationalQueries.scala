@@ -796,6 +796,59 @@ object RelationalQueries {
       |WHERE c.c_custkey % 100 = 1
       |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin
 
+  /** JSON functions over the events.props payload column: both the
+    * path-extraction form (`get_json_object`, codegen'd, no schema
+    * needed) and the typed-parse form (`from_json` to a struct — the
+    * shape a 100 TB semi-structured ingest would use, parse once then
+    * prune columns). Row-local, embarrassingly parallel; the filter
+    * prunes before any JSON work. Oracle: DuckDB json_extract_string.
+    */
+  def q35Json(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events")
+    ev.where($"event_id" % 20 === 0)
+      .select($"event_id", $"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k_path"),
+        from_json($"props", org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))))
+          .getField("k").as("k_typed"))
+      .withColumn("k_bucket", ($"k_path" / lit(10)).cast("long"))
+      .orderBy("event_id")
+  }
+  val q35Sql: String =
+    """SELECT event_id, event_type,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket
+      |FROM events WHERE event_id % 20 = 0 ORDER BY event_id""".stripMargin
+
+  /** Map-typed surface (Q16): per region build a name->key map with
+    * `map_from_arrays`, then interrogate it with `map_keys`/
+    * `element_at`/`map_values` + higher-order `aggregate`. The map stays
+    * intra-row (built from a grouped collect over a small dimension);
+    * output flattens to scalars so the oracle can mirror it relationally
+    * (arg_min / count / sum without any MAP type).
+    */
+  def q36Map(s: SparkSession, d: String): DataFrame =
+    nat(s, d)
+      .groupBy($"n_regionkey".cast("long").as("region"))
+      .agg(map_from_arrays(
+        collect_list($"n_name"),
+        collect_list($"n_nationkey".cast("long"))).as("m"))
+      .select($"region",
+        size(map_keys($"m")).cast("long").as("n_keys"),
+        array_min(map_keys($"m")).as("first_key"),
+        element_at($"m", array_min(map_keys($"m"))).as("first_val"),
+        aggregate(map_values($"m"), lit(0L), (a, x) => a + x).as("val_sum"))
+      .orderBy("region")
+  val q36Sql: String =
+    """SELECT CAST(n_regionkey AS BIGINT) AS region,
+      |  COUNT(*) AS n_keys,
+      |  MIN(n_name) AS first_key,
+      |  CAST(arg_min(n_nationkey, n_name) AS BIGINT) AS first_val,
+      |  CAST(SUM(n_nationkey) AS BIGINT) AS val_sum
+      |FROM nation GROUP BY n_regionkey ORDER BY region""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -830,7 +883,9 @@ object RelationalQueries {
     "q31_grouping_sets" -> q31GroupingSets _,
     "q32_recursive_cte" -> q32RecursiveCte _,
     "q33_null_aware_anti" -> q33NullAwareAnti _,
-    "q34_lateral" -> q34Lateral _
+    "q34_lateral" -> q34Lateral _,
+    "q35_json" -> q35Json _,
+    "q36_map" -> q36Map _
   )
 
   val oracles: Map[String, String] = Map(
@@ -867,7 +922,9 @@ object RelationalQueries {
     "q31_grouping_sets" -> q31Sql,
     "q32_recursive_cte" -> q32Sql,
     "q33_null_aware_anti" -> q33Sql,
-    "q34_lateral" -> q34Sql
+    "q34_lateral" -> q34Sql,
+    "q35_json" -> q35Sql,
+    "q36_map" -> q36Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits

@@ -317,6 +317,49 @@ class LlmQueriesSpec extends SparkSpec {
       "no doc mixes vocab and OOV tokens")
   }
 
+  test("incremental dedup: exact copies drop_exact, all batch docs covered") {
+    val got = LlmQueries.qIncrementalDedup(spark, "/root/testdata/sf0.001")
+      .as[(Long, Boolean, Boolean, String)].collect()
+    assert(got.nonEmpty)
+    val byId = got.map(r => r._1 -> r).toMap
+    // Every +100000 batch doc is a byte-identical copy of a corpus doc:
+    // must be exact_dup (and exact implies the LSH bands match too).
+    val exacts = got.filter(_._1 >= 100000).filter(_._1 < 200000)
+    assert(exacts.nonEmpty)
+    exacts.foreach { case (id, ex, band, v) =>
+      assert(ex && band && v == "drop_exact", s"doc $id: ($ex, $band, $v)")
+    }
+    // Perturbed +200000 docs are never byte-identical.
+    val nears = got.filter(_._1 >= 200000)
+    assert(nears.nonEmpty)
+    nears.foreach { case (id, ex, _, v) =>
+      assert(!ex && v != "drop_exact", s"doc $id: exact=$ex verdict=$v")
+    }
+    // Verdict is consistent with the two flags.
+    got.foreach { case (id, ex, band, v) =>
+      val expect = if (ex) "drop_exact" else if (band) "drop_near" else "keep"
+      assert(v == expect, s"doc $id: ($ex, $band) -> $v")
+    }
+    assert(byId.size == got.length, "duplicate batch doc_ids in output")
+  }
+
+  test("text normalize: variants collapse onto their originals") {
+    val got = LlmQueries.qTextNormalize(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Boolean, String, Boolean)].collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    val variants = got.filter(_._1 >= 100000)
+    assert(variants.nonEmpty)
+    variants.foreach { case (id, n, changed, fp, dup) =>
+      // UPPER + '!!' always differs from its canonical form...
+      assert(changed, s"variant $id not flagged changed")
+      // ...and canonicalizes to exactly the original's form.
+      val orig = byId(id - 100000)
+      assert(fp == orig._4, s"variant $id fp $fp != original fp ${orig._4}")
+      assert(n == orig._2, s"variant $id token count $n != ${orig._2}")
+      assert(dup, s"variant $id not flagged canon_dup against ${id - 100000}")
+    }
+  }
+
   test("simhash plan computes md5 once per word (no per-bit-plane rehash)") {
     // The 16 parity folds must reference the single materialized hash
     // array: exactly one md5 in the optimized plan. CollapseProject keeps

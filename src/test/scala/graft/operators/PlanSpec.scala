@@ -247,4 +247,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"l36 lost the vocab broadcast:\n$p")
   }
+
+  // l39's corpus-membership probes must both be semi joins on content
+  // keys (md5 fingerprint, LSH band key) so corpus and batch can both be
+  // unbounded — an all-pairs or nested-loop existence check would make
+  // the incremental pass cost as much as re-deduping the whole corpus.
+  test("l39 incremental dedup probes the corpus with semi joins only") {
+    val df = LlmQueries.queries("l39_incremental_dedup")(spark, sf)
+    assertNoAllPairs("l39", df)
+    val p = planOf(df)
+    assert(p.sliding("LeftSemi".length).count(_ == "LeftSemi") >= 2,
+      s"l39 lost a semi-join membership probe:\n$p")
+  }
+
+  // l40's only shuffle is the canonical-text window; it must stay
+  // partitioned by norm (an unpartitioned window would serialize the
+  // corpus onto one task).
+  test("l40 text normalize windows are partitioned by the canonical text") {
+    val df = LlmQueries.queries("l40_text_normalize")(spark, sf)
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "l40 lost its window")
+    windows.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, s"l40 window is unpartitioned:\n$w"))
+  }
 }
