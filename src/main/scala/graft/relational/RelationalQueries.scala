@@ -849,6 +849,78 @@ object RelationalQueries {
       |  CAST(SUM(n_nationkey) AS BIGINT) AS val_sum
       |FROM nation GROUP BY n_regionkey ORDER BY region""".stripMargin
 
+  /** Time-based RANGE window frames (Q10 family): per user, the count
+    * and integer load of events in the trailing hour of each event —
+    * `rangeBetween` on epoch seconds, not `rowsBetween` on positions.
+    * RANGE frames include all ties of the current order value, so the
+    * result is deterministic even when (user, second) collides. One
+    * shuffle keyed by user at any scale. Both engines floor-divide
+    * micros to seconds (CAST in DuckDB would round-half-up).
+    */
+  def q37RangeWindow(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events")
+      .withColumn("tsec", expr("unix_micros(cast(ts as timestamp)) div 1000000"))
+    val w = Window.partitionBy($"user_id").orderBy($"tsec")
+      .rangeBetween(-3600L, Window.currentRow)
+    ev.select($"user_id", $"event_id", $"tsec",
+        count(lit(1)).over(w).as("n_1h"),
+        sum(($"event_id" % 100).cast("long")).over(w).as("load_1h"))
+      .where($"event_id" % 25 === 0)
+      .orderBy("user_id", "event_id")
+  }
+  val q37Sql: String =
+    """SELECT user_id, event_id, tsec, n_1h, load_1h FROM (
+      |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS tsec,
+      |    COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+      |      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h,
+      |    CAST(SUM(event_id % 100) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts) // 1000000
+      |      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS load_1h
+      |  FROM events)
+      |WHERE event_id % 25 = 0 ORDER BY user_id, event_id""".stripMargin
+
+  /** Batch sessionization: a gap of more than 30 minutes starts a new
+    * session; sessions are numbered per user by a cumulative sum of the
+    * new-session flag (lag + running sum — the standard gaps-and-islands
+    * form), then aggregated to per-session stats. All shuffles are keyed
+    * by user; integer-exact output.
+    */
+  def q38Sessionize(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events")
+      .withColumn("tsec", expr("unix_micros(cast(ts as timestamp)) div 1000000"))
+    val wOrd = Window.partitionBy($"user_id").orderBy($"tsec", $"event_id")
+    val newSess = when(
+      lag($"tsec", 1).over(wOrd).isNull ||
+        ($"tsec" - lag($"tsec", 1).over(wOrd)) > 1800, 1L).otherwise(0L)
+    ev.withColumn("new_sess", newSess)
+      .withColumn("session_idx",
+        sum($"new_sess").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        (max($"tsec") - min($"tsec")).as("duration_sec"),
+        min($"event_id").as("first_event"))
+      .where($"user_id" % 20 === 0)
+      .orderBy("user_id", "session_idx")
+  }
+  val q38Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS tsec FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, tsec,
+      |    CASE WHEN lag(tsec) OVER w IS NULL
+      |           OR tsec - lag(tsec) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, tsec,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |  FROM flagged)
+      |SELECT user_id, session_idx, COUNT(*) AS n_events,
+      |  MAX(tsec) - MIN(tsec) AS duration_sec, MIN(event_id) AS first_event
+      |FROM sess GROUP BY user_id, session_idx
+      |HAVING user_id % 20 = 0
+      |ORDER BY user_id, session_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -885,7 +957,9 @@ object RelationalQueries {
     "q33_null_aware_anti" -> q33NullAwareAnti _,
     "q34_lateral" -> q34Lateral _,
     "q35_json" -> q35Json _,
-    "q36_map" -> q36Map _
+    "q36_map" -> q36Map _,
+    "q37_range_window" -> q37RangeWindow _,
+    "q38_sessionize" -> q38Sessionize _
   )
 
   val oracles: Map[String, String] = Map(
@@ -924,7 +998,9 @@ object RelationalQueries {
     "q33_null_aware_anti" -> q33Sql,
     "q34_lateral" -> q34Sql,
     "q35_json" -> q35Sql,
-    "q36_map" -> q36Sql
+    "q36_map" -> q36Sql,
+    "q37_range_window" -> q37Sql,
+    "q38_sessionize" -> q38Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits

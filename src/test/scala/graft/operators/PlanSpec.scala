@@ -260,6 +260,19 @@ class PlanSpec extends SparkSpec {
       s"l39 lost a semi-join membership probe:\n$p")
   }
 
+  // The event-time window queries must keep every window partitioned by
+  // user — an unpartitioned RANGE/running-sum window would serialize the
+  // whole events table onto one task.
+  test("q37/q38 event windows are partitioned by user") {
+    for (name <- Seq("q37_range_window", "q38_sessionize")) {
+      val df = RelationalQueries.queries(name)(spark, sf)
+      val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$name lost its window")
+      windows.foreach(w =>
+        assert(w.partitionSpec.nonEmpty, s"$name window is unpartitioned:\n$w"))
+    }
+  }
+
   // l40's only shuffle is the canonical-text window; it must stay
   // partitioned by norm (an unpartitioned window would serialize the
   // corpus onto one task).
