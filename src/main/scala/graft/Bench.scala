@@ -46,7 +46,7 @@ object Bench {
     "l32_source_overlap" -> 2.0, "l33_substring_repeats" -> 1.2,
     "l34_rarity_surprisal" -> 0.7, "l35_importance_weights" -> 0.9,
     "l36_vocab_coverage" -> 0.9, "l37_semantic_dedup" -> 1.5,
-    "l38_dedup_keep_policy" -> 3.3,
+    "l38_dedup_keep_policy" -> 4.5,
     "l39_incremental_dedup" -> 3.0, "l40_text_normalize" -> 1.2,
     "q35_json" -> 0.4, "q36_map" -> 0.4,
     "q37_range_window" -> 0.8, "q38_sessionize" -> 0.9,
