@@ -50,6 +50,7 @@ object Bench {
     "l39_incremental_dedup" -> 3.0, "l40_text_normalize" -> 1.2,
     "q35_json" -> 0.4, "q36_map" -> 0.4,
     "q37_range_window" -> 0.8, "q38_sessionize" -> 0.9,
+    "q39_try_functions" -> 0.4, "q40_approx_quantiles" -> 1.0,
     "q32_recursive_cte" -> 2.5, "q33_null_aware_anti" -> 0.6,
     "q34_lateral" -> 0.8,
     "m01_media_decode" -> 0.6, "m02_image_resize" -> 0.5,

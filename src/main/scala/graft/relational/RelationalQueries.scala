@@ -921,6 +921,83 @@ object RelationalQueries {
       |HAVING user_id % 20 = 0
       |ORDER BY user_id, session_idx""".stripMargin
 
+  /** Error-safe scalar functions (ANSI-failure family): `try_cast` on
+    * parseable and unparseable strings, `try_element_at` in and out of
+    * bounds, `try_to_timestamp` on both a real datetime rendering and
+    * garbage — all row-local and engine-mirrorable (DuckDB TRY_CAST /
+    * list_extract, which are NULL-on-failure by the same contract). The
+    * timestamp round-trips through a string on both engines so the
+    * output schema stays scalar-text (no raw temporal hashing).
+    */
+  def q39TryFunctions(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .where($"o_orderkey" % 20 === 0)
+      .select($"o_orderkey",
+        expr("try_cast(substring(o_orderpriority, 1, 1) as bigint)").as("prio_num"),
+        expr("try_cast(o_orderstatus as bigint)").as("status_num"),
+        expr("try_element_at(split(o_orderpriority, '-'), 2)").as("prio_word2"),
+        expr("try_element_at(split(o_orderpriority, '-'), 3)").as("prio_word3"),
+        expr("cast(try_to_timestamp(cast(o_orderdate as string)) as string)").as("ts_good"),
+        expr("cast(try_to_timestamp(o_orderpriority) as string)").as("ts_bad"))
+      .orderBy("o_orderkey")
+  val q39Sql: String =
+    """SELECT o_orderkey,
+      |  TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+      |  TRY_CAST(o_orderstatus AS BIGINT) AS status_num,
+      |  list_extract(string_split(o_orderpriority, '-'), 2) AS prio_word2,
+      |  list_extract(string_split(o_orderpriority, '-'), 3) AS prio_word3,
+      |  CAST(TRY_CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP) AS VARCHAR) AS ts_good,
+      |  CAST(TRY_CAST(o_orderpriority AS TIMESTAMP) AS VARCHAR) AS ts_bad
+      |FROM orders WHERE o_orderkey % 20 = 0 ORDER BY o_orderkey""".stripMargin
+
+  /** Approximate grouped quantiles with a verified rank-error bound —
+    * the q25 discipline applied to `percentile_approx` (Spark's GK-style
+    * sketch): the sketch's merge order is not deterministic across runs,
+    * so the APPROX VALUE itself is never output; instead the query
+    * outputs the exact discrete quantiles (q28's ceil(p*n) definition)
+    * plus booleans asserting the sketch landed within its documented
+    * rank guarantee (|rank(approx) - ceil(p*n)| <= n/accuracy + 1),
+    * which holds on every merge order. Oracle: exact quantiles + TRUE.
+    * Three single-pass aggregates + joins on the tiny group key — the
+    * sketch is the 100 TB path (mergeable, bounded state), the exact
+    * rank check is the verification harness.
+    */
+  def q40ApproxQuantiles(s: SparkSession, d: String): DataFrame = {
+    val base = ord(s, d).select($"o_orderpriority", $"o_totalprice")
+    val acc = 1000
+    val approx = base.groupBy($"o_orderpriority")
+      .agg(expr(s"percentile_approx(o_totalprice, array(0.5D, 0.9D), $acc)").as("ap"))
+      .select($"o_orderpriority", element_at($"ap", 1).as("ap50"),
+        element_at($"ap", 2).as("ap90"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice")
+    val ranked = base.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"o_orderpriority")))
+    val exact = ranked
+      .groupBy($"o_orderpriority", $"n")
+      .agg(min(when($"rn" === ceil($"n" * 0.5), $"o_totalprice")).as("exact_p50"),
+        min(when($"rn" === ceil($"n" * 0.9), $"o_totalprice")).as("exact_p90"))
+    val bounds = base.join(broadcast(approx), Seq("o_orderpriority"))
+      .groupBy($"o_orderpriority")
+      .agg(sum(when($"o_totalprice" <= $"ap50", 1L).otherwise(0L)).as("le50"),
+        sum(when($"o_totalprice" <= $"ap90", 1L).otherwise(0L)).as("le90"))
+    exact.join(bounds, Seq("o_orderpriority"))
+      .select($"o_orderpriority", $"exact_p50", $"exact_p90",
+        (abs($"le50" - ceil($"n" * 0.5)) <= $"n" / acc + 1).as("p50_in_bound"),
+        (abs($"le90" - ceil($"n" * 0.9)) <= $"n" / acc + 1).as("p90_in_bound"))
+      .orderBy("o_orderpriority")
+  }
+  val q40Sql: String =
+    """WITH ranked AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders)
+      |SELECT o_orderpriority,
+      |  MIN(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN o_totalprice END) AS exact_p50,
+      |  MIN(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN o_totalprice END) AS exact_p90,
+      |  TRUE AS p50_in_bound, TRUE AS p90_in_bound
+      |FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -959,7 +1036,9 @@ object RelationalQueries {
     "q35_json" -> q35Json _,
     "q36_map" -> q36Map _,
     "q37_range_window" -> q37RangeWindow _,
-    "q38_sessionize" -> q38Sessionize _
+    "q38_sessionize" -> q38Sessionize _,
+    "q39_try_functions" -> q39TryFunctions _,
+    "q40_approx_quantiles" -> q40ApproxQuantiles _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1000,7 +1079,9 @@ object RelationalQueries {
     "q35_json" -> q35Sql,
     "q36_map" -> q36Sql,
     "q37_range_window" -> q37Sql,
-    "q38_sessionize" -> q38Sql
+    "q38_sessionize" -> q38Sql,
+    "q39_try_functions" -> q39Sql,
+    "q40_approx_quantiles" -> q40Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits
