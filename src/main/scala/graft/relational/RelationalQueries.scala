@@ -998,6 +998,94 @@ object RelationalQueries {
       |  TRUE AS p50_in_bound, TRUE AS p90_in_bound
       |FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** SCD type-2 batch upsert (warehouse MERGE semantics expressed as
+    * joins — Spark has no MERGE outside table formats, and at 100 TB the
+    * merge IS these equi-joins on the business key): an update batch
+    * (changed balances + brand-new keys, both derived deterministically
+    * from the dimension itself) is applied with full history — matched
+    * keys expire their version-1 row and gain a current version-2 row,
+    * unmatched keys pass through current, new keys insert. Four
+    * branches, every join keyed by c_custkey (one shuffle key at scale;
+    * the update batch would broadcast when small).
+    */
+  def q41Scd2Upsert(s: SparkSession, d: String): DataFrame = {
+    val dim = cust(s, d).select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+    val updates = dim.where($"c_custkey" % 10 === 3)
+      .select($"c_custkey", ($"c_acctbal" + 100.0).as("u_acctbal"),
+        $"c_mktsegment".as("u_seg"))
+      .unionByName(dim.where($"c_custkey" % 100 === 7)
+        .select(($"c_custkey" + 100000).as("c_custkey"),
+          $"c_acctbal".as("u_acctbal"), $"c_mktsegment".as("u_seg")))
+    val expired = dim.join(updates, Seq("c_custkey"), "left_semi")
+      .select($"c_custkey", lit(1L).as("version"), $"c_acctbal".as("acctbal"),
+        $"c_mktsegment".as("segment"), lit(false).as("is_current"))
+    val updatedNew = dim.join(updates, Seq("c_custkey"))
+      .select($"c_custkey", lit(2L).as("version"), $"u_acctbal".as("acctbal"),
+        $"u_seg".as("segment"), lit(true).as("is_current"))
+    val untouched = dim.join(updates, Seq("c_custkey"), "left_anti")
+      .select($"c_custkey", lit(1L).as("version"), $"c_acctbal".as("acctbal"),
+        $"c_mktsegment".as("segment"), lit(true).as("is_current"))
+    val inserts = updates.join(dim, Seq("c_custkey"), "left_anti")
+      .select($"c_custkey", lit(1L).as("version"), $"u_acctbal".as("acctbal"),
+        $"u_seg".as("segment"), lit(true).as("is_current"))
+    expired.unionByName(updatedNew).unionByName(untouched).unionByName(inserts)
+      .orderBy("c_custkey", "version")
+  }
+  val q41Sql: String =
+    """WITH dim AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+      |upd AS (
+      |  SELECT c_custkey, c_acctbal + 100.0 AS u_acctbal, c_mktsegment AS u_seg
+      |  FROM dim WHERE c_custkey % 10 = 3
+      |  UNION ALL
+      |  SELECT c_custkey + 100000 AS c_custkey, c_acctbal AS u_acctbal,
+      |         c_mktsegment AS u_seg
+      |  FROM dim WHERE c_custkey % 100 = 7)
+      |SELECT d.c_custkey, 1 AS version, d.c_acctbal AS acctbal,
+      |       d.c_mktsegment AS segment, FALSE AS is_current
+      |FROM dim d WHERE EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = d.c_custkey)
+      |UNION ALL
+      |SELECT d.c_custkey, 2 AS version, u.u_acctbal, u.u_seg, TRUE
+      |FROM dim d JOIN upd u ON d.c_custkey = u.c_custkey
+      |UNION ALL
+      |SELECT d.c_custkey, 1, d.c_acctbal, d.c_mktsegment, TRUE
+      |FROM dim d WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = d.c_custkey)
+      |UNION ALL
+      |SELECT u.c_custkey, 1, u.u_acctbal, u.u_seg, TRUE
+      |FROM upd u WHERE NOT EXISTS (SELECT 1 FROM dim d WHERE d.c_custkey = u.c_custkey)
+      |ORDER BY c_custkey, version""".stripMargin
+
+  /** Array set operations (Q16 completion): intersect / union / except /
+    * overlap / position over word arrays. Spark's array set functions
+    * return DISTINCT elements in first-array order while DuckDB's
+    * list_intersect/list_distinct are unordered — so the output exposes
+    * only order-independent facts (sizes, booleans, positions), the same
+    * canonicalization trick as the map query.
+    */
+  def q42ArraySetOps(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select($"p_partkey", $"p_type",
+        split($"p_name", " ").as("a1"),
+        array(element_at(split($"p_name", " "), 1), lower($"p_type")).as("a2"))
+      .select($"p_partkey",
+        size(array_intersect($"a1", $"a2")).cast("long").as("n_inter"),
+        size(array_union($"a1", $"a2")).cast("long").as("n_union"),
+        size(array_except($"a1", $"a2")).cast("long").as("n_except"),
+        arrays_overlap($"a1", $"a2").as("has_any"),
+        array_position($"a1", lower($"p_type")).cast("long").as("pos_type"))
+      .orderBy("p_partkey")
+  val q42Sql: String =
+    """WITH a AS (
+      |  SELECT p_partkey, p_type, string_split(p_name, ' ') AS a1,
+      |    [list_extract(string_split(p_name, ' '), 1), lower(p_type)] AS a2
+      |  FROM part)
+      |SELECT p_partkey,
+      |  CAST(len(list_distinct(list_intersect(a1, a2))) AS BIGINT) AS n_inter,
+      |  CAST(len(list_distinct(a1 || a2)) AS BIGINT) AS n_union,
+      |  CAST(len(list_distinct(list_filter(a1, x -> NOT list_contains(a2, x)))) AS BIGINT) AS n_except,
+      |  list_has_any(a1, a2) AS has_any,
+      |  CAST(COALESCE(list_position(a1, lower(p_type)), 0) AS BIGINT) AS pos_type
+      |FROM a ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -1038,7 +1126,9 @@ object RelationalQueries {
     "q37_range_window" -> q37RangeWindow _,
     "q38_sessionize" -> q38Sessionize _,
     "q39_try_functions" -> q39TryFunctions _,
-    "q40_approx_quantiles" -> q40ApproxQuantiles _
+    "q40_approx_quantiles" -> q40ApproxQuantiles _,
+    "q41_scd2_upsert" -> q41Scd2Upsert _,
+    "q42_array_setops" -> q42ArraySetOps _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1081,7 +1171,9 @@ object RelationalQueries {
     "q37_range_window" -> q37Sql,
     "q38_sessionize" -> q38Sql,
     "q39_try_functions" -> q39Sql,
-    "q40_approx_quantiles" -> q40Sql
+    "q40_approx_quantiles" -> q40Sql,
+    "q41_scd2_upsert" -> q41Sql,
+    "q42_array_setops" -> q42Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits
