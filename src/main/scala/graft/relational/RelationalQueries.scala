@@ -1086,6 +1086,69 @@ object RelationalQueries {
       |  CAST(COALESCE(list_position(a1, lower(p_type)), 0) AS BIGINT) AS pos_type
       |FROM a ORDER BY p_partkey""".stripMargin
 
+  /** Regex function family (Q14 completion): multi-match extraction
+    * (`regexp_extract_all`, flattened to CSV so the schema stays
+    * scalar), match counting, anchored group extraction, and global
+    * replacement. Row-local; POSIX-class-free patterns keep Java and RE2
+    * dialect semantics identical.
+    */
+  def q43Regexp(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .where($"p_partkey" % 4 === 0)
+      .select($"p_partkey",
+        array_join(expr("regexp_extract_all(p_name, '[aeiou]+', 0)"), ",").as("vowel_runs"),
+        size(expr("regexp_extract_all(p_name, '[aeiou]', 0)")).cast("long").as("n_vowels"),
+        regexp_extract($"p_name", "^([a-z]+)", 1).as("first_word"),
+        regexp_replace($"p_type", "[AEIOU]", "*").as("masked_type"))
+      .orderBy("p_partkey")
+  val q43Sql: String =
+    """SELECT p_partkey,
+      |  array_to_string(regexp_extract_all(p_name, '[aeiou]+'), ',') AS vowel_runs,
+      |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+      |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+      |  regexp_replace(p_type, '[AEIOU]', '*', 'g') AS masked_type
+      |FROM part WHERE p_partkey % 4 = 0 ORDER BY p_partkey""".stripMargin
+
+  /** Null-aware navigation windows (Q10 completion): first_value /
+    * nth_value(2) / last_value with IGNORE NULLS over a sparse column
+    * (order totals visible only on open orders) — the gap-filling idiom
+    * behind every as-of/carry-forward query. Windows partitioned by
+    * priority, ordered by the unique key, so results are deterministic;
+    * no arithmetic on the doubles (pure value selection hashes
+    * identically on both engines).
+    */
+  def q44WindowNav(s: SparkSession, d: String): DataFrame = {
+    val nv = when($"o_orderstatus" === "O", $"o_totalprice")
+    val grow = Window.partitionBy($"o_orderpriority").orderBy($"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.partitionBy($"o_orderpriority").orderBy($"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ord(s, d)
+      .withColumn("first_open", first(nv, ignoreNulls = true).over(grow))
+      .withColumn("second_open", nth_value(nv, 2, ignoreNulls = true).over(grow))
+      .withColumn("last_open", last(nv, ignoreNulls = true).over(full))
+      .where($"o_orderkey" % 40 === 0)
+      .select($"o_orderkey", $"o_orderpriority",
+        $"first_open", $"second_open", $"last_open")
+      .orderBy("o_orderkey")
+  }
+  val q44Sql: String =
+    """SELECT o_orderkey, o_orderpriority, first_open, second_open, last_open
+      |FROM (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    first_value(nv IGNORE NULLS) OVER w AS first_open,
+      |    nth_value(nv, 2 IGNORE NULLS) OVER w AS second_open,
+      |    last_value(nv IGNORE NULLS) OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_open
+      |  FROM (
+      |    SELECT o_orderkey, o_orderpriority,
+      |      CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS nv
+      |    FROM orders)
+      |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |WHERE o_orderkey % 40 = 0 ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -1128,7 +1191,9 @@ object RelationalQueries {
     "q39_try_functions" -> q39TryFunctions _,
     "q40_approx_quantiles" -> q40ApproxQuantiles _,
     "q41_scd2_upsert" -> q41Scd2Upsert _,
-    "q42_array_setops" -> q42ArraySetOps _
+    "q42_array_setops" -> q42ArraySetOps _,
+    "q43_regexp" -> q43Regexp _,
+    "q44_window_nav" -> q44WindowNav _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1173,7 +1238,9 @@ object RelationalQueries {
     "q39_try_functions" -> q39Sql,
     "q40_approx_quantiles" -> q40Sql,
     "q41_scd2_upsert" -> q41Sql,
-    "q42_array_setops" -> q42Sql
+    "q42_array_setops" -> q42Sql,
+    "q43_regexp" -> q43Sql,
+    "q44_window_nav" -> q44Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits
