@@ -48,6 +48,7 @@ object Bench {
     "l36_vocab_coverage" -> 0.9, "l37_semantic_dedup" -> 1.5,
     "l38_dedup_keep_policy" -> 4.5,
     "l39_incremental_dedup" -> 3.0, "l40_text_normalize" -> 1.2,
+    "l41_lsh_audit" -> 2.5,
     "q35_json" -> 0.4, "q36_map" -> 0.4,
     "q37_range_window" -> 0.8, "q38_sessionize" -> 0.9,
     "q39_try_functions" -> 0.4, "q40_approx_quantiles" -> 1.0,

@@ -2197,6 +2197,86 @@ object LlmQueries {
       |  min(doc_id) OVER (PARTITION BY norm) < doc_id AS canon_dup
       |FROM n ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- LSH audit
+  /** Banding-quality audit — the measurement every production dedup run
+    * does before trusting its LSH parameters: score ALL candidate pairs
+    * with exact n-gram Jaccard (precision side: how many candidates are
+    * actually high-similarity, J >= 0.8 as an exact integer
+    * cross-multiply) and probe the known-true duplicate pairs (the
+    * injected exact copies) against the candidate set (recall side: a
+    * byte-identical pair collides in EVERY band, so n_missed_true must
+    * be 0 — the audit proves it rather than assuming it). Output is one
+    * row of corpus-size-independent counters; everything upstream is
+    * the l03/l05 bucketed machinery, plus three single-row aggregates
+    * cross-joined (1x1 joins — not a data cross product).
+    */
+  def qLshAudit(s: SparkSession, d: String): DataFrame = {
+    val dd = docsWithDups(s, d)
+    val pairs = lshPairsOf(bandedSignatures(dd))
+    val docSets = dd.select(col("doc_id"),
+      array_distinct(shingles(col("text"))).as("sh_set"))
+    val judged = pairs
+      .join(docSets.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(docSets.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("za.sh_set"), col("zb.sh_set"))).cast("long").as("n_inter"),
+        size(col("za.sh_set")).cast("long").as("n_a"),
+        size(col("zb.sh_set")).cast("long").as("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (lit(5L) * col("n_inter") >=
+          lit(4L) * (col("n_a") + col("n_b") - col("n_inter"))).as("is_high"))
+    val truth = docs(s, d).where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 100000L).as("doc_b"))
+    val cand = judged.agg(
+      count(lit(1)).as("n_candidates"),
+      sum(when(col("is_high"), 1L).otherwise(0L)).as("n_high"),
+      sum(when(col("is_high"), 0L).otherwise(1L)).as("n_low"))
+    val miss = truth.join(pairs, Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("n_missed_true"))
+    val tot = truth.agg(count(lit(1)).as("n_true"))
+    cand.crossJoin(miss).crossJoin(tot)
+      .select(col("n_candidates"), col("n_high"), col("n_low"),
+        col("n_true"), col("n_missed_true"),
+        (col("n_missed_true") === 0L).as("recall_perfect"))
+  }
+  val qLshAuditSql: String =
+    s"""WITH $docsWithDupsSql,
+       |$pairsSqlCtes,
+       |doc_sh AS (
+       |  SELECT DISTINCT doc_id, unnest(${shinglesSql("text")}) AS sh FROM dd),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM doc_sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT doc_a, doc_b, COUNT(*) AS n_inter
+       |  FROM pairs
+       |  JOIN doc_sh sa ON doc_a = sa.doc_id
+       |  JOIN doc_sh sb ON doc_b = sb.doc_id AND sa.sh = sb.sh
+       |  GROUP BY doc_a, doc_b),
+       |judged AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    5 * COALESCE(n_inter, 0) >=
+       |      4 * (za.n_sh + zb.n_sh - COALESCE(n_inter, 0)) AS is_high
+       |  FROM pairs p
+       |  LEFT JOIN inter USING (doc_a, doc_b)
+       |  JOIN sizes za ON p.doc_a = za.doc_id
+       |  JOIN sizes zb ON p.doc_b = zb.doc_id),
+       |truth AS (
+       |  SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |c1 AS (
+       |  SELECT COUNT(*) AS n_candidates,
+       |    CAST(SUM(CASE WHEN is_high THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       |    CAST(SUM(CASE WHEN is_high THEN 0 ELSE 1 END) AS BIGINT) AS n_low
+       |  FROM judged),
+       |c2 AS (
+       |  SELECT COUNT(*) AS n_missed_true FROM truth t
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM pairs p
+       |    WHERE p.doc_a = t.doc_a AND p.doc_b = t.doc_b)),
+       |c3 AS (SELECT COUNT(*) AS n_true FROM truth)
+       |SELECT n_candidates, n_high, n_low, n_true, n_missed_true,
+       |       n_missed_true = 0 AS recall_perfect
+       |FROM c1, c2, c3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -2237,7 +2317,8 @@ object LlmQueries {
     "l37_semantic_dedup" -> qSemanticDedup _,
     "l38_dedup_keep_policy" -> qDedupKeepPolicy _,
     "l39_incremental_dedup" -> qIncrementalDedup _,
-    "l40_text_normalize" -> qTextNormalize _
+    "l40_text_normalize" -> qTextNormalize _,
+    "l41_lsh_audit" -> qLshAudit _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2280,6 +2361,7 @@ object LlmQueries {
     "l37_semantic_dedup" -> qSemanticDedupSql,
     "l38_dedup_keep_policy" -> qDedupKeepPolicySql,
     "l39_incremental_dedup" -> qIncrementalDedupSql,
-    "l40_text_normalize" -> qTextNormalizeSql
+    "l40_text_normalize" -> qTextNormalizeSql,
+    "l41_lsh_audit" -> qLshAuditSql
   )
 }
