@@ -411,4 +411,24 @@ object TickStream {
                  quote_ts <= tick_ts"""))
       .select(col("symbol"), col("tick_ts"), col("price"),
         col("quote_ts"), col("bid"))
+
+  /** LEFT OUTER stream-stream interval join: like
+    * [[joinTicksWithQuotes]], but a tick with NO in-horizon quote still
+    * surfaces (null quote columns) — emitted only once the watermark
+    * passes the end of its join validity window, i.e. when the engine
+    * can PROVE no matching quote can still arrive. Same bounded-state
+    * guarantee as the inner form; the null-side emission point is the
+    * state-expiry point, so outer results trail the watermark rather
+    * than the data.
+    */
+  def joinTicksWithQuotesOuter(ticks: DataFrame, quotes: DataFrame,
+      watermark: String, tolerance: String): DataFrame =
+    ticks.withWatermark("tick_ts", watermark)
+      .join(quotes.withWatermark("quote_ts", watermark),
+        expr(s"""symbol = q_symbol AND
+                 quote_ts >= tick_ts - INTERVAL $tolerance AND
+                 quote_ts <= tick_ts"""),
+        "left_outer")
+      .select(col("symbol"), col("tick_ts"), col("price"),
+        col("quote_ts"), col("bid"))
 }

@@ -383,4 +383,43 @@ class TickStreamSpec extends SparkSpec {
         ("2024-01-01 00:00:06", "2024-01-01 00:00:05", 100.50)))
     } finally query.stop()
   }
+
+  test("left-outer stream-stream join emits unmatched ticks after state expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val tickIn = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val quoteIn = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val joined = TickStream.joinTicksWithQuotesOuter(
+      tickIn.toDS().toDF("symbol", "tick_ts", "price"),
+      quoteIn.toDS().toDF("q_symbol", "quote_ts", "bid"),
+      watermark = "5 seconds", tolerance = "5 seconds")
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_ssjo").toString
+    val query = joined.writeStream
+      .format("memory").queryName("ssjo_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      // One matched tick and one unmatched tick (no ES quote in [:25, :30]).
+      quoteIn.addData(("ES", ts("2024-01-01 00:00:05"), 100.5))
+      tickIn.addData(("ES", ts("2024-01-01 00:00:06"), 101.0),
+        ("ES", ts("2024-01-01 00:00:30"), 103.0))
+      query.processAllAvailable()
+      // Advance both watermarks far past :30 + tolerance so the engine can
+      // prove no quote for the :30 tick can still arrive (null-side emit).
+      quoteIn.addData(("ES", ts("2024-01-01 00:10:00"), 104.0))
+      tickIn.addData(("ES", ts("2024-01-01 00:10:00"), 104.5))
+      query.processAllAvailable()
+      quoteIn.addData(("ES", ts("2024-01-01 00:20:00"), 105.0))
+      tickIn.addData(("ES", ts("2024-01-01 00:20:00"), 105.5))
+      query.processAllAvailable()
+      val got = spark.table("ssjo_out")
+        .select($"tick_ts".cast("string"), $"bid")
+        .as[(String, Option[Double])].collect().toSeq
+      val matched = got.filter(_._1 == "2024-01-01 00:00:06")
+      val unmatched = got.filter(_._1 == "2024-01-01 00:00:30")
+      assert(matched == Seq(("2024-01-01 00:00:06", Some(100.5))))
+      assert(unmatched == Seq(("2024-01-01 00:00:30", None)),
+        s"unmatched tick not emitted with null bid: $got")
+    } finally query.stop()
+  }
 }
