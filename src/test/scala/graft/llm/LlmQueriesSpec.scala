@@ -360,6 +360,20 @@ class LlmQueriesSpec extends SparkSpec {
     }
   }
 
+  test("LSH audit: perfect recall on planted duplicates, high-sim at least the planted count") {
+    val got = LlmQueries.queries("l41_lsh_audit")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(got.length == 1)
+    val (nCand, nHigh, nLow, nTrue, nMissed, recallPerfect) = got.head
+    assert(nCand == nHigh + nLow, "high/low split doesn't partition the candidates")
+    assert(nTrue > 0, "no planted duplicate pairs")
+    assert(nMissed == 0 && recallPerfect,
+      s"banding missed $nMissed of $nTrue byte-identical pairs")
+    // Every planted exact-copy pair is a candidate with Jaccard 1.0, so
+    // the high-similarity count is at least the planted-pair count.
+    assert(nHigh >= nTrue, s"n_high $nHigh < planted $nTrue")
+  }
+
   test("simhash plan computes md5 once per word (no per-bit-plane rehash)") {
     // The 16 parity folds must reference the single materialized hash
     // array: exactly one md5 in the optimized plan. CollapseProject keeps
