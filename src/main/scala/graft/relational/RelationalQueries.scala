@@ -1149,6 +1149,43 @@ object RelationalQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       |WHERE o_orderkey % 40 = 0 ORDER BY o_orderkey""".stripMargin
 
+  /** Full outer join (Q5 completion — the one join type the surface
+    * lacked): ledger-reconciliation shape, two independently-derived
+    * per-customer summaries full-outer joined on the business key with
+    * presence flags and coalesced values — rows exclusive to either side
+    * both survive. One shuffle keyed by customer; full outer never
+    * broadcasts (both sides must stream), which is exactly the plan a
+    * reconciliation needs at scale.
+    */
+  def q45FullOuter(s: SparkSession, d: String): DataFrame = {
+    val left = ord(s, d).where($"o_custkey" % 3 === 0)
+      .groupBy($"o_custkey".as("custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    val right = cust(s, d).where($"c_custkey" % 2 === 0)
+      .select($"c_custkey".as("custkey"), $"c_acctbal")
+    left.join(right, Seq("custkey"), "full_outer")
+      .select($"custkey",
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        $"n_orders".isNotNull.as("has_orders"),
+        $"c_acctbal".isNotNull.as("known_customer"),
+        (($"custkey" % 6) === 0).as("expect_both"))
+      .orderBy("custkey")
+  }
+  val q45Sql: String =
+    """SELECT COALESCE(o.custkey, c.custkey) AS custkey,
+      |  COALESCE(o.n_orders, 0) AS n_orders,
+      |  o.custkey IS NOT NULL AS has_orders,
+      |  c.custkey IS NOT NULL AS known_customer,
+      |  COALESCE(o.custkey, c.custkey) % 6 = 0 AS expect_both
+      |FROM (
+      |  SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+      |  FROM orders WHERE o_custkey % 3 = 0 GROUP BY o_custkey) o
+      |FULL JOIN (
+      |  SELECT c_custkey AS custkey, c_acctbal FROM customer
+      |  WHERE c_custkey % 2 = 0) c
+      |ON o.custkey = c.custkey
+      |ORDER BY custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -1193,7 +1230,8 @@ object RelationalQueries {
     "q41_scd2_upsert" -> q41Scd2Upsert _,
     "q42_array_setops" -> q42ArraySetOps _,
     "q43_regexp" -> q43Regexp _,
-    "q44_window_nav" -> q44WindowNav _
+    "q44_window_nav" -> q44WindowNav _,
+    "q45_full_outer" -> q45FullOuter _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1240,7 +1278,8 @@ object RelationalQueries {
     "q41_scd2_upsert" -> q41Sql,
     "q42_array_setops" -> q42Sql,
     "q43_regexp" -> q43Sql,
-    "q44_window_nav" -> q44Sql
+    "q44_window_nav" -> q44Sql,
+    "q45_full_outer" -> q45Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits
