@@ -54,7 +54,7 @@ object Bench {
     "q39_try_functions" -> 0.4, "q40_approx_quantiles" -> 1.0,
     "q41_scd2_upsert" -> 0.8, "q42_array_setops" -> 0.5,
     "q43_regexp" -> 0.5, "q44_window_nav" -> 0.6,
-    "q45_full_outer" -> 0.5,
+    "q45_full_outer" -> 0.5, "q46_date_arith" -> 0.5,
     "q32_recursive_cte" -> 2.5, "q33_null_aware_anti" -> 0.6,
     "q34_lateral" -> 0.8,
     "m01_media_decode" -> 0.6, "m02_image_resize" -> 0.5,

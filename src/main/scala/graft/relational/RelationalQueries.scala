@@ -1186,6 +1186,35 @@ object RelationalQueries {
       |ON o.custkey = c.custkey
       |ORDER BY custkey""".stripMargin
 
+  /** Datetime arithmetic (Q15 completion beyond q19's field extraction):
+    * day/month offsets with end-of-month clamping (both engines clamp
+    * Jan 31 + 1 month identically), last_day, quarter truncation, day
+    * differences, and a portable linear month index. Dates render as
+    * strings so the hashed schema stays scalar-text; all arithmetic is
+    * calendar-exact (no timezones — the column is NTZ on both engines).
+    */
+  def q46DateArith(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .where($"o_orderkey" % 15 === 0)
+      .select($"o_orderkey",
+        date_add($"o_orderdate".cast("date"), 30).cast("string").as("plus_30d"),
+        add_months($"o_orderdate".cast("date"), 2).cast("string").as("plus_2m"),
+        last_day($"o_orderdate".cast("date")).cast("string").as("month_end"),
+        date_trunc("quarter", $"o_orderdate").cast("date").cast("string").as("quarter_start"),
+        datediff(lit("1996-01-01").cast("date"), $"o_orderdate".cast("date"))
+          .cast("long").as("days_to_96"),
+        (year($"o_orderdate") * 12 + month($"o_orderdate")).cast("long").as("month_index"))
+      .orderBy("o_orderkey")
+  val q46Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS plus_30d,
+      |  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS VARCHAR) AS plus_2m,
+      |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+      |  CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE) AS VARCHAR) AS quarter_start,
+      |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1996-01-01') AS BIGINT) AS days_to_96,
+      |  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS month_index
+      |FROM orders WHERE o_orderkey % 15 = 0 ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -1231,7 +1260,8 @@ object RelationalQueries {
     "q42_array_setops" -> q42ArraySetOps _,
     "q43_regexp" -> q43Regexp _,
     "q44_window_nav" -> q44WindowNav _,
-    "q45_full_outer" -> q45FullOuter _
+    "q45_full_outer" -> q45FullOuter _,
+    "q46_date_arith" -> q46DateArith _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1279,7 +1309,8 @@ object RelationalQueries {
     "q42_array_setops" -> q42Sql,
     "q43_regexp" -> q43Sql,
     "q44_window_nav" -> q44Sql,
-    "q45_full_outer" -> q45Sql
+    "q45_full_outer" -> q45Sql,
+    "q46_date_arith" -> q46Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits
