@@ -49,6 +49,7 @@ object Bench {
     "l38_dedup_keep_policy" -> 4.5,
     "l39_incremental_dedup" -> 3.0, "l40_text_normalize" -> 1.2,
     "l41_lsh_audit" -> 2.5,
+    "l42_bigram_surprisal" -> 2.5, "l43_pmi_collocations" -> 2.3,
     "q35_json" -> 0.4, "q36_map" -> 0.4,
     "q37_range_window" -> 0.8, "q38_sessionize" -> 0.9,
     "q39_try_functions" -> 0.4, "q40_approx_quantiles" -> 1.0,
@@ -76,6 +77,8 @@ object Bench {
     "q27_unpivot" -> 0.5, "q28_quantiles" -> 1.4,
     "q29_window_ranks" -> 0.3, "q30_correlated_subquery" -> 0.6,
     "q31_grouping_sets" -> 0.8,
+    "q47_moments" -> 0.6, "q48_filtered_agg" -> 0.7,
+    "q49_string_agg" -> 0.7, "q50_histogram" -> 0.6,
     "t01_tick_parse" -> 1.7, "t02_volume_expansion" -> 1.3,
     "t03_hotloop_derivative" -> 2.5, "t04_hotloop_hexad16" -> 1.9,
     "t05_hotloop_cpm" -> 1.6, "t06_hotloop_amc" -> 1.4,

@@ -2277,6 +2277,122 @@ object LlmQueries {
        |       n_missed_true = 0 AS recall_perfect
        |FROM c1, c2, c3""".stripMargin
 
+  // ------------------------------------------------ bigram LM surprisal
+  /** l42: bigram-LM rarity surprisal — the order-2 companion to l34's
+    * unigram scorer and the integer-exact stand-in for a KenLM bigram
+    * perplexity filter: each adjacent word PAIR is scored by its inverse
+    * corpus frequency `m_total div cnt`, and each document reports its
+    * bigram count, total surprisal mass, max rarity, and how many of its
+    * bigrams are corpus singletons (the "unseen transition" signal a
+    * real LM would assign its backoff penalty). A document can look
+    * fluent to l34 (common words) yet score high here (rare
+    * transitions) — that difference IS the reason production filters use
+    * order >= 2. Integer division keeps every cell BIGINT-exact (Spark
+    * `div` ↔ DuckDB `//`). Scale shape: one positional explode (the
+    * `sequence(1, n-1)` is guarded ascending by the size >= 2 filter —
+    * the l19 descending-array hazard), one hash agg for the bigram
+    * frequency table (vocab²-bounded, ≪ corpus), one shuffle equi-join
+    * on the bigram, one per-doc hash agg; the O(1) total broadcasts.
+    */
+  def qBigramSurprisal(s: SparkSession, d: String): DataFrame = {
+    val bg = docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")) - 1)).as("pos"), col("w"))
+      .select(col("doc_id"),
+        concat(element_at(col("w"), col("pos")), lit(" "),
+          element_at(col("w"), col("pos") + 1)).as("bg"))
+      // consumed three times (frequency table, corpus total, scoring)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bc = bg.groupBy("bg").agg(count(lit(1)).as("cnt"))
+    val total = bg.select(count(lit(1)).as("m_total"))
+    bg.join(bc, Seq("bg"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), expr("m_total div cnt").as("rarity"), col("cnt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("rarity")).as("surprisal_mass"),
+        max(col("rarity")).as("max_rarity"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_singletons"))
+      .orderBy("doc_id")
+  }
+  val qBigramSurprisalSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bgs AS (
+      |  SELECT doc_id, w[pos] || ' ' || w[pos + 1] AS bg
+      |  FROM (
+      |    SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS pos
+      |    FROM w WHERE len(w) >= 2)),
+      |bc AS (SELECT bg, COUNT(*) AS cnt FROM bgs GROUP BY bg),
+      |total AS (SELECT COUNT(*) AS m_total FROM bgs)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(m_total // cnt) AS BIGINT) AS surprisal_mass,
+      |  MAX(m_total // cnt) AS max_rarity,
+      |  COUNT(*) FILTER (WHERE cnt = 1) AS n_singletons
+      |FROM bgs JOIN bc USING (bg) CROSS JOIN total
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- PMI collocations
+  /** l43: pointwise-mutual-information collocation mining — the
+    * corpus-statistics pass behind phrase vocabularies (word2vec's
+    * phrase pass, tokenizer pre-merges): for every adjacent word pair
+    * with support >= 5, the PMI ratio p(a,b)/(p(a)p(b)) is computed as
+    * `c_ab * N * N / (c_a * c_b * M)` — exact BIGINT counts converted
+    * once to double, so both engines evaluate the identical IEEE
+    * expression tree (no libm log; the monotone ratio ranks the same as
+    * log-PMI). Top 20 by (ratio DESC, pair) is a deterministic total
+    * order. Scale shape: unigram and bigram count tables are
+    * vocab/vocab²-bounded hash aggs with map-side partials; the scoring
+    * join BROADCASTS both count tables and the two O(1) totals; the
+    * final top-k sorts a vocab²-bounded table, never the corpus.
+    */
+  def qPmiCollocations(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c_t"))
+    val bg = toks.where(size(col("w")) >= 2)
+      .select(explode(sequence(lit(1), size(col("w")) - 1)).as("pos"), col("w"))
+      .select(element_at(col("w"), col("pos")).as("w_a"),
+        element_at(col("w"), col("pos") + 1).as("w_b"))
+    val bc = bg.groupBy("w_a", "w_b").agg(count(lit(1)).as("c_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = uni.agg(sum(col("c_t")).as("n_tokens"))
+    val m = bc.agg(sum(col("c_ab")).as("m_bigrams"))
+    bc.where(col("c_ab") >= 5)
+      .join(broadcast(uni.select(col("t").as("w_a"), col("c_t").as("c_a"))), Seq("w_a"))
+      .join(broadcast(uni.select(col("t").as("w_b"), col("c_t").as("c_b"))), Seq("w_b"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(m))
+      .select(col("w_a"), col("w_b"), col("c_ab"), col("c_a"), col("c_b"),
+        (col("c_ab").cast("double") * col("n_tokens") * col("n_tokens") /
+          (col("c_a").cast("double") * col("c_b") * col("m_bigrams")))
+          .as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w_a"), col("w_b"))
+      .limit(20)
+  }
+  val qPmiCollocationsSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |uc AS (
+      |  SELECT t, COUNT(*) AS c_t
+      |  FROM (SELECT unnest(w) AS t FROM w) GROUP BY t),
+      |bgs AS (
+      |  SELECT w[pos] AS w_a, w[pos + 1] AS w_b
+      |  FROM (
+      |    SELECT w, unnest(generate_series(1, len(w) - 1)) AS pos
+      |    FROM w WHERE len(w) >= 2)),
+      |bc AS (SELECT w_a, w_b, COUNT(*) AS c_ab FROM bgs GROUP BY w_a, w_b),
+      |n AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_tokens FROM uc),
+      |m AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS m_bigrams FROM bc)
+      |SELECT w_a, w_b, c_ab, c_a, c_b,
+      |  CAST(c_ab AS DOUBLE) * n_tokens * n_tokens /
+      |    (CAST(c_a AS DOUBLE) * c_b * m_bigrams) AS pmi_ratio
+      |FROM bc
+      |JOIN (SELECT t AS w_a, c_t AS c_a FROM uc) ua USING (w_a)
+      |JOIN (SELECT t AS w_b, c_t AS c_b FROM uc) ub USING (w_b)
+      |CROSS JOIN n CROSS JOIN m
+      |WHERE c_ab >= 5
+      |ORDER BY pmi_ratio DESC, w_a, w_b LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -2318,7 +2434,9 @@ object LlmQueries {
     "l38_dedup_keep_policy" -> qDedupKeepPolicy _,
     "l39_incremental_dedup" -> qIncrementalDedup _,
     "l40_text_normalize" -> qTextNormalize _,
-    "l41_lsh_audit" -> qLshAudit _
+    "l41_lsh_audit" -> qLshAudit _,
+    "l42_bigram_surprisal" -> qBigramSurprisal _,
+    "l43_pmi_collocations" -> qPmiCollocations _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2362,6 +2480,8 @@ object LlmQueries {
     "l38_dedup_keep_policy" -> qDedupKeepPolicySql,
     "l39_incremental_dedup" -> qIncrementalDedupSql,
     "l40_text_normalize" -> qTextNormalizeSql,
-    "l41_lsh_audit" -> qLshAuditSql
+    "l41_lsh_audit" -> qLshAuditSql,
+    "l42_bigram_surprisal" -> qBigramSurprisalSql,
+    "l43_pmi_collocations" -> qPmiCollocationsSql
   )
 }

@@ -1215,6 +1215,167 @@ object RelationalQueries {
       |  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS month_index
       |FROM orders WHERE o_orderkey % 15 = 0 ORDER BY o_orderkey""".stripMargin
 
+  /** Exact higher statistical moments (Q7 completion past sums/avgs):
+    * variance, skewness, and excess kurtosis per group, computed from
+    * INTEGER power sums (Σx, Σx², Σx³, Σx⁴ over the whole-valued
+    * quantity column) so the aggregation itself is order-independent and
+    * BIGINT-exact — the only doubles are derived per-group scalars whose
+    * expression trees are written identically on both engines (IEEE
+    * +,-,*,/,sqrt are correctly rounded everywhere; no libm
+    * transcendentals). Built-in skewness/kurtosis differ between engines
+    * (population vs sample bias correction), which is exactly why the
+    * moment formulas are spelled out. Scale shape: ONE hash aggregate
+    * with map-side partial sums — a single shuffle of 5 longs per group
+    * regardless of corpus size.
+    */
+  def q47Moments(s: SparkSession, d: String): DataFrame = {
+    val x = $"l_quantity".cast("long")
+    val n = $"n".cast("double")
+    val mean = $"mean"
+    li(s, d)
+      .select($"l_returnflag", x.as("x"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("s1"),
+        sum($"x" * $"x").as("s2"),
+        sum($"x" * $"x" * $"x").as("s3"),
+        sum($"x" * $"x" * $"x" * $"x").as("s4"))
+      .withColumn("mean", $"s1".cast("double") / n)
+      .withColumn("m2", $"s2".cast("double") / n - mean * mean)
+      .withColumn("m3",
+        $"s3".cast("double") / n - lit(3.0) * mean * ($"s2".cast("double") / n)
+          + lit(2.0) * mean * mean * mean)
+      .withColumn("m4",
+        $"s4".cast("double") / n - lit(4.0) * mean * ($"s3".cast("double") / n)
+          + lit(6.0) * mean * mean * ($"s2".cast("double") / n)
+          - lit(3.0) * mean * mean * mean * mean)
+      .select($"l_returnflag", $"n", $"s1", $"s2", $"s3", $"s4", mean,
+        $"m2".as("var_pop"),
+        ($"m3" / ($"m2" * sqrt($"m2"))).as("skew_pop"),
+        ($"m4" / ($"m2" * $"m2") - lit(3.0)).as("kurt_pop"))
+      .orderBy("l_returnflag")
+  }
+  val q47Sql: String =
+    """WITH x AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x FROM lineitem),
+      |p AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS s1,
+      |    CAST(SUM(x*x) AS BIGINT) AS s2,
+      |    CAST(SUM(x*x*x) AS BIGINT) AS s3,
+      |    CAST(SUM(x*x*x*x) AS BIGINT) AS s4
+      |  FROM x GROUP BY l_returnflag),
+      |m1 AS (
+      |  SELECT *, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean FROM p),
+      |mm AS (
+      |  SELECT *,
+      |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean AS m2,
+      |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - 3.0 * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      + 2.0 * mean * mean * mean AS m3,
+      |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - 4.0 * mean * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      + 6.0 * mean * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      - 3.0 * mean * mean * mean * mean AS m4
+      |  FROM m1)
+      |SELECT l_returnflag, n, s1, s2, s3, s4, mean,
+      |  m2 AS var_pop,
+      |  m3 / (m2 * sqrt(m2)) AS skew_pop,
+      |  m4 / (m2 * m2) - 3.0 AS kurt_pop
+      |FROM mm ORDER BY l_returnflag""".stripMargin
+
+  /** Conditional / filtered aggregation (Q7 breadth): FILTER-clause
+    * equivalents (count/min over a predicate), boolean aggregates
+    * (bool_and/bool_or), and bitwise aggregates (bit_and/or/xor) in one
+    * grouped pass. Every output is integer- or boolean-exact. Scale
+    * shape: one hash aggregate, all measures map-side combinable.
+    */
+  def q48FilteredAgg(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        count(when($"o_totalprice" > 150000.0, 1)).as("n_big"),
+        count(when($"o_orderpriority" === "1-URGENT", 1)).as("n_urgent"),
+        min(when($"o_orderpriority" === "1-URGENT", $"o_orderkey")).as("first_urgent_key"),
+        expr("bool_and(o_totalprice > 0.0)").as("all_positive"),
+        expr("bool_or(o_custkey % 1000 = 0)").as("any_round_cust"),
+        expr("bit_and(o_custkey)").as("cust_bit_and"),
+        expr("bit_or(o_custkey)").as("cust_bit_or"),
+        expr("bit_xor(o_custkey)").as("cust_bit_xor"))
+      .orderBy("o_orderstatus")
+  val q48Sql: String =
+    """SELECT o_orderstatus,
+      |  COUNT(*) AS n_orders,
+      |  COUNT(*) FILTER (WHERE o_totalprice > 150000.0) AS n_big,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+      |  MIN(o_orderkey) FILTER (WHERE o_orderpriority = '1-URGENT') AS first_urgent_key,
+      |  bool_and(o_totalprice > 0.0) AS all_positive,
+      |  bool_or(o_custkey % 1000 = 0) AS any_round_cust,
+      |  bit_and(o_custkey) AS cust_bit_and,
+      |  bit_or(o_custkey) AS cust_bit_or,
+      |  bit_xor(o_custkey) AS cust_bit_xor
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Ordered string aggregation (Q14 breadth): listagg/string_agg
+    * semantics expressed portably as sort-then-join over a collected
+    * list, ascending and descending — deterministic because the sort key
+    * is the aggregated value itself (Spark 4's listagg maps 1:1 but
+    * collect_list+array_sort keeps the plan codegen-friendly and
+    * engine-agnostic). Runs on the broadcast-joined nation x region dims.
+    */
+  def q49StringAgg(s: SparkSession, d: String): DataFrame =
+    nat(s, d).join(broadcast(reg(s, d)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n_nations"),
+        concat_ws(",", array_sort(collect_list($"n_name"))).as("nations_csv"),
+        concat_ws("|",
+          reverse(array_sort(collect_list(substring($"n_name", 1, 3)))))
+          .as("prefixes_desc"))
+      .orderBy("r_name")
+  val q49Sql: String =
+    """SELECT r_name,
+      |  COUNT(*) AS n_nations,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+      |  string_agg(substring(n_name, 1, 3), '|'
+      |             ORDER BY substring(n_name, 1, 3) DESC) AS prefixes_desc
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** Distribution histogram (Q7/Q13 composition): fixed-width numeric
+    * binning with a broadcast grand total for basis-point shares — the
+    * profile query every ingest pipeline runs before choosing partition
+    * bounds. All measures are integer-exact (counts, whole-valued unit
+    * sums, integer-division shares); the bucket edge is the only double
+    * and is an exact product. Scale shape: one hash aggregate over ~21
+    * buckets plus an O(1) broadcast total — no sort until the final
+    * bucket-count-sized output.
+    */
+  def q50Histogram(s: SparkSession, d: String): DataFrame = {
+    val b = li(s, d).select(
+      floor($"l_extendedprice" / 5000.0).cast("long").as("bucket"),
+      $"l_quantity".cast("long").as("qty"))
+    val tot = b.agg(count(lit(1)).as("n_total"))
+    b.groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), sum($"qty").as("n_units"))
+      .crossJoin(broadcast(tot))
+      .select($"bucket", ($"bucket" * 5000.0).as("lo_price"),
+        $"n_rows", $"n_units",
+        expr("n_rows * 10000 div n_total").as("bp_share"))
+      .orderBy("bucket")
+  }
+  val q50Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+      |         CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem),
+      |t AS (SELECT COUNT(*) AS n_total FROM b),
+      |g AS (
+      |  SELECT bucket, COUNT(*) AS n_rows, CAST(SUM(qty) AS BIGINT) AS n_units
+      |  FROM b GROUP BY bucket)
+      |SELECT bucket, bucket * 5000.0 AS lo_price, n_rows, n_units,
+      |  n_rows * 10000 // n_total AS bp_share
+      |FROM g CROSS JOIN t ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -1261,7 +1422,11 @@ object RelationalQueries {
     "q43_regexp" -> q43Regexp _,
     "q44_window_nav" -> q44WindowNav _,
     "q45_full_outer" -> q45FullOuter _,
-    "q46_date_arith" -> q46DateArith _
+    "q46_date_arith" -> q46DateArith _,
+    "q47_moments" -> q47Moments _,
+    "q48_filtered_agg" -> q48FilteredAgg _,
+    "q49_string_agg" -> q49StringAgg _,
+    "q50_histogram" -> q50Histogram _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1310,7 +1475,11 @@ object RelationalQueries {
     "q43_regexp" -> q43Sql,
     "q44_window_nav" -> q44Sql,
     "q45_full_outer" -> q45Sql,
-    "q46_date_arith" -> q46Sql
+    "q46_date_arith" -> q46Sql,
+    "q47_moments" -> q47Sql,
+    "q48_filtered_agg" -> q48Sql,
+    "q49_string_agg" -> q49Sql,
+    "q50_histogram" -> q50Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits

@@ -374,6 +374,54 @@ class LlmQueriesSpec extends SparkSpec {
     assert(nHigh >= nTrue, s"n_high $nHigh < planted $nTrue")
   }
 
+  test("bigram surprisal: per-doc bigram counts tile the corpus and bounds hold") {
+    // A document of W>=2 words contributes exactly W-1 bigrams; rarity is
+    // in [1, m_total]; singletons are bigrams with corpus count 1, so
+    // each contributes rarity exactly m_total.
+    val got = LlmQueries.qBigramSurprisal(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val perDoc = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("w"))
+      .where(col("w") >= 2)
+      .as[(Long, Int)].collect().map(r => r._1 -> (r._2 - 1L)).toMap
+    val mTotal = perDoc.values.sum
+    assert(got.map(_._2).sum == mTotal, "per-doc bigram counts must tile corpus")
+    got.foreach { case (id, n, mass, mx, singles) =>
+      assert(n == perDoc(id), s"doc $id bigram count $n != ${perDoc(id)}")
+      assert(mass >= n && mass <= n * mTotal, s"doc $id mass $mass out of bounds")
+      assert(mx >= 1 && mx <= mTotal)
+      assert(singles >= 0 && singles <= n)
+      // each singleton contributes exactly m_total to the mass
+      assert(mass >= singles * mTotal, s"doc $id mass below singleton floor")
+      assert(singles > 0 == (mx == mTotal), s"doc $id singleton iff max-rarity broken")
+    }
+  }
+
+  test("pmi collocations: support floor, deterministic descending order, exact ratio") {
+    val got = LlmQueries.qPmiCollocations(spark, "/root/testdata/sf0.001")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(got.length == 20, s"expected top-20, got ${got.length}")
+    got.foreach { case (a, b, cab, ca, cb, ratio) =>
+      assert(cab >= 5, s"pair ($a,$b) support $cab below floor")
+      assert(cab <= ca && cab <= cb, s"pair ($a,$b) support exceeds unigram counts")
+      assert(ratio > 0.0)
+    }
+    val ratios = got.map(_._6)
+    assert(ratios.zip(ratios.tail).forall { case (x, y) => x >= y },
+      "pmi ratios not descending")
+    // Recompute one row's ratio from corpus counts to pin the formula.
+    val toks = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(split(col("text"), " ").as("w"))
+    val n = toks.select(explode(col("w"))).count()
+    val m = toks.select((size(col("w")) - 1).cast("long")).as[Long].collect().filter(_ > 0).sum
+    val (a, b, cab, ca, cb, ratio) = got.head
+    assert(ratio == cab.toDouble * n * n / (ca.toDouble * cb * m),
+      s"pair ($a,$b) ratio $ratio doesn't match recomputation")
+  }
+
   test("simhash plan computes md5 once per word (no per-bit-plane rehash)") {
     // The 16 parity folds must reference the single materialized hash
     // array: exactly one md5 in the optimized plan. CollapseProject keeps

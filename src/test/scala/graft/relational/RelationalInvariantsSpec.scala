@@ -60,6 +60,71 @@ class RelationalInvariantsSpec extends SparkSpec {
     assert(byKey.keys.exists(_ >= 100000), "no inserted keys present")
   }
 
+  test("q47 moments: power-sum formulas agree with Spark's builtin var_pop/skewness/kurtosis") {
+    val got = RelationalQueries.queries("q47_moments")(spark, sf)
+      .select("l_returnflag", "n", "var_pop", "skew_pop", "kurt_pop")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    val ref = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy($"l_returnflag")
+      .agg(org.apache.spark.sql.functions.var_pop($"l_quantity").as("v"),
+        org.apache.spark.sql.functions.skewness($"l_quantity").as("sk"),
+        org.apache.spark.sql.functions.kurtosis($"l_quantity").as("ku"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    def close(a: Double, b: Double) = math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b))
+    got.foreach { case (g, n, v, sk, ku) =>
+      assert(n > 0)
+      val (rv, rsk, rku) = ref(g)
+      assert(close(v, rv), s"group $g var $v != builtin $rv")
+      assert(close(sk, rsk), s"group $g skew $sk != builtin $rsk")
+      assert(close(ku, rku), s"group $g kurt $ku != builtin $rku")
+    }
+  }
+
+  test("q48 filtered aggregates: counts partition and bit-aggs bound each other") {
+    val got = RelationalQueries.queries("q48_filtered_agg")(spark, sf)
+      .as[(String, Long, Long, Long, Option[Long], Boolean, Boolean, Long, Long, Long)]
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { case (st, n, nBig, nUrg, firstUrg, allPos, _, bAnd, bOr, _) =>
+      assert(nBig <= n && nUrg <= n, s"$st filtered counts exceed group size")
+      assert(firstUrg.isDefined == (nUrg > 0), s"$st min-filter null iff no match broken")
+      assert(allPos, s"$st has non-positive totalprice (synthetic data violates assumption)")
+      // AND-mask is a submask of the OR-mask.
+      assert((bAnd & bOr) == bAnd, s"$st bit_and $bAnd not within bit_or $bOr")
+    }
+  }
+
+  test("q49 string agg: lists are sorted, sized to the group, and cover all 25 nations") {
+    val got = RelationalQueries.queries("q49_string_agg")(spark, sf)
+      .as[(String, Long, String, String)].collect()
+    assert(got.length == 5)
+    assert(got.map(_._2).sum == 25)
+    got.foreach { case (r, n, csv, pfx) =>
+      val names = csv.split(",").toSeq
+      assert(names.length == n, s"region $r csv size ${names.length} != $n")
+      assert(names == names.sorted, s"region $r csv not ascending")
+      val prefixes = pfx.split("\\|").toSeq
+      assert(prefixes == prefixes.sorted.reverse, s"region $r prefixes not descending")
+    }
+  }
+
+  test("q50 histogram: buckets partition the table and shares sum to ~10000 bp") {
+    val got = RelationalQueries.queries("q50_histogram")(spark, sf)
+      .as[(Long, Double, Long, Long, Long)].collect()
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(got.map(_._3).sum == total, "bucket counts don't partition the table")
+    got.foreach { case (b, lo, nr, nu, bp) =>
+      assert(lo == b * 5000.0)
+      assert(nu >= nr, s"bucket $b units $nu < rows $nr (quantity >= 1)")
+      assert(bp >= 0 && bp <= 10000)
+    }
+    // floor-division shares undercount by < 1bp each
+    val s = got.map(_._5).sum
+    assert(s > 10000 - got.length && s <= 10000, s"bp shares sum $s implausible")
+  }
+
   test("l40-style canonicalization is idempotent on the declared output") {
     // Applying the canonicalizer to an already-canonical text is identity:
     // variants and originals agree on fp, so re-normalizing any fp's
