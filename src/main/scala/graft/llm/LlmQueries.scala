@@ -2393,6 +2393,153 @@ object LlmQueries {
       |WHERE c_ab >= 5
       |ORDER BY pmi_ratio DESC, w_a, w_b LIMIT 20""".stripMargin
 
+  // ------------------------------------------------ token-budget selection
+  /** l44: token-budget corpus selection — "keep the best documents until
+    * the token budget is spent", the data-selection step between scoring
+    * and training. Quality is the integer type-token ratio (distinct
+    * words per 100 words); the budget is a third of the corpus's tokens
+    * (data-derived, so the query is scale-free). The naive formulation
+    * is a GLOBAL sort + running sum — a scale-killer; here the cutoff
+    * resolves in two phases: (1) a quality-LEVEL table (<= 101 rows —
+    * bounded by the score range, not the corpus) carries cumulative
+    * token mass of strictly-better levels, so every level is wholly kept
+    * or wholly dropped by a broadcast comparison; (2) only the single
+    * BOUNDARY level runs a running-sum window, partitioned by its level
+    * key. At 100 TB phases touch each row once with one tiny
+    * unpartitioned window over the 101-row level table.
+    */
+  def qTokenBudget(s: SparkSession, d: String): DataFrame = {
+    val per = docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("n_distinct * 100 div n_tokens").as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wl = Window.orderBy(col("q").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lvl = per.groupBy("q").agg(sum("n_tokens").as("lvl_tokens"))
+      .withColumn("cum_above", coalesce(sum(col("lvl_tokens")).over(wl), lit(0L)))
+    val budget = per.agg(expr("sum(n_tokens) div 3").as("budget"))
+    val scored = per.join(broadcast(lvl), Seq("q")).crossJoin(broadcast(budget))
+    val fullKeep = scored
+      .where(col("cum_above") + col("lvl_tokens") <= col("budget"))
+      .withColumn("kept", lit(true))
+    val fullDrop = scored
+      .where(col("cum_above") >= col("budget"))
+      .withColumn("kept", lit(false))
+    val wb = Window.partitionBy("q").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val boundary = scored
+      .where(col("cum_above") < col("budget") &&
+        col("cum_above") + col("lvl_tokens") > col("budget"))
+      .withColumn("kept",
+        col("cum_above") + sum(col("n_tokens")).over(wb) <= col("budget"))
+    fullKeep.unionByName(fullDrop).unionByName(boundary)
+      .select(col("doc_id"), col("q"), col("n_tokens"), col("kept"))
+      .orderBy("doc_id")
+  }
+  val qTokenBudgetSql: String =
+    """WITH per AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(w)) AS BIGINT) * 100 // CAST(len(w) AS BIGINT) AS q
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      |lvl AS (
+      |  SELECT q, CAST(SUM(n_tokens) AS BIGINT) AS lvl_tokens
+      |  FROM per GROUP BY q),
+      |lvl2 AS (
+      |  SELECT q, lvl_tokens,
+      |    CAST(COALESCE(SUM(lvl_tokens) OVER (ORDER BY q DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_above
+      |  FROM lvl),
+      |b AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 3 AS budget FROM per),
+      |j AS (
+      |  SELECT per.doc_id, per.q, per.n_tokens, lvl2.lvl_tokens,
+      |    lvl2.cum_above, b.budget
+      |  FROM per JOIN lvl2 USING (q) CROSS JOIN b)
+      |SELECT doc_id, q, n_tokens,
+      |  CASE WHEN cum_above + lvl_tokens <= budget THEN TRUE
+      |       WHEN cum_above >= budget THEN FALSE
+      |       ELSE cum_above + SUM(n_tokens) OVER (PARTITION BY q
+      |         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         <= budget
+      |  END AS kept
+      |FROM j ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ cluster balance audit
+  /** l45: cluster-balance audit — the health check after any IVF/k-means
+    * assignment (l14/l26/l28): per-cluster member counts, quantized
+    * squared-distance extremes and mass (the inertia surrogate, exact
+    * BIGINTs under the suite's floor(x*1e6+0.5) discipline), each
+    * cluster's basis-point share of the corpus, and an `oversized`
+    * verdict (cluster > 2x the even share — the skew that makes an IVF
+    * probe list useless). Empty clusters SURVIVE via the left join from
+    * the centroid table (an empty list is exactly what the audit must
+    * surface). Scale shape: 16 broadcast centroids, per-row argmin
+    * window keyed by vec_id, one cluster-keyed agg, O(1) total
+    * broadcast back — no corpus-sized shuffle beyond the argmin's own.
+    */
+  def qClusterBalance(s: SparkSession, d: String): DataFrame = {
+    val cents = embs(s, d)
+      .where(col("vec_id").between(5, 110) && (col("vec_id") - 5) % 7 === 0)
+      .select(expr("(vec_id - 5) div 7").as("c_id"), col("embedding").as("cv"))
+    val scored = embs(s, d).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("c_id"),
+        floor((dotD(col("embedding"), col("embedding"))
+          - lit(2) * dotD(col("embedding"), col("cv"))
+          + dotD(col("cv"), col("cv"))) * 1e6 + 0.5).cast("long").as("d2_x1e6"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2_x1e6").asc, col("c_id").asc)
+    val assigned = scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
+    val perCluster = assigned.groupBy("c_id")
+      .agg(count(lit(1)).as("n_members"),
+        min("d2_x1e6").as("min_d2"), max("d2_x1e6").as("max_d2"),
+        sum("d2_x1e6").as("inertia"))
+    val total = assigned.agg(count(lit(1)).as("n_vecs"))
+    cents.select("c_id")
+      .join(perCluster, Seq("c_id"), "left_outer")
+      .crossJoin(broadcast(total))
+      .select(col("c_id"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        col("min_d2"), col("max_d2"), col("inertia"),
+        expr("coalesce(n_members, 0) * 10000 div n_vecs").as("share_bp"),
+        (coalesce(col("n_members"), lit(0L)) * 16 > lit(2) * col("n_vecs"))
+          .as("oversized"))
+      .orderBy("c_id")
+  }
+  val qClusterBalanceSql: String = {
+    def dot(a: String, b: String) =
+      s"""list_sum(list_transform(generate_series(1, len($a)),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+    s"""WITH cent AS (
+      |  SELECT (vec_id - 5) // 7 AS c_id, embedding AS cv
+      |  FROM embeddings WHERE vec_id BETWEEN 5 AND 110 AND (vec_id - 5) % 7 = 0),
+      |scored AS (
+      |  SELECT e.vec_id, c.c_id,
+      |    CAST(floor((${dot("e.embedding", "e.embedding")}
+      |      - 2*${dot("e.embedding", "c.cv")}
+      |      + ${dot("c.cv", "c.cv")}) * 1e6 + 0.5) AS BIGINT) AS d2_x1e6
+      |  FROM embeddings e CROSS JOIN cent c),
+      |assigned AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY d2_x1e6 ASC, c_id ASC) AS r FROM scored)
+      |  WHERE r = 1),
+      |pc AS (
+      |  SELECT c_id, COUNT(*) AS n_members,
+      |    MIN(d2_x1e6) AS min_d2, MAX(d2_x1e6) AS max_d2,
+      |    CAST(SUM(d2_x1e6) AS BIGINT) AS inertia
+      |  FROM assigned GROUP BY c_id),
+      |t AS (SELECT COUNT(*) AS n_vecs FROM assigned)
+      |SELECT cent.c_id,
+      |  COALESCE(pc.n_members, 0) AS n_members,
+      |  pc.min_d2, pc.max_d2, pc.inertia,
+      |  COALESCE(pc.n_members, 0) * 10000 // t.n_vecs AS share_bp,
+      |  COALESCE(pc.n_members, 0) * 16 > 2 * t.n_vecs AS oversized
+      |FROM cent LEFT JOIN pc USING (c_id) CROSS JOIN t
+      |ORDER BY cent.c_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -2436,7 +2583,9 @@ object LlmQueries {
     "l40_text_normalize" -> qTextNormalize _,
     "l41_lsh_audit" -> qLshAudit _,
     "l42_bigram_surprisal" -> qBigramSurprisal _,
-    "l43_pmi_collocations" -> qPmiCollocations _
+    "l43_pmi_collocations" -> qPmiCollocations _,
+    "l44_token_budget" -> qTokenBudget _,
+    "l45_cluster_balance" -> qClusterBalance _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2482,6 +2631,8 @@ object LlmQueries {
     "l40_text_normalize" -> qTextNormalizeSql,
     "l41_lsh_audit" -> qLshAuditSql,
     "l42_bigram_surprisal" -> qBigramSurprisalSql,
-    "l43_pmi_collocations" -> qPmiCollocationsSql
+    "l43_pmi_collocations" -> qPmiCollocationsSql,
+    "l44_token_budget" -> qTokenBudgetSql,
+    "l45_cluster_balance" -> qClusterBalanceSql
   )
 }

@@ -422,6 +422,59 @@ class LlmQueriesSpec extends SparkSpec {
       s"pair ($a,$b) ratio $ratio doesn't match recomputation")
   }
 
+  test("token budget: kept mass within budget, greedy-maximal, quality-monotone") {
+    val got = LlmQueries.qTokenBudget(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    val budget = got.map(_._3).sum / 3
+    val keptMass = got.filter(_._4).map(_._3).sum
+    assert(keptMass <= budget, s"kept $keptMass exceeds budget $budget")
+    // Quality-monotone: at most one level holds both kept and dropped docs,
+    // and every kept doc's level is >= every dropped doc's level.
+    val mixed = got.groupBy(_._2).filter { case (_, rows) =>
+      rows.exists(_._4) && rows.exists(!_._4)
+    }
+    assert(mixed.size <= 1, s"multiple mixed levels: ${mixed.keys.toSeq.sorted}")
+    val keptQ = got.filter(_._4).map(_._2)
+    val dropQ = got.filter(!_._4).map(_._2)
+    if (keptQ.nonEmpty && dropQ.nonEmpty) {
+      if (mixed.nonEmpty)
+        assert(keptQ.min >= dropQ.max,
+          s"kept level ${keptQ.min} below dropped level ${dropQ.max}")
+      else
+        assert(keptQ.min > dropQ.max,
+          s"clean cut but kept level ${keptQ.min} <= dropped level ${dropQ.max}")
+    }
+    // Greedy-maximal on the boundary: the first dropped doc (doc_id order
+    // within the mixed level) would overflow the budget.
+    mixed.headOption.foreach { case (_, rows) =>
+      rows.filter(!_._4).sortBy(_._1).headOption.foreach { d =>
+        assert(keptMass + d._3 > budget,
+          s"boundary doc ${d._1} (${d._3} tokens) would still fit — not maximal")
+      }
+    }
+  }
+
+  test("cluster balance: members partition the corpus, shares and verdicts consistent") {
+    val got = LlmQueries.qClusterBalance(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long], Long, Boolean)]
+      .collect()
+    assert(got.length == 16, s"expected 16 centroid rows, got ${got.length}")
+    val nVecs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    assert(got.map(_._2).sum == nVecs, "cluster sizes don't partition the corpus")
+    got.foreach { case (c, n, mn, mx, inertia, bp, oversized) =>
+      assert((n == 0) == mn.isEmpty, s"cluster $c empty-iff-null broken")
+      if (n > 0) {
+        assert(mn.get <= mx.get, s"cluster $c min > max")
+        assert(inertia.get >= mn.get * n && inertia.get <= mx.get * n,
+          s"cluster $c inertia outside [min*n, max*n]")
+      }
+      assert(bp == n * 10000 / nVecs, s"cluster $c share_bp wrong")
+      assert(oversized == (n * 16 > 2 * nVecs), s"cluster $c verdict wrong")
+    }
+  }
+
   test("simhash plan computes md5 once per word (no per-bit-plane rehash)") {
     // The 16 parity folds must reference the single materialized hash
     // array: exactly one md5 in the optimized plan. CollapseProject keeps
