@@ -2403,10 +2403,12 @@ object LlmQueries {
     * resolves in two phases: (1) a quality-LEVEL table (<= 101 rows —
     * bounded by the score range, not the corpus) carries cumulative
     * token mass of strictly-better levels, so every level is wholly kept
-    * or wholly dropped by a broadcast comparison; (2) only the single
-    * BOUNDARY level runs a running-sum window, partitioned by its level
-    * key. At 100 TB phases touch each row once with one tiny
-    * unpartitioned window over the 101-row level table.
+    * or wholly dropped by a broadcast comparison; (2) a running-sum
+    * window PARTITIONED by the level key breaks the tie inside the one
+    * boundary level the CASE falls through to. At 100 TB each row is
+    * touched once, the only unpartitioned window runs over the 101-row
+    * level table, and no corpus-sized data ever converges on one task
+    * (pinned by PlanSpec).
     */
   def qTokenBudget(s: SparkSession, d: String): DataFrame = {
     val per = docs(s, d)
@@ -2421,21 +2423,14 @@ object LlmQueries {
     val lvl = per.groupBy("q").agg(sum("n_tokens").as("lvl_tokens"))
       .withColumn("cum_above", coalesce(sum(col("lvl_tokens")).over(wl), lit(0L)))
     val budget = per.agg(expr("sum(n_tokens) div 3").as("budget"))
-    val scored = per.join(broadcast(lvl), Seq("q")).crossJoin(broadcast(budget))
-    val fullKeep = scored
-      .where(col("cum_above") + col("lvl_tokens") <= col("budget"))
-      .withColumn("kept", lit(true))
-    val fullDrop = scored
-      .where(col("cum_above") >= col("budget"))
-      .withColumn("kept", lit(false))
     val wb = Window.partitionBy("q").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val boundary = scored
-      .where(col("cum_above") < col("budget") &&
-        col("cum_above") + col("lvl_tokens") > col("budget"))
+    per.join(broadcast(lvl), Seq("q")).crossJoin(broadcast(budget))
       .withColumn("kept",
-        col("cum_above") + sum(col("n_tokens")).over(wb) <= col("budget"))
-    fullKeep.unionByName(fullDrop).unionByName(boundary)
+        when(col("cum_above") + col("lvl_tokens") <= col("budget"), lit(true))
+          .when(col("cum_above") >= col("budget"), lit(false))
+          .otherwise(
+            col("cum_above") + sum(col("n_tokens")).over(wb) <= col("budget")))
       .select(col("doc_id"), col("q"), col("n_tokens"), col("kept"))
       .orderBy("doc_id")
   }

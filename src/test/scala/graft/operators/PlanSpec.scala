@@ -283,4 +283,69 @@ class PlanSpec extends SparkSpec {
     windows.foreach(w =>
       assert(w.partitionSpec.nonEmpty, s"l40 window is unpartitioned:\n$w"))
   }
+
+  // q47's power sums must be ONE hash aggregate with a pruned scan —
+  // the whole point of the formulation is a single map-side-combining
+  // pass that ships 5 longs per group.
+  test("q47 moments plan is one aggregation over a two-column scan") {
+    val df = RelationalQueries.queries("q47_moments")(spark, sf)
+    val p = planOf(df)
+    assertNoAllPairs("q47", df)
+    assert(p.contains("HashAggregate"), s"q47 lost its hash aggregate:\n$p")
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("l_returnflag") && read.contains("l_quantity")
+      && !read.contains("l_extendedprice"),
+      s"q47 scan not pruned to (l_returnflag, l_quantity): $read")
+  }
+
+  // l42 scores bigrams through equi-joins on the bigram key; the only
+  // nested-loop is the 1-row corpus total broadcast (1xN by design).
+  test("l42 bigram surprisal joins frequencies on the bigram key") {
+    val df = LlmQueries.queries("l42_bigram_surprisal")(spark, sf)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"), s"l42 has a data cross product:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"l42 lost its bigram equi-join:\n$p")
+  }
+
+  // l43's scoring side must broadcast BOTH unigram count tables (they are
+  // vocabulary-bounded at any corpus size).
+  test("l43 pmi collocations broadcast the unigram count tables") {
+    val df = LlmQueries.queries("l43_pmi_collocations")(spark, sf)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"), s"l43 has a data cross product:\n$p")
+    val n = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(n >= 2, s"l43 expected >=2 broadcast unigram joins, found $n:\n$p")
+  }
+
+  // l44's corpus-sized window must be partitioned by the quality level;
+  // the single allowed unpartitioned window runs over the bounded
+  // (<=101-row) level table only.
+  test("l44 token budget: corpus window partitioned, level window bounded") {
+    val df = LlmQueries.queries("l44_token_budget")(spark, sf)
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "l44 lost its windows")
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.size <= 1,
+      s"l44 has ${unpartitioned.size} unpartitioned windows (only the level table's is allowed)")
+    // the unpartitioned one must sit above an aggregation (the level
+    // table), never directly over the corpus scan
+    unpartitioned.foreach { w =>
+      assert(w.toString.contains("lvl_tokens") ||
+        w.child.toString.contains("HashAggregate"),
+        s"l44 unpartitioned window is not over the aggregated level table:\n$w")
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "l44 boundary running sum lost its per-level partitioning")
+  }
+
+  // l45's argmin must be keyed by vec_id (embarrassingly parallel); the
+  // centroid side is a bounded 16-row broadcast by design.
+  test("l45 cluster balance partitions the argmin by vector") {
+    val df = LlmQueries.queries("l45_cluster_balance")(spark, sf)
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "l45 lost its argmin window")
+    windows.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, s"l45 window is unpartitioned:\n$w"))
+  }
 }
