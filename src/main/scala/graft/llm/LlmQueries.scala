@@ -2535,6 +2535,49 @@ object LlmQueries {
       |ORDER BY cent.c_id""".stripMargin
   }
 
+  // ------------------------------------------------ leakage-safe split
+  /** l46: leakage-safe train/val/test split — the assignment step after
+    * dedup that naive pipelines get wrong: hashing each DOC into a split
+    * puts byte-identical duplicates on both sides of the train/eval
+    * fence (the classic eval-contamination bug). Here every document
+    * inherits its duplicate-CLUSTER representative (min doc_id per md5),
+    * and the 80/10/10 bucket is the suite's standard 60-bit md5 hash of
+    * the CANONICAL id — so an entire duplicate cluster lands in exactly
+    * one split by construction. Runs on the duplicate-augmented corpus
+    * so the property is actually exercised. Scale shape: one
+    * fingerprint agg + one equi-join back on the fingerprint, then
+    * row-local hashing — the same two-op shape as l01.
+    */
+  def qSplitAssignment(s: SparkSession, d: String): DataFrame = {
+    val canon = docsWithDups(s, d).select(col("doc_id"), md5(col("text")).as("h"))
+    val reps = canon.groupBy("h").agg(min("doc_id").as("canon_id"))
+    canon.join(reps, Seq("h"))
+      .withColumn("bucket",
+        conv(substring(md5(col("canon_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 10)
+      .select(col("doc_id"), col("canon_id"),
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test").as("split"),
+        (col("doc_id") === col("canon_id")).as("is_canon"))
+      .orderBy("doc_id")
+  }
+  val qSplitAssignmentSql: String =
+    s"""WITH $docsWithDupsSql,
+      |c AS (SELECT doc_id, md5(text) AS h FROM dd),
+      |reps AS (SELECT h, min(doc_id) AS canon_id FROM c GROUP BY h),
+      |a AS (
+      |  SELECT c.doc_id, r.canon_id,
+      |    CAST('0x' || substring(md5(CAST(r.canon_id AS VARCHAR)), 1, 15)
+      |      AS BIGINT) % 10 AS bucket
+      |  FROM c JOIN reps r USING (h))
+      |SELECT doc_id, canon_id,
+      |  CASE WHEN bucket < 8 THEN 'train'
+      |       WHEN bucket = 8 THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  doc_id = canon_id AS is_canon
+      |FROM a ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -2580,7 +2623,8 @@ object LlmQueries {
     "l42_bigram_surprisal" -> qBigramSurprisal _,
     "l43_pmi_collocations" -> qPmiCollocations _,
     "l44_token_budget" -> qTokenBudget _,
-    "l45_cluster_balance" -> qClusterBalance _
+    "l45_cluster_balance" -> qClusterBalance _,
+    "l46_split_assignment" -> qSplitAssignment _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2628,6 +2672,7 @@ object LlmQueries {
     "l42_bigram_surprisal" -> qBigramSurprisalSql,
     "l43_pmi_collocations" -> qPmiCollocationsSql,
     "l44_token_budget" -> qTokenBudgetSql,
-    "l45_cluster_balance" -> qClusterBalanceSql
+    "l45_cluster_balance" -> qClusterBalanceSql,
+    "l46_split_assignment" -> qSplitAssignmentSql
   )
 }

@@ -1376,6 +1376,34 @@ object RelationalQueries {
       |  n_rows * 10000 // n_total AS bp_share
       |FROM g CROSS JOIN t ORDER BY bucket""".stripMargin
 
+  /** Bag-semantics set operations (Q12 completion next to q15's
+    * distinct forms): INTERSECT ALL keeps min(m, n) copies per value,
+    * EXCEPT ALL keeps m - n — multiplicity is the semantics, so the
+    * output aggregates copies per (tag, key) to a count. Spark plans
+    * both as a replicated-count aggregate + join (no row explosion);
+    * one shuffle each at any scale.
+    */
+  def q51SetOpsAll(s: SparkSession, d: String): DataFrame = {
+    val o = ord(s, d)
+    def yr(y: Int) = o.where(year($"o_orderdate") === y).select($"o_custkey")
+    val interAll = yr(1996).intersectAll(yr(1997)).withColumn("tag", lit("inter_all"))
+    val exceptAll = yr(1996).exceptAll(yr(1997)).withColumn("tag", lit("except_all"))
+    interAll.unionByName(exceptAll)
+      .groupBy($"tag", $"o_custkey")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("tag", "o_custkey")
+  }
+  val q51Sql: String =
+    """WITH y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+      |     y97 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+      |ia AS (SELECT o_custkey FROM y96 INTERSECT ALL SELECT o_custkey FROM y97),
+      |ea AS (SELECT o_custkey FROM y96 EXCEPT ALL SELECT o_custkey FROM y97)
+      |SELECT tag, o_custkey, n FROM (
+      |  SELECT 'inter_all' AS tag, o_custkey, COUNT(*) AS n FROM ia GROUP BY o_custkey
+      |  UNION ALL
+      |  SELECT 'except_all' AS tag, o_custkey, COUNT(*) AS n FROM ea GROUP BY o_custkey)
+      |ORDER BY tag, o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -1426,7 +1454,8 @@ object RelationalQueries {
     "q47_moments" -> q47Moments _,
     "q48_filtered_agg" -> q48FilteredAgg _,
     "q49_string_agg" -> q49StringAgg _,
-    "q50_histogram" -> q50Histogram _
+    "q50_histogram" -> q50Histogram _,
+    "q51_setops_all" -> q51SetOpsAll _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1479,7 +1508,8 @@ object RelationalQueries {
     "q47_moments" -> q47Sql,
     "q48_filtered_agg" -> q48Sql,
     "q49_string_agg" -> q49Sql,
-    "q50_histogram" -> q50Sql
+    "q50_histogram" -> q50Sql,
+    "q51_setops_all" -> q51Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits

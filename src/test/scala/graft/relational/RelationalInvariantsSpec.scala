@@ -125,6 +125,56 @@ class RelationalInvariantsSpec extends SparkSpec {
     assert(s > 10000 - got.length && s <= 10000, s"bp shares sum $s implausible")
   }
 
+  test("q51 bag set-ops: multiplicities are exactly min(m,n) and m-n") {
+    val got = RelationalQueries.queries("q51_setops_all")(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val counts = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_custkey", "year(o_orderdate) AS y")
+      .where($"y".isin(1996, 1997))
+      .groupBy("o_custkey", "y").count()
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (k, rows) =>
+        k -> (rows.find(_._2 == 1996).map(_._3).getOrElse(0L),
+          rows.find(_._2 == 1997).map(_._3).getOrElse(0L))
+      }
+    got.foreach { case (tag, k, n) =>
+      val (m96, m97) = counts(k)
+      tag match {
+        case "inter_all"  => assert(n == math.min(m96, m97) && n > 0,
+          s"custkey $k inter_all $n != min($m96,$m97)")
+        case "except_all" => assert(n == m96 - m97 && n > 0,
+          s"custkey $k except_all $n != $m96-$m97")
+        case other => fail(s"unexpected tag $other")
+      }
+    }
+    // every key with both-year presence appears under inter_all
+    val expectedInter = counts.filter { case (_, (a, b)) => a > 0 && b > 0 }.keySet
+    assert(got.filter(_._1 == "inter_all").map(_._2).toSet == expectedInter)
+  }
+
+  test("l46 split: duplicate clusters never span splits, proportions sane") {
+    val got = graft.llm.LlmQueries.queries("l46_split_assignment")(spark, sf)
+      .as[(Long, Long, String, Boolean)].collect()
+    assert(got.nonEmpty)
+    val byCanon = got.groupBy(_._2)
+    byCanon.foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.length == 1,
+        s"cluster $c spans splits: ${rows.map(r => (r._1, r._3)).toSeq}")
+      assert(rows.exists(r => r._1 == c && r._4), s"cluster $c canon not marked")
+    }
+    // planted duplicates (doc_id+100000) inherit the original's split
+    val splitOf = got.map(r => r._1 -> r._3).toMap
+    got.filter(_._1 >= 100000).foreach { r =>
+      assert(splitOf(r._1 - 100000) == r._3,
+        s"planted dup ${r._1} split ${r._3} != original ${splitOf(r._1 - 100000)}")
+    }
+    // hash split lands near 80/10/10 on cluster counts (loose bound)
+    val clusterSplit = byCanon.map { case (_, rows) => rows.head._3 }.toSeq
+    val train = clusterSplit.count(_ == "train").toDouble / clusterSplit.size
+    assert(train > 0.6 && train < 0.95, s"train share $train implausible for 80%")
+  }
+
   test("l40-style canonicalization is idempotent on the declared output") {
     // Applying the canonicalizer to an already-canonical text is identity:
     // variants and originals agree on fp, so re-normalizing any fp's
