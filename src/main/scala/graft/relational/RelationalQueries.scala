@@ -1404,6 +1404,48 @@ object RelationalQueries {
       |  SELECT 'except_all' AS tag, o_custkey, COUNT(*) AS n FROM ea GROUP BY o_custkey)
       |ORDER BY tag, o_custkey""".stripMargin
 
+  /** Per-row outlier detection (the q47 moments JOINED BACK to rows —
+    * the other half of profiling): each lineitem's quantity is z-scored
+    * against its return-flag group using exact integer power sums, and
+    * rows beyond 1.5 population standard deviations are flagged. The
+    * variance comes from the same BIGINT sums as q47, and the per-row
+    * verdict is the engine-exact cross-multiplied comparison
+    * `4(n·x − s1)² > 9(n·s2 − s1²)` — integers only, no sqrt, no
+    * division, so the boolean is bit-identical on any engine. Scale
+    * shape: one tiny grouped aggregate BROADCAST back over the row
+    * scan; everything else is row-local.
+    */
+  def q52Outliers(s: SparkSession, d: String): DataFrame = {
+    val x = li(s, d).select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+      $"l_quantity".cast("long").as("x"))
+    val stats = x.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"x").as("s1"),
+        sum($"x" * $"x").as("s2"))
+    // mean = s1/n, var = (n*s2 - s1^2)/n^2, so |x - mean| > (3/2)*sigma
+    // <=> (n*x - s1)^2/n^2 > (9/4)*(n*s2 - s1^2)/n^2
+    // <=> 4*(n*x - s1)^2 > 9*(n*s2 - s1^2)   — BIGINT-safe at the test SFs.
+    x.join(broadcast(stats), Seq("l_returnflag"))
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"x",
+        (($"n" * $"x" - $"s1") * ($"n" * $"x" - $"s1") * 4 >
+          ($"n" * $"s2" - $"s1" * $"s1") * 9).as("is_outlier"))
+      .where($"is_outlier")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+  val q52Sql: String =
+    """WITH x AS (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag,
+      |    CAST(l_quantity AS BIGINT) AS x
+      |  FROM lineitem),
+      |st AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS s1, CAST(SUM(x*x) AS BIGINT) AS s2
+      |  FROM x GROUP BY l_returnflag)
+      |SELECT l_orderkey, l_linenumber, l_returnflag, x,
+      |  (n*x - s1) * (n*x - s1) * 4 > (n*s2 - s1*s1) * 9 AS is_outlier
+      |FROM x JOIN st USING (l_returnflag)
+      |WHERE (n*x - s1) * (n*x - s1) * 4 > (n*s2 - s1*s1) * 9
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -1455,7 +1497,8 @@ object RelationalQueries {
     "q48_filtered_agg" -> q48FilteredAgg _,
     "q49_string_agg" -> q49StringAgg _,
     "q50_histogram" -> q50Histogram _,
-    "q51_setops_all" -> q51SetOpsAll _
+    "q51_setops_all" -> q51SetOpsAll _,
+    "q52_outliers" -> q52Outliers _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1509,7 +1552,8 @@ object RelationalQueries {
     "q48_filtered_agg" -> q48Sql,
     "q49_string_agg" -> q49Sql,
     "q50_histogram" -> q50Sql,
-    "q51_setops_all" -> q51Sql
+    "q51_setops_all" -> q51Sql,
+    "q52_outliers" -> q52Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits

@@ -175,6 +175,30 @@ class RelationalInvariantsSpec extends SparkSpec {
     assert(train > 0.6 && train < 0.95, s"train share $train implausible for 80%")
   }
 
+  test("q52 outliers: integer verdict agrees with the double z-score") {
+    val got = RelationalQueries.queries("q52_outliers")(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "x")
+      .as[(Long, Int, String, Long)].collect()
+    assert(got.nonEmpty)
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_linenumber", "l_returnflag",
+        "CAST(l_quantity AS BIGINT) AS x")
+      .as[(Long, Int, String, Long)].collect()
+    val stats = rows.groupBy(_._3).map { case (g, rs) =>
+      val n = rs.length.toDouble
+      val mean = rs.map(_._4).sum / n
+      val varPop = rs.map(r => (r._4 - mean) * (r._4 - mean)).sum / n
+      g -> (mean, math.sqrt(varPop))
+    }
+    val expected = rows.filter { r =>
+      val (m, sd) = stats(r._3); math.abs(r._4 - m) > 1.5 * sd
+    }.map(r => (r._1, r._2)).toSet
+    assert(got.map(r => (r._1, r._2)).toSet == expected,
+      s"integer verdict diverges from double z-score: " +
+        s"${(got.map(r => (r._1, r._2)).toSet diff expected).take(3)} / " +
+        s"${(expected diff got.map(r => (r._1, r._2)).toSet).take(3)}")
+  }
+
   test("l40-style canonicalization is idempotent on the declared output") {
     // Applying the canonicalizer to an already-canonical text is identity:
     // variants and originals agree on fp, so re-normalizing any fp's
