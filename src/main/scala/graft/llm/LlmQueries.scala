@@ -2578,6 +2578,99 @@ object LlmQueries {
       |  doc_id = canon_id AS is_canon
       |FROM a ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- corpus funnel
+  /** l47: the corpus funnel report — the stage-by-stage accounting every
+    * production ingest run ships (raw → exact dedup → canonicalization
+    * dedup → quality bar), with document and token counts per stage so
+    * an operator can see WHERE the corpus shrank. Stages compose
+    * sequentially: exact dedup keeps the min doc_id per md5;
+    * canonicalization dedup then keeps the min doc_id per l40-normalized
+    * form among stage-1 survivors; the quality bar keeps 20..200-token
+    * survivors. The whole funnel is ONE aggregate over row-local flags
+    * (the two keeper joins are the l01/l40 shapes) unpivoted to a
+    * 4-row, corpus-size-independent report — no stage rescans the
+    * corpus. Runs on a corpus augmented with BOTH exact copies (caught
+    * at stage 1) and uppercase-plus-punctuation variants (invisible to
+    * exact dedup, caught at stage 2) so every stage does real work.
+    */
+  def qCorpusFunnel(s: SparkSession, d: String): DataFrame = {
+    val raw = docs(s, d)
+    val corpus = docsWithDups(s, d).select(col("doc_id"), col("text"))
+      .unionByName(raw.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(upper(col("text")), lit("!!")).as("text")))
+    val base = corpus.select(col("doc_id"), col("text"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      md5(col("text")).as("h"),
+      trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+        .as("norm"))
+    val k1 = base.groupBy("h").agg(min("doc_id").as("keep1_id"))
+    val s1 = base.join(k1, Seq("h"))
+      .withColumn("keep1", col("doc_id") === col("keep1_id"))
+    val k2 = s1.where(col("keep1"))
+      .groupBy("norm").agg(min("doc_id").as("keep2_id"))
+    val flagged = s1.join(k2, Seq("norm"), "left_outer")
+      .withColumn("keep2", col("keep1") && col("doc_id") === col("keep2_id"))
+      .withColumn("keep3",
+        col("keep2") && col("n_tokens").between(20, 200))
+    flagged.agg(
+      count(lit(1)).as("d0"), sum("n_tokens").as("t0"),
+      sum(when(col("keep1"), 1L).otherwise(0L)).as("d1"),
+      sum(when(col("keep1"), col("n_tokens")).otherwise(0L)).as("t1"),
+      sum(when(col("keep2"), 1L).otherwise(0L)).as("d2"),
+      sum(when(col("keep2"), col("n_tokens")).otherwise(0L)).as("t2"),
+      sum(when(col("keep3"), 1L).otherwise(0L)).as("d3"),
+      sum(when(col("keep3"), col("n_tokens")).otherwise(0L)).as("t3"))
+      .selectExpr(
+        """stack(4,
+          |  '0_raw', d0, t0,
+          |  '1_exact_dedup', d1, t1,
+          |  '2_canonical_dedup', d2, t2,
+          |  '3_quality', d3, t3) AS (stage, n_docs, n_tokens)""".stripMargin)
+      .orderBy("stage")
+  }
+  val qCorpusFunnelSql: String =
+    s"""WITH $docsWithDupsSql,
+      |corpus AS (
+      |  SELECT doc_id, text FROM dd
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, upper(text) || '!!' AS text
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |base AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    md5(text) AS h,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |         ' +', ' ', 'g')) AS norm
+      |  FROM corpus),
+      |k1 AS (SELECT h, min(doc_id) AS keep1_id FROM base GROUP BY h),
+      |s1 AS (
+      |  SELECT base.*, base.doc_id = k1.keep1_id AS keep1
+      |  FROM base JOIN k1 USING (h)),
+      |k2 AS (
+      |  SELECT norm, min(doc_id) AS keep2_id FROM s1 WHERE keep1 GROUP BY norm),
+      |fl AS (
+      |  SELECT s1.*,
+      |    s1.keep1 AND s1.doc_id = k2.keep2_id AS keep2,
+      |    s1.keep1 AND s1.doc_id = k2.keep2_id
+      |      AND s1.n_tokens BETWEEN 20 AND 200 AS keep3
+      |  FROM s1 LEFT JOIN k2 USING (norm)),
+      |a AS (
+      |  SELECT COUNT(*) AS d0, CAST(SUM(n_tokens) AS BIGINT) AS t0,
+      |    COUNT(*) FILTER (WHERE keep1) AS d1,
+      |    CAST(COALESCE(SUM(n_tokens) FILTER (WHERE keep1), 0) AS BIGINT) AS t1,
+      |    COUNT(*) FILTER (WHERE keep2) AS d2,
+      |    CAST(COALESCE(SUM(n_tokens) FILTER (WHERE keep2), 0) AS BIGINT) AS t2,
+      |    COUNT(*) FILTER (WHERE keep3) AS d3,
+      |    CAST(COALESCE(SUM(n_tokens) FILTER (WHERE keep3), 0) AS BIGINT) AS t3
+      |  FROM fl)
+      |SELECT '0_raw' AS stage, d0 AS n_docs, t0 AS n_tokens FROM a
+      |UNION ALL SELECT '1_exact_dedup', d1, t1 FROM a
+      |UNION ALL SELECT '2_canonical_dedup', d2, t2 FROM a
+      |UNION ALL SELECT '3_quality', d3, t3 FROM a
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -2624,7 +2717,8 @@ object LlmQueries {
     "l43_pmi_collocations" -> qPmiCollocations _,
     "l44_token_budget" -> qTokenBudget _,
     "l45_cluster_balance" -> qClusterBalance _,
-    "l46_split_assignment" -> qSplitAssignment _
+    "l46_split_assignment" -> qSplitAssignment _,
+    "l47_corpus_funnel" -> qCorpusFunnel _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2673,6 +2767,7 @@ object LlmQueries {
     "l43_pmi_collocations" -> qPmiCollocationsSql,
     "l44_token_budget" -> qTokenBudgetSql,
     "l45_cluster_balance" -> qClusterBalanceSql,
-    "l46_split_assignment" -> qSplitAssignmentSql
+    "l46_split_assignment" -> qSplitAssignmentSql,
+    "l47_corpus_funnel" -> qCorpusFunnelSql
   )
 }

@@ -475,6 +475,29 @@ class LlmQueriesSpec extends SparkSpec {
     }
   }
 
+  test("corpus funnel: monotone shrink, every stage does real work, exact planted deltas") {
+    val got = LlmQueries.qCorpusFunnel(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq ==
+      Seq("0_raw", "1_exact_dedup", "2_canonical_dedup", "3_quality"))
+    val docs = got.map(_._2); val toks = got.map(_._3)
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b }, "docs not monotone")
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b }, "tokens not monotone")
+    val nBase = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").count()
+    val nExact = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("doc_id") % 10 === 0).count()
+    val nVariant = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("doc_id") % 7 === 0).count()
+    assert(docs(0) == nBase + nExact + nVariant, "raw count wrong")
+    assert(docs(0) - docs(1) == nExact, "stage 1 must drop exactly the planted copies")
+    assert(docs(1) - docs(2) == nVariant,
+      "stage 2 must drop exactly the planted case/punct variants")
+    assert(docs(2) == nBase, "survivors after dedup must be the original corpus")
+  }
+
   test("simhash plan computes md5 once per word (no per-bit-plane rehash)") {
     // The 16 parity folds must reference the single materialized hash
     // array: exactly one md5 in the optimized plan. CollapseProject keeps
