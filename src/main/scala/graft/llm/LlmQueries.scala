@@ -2671,6 +2671,81 @@ object LlmQueries {
       |UNION ALL SELECT '3_quality', d3, t3 FROM a
       |ORDER BY stage""".stripMargin
 
+  /** l48: sliding-window document chunking (the RAG / context-window prep
+    * step): each document is cut into fixed 64-word windows with stride
+    * 48 (16 words of overlap), producing (doc_id, chunk_idx, len, hash)
+    * rows. Chunk count is pure integer arithmetic —
+    * `1 + ceil(max(0, n−64)/48)` via the div idiom — and each chunk is a
+    * `slice` of the one split-array, so the whole operator is row-local:
+    * one explode over a generated index sequence, zero shuffles, zero
+    * joins. At 100 TB this is the ideal shape — chunking parallelizes
+    * perfectly and the ~1.33× row expansion streams straight into the
+    * next stage. Overlap means downstream dedup must key on chunk hash,
+    * not doc_id — which is exactly what l23's corpus-wide chunk keep
+    * does.
+    */
+  def qChunkSliding(s: SparkSession, d: String): DataFrame = {
+    val w = docs(s, d).select(col("doc_id"),
+      split(col("text"), " ").as("words"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    w.withColumn("n_chunks",
+        expr("1 + (greatest(0L, n - 64L) + 47L) div 48L"))
+      .select(col("doc_id"), col("words"), col("n"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(expr("slice(words, int(chunk_idx * 48 + 1), 64)"))
+          .cast("long").as("chunk_len"),
+        md5(concat_ws(" ",
+          expr("slice(words, int(chunk_idx * 48 + 1), 64)"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+  val qChunkSlidingSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, words, n,
+      |    1 + (greatest(0, n - 64) + 47) // 48 AS n_chunks FROM w),
+      |e AS (
+      |  SELECT doc_id, words, n,
+      |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM c)
+      |SELECT doc_id, chunk_idx,
+      |  CAST(len(list_slice(words, chunk_idx*48 + 1,
+      |    least(chunk_idx*48 + 64, n))) AS BIGINT) AS chunk_len,
+      |  md5(array_to_string(list_slice(words, chunk_idx*48 + 1,
+      |    least(chunk_idx*48 + 64, n)), ' ')) AS chunk_hash
+      |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** l49: tokenizer compression-ratio filter — bytes per (whitespace)
+    * token in basis points, the cheap gibberish detector: text whose
+    * byte cost per token is far from the corpus norm is boilerplate,
+    * base64 blobs, or wrong-tokenizer content (cf. the bits-per-byte
+    * screens in CCNet/RedPajama). Integer-only: `bytes·10⁴ div tokens`
+    * — engine-exact, no float ratio. Bounds (48000, 58000 bp ≈ 4.8–5.8
+    * bytes/token) straddle the synthetic corpus median so both verdicts
+    * occur. Scale shape: row-local projection, codegen'd, shuffle-free —
+    * composes with l15/l19 as one fused filter pass.
+    */
+  def qCompressionRatio(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"))
+      .withColumn("bytes_per_token_bp",
+        expr("n_bytes * 10000L div ws_tokens"))
+      .withColumn("keep",
+        col("bytes_per_token_bp").between(48000L, 58000L))
+      .orderBy("doc_id")
+  val qCompressionRatioSql: String =
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(strlen(text) AS BIGINT) * 10000
+      |    // len(string_split(text, ' ')) AS bytes_per_token_bp,
+      |  CAST(strlen(text) AS BIGINT) * 10000
+      |    // len(string_split(text, ' ')) BETWEEN 48000 AND 58000 AS keep
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -2718,7 +2793,9 @@ object LlmQueries {
     "l44_token_budget" -> qTokenBudget _,
     "l45_cluster_balance" -> qClusterBalance _,
     "l46_split_assignment" -> qSplitAssignment _,
-    "l47_corpus_funnel" -> qCorpusFunnel _
+    "l47_corpus_funnel" -> qCorpusFunnel _,
+    "l48_chunk_sliding" -> qChunkSliding _,
+    "l49_compression_ratio" -> qCompressionRatio _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2768,6 +2845,8 @@ object LlmQueries {
     "l44_token_budget" -> qTokenBudgetSql,
     "l45_cluster_balance" -> qClusterBalanceSql,
     "l46_split_assignment" -> qSplitAssignmentSql,
-    "l47_corpus_funnel" -> qCorpusFunnelSql
+    "l47_corpus_funnel" -> qCorpusFunnelSql,
+    "l48_chunk_sliding" -> qChunkSlidingSql,
+    "l49_compression_ratio" -> qCompressionRatioSql
   )
 }

@@ -1446,6 +1446,123 @@ object RelationalQueries {
       |WHERE (n*x - s1) * (n*x - s1) * 4 > (n*s2 - s1*s1) * 9
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Arg-max aggregation (the max_by/min_by family): per customer, the
+    * orderkey of their most expensive order. Tie-breaking is the classic
+    * nondeterminism trap of arg_max — both engines pick an ARBITRARY row
+    * among ties — so the ordering key embeds the orderkey itself:
+    * `cents(o_totalprice) * 10^8 + o_orderkey` is a single BIGINT that is
+    * unique per row, making the winner engine-exact (highest price, then
+    * highest orderkey). Cents come from `floor(p*100 + 0.5)` — the
+    * engine-portable round. Scale shape: one map-side-combining hash agg,
+    * one shuffle over the group key; max_by carries (key, value) partials
+    * so it is exactly as cheap as max.
+    */
+  def q53ArgMax(s: SparkSession, d: String): DataFrame = {
+    val o = ord(s, d).select($"o_custkey", $"o_orderkey",
+      (floor($"o_totalprice" * 100 + 0.5).cast("long") * 100000000L +
+        $"o_orderkey").as("ordkey"),
+      $"o_totalprice")
+    o.groupBy($"o_custkey")
+      .agg(expr("max_by(o_orderkey, ordkey)").as("top_orderkey"),
+        expr("min_by(o_orderkey, ordkey)").as("bottom_orderkey"),
+        max($"ordkey").as("k"))
+      .select($"o_custkey", $"top_orderkey", $"bottom_orderkey",
+        (($"k" - pmod($"k", lit(100000000L))) / 100000000L).cast("double")
+          .divide(100.0).as("top_price"))
+      .orderBy("o_custkey")
+  }
+  val q53Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 100000000
+      |      + o_orderkey AS ordkey,
+      |    o_totalprice
+      |  FROM orders)
+      |SELECT o_custkey,
+      |  arg_max(o_orderkey, ordkey) AS top_orderkey,
+      |  arg_min(o_orderkey, ordkey) AS bottom_orderkey,
+      |  CAST((max(ordkey) - max(ordkey) % 100000000) / 100000000 AS DOUBLE)
+      |    / 100.0 AS top_price
+      |FROM o GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** Bivariate co-movement (the covariance/correlation family) with exact
+    * integer arithmetic: does lineitem quantity co-vary with ship month,
+    * per return flag? The three second-moment numerators
+    * `n·Σxy − ΣxΣy`, `n·Σx² − (Σx)²`, `n·Σy² − (Σy)²` are n² times
+    * covariance/variance — BIGINT-exact and order-independent, so the
+    * correlation SIGN (and any threshold test, cross-multiplied) is
+    * bit-identical on any engine without ever computing a float. Scale
+    * shape: one map-side-combining pass, five sums; the float division
+    * r = cov/√(varx·vary) is deliberately left to the consumer.
+    */
+  def q54Comovement(s: SparkSession, d: String): DataFrame = {
+    val x = li(s, d).select($"l_returnflag",
+      $"l_quantity".cast("long").as("x"),
+      month($"l_shipdate").cast("long").as("y"))
+    x.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+      .select($"l_returnflag", $"n",
+        ($"n" * $"sxy" - $"sx" * $"sy").as("cov_num"),
+        ($"n" * $"sxx" - $"sx" * $"sx").as("varx_num"),
+        ($"n" * $"syy" - $"sy" * $"sy").as("vary_num"),
+        ($"n" * $"sxy" - $"sx" * $"sy" > 0).as("positively_correlated"))
+      .orderBy("l_returnflag")
+  }
+  val q54Sql: String =
+    """WITH x AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(month(l_shipdate) AS BIGINT) AS y
+      |  FROM lineitem),
+      |st AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y*y) AS BIGINT) AS syy
+      |  FROM x GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  n*sxy - sx*sy AS cov_num,
+      |  n*sxx - sx*sx AS varx_num,
+      |  n*syy - sy*sy AS vary_num,
+      |  n*sxy - sx*sy > 0 AS positively_correlated
+      |FROM st ORDER BY l_returnflag""".stripMargin
+
+  /** Date-spine gap fill (the calendar dimension generated from nothing):
+    * every day of 1995 with its order count, INCLUDING zero-order days —
+    * the rows a plain GROUP BY can never produce. The spine is a
+    * `sequence(date, date, interval 1 day)` explode (365 rows regardless
+    * of fact size), left-joined to the per-day aggregate. Scale shape:
+    * aggregate first (365 result rows at any corpus size), then join the
+    * tiny spine BROADCAST against it — the fact table is touched exactly
+    * once, and the spine side is O(days), never O(rows).
+    */
+  def q55DateSpine(s: SparkSession, d: String): DataFrame = {
+    val perDay = ord(s, d)
+      .where($"o_orderdate" >= lit("1995-01-01").cast("timestamp_ntz") &&
+        $"o_orderdate" < lit("1996-01-01").cast("timestamp_ntz"))
+      .groupBy($"o_orderdate".cast("date").as("d"))
+      .agg(count(lit(1)).as("n_orders"))
+    val spine = s.range(1).select(explode(expr(
+      "sequence(date'1995-01-01', date'1995-12-31', interval 1 day)")).as("d"))
+    broadcast(spine).join(perDay, Seq("d"), "left")
+      .select($"d", coalesce($"n_orders", lit(0L)).as("n_orders"))
+      .orderBy("d")
+  }
+  val q55Sql: String =
+    """WITH spine AS (
+      |  SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+      |    DATE '1995-12-31', INTERVAL 1 DAY)) AS DATE) AS d),
+      |per_day AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate < TIMESTAMP '1996-01-01'
+      |  GROUP BY 1)
+      |SELECT spine.d, COALESCE(n_orders, 0) AS n_orders
+      |FROM spine LEFT JOIN per_day ON spine.d = per_day.d
+      |ORDER BY spine.d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -1498,7 +1615,10 @@ object RelationalQueries {
     "q49_string_agg" -> q49StringAgg _,
     "q50_histogram" -> q50Histogram _,
     "q51_setops_all" -> q51SetOpsAll _,
-    "q52_outliers" -> q52Outliers _
+    "q52_outliers" -> q52Outliers _,
+    "q53_argmax" -> q53ArgMax _,
+    "q54_comovement" -> q54Comovement _,
+    "q55_date_spine" -> q55DateSpine _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1553,7 +1673,10 @@ object RelationalQueries {
     "q49_string_agg" -> q49Sql,
     "q50_histogram" -> q50Sql,
     "q51_setops_all" -> q51Sql,
-    "q52_outliers" -> q52Sql
+    "q52_outliers" -> q52Sql,
+    "q53_argmax" -> q53Sql,
+    "q54_comovement" -> q54Sql,
+    "q55_date_spine" -> q55Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits
