@@ -1535,7 +1535,10 @@ object RelationalQueries {
     * of fact size), left-joined to the per-day aggregate. Scale shape:
     * aggregate first (365 result rows at any corpus size), then join the
     * tiny spine BROADCAST against it — the fact table is touched exactly
-    * once, and the spine side is O(days), never O(rows).
+    * once, and both join sides are O(days), never O(rows). The BROADCAST
+    * lands on the aggregate (the right side of the left join — Spark
+    * cannot broadcast the preserved side), which is also the side whose
+    * size is corpus-independent by construction.
     */
   def q55DateSpine(s: SparkSession, d: String): DataFrame = {
     val perDay = ord(s, d)
@@ -1545,7 +1548,7 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_orders"))
     val spine = s.range(1).select(explode(expr(
       "sequence(date'1995-01-01', date'1995-12-31', interval 1 day)")).as("d"))
-    broadcast(spine).join(perDay, Seq("d"), "left")
+    spine.join(broadcast(perDay), Seq("d"), "left")
       .select($"d", coalesce($"n_orders", lit(0L)).as("n_orders"))
       .orderBy("d")
   }

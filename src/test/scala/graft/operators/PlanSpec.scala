@@ -348,4 +348,59 @@ class PlanSpec extends SparkSpec {
     windows.foreach(w =>
       assert(w.partitionSpec.nonEmpty, s"l45 window is unpartitioned:\n$w"))
   }
+
+  // q53's arg-max must be ONE hash aggregate over the scan — max_by
+  // carries (key, value) partials, so no join, window, or second pass.
+  test("q53 argmax is a single aggregate: no join, no window") {
+    val df = RelationalQueries.queries("q53_argmax")(spark, sf)
+    val p = planOf(df)
+    assert(!p.contains("Join"), s"q53 grew a join:\n$p")
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.isEmpty, s"q53 grew a window:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"q53 lost its aggregate:\n$p")
+  }
+
+  // q54's five second-moment sums must come from one map-side-combining
+  // aggregate pass — no join, no window, no second scan.
+  test("q54 co-movement is one aggregate pass over one scan") {
+    val df = RelationalQueries.queries("q54_comovement")(spark, sf)
+    val p = planOf(df)
+    assert(!p.contains("Join"), s"q54 grew a join:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length <= 1,
+      s"q54 scans lineitem more than once:\n$p")
+  }
+
+  // q55 must aggregate the fact table FIRST and broadcast the O(days)
+  // result under the generated spine — the fact side is never the build
+  // side and is scanned exactly once.
+  test("q55 date spine broadcasts the per-day aggregate") {
+    val df = RelationalQueries.queries("q55_date_spine")(spark, sf)
+    val p = planOf(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"q55 lost the broadcast of the per-day aggregate:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q55 fell back to a sort-merge join:\n$p")
+  }
+
+  // l48 chunking is row-local by design: split, generated-index explode,
+  // slice — no join, no aggregate before the output sort.
+  test("l48 sliding chunking has no join and no aggregate") {
+    val df = LlmQueries.queries("l48_chunk_sliding")(spark, sf)
+    val p = planOf(df)
+    assert(!p.contains("Join"), s"l48 grew a join:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"l48 grew an aggregate:\n$p")
+    assert(p.contains("Generate"), s"l48 lost its explode:\n$p")
+  }
+
+  // l49 is a pure row-local projection — nothing but scan, project, sort.
+  test("l49 compression ratio is a shuffle-free projection") {
+    val df = LlmQueries.queries("l49_compression_ratio")(spark, sf)
+    val p = planOf(df)
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"l49 grew a join/aggregate:\n$p")
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.isEmpty, s"l49 grew a window:\n$p")
+  }
 }
