@@ -2746,6 +2746,123 @@ object LlmQueries {
       |    // len(string_split(text, ' ')) BETWEEN 48000 AND 58000 AS keep
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** l50: containment (asymmetric Jaccard) dedup via PREFIX FILTERING —
+    * the set-similarity-join technique (AllPairs/PPJoin family), NOT LSH:
+    * a snippet pasted inside a larger page has |A∩B|/|A| ≈ 1 but
+    * symmetric Jaccard ≈ |A|/|B|, far below any MinHash banding
+    * threshold, so l03/l05 can never see it. Prefix filtering gives an
+    * exact candidate guarantee instead: order each doc's shingles
+    * rarest-first (by document frequency, shingle as tie-break) and take
+    * the first `|A| − ⌈t·|A|⌉ + 1`; if |A∩B| ≥ ⌈t·|A|⌉ then at least one
+    * prefix shingle of A is in B (pigeonhole), so probing A's prefix
+    * against the corpus posting list finds every true pair. Rare-first
+    * ordering is what makes the probe cheap — the postings actually hit
+    * are the short ones. Scale shape: a df aggregate, a per-doc
+    * partitioned rank window, an equi-join probe on the shingle key, and
+    * an array-intersect re-score of candidates only; every verdict is
+    * the cross-multiplied integer `5·n_inter ≥ 4·n_a`. The corpus is
+    * augmented with prefix snippets (doc_id+300000, every 13th doc) so
+    * true containment-without-similarity pairs exist.
+    */
+  def qContainment(s: SparkSession, d: String): DataFrame = {
+    // Snippets are cut at WORD boundaries (first third of the word
+    // sequence) so the snippet's word-8-gram set is a strict subset of
+    // its parent's — a mid-word character cut would corrupt the final
+    // grams and sink small-doc containment below any threshold.
+    val snippets = docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(col("doc_id") % 13 === 0 && size(col("ws")) >= 24)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        expr("concat_ws(' ', slice(ws, 1, int(greatest(size(ws) div 3, 12))))")
+          .as("text"))
+    val corpus = docsWithDups(s, d).select(col("doc_id"), col("text"))
+      .unionByName(snippets)
+    // Distinct word-8-gram hashes per doc (the l33 gram discipline: one
+    // md5 per position, the bound-ws lesson to avoid re-splitting).
+    val docSh = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), greatest(size(col("ws")) - 7, lit(1))))
+          .as("pos"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("ws"), col("pos"), lit(8)))).as("g"))
+      .distinct()
+      // consumed four times: freq, ranked, the probe, both inter sides
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = docSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // document frequency of each gram — the rarity key of the prefix
+    val freq = docSh.groupBy(col("g")).agg(count(lit(1)).as("nd"))
+    val ranked = docSh.join(freq, Seq("g")).join(sizes, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("nd"), col("g"))))
+    // prefix_len = n − ⌈0.8n⌉ + 1, integer-exact: ⌈4n/5⌉ = (4n+4) div 5
+    val prefix = ranked
+      .where(col("rn") <= col("n_sh") - expr("(4 * n_sh + 4) div 5") + 1)
+      .select(col("doc_id").as("doc_a"), col("g"))
+    val cand = prefix
+      .join(docSh.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // Exact |A∩B| as a row-count over the shared gram key — candidate
+    // pairs are few post-prefix-filter, so the per-pair cost is the
+    // overlap itself, not the doc size.
+    val inter = cand
+      .join(docSh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
+      .join(docSh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"))
+      .where(col("n_inter") * 5 >= col("n_a") * 4)
+      .orderBy("doc_a", "doc_b")
+  }
+  val qContainmentSql: String =
+    s"""WITH $docsWithDupsSql,
+       |snip AS (
+       |  SELECT doc_id + 300000 AS doc_id,
+       |    array_to_string(list_slice(string_split(text, ' '), 1,
+       |      greatest(len(string_split(text, ' ')) // 3, 12)), ' ') AS text
+       |  FROM documents
+       |  WHERE doc_id % 13 = 0 AND len(string_split(text, ' ')) >= 24),
+       |corpus AS (
+       |  SELECT doc_id, text FROM dd UNION ALL SELECT doc_id, text FROM snip),
+       |doc_sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    md5(array_to_string(
+       |      list_slice(string_split(text, ' '), pos, pos + 7), ' ')) AS g
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      unnest(generate_series(1,
+       |        greatest(len(string_split(text, ' ')) - 7, 1))) AS pos
+       |    FROM corpus)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM doc_sh GROUP BY doc_id),
+       |freq AS (SELECT g, COUNT(*) AS nd FROM doc_sh GROUP BY g),
+       |ranked AS (
+       |  SELECT d.doc_id, d.g, z.n_sh,
+       |    row_number() OVER (PARTITION BY d.doc_id ORDER BY f.nd, d.g) AS rn
+       |  FROM doc_sh d JOIN freq f USING (g) JOIN sizes z USING (doc_id)),
+       |pfx AS (
+       |  SELECT doc_id, g FROM ranked
+       |  WHERE rn <= n_sh - (4 * n_sh + 4) // 5 + 1),
+       |cand AS (
+       |  SELECT DISTINCT p.doc_id AS doc_a, s.doc_id AS doc_b
+       |  FROM pfx p JOIN doc_sh s USING (g) WHERE p.doc_id <> s.doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+       |  FROM cand c
+       |  JOIN doc_sh a ON c.doc_a = a.doc_id
+       |  JOIN doc_sh b ON c.doc_b = b.doc_id AND a.g = b.g
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b, i.n_inter, za.n_sh AS n_a, zb.n_sh AS n_b
+       |FROM inter i
+       |JOIN sizes za ON i.doc_a = za.doc_id
+       |JOIN sizes zb ON i.doc_b = zb.doc_id
+       |WHERE 5 * i.n_inter >= 4 * za.n_sh
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -2795,7 +2912,8 @@ object LlmQueries {
     "l46_split_assignment" -> qSplitAssignment _,
     "l47_corpus_funnel" -> qCorpusFunnel _,
     "l48_chunk_sliding" -> qChunkSliding _,
-    "l49_compression_ratio" -> qCompressionRatio _
+    "l49_compression_ratio" -> qCompressionRatio _,
+    "l50_containment" -> qContainment _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2847,6 +2965,7 @@ object LlmQueries {
     "l46_split_assignment" -> qSplitAssignmentSql,
     "l47_corpus_funnel" -> qCorpusFunnelSql,
     "l48_chunk_sliding" -> qChunkSlidingSql,
-    "l49_compression_ratio" -> qCompressionRatioSql
+    "l49_compression_ratio" -> qCompressionRatioSql,
+    "l50_containment" -> qContainmentSql
   )
 }

@@ -1566,6 +1566,61 @@ object RelationalQueries {
       |FROM spine LEFT JOIN per_day ON spine.d = per_day.d
       |ORDER BY spine.d""".stripMargin
 
+  /** Market-basket pair co-occurrence (the self-join pair-mining shape):
+    * which part pairs appear together in the same order at least twice?
+    * The self equi-join on l_orderkey is CO-PARTITIONED — both sides
+    * shuffle on the same key, so every pair is formed locally within an
+    * order's partition — and the `<` on partkey halves the pair space
+    * and canonicalizes orientation. Per-order fan-out is C(lines, 2),
+    * bounded by the 7-line order cap, so the blow-up is a constant
+    * factor at any corpus size; the pair count then map-side-combines.
+    * (l43's PMI is this same shape at word granularity — this is the
+    * order-level original.)
+    */
+  def q56BasketPairs(s: SparkSession, d: String): DataFrame = {
+    val x = li(s, d).select($"l_orderkey", $"l_partkey")
+    x.as("a").join(x.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(countDistinct(col("a.l_orderkey")).as("n_orders"))
+      .where($"n_orders" >= 2)
+      .orderBy("part_a", "part_b")
+  }
+  val q56Sql: String =
+    """SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |  COUNT(DISTINCT a.l_orderkey) AS n_orders
+      |FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+      |ORDER BY part_a, part_b""".stripMargin
+
+  /** Interpolated (continuous) grouped percentiles — the companion to
+    * q28's discrete definition: `percentile` in Spark and
+    * `quantile_cont` in DuckDB both implement type R-7 (rank
+    * `(n−1)·p`, linear interpolation). Engine-exactness is by
+    * construction: p ∈ {.25, .5, .75} makes the fractional rank dyadic,
+    * and the data is BIGINT quantity, so both `(1−f)a + fb` and
+    * `a + f(b−a)` are exact double arithmetic — bit-identical however
+    * each engine associates the formula. Scale shape: Spark's
+    * percentile aggregates per group with map-side partials; for
+    * wide-value domains q40's sketch is the scale path, this is the
+    * exact one.
+    */
+  def q57PercentileCont(s: SparkSession, d: String): DataFrame =
+    li(s, d).select($"l_returnflag", $"l_quantity".cast("long").as("x"))
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(x, array(0.25D, 0.5D, 0.75D))").as("qs"))
+      .select($"l_returnflag", $"qs".getItem(0).as("p25"),
+        $"qs".getItem(1).as("p50"), $"qs".getItem(2).as("p75"))
+      .orderBy("l_returnflag")
+  val q57Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS p25,
+      |  quantile_cont(CAST(l_quantity AS BIGINT), 0.50) AS p50,
+      |  quantile_cont(CAST(l_quantity AS BIGINT), 0.75) AS p75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -1621,7 +1676,9 @@ object RelationalQueries {
     "q52_outliers" -> q52Outliers _,
     "q53_argmax" -> q53ArgMax _,
     "q54_comovement" -> q54Comovement _,
-    "q55_date_spine" -> q55DateSpine _
+    "q55_date_spine" -> q55DateSpine _,
+    "q56_basket_pairs" -> q56BasketPairs _,
+    "q57_percentile_cont" -> q57PercentileCont _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1679,7 +1736,9 @@ object RelationalQueries {
     "q52_outliers" -> q52Sql,
     "q53_argmax" -> q53Sql,
     "q54_comovement" -> q54Sql,
-    "q55_date_spine" -> q55Sql
+    "q55_date_spine" -> q55Sql,
+    "q56_basket_pairs" -> q56Sql,
+    "q57_percentile_cont" -> q57Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits

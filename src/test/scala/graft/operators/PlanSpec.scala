@@ -394,6 +394,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), s"l48 lost its explode:\n$p")
   }
 
+  // q56's self-join must be a co-partitioned equi-join on the order key —
+  // never an all-pairs product (the `<` is a post-join filter, not the
+  // join condition's only clause).
+  test("q56 basket pairs self-join is equi on the order key") {
+    assertNoAllPairs("q56", RelationalQueries.queries("q56_basket_pairs")(spark, sf))
+  }
+
+  // l50's candidate generation is the prefix-filter posting-list probe —
+  // equi-joins on the gram key only, never all pairs (that being the
+  // entire point of prefix filtering).
+  test("l50 containment candidates come from equi-joins only") {
+    assertNoAllPairs("l50", LlmQueries.queries("l50_containment")(spark, sf))
+  }
+
   // l49 is a pure row-local projection — nothing but scan, project, sort.
   test("l49 compression ratio is a shuffle-free projection") {
     val df = LlmQueries.queries("l49_compression_ratio")(spark, sf)
