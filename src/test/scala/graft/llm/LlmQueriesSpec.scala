@@ -498,6 +498,74 @@ class LlmQueriesSpec extends SparkSpec {
     assert(docs(2) == nBase, "survivors after dedup must be the original corpus")
   }
 
+  test("l48 chunking: counts match the formula, strides tile each document") {
+    val sf = "/root/testdata/sf0.001"
+    val got = LlmQueries.queries("l48_chunk_sliding")(spark, sf)
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.nonEmpty)
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    got.groupBy(_._1).foreach { case (doc, chunks) =>
+      val n = words(doc)
+      val expected = 1 + math.max(0L, n - 64 + 47) / 48
+      assert(chunks.length == expected,
+        s"doc $doc: ${chunks.length} chunks, formula says $expected (n=$n)")
+      val byIdx = chunks.sortBy(_._2)
+      assert(byIdx.map(_._2).sameElements(0L until expected),
+        s"doc $doc chunk indices not consecutive")
+      // Non-final chunks are full 64-word windows; the final chunk covers
+      // exactly to the end of the document (start + len == n).
+      byIdx.init.foreach { c =>
+        assert(c._3 == 64, s"doc $doc chunk ${c._2} len ${c._3} != 64") }
+      val last = byIdx.last
+      assert(last._2 * 48 + last._3 == n,
+        s"doc $doc final chunk ends at ${last._2 * 48 + last._3}, n=$n")
+    }
+  }
+
+  test("l50 containment: every planted snippet and exact copy is found with full overlap") {
+    val sf = "/root/testdata/sf0.001"
+    val got = LlmQueries.queries("l50_containment")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val byPair = got.map(r => (r._1, r._2) -> r).toMap
+    // Planted prefix snippets (+300000, word-boundary cut): the gram set
+    // is a strict subset of the parent's, so the pair MUST be found with
+    // n_inter == n_a — the case LSH banding cannot see.
+    val snippetIds = got.map(_._1).filter(_ >= 300000).distinct
+    assert(snippetIds.nonEmpty, "no snippet docs surfaced at all")
+    snippetIds.foreach { sid =>
+      val r = byPair.get((sid, sid - 300000))
+      assert(r.isDefined, s"snippet $sid -> parent pair missing")
+      assert(r.get._3 == r.get._4,
+        s"snippet $sid n_inter ${r.get._3} != n_a ${r.get._4} (not a subset?)")
+    }
+    // Exact duplicates (+100000) have identical gram sets: both directed
+    // pairs present with n_inter == n_a == n_b.
+    val dupPairs = got.filter(r => r._1 >= 100000 && r._1 < 300000 &&
+      r._2 == r._1 - 100000)
+    assert(dupPairs.nonEmpty, "no exact-dup containment pairs surfaced")
+    dupPairs.foreach { r =>
+      assert(r._3 == r._4 && r._4 == r._5, s"exact dup pair $r not fully overlapping")
+      assert(byPair.contains((r._2, r._1)), s"reverse direction of $r missing")
+    }
+    // The verdict is real: every emitted pair satisfies 5*n_inter >= 4*n_a.
+    got.foreach(r => assert(5 * r._3 >= 4 * r._4, s"pair $r below threshold"))
+  }
+
+  test("l49 compression ratio: bp is the exact integer ratio, verdicts honor bounds") {
+    val sf = "/root/testdata/sf0.001"
+    val got = LlmQueries.queries("l49_compression_ratio")(spark, sf)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, bytes, toks, bp, keep) =>
+      assert(toks > 0, s"doc $id zero tokens")
+      assert(bp == bytes * 10000L / toks, s"doc $id bp $bp != ${bytes * 10000L / toks}")
+      assert(keep == (bp >= 48000L && bp <= 58000L), s"doc $id verdict wrong")
+    }
+  }
+
   test("simhash plan computes md5 once per word (no per-bit-plane rehash)") {
     // The 16 parity folds must reference the single materialized hash
     // array: exactly one md5 in the optimized plan. CollapseProject keeps

@@ -212,4 +212,100 @@ class RelationalInvariantsSpec extends SparkSpec {
       assert(fp.matches("[0-9a-f]{8}"), s"doc $id fp '$fp' not 8-hex")
     }
   }
+
+  test("q53 argmax: winners re-derived independently from the orders scan") {
+    import org.apache.spark.sql.functions._
+    val got = RelationalQueries.queries("q53_argmax")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // Independent derivation: per customer, sort rows by (cents, orderkey)
+    // and take the extremes.
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_custkey", $"o_orderkey",
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1)
+    got.foreach { case (cust, top, bottom, topPrice) =>
+      val ordered = rows(cust).sortBy(r => (r._3, r._2))
+      assert(top == ordered.last._2, s"cust $cust top_orderkey $top != ${ordered.last._2}")
+      assert(bottom == ordered.head._2, s"cust $cust bottom_orderkey $bottom")
+      assert(math.abs(topPrice - ordered.last._3 / 100.0) < 1e-9,
+        s"cust $cust top_price $topPrice != ${ordered.last._3 / 100.0}")
+    }
+    assert(got.map(_._1).toSet == rows.keySet, "customer coverage differs")
+  }
+
+  test("q54 co-movement: variance numerators non-negative, sign matches float covariance") {
+    import org.apache.spark.sql.functions._
+    val got = RelationalQueries.queries("q54_comovement")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    val floatCov = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_returnflag",
+        $"l_quantity".cast("double").as("x"),
+        month($"l_shipdate").cast("double").as("y"))
+      .groupBy($"l_returnflag").agg(covar_pop($"x", $"y").as("c"))
+      .as[(String, Double)].collect().toMap
+    got.foreach { case (g, n, cov, varx, vary, pos) =>
+      assert(n > 0 && varx >= 0 && vary >= 0, s"group $g degenerate moments")
+      assert(pos == (cov > 0), s"group $g verdict/cov disagree")
+      assert(math.signum(cov.toDouble) == math.signum(floatCov(g)) ||
+        math.abs(floatCov(g)) < 1e-6,
+        s"group $g integer cov sign ${cov} vs float ${floatCov(g)}")
+    }
+  }
+
+  test("q55 date spine: 365 rows covering 1995, counts total the year's orders") {
+    import org.apache.spark.sql.functions._
+    val got = RelationalQueries.queries("q55_date_spine")(spark, sf)
+      .as[(java.sql.Date, Long)].collect()
+    assert(got.length == 365, s"expected 365 days, got ${got.length}")
+    assert(got.head._1.toString == "1995-01-01" && got.last._1.toString == "1995-12-31")
+    val expected = spark.read.parquet(s"$sf/orders.parquet")
+      .where($"o_orderdate" >= lit("1995-01-01").cast("timestamp_ntz") &&
+        $"o_orderdate" < lit("1996-01-01").cast("timestamp_ntz")).count()
+    assert(got.map(_._2).sum == expected,
+      s"spine counts ${got.map(_._2).sum} != year total $expected")
+  }
+
+  test("q56 basket pairs: canonical orientation, support floor, recount matches") {
+    import org.apache.spark.sql.functions._
+    val got = RelationalQueries.queries("q56_basket_pairs")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, n) =>
+      assert(a < b, s"pair ($a,$b) not canonical")
+      assert(n >= 2, s"pair ($a,$b) below support floor")
+    }
+    // Recount the single most frequent pair straight off the scan.
+    val (pa, pb, pn) = got.maxBy(_._3)
+    val recount = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey")
+      .where($"l_partkey" === pa || $"l_partkey" === pb)
+      .groupBy($"l_orderkey")
+      .agg(countDistinct($"l_partkey").as("k"))
+      .where($"k" === 2).count()
+    assert(recount == pn, s"pair ($pa,$pb) recount $recount != $pn")
+  }
+
+  test("q57 interpolated percentiles: ordered, in-range, median between discrete neighbors") {
+    import org.apache.spark.sql.functions._
+    val got = RelationalQueries.queries("q57_percentile_cont")(spark, sf)
+      .as[(String, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    val stats = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_returnflag", $"l_quantity".cast("long").as("x"))
+      .groupBy($"l_returnflag")
+      .agg(min($"x").as("lo"), max($"x").as("hi"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    got.foreach { case (g, p25, p50, p75) =>
+      assert(p25 <= p50 && p50 <= p75, s"group $g percentiles unordered")
+      val (lo, hi) = stats(g)
+      assert(p25 >= lo && p75 <= hi, s"group $g percentiles out of range")
+      // R-7 interpolation of integers stays within half-open unit steps.
+      assert(p50 == math.floor(p50) || p50 - math.floor(p50) < 1.0,
+        s"group $g p50 $p50 not an interpolation of integers")
+    }
+  }
 }
