@@ -1621,6 +1621,39 @@ object RelationalQueries {
       |  quantile_cont(CAST(l_quantity AS BIGINT), 0.75) AS p75
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Trailing DISTINCT-count window — the classic hard window function:
+    * distinct users seen per event type over the trailing hour, exact.
+    * Spark has no `count(DISTINCT) OVER`, so the frame's set is carried
+    * explicitly (`size(collect_set(...))` over the RANGE frame), which
+    * IS the honest cost of the exact semantics: O(frame distinct) state
+    * per row on both engines (DuckDB's windowed `count(DISTINCT)` does
+    * the same internally). The partition key is the event type by
+    * semantic necessity — at 100 TB, where a single type's timeline
+    * outgrows one task, the scale path is q25's HLL sketch per
+    * (type, hour-bucket) merged across buckets, trading exactness for
+    * mergeability; this query is the exact reference for that sketch.
+    * Tie semantics: RANGE on epoch seconds is tie-inclusive (the q37
+    * discipline), so second-collisions are deterministic.
+    */
+  def q58DistinctWindow(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events")
+      .withColumn("tsec", expr("unix_micros(cast(ts as timestamp)) div 1000000"))
+    val w = Window.partitionBy($"event_type").orderBy($"tsec")
+      .rangeBetween(-3600L, Window.currentRow)
+    ev.select($"event_id", $"event_type", $"tsec",
+        size(collect_set($"user_id").over(w)).cast("long").as("u_1h"))
+      .where($"event_id" % 25 === 0)
+      .orderBy("event_id")
+  }
+  val q58Sql: String =
+    """SELECT event_id, event_type, tsec, u_1h FROM (
+      |  SELECT event_id, event_type, epoch_us(ts) // 1000000 AS tsec,
+      |    COUNT(DISTINCT user_id) OVER (PARTITION BY event_type
+      |      ORDER BY epoch_us(ts) // 1000000
+      |      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS u_1h
+      |  FROM events)
+      |WHERE event_id % 25 = 0 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -1678,7 +1711,8 @@ object RelationalQueries {
     "q54_comovement" -> q54Comovement _,
     "q55_date_spine" -> q55DateSpine _,
     "q56_basket_pairs" -> q56BasketPairs _,
-    "q57_percentile_cont" -> q57PercentileCont _
+    "q57_percentile_cont" -> q57PercentileCont _,
+    "q58_distinct_window" -> q58DistinctWindow _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1738,7 +1772,8 @@ object RelationalQueries {
     "q54_comovement" -> q54Sql,
     "q55_date_spine" -> q55Sql,
     "q56_basket_pairs" -> q56Sql,
-    "q57_percentile_cont" -> q57Sql
+    "q57_percentile_cont" -> q57Sql,
+    "q58_distinct_window" -> q58Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits

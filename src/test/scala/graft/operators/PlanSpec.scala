@@ -408,6 +408,16 @@ class PlanSpec extends SparkSpec {
     assertNoAllPairs("l50", LlmQueries.queries("l50_containment")(spark, sf))
   }
 
+  // q58's sliding distinct set must stay partitioned by event type — an
+  // unpartitioned frame would serialize the whole corpus onto one task.
+  test("q58 distinct window is partitioned by event type") {
+    val df = RelationalQueries.queries("q58_distinct_window")(spark, sf)
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "q58 lost its window")
+    windows.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, s"q58 window is unpartitioned:\n$w"))
+  }
+
   // l49 is a pure row-local projection — nothing but scan, project, sort.
   test("l49 compression ratio is a shuffle-free projection") {
     val df = LlmQueries.queries("l49_compression_ratio")(spark, sf)
