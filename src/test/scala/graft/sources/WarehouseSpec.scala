@@ -77,4 +77,59 @@ class WarehouseSpec extends SparkSpec {
       "partition pruning selected more than the one matching directory")
     assert(pruned.count() == 60)
   }
+
+  test("compact collapses a fragmented dataset to the row-budget file count") {
+    val dir = Files.createTempDirectory("compact").toString
+    // the streaming-sink failure mode: 64 files of ~47 rows each
+    (1 to 3000).map(i => (i.toLong, s"row$i")).toDF("id", "payload")
+      .repartition(64).write.parquet(s"$dir/frag")
+    val (before, after) = Warehouse.compact(spark, s"$dir/frag", s"$dir/out", 1000L)
+    assert(before == 64, s"expected 64 fragment files, found $before")
+    assert(after == 3, s"expected 3 compacted files (3000 rows / 1000), found $after")
+    assert(spark.read.parquet(s"$dir/out").count() == 3000, "compaction lost rows")
+    assert(spark.read.parquet(s"$dir/out").select(sum($"id")).head().getLong(0)
+      == 3000L * 3001 / 2, "compaction corrupted rows")
+  }
+
+  test("z-order layout bounds BOTH dimensions; 2-D predicate touches fewer files than 1-D sort") {
+    val dir = Files.createTempDirectory("zorder").toString
+    // uniform 256x256 grid — the geometry where layout is the whole story
+    val grid = (0 until 65536).map(i => (i.toLong % 256, i.toLong / 256))
+      .toDF("a", "b")
+    Warehouse.writeZOrdered(grid, s"$dir/z", "a", "b", 16)
+    grid.repartitionByRange(16, $"a").sortWithinPartitions($"a")
+      .write.parquet(s"$dir/linear")
+    def fileBoxes(p: String): Seq[(Long, Long, Long, Long)] = {
+      new java.io.File(p).listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = spark.read.parquet(f.getPath)
+            .agg(min($"a"), max($"a"), min($"b"), max($"b")).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+    }
+    val zBoxes = fileBoxes(s"$dir/z")
+    val linBoxes = fileBoxes(s"$dir/linear")
+    assert(zBoxes.size == 16 && linBoxes.size == 16)
+    // Z-order: files own compact boxes in BOTH dims (a 16-file Morton
+    // split of a 256x256 grid gives ~64x64 blocks). Sampled range bounds
+    // can straddle a Morton block boundary — the same artifact Delta's
+    // OPTIMIZE ZORDER has — so the property is aggregate: at least 12 of
+    // 16 files must bound both sides within 2 blocks, while the 1-D
+    // layout bounds b in ZERO files.
+    val compact2d = zBoxes.count { case (alo, ahi, blo, bhi) =>
+      ahi - alo <= 128 && bhi - blo <= 128 }
+    assert(compact2d >= 12,
+      s"only $compact2d/16 z files are 2-D-compact: $zBoxes")
+    assert(linBoxes.forall { case (_, _, blo, bhi) => bhi - blo >= 250 },
+      "1-D layout unexpectedly bounded b — test premise broken")
+    // The pruning payoff: a 2-D box predicate (a<=63 AND b<=63) must
+    // intersect strictly fewer z-ordered files than 1-D-sorted files.
+    def touched(boxes: Seq[(Long, Long, Long, Long)]): Int =
+      boxes.count { case (alo, _, blo, _) => alo <= 63 && blo <= 63 }
+    assert(touched(zBoxes) < touched(linBoxes),
+      s"z-order touched ${touched(zBoxes)} files, 1-D ${touched(linBoxes)} — no win")
+    // and the data survives the layout intact
+    assert(spark.read.parquet(s"$dir/z").count() == 65536)
+  }
 }
