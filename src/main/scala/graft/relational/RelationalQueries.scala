@@ -1578,12 +1578,17 @@ object RelationalQueries {
     * order-level original.)
     */
   def q56BasketPairs(s: SparkSession, d: String): DataFrame = {
-    val x = li(s, d).select($"l_orderkey", $"l_partkey")
+    // Distinct (order, part) FIRST: a part listed twice in one order
+    // would otherwise double-form its pairs and force the pair count to
+    // be a two-phase COUNT DISTINCT; de-duplicated input makes each
+    // (order, pair) unique by construction, so the count is a plain
+    // map-side-combining agg — cheaper at every scale.
+    val x = li(s, d).select($"l_orderkey", $"l_partkey").distinct()
     x.as("a").join(x.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
-      .agg(countDistinct(col("a.l_orderkey")).as("n_orders"))
+      .agg(count(lit(1)).as("n_orders"))
       .where($"n_orders" >= 2)
       .orderBy("part_a", "part_b")
   }
