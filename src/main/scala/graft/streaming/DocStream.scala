@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous-crawl corpus ingestion — the streaming form of the batch
+  * incremental-snapshot dedup (l39) composed with canonicalization
+  * dedup (l40): a document stream is folded into an ever-growing corpus
+  * where each micro-batch pays only per-delta cost and the corpus is
+  * never re-deduped.
+  *
+  * Per micro-batch:
+  *   1. in-batch exact dedup — keep the min doc_id per md5(text);
+  *   2. in-batch canonicalization dedup — keep the min doc_id per
+  *      lowercase/strip-punct/collapse-whitespace form among survivors;
+  *   3. corpus probe — two LEFT ANTI equi-joins (md5 key, canonical
+  *      key) against the accumulated corpus, so exact copies AND
+  *      case/punctuation variants of held documents are rejected;
+  *   4. idempotent append — survivors land under a batchId-derived
+  *      partition directory with mode=overwrite (the
+  *      [[TickStream.runIdempotentBatchSink]] recipe), so a replayed
+  *      batch rewrites the same files instead of duplicating.
+  *
+  * The replay trap this layout dodges: a replayed batch's own previous
+  * output is already in the corpus, so probing against ALL of it would
+  * reject every document and OVERWRITE the partition with an empty set —
+  * silent data loss on recovery. The probe therefore excludes the
+  * current batch's own partition (`batch_id != batchId`), making
+  * replays true no-ops. Scale shape: hash-keyed anti joins only; the
+  * corpus side reads just its two key columns (column pruning), and the
+  * stream side is one micro-batch.
+  */
+object DocStream {
+
+  private def canon(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** One micro-batch of the ingest fold; exposed for direct testing of
+    * replay semantics. `batch` needs (doc_id, text).
+    */
+  def ingestBatch(batch: DataFrame, corpusDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val keyed = batch
+      .withColumn("h", md5(col("text")))
+      .withColumn("norm_key", md5(canon(col("text"))))
+    val k1 = keyed.groupBy(col("h")).agg(min("doc_id").as("kid"))
+    val s1 = keyed.join(k1, Seq("h")).where(col("doc_id") === col("kid")).drop("kid")
+    val k2 = s1.groupBy(col("norm_key")).agg(min("doc_id").as("kid"))
+    val s2 = s1.join(k2, Seq("norm_key")).where(col("doc_id") === col("kid")).drop("kid")
+    val existing: Option[DataFrame] =
+      try {
+        val c = spark.read.parquet(corpusDir)
+        Some(c.where(col("batch_id") =!= batchId).select(col("h"), col("norm_key")))
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val novel = existing match {
+      case Some(corpus) =>
+        s2.join(corpus.select("h").distinct(), Seq("h"), "left_anti")
+          .join(corpus.select("norm_key").distinct(), Seq("norm_key"), "left_anti")
+      case None => s2
+    }
+    novel.select(col("doc_id"), col("text"), col("h"), col("norm_key"))
+      .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
+  }
+
+  /** Run the ingest fold over a streaming document source. */
+  def ingest(docs: DataFrame, corpusDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, corpusDir, batchId)
+      }
+      .start()
+
+  /** Read the accumulated corpus (all batch partitions). */
+  def corpus(spark: org.apache.spark.sql.SparkSession, corpusDir: String): DataFrame =
+    spark.read.parquet(corpusDir)
+}
