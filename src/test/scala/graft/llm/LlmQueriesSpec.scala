@@ -498,6 +498,41 @@ class LlmQueriesSpec extends SparkSpec {
     assert(docs(2) == nBase, "survivors after dedup must be the original corpus")
   }
 
+  test("connectedComponents matches a union-find reference on 12 seeded random graphs") {
+    // The CC loop is the trickiest distributed algorithm in the repo
+    // (min-label + pointer jumping + sum-fixpoint); pin it against a
+    // 15-line sequential union-find across density regimes: sparse
+    // forests, ~critical, and dense near-cliques.
+    val rnd = new scala.util.Random(0xC0FFEE)
+    for (trial <- 1 to 12) {
+      val n = 2 + rnd.nextInt(49)
+      val m = rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // sequential reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map { v =>
+        // min vertex of v's component
+        val root = find(v)
+        (v.toLong, (0 until n).filter(find(_) == root).min.toLong)
+      }.toMap
+      val vertices = (0L until n.toLong).toDF("doc_id")
+      val pairs = if (edges.isEmpty)
+        Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+      else edges.toDF("doc_a", "doc_b")
+      val got = LlmQueries.connectedComponents(vertices, pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected,
+        s"trial $trial (n=$n, m=${edges.size}): " +
+          s"diff=${(got.toSet diff expected.toSet).take(5)}")
+    }
+  }
+
   test("l48 chunking: counts match the formula, strides tile each document") {
     val sf = "/root/testdata/sf0.001"
     val got = LlmQueries.queries("l48_chunk_sliding")(spark, sf)

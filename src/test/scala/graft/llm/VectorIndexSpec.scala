@@ -1,0 +1,55 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted-IVF lifecycle: build writes centroids + partitioned
+  * inverted lists; search reads ONLY probed lists (dynamic partition
+  * pruning) and self-queries rank themselves first.
+  */
+class VectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("build persists partitioned lists; search self-ranks corpus vectors at cos 1e6") {
+    val dir = Files.createTempDirectory("ivf").toString
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    VectorIndex.buildIvf(embs, s"$dir/idx")
+
+    // inverted lists are directory-partitioned by centroid id
+    val listDirs = new java.io.File(s"$dir/idx/lists").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("c_id="))
+    assert(listDirs.nonEmpty, "no c_id= partition directories written")
+    // every corpus vector is in exactly one list
+    assert(spark.read.parquet(s"$dir/idx/lists").count() == embs.count())
+
+    val queries = embs.limit(3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val got = VectorIndex.searchIvf(spark, s"$dir/idx", queries,
+        nprobe = 4, topk = 5)
+      .as[(Long, Int, Long, Long)].collect()
+    val byQuery = got.groupBy(_._1)
+    assert(byQuery.size == 3)
+    byQuery.foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted.sameElements(1 to rows.length))
+      val top = rows.minBy(_._2)
+      assert(top._3 == qid, s"query $qid rank-1 is ${top._3}, not itself")
+      assert(top._4 == 1000000L, s"query $qid self-cos ${top._4} != 1e6")
+    }
+  }
+
+  test("search prunes unprobed list partitions via dynamic partition pruning") {
+    val dir = Files.createTempDirectory("ivfdpp").toString
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    VectorIndex.buildIvf(embs, s"$dir/idx")
+    val queries = embs.limit(1).select($"vec_id".as("query_id"), $"embedding")
+    val df = VectorIndex.searchIvf(spark, s"$dir/idx", queries, 2, 5)
+    val planned = df.queryExecution.executedPlan.toString
+    assert(planned.toLowerCase.contains("dynamicpruning"),
+      s"list scan is not dynamically pruned:\n$planned")
+  }
+}
