@@ -42,6 +42,42 @@ class VectorIndexSpec extends SparkSpec {
     }
   }
 
+  test("PQ lifecycle: 4 codes per vector in [0,15]; ADC equals the codebook recomputation") {
+    val dir = Files.createTempDirectory("pq").toString
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    VectorIndex.buildPq(embs, s"$dir/idx")
+
+    val codebook = spark.read.parquet(s"$dir/idx/pq_codebook")
+      .as[(Long, Long, Array[Float])].collect()
+      .map { case (c, s, v) => (s, c) -> v }.toMap
+    assert(codebook.size == 64, s"codebook has ${codebook.size} entries, not 4x16")
+    val codes = spark.read.parquet(s"$dir/idx/pq_codes")
+      .as[(Long, Long, Long)].collect()
+    assert(codes.length == embs.count() * 4, "not exactly 4 codes per vector")
+    assert(codes.forall(c => c._3 >= 0 && c._3 <= 15), "code out of [0,15]")
+
+    val queries = embs.limit(2).select($"vec_id".as("query_id"), $"embedding")
+    val got = VectorIndex.searchPq(spark, s"$dir/idx", queries, topk = 5)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(got.groupBy(_._1).size == 2)
+    got.groupBy(_._1).values.foreach(rows =>
+      assert(rows.map(_._2).sorted.sameElements(1 to rows.length)))
+
+    // ADC ground truth for one (query, neighbor): sum over subspaces of
+    // floor(dot(q_sub, codeword)*1e6+.5), codeword = codebook[s, code(x,s)]
+    val (qid, _, nid, score) = got.head
+    val qvec = embs.where($"vec_id" === qid)
+      .select($"embedding").as[Array[Float]].head()
+    val nCodes = codes.filter(_._1 == nid).sortBy(_._2).map(_._3)
+    val expected = (0 until 4).map { s =>
+      val cw = codebook((s.toLong, nCodes(s)))
+      val qs = qvec.slice(s * 16, s * 16 + 16)
+      math.floor(qs.zip(cw).map { case (a, b) =>
+        a.toDouble * b.toDouble }.sum * 1e6 + 0.5).toLong
+    }.sum
+    assert(score == expected, s"ADC $score != recomputed $expected")
+  }
+
   test("search prunes unprobed list partitions via dynamic partition pruning") {
     val dir = Files.createTempDirectory("ivfdpp").toString
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
