@@ -56,6 +56,7 @@ object Bench {
     "q53_argmax" -> 0.6, "q54_comovement" -> 0.6, "q55_date_spine" -> 0.6,
     "l48_chunk_sliding" -> 1.2, "l49_compression_ratio" -> 0.6,
     "l50_containment" -> 4.5, "q56_basket_pairs" -> 2.8,
+    "l51_training_shuffle" -> 0.8,
     "q57_percentile_cont" -> 0.6, "q58_distinct_window" -> 0.8,
     "q35_json" -> 0.4, "q36_map" -> 0.4,
     "q37_range_window" -> 0.8, "q38_sessionize" -> 0.9,

@@ -31,6 +31,18 @@ import graft.streaming.{TickIn, TickOut, TickStream}
   *   - BarProcessorState / process_tick_for_bars!   -> [[bars]]
   *   - run_pipeline / run_pipeline! / stop_pipeline! -> [[runPipeline]] /
   *     [[TickStream.runManaged]] / `ManagedPipeline.stop()`
+  *
+  * Beyond the reference (no Julia counterpart; discoverable from here):
+  *   - relational/training-data query surface: [[graft.relational.RelationalQueries]],
+  *     [[graft.llm.LlmQueries]], [[graft.media.MediaQueries]] (all oracle-gated
+  *     via [[SparkEntry]])
+  *   - storage layout: [[graft.sources.Warehouse]] (bucketed no-shuffle joins,
+  *     partition pruning, small-file compaction, Z-order clustering)
+  *   - observability: [[graft.operators.Audit]] (same-pass row/integrity metrics)
+  *   - streaming corpus ingestion: [[graft.streaming.DocStream]]
+  *   - persisted ANN indexes: [[graft.llm.VectorIndex]] (IVF lists under dynamic
+  *     partition pruning; PQ codebook + asymmetric-distance search)
+  *   - skew tooling: [[graft.operators.Salted]]
   */
 object Graft {
 

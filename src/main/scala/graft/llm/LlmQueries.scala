@@ -2863,6 +2863,45 @@ object LlmQueries {
        |WHERE 5 * i.n_inter >= 4 * za.n_sh
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** l51: deterministic training-order shuffle — the reproducible global
+    * permutation every training run needs (data order changes the model;
+    * engines and reruns must agree bit-for-bit, so the "randomness" is
+    * md5 of an epoch-salted id, never a random source). The scale trick
+    * is HOW the global rank is computed: not `row_number() OVER (ORDER
+    * BY hash)` — an unpartitioned window that serializes the corpus
+    * through one task — but the two-phase l24/l44 discipline: hash
+    * buckets (first byte, 256 of them) get exclusive prefix offsets via
+    * a window over the 256-row bucket table, and each document's
+    * position is its bucket offset plus its rank WITHIN the bucket
+    * (partitioned window). Because the bucket is a prefix of the hash,
+    * (bucket, hash) order IS hash order — the oracle states the naive
+    * global-sort formulation and the driver's cell-compare proves the
+    * two-phase decomposition equal to it. Epoch reshuffle = change the
+    * salt; one shuffled-exchange cost per epoch at any corpus size.
+    */
+  def qTrainingShuffle(s: SparkSession, d: String): DataFrame = {
+    val h = md5(concat(lit("epoch1:"), col("doc_id").cast("string")))
+    val hashed = docs(s, d).select(col("doc_id"), h.as("h"))
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
+    val offsets = hashed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum("n").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    hashed.join(offsets, Seq("bucket"))
+      .withColumn("shuffle_pos",
+        col("offset") + row_number().over(
+          Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))))
+      .select(col("doc_id"), col("h"), col("shuffle_pos"))
+      .orderBy("doc_id")
+  }
+  val qTrainingShuffleSql: String =
+    """SELECT doc_id, md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS h,
+      |  CAST(row_number() OVER (
+      |    ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |    AS BIGINT) AS shuffle_pos
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -2913,7 +2952,8 @@ object LlmQueries {
     "l47_corpus_funnel" -> qCorpusFunnel _,
     "l48_chunk_sliding" -> qChunkSliding _,
     "l49_compression_ratio" -> qCompressionRatio _,
-    "l50_containment" -> qContainment _
+    "l50_containment" -> qContainment _,
+    "l51_training_shuffle" -> qTrainingShuffle _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2966,6 +3006,7 @@ object LlmQueries {
     "l47_corpus_funnel" -> qCorpusFunnelSql,
     "l48_chunk_sliding" -> qChunkSlidingSql,
     "l49_compression_ratio" -> qCompressionRatioSql,
-    "l50_containment" -> qContainmentSql
+    "l50_containment" -> qContainmentSql,
+    "l51_training_shuffle" -> qTrainingShuffleSql
   )
 }

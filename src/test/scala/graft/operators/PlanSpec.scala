@@ -418,6 +418,24 @@ class PlanSpec extends SparkSpec {
       assert(w.partitionSpec.nonEmpty, s"q58 window is unpartitioned:\n$w"))
   }
 
+  // l51's global permutation rank must come from the two-phase bucket
+  // decomposition: the only unpartitioned window runs over the <=256-row
+  // bucket-offset table (above an aggregation), never the corpus.
+  test("l51 training shuffle: corpus windows partitioned, offset window over the bucket agg") {
+    val df = LlmQueries.queries("l51_training_shuffle")(spark, sf)
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "l51 lost its windows")
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.size <= 1,
+      s"l51 has ${unpartitioned.size} unpartitioned windows")
+    unpartitioned.foreach { w =>
+      assert(w.child.toString.contains("HashAggregate"),
+        s"l51 unpartitioned window is not over the bucket aggregate:\n$w")
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "l51 in-bucket rank lost its partitioning")
+  }
+
   // l49 is a pure row-local projection — nothing but scan, project, sort.
   test("l49 compression ratio is a shuffle-free projection") {
     val df = LlmQueries.queries("l49_compression_ratio")(spark, sf)
