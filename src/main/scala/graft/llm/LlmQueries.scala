@@ -2902,6 +2902,196 @@ object LlmQueries {
       |    AS BIGINT) AS shuffle_pos
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** l52: winnowing fingerprint selection — the MOSS local fingerprinting
+    * algorithm (Schleimer, Wilkerson, Aiken, SIGMOD 2003): hash every
+    * word-8-gram, slide a window of w=4 consecutive gram hashes over each
+    * document, and SELECT the minimum hash per window. The pigeonhole
+    * guarantee: any two documents sharing a run of ≥ w+k−1 = 11 words
+    * share a selected fingerprint — position-robust overlap detection
+    * with a fingerprint density of ~2/(w+1) instead of all grams, which
+    * is what l12's every-gram fingerprint can't give. Ties break to the
+    * LEFTMOST position by folding the position into the comparison key
+    * (`hash·2²⁰ + pos` — hash < 2⁴⁰ so the key fits BIGINT exactly, and
+    * min(key) IS (min hash, then min pos)), making selection
+    * engine-deterministic. Scale shape: one explode, one per-doc
+    * PARTITIONED window (`rowsBetween(0, w−1)` — row-local per doc,
+    * never global), one distinct + one hash agg; the selected-set
+    * checksum is an order-independent bit_xor. Per doc we report gram
+    * count, selected-fingerprint count, and the xor/min of the selected
+    * set — the density ratio n_fps/n_grams is the winnowing guarantee
+    * made visible (≈ 2/(w+1) = 0.4).
+    */
+  def qWinnowing(s: SparkSession, d: String): DataFrame = {
+    val pg = docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), greatest(size(col("ws")) - 7, lit(1)))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        (conv(substring(md5(concat_ws(" ", slice(col("ws"), col("pos"), lit(8)))),
+          1, 10), 16, 10).cast("long") * 1048576L + col("pos")).as("key"))
+    val n = pg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 3)
+    val sel = pg.withColumn("fp", min(col("key")).over(w))
+      .join(n, Seq("doc_id"))
+      .where(col("pos") <= greatest(col("n_grams") - 3, lit(1L)))
+      .select(col("doc_id"), col("fp")).distinct()
+    sel.join(n, Seq("doc_id"))
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_fps"),
+        expr("bit_xor(fp)").as("fp_xor"),
+        min(col("fp")).as("fp_min"))
+      .select(col("doc_id"), col("n_grams"), col("n_fps"), col("fp_xor"), col("fp_min"))
+      .orderBy("doc_id")
+  }
+  val qWinnowingSql: String =
+    """WITH pg AS (
+      |  SELECT doc_id, pos,
+      |    CAST('0x' || substring(md5(array_to_string(
+      |      list_slice(string_split(text, ' '), pos, pos + 7), ' ')), 1, 10)
+      |      AS BIGINT) * 1048576 + pos AS key
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      unnest(generate_series(1,
+      |        greatest(len(string_split(text, ' ')) - 7, 1))) AS pos
+      |    FROM documents)),
+      |n AS (SELECT doc_id, COUNT(*) AS n_grams FROM pg GROUP BY doc_id),
+      |wmin AS (
+      |  SELECT doc_id, pos, MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM pg),
+      |sel AS (
+      |  SELECT DISTINCT w.doc_id, w.fp
+      |  FROM wmin w JOIN n USING (doc_id)
+      |  WHERE w.pos <= greatest(n.n_grams - 3, 1))
+      |SELECT s.doc_id, any_value(n.n_grams) AS n_grams, COUNT(*) AS n_fps,
+      |  bit_xor(fp) AS fp_xor, MIN(fp) AS fp_min
+      |FROM sel s JOIN n ON s.doc_id = n.doc_id
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
+  /** l53: nearest-centroid pseudo-labeling — the auto-labeling /
+    * label-propagation pass a curation pipeline runs when a small
+    * labeled seed set must annotate a large corpus: per-label centroids
+    * are trained from the labeled split (vec_id % 5 != 0) and every
+    * held-out vector (vec_id % 5 == 0) takes the label of its nearest
+    * centroid; the output is the confusion matrix (true × predicted
+    * label counts + integer distance mass) — the quality report that
+    * decides whether the pseudo-labels are usable. Determinism is the
+    * l28 discipline: vectors quantize once (`floor(x·1024+0.5)` —
+    * exact in double), then everything is BIGINT (integer L2, floor-mean
+    * centroids, lowest-label tiebreak). Scale shape: centroid training
+    * is one hash agg keyed (label, pos) — |labels|×dims keys at ANY
+    * corpus size; assignment joins the BROADCAST |labels|-row centroid
+    * table and argmins per row (partitioned window keyed by vec_id);
+    * the confusion matrix is |labels|² rows regardless of corpus size.
+    * The train/test split by id hash is the leakage fence — centroids
+    * never see the vectors they label.
+    */
+  def qPseudoLabel(s: SparkSession, d: String): DataFrame = {
+    val dims = 64
+    val quant = embs(s, d).select(col("vec_id"), col("label").cast("long").as("label"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1024.0 + 0.5).cast("long")).as("qv"))
+    val cent = quant.where(col("vec_id") % 5 =!= 0)
+      .select(col("label"), explode(sequence(lit(1), lit(dims))).as("pos"), col("qv"))
+      .select(col("label"), col("pos"), element_at(col("qv"), col("pos")).as("v"))
+      .groupBy("label", "pos")
+      .agg(floor(sum("v").cast("double") / count(lit(1))).cast("long").as("m"))
+      .groupBy(col("label").as("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s0 => s0.getField("m")).as("cv"))
+    val dist = aggregate(
+      zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    quant.where(col("vec_id") % 5 === 0)
+      .join(broadcast(cent))
+      .select(col("vec_id"), col("label").as("true_label"),
+        col("c_label").as("pred_label"), dist.as("dist"))
+      .withColumn("r", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("dist").asc, col("pred_label").asc)))
+      .where(col("r") === 1)
+      .groupBy("true_label", "pred_label")
+      .agg(count(lit(1)).as("n"), sum("dist").as("dist_sum"))
+      .orderBy("true_label", "pred_label")
+  }
+  val qPseudoLabelSql: String = {
+    def l2(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, 64), i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+    s"""WITH quant AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |pos AS (SELECT unnest(generate_series(1, 64)) AS pos),
+       |cent AS (
+       |  SELECT label AS c_label, list(m ORDER BY pos) AS cv FROM (
+       |    SELECT label, pos,
+       |      CAST(floor(CAST(sum(qv[pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+       |    FROM quant CROSS JOIN pos WHERE vec_id % 5 != 0 GROUP BY label, pos)
+       |  GROUP BY label),
+       |assigned AS (
+       |  SELECT vec_id, true_label, pred_label, dist FROM (
+       |    SELECT q.vec_id, q.label AS true_label, c.c_label AS pred_label,
+       |      ${l2("q.qv", "c.cv")} AS dist,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${l2("q.qv", "c.cv")} ASC, c.c_label ASC) AS r
+       |    FROM quant q CROSS JOIN cent c WHERE q.vec_id % 5 = 0) WHERE r = 1)
+       |SELECT true_label, pred_label, COUNT(*) AS n,
+       |  CAST(SUM(dist) AS BIGINT) AS dist_sum
+       |FROM assigned GROUP BY true_label, pred_label
+       |ORDER BY true_label, pred_label""".stripMargin
+  }
+
+  /** l54: ANN recall audit — the measurement that decides whether an ANN
+    * configuration is shippable: run the bounded audit-query set through
+    * BOTH the exact brute-force ranker (l06) and the hyperplane-LSH
+    * multi-probe path (l13), and report per query the top-5 overlap
+    * (recall in integer basis points) and the cosine regret (exact top-5
+    * mass minus ANN top-5 mass, in the same ×1e6 integers the rankers
+    * output). On this corpus the 8-plane/multi-probe setting recalls
+    * ~20-40% — exactly the signal that tells an index builder to raise
+    * nprobe or planes BEFORE committing a 10⁹-vector build. Scale shape:
+    * the exact side is the declared-bounded audit sample (10 queries —
+    * auditing recall on a sample is the standard practice; the corpus
+    * side stays the ANN's bucketed join), the overlap is an equi-join on
+    * (query, neighbor), and every output cell is BIGINT.
+    */
+  def qAnnRecall(s: SparkSession, d: String): DataFrame = {
+    val ex = qCosineTopk(s, d)
+    val ann = qAnnTopk(s, d)
+    val hits = ex.as("e").join(ann.as("a"),
+        col("e.query_id") === col("a.query_id") &&
+          col("e.neighbor_id") === col("a.neighbor_id"), "left")
+      .groupBy(col("e.query_id").as("query_id"))
+      .agg(count(col("a.neighbor_id")).as("n_hits"))
+    val exs = ex.groupBy("query_id").agg(sum("cos_x1e6").as("exact_cos_sum"))
+    val anns = ann.groupBy("query_id").agg(sum("cos_x1e6").as("ann_cos_sum"))
+    hits.join(exs, Seq("query_id"))
+      .join(anns, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_hits"),
+        expr("n_hits * 10000 div 5").as("recall_bp"),
+        col("exact_cos_sum"),
+        coalesce(col("ann_cos_sum"), lit(0L)).as("ann_cos_sum"),
+        (col("exact_cos_sum") - coalesce(col("ann_cos_sum"), lit(0L))).as("regret"))
+      .orderBy("query_id")
+  }
+  val qAnnRecallSql: String =
+    s"""WITH ex AS (SELECT * FROM (${qCosineTopkSql})),
+       |ann AS (SELECT * FROM (${qAnnTopkSql})),
+       |hits AS (
+       |  SELECT e.query_id, COUNT(a.neighbor_id) AS n_hits
+       |  FROM ex e LEFT JOIN ann a
+       |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |  GROUP BY e.query_id),
+       |exs AS (SELECT query_id, CAST(SUM(cos_x1e6) AS BIGINT) AS exact_cos_sum
+       |        FROM ex GROUP BY query_id),
+       |anns AS (SELECT query_id, CAST(SUM(cos_x1e6) AS BIGINT) AS ann_cos_sum
+       |         FROM ann GROUP BY query_id)
+       |SELECT h.query_id, h.n_hits, h.n_hits * 10000 // 5 AS recall_bp,
+       |  e.exact_cos_sum, COALESCE(a.ann_cos_sum, 0) AS ann_cos_sum,
+       |  e.exact_cos_sum - COALESCE(a.ann_cos_sum, 0) AS regret
+       |FROM hits h JOIN exs e USING (query_id) LEFT JOIN anns a USING (query_id)
+       |ORDER BY query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -2953,7 +3143,10 @@ object LlmQueries {
     "l48_chunk_sliding" -> qChunkSliding _,
     "l49_compression_ratio" -> qCompressionRatio _,
     "l50_containment" -> qContainment _,
-    "l51_training_shuffle" -> qTrainingShuffle _
+    "l51_training_shuffle" -> qTrainingShuffle _,
+    "l52_winnowing" -> qWinnowing _,
+    "l53_pseudo_label" -> qPseudoLabel _,
+    "l54_ann_recall" -> qAnnRecall _
   )
 
   val oracles: Map[String, String] = Map(
@@ -3007,6 +3200,9 @@ object LlmQueries {
     "l48_chunk_sliding" -> qChunkSlidingSql,
     "l49_compression_ratio" -> qCompressionRatioSql,
     "l50_containment" -> qContainmentSql,
-    "l51_training_shuffle" -> qTrainingShuffleSql
+    "l51_training_shuffle" -> qTrainingShuffleSql,
+    "l52_winnowing" -> qWinnowingSql,
+    "l53_pseudo_label" -> qPseudoLabelSql,
+    "l54_ann_recall" -> qAnnRecallSql
   )
 }

@@ -1659,6 +1659,57 @@ object RelationalQueries {
       |  FROM events)
       |WHERE event_id % 25 = 0 ORDER BY event_id""".stripMargin
 
+  /** Interval-overlap join — each event spawns a usage interval
+    * [ts, ts + value minutes]; report every (view, click) interval pair
+    * that overlaps, with the exact overlap in seconds. The naive form is
+    * an inequality θ-join (`a.s <= b.e AND b.s <= a.e`) that plans as a
+    * nested loop — quadratic at any scale. The scale formulation here is
+    * the classic BUCKETIZED interval join: each interval explodes into
+    * the hour buckets it covers (tiny arrays — duration/1h + 1 rows),
+    * the two sides equi-join on the bucket (a hash shuffle join, AQE-
+    * skew-splittable), the overlap predicate filters, and each
+    * surviving pair is emitted exactly ONCE by keeping only the bucket
+    * that contains the overlap's start (`bucket = greatest(a_s, b_s)
+    * div 1h`) — no DISTINCT pass. All arithmetic is BIGINT micros
+    * (`unix_micros` ↔ `epoch_us`; duration floors identically from the
+    * same IEEE double product), so every cell is engine-exact. The
+    * oracle states the naive θ-join; the driver's cell-compare proves
+    * the bucketized decomposition returns the identical pair set.
+    */
+  def q59IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val H = 3600000000L // 1 hour in micros
+    val iv = Tables.load(s, d, "events")
+      .select($"event_id", $"event_type",
+        expr("unix_micros(cast(ts as timestamp))").as("s_us"),
+        (expr("unix_micros(cast(ts as timestamp))") +
+          floor($"value" * lit(60000000.0d)).cast("long")).as("e_us"))
+      .withColumn("bucket",
+        explode(sequence(expr(s"s_us div ${H}L"), expr(s"e_us div ${H}L"))))
+    val a = iv.where($"event_type" === "view")
+      .select($"bucket", $"event_id".as("view_id"), $"s_us".as("a_s"), $"e_us".as("a_e"))
+    val b = iv.where($"event_type" === "click")
+      .select($"bucket", $"event_id".as("click_id"), $"s_us".as("b_s"), $"e_us".as("b_e"))
+    a.join(b, Seq("bucket"))
+      .where($"a_s" <= $"b_e" && $"b_s" <= $"a_e" &&
+        $"bucket" === expr(s"greatest(a_s, b_s) div ${H}L"))
+      .select($"view_id", $"click_id",
+        expr("(least(a_e, b_e) - greatest(a_s, b_s)) div 1000000").as("overlap_sec"))
+      .orderBy("view_id", "click_id")
+  }
+  val q59Sql: String =
+    """WITH iv AS (
+      |  SELECT event_id, event_type, epoch_us(ts) AS s_us,
+      |    epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e_us
+      |  FROM events),
+      |a AS (SELECT event_id AS view_id, s_us AS a_s, e_us AS a_e
+      |      FROM iv WHERE event_type = 'view'),
+      |b AS (SELECT event_id AS click_id, s_us AS b_s, e_us AS b_e
+      |      FROM iv WHERE event_type = 'click')
+      |SELECT view_id, click_id,
+      |  (least(a_e, b_e) - greatest(a_s, b_s)) // 1000000 AS overlap_sec
+      |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+      |ORDER BY view_id, click_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -1717,7 +1768,8 @@ object RelationalQueries {
     "q55_date_spine" -> q55DateSpine _,
     "q56_basket_pairs" -> q56BasketPairs _,
     "q57_percentile_cont" -> q57PercentileCont _,
-    "q58_distinct_window" -> q58DistinctWindow _
+    "q58_distinct_window" -> q58DistinctWindow _,
+    "q59_interval_join" -> q59IntervalJoin _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1778,7 +1830,8 @@ object RelationalQueries {
     "q55_date_spine" -> q55Sql,
     "q56_basket_pairs" -> q56Sql,
     "q57_percentile_cont" -> q57Sql,
-    "q58_distinct_window" -> q58Sql
+    "q58_distinct_window" -> q58Sql,
+    "q59_interval_join" -> q59Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits

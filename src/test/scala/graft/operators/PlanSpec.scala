@@ -445,4 +445,48 @@ class PlanSpec extends SparkSpec {
     val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
     assert(windows.isEmpty, s"l49 grew a window:\n$p")
   }
+
+  // q59's whole point is that the interval θ-join is bucketized into an
+  // equi-join on the hour bucket — a fallback to the nested-loop form
+  // would be quadratic at stream scale.
+  test("q59 interval join is an equi-join on the bucket, not a nested loop") {
+    assertNoAllPairs("q59", RelationalQueries.queries("q59_interval_join")(spark, sf))
+  }
+
+  // l52 winnowing selects per-window minima with a window PARTITIONED by
+  // document — row-local per doc; an unpartitioned window would serialize
+  // the corpus through one task.
+  test("l52 winnowing window is partitioned by document") {
+    val df = LlmQueries.queries("l52_winnowing")(spark, sf)
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "l52 lost its window")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "l52 plan has an unpartitioned WindowExec node")
+    assertNoAllPairs("l52", df)
+  }
+
+  // l53 assigns pseudo-labels against a BROADCAST |labels|-row centroid
+  // table (the l28 discipline) — a shuffled cartesian would move the
+  // corpus |labels| times; the argmin window must stay keyed by vector.
+  test("l53 pseudo-labeling broadcasts centroids and partitions the argmin") {
+    val df = LlmQueries.queries("l53_pseudo_label")(spark, sf)
+    val p = planOf(df)
+    assert(p.contains("Broadcast"), s"l53 lost the centroid broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"l53 plans a non-broadcast cartesian:\n$p")
+    val unpartitioned = df.queryExecution.sparkPlan
+      .collect { case w: WindowExec => w }.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.isEmpty,
+      s"l53 plan has ${unpartitioned.size} unpartitioned WindowExec node(s)")
+  }
+
+  // l54's overlap/sum joins are equi-joins on the query/neighbor keys;
+  // only the declared-bounded exact audit sample may cross-product (it
+  // embeds l06, the contract-exempt brute-force baseline).
+  test("l54 ANN recall audit joins overlap on equi keys") {
+    val df = LlmQueries.queries("l54_ann_recall")(spark, sf)
+    val p = planOf(df)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"l54 lost its equi-joins:\n$p")
+  }
 }
