@@ -57,6 +57,85 @@ case class BinaryByteFold(child: Expression, weighted: Boolean)
     copy(child = newChild)
 }
 
+/** Codegen'd audio-feature fold over the bytes of a `binary` column —
+  * the per-frame kernels of a PCM feature extractor, bytes standing in
+  * for samples centered on `center` (so `b - center` is the signed
+  * amplitude):
+  *
+  *  - `energy`: Σ (b − center)² — the frame-energy / RMS numerator.
+  *  - `crossings`: #\{i : (bᵢ − center)·(bᵢ₊₁ − center) < 0\} — the
+  *    zero-crossing count (adjacent strict sign changes), the classic
+  *    cheap pitch/voicedness feature.
+  *
+  * Like [[BinaryByteFold]] this stays inside whole-stage codegen; a UDF
+  * over Array[Byte] would break the codegen span per frame.
+  */
+case class BinaryByteStat(child: Expression, mode: String, center: Int)
+    extends UnaryExpression {
+  require(mode == "energy" || mode == "crossings", s"unknown mode $mode")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary argument, got ${t.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = s"binary_byte_$mode"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    var s = 0L
+    var i = 0
+    if (mode == "energy") {
+      while (i < bytes.length) {
+        val v = (bytes(i) & 0xff).toLong - center
+        s += v * v
+        i += 1
+      }
+    } else {
+      while (i + 1 < bytes.length) {
+        val a = (bytes(i) & 0xff).toLong - center
+        val b = (bytes(i + 1) & 0xff).toLong - center
+        if (a * b < 0) s += 1L
+        i += 1
+      }
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
+      val body =
+        if (mode == "energy")
+          s"""
+             |for (int $i = 0; $i < $bytes.length; $i++) {
+             |  long $a = (long) ($bytes[$i] & 0xff) - ${center}L;
+             |  $s += $a * $a;
+             |}
+           """.stripMargin
+        else
+          s"""
+             |for (int $i = 0; $i + 1 < $bytes.length; $i++) {
+             |  long $a = (long) ($bytes[$i] & 0xff) - ${center}L;
+             |  long $b = (long) ($bytes[$i + 1] & 0xff) - ${center}L;
+             |  if ($a * $b < 0) $s += 1L;
+             |}
+           """.stripMargin
+      s"""
+         |long $s = 0L;
+         |$body
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BinaryByteStat =
+    copy(child = newChild)
+}
+
 object BinaryFunctions {
   /** Sum of unsigned byte values of a binary column. */
   def byteSum(bin: Column): Column =
@@ -67,4 +146,12 @@ object BinaryFunctions {
     */
   def byteWeightedSum(bin: Column): Column =
     GraftColumns.column(BinaryByteFold(GraftColumns.expression(bin), weighted = true))
+
+  /** Σ (b − center)² over the bytes — frame energy. */
+  def byteEnergy(bin: Column, center: Int): Column =
+    GraftColumns.column(BinaryByteStat(GraftColumns.expression(bin), "energy", center))
+
+  /** Adjacent strict sign changes of (b − center) — zero crossings. */
+  def byteCrossings(bin: Column, center: Int): Column =
+    GraftColumns.column(BinaryByteStat(GraftColumns.expression(bin), "crossings", center))
 }

@@ -3092,6 +3092,86 @@ object LlmQueries {
        |FROM hits h JOIN exs e USING (query_id) LEFT JOIN anns a USING (query_id)
        |ORDER BY query_id""".stripMargin
 
+  /** l55: BM25 ranked retrieval — the keyword-search side of a corpus
+    * platform (eval-set mining, targeted subset extraction, "find the
+    * docs about X" debugging): Okapi BM25 (k1=1.2, b=0.75) over a fixed
+    * 4-term query, top-10 documents. Float discipline (the l43/PMI
+    * lesson): no libm — the idf is the exact-rational surrogate
+    * `(2(N−df)+1)/(2df+1)` (the classic Robertson–Spärck Jones idf with
+    * the log dropped — rank-equivalent direction, engine-exact given
+    * BIGINT inputs), every divide has BIGINT-derived operands, the four
+    * per-term contributions are summed in one FIXED textual order
+    * (c0+c1+c2+c3 — never a float SUM() whose order the engine picks),
+    * and a zero tf yields exactly +0.0 (0·2.2 over a positive
+    * denominator), so absent terms contribute nothing without a CASE.
+    * Scale shape: per-doc tf/dl are row-local array ops (no explode, no
+    * shuffle); the corpus statistics (N, total tokens, the 4 dfs) are
+    * ONE O(1)-row aggregate broadcast back over the scan; ranking is
+    * one top-k. At 100 TB this is a single scan + a scalar broadcast —
+    * the cheapest possible retrieval plan short of an inverted index
+    * (l25 is the index-side companion).
+    */
+  def qBm25(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("dup", "spark", "window", "key")
+    val ws = split(col("text"), " ")
+    val tfCols = terms.zipWithIndex.map { case (t, j) =>
+      size(filter(ws, x => x === lit(t))).cast("long").as(s"tf$j")
+    }
+    val base = docs(s, d).select(
+      (col("doc_id") +: size(ws).cast("long").as("dl") +: tfCols): _*)
+    val gAggs = sum(col("dl")).as("t_total") +:
+      terms.indices.map(j =>
+        sum(when(col(s"tf$j") > 0, 1L).otherwise(0L)).as(s"df$j"))
+    val g = base.agg(count(lit(1)).as("n_docs"), gAggs: _*)
+    val contrib: Int => Column = j =>
+      ((lit(2L) * (col("n_docs") - col(s"df$j")) + lit(1L)).cast("double") /
+        (lit(2L) * col(s"df$j") + lit(1L)).cast("double")) *
+        (col(s"tf$j") * lit(2.2d)) /
+        (col(s"tf$j") + lit(0.3d) + lit(0.9d) *
+          ((col("dl") * col("n_docs")).cast("double") / col("t_total").cast("double")))
+    val score = terms.indices.map(contrib).reduce(_ + _)
+    // Global top-10 WITHOUT an unpartitioned corpus-wide window: sort-limit
+    // first (Spark plans it as TakeOrderedAndProject — per-partition local
+    // top-10s merged on the driver, never a full sort), then rank the
+    // bounded 10-row table (the l44 bounded-window discipline).
+    base.crossJoin(broadcast(g))
+      .select(col("doc_id"), col("tf0"), col("tf1"), col("tf2"), col("tf3"),
+        floor(score * 1e6 + 0.5).cast("long").as("score_x1e6"))
+      .orderBy(col("score_x1e6").desc, col("doc_id"))
+      .limit(10)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score_x1e6").desc, col("doc_id"))).cast("long"))
+      .orderBy("rnk")
+  }
+  val qBm25Sql: String = {
+    val terms = Seq("dup", "spark", "window", "key")
+    val tfcols = terms.zipWithIndex.map { case (t, j) =>
+      s"CAST(len(list_filter(string_split(text,' '), x -> x = '$t')) AS BIGINT) AS tf$j"
+    }.mkString(", ")
+    val dfs = terms.indices.map(j =>
+      s"CAST(SUM(CASE WHEN tf$j > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$j")
+      .mkString(", ")
+    val contribs = terms.indices.map(j =>
+      s"(CAST(2*(n_docs - df$j) + 1 AS DOUBLE) / CAST(2*df$j + 1 AS DOUBLE))" +
+        s" * (tf$j * 2.2) / (tf$j + 0.3 + 0.9 * " +
+        "(CAST(dl * n_docs AS DOUBLE) / CAST(t_total AS DOUBLE)))")
+      .mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS dl,
+       |    $tfcols
+       |  FROM documents),
+       |g AS (
+       |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_total, $dfs
+       |  FROM d),
+       |scored AS (
+       |  SELECT doc_id, tf0, tf1, tf2, tf3,
+       |    CAST(floor(($contribs) * 1e6 + 0.5) AS BIGINT) AS score_x1e6
+       |  FROM d CROSS JOIN g)
+       |SELECT doc_id, tf0, tf1, tf2, tf3, score_x1e6,
+       |  CAST(row_number() OVER (ORDER BY score_x1e6 DESC, doc_id) AS BIGINT) AS rnk
+       |FROM scored QUALIFY rnk <= 10 ORDER BY rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -3146,7 +3226,8 @@ object LlmQueries {
     "l51_training_shuffle" -> qTrainingShuffle _,
     "l52_winnowing" -> qWinnowing _,
     "l53_pseudo_label" -> qPseudoLabel _,
-    "l54_ann_recall" -> qAnnRecall _
+    "l54_ann_recall" -> qAnnRecall _,
+    "l55_bm25" -> qBm25 _
   )
 
   val oracles: Map[String, String] = Map(
@@ -3203,6 +3284,7 @@ object LlmQueries {
     "l51_training_shuffle" -> qTrainingShuffleSql,
     "l52_winnowing" -> qWinnowingSql,
     "l53_pseudo_label" -> qPseudoLabelSql,
-    "l54_ann_recall" -> qAnnRecallSql
+    "l54_ann_recall" -> qAnnRecallSql,
+    "l55_bm25" -> qBm25Sql
   )
 }

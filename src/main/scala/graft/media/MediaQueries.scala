@@ -249,13 +249,75 @@ object MediaQueries {
        |ORDER BY media_a, media_b""".stripMargin
   }
 
+  // ------------------------------------------------- audio frame features
+  /** m07: audio frame-feature extraction — the PCM feature kernels every
+    * audio curation pipeline runs (frame energy for silence/clipping
+    * screens, zero-crossing rate for voicedness), over 64-byte frames of
+    * the audio payloads with bytes standing in for samples centered at
+    * 96 (letters sit above, spaces far below — a non-degenerate signed
+    * "waveform"). Per media: frame count, total energy Σ(b−96)², total
+    * adjacent sign changes, and the PEAK frame via a composite BIGINT
+    * argmax key (`energy·4096 + (4095 − frame_idx)` — max picks highest
+    * energy, ties break to the LOWEST frame index, engine-exact by
+    * construction, the q53 discipline). Scale shape: one frame explode +
+    * two codegen'd byte folds per frame ([[graft.functions.BinaryByteStat]]
+    * — no UDF, no codegen break) + one hash agg keyed by media; output
+    * is one row per audio asset.
+    */
+  def qAudioFeatures(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.BinaryFunctions.{byteEnergy, byteCrossings}
+    val n = length(col("payload"))
+    val nFrames = floor((n + 63) / 64).cast("int")
+    val frameLen = least(lit(64), col("n") - col("f") * 64)
+    val frame = col("payload").substr(col("f") * 64 + 1, frameLen)
+    MediaOps.mediaTable(s, d)
+      .where(col("kind") === "audio")
+      .select(col("media_id"), col("payload"), n.as("n"), nFrames.as("nf"))
+      .withColumn("f", explode(sequence(lit(0), col("nf") - 1)))
+      .select(col("media_id"), col("f").cast("long").as("f"),
+        byteEnergy(frame, 96).as("energy"),
+        byteCrossings(frame, 96).as("crossings"))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum("energy").as("total_energy"),
+        sum("crossings").as("total_crossings"),
+        expr("max(energy * 4096 + (4095 - f)) div 4096").as("peak_energy"),
+        (lit(4095L) - expr("max(energy * 4096 + (4095 - f)) % 4096")).as("peak_frame"))
+      .orderBy("media_id")
+  }
+  val qAudioFeaturesSql: String =
+    s"""WITH $mediaSql,
+       |frames AS (
+       |  SELECT media_id, n,
+       |    unnest(generate_series(0, ((n + 63) // 64) - 1)) AS f, text
+       |  FROM media WHERE kind = 'audio'),
+       |feat AS (
+       |  SELECT media_id, f,
+       |    CAST(coalesce(list_sum(list_transform(
+       |      generate_series(f*64+1, least((f+1)*64, n)),
+       |      i -> (ascii(substring(text,i,1)) - 96)
+       |         * (ascii(substring(text,i,1)) - 96))), 0) AS BIGINT) AS energy,
+       |    CAST(coalesce(list_sum(list_transform(
+       |      generate_series(f*64+1, least((f+1)*64, n) - 1),
+       |      i -> CASE WHEN (ascii(substring(text,i,1)) - 96)
+       |                   * (ascii(substring(text,i+1,1)) - 96) < 0
+       |           THEN 1 ELSE 0 END)), 0) AS BIGINT) AS crossings
+       |  FROM frames)
+       |SELECT media_id, COUNT(*) AS n_frames,
+       |  CAST(SUM(energy) AS BIGINT) AS total_energy,
+       |  CAST(SUM(crossings) AS BIGINT) AS total_crossings,
+       |  CAST(MAX(energy * 4096 + (4095 - f)) // 4096 AS BIGINT) AS peak_energy,
+       |  CAST(4095 - (MAX(energy * 4096 + (4095 - f)) % 4096) AS BIGINT) AS peak_frame
+       |FROM feat GROUP BY media_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_decode" -> qMediaDecode _,
     "m02_image_resize" -> qImageResize _,
     "m03_frame_sample" -> qFrameSample _,
     "m04_media_stats" -> qMediaStats _,
     "m05_media_dedup" -> qMediaDedup _,
-    "m06_media_hamming" -> qMediaHammingPairs _
+    "m06_media_hamming" -> qMediaHammingPairs _,
+    "m07_audio_features" -> qAudioFeatures _
   )
 
   val oracles: Map[String, String] = Map(
@@ -264,6 +326,7 @@ object MediaQueries {
     "m03_frame_sample" -> qFrameSampleSql,
     "m04_media_stats" -> qMediaStatsSql,
     "m05_media_dedup" -> qMediaDedupSql,
-    "m06_media_hamming" -> qMediaHammingPairsSql
+    "m06_media_hamming" -> qMediaHammingPairsSql,
+    "m07_audio_features" -> qAudioFeaturesSql
   )
 }

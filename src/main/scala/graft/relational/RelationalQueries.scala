@@ -1710,6 +1710,53 @@ object RelationalQueries {
       |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
       |ORDER BY view_id, click_id""".stripMargin
 
+  /** Time-weighted average over an irregular series (TWAP) — the
+    * step-function aggregate behind every irregular-tick VWAP/TWAP
+    * report: each event's value holds until the type's next event, so
+    * its weight is that duration, and the per-type average is
+    * Σ(value·dur)/Σ(dur). All integer-exact: values quantize once to
+    * cents (`floor(v·100+0.5)` — exact in double), durations are
+    * epoch-second deltas from a `lead` window ordered by the TOTAL order
+    * (tsec, event_id) — second collisions exist in this data, and an
+    * underspecified ORDER BY is the classic nondeterminism trap here —
+    * and the average is a BIGINT `div`. Scale shape: one window and one
+    * hash agg, both keyed by event type; nothing global. The weighted
+    * sum stays in range by weighting with SECONDS (v_cents·dur_s ≤
+    * ~7·10¹⁰ per segment), not micros.
+    */
+  def q60TimeWeighted(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events")
+      .select($"event_type", $"event_id",
+        expr("unix_micros(cast(ts as timestamp)) div 1000000").as("tsec"),
+        floor($"value" * 100 + 0.5).cast("long").as("v_cents"))
+    val w = Window.partitionBy($"event_type").orderBy($"tsec", $"event_id")
+    ev.withColumn("dur_s", lead($"tsec", 1).over(w) - $"tsec")
+      .where($"dur_s".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_segments"),
+        sum($"dur_s").as("total_dur_s"),
+        sum($"v_cents" * $"dur_s").as("weighted_sum"),
+        expr("sum(v_cents * dur_s) div sum(dur_s)").as("twap_cents"))
+      .orderBy("event_type")
+  }
+  val q60Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, event_id, epoch_us(ts) // 1000000 AS tsec,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+      |  FROM events),
+      |seg AS (
+      |  SELECT event_type, v_cents,
+      |    lead(tsec) OVER (PARTITION BY event_type
+      |      ORDER BY tsec, event_id) - tsec AS dur_s
+      |  FROM e)
+      |SELECT event_type, COUNT(*) AS n_segments,
+      |  CAST(SUM(dur_s) AS BIGINT) AS total_dur_s,
+      |  CAST(SUM(v_cents * dur_s) AS BIGINT) AS weighted_sum,
+      |  CAST(SUM(v_cents * dur_s) AS BIGINT) // CAST(SUM(dur_s) AS BIGINT)
+      |    AS twap_cents
+      |FROM seg WHERE dur_s IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -1769,7 +1816,8 @@ object RelationalQueries {
     "q56_basket_pairs" -> q56BasketPairs _,
     "q57_percentile_cont" -> q57PercentileCont _,
     "q58_distinct_window" -> q58DistinctWindow _,
-    "q59_interval_join" -> q59IntervalJoin _
+    "q59_interval_join" -> q59IntervalJoin _,
+    "q60_time_weighted" -> q60TimeWeighted _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1831,7 +1879,8 @@ object RelationalQueries {
     "q56_basket_pairs" -> q56Sql,
     "q57_percentile_cont" -> q57Sql,
     "q58_distinct_window" -> q58Sql,
-    "q59_interval_join" -> q59Sql
+    "q59_interval_join" -> q59Sql,
+    "q60_time_weighted" -> q60Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits

@@ -23,6 +23,27 @@ class MediaOpsSpec extends SparkSpec {
       ("c", 0L, 0L)))
   }
 
+  test("byteEnergy / byteCrossings match a reference fold, incl. unsigned reads") {
+    val c = 96
+    val rows = Seq(
+      ("a", Array[Byte](100, 90, 110, 96)), // crossings at 100->90, 90->110; 96 is zero (no strict sign)
+      ("b", Array[Byte](-1, 0)),            // 255 and 0 read unsigned: (159)*(−96) < 0 → one crossing
+      ("c", Array[Byte](50)),               // single byte: no pairs
+      ("d", Array.empty[Byte]))
+    val df = rows.toDF("k", "bin")
+    val got = df.select($"k",
+        BinaryFunctions.byteEnergy($"bin", c).as("e"),
+        BinaryFunctions.byteCrossings($"bin", c).as("z"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    def ref(bs: Array[Byte]): (Long, Long) = {
+      val u = bs.map(b => (b & 0xff).toLong - c)
+      (u.map(v => v * v).sum,
+        u.sliding(2).count(p => p.length == 2 && p(0) * p(1) < 0).toLong)
+    }
+    val want = rows.map { case (k, bs) => val (e, z) = ref(bs); (k, e, z) }
+    assert(got == want)
+  }
+
   test("decodeFeatures matches a straight per-row computation, batched path") {
     val media = (1L to 200L).map { i =>
       val payload = s"payload-$i-${"x" * (i % 37).toInt}".getBytes("UTF-8")

@@ -489,4 +489,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
       p.contains("ShuffledHashJoin"), s"l54 lost its equi-joins:\n$p")
   }
+
+  // l55's global top-10 must plan as TakeOrderedAndProject (per-partition
+  // local top-k merged on the driver) — a full global sort of the scored
+  // corpus would be the classic retrieval scale bug. The only window runs
+  // AFTER the limit, over 10 rows.
+  test("l55 BM25 top-k is TakeOrderedAndProject, not a global sort") {
+    val df = LlmQueries.queries("l55_bm25")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"l55 lost the sort-limit top-k plan:\n$p")
+  }
+
+  // q60's lead window and aggregate are both keyed by event type.
+  test("q60 time-weighted average windows are partitioned by type") {
+    val df = RelationalQueries.queries("q60_time_weighted")(spark, sf)
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "q60 lost its lead window")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "q60 plan has an unpartitioned WindowExec node")
+  }
+
+  // m07 is one frame explode + codegen'd byte folds + one hash agg —
+  // no join anywhere.
+  test("m07 audio features plan has no join") {
+    val df = graft.media.MediaQueries.queries("m07_audio_features")(spark, sf)
+    val p = planOf(df)
+    assert(!p.contains("Join"), s"m07 grew a join:\n$p")
+    assert(p.contains("binary_byte_energy"),
+      s"m07 lost the codegen'd energy fold:\n$p")
+  }
 }
