@@ -3172,6 +3172,91 @@ object LlmQueries {
        |FROM scored QUALIFY rnk <= 10 ORDER BY rnk""".stripMargin
   }
 
+  /** l56: kNN-graph PageRank centrality — representativeness scoring for
+    * coreset/prototype selection (the graph-centrality take on "which
+    * examples are typical": a vector many others call a near neighbor
+    * is central; an outlier nobody points to decays to the base rank).
+    * The graph is DIRECTED top-3-by-cosine within each vector's
+    * hyperplane-LSH home bucket (the l07/l13 bucketing — out-degree ≤ 3
+    * by construction, in-degree is the signal and here spreads 0–7),
+    * so edge generation is an equi-join, never all-pairs. Three
+    * unrolled PageRank rounds in INTEGER arithmetic — contribution
+    * `r div deg` (BIGINT), update `150000 + (85·Σ) div 100` (damping
+    * 0.85 at ×1e6 scale) — bit-identical on any engine, the l28
+    * quantization discipline applied to iteration. Scale shape per
+    * round: one equi-join edges⋈ranks on the src key + one hash agg
+    * keyed by dst — the l17 connected-components layout; rounds are a
+    * fixed constant. On the synthetic corpus final ranks spread
+    * 0.15–2.8 (×1e6) — real discrimination, unlike the symmetric
+    * dup-pair graph where uniform degrees make PageRank flat.
+    */
+  def qKnnPagerank(s: SparkSession, d: String): DataFrame = {
+    val e = bucketedEmbs(s, d)
+      .select(col("vec_id"), col("embedding").as("qv"), col("nrm"), col("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        floor(dotD(col("a.qv"), col("b.qv")) / (col("a.nrm") * col("b.nrm"))
+          * 1e6 + 0.5).cast("long").as("cos_x1e6"))
+    val knn = scored.withColumn("rk", row_number().over(
+        Window.partitionBy("src").orderBy(col("cos_x1e6").desc, col("dst").asc)))
+      .where(col("rk") <= 3).select("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("vec_id").as("v"))
+    val deg = knn.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    def round(prev: DataFrame): DataFrame =
+      nodes.join(knn, nodes("v") === knn("dst"), "left")
+        .join(prev.withColumnRenamed("v", "pv").withColumnRenamed("r", "pr"),
+          col("src") === col("pv"), "left")
+        .join(deg.withColumnRenamed("v", "dv"), col("src") === col("dv"), "left")
+        .groupBy(nodes("v"))
+        .agg((lit(150000L) +
+          expr("85 * coalesce(sum(pr div deg), 0) div 100")).as("r"))
+    val r0 = nodes.withColumn("r", lit(1000000L))
+    val r3 = round(round(round(r0)))
+    val inDeg = knn.groupBy(col("dst").as("v")).agg(count(lit(1)).as("in_deg"))
+    r3.join(inDeg, Seq("v"), "left")
+      .select(col("v").as("vec_id"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        col("r").as("rank_x1e6"))
+      .orderBy("vec_id")
+  }
+  val qKnnPagerankSql: String = {
+    val round: (String, String) => String = (prev, name) =>
+      s"""$name AS (
+         |  SELECT n.v, 150000 + (85 * COALESCE(SUM($prev.r // d.deg), 0)) // 100 AS r
+         |  FROM nodes n LEFT JOIN knn e2 ON e2.dst = n.v
+         |  LEFT JOIN $prev ON $prev.v = e2.src LEFT JOIN deg d ON d.v = e2.src
+         |  GROUP BY n.v)""".stripMargin
+    val dotab = "list_sum(list_transform(generate_series(1, len(a.qv)), " +
+      "i -> CAST(a.qv[i] AS DOUBLE) * CAST(b.qv[i] AS DOUBLE)))"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding AS qv,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm,
+       |    $hyperplaneBucketSql AS bucket
+       |  FROM embeddings),
+       |knn AS (
+       |  SELECT src, dst FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        CAST(floor($dotab / (a.nrm * b.nrm) * 1e6 + 0.5) AS BIGINT) DESC,
+       |        b.vec_id ASC) AS rk
+       |    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id != b.vec_id)
+       |  WHERE rk <= 3),
+       |nodes AS (SELECT vec_id AS v FROM e),
+       |deg AS (SELECT src AS v, COUNT(*) AS deg FROM knn GROUP BY src),
+       |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")},
+       |ind AS (SELECT dst AS v, COUNT(*) AS in_deg FROM knn GROUP BY dst)
+       |SELECT r3.v AS vec_id, COALESCE(ind.in_deg, 0) AS in_deg,
+       |  CAST(r3.r AS BIGINT) AS rank_x1e6
+       |FROM r3 LEFT JOIN ind ON ind.v = r3.v
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -3227,7 +3312,8 @@ object LlmQueries {
     "l52_winnowing" -> qWinnowing _,
     "l53_pseudo_label" -> qPseudoLabel _,
     "l54_ann_recall" -> qAnnRecall _,
-    "l55_bm25" -> qBm25 _
+    "l55_bm25" -> qBm25 _,
+    "l56_knn_pagerank" -> qKnnPagerank _
   )
 
   val oracles: Map[String, String] = Map(
@@ -3285,6 +3371,7 @@ object LlmQueries {
     "l52_winnowing" -> qWinnowingSql,
     "l53_pseudo_label" -> qPseudoLabelSql,
     "l54_ann_recall" -> qAnnRecallSql,
-    "l55_bm25" -> qBm25Sql
+    "l55_bm25" -> qBm25Sql,
+    "l56_knn_pagerank" -> qKnnPagerankSql
   )
 }

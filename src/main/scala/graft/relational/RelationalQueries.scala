@@ -1757,6 +1757,93 @@ object RelationalQueries {
       |FROM seg WHERE dur_s IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Ordered funnel analysis — the sequenced-event report (first view →
+    * first click AFTER it → first purchase AFTER that) that plain
+    * conditional aggregation cannot express, because each stage's
+    * timestamp constrains the next stage's candidate set. Three grouped
+    * min-passes, each keyed by user and each consuming the previous
+    * stage's time bound through an equi-join — the standard scalable
+    * funnel shape (MATCH_RECOGNIZE semantics as joins; never a per-user
+    * sort on one task). The six outputs (stage populations + total
+    * stage-transition seconds) are O(1)-row aggregates combined by
+    * 1-row cross joins; every cell is BIGINT.
+    */
+  def q61Funnel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.load(s, d, "events")
+      .select($"user_id", $"event_type",
+        expr("unix_micros(cast(ts as timestamp)) div 1000000").as("tsec"))
+      // consumed four times (stage filters + user count)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = e.where($"event_type" === "view")
+      .groupBy("user_id").agg(min("tsec").as("t_view"))
+    val c = e.join(v, Seq("user_id"))
+      .where($"event_type" === "click" && $"tsec" > $"t_view")
+      .groupBy("user_id").agg(min("tsec").as("t_click"))
+    val p = e.join(c, Seq("user_id"))
+      .where($"event_type" === "purchase" && $"tsec" > $"t_click")
+      .groupBy("user_id").agg(min("tsec").as("t_purchase"))
+    e.agg(countDistinct("user_id").as("n_users"))
+      .crossJoin(v.agg(count(lit(1)).as("n_view")))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+      .crossJoin(c.join(v, Seq("user_id"))
+        .agg(sum($"t_click" - $"t_view").as("view_to_click_s")))
+      .crossJoin(p.join(c, Seq("user_id"))
+        .agg(sum($"t_purchase" - $"t_click").as("click_to_purchase_s")))
+  }
+  val q61Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS tsec FROM events),
+      |v AS (SELECT user_id, MIN(tsec) AS t_view FROM e
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(tsec) AS t_click
+      |      FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND tsec > t_view GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(tsec) AS t_purchase
+      |      FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND tsec > t_click GROUP BY e.user_id)
+      |SELECT
+      |  (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users,
+      |  (SELECT COUNT(*) FROM v) AS n_view,
+      |  (SELECT COUNT(*) FROM c) AS n_click,
+      |  (SELECT COUNT(*) FROM p) AS n_purchase,
+      |  (SELECT CAST(SUM(t_click - t_view) AS BIGINT)
+      |     FROM c JOIN v USING (user_id)) AS view_to_click_s,
+      |  (SELECT CAST(SUM(t_purchase - t_click) AS BIGINT)
+      |     FROM p JOIN c USING (user_id)) AS click_to_purchase_s""".stripMargin
+
+  /** Cohort retention — the day-N activity matrix every growth report
+    * ships: users grouped by first-seen day (their cohort), counted
+    * distinct on each subsequent day offset. Two hash aggs and one
+    * equi-join, all keyed by user or (cohort, offset); the output is
+    * |cohorts|×|offsets| regardless of event volume. Day arithmetic is
+    * integer epoch-day division on both engines.
+    */
+  def q62Cohort(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.load(s, d, "events")
+      .select($"user_id",
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+    val cohort = e.groupBy("user_id").agg(min("day").as("c_day"))
+    e.join(cohort, Seq("user_id"))
+      .select($"c_day", ($"day" - $"c_day").as("offset_d"), $"user_id")
+      .distinct()
+      .groupBy("c_day", "offset_d")
+      .agg(count(lit(1)).as("n_active"))
+      .where($"offset_d" <= 7)
+      .orderBy("c_day", "offset_d")
+  }
+  val q62Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |cohort AS (SELECT user_id, MIN(day) AS c_day FROM e GROUP BY user_id),
+      |act AS (
+      |  SELECT DISTINCT c.c_day, e.day - c.c_day AS offset_d, e.user_id
+      |  FROM e JOIN cohort c USING (user_id))
+      |SELECT c_day, offset_d, COUNT(*) AS n_active
+      |FROM act GROUP BY c_day, offset_d
+      |HAVING offset_d <= 7
+      |ORDER BY c_day, offset_d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -1817,7 +1904,9 @@ object RelationalQueries {
     "q57_percentile_cont" -> q57PercentileCont _,
     "q58_distinct_window" -> q58DistinctWindow _,
     "q59_interval_join" -> q59IntervalJoin _,
-    "q60_time_weighted" -> q60TimeWeighted _
+    "q60_time_weighted" -> q60TimeWeighted _,
+    "q61_funnel" -> q61Funnel _,
+    "q62_cohort" -> q62Cohort _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1880,7 +1969,9 @@ object RelationalQueries {
     "q57_percentile_cont" -> q57Sql,
     "q58_distinct_window" -> q58Sql,
     "q59_interval_join" -> q59Sql,
-    "q60_time_weighted" -> q60Sql
+    "q60_time_weighted" -> q60Sql,
+    "q61_funnel" -> q61Sql,
+    "q62_cohort" -> q62Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits

@@ -519,4 +519,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("binary_byte_energy"),
       s"m07 lost the codegen'd energy fold:\n$p")
   }
+
+  // l56's kNN edges come from the bucket equi-join and every PageRank
+  // round is equi-joins + a hash agg; the rank window is keyed by source
+  // vector. A cartesian or unpartitioned window would be the collapse of
+  // the whole design.
+  test("l56 kNN PageRank: bucket equi-join edges, partitioned rank window") {
+    val df = LlmQueries.queries("l56_knn_pagerank")(spark, sf)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"),
+      s"l56 plans a cartesian:\n$p")
+    val unpartitioned = df.queryExecution.sparkPlan
+      .collect { case w: WindowExec => w }.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.isEmpty,
+      s"l56 plan has ${unpartitioned.size} unpartitioned WindowExec node(s)")
+  }
+
+  // q61's stage joins are keyed by user; the only nested-loop joins are
+  // the 1-row aggregate combinations at the end (bounded by construction).
+  test("q61 funnel stage joins are equi on the user key") {
+    val df = RelationalQueries.queries("q61_funnel")(spark, sf)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"), s"q61 plans a raw cartesian:\n$p")
+    assert(p.contains("Join") && p.contains("user_id"),
+      s"q61 lost its user-keyed stage joins:\n$p")
+  }
+
+  // q62 cohort: one user-keyed equi-join, no all-pairs anywhere.
+  test("q62 cohort joins activity to cohorts on the user key") {
+    assertNoAllPairs("q62", RelationalQueries.queries("q62_cohort")(spark, sf))
+  }
 }
