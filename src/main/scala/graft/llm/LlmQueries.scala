@@ -2910,19 +2910,26 @@ object LlmQueries {
     * share a selected fingerprint — position-robust overlap detection
     * with a fingerprint density of ~2/(w+1) instead of all grams, which
     * is what l12's every-gram fingerprint can't give. Ties break to the
-    * LEFTMOST position by folding the position into the comparison key
-    * (`hash·2²⁰ + pos` — hash < 2⁴⁰ so the key fits BIGINT exactly, and
-    * min(key) IS (min hash, then min pos)), making selection
-    * engine-deterministic. Scale shape: one explode, one per-doc
-    * PARTITIONED window (`rowsBetween(0, w−1)` — row-local per doc,
-    * never global), one distinct + one hash agg; the selected-set
-    * checksum is an order-independent bit_xor. Per doc we report gram
-    * count, selected-fingerprint count, and the xor/min of the selected
-    * set — the density ratio n_fps/n_grams is the winnowing guarantee
-    * made visible (≈ 2/(w+1) = 0.4).
+    * LEFTMOST position by folding the position into the COMPARISON key
+    * only (`hash·2²⁰ + pos` — hash < 2⁴⁰ so the key fits BIGINT exactly,
+    * and min(key) IS (min hash, then min pos)); the emitted FINGERPRINT
+    * is the hash alone (`key div 2²⁰`) — position is tie metadata, never
+    * part of the match key, or two documents sharing a run at different
+    * offsets could never collide (the cross-document guarantee is the
+    * whole point; WinnowingSpec pins it on planted shared runs).
+    * Scale shape: one explode, one per-doc PARTITIONED window
+    * (`rowsBetween(0, w−1)` — row-local per doc, never global), one
+    * distinct + one hash agg; the selected-set checksum is an
+    * order-independent bit_xor. Per doc we report gram count,
+    * selected-fingerprint count, and the xor/min of the selected set —
+    * the density ratio n_fps/n_grams is the winnowing guarantee made
+    * visible (≈ 2/(w+1) = 0.4).
     */
-  def qWinnowing(s: SparkSession, d: String): DataFrame = {
-    val pg = docs(s, d)
+  /** The selected fingerprint set: one (doc_id, fp) row per distinct
+    * selected hash — the matchable artifact (see [[qWinnowing]] scaladoc).
+    */
+  def winnowingFingerprints(dd: DataFrame): DataFrame = {
+    val pg = dd
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(1), greatest(size(col("ws")) - 7, lit(1)))).as("pos"))
@@ -2931,11 +2938,17 @@ object LlmQueries {
           1, 10), 16, 10).cast("long") * 1048576L + col("pos")).as("key"))
     val n = pg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 3)
-    val sel = pg.withColumn("fp", min(col("key")).over(w))
+    pg.withColumn("sel", min(col("key")).over(w))
       .join(n, Seq("doc_id"))
       .where(col("pos") <= greatest(col("n_grams") - 3, lit(1L)))
-      .select(col("doc_id"), col("fp")).distinct()
-    sel.join(n, Seq("doc_id"))
+      .select(col("doc_id"), expr("sel div 1048576").as("fp")).distinct()
+  }
+  def qWinnowing(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val n = dd
+      .select(col("doc_id"),
+        greatest(size(split(col("text"), " ")) - 7, lit(1)).cast("long").as("n_grams"))
+    winnowingFingerprints(dd).join(n, Seq("doc_id"))
       .groupBy(col("doc_id"), col("n_grams"))
       .agg(count(lit(1)).as("n_fps"),
         expr("bit_xor(fp)").as("fp_xor"),
@@ -2957,10 +2970,10 @@ object LlmQueries {
       |n AS (SELECT doc_id, COUNT(*) AS n_grams FROM pg GROUP BY doc_id),
       |wmin AS (
       |  SELECT doc_id, pos, MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
-      |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel_key
       |  FROM pg),
       |sel AS (
-      |  SELECT DISTINCT w.doc_id, w.fp
+      |  SELECT DISTINCT w.doc_id, w.sel_key // 1048576 AS fp
       |  FROM wmin w JOIN n USING (doc_id)
       |  WHERE w.pos <= greatest(n.n_grams - 3, 1))
       |SELECT s.doc_id, any_value(n.n_grams) AS n_grams, COUNT(*) AS n_fps,

@@ -601,6 +601,27 @@ class LlmQueriesSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: an 11-word shared run shares a fingerprint across offsets; disjoint docs share none") {
+    // The Schleimer/Wilkerson/Aiken guarantee at (k=8, w=4): any shared
+    // run of >= w+k-1 = 11 words yields 4 consecutive shared gram
+    // positions, so one full window sits inside the run in BOTH docs and
+    // selects the same minimum HASH — regardless of the run's offset.
+    // This is exactly what folding position into the emitted fingerprint
+    // (instead of only the tie-break key) would silently break.
+    val sharedRun = (1 to 11).map(i => s"run$i").mkString(" ")
+    val a = ((1 to 9).map(i => s"alpha$i") :+ sharedRun).mkString(" ") // run at tail
+    val b = (sharedRun +: (1 to 13).map(i => s"beta$i")).mkString(" ") // run at head
+    val c = (1 to 25).map(i => s"gamma$i").mkString(" ")               // no shared gram
+    val dd = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val byDoc = LlmQueries.winnowingFingerprints(dd)
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "planted 11-word shared run must share a selected fingerprint")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty, "false sharing with disjoint doc")
+    assert((byDoc(2L) intersect byDoc(3L)).isEmpty, "false sharing with disjoint doc")
+  }
+
   test("simhash plan computes md5 once per word (no per-bit-plane rehash)") {
     // The 16 parity folds must reference the single materialized hash
     // array: exactly one md5 in the optimized plan. CollapseProject keeps
