@@ -3270,6 +3270,189 @@ object LlmQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** l57: weighted priority sampling — deterministic
+    * sample-by-importance (the Efraimidis–Spirakis weighted-reservoir
+    * idea with the float exponentiation replaced by the integer-race
+    * surrogate `priority = hash div weight`): each document draws a
+    * salted 40-bit hash "clock" and divides it by its weight (token
+    * count — heavier docs tick faster), and the 50 smallest priorities
+    * win. Reproducible across engines, reruns, and cluster layouts
+    * (hash, never rand — the l20 discipline), and visibly
+    * weight-biased: the sampled mean length runs ~65 tokens vs the
+    * corpus's ~54. Complements l20 (uniform per stratum) and l44
+    * (budgeted by quality): this is the proportional-to-size draw.
+    * Scale shape: row-local priorities + a TakeOrderedAndProject top-k —
+    * no shuffle beyond the bounded top-50 merge; the rank window runs
+    * AFTER the limit, over 50 rows.
+    */
+  def qPrioritySample(s: SparkSession, d: String): DataFrame = {
+    val pr = docs(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"),
+        conv(substring(md5(concat(lit("prio:"), col("doc_id").cast("string"))),
+          1, 10), 16, 10).cast("long").as("h"))
+      .select(col("doc_id"), col("dl"), expr("h div dl").as("priority"))
+    pr.orderBy(col("priority"), col("doc_id"))
+      .limit(50)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("priority"), col("doc_id"))).cast("long"))
+      .orderBy("rnk")
+  }
+  val qPrioritySampleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS dl,
+      |    CAST('0x' || substring(md5('prio:' || CAST(doc_id AS VARCHAR)), 1, 10)
+      |      AS BIGINT) AS h
+      |  FROM documents),
+      |pr AS (SELECT doc_id, dl, h // dl AS priority FROM d)
+      |SELECT doc_id, dl, priority,
+      |  CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT) AS rnk
+      |FROM pr QUALIFY rnk <= 50 ORDER BY rnk""".stripMargin
+
+  /** l58: count-min-sketch heavy hitters — the mergeable frequency
+    * sketch (Cormode–Muthukrishnan) written as plain aggregation so it
+    * is bit-exact on any engine: 4 hash lanes × 1024 counters, where
+    * lane i's counter for bucket b is just `SUM(cnt) GROUP BY (i, b)`
+    * (counter increments commute, so unlike the GK quantile sketch the
+    * CMS estimate is merge-order-independent and CAN be output — the
+    * q25/q40 sketch discipline, one step stronger). Each DISTINCT word
+    * hashes once per lane (the one-md5 discipline; occurrences arrive
+    * pre-counted), the counter table is 4×1024 rows at ANY corpus size,
+    * and the top-20 heavy hitters probe it with `MIN` over their 4
+    * lanes. `overest` pins the CMS's deterministic one-sided guarantee
+    * (estimate ≥ exact, always — collisions only ever add). Scale
+    * shape: one vocab agg, one bounded (lane, bucket) agg, a
+    * TakeOrderedAndProject top-20, and an 80-row probe against the
+    * broadcast counter table; at 100 TB the counter table IS the
+    * shippable summary (4 KB per corpus shard, merged by addition) and
+    * the exact vocab agg beside it is the verification harness.
+    */
+  def qCmsHeavy(s: SparkSession, d: String): DataFrame = {
+    val width = 1024
+    def buckets = array((0 until 4).map(i =>
+      conv(substring(md5(concat(lit(s"cms$i:"), col("w"))), 1, 8), 16, 10)
+        .cast("long") % width): _*)
+    val wc = docs(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val counters = wc.select(col("cnt"), posexplode(buckets))
+      .groupBy(col("pos").as("lane"), col("col").as("bucket"))
+      .agg(sum("cnt").as("bsum"))
+    val cand = wc.orderBy(col("cnt").desc, col("w")).limit(20)
+    cand.select(col("w"), col("cnt"), posexplode(buckets))
+      .join(broadcast(counters),
+        col("pos") === col("lane") && col("col") === col("bucket"))
+      .groupBy("w", "cnt").agg(min("bsum").as("cms_est"))
+      .select(col("w").as("word"), col("cnt").as("exact_cnt"),
+        col("cms_est"), (col("cms_est") >= col("cnt")).as("overest"))
+      .orderBy(col("exact_cnt").desc, col("word"))
+  }
+  val qCmsHeavySql: String =
+    """WITH wc AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0 GROUP BY w),
+      |lanes AS (SELECT unnest([0, 1, 2, 3]) AS lane),
+      |wb AS (
+      |  SELECT w, cnt, lane,
+      |    CAST('0x' || substring(md5('cms' || CAST(lane AS VARCHAR) || ':' || w),
+      |      1, 8) AS BIGINT) % 1024 AS bucket
+      |  FROM wc CROSS JOIN lanes),
+      |counters AS (
+      |  SELECT lane, bucket, CAST(SUM(cnt) AS BIGINT) AS bsum
+      |  FROM wb GROUP BY lane, bucket),
+      |cand AS (SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT 20),
+      |est AS (
+      |  SELECT b.w, b.cnt, CAST(MIN(co.bsum) AS BIGINT) AS cms_est
+      |  FROM wb b JOIN counters co USING (lane, bucket)
+      |  WHERE b.w IN (SELECT w FROM cand)
+      |  GROUP BY b.w, b.cnt)
+      |SELECT w AS word, cnt AS exact_cnt, cms_est, (cms_est >= cnt) AS overest
+      |FROM est ORDER BY exact_cnt DESC, word""".stripMargin
+
+  /** l59: contrastive training-pair mining — the dataset constructor
+    * for embedding/retrieval model training: POSITIVE pairs are the
+    * LSH candidate pairs whose exact shingle Jaccard clears 1/2
+    * (cross-multiplied integers `3·n_inter ≥ n_a + n_b`, never a float
+    * — the l05 re-score applied as a labeler), and NEGATIVE pairs are
+    * deterministic hash-adjacent doc pairings: each doc takes a salted
+    * hash, lands in one of 64 buckets, and pairs with its successor in
+    * the bucket's (hash, doc_id) total order — a PARTITIONED lead
+    * window, never a global sort (the l51 bucket discipline), with any
+    * LSH candidate anti-joined OUT of the negatives so the banding's
+    * recall side cannot plant a near-dup as a "negative". Reproducible
+    * across engines, reruns, and cluster layouts (hash, never rand).
+    * Scale shape: positives ride the existing bucketed candidate
+    * pipeline; negatives are one partitioned window + one anti-join —
+    * both keyed, both shuffle-bounded by corpus size, no all-pairs
+    * anywhere.
+    */
+  def qContrastivePairs(s: SparkSession, d: String): DataFrame = {
+    val dd = docsWithDups(s, d)
+    val cand = lshPairsOf(bandedSignatures(dd))
+    val docSets = dd.select(col("doc_id"),
+      array_distinct(shingles(col("text"))).as("sh_set"))
+    val pos = cand
+      .join(docSets.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(docSets.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("za.sh_set"), col("zb.sh_set")))
+          .cast("long").as("n_inter"),
+        (size(col("za.sh_set")) + size(col("zb.sh_set"))).cast("long").as("n_ab"))
+      .where(col("n_inter") * 3 >= col("n_ab"))
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("label"))
+    val hashed = dd.select(col("doc_id"),
+      conv(substring(md5(concat(lit("neg:"), col("doc_id").cast("string"))),
+        1, 12), 16, 10).cast("long").as("nh"))
+    val w = Window.partitionBy(col("nh") % 64).orderBy(col("nh"), col("doc_id"))
+    val neg = hashed.withColumn("nxt", lead(col("doc_id"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .select(least(col("doc_id"), col("nxt")).as("doc_a"),
+        greatest(col("doc_id"), col("nxt")).as("doc_b"))
+      .join(cand, Seq("doc_a", "doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"), lit(0L).as("label"))
+    pos.unionAll(neg).orderBy(col("label").desc, col("doc_a"), col("doc_b"))
+  }
+  val qContrastivePairsSql: String =
+    s"""WITH $docsWithDupsSql,
+       |$pairsSqlCtes,
+       |doc_sh AS (
+       |  SELECT DISTINCT doc_id, unnest(${shinglesSql("text")}) AS sh FROM dd),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM doc_sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT doc_a, doc_b, COUNT(*) AS n_inter
+       |  FROM pairs
+       |  JOIN doc_sh sa ON doc_a = sa.doc_id
+       |  JOIN doc_sh sb ON doc_b = sb.doc_id AND sa.sh = sb.sh
+       |  GROUP BY doc_a, doc_b),
+       |pos AS (
+       |  SELECT p.doc_a, p.doc_b
+       |  FROM pairs p
+       |  JOIN sizes za ON p.doc_a = za.doc_id
+       |  JOIN sizes zb ON p.doc_b = zb.doc_id
+       |  LEFT JOIN inter USING (doc_a, doc_b)
+       |  WHERE COALESCE(n_inter, 0) * 3 >= za.n_sh + zb.n_sh),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substring(md5('neg:' || CAST(doc_id AS VARCHAR)), 1, 12)
+       |      AS BIGINT) AS nh
+       |  FROM dd),
+       |adj AS (
+       |  SELECT doc_id,
+       |    lead(doc_id) OVER (PARTITION BY nh % 64 ORDER BY nh, doc_id) AS nxt
+       |  FROM hashed),
+       |negraw AS (
+       |  SELECT least(doc_id, nxt) AS doc_a, greatest(doc_id, nxt) AS doc_b
+       |  FROM adj WHERE nxt IS NOT NULL),
+       |neg AS (
+       |  SELECT doc_a, doc_b FROM negraw
+       |  WHERE NOT EXISTS (SELECT 1 FROM pairs p
+       |    WHERE p.doc_a = negraw.doc_a AND p.doc_b = negraw.doc_b))
+       |SELECT doc_a, doc_b, CAST(1 AS BIGINT) AS label FROM pos
+       |UNION ALL
+       |SELECT doc_a, doc_b, CAST(0 AS BIGINT) AS label FROM neg
+       |ORDER BY label DESC, doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -3326,7 +3509,10 @@ object LlmQueries {
     "l53_pseudo_label" -> qPseudoLabel _,
     "l54_ann_recall" -> qAnnRecall _,
     "l55_bm25" -> qBm25 _,
-    "l56_knn_pagerank" -> qKnnPagerank _
+    "l56_knn_pagerank" -> qKnnPagerank _,
+    "l57_priority_sample" -> qPrioritySample _,
+    "l58_cms_heavy" -> qCmsHeavy _,
+    "l59_contrastive_pairs" -> qContrastivePairs _
   )
 
   val oracles: Map[String, String] = Map(
@@ -3385,6 +3571,9 @@ object LlmQueries {
     "l53_pseudo_label" -> qPseudoLabelSql,
     "l54_ann_recall" -> qAnnRecallSql,
     "l55_bm25" -> qBm25Sql,
-    "l56_knn_pagerank" -> qKnnPagerankSql
+    "l56_knn_pagerank" -> qKnnPagerankSql,
+    "l57_priority_sample" -> qPrioritySampleSql,
+    "l58_cms_heavy" -> qCmsHeavySql,
+    "l59_contrastive_pairs" -> qContrastivePairsSql
   )
 }

@@ -1844,6 +1844,63 @@ object RelationalQueries {
       |HAVING offset_d <= 7
       |ORDER BY c_day, offset_d""".stripMargin
 
+  /** ABC / Pareto classification — the cumulative-share segmentation
+    * every inventory/revenue report ships: per brand, rank parts by
+    * exact revenue, take the running revenue share, and classify A
+    * (first 80% of brand revenue), B (to 95%), C (tail). Revenue
+    * quantizes per LINE ITEM (`floor(x·100+0.5)` — one IEEE product +
+    * floor, identical on both engines; a double → DECIMAL cast here
+    * hits the engines' different rounding modes, which a one-cent
+    * divergence in this query's exact output exposed), then everything
+    * is an order-independent BIGINT sum. The running sum is a window
+    * PARTITIONED by brand
+    * under the total order (revenue desc, partkey), and the class
+    * thresholds are divisionless cross-multiplies
+    * (`cum·100 <= total·80`) — engine-exact end to end. Scale shape:
+    * one join-agg for revenue, one brand-keyed window, one broadcastable
+    * |brands|-row totals join.
+    */
+  def q63AbcClass(s: SparkSession, d: String): DataFrame = {
+    val rev = li(s, d).join(part(s, d), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand".as("brand"), $"l_partkey".as("partkey"))
+      .agg(sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100 + 0.5)
+        .cast("long")).as("rev_cents"))
+    val tot = rev.groupBy("brand").agg(sum("rev_cents").as("tot_cents"))
+    val w = Window.partitionBy($"brand").orderBy($"rev_cents".desc, $"partkey")
+    rev.withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum_cents",
+        sum($"rev_cents").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(tot), Seq("brand"))
+      .select($"brand", $"partkey", $"rev_cents", $"rnk", $"cum_cents",
+        when($"cum_cents" * 100 <= $"tot_cents" * 80, "A")
+          .when($"cum_cents" * 100 <= $"tot_cents" * 95, "B")
+          .otherwise("C").as("abc"))
+      .where($"partkey" % 10 === 0)
+      .orderBy("brand", "rnk")
+  }
+  val q63Sql: String =
+    """WITH rev AS (
+      |  SELECT p.p_brand AS brand, l.l_partkey AS partkey,
+      |    CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100
+      |      + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT brand, CAST(SUM(rev_cents) AS BIGINT) AS tot_cents
+      |        FROM rev GROUP BY brand),
+      |ranked AS (
+      |  SELECT brand, partkey, rev_cents,
+      |    CAST(row_number() OVER w AS BIGINT) AS rnk,
+      |    CAST(SUM(rev_cents) OVER (PARTITION BY brand
+      |      ORDER BY rev_cents DESC, partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+      |  FROM rev WINDOW w AS (PARTITION BY brand ORDER BY rev_cents DESC, partkey))
+      |SELECT brand, partkey, rev_cents, rnk, cum_cents,
+      |  CASE WHEN cum_cents * 100 <= tot_cents * 80 THEN 'A'
+      |       WHEN cum_cents * 100 <= tot_cents * 95 THEN 'B' ELSE 'C' END AS abc
+      |FROM ranked JOIN tot USING (brand)
+      |WHERE partkey % 10 = 0
+      |ORDER BY brand, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -1906,7 +1963,8 @@ object RelationalQueries {
     "q59_interval_join" -> q59IntervalJoin _,
     "q60_time_weighted" -> q60TimeWeighted _,
     "q61_funnel" -> q61Funnel _,
-    "q62_cohort" -> q62Cohort _
+    "q62_cohort" -> q62Cohort _,
+    "q63_abc_class" -> q63AbcClass _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1971,7 +2029,8 @@ object RelationalQueries {
     "q59_interval_join" -> q59Sql,
     "q60_time_weighted" -> q60Sql,
     "q61_funnel" -> q61Sql,
-    "q62_cohort" -> q62Sql
+    "q62_cohort" -> q62Sql,
+    "q63_abc_class" -> q63Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits

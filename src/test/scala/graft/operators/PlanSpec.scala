@@ -549,4 +549,51 @@ class PlanSpec extends SparkSpec {
   test("q62 cohort joins activity to cohorts on the user key") {
     assertNoAllPairs("q62", RelationalQueries.queries("q62_cohort")(spark, sf))
   }
+
+  // q63's running share is a brand-partitioned window and the totals
+  // join back via broadcast.
+  test("q63 ABC class: partitioned running sum, broadcast totals") {
+    val df = RelationalQueries.queries("q63_abc_class")(spark, sf)
+    assertNoAllPairs("q63", df)
+    val unpartitioned = df.queryExecution.sparkPlan
+      .collect { case w: WindowExec => w }.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.isEmpty,
+      s"q63 plan has ${unpartitioned.size} unpartitioned WindowExec node(s)")
+    assert(planOf(df).contains("BroadcastHashJoin"),
+      s"q63 lost the broadcast totals join:\n${planOf(df)}")
+  }
+
+  // l57's top-50 must stay TakeOrderedAndProject; the rank window runs
+  // after the limit, over 50 rows.
+  test("l57 priority sample top-k is TakeOrderedAndProject") {
+    val df = LlmQueries.queries("l57_priority_sample")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"l57 lost the sort-limit top-k plan:\n$p")
+  }
+
+  // l58's 4×1024 counter table must broadcast into the heavy-hitter
+  // probe, and the top-20 candidate selection must be a sort-limit
+  // (TakeOrderedAndProject), never a global sort.
+  test("l58 CMS heavy hitters: broadcast counters, sort-limit candidates") {
+    val df = LlmQueries.queries("l58_cms_heavy")(spark, sf)
+    assertNoAllPairs("l58", df)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"l58 lost the broadcast counter-table join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"l58 lost the sort-limit candidate plan:\n$p")
+  }
+
+  // l59's negatives come from a bucket-partitioned lead window (never a
+  // global sort window) and the positive/negative construction stays
+  // equi-join-only.
+  test("l59 contrastive pairs: partitioned windows, no all-pairs") {
+    val df = LlmQueries.queries("l59_contrastive_pairs")(spark, sf)
+    assertNoAllPairs("l59", df)
+    val unpartitioned = df.queryExecution.sparkPlan
+      .collect { case w: WindowExec => w }.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.isEmpty,
+      s"l59 plan has ${unpartitioned.size} unpartitioned WindowExec node(s)")
+  }
 }
