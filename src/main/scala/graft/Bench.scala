@@ -58,6 +58,13 @@ object Bench {
     "l50_containment" -> 4.5, "q56_basket_pairs" -> 2.8,
     "l51_training_shuffle" -> 0.8,
     "q57_percentile_cont" -> 0.6, "q58_distinct_window" -> 0.8,
+    "q59_interval_join" -> 1.0, "q60_time_weighted" -> 0.5,
+    "q61_funnel" -> 1.0, "q62_cohort" -> 0.5, "q63_abc_class" -> 1.0,
+    "l52_winnowing" -> 1.4, "l53_pseudo_label" -> 1.1,
+    "l54_ann_recall" -> 1.2, "l55_bm25" -> 0.5,
+    "l56_knn_pagerank" -> 3.2, "l57_priority_sample" -> 0.4,
+    "l58_cms_heavy" -> 0.8, "l59_contrastive_pairs" -> 3.1,
+    "m07_audio_features" -> 1.0,
     "q35_json" -> 0.4, "q36_map" -> 0.4,
     "q37_range_window" -> 0.8, "q38_sessionize" -> 0.9,
     "q39_try_functions" -> 0.4, "q40_approx_quantiles" -> 1.0,
