@@ -89,6 +89,59 @@ object TickStream {
       }
   }
 
+  /** Spark 4 state-v2 processor backing [[hotLoopStreamTws]]: the same
+    * sequential recurrence as [[hotLoopStreamKeyed]]'s
+    * `flatMapGroupsWithState` closure, expressed through the
+    * `StatefulProcessor` lifecycle — named typed state
+    * (`ValueState[HotLoopState]`, no-TTL) bound in `init`, folded in
+    * `handleInputRows`. The processor form is what the v2 engine's
+    * operational upgrades attach to (RocksDB state store with changelog
+    * checkpointing, state schema evolution, per-state TTL) — the fold
+    * itself is byte-identical to the v1 path, and the spec pins
+    * cross-engine parity.
+    */
+  private[streaming] class HotLoopProcessor(cfg: SignalConfig)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, TickIn), (String, TickOut)] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[HotLoopState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[HotLoopState]("hotloop",
+        org.apache.spark.sql.Encoders.product[HotLoopState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, TickIn)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(String, TickOut)] = {
+      var s = if (st.exists()) st.get() else HotLoopState()
+      val outs = rows.toSeq.sortBy(_._2.tick_idx).map { case (_, t) =>
+        val (s2, o) = HotLoopStep.step(s, t, cfg)
+        s = s2
+        (key, o)
+      }
+      st.update(s)
+      outs.iterator
+    }
+  }
+
+  /** [[hotLoopStreamKeyed]] on the Spark 4 `transformWithState` (state
+    * v2) API. Identical semantics and output; requires the RocksDB
+    * state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`), which is also what a
+    * production deployment wants for the hot loop: changelog
+    * checkpointing makes the per-micro-batch state commit O(delta)
+    * instead of O(state), and state no longer lives on the executor
+    * heap. Scale shape is unchanged — state, shuffle, and parallelism
+    * all partition by symbol.
+    */
+  def hotLoopStreamTws(ticks: Dataset[(String, TickIn)],
+      cfg: SignalConfig): Dataset[(String, TickOut)] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(_._1)
+      .transformWithState(new HotLoopProcessor(cfg),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Consumer types (reference: src/TripleSplitSystem.jl:16-20). */
   sealed trait ConsumerType
   case object Priority extends ConsumerType   // lossless, backpressures

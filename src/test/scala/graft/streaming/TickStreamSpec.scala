@@ -80,6 +80,45 @@ class TickStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("transformWithState (state v2) hot loop matches the v1 keyed path exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ymTicks = mkTicks(300)
+      val esTicks = {
+        val rnd = new scala.util.Random(47)
+        (1 to 250).map(i => TickIn(i.toLong, 9L, 39000 + rnd.nextInt(5200) - 100,
+          if (i == 1) 0 else rnd.nextInt(41) - 20))
+      }
+      val expectedYm = HotLoopStep.run(ymTicks, cfg)
+      val expectedEs = HotLoopStep.run(esTicks, cfg)
+      val interleaved: Seq[(String, TickIn)] =
+        ymTicks.map(("YM", _)).zipAll(esTicks.map(("ES", _)), null, null)
+          .flatMap { case (a, b) => Seq(a, b).filter(_ != null) }
+      val input = MemoryStream[(String, TickIn)]
+      val out = TickStream.hotLoopStreamTws(input.toDS(), cfg)
+      val ckpt = Files.createTempDirectory("ckpt_tws").toString
+      val query = out.writeStream
+        .format("memory").queryName("hotloop_tws_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        input.addData(interleaved.take(180): _*); query.processAllAvailable()
+        input.addData(interleaved.slice(180, 400): _*); query.processAllAvailable()
+        input.addData(interleaved.drop(400): _*); query.processAllAvailable()
+        val got = spark.table("hotloop_tws_out").as[(String, TickOut)].collect()
+        val bySym = got.groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_.tick_idx).toSeq)
+        assert(bySym("YM") == expectedYm)
+        assert(bySym("ES") == expectedEs)
+      } finally query.stop()
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming f32 hot loop tracks the batch double pipeline to 1e-5") {
     val ticks = mkTicks(500)
     val seq = HotLoopStep.run(ticks, cfg)
