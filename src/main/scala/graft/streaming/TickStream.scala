@@ -142,6 +142,71 @@ object TickStream {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  /** Input/output rows for [[sessionCloseStream]]. */
+  case class SymTick(sym: String, ts: java.sql.Timestamp, price: Int)
+  case class SessionClose(sym: String, n_ticks: Long, first_ms: Long, last_ms: Long)
+  private case class SessAgg(n: Long, firstMs: Long, lastMs: Long, timerAtMs: Long)
+
+  /** State-v2 processor with EVENT-TIME TIMERS: closes a per-symbol
+    * session when the symbol has been quiet for `gapMs` of event time —
+    * the session summary is emitted from `handleExpiredTimer` when the
+    * WATERMARK passes last_tick + gap, not when a next element happens
+    * to arrive. The v1 API can only approximate this
+    * (`GroupStateTimeout.EventTimeTimeout` times out the whole group,
+    * fires lazily, and cannot re-arm mid-batch); v2 timers are named
+    * per-key instants the engine tracks in the state store — each new
+    * tick deletes the previous timer and arms last_ms + gap. Scale
+    * shape: state, timers, and shuffle all partition by symbol; an
+    * idle symbol costs one (timestamp, key) entry in the timer column
+    * family, not a scan.
+    */
+  private[streaming] class SessionTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, SymTick, SessionClose] {
+    @transient private var agg: org.apache.spark.sql.streaming.ValueState[SessAgg] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      agg = getHandle.getValueState[SessAgg]("sess",
+        org.apache.spark.sql.Encoders.product[SessAgg],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[SymTick],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionClose] = {
+      var s = if (agg.exists()) agg.get() else SessAgg(0L, Long.MaxValue, Long.MinValue, -1L)
+      rows.foreach { t =>
+        val ms = t.ts.getTime
+        s = SessAgg(s.n + 1, math.min(s.firstMs, ms), math.max(s.lastMs, ms), s.timerAtMs)
+      }
+      if (s.timerAtMs >= 0) getHandle.deleteTimer(s.timerAtMs)
+      val armAt = s.lastMs + gapMs
+      getHandle.registerTimer(armAt)
+      agg.update(s.copy(timerAtMs = armAt))
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: String,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionClose] = {
+      val out =
+        if (agg.exists()) {
+          val s = agg.get()
+          Iterator.single(SessionClose(key, s.n, s.firstMs, s.lastMs))
+        } else Iterator.empty
+      agg.clear()
+      out
+    }
+  }
+
+  /** Inactivity-gap session closer over a symbol-keyed tick stream
+    * (event-time timers; see [[SessionTimerProcessor]]). Input must
+    * carry a watermark on `ts`.
+    */
+  def sessionCloseStream(ticks: Dataset[SymTick], gapMs: Long): Dataset[SessionClose] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(_.sym)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Consumer types (reference: src/TripleSplitSystem.jl:16-20). */
   sealed trait ConsumerType
   case object Priority extends ConsumerType   // lossless, backpressures

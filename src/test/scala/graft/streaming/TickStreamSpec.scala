@@ -119,6 +119,52 @@ class TickStreamSpec extends SparkSpec {
     }
   }
 
+  test("state-v2 event-time timers close inactivity sessions at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import TickStream.{SymTick, SessionClose}
+      def tick(sym: String, ms: Long) = SymTick(sym, new java.sql.Timestamp(ms), 100)
+      val input = MemoryStream[SymTick]
+      val out = TickStream.sessionCloseStream(
+        input.toDS().withWatermark("ts", "0 seconds").as[SymTick], gapMs = 5000L)
+      val ckpt = Files.createTempDirectory("ckpt_timer").toString
+      val query = out.writeStream
+        .format("memory").queryName("session_close_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        // Batch 1: YM ticks at 1s/2s/3s, ES at 2s. Watermark after the
+        // batch is 3s; timers sit at 8s (YM) and 7s (ES) — nothing fires.
+        input.addData(tick("YM", 1000), tick("YM", 2000), tick("ES", 2000),
+          tick("YM", 3000))
+        query.processAllAvailable()
+        assert(spark.table("session_close_out").count() == 0L)
+        // Batch 2 pushes the watermark to 20s; both timers expire and the
+        // sessions close from handleExpiredTimer, not from a new element
+        // on those symbols.
+        input.addData(tick("ZZ", 20000))
+        query.processAllAvailable()
+        // One more batch so the 20s watermark (computed at batch-2 end)
+        // is applied to timer expiry.
+        input.addData(tick("ZZ", 21000))
+        query.processAllAvailable()
+        val got = spark.table("session_close_out").as[SessionClose]
+          .collect().sortBy(_.sym).toSeq
+        assert(got.exists(s => s.sym == "YM" && s.n_ticks == 3 &&
+          s.first_ms == 1000 && s.last_ms == 3000), s"YM session wrong: $got")
+        assert(got.exists(s => s.sym == "ES" && s.n_ticks == 1 &&
+          s.first_ms == 2000 && s.last_ms == 2000), s"ES session wrong: $got")
+        assert(!got.exists(_.sym == "ZZ"), s"ZZ session should still be open: $got")
+      } finally query.stop()
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming f32 hot loop tracks the batch double pipeline to 1e-5") {
     val ticks = mkTicks(500)
     val seq = HotLoopStep.run(ticks, cfg)
