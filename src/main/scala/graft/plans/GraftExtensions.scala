@@ -27,12 +27,89 @@ object RewriteLevenshtein extends Rule[LogicalPlan] {
     }
 }
 
+/** SQL registrations for the library's codegen'd Catalyst expressions,
+  * so a pure-SQL user (spark-sql shell, JDBC, `spark.sql(...)`) can
+  * call the kernels without touching the Scala API:
+  *
+  *   - `graft_vec_dot(array<float>, array<float>)` — fused float dot
+  *   - `graft_levenshtein_trimmed(string, string)` — trimmed edit distance
+  *   - `graft_minhash_sig(string)` — 16-lane MinHash signature
+  *   - `graft_byte_sum(binary)` / `graft_byte_weighted_sum(binary)`
+  *   - `graft_byte_energy(binary, center)` / `graft_byte_crossings(binary, center)`
+  *     (center must be an integer literal — it shapes the generated code)
+  *
+  * Each builder validates arity up front so a SQL misuse fails at
+  * analysis with the function's name, not at runtime inside codegen.
+  */
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def arity(name: String, args: Seq[Expression], n: Int): Unit =
+    require(args.length == n,
+      s"$name expects $n argument(s), got ${args.length}")
+
+  private def litInt(name: String, e: Expression): Int = {
+    require(e.foldable, s"$name: center must be an integer literal")
+    e.eval() match {
+      case i: Int => i
+      case i: java.lang.Integer => i.intValue
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: center must be an INT literal, got $other")
+    }
+  }
+
+  private def fd(name: String)(builder: Seq[Expression] => Expression): FunctionDescription =
+    (FunctionIdentifier(name), new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      builder)
+
+  val all: Seq[FunctionDescription] = Seq(
+    fd("graft_vec_dot") { args =>
+      arity("graft_vec_dot", args, 2)
+      graft.functions.FloatVectorDot(args(0), args(1))
+    },
+    fd("graft_levenshtein_trimmed") { args =>
+      arity("graft_levenshtein_trimmed", args, 2)
+      LevenshteinTrimmed(args(0), args(1))
+    },
+    fd("graft_minhash_sig") { args =>
+      arity("graft_minhash_sig", args, 1)
+      graft.functions.MinHashSig(args(0))
+    },
+    fd("graft_byte_sum") { args =>
+      arity("graft_byte_sum", args, 1)
+      graft.functions.BinaryByteFold(args(0), weighted = false)
+    },
+    fd("graft_byte_weighted_sum") { args =>
+      arity("graft_byte_weighted_sum", args, 1)
+      graft.functions.BinaryByteFold(args(0), weighted = true)
+    },
+    fd("graft_byte_energy") { args =>
+      arity("graft_byte_energy", args, 2)
+      graft.functions.BinaryByteStat(args(0), "energy",
+        litInt("graft_byte_energy", args(1)))
+    },
+    fd("graft_byte_crossings") { args =>
+      arity("graft_byte_crossings", args, 2)
+      graft.functions.BinaryByteStat(args(0), "crossings",
+        litInt("graft_byte_crossings", args(1)))
+    }
+  )
+}
+
 /** Session-extensions entry point — production wiring is
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`; tests can
   * instead append [[RewriteLevenshtein]] to
-  * `spark.experimental.extraOptimizations` on a live session.
+  * `spark.experimental.extraOptimizations` and register
+  * [[GraftFunctions.all]] on a live session's function registry.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteLevenshtein)
+    GraftFunctions.all.foreach(ext.injectFunction)
+  }
 }

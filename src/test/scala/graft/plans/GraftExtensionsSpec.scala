@@ -48,4 +48,39 @@ class GraftExtensionsSpec extends SparkSpec {
   test("GraftExtensions injects the rule without error") {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
+
+  test("SQL registrations expose every codegen kernel to pure SQL") {
+    val reg = spark.sessionState.functionRegistry
+    GraftFunctions.all.foreach { case (id, info, builder) =>
+      reg.registerFunction(id, info, builder)
+    }
+    try {
+      assert(spark.sql(
+        """SELECT graft_vec_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+          |  CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS d""".stripMargin)
+        .head().getDouble(0) == 11.0)
+      assert(spark.sql(
+        "SELECT graft_levenshtein_trimmed('kitten', 'sitting') AS d")
+        .head().getInt(0) == 3)
+      assert(spark.sql("SELECT graft_minhash_sig('a b c d e f g h i') AS s")
+        .head().getSeq[Long](0).length == 16)
+      assert(spark.sql("SELECT graft_byte_sum(CAST('ab' AS BINARY)) AS s")
+        .head().getLong(0) == 97L + 98L)
+      assert(spark.sql(
+        "SELECT graft_byte_weighted_sum(CAST('ab' AS BINARY)) AS s")
+        .head().getLong(0) == 1L * 97 + 2L * 98)
+      assert(spark.sql(
+        "SELECT graft_byte_energy(CAST('ab' AS BINARY), 128) AS s")
+        .head().getLong(0) == 31L * 31 + 30L * 30)
+      assert(spark.sql(
+        "SELECT graft_byte_crossings(CAST(x'7F81' AS BINARY), 128) AS s")
+        .head().getLong(0) == 1L)
+      // misuse fails at analysis with the function's name
+      val err = intercept[Exception](
+        spark.sql("SELECT graft_vec_dot(CAST(array(1.0) AS ARRAY<FLOAT>))").head())
+      assert(err.getMessage.contains("graft_vec_dot"))
+    } finally GraftFunctions.all.foreach { case (id, _, _) =>
+      reg.dropFunction(id)
+    }
+  }
 }
