@@ -11,6 +11,14 @@ object SparkEntry {
     */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    // Value-preserving rewrites every declared query benefits from
+    // (trimmed levenshtein; array-free token counting). Idempotent —
+    // tune wraps every query invocation.
+    val rules = Seq(graft.plans.RewriteLevenshtein, graft.plans.RewriteSpaceTokenCount)
+    val cur = spark.experimental.extraOptimizations
+    val missing = rules.filterNot(cur.contains)
+    if (missing.nonEmpty)
+      spark.experimental.extraOptimizations = cur ++ missing
     spark
   }
 

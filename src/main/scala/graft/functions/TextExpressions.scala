@@ -185,6 +185,54 @@ object MinHashSig {
   }
 }
 
+/** `size(split(s, ' '))` without the array: the token-count idiom the
+  * whole text-quality suite leans on (l10/l11/l15/l19/l44/l49/l57…)
+  * normally materializes one `UTF8String[]` per row — at a ~400-word
+  * document that is 400 object headers and a 3 KB array allocated,
+  * counted, and thrown away. This expression counts in a single byte
+  * scan instead.
+  *
+  * Exactness: `split` with the one-space literal pattern and limit -1
+  * returns exactly (#separator matches + 1) elements — empty strings
+  * from leading/trailing/consecutive separators are KEPT at negative
+  * limit, so the element count never depends on content between
+  * separators. 0x20 never occurs inside a multi-byte UTF-8 sequence
+  * (continuation bytes are ≥ 0x80), so the byte scan counts exactly
+  * the code-point matches the regex engine would. The rewrite rule
+  * [[graft.plans.RewriteSpaceTokenCount]] applies this automatically.
+  */
+case class SpaceTokenCount(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "space_token_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SpaceTokenCount.count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SpaceTokenCount.count($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SpaceTokenCount =
+    copy(child = newChild)
+}
+
+object SpaceTokenCount {
+  /** Static kernel shared by interpreted eval and codegen. */
+  def count(s: UTF8String): Int = {
+    val n = s.numBytes
+    var cnt = 1
+    var i = 0
+    while (i < n) {
+      if (s.getByte(i) == 0x20) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+}
+
 object TextFunctions {
   /** Column wrapper for [[LevenshteinTrimmed]]. */
   def levenshteinTrimmed(a: Column, b: Column): Column =
@@ -194,4 +242,8 @@ object TextFunctions {
   /** Column wrapper for [[MinHashSig]]. */
   def minhashSig(t: Column): Column =
     GraftColumns.column(MinHashSig(GraftColumns.expression(t)))
+
+  /** Column wrapper for [[SpaceTokenCount]]. */
+  def spaceTokenCount(t: Column): Column =
+    GraftColumns.column(SpaceTokenCount(GraftColumns.expression(t)))
 }

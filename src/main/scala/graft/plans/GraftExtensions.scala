@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Levenshtein
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{IntegerType, StringType}
 
 import graft.functions.LevenshteinTrimmed
 
@@ -24,6 +24,32 @@ object RewriteLevenshtein extends Rule[LogicalPlan] {
       case Levenshtein(l, r, None)
           if l.dataType == StringType && r.dataType == StringType =>
         LevenshteinTrimmed(l, r)
+    }
+}
+
+/** Optimizer rule: rewrite `size(split(s, ' '))` — the token-count
+  * idiom used throughout the text-quality suite — to the single-pass
+  * byte-scan counter [[graft.functions.SpaceTokenCount]], skipping the
+  * per-row `UTF8String[]` materialization entirely. Fires only on the
+  * exact shape the counter is provably identical to: the one-space
+  * LITERAL pattern (any other regex has different match semantics),
+  * limit -1 (the `functions.split(c, p)` default, which keeps empty
+  * elements so the count is #separators + 1), non-legacy `size(null)`
+  * semantics, and a default-collation string input.
+  */
+object RewriteSpaceTokenCount extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal, Size, StringSplit}
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      // legacySizeOfNull (the ANSI-off default): size(null) = -1, so the
+      // null case must keep that value; on a non-nullable input the If
+      // is dead weight codegen folds trivially.
+      case Size(StringSplit(str, Literal(pat: org.apache.spark.unsafe.types.UTF8String, StringType),
+            Literal(-1, IntegerType)), legacy)
+          if pat.toString == " " && str.dataType == StringType =>
+        if (legacy)
+          If(IsNull(str), Literal(-1, IntegerType), graft.functions.SpaceTokenCount(str))
+        else graft.functions.SpaceTokenCount(str)
     }
 }
 
@@ -110,6 +136,7 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteLevenshtein)
+    ext.injectOptimizerRule(_ => RewriteSpaceTokenCount)
     GraftFunctions.all.foreach(ext.injectFunction)
   }
 }

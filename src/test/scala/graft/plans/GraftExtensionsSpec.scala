@@ -49,6 +49,47 @@ class GraftExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
 
+  test("RewriteSpaceTokenCount: exact parity with size(split) on edge shapes") {
+    // The kernel must equal size(split(s, ' ')) on EVERY input — empty
+    // string, leading/trailing/consecutive spaces, multi-byte UTF-8.
+    val cases = Seq("", " ", "  ", "a", "a b", " a b ", "a  b",
+      "héllo wörld", "日本 語 テスト", "tab\there", "a   b")
+    import spark.implicits._
+    val df = cases.toDF("s").select(
+      org.apache.spark.sql.functions.size(split($"s", " ")).as("builtin"),
+      graft.functions.TextFunctions.spaceTokenCount($"s").as("kernel"))
+    df.collect().zip(cases).foreach { case (r, in) =>
+      assert(r.getInt(0) == r.getInt(1), s"mismatch on '$in': $r")
+    }
+    // null flows through as null (non-legacy size semantics)
+    val nrow = Seq[String](null).toDF("s").select(
+      graft.functions.TextFunctions.spaceTokenCount($"s").as("k")).head()
+    assert(nrow.isNullAt(0))
+  }
+
+  test("RewriteSpaceTokenCount fires on the idiom and only the idiom") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RewriteSpaceTokenCount
+    try {
+      import spark.implicits._
+      val df = spark.range(3).select(
+        org.apache.spark.sql.functions.size(
+          split(concat(lit("a b c "), $"id"), " ")).as("n"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("space_token_count"), s"rule did not fire:\n$opt")
+      assert(df.collect().map(_.getInt(0)).toSeq == Seq(4, 4, 4))
+      // A non-space pattern must be left alone.
+      val other = spark.range(1).select(
+        org.apache.spark.sql.functions.size(
+          split(concat(lit("a,b,"), $"id"), ",")).as("n"))
+      assert(!other.queryExecution.optimizedPlan.toString.contains("space_token_count"))
+      assert(other.head().getInt(0) == 3)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == RewriteSpaceTokenCount)
+    }
+  }
+
   test("SQL registrations expose every codegen kernel to pure SQL") {
     val reg = spark.sessionState.functionRegistry
     GraftFunctions.all.foreach { case (id, info, builder) =>
