@@ -113,6 +113,17 @@ object Graft {
       cfg: SignalConfig): Dataset[(String, TickOut)] =
     TickStream.hotLoopStreamKeyed(ticks, cfg)
 
+  /** State-v2 (`transformWithState`) variants: the keyed hot loop on the
+    * RocksDB-backed processor API, and the event-time-timer
+    * inactivity-gap session closer.
+    */
+  def hotLoopStreamTws(ticks: Dataset[(String, TickIn)],
+      cfg: SignalConfig): Dataset[(String, TickOut)] =
+    TickStream.hotLoopStreamTws(ticks, cfg)
+  def sessionCloseStream(ticks: Dataset[TickStream.SymTick],
+      gapMs: Long): Dataset[TickStream.SessionClose] =
+    TickStream.sessionCloseStream(ticks, gapMs)
+
   // -------------------------------------------------------------- pipeline
   /** Batch end-to-end run from a config (reference: run_pipeline): tick
     * file -> expansion -> hot loop -> bar enrichment.
