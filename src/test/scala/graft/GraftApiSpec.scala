@@ -41,6 +41,19 @@ class GraftApiSpec extends SparkSpec {
     assert(idx == n)
   }
 
+  test("facade exposes the state-v2 streaming surface") {
+    // Thin delegations — the semantics are pinned by TickStreamSpec;
+    // this guards that the facade signatures keep compiling and wiring
+    // to the right implementations.
+    import graft.streaming.{TickIn, TickOut, TickStream}
+    import org.apache.spark.sql.Dataset
+    val f1: (Dataset[(String, TickIn)], SignalConfig) => Dataset[(String, TickOut)] =
+      Graft.hotLoopStreamTws
+    val f2: (Dataset[TickStream.SymTick], Long) => Dataset[TickStream.SessionClose] =
+      Graft.sessionCloseStream
+    assert(f1 != null && f2 != null)
+  }
+
   test("facade primitives: parse drops malformed, timestamp round-trips") {
     val path = writeTickFile()
     val parsed = Graft.readTickFile(spark, path)
