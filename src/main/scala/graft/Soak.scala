@@ -23,6 +23,11 @@ object Soak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.tune(spark)
+    if (sys.env.get("SOAK_MODE").contains("dedup")) {
+      dedupScale(spark, sfDir)
+      spark.stop()
+      return
+    }
 
     val cfg = graft.config.SignalConfig(encoderType = "derivative",
       minPrice = 39000, maxPrice = 44000, tickDerivativeImagScale = 2.0f)
@@ -50,5 +55,68 @@ object Soak {
     }
     base.unpersist()
     spark.stop()
+  }
+
+  /** Dedup-suite scale probe (`SOAK_MODE=dedup`): run the flagship LLM
+    * dedup stages — exact md5 dedup, MinHash signatures, LSH candidate
+    * pairs — on 1x/4x/10x the sf documents corpus. Copies beyond the
+    * first apply a per-copy Caesar rotation over [a-z]/[A-Z]/[0-9]
+    * (`translate` — a BIJECTIVE character map, so each copy's internal
+    * character-shingle similarity structure is EXACTLY the base
+    * corpus's, while cross-copy shingles diverge like unrelated text):
+    * corpus size scales by `mult` with a constant internal duplicate
+    * rate. A first attempt prefixed each word with the copy index —
+    * wrong, because the shingles are character 4-grams and grams
+    * interior to unchanged words survive, leaving every copy a
+    * near-dup of the original (the pair count exploded quadratically:
+    * an all-duplicate corpus, not a bigger one). Note on reading the
+    * pair counts: a DuckDB replication of the full pipeline at 4x
+    * confirms ZERO cross-copy pairs, but per-copy counts differ from
+    * the base draw (8.9k vs ~25k) — a bijective gram map permutes the
+    * md5 ordering, so each copy is an INDEPENDENT MinHash draw over
+    * the same similarity structure, and this small-vocab fixture
+    * corpus sits near the banding threshold where the draw decides
+    * borderline candidates. Wall time, not pair count, is the
+    * scale-linearity signal here.
+    */
+  private def dedupScale(spark: SparkSession, sfDir: String): Unit = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = base.count()
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    val digits = "0123456789"
+    def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+    sys.env.getOrElse("SOAK_MULTS", "1,4,10").split(",").map(_.trim.toInt)
+      .toSeq.foreach { mult =>
+      val docs =
+        if (mult == 1) base
+        else (0 until mult).map { k =>
+          val d = base.withColumn("doc_id", col("doc_id") + lit(k * 1000000L))
+          if (k == 0) d
+          else d.withColumn("text", translate(col("text"),
+            lower + upper + digits,
+            rot(lower, k) + rot(upper, k) + rot(digits, k)))
+        }.reduce(_.unionByName(_))
+      def time(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val rows = df.queryExecution.toRdd.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[soak-dedup] ${mult}x $label: $rows rows in $sec%.1fs")
+      }
+      time("exact_md5")(docs.groupBy(md5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("copies")))
+      time("signatures")(docs.select(col("doc_id"),
+        graft.functions.TextFunctions.minhashSig(col("text")).as("mh")))
+      time("lsh_pairs")(graft.llm.LlmQueries.lshPairsFor(docs))
+      // Release the banded-signature cache lshPairsFor pins, then
+      // re-pin the base corpus for the next scale.
+      spark.catalog.clearCache()
+      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      System.gc()
+    }
+    base.unpersist()
+    System.err.println(s"[soak-dedup] base corpus: $n docs")
   }
 }

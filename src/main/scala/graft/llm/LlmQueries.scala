@@ -178,6 +178,14 @@ object LlmQueries {
   def qLshPairs(s: SparkSession, d: String): DataFrame =
     lshPairsOf(bandedSignatures(docsWithDups(s, d)))
 
+  /** Scale-probe entry (graft.Soak dedup mode): the full signature →
+    * banding → candidate-pair pipeline over an arbitrary (doc_id, text)
+    * frame. Not a declared query; the declared surface wraps this with
+    * the dup-augmented fixture.
+    */
+  def lshPairsFor(docs: DataFrame): DataFrame =
+    lshPairsOf(bandedSignatures(docs))
+
   private def lshPairsOf(bandedDf: DataFrame): DataFrame = {
     val banded = bandedDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a"); val b = banded.as("b")
