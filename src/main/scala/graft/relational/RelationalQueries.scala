@@ -1901,6 +1901,48 @@ object RelationalQueries {
       |WHERE partkey % 10 = 0
       |ORDER BY brand, rnk""".stripMargin
 
+  /** Equi-DEPTH histogram — q50's fixed-width companion and the
+    * partition-bounds profile a range-partitioner or Z-order writer
+    * actually wants: per order-priority group, decile buckets holding
+    * ~n/10 rows each, with exact cent-quantized value bounds. Bucket
+    * assignment is `(rn−1)·10 div n` under the total order
+    * (price_cents, orderkey) — rank-based, so duplicate values and
+    * IEEE representation never move a row across engines — and every
+    * window is PARTITIONED by the group (the q28 discipline: grouped
+    * quantiles never pay a global sort). Scale shape: one partitioned
+    * rank window + one hash agg; output is |groups|×10 rows at any
+    * fact volume.
+    */
+  def q64EquiDepth(s: SparkSession, d: String): DataFrame = {
+    val base = ord(s, d).select($"o_orderpriority",
+      floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"), $"o_orderkey")
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"cents", $"o_orderkey")
+    val wn = Window.partitionBy($"o_orderpriority")
+    base
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .select($"o_orderpriority",
+        expr("(rn - 1) * 10 div n").as("decile"), $"cents")
+      .groupBy($"o_orderpriority", $"decile")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"cents").as("lo_cents"), max($"cents").as("hi_cents"))
+      .orderBy("o_orderpriority", "decile")
+  }
+  val q64Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderpriority,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents, o_orderkey
+      |  FROM orders),
+      |ranked AS (
+      |  SELECT o_orderpriority, cents,
+      |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM base)
+      |SELECT o_orderpriority, (rn - 1) * 10 // n AS decile,
+      |  COUNT(*) AS n_rows, MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+      |FROM ranked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -1964,7 +2006,8 @@ object RelationalQueries {
     "q60_time_weighted" -> q60TimeWeighted _,
     "q61_funnel" -> q61Funnel _,
     "q62_cohort" -> q62Cohort _,
-    "q63_abc_class" -> q63AbcClass _
+    "q63_abc_class" -> q63AbcClass _,
+    "q64_equidepth" -> q64EquiDepth _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2030,7 +2073,8 @@ object RelationalQueries {
     "q60_time_weighted" -> q60Sql,
     "q61_funnel" -> q61Sql,
     "q62_cohort" -> q62Sql,
-    "q63_abc_class" -> q63Sql
+    "q63_abc_class" -> q63Sql,
+    "q64_equidepth" -> q64Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits

@@ -585,6 +585,17 @@ class PlanSpec extends SparkSpec {
       s"l58 lost the sort-limit candidate plan:\n$p")
   }
 
+  // q64's rank and count windows must both be partitioned by the group
+  // (grouped quantiles never pay a global sort).
+  test("q64 equi-depth histogram windows are group-partitioned") {
+    val df = RelationalQueries.queries("q64_equidepth")(spark, sf)
+    assertNoAllPairs("q64", df)
+    val unpartitioned = df.queryExecution.sparkPlan
+      .collect { case w: WindowExec => w }.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.isEmpty,
+      s"q64 plan has ${unpartitioned.size} unpartitioned WindowExec node(s)")
+  }
+
   // l59's negatives come from a bucket-partitioned lead window (never a
   // global sort window) and the positive/negative construction stays
   // equi-join-only.
