@@ -3461,6 +3461,85 @@ object LlmQueries {
        |SELECT doc_a, doc_b, CAST(0 AS BIGINT) AS label FROM neg
        |ORDER BY label DESC, doc_a, doc_b""".stripMargin
 
+  /** l60: tf-idf sparse cosine re-scoring — the weighted companion to
+    * l05's unweighted set intersection: LSH candidate pairs are
+    * re-scored as a SPARSE VECTOR dot product over the word inverted
+    * index, so a shared rare term counts for more than a shared
+    * stopword (what plain Jaccard cannot express). Everything is
+    * BIGINT-exact: tf is a count, the idf surrogate is the integer
+    * `N div df` (rarer term → bigger weight, no libm log), the weight
+    * is `tf · (N div df)`, and the output carries the raw dot plus both
+    * squared norms — the cosine rational is fully determined without a
+    * float ever being compared. Scale shape: one explode + one
+    * (doc, term) agg for the index, one O(vocab)-row df agg broadcast
+    * back, and the pair scoring is two equi-joins on the candidate's
+    * doc ids + one term-keyed agg — candidates come pre-pruned by the
+    * LSH banding, never all-pairs.
+    */
+  def qTfidfCosine(s: SparkSession, d: String): DataFrame = {
+    val dd = docsWithDups(s, d)
+    val pairs = lshPairsOf(bandedSignatures(dd))
+    val tf = dd.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("t"))
+      .where(length(col("t")) > 0)
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    // 1-row corpus count under the vocab agg — the l55 corpus-stat
+    // shape: a broadcast nested loop against ONE row is O(|vocab|),
+    // not an all-pairs hazard (a constant-key equi-join does not
+    // survive FoldablePropagation, so this IS the plan for it).
+    val nDocs = dd.select(countDistinct("doc_id").as("n"))
+    val df_ = tf.groupBy("t").agg(countDistinct("doc_id").as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("t"), expr("n div df").as("idf"))
+    val w = tf.join(broadcast(df_), Seq("t"))
+      .select(col("doc_id"), col("t"), (col("tf") * col("idf")).as("wt"))
+    val norms = w.groupBy("doc_id").agg(sum(col("wt") * col("wt")).as("norm2"))
+    val dot = pairs
+      .join(w.as("wa"), col("doc_a") === col("wa.doc_id"))
+      .join(w.as("wb"), col("doc_b") === col("wb.doc_id")
+        && col("wa.t") === col("wb.t"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("wa.wt") * col("wb.wt")).as("dot"))
+    pairs
+      .join(dot, Seq("doc_a", "doc_b"), "left")
+      .join(norms.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(norms.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("dot"), lit(0L)).as("dot"),
+        col("na.norm2").as("norm2_a"), col("nb.norm2").as("norm2_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+  val qTfidfCosineSql: String =
+    s"""WITH $docsWithDupsSql,
+       |$pairsSqlCtes,
+       |tf AS (
+       |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM dd)
+       |  WHERE len(t) > 0 GROUP BY doc_id, t),
+       |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM dd),
+       |idf AS (
+       |  SELECT t, n // CAST(count(DISTINCT doc_id) AS BIGINT) AS idf
+       |  FROM tf CROSS JOIN nd GROUP BY t, n),
+       |w AS (
+       |  SELECT tf.doc_id, tf.t, tf.tf * idf.idf AS wt
+       |  FROM tf JOIN idf USING (t)),
+       |norms AS (
+       |  SELECT doc_id, CAST(SUM(wt * wt) AS BIGINT) AS norm2
+       |  FROM w GROUP BY doc_id),
+       |dots AS (
+       |  SELECT p.doc_a, p.doc_b, CAST(SUM(wa.wt * wb.wt) AS BIGINT) AS dot
+       |  FROM pairs p
+       |  JOIN w wa ON p.doc_a = wa.doc_id
+       |  JOIN w wb ON p.doc_b = wb.doc_id AND wa.t = wb.t
+       |  GROUP BY p.doc_a, p.doc_b)
+       |SELECT p.doc_a, p.doc_b, COALESCE(d.dot, 0) AS dot,
+       |  na.norm2 AS norm2_a, nb.norm2 AS norm2_b
+       |FROM pairs p
+       |LEFT JOIN dots d USING (doc_a, doc_b)
+       |JOIN norms na ON p.doc_a = na.doc_id
+       |JOIN norms nb ON p.doc_b = nb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -3520,7 +3599,8 @@ object LlmQueries {
     "l56_knn_pagerank" -> qKnnPagerank _,
     "l57_priority_sample" -> qPrioritySample _,
     "l58_cms_heavy" -> qCmsHeavy _,
-    "l59_contrastive_pairs" -> qContrastivePairs _
+    "l59_contrastive_pairs" -> qContrastivePairs _,
+    "l60_tfidf_cosine" -> qTfidfCosine _
   )
 
   val oracles: Map[String, String] = Map(
@@ -3582,6 +3662,7 @@ object LlmQueries {
     "l56_knn_pagerank" -> qKnnPagerankSql,
     "l57_priority_sample" -> qPrioritySampleSql,
     "l58_cms_heavy" -> qCmsHeavySql,
-    "l59_contrastive_pairs" -> qContrastivePairsSql
+    "l59_contrastive_pairs" -> qContrastivePairsSql,
+    "l60_tfidf_cosine" -> qTfidfCosineSql
   )
 }

@@ -596,6 +596,20 @@ class PlanSpec extends SparkSpec {
       s"q64 plan has ${unpartitioned.size} unpartitioned WindowExec node(s)")
   }
 
+  // l60's idf table broadcasts and the pair scoring stays equi-join
+  // only (candidates pre-pruned by LSH, never all-pairs).
+  test("l60 tf-idf cosine: broadcast idf, pair scoring never cartesian") {
+    val df = LlmQueries.queries("l60_tfidf_cosine")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // The only nested-loop allowed is the l55-style 1-row corpus-count
+    // broadcast (O(|vocab|)); a CartesianProduct anywhere means the
+    // pair scoring degenerated to all-pairs.
+    assert(!p.contains("CartesianProduct"),
+      s"l60 plan contains CartesianProduct (all-pairs):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"l60 lost the broadcast idf join:\n$p")
+  }
+
   // l59's negatives come from a bucket-partitioned lead window (never a
   // global sort window) and the positive/negative construction stays
   // equi-join-only.
