@@ -60,7 +60,7 @@ object Bench {
     "q57_percentile_cont" -> 0.6, "q58_distinct_window" -> 0.8,
     "q59_interval_join" -> 1.0, "q60_time_weighted" -> 0.5,
     "q61_funnel" -> 1.0, "q62_cohort" -> 0.5, "q63_abc_class" -> 1.0,
-    "q64_equidepth" -> 0.8,
+    "q64_equidepth" -> 0.8, "q65_mad_outliers" -> 1.0,
     "l52_winnowing" -> 1.4, "l53_pseudo_label" -> 1.1,
     "l54_ann_recall" -> 1.2, "l55_bm25" -> 0.5,
     "l56_knn_pagerank" -> 3.2, "l57_priority_sample" -> 0.4,

@@ -1943,6 +1943,78 @@ object RelationalQueries {
       |  COUNT(*) AS n_rows, MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
       |FROM ranked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** MAD robust outliers — q52's z-score flags drown when the outliers
+    * themselves inflate σ; the robust version centers on the MEDIAN and
+    * scales by the median absolute deviation, both taken as q28's exact
+    * discrete ceil(n/2) rank statistic over cent-quantized BIGINTs, so
+    * the whole query is engine-exact with no moment arithmetic at all.
+    * The outlier rule is the divisionless cross-multiply
+    * `|x − med| > 3·mad` (the classic ±3 MAD fence without the 1.4826
+    * normal-consistency float). Scale shape: two group-partitioned rank
+    * windows (median, then MAD — the second necessarily re-ranks the
+    * deviations), two |groups|-row broadcasts back over the scan, one
+    * final hash agg; output is |groups| rows at any fact volume.
+    */
+  def q65MadOutliers(s: SparkSession, d: String): DataFrame = {
+    val base = ord(s, d).select($"o_orderpriority",
+      floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"), $"o_orderkey")
+    def medianOf(df: DataFrame, value: String, out: String): DataFrame = {
+      val w = Window.partitionBy($"o_orderpriority").orderBy(col(value), $"o_orderkey")
+      val wn = Window.partitionBy($"o_orderpriority")
+      df.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy($"o_orderpriority")
+        .agg(min(when($"rn" === ceil($"n" * 0.5), col(value))).as(out))
+    }
+    val med = medianOf(base, "cents", "med_cents")
+    val devs = base.join(broadcast(med), Seq("o_orderpriority"))
+      .withColumn("dev", abs($"cents" - $"med_cents"))
+    val mad = medianOf(devs, "dev", "mad_cents")
+    devs.join(broadcast(mad), Seq("o_orderpriority"))
+      .groupBy($"o_orderpriority")
+      .agg(first($"med_cents").as("med_cents"), first($"mad_cents").as("mad_cents"),
+        count(lit(1)).as("n"),
+        sum(when($"dev" > $"mad_cents" * 3, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("o_orderpriority")
+  }
+  val q65Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderpriority,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents, o_orderkey
+      |  FROM orders),
+      |r1 AS (
+      |  SELECT o_orderpriority, cents, o_orderkey,
+      |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM base),
+      |med AS (
+      |  SELECT o_orderpriority,
+      |    MIN(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN cents END) AS med_cents
+      |  FROM r1 GROUP BY o_orderpriority),
+      |devs AS (
+      |  SELECT b.o_orderpriority, b.cents, b.o_orderkey,
+      |    abs(b.cents - m.med_cents) AS dev, m.med_cents
+      |  FROM base b JOIN med m USING (o_orderpriority)),
+      |r2 AS (
+      |  SELECT o_orderpriority, dev,
+      |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY dev, o_orderkey) AS BIGINT) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM devs),
+      |mad AS (
+      |  SELECT o_orderpriority,
+      |    MIN(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN dev END) AS mad_cents
+      |  FROM r2 GROUP BY o_orderpriority)
+      |SELECT d.o_orderpriority,
+      |  CAST(MIN(d.med_cents) AS BIGINT) AS med_cents,
+      |  CAST(MIN(a.mad_cents) AS BIGINT) AS mad_cents,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN d.dev > a.mad_cents * 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM devs d JOIN mad a USING (o_orderpriority)
+      |GROUP BY d.o_orderpriority ORDER BY d.o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -2007,7 +2079,8 @@ object RelationalQueries {
     "q61_funnel" -> q61Funnel _,
     "q62_cohort" -> q62Cohort _,
     "q63_abc_class" -> q63AbcClass _,
-    "q64_equidepth" -> q64EquiDepth _
+    "q64_equidepth" -> q64EquiDepth _,
+    "q65_mad_outliers" -> q65MadOutliers _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2074,7 +2147,8 @@ object RelationalQueries {
     "q61_funnel" -> q61Sql,
     "q62_cohort" -> q62Sql,
     "q63_abc_class" -> q63Sql,
-    "q64_equidepth" -> q64Sql
+    "q64_equidepth" -> q64Sql,
+    "q65_mad_outliers" -> q65Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits

@@ -596,6 +596,19 @@ class PlanSpec extends SparkSpec {
       s"q64 plan has ${unpartitioned.size} unpartitioned WindowExec node(s)")
   }
 
+  // q65's two rank passes must both be group-partitioned and the
+  // median/MAD tables re-enter via broadcast.
+  test("q65 MAD outliers: partitioned rank windows, broadcast stats") {
+    val df = RelationalQueries.queries("q65_mad_outliers")(spark, sf)
+    assertNoAllPairs("q65", df)
+    val unpartitioned = df.queryExecution.sparkPlan
+      .collect { case w: WindowExec => w }.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.isEmpty,
+      s"q65 plan has ${unpartitioned.size} unpartitioned WindowExec node(s)")
+    assert(planOf(df).contains("BroadcastHashJoin"),
+      s"q65 lost the broadcast stats joins:\n${planOf(df)}")
+  }
+
   // l60's idf table broadcasts and the pair scoring stays equi-join
   // only (candidates pre-pruned by LSH, never all-pairs).
   test("l60 tf-idf cosine: broadcast idf, pair scoring never cartesian") {
