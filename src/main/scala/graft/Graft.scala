@@ -123,6 +123,9 @@ object Graft {
   def sessionCloseStream(ticks: Dataset[TickStream.SymTick],
       gapMs: Long): Dataset[TickStream.SessionClose] =
     TickStream.sessionCloseStream(ticks, gapMs)
+  def rollingStream(ticks: Dataset[(String, TickIn)],
+      window: Int = 16): Dataset[TickStream.RollingOut] =
+    TickStream.rollingStream(ticks, window)
 
   // -------------------------------------------------------------- pipeline
   /** Batch end-to-end run from a config (reference: run_pipeline): tick

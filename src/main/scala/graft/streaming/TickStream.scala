@@ -207,6 +207,57 @@ object TickStream {
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** Output of [[rollingStream]]: the trailing-W sum/count of
+    * raw_price per symbol at each tick (the rolling mean is the exact
+    * rational sum/cnt — emitted as integers, the engine-exact
+    * discipline).
+    */
+  case class RollingOut(sym: String, tick_idx: Long, win_sum: Long, win_cnt: Int)
+
+  /** State-v2 processor with LIST STATE: a trailing-16-tick rolling
+    * window per symbol that SPANS micro-batches — the window's tail
+    * lives in `ListState[Long]` (the engine's list column family:
+    * `appendValue` is an O(1) write, `put` rewrites the bounded ≤16
+    * entries), so tick 1 of a new micro-batch still sees the previous
+    * batch's 15 ticks. Completes the state-v2 primitive coverage next
+    * to [[HotLoopProcessor]] (ValueState) and
+    * [[SessionTimerProcessor]] (event-time timers). Rows fold in
+    * tick_idx order within a batch (the established contract).
+    */
+  private[streaming] class RollingWindowProcessor(window: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, TickIn), RollingOut] {
+    @transient private var tail: org.apache.spark.sql.streaming.ListState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      tail = getHandle.getListState[Long]("tail",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, TickIn)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[RollingOut] = {
+      var buf: Vector[Long] =
+        if (tail.exists()) tail.get().toVector else Vector.empty
+      val outs = rows.toSeq.sortBy(_._2.tick_idx).map { case (_, t) =>
+        buf = (buf :+ t.raw_price.toLong).takeRight(window)
+        RollingOut(key, t.tick_idx, buf.sum, buf.size)
+      }
+      tail.put(buf.toArray)
+      outs.iterator
+    }
+  }
+
+  /** Trailing-16-tick rolling sum/count per symbol, micro-batch
+    * spanning (see [[RollingWindowProcessor]]).
+    */
+  def rollingStream(ticks: Dataset[(String, TickIn)],
+      window: Int = 16): Dataset[RollingOut] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(_._1)
+      .transformWithState(new RollingWindowProcessor(window),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Consumer types (reference: src/TripleSplitSystem.jl:16-20). */
   sealed trait ConsumerType
   case object Priority extends ConsumerType   // lossless, backpressures

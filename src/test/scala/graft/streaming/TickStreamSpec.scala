@@ -165,6 +165,42 @@ class TickStreamSpec extends SparkSpec {
     }
   }
 
+  test("state-v2 list state carries the rolling window across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ticks = mkTicks(40)
+      // Expected: trailing-16 sums computed directly.
+      val prices = ticks.map(_.raw_price.toLong)
+      val expected = ticks.indices.map { i =>
+        val w = prices.slice(math.max(0, i - 15), i + 1)
+        (ticks(i).tick_idx, w.sum, w.length)
+      }
+      val input = MemoryStream[(String, TickIn)]
+      val out = TickStream.rollingStream(input.toDS())
+      val ckpt = Files.createTempDirectory("ckpt_roll").toString
+      val query = out.writeStream
+        .format("memory").queryName("rolling_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        // The batch boundary at 20 is the point of the test: tick 21's
+        // window must include ticks 6-20 from the PREVIOUS batch.
+        input.addData(ticks.take(20).map(("YM", _)): _*); query.processAllAvailable()
+        input.addData(ticks.drop(20).map(("YM", _)): _*); query.processAllAvailable()
+        val got = spark.table("rolling_out").as[TickStream.RollingOut]
+          .collect().sortBy(_.tick_idx)
+          .map(r => (r.tick_idx, r.win_sum, r.win_cnt)).toSeq
+        assert(got == expected)
+      } finally query.stop()
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming f32 hot loop tracks the batch double pipeline to 1e-5") {
     val ticks = mkTicks(500)
     val seq = HotLoopStep.run(ticks, cfg)
