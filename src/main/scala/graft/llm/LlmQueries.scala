@@ -3540,6 +3540,119 @@ object LlmQueries {
        |JOIN norms nb ON p.doc_b = nb.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** l61: sparse random projection (Achlioptas 2003, database-friendly
+    * JL transform) — the dimensionality-reduction pass that runs BEFORE
+    * clustering / LSH at 10⁹-vector scale: 64-dim embeddings down to
+    * k=8 via a {+1, 0, −1} sign matrix, so the "projection" is pure
+    * integer adds/subtracts — no dense float matmul, no learned PCA
+    * basis to train or ship. The matrix is DERIVED, not stored: entry
+    * (i, j) comes from the first hex char of md5("i_j") (≤'2' → +1,
+    * ≥'d' → −1, else 0 — 3/16 mass per side, ~62% sparsity), so both
+    * engines (and every executor) materialize the identical 64×8 table
+    * from nothing. Float-sum nondeterminism is fenced the established
+    * way: each element is quantized to BIGINT (floor(x·10⁶ + 0.5))
+    * BEFORE the sum, so y_j = Σ qᵢ·s(i,j) is order-independent and
+    * bit-exact on any engine. Scale shape: one posexplode (×64),
+    * one broadcast join against the 512-row sign table, one
+    * (vec_id, j)-keyed hash agg with map-side combine — no global
+    * sort, no all-pairs, nothing grows with corpus size but the scan.
+    */
+  def qRandomProjection(s: SparkSession, d: String): DataFrame = {
+    val mat = s.range(1, 65).toDF("i")
+      .crossJoin(s.range(1, 9).toDF("j"))
+      .select(col("i"), col("j"),
+        substring(md5(concat(col("i").cast("string"), lit("_"),
+          col("j").cast("string"))), 1, 1).as("h"))
+      .select(col("i"), col("j"),
+        when(col("h") <= "2", 1L)
+          .when(col("h") >= "d", -1L)
+          .otherwise(0L).as("sgn"))
+    embs(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("i"),
+        floor(col("x").cast("double") * 1e6 + 0.5).cast("long").as("q"))
+      .join(broadcast(mat), Seq("i"))
+      .groupBy("vec_id", "j")
+      .agg(sum(col("sgn") * col("q")).as("y_x1e6"))
+      .orderBy("vec_id", "j")
+  }
+  val qRandomProjectionSql: String =
+    """WITH mat AS (
+      |  SELECT i, j,
+      |    CASE WHEN substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1) <= '2' THEN 1
+      |         WHEN substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1) >= 'd' THEN -1
+      |         ELSE 0 END AS sgn
+      |  FROM (SELECT unnest(generate_series(1, 64)) AS i)
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS j)),
+      |el AS (
+      |  SELECT vec_id, i,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
+      |  FROM embeddings
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i))
+      |SELECT e.vec_id, m.j, CAST(SUM(m.sgn * e.q) AS BIGINT) AS y_x1e6
+      |FROM el e JOIN mat m USING (i)
+      |GROUP BY e.vec_id, m.j
+      |ORDER BY vec_id, j""".stripMargin
+
+  /** l62: symmetric int8 vector quantization — the storage/serving prep
+    * step that turns a float32 embedding store into a 4×-smaller int8
+    * one (the format ANN engines actually scan at 10⁹ vectors): per
+    * vector, scale = max|xᵢ| (a MAX — exact, no float-sum hazard) and
+    * code cᵢ = round(xᵢ·127/scale) clamped to ±127. The two IEEE double
+    * ops (one multiply, one divide) round once each and identically on
+    * any engine, and the only outputs are BIGINTs: the quantized scale
+    * floor(scale·10⁹ + 0.5), each code, and each element's absolute
+    * quantization error in the codes' own integer domain —
+    * |qᵢ·127 − cᵢ·(s_q div 10³)|, computable engine-exactly because both
+    * factors are already integers. All-zero vectors quantize to code 0
+    * by the scale=0 guard instead of dividing by zero. Scale shape:
+    * entirely row-local (one generator, zero joins, zero windows, zero
+    * data-dependent shuffles) — the final ORDER BY is oracle-comparison
+    * convenience, not part of the operator.
+    */
+  def qInt8Quant(s: SparkSession, d: String): DataFrame = {
+    val el = embs(s, d)
+      .select(col("vec_id"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+          .as("scale"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("scale"),
+        (col("pos") + 1).cast("long").as("i"),
+        floor(col("x").cast("double") * 1e6 + 0.5).cast("long").as("q_x1e6"),
+        when(col("scale") === 0.0, 0L)
+          .otherwise(greatest(lit(-127L), least(lit(127L),
+            floor(col("x").cast("double") * 127.0 / col("scale") + 0.5)
+              .cast("long")))).as("code"))
+    el.select(col("vec_id"),
+        floor(col("scale") * 1e9 + 0.5).cast("long").as("scale_x1e9"),
+        col("i"), col("code"),
+        abs(col("q_x1e6") * 127L -
+          expr("code * (CAST(floor(scale * 1e9 + 0.5) AS BIGINT) div 1000)"))
+          .as("abs_err"))
+      .orderBy("vec_id", "i")
+  }
+  val qInt8QuantSql: String =
+    """WITH el AS (
+      |  SELECT vec_id,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+      |    i,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q_x1e6,
+      |    CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)),
+      |coded AS (
+      |  SELECT vec_id, scale, i, q_x1e6,
+      |    CASE WHEN scale = 0.0 THEN 0
+      |         ELSE greatest(-127, least(127,
+      |           CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT))) END AS code
+      |  FROM el)
+      |SELECT vec_id,
+      |  CAST(floor(scale * 1e9 + 0.5) AS BIGINT) AS scale_x1e9,
+      |  i, code,
+      |  abs(q_x1e6 * 127 - code * (CAST(floor(scale * 1e9 + 0.5) AS BIGINT) // 1000)) AS abs_err
+      |FROM coded
+      |ORDER BY vec_id, i""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -3600,7 +3713,9 @@ object LlmQueries {
     "l57_priority_sample" -> qPrioritySample _,
     "l58_cms_heavy" -> qCmsHeavy _,
     "l59_contrastive_pairs" -> qContrastivePairs _,
-    "l60_tfidf_cosine" -> qTfidfCosine _
+    "l60_tfidf_cosine" -> qTfidfCosine _,
+    "l61_random_projection" -> qRandomProjection _,
+    "l62_int8_quant" -> qInt8Quant _
   )
 
   val oracles: Map[String, String] = Map(
@@ -3663,6 +3778,8 @@ object LlmQueries {
     "l57_priority_sample" -> qPrioritySampleSql,
     "l58_cms_heavy" -> qCmsHeavySql,
     "l59_contrastive_pairs" -> qContrastivePairsSql,
-    "l60_tfidf_cosine" -> qTfidfCosineSql
+    "l60_tfidf_cosine" -> qTfidfCosineSql,
+    "l61_random_projection" -> qRandomProjectionSql,
+    "l62_int8_quant" -> qInt8QuantSql
   )
 }

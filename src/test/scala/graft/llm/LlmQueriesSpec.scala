@@ -632,4 +632,65 @@ class LlmQueriesSpec extends SparkSpec {
     val n = "md5\\(".r.findAllIn(plan).length
     assert(n == 1, s"expected exactly 1 md5 in the optimized plan, found $n")
   }
+
+  test("l61 random projection matches a direct per-vector computation") {
+    val sf = "/root/testdata/sf0.001"
+    val got = LlmQueries.queries("l61_random_projection")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    assert(got.length == vecs.size * 8, "8 output dims per vector")
+    // Recompute the sign matrix exactly as the query derives it.
+    def sgn(i: Int, j: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"${i}_${j}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      h.head match {
+        case c if c <= '2' => 1L
+        case c if c >= 'd' => -1L
+        case _             => 0L
+      }
+    }
+    // The matrix must be genuinely sparse and two-sided (Achlioptas
+    // 3/16 mass per side): both signs present, zeros the majority.
+    val entries = for (i <- 1 to 64; j <- 1 to 8) yield sgn(i, j)
+    assert(entries.contains(1L) && entries.contains(-1L))
+    assert(entries.count(_ == 0L) > entries.length / 2)
+    got.foreach { case (vid, j, y) =>
+      val exp = vecs(vid).zipWithIndex.map { case (x, pos) =>
+        math.floor(x.toDouble * 1e6 + 0.5).toLong * sgn(pos + 1, j.toInt)
+      }.sum
+      assert(y == exp, s"vec $vid dim $j: got $y expected $exp")
+    }
+  }
+
+  test("l62 int8 quantization: codes bounded, max element saturates, error within half-step") {
+    val sf = "/root/testdata/sf0.001"
+    val got = LlmQueries.queries("l62_int8_quant")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val byVec = got.groupBy(_._1)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    byVec.foreach { case (vid, rows) =>
+      assert(rows.length == 64, s"vec $vid has ${rows.length} element rows")
+      val scaleQ = rows.head._2
+      assert(rows.forall(_._2 == scaleQ), s"vec $vid scale not constant")
+      val xs = vecs(vid).map(_.toDouble)
+      assert(scaleQ == math.floor(xs.map(math.abs).max * 1e9 + 0.5).toLong)
+      rows.foreach { case (_, _, i, code, absErr) =>
+        assert(code >= -127 && code <= 127, s"vec $vid code $code out of range")
+        // |x - code*scale/127| <= scale/254  =>  in the output's integer
+        // domain (x1e6 * 127): err <= scale*1e6/2, plus <=191 for the two
+        // floor quantizations' slack (63.5 from q_x1e6, 127 from s_q/1000).
+        assert(absErr <= scaleQ / 2000 + 191,
+          s"vec $vid i=$i abs_err $absErr exceeds half-step bound ${scaleQ / 2000 + 191}")
+      }
+      // The max-|x| element must saturate to exactly +/-127.
+      val maxIdx = xs.map(math.abs).zipWithIndex.maxBy(_._1)._2
+      val maxRow = rows.find(_._3 == maxIdx + 1).get
+      assert(math.abs(maxRow._4) == 127,
+        s"vec $vid max element code ${maxRow._4} != +/-127")
+    }
+  }
 }
