@@ -3559,7 +3559,7 @@ object LlmQueries {
     */
   def qRandomProjection(s: SparkSession, d: String): DataFrame = {
     val mat = s.range(1, 65).toDF("i")
-      .crossJoin(s.range(1, 9).toDF("j"))
+      .select(col("i"), explode(sequence(lit(1L), lit(8L))).as("j"))
       .select(col("i"), col("j"),
         substring(md5(concat(col("i").cast("string"), lit("_"),
           col("j").cast("string"))), 1, 1).as("h"))

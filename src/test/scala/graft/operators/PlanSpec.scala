@@ -634,4 +634,24 @@ class PlanSpec extends SparkSpec {
     assert(unpartitioned.isEmpty,
       s"l59 plan has ${unpartitioned.size} unpartitioned WindowExec node(s)")
   }
+
+  // l61's 512-row derived sign matrix must re-enter as a broadcast (the
+  // exploded element stream never shuffles for the join), and nothing in
+  // the plan is all-pairs.
+  test("l61 random projection: sign matrix broadcasts, no all-pairs") {
+    val df = LlmQueries.queries("l61_random_projection")(spark, sf)
+    assertNoAllPairs("l61", df)
+    assert(planOf(df).contains("BroadcastHashJoin"),
+      s"l61 lost the broadcast sign-matrix join:\n${planOf(df)}")
+  }
+
+  // l62 is entirely row-local: no joins and no windows anywhere in the
+  // plan — the only exchange is the final oracle-comparison sort.
+  test("l62 int8 quantization plan has zero joins and zero windows") {
+    val df = LlmQueries.queries("l62_int8_quant")(spark, sf)
+    val p = planOf(df)
+    assert(!p.contains("Join"), s"l62 plan unexpectedly joins:\n$p")
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.isEmpty, s"l62 plan has ${windows.size} WindowExec node(s)")
+  }
 }
