@@ -43,6 +43,9 @@ import graft.streaming.{TickIn, TickOut, TickStream}
   *   - persisted ANN indexes: [[graft.llm.VectorIndex]] (IVF lists under dynamic
   *     partition pruning; PQ codebook + asymmetric-distance search)
   *   - skew tooling: [[graft.operators.Salted]]
+  *   - custom physical operators: [[graft.plans.TopK]] (bounded-heap
+  *     top-k per key with a partial pass below the shuffle — the
+  *     logical-node/strategy/exec extension tier)
   */
 object Graft {
 

@@ -2015,6 +2015,40 @@ object RelationalQueries {
       |FROM devs d JOIN mad a USING (o_orderpriority)
       |GROUP BY d.o_orderpriority ORDER BY d.o_orderpriority""".stripMargin
 
+  /** q66: top-3 line items per supplier by revenue — through the CUSTOM
+    * physical operator [[graft.plans.TopKPerKeyExec]] instead of the
+    * rank-window formulation (which IS the DuckDB oracle, so the
+    * cell-compare proves the operator exact). The window version sorts
+    * every row of every supplier group and shuffles all of them; the
+    * operator keeps a 3-bounded heap per supplier with a PARTIAL pass
+    * below the exchange, so the shuffle carries ≤ #partitions·#keys·3
+    * rows — the hash-aggregate discipline applied to top-k. Revenue is
+    * cents via the engine-portable `floor(x·100 + 0.5)`, and
+    * (orderkey, linenumber) complete the total order so ties are exact.
+    */
+  def q66TopkCustom(s: SparkSession, d: String): DataFrame = {
+    val base = li(s, d).select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+      floor($"l_extendedprice" * (lit(1) - $"l_discount") * 100 + 0.5)
+        .cast("long").as("rev_cents"))
+    graft.plans.TopK.perKey(base, Seq("l_suppkey"),
+      Seq(("rev_cents", false), ("l_orderkey", true), ("l_linenumber", true)),
+      k = 3)
+      .orderBy($"l_suppkey", $"rev_cents".desc, $"l_orderkey", $"l_linenumber")
+  }
+  val q66Sql: String =
+    """WITH base AS (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber,
+      |    CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+      |      AS rev_cents
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY l_suppkey
+      |    ORDER BY rev_cents DESC, l_orderkey, l_linenumber) AS rn
+      |  FROM base)
+      |SELECT l_suppkey, l_orderkey, l_linenumber, rev_cents
+      |FROM r WHERE rn <= 3
+      |ORDER BY l_suppkey, rev_cents DESC, l_orderkey, l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -2080,7 +2114,8 @@ object RelationalQueries {
     "q62_cohort" -> q62Cohort _,
     "q63_abc_class" -> q63AbcClass _,
     "q64_equidepth" -> q64EquiDepth _,
-    "q65_mad_outliers" -> q65MadOutliers _
+    "q65_mad_outliers" -> q65MadOutliers _,
+    "q66_topk_custom" -> q66TopkCustom _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2148,7 +2183,8 @@ object RelationalQueries {
     "q62_cohort" -> q62Sql,
     "q63_abc_class" -> q63Sql,
     "q64_equidepth" -> q64Sql,
-    "q65_mad_outliers" -> q65Sql
+    "q65_mad_outliers" -> q65Sql,
+    "q66_topk_custom" -> q66Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graftext
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, ExperimentalMethods, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.StructType
 
@@ -19,4 +19,20 @@ object GraftInternal {
       schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+
+  /** `Dataset.ofRows` (`private[sql]`): wrap a hand-built logical plan —
+    * e.g. graft's [[graft.plans.TopKPerKeyPlan]] custom operator — as a
+    * public DataFrame.
+    */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The session's [[ExperimentalMethods]] (planner strategy / optimizer
+    * rule injection point for an already-built session).
+    */
+  def experimental(spark: SparkSession): ExperimentalMethods =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
 }
