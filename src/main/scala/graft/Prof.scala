@@ -36,6 +36,7 @@ object Prof {
       case "q25"     => q25Stages(spark, sfDir)
       case "explain" => explain(spark, sfDir)
       case "l21"     => l21Stages(spark, sfDir)
+      case "topk"    => topkCompare(spark, sfDir)
       case other     => sys.error(s"unknown PROF_MODE: $other")
     }
     spark.stop()
@@ -100,6 +101,33 @@ object Prof {
           .orderBy("doc_a", "doc_b")
       }; fresh()
       time(s"full-l21#$i")(LlmQueries.qEditDistance(spark, sfDir)); fresh()
+    }
+  }
+
+  /** The custom bounded-heap top-k-per-key operator vs the rank-window
+    * formulation it replaces, on identical input/output (PROF_TOPK_K per
+    * key over lineitem by revenue; default 3). The window pays a full
+    * per-group sort and shuffles every row; the operator keeps k rows
+    * per key per partition ahead of the shuffle.
+    */
+  private def topkCompare(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val k = sys.env.getOrElse("PROF_TOPK_K", "3").toInt
+    val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("rev_cents"))
+    for (i <- 1 to 3) {
+      time(s"window-topk#$i") {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("rev_cents").desc, col("l_orderkey"), col("l_linenumber"))
+        base.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+          .select("l_suppkey", "l_orderkey", "l_linenumber", "rev_cents")
+      }
+      time(s"custom-topk#$i") {
+        graft.plans.TopK.perKey(base, Seq("l_suppkey"),
+          Seq(("rev_cents", false), ("l_orderkey", true), ("l_linenumber", true)), k)
+      }
     }
   }
 
