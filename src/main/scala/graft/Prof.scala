@@ -111,22 +111,13 @@ object Prof {
     * per key per partition ahead of the shuffle.
     */
   private def topkCompare(spark: SparkSession, sfDir: String): Unit = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.relational.RelationalQueries
     val k = sys.env.getOrElse("PROF_TOPK_K", "3").toInt
-    val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
-          .cast("long").as("rev_cents"))
     for (i <- 1 to 3) {
-      time(s"window-topk#$i") {
-        val w = Window.partitionBy(col("l_suppkey"))
-          .orderBy(col("rev_cents").desc, col("l_orderkey"), col("l_linenumber"))
-        base.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
-          .select("l_suppkey", "l_orderkey", "l_linenumber", "rev_cents")
-      }
+      time(s"window-topk#$i")(RelationalQueries.q66Window(spark, sfDir, k))
       time(s"custom-topk#$i") {
-        graft.plans.TopK.perKey(base, Seq("l_suppkey"),
-          Seq(("rev_cents", false), ("l_orderkey", true), ("l_linenumber", true)), k)
+        graft.plans.TopK.perKey(RelationalQueries.q66Base(spark, sfDir),
+          Seq("l_suppkey"), RelationalQueries.q66Order, k)
       }
     }
   }

@@ -91,18 +91,37 @@ case class TopKPerKeyExec(
     val keyExprs = keys
     val sortExprs = order
     val childOutput = child.output
+    val isPartial = partial
+    val flushKeys = TopKPerKeyExec.PartialFlushKeys
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // "Better" = smaller under the generated ordering (earlier in
       // sorted order); the heap is reversed so peek() is the worst kept.
       val ord = GenerateOrdering.generate(sortExprs, childOutput)
       val rev = ord.reverse
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      import scala.jdk.CollectionConverters._
+      var heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      var flushed: Iterator[InternalRow] = Iterator.empty
       while (iter.hasNext) {
         val row = iter.next()
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
+          // Memory bound: the partial pass is an optimization, not a
+          // correctness requirement — on pathological key cardinality
+          // (near-unique keys) it FLUSHES its heaps instead of growing
+          // without limit, so memory stays O(flushKeys · k) and the
+          // final pass still sees a superset of every group's top k.
+          // The final pass cannot flush (it must see a whole group);
+          // its bound is O(#keys-in-partition · k) — the same shape as
+          // a hash aggregate on the same key, and the reason the key
+          // shuffle precedes it.
+          if (isPartial && heaps.size() >= flushKeys) {
+            val old = heaps
+            flushed = flushed ++ old.values().iterator().asScala
+              .flatMap(_.iterator().asScala)
+            heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+          }
           heap = new java.util.PriorityQueue[InternalRow](kLocal, rev)
           heaps.put(key.copy(), heap)
         }
@@ -113,10 +132,19 @@ case class TopKPerKeyExec(
           heap.add(row.copy())
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      flushed ++ heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
     }, preservesPartitioning = true)
   }
+}
+
+object TopKPerKeyExec {
+  /** Key-cardinality cap per partial-pass hash map before it flushes its
+    * heaps downstream (correct because the flushed union is always a
+    * superset of every group's top k — rows are only dropped when k
+    * better same-group rows were emitted in their epoch). 64k keys · k
+    * rows bounds partial memory regardless of key cardinality.
+    */
+  val PartialFlushKeys: Int = 1 << 16
 }
 
 /** Public entry: `TopK.perKey(df, keys, orderBy, k)`. Arms the planner
@@ -133,7 +161,13 @@ object TopK {
     val spark = df.sparkSession
     armStrategy(spark)
     val analyzed = df.queryExecution.analyzed
-    def attr(n: String): Attribute = analyzed.output.find(_.name == n).getOrElse(
+    // Resolve names under the session's case-sensitivity setting, like
+    // every other DataFrame API (not a stricter exact-match rule).
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def matches(a: Attribute, n: String): Boolean =
+      if (caseSensitive) a.name == n else a.name.equalsIgnoreCase(n)
+    def attr(n: String): Attribute = analyzed.output.find(matches(_, n)).getOrElse(
       throw new IllegalArgumentException(
         s"column $n not in ${analyzed.output.map(_.name).mkString(", ")}"))
     val keys = keyCols.map(attr)

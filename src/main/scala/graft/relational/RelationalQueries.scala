@@ -2026,15 +2026,32 @@ object RelationalQueries {
     * cents via the engine-portable `floor(x·100 + 0.5)`, and
     * (orderkey, linenumber) complete the total order so ties are exact.
     */
-  def q66TopkCustom(s: SparkSession, d: String): DataFrame = {
-    val base = li(s, d).select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+  /** q66's projected input and order spec, shared with the Prof
+    * head-to-head so the window-vs-operator comparison is structurally
+    * tied to the oracle-verified query (one copy of the cent
+    * quantization and the tiebreak order).
+    */
+  def q66Base(s: SparkSession, d: String): DataFrame =
+    li(s, d).select($"l_suppkey", $"l_orderkey", $"l_linenumber",
       floor($"l_extendedprice" * (lit(1) - $"l_discount") * 100 + 0.5)
         .cast("long").as("rev_cents"))
-    graft.plans.TopK.perKey(base, Seq("l_suppkey"),
-      Seq(("rev_cents", false), ("l_orderkey", true), ("l_linenumber", true)),
-      k = 3)
-      .orderBy($"l_suppkey", $"rev_cents".desc, $"l_orderkey", $"l_linenumber")
+  val q66Order: Seq[(String, Boolean)] =
+    Seq(("rev_cents", false), ("l_orderkey", true), ("l_linenumber", true))
+
+  /** The rank-window formulation of q66 — what the custom operator
+    * replaces; used only by the Prof comparison (the oracle states the
+    * same formulation in SQL).
+    */
+  def q66Window(s: SparkSession, d: String, k: Int): DataFrame = {
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"rev_cents".desc, $"l_orderkey", $"l_linenumber")
+    q66Base(s, d).withColumn("rn", row_number().over(w)).where($"rn" <= k)
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"rev_cents")
   }
+
+  def q66TopkCustom(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopK.perKey(q66Base(s, d), Seq("l_suppkey"), q66Order, k = 3)
+      .orderBy($"l_suppkey", $"rev_cents".desc, $"l_orderkey", $"l_linenumber")
   val q66Sql: String =
     """WITH base AS (
       |  SELECT l_suppkey, l_orderkey, l_linenumber,

@@ -686,11 +686,16 @@ class LlmQueriesSpec extends SparkSpec {
         assert(absErr <= scaleQ / 2000 + 191,
           s"vec $vid i=$i abs_err $absErr exceeds half-step bound ${scaleQ / 2000 + 191}")
       }
-      // The max-|x| element must saturate to exactly +/-127.
-      val maxIdx = xs.map(math.abs).zipWithIndex.maxBy(_._1)._2
-      val maxRow = rows.find(_._3 == maxIdx + 1).get
-      assert(math.abs(maxRow._4) == 127,
-        s"vec $vid max element code ${maxRow._4} != +/-127")
+      // The max-|x| element must saturate to exactly +/-127 — unless the
+      // whole vector is zero, where the query's scale=0 guard emits 0s.
+      if (scaleQ != 0L) {
+        val maxIdx = xs.map(math.abs).zipWithIndex.maxBy(_._1)._2
+        val maxRow = rows.find(_._3 == maxIdx + 1).get
+        assert(math.abs(maxRow._4) == 127,
+          s"vec $vid max element code ${maxRow._4} != +/-127")
+      } else {
+        assert(rows.forall(_._4 == 0L), s"vec $vid zero-scale codes not all 0")
+      }
     }
   }
 }

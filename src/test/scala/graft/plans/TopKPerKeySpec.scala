@@ -55,6 +55,19 @@ class TopKPerKeySpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly one key shuffle, got $exchanges:\n$p")
   }
 
+  test("partial-pass flush (>64k keys in one partition) stays exact") {
+    // 90k rows, 45k keys, 2 rows per key, ONE input partition — the
+    // partial map crosses PartialFlushKeys and flushes mid-stream, with
+    // many groups split across flush epochs. Top-1 by v asc must still
+    // be exactly the per-key minimum.
+    val df = spark.range(0, 90000).toDF("id").repartition(1)
+      .select(($"id" % 45000).as("k"), $"id".as("v"))
+    val got = TopK.perKey(df, Seq("k"), Seq(("v", true)), 1)
+      .as[(Long, Long)].collect()
+    assert(got.length == 45000)
+    assert(got.forall { case (k, v) => v == k }, "kept row is not the per-key min")
+  }
+
   test("k >= group size passes whole groups; heap respects the total order") {
     val tiny = Seq(
       (1L, 10L, 5L), (1L, 11L, 5L), (1L, 12L, 7L),
