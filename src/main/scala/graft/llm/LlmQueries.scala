@@ -3653,6 +3653,69 @@ object LlmQueries {
       |FROM coded
       |ORDER BY vec_id, i""".stripMargin
 
+  /** l63: corpus snapshot diff — the version-reconciliation report a
+    * continuously-refreshed training corpus needs between two crawl
+    * snapshots (what changed since v1?): every document classified
+    * added / removed / changed / unchanged by ONE doc_id-keyed full
+    * outer join (md5 fingerprints compare content, so "changed" is
+    * byte-exact, not heuristic), aggregated to a 4-row report with
+    * document counts and the token-mass delta each class contributes.
+    * The v2 snapshot is synthesized deterministically on both engines:
+    * docs with id % 17 = 3 dropped, id % 5 = 0 edited (a marker token
+    * appended), id % 11 = 0 re-added as new ids (+200000). Distinct
+    * from l39 (which probes a new batch against the corpus for
+    * DUPLICATES); this reconciles VERSIONS of the same ids. Scale
+    * shape: one equi-join keyed by doc_id + one 4-row hash agg — no
+    * windows, no candidate generation, output size independent of
+    * corpus size.
+    */
+  def qSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val v1 = docs(s, d).select(col("doc_id"), col("text"))
+    val v2base = v1.where(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+    val v2 = v2base.unionByName(
+      v1.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+    val j = v1.select(col("doc_id"), md5(col("text")).as("fp_a"),
+        size(split(col("text"), " ")).cast("long").as("tok_a"))
+      .join(v2.select(col("doc_id"), md5(col("text")).as("fp_b"),
+        size(split(col("text"), " ")).cast("long").as("tok_b")),
+        Seq("doc_id"), "full_outer")
+    j.select(
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") === col("fp_b"), "unchanged")
+          .otherwise("changed").as("status"),
+        coalesce(col("tok_b"), lit(0L)).minus(coalesce(col("tok_a"), lit(0L)))
+          .as("tok_delta"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok_delta")).as("token_delta"))
+      .orderBy("status")
+  }
+  val qSnapshotDiffSql: String =
+    """WITH v1 AS (SELECT doc_id, text FROM documents),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+      |  FROM v1 WHERE doc_id % 17 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, text FROM v1 WHERE doc_id % 11 = 0),
+      |a AS (SELECT doc_id, md5(text) AS fp_a,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_a FROM v1),
+      |b AS (SELECT doc_id, md5(text) AS fp_b,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_b FROM v2),
+      |j AS (SELECT * FROM a FULL OUTER JOIN b USING (doc_id))
+      |SELECT
+      |  CASE WHEN fp_a IS NULL THEN 'added'
+      |       WHEN fp_b IS NULL THEN 'removed'
+      |       WHEN fp_a = fp_b THEN 'unchanged'
+      |       ELSE 'changed' END AS status,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(COALESCE(tok_b, 0) - COALESCE(tok_a, 0)) AS BIGINT) AS token_delta
+      |FROM j GROUP BY 1 ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -3715,7 +3778,8 @@ object LlmQueries {
     "l59_contrastive_pairs" -> qContrastivePairs _,
     "l60_tfidf_cosine" -> qTfidfCosine _,
     "l61_random_projection" -> qRandomProjection _,
-    "l62_int8_quant" -> qInt8Quant _
+    "l62_int8_quant" -> qInt8Quant _,
+    "l63_snapshot_diff" -> qSnapshotDiff _
   )
 
   val oracles: Map[String, String] = Map(
@@ -3780,6 +3844,7 @@ object LlmQueries {
     "l59_contrastive_pairs" -> qContrastivePairsSql,
     "l60_tfidf_cosine" -> qTfidfCosineSql,
     "l61_random_projection" -> qRandomProjectionSql,
-    "l62_int8_quant" -> qInt8QuantSql
+    "l62_int8_quant" -> qInt8QuantSql,
+    "l63_snapshot_diff" -> qSnapshotDiffSql
   )
 }

@@ -664,6 +664,24 @@ class LlmQueriesSpec extends SparkSpec {
     }
   }
 
+  test("l63 snapshot diff matches a directly-computed reconciliation") {
+    val sf = "/root/testdata/sf0.001"
+    val got = LlmQueries.queries("l63_snapshot_diff")(spark, sf)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val v1 = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def toks(t: String) = t.split(" ", -1).length.toLong
+    val removed = v1.filter(_._1 % 17 == 3)
+    val changed = v1.filter(d => d._1 % 17 != 3 && d._1 % 5 == 0)
+    val added = v1.filter(_._1 % 11 == 0)
+    val unchanged = v1.length - removed.length - changed.length
+    assert(got("removed") == (removed.length.toLong, -removed.map(d => toks(d._2)).sum))
+    // " rev2" appends exactly one whitespace token per changed doc.
+    assert(got("changed") == (changed.length.toLong, changed.length.toLong))
+    assert(got("added") == (added.length.toLong, added.map(d => toks(d._2)).sum))
+    assert(got("unchanged") == (unchanged.toLong, 0L))
+  }
+
   test("l62 int8 quantization: codes bounded, max element saturates, error within half-step") {
     val sf = "/root/testdata/sf0.001"
     val got = LlmQueries.queries("l62_int8_quant")(spark, sf)
