@@ -3716,6 +3716,82 @@ object LlmQueries {
       |  CAST(SUM(COALESCE(tok_b, 0) - COALESCE(tok_a, 0)) AS BIGINT) AS token_delta
       |FROM j GROUP BY 1 ORDER BY status""".stripMargin
 
+  /** l64: batch novelty scoring — the data-ACQUISITION side of the
+    * contamination/overlap family: before paying to ingest a candidate
+    * batch, measure how much of it the corpus has never seen. Per batch
+    * document: its distinct word-8-grams, how many appear NOWHERE in
+    * the corpus (an anti join against the corpus gram set — byte-exact,
+    * not a sketch), novelty in basis points (`unseen·10⁴ div total`),
+    * and an adds-diversity verdict at the 20% bar. l16 asks "does the
+    * corpus leak the eval set?", l32 "how much do sources overlap?",
+    * l39 "is this batch a duplicate?"; this asks "does this batch add
+    * anything NEW?" — the signal that prioritizes crawl frontiers.
+    * The candidate batch is synthesized deterministically on both
+    * engines (every 7th doc re-submitted with a doc-specific novel
+    * tail, so each has a seen core + an unseen fringe). Scale shape:
+    * the corpus gram set stays SHARDED BY GRAM (never broadcast —
+    * it is corpus-sized); the batch side probes it with one anti
+    * equi-join + two per-doc hash aggs; output is O(batch), and the
+    * verdict arithmetic is BIGINT-exact.
+    */
+  def qBatchNovelty(s: SparkSession, d: String): DataFrame = {
+    val ws = col("ws")
+    val grams = transform(
+      sequence(lit(1), greatest(size(ws) - 7, lit(1))),
+      i => md5(concat_ws(" ", slice(ws, i, lit(8)))))
+    def gramRows(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), explode(grams).as("g")).distinct()
+    val corpusGrams = gramRows(docs(s, d)).select("g").distinct()
+    val batch = docs(s, d).where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 400000).as("doc_id"),
+        concat(col("text"), lit(" nv"), col("doc_id").cast("string"),
+          lit(" nv1 nv2 nv3 nv4 nv5 nv6 nv7")).as("text"))
+    val bg = gramRows(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = bg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val unseen = bg.join(corpusGrams, Seq("g"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_unseen"))
+    totals.join(unseen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"))
+      .withColumn("novelty_bp",
+        expr("n_unseen * 10000 div n_grams"))
+      .withColumn("adds_diversity", col("n_unseen") * 5 >= col("n_grams"))
+      .orderBy("doc_id")
+  }
+  val qBatchNoveltySql: String =
+    """WITH cg AS (
+      |  SELECT DISTINCT md5(gram) AS g FROM (
+      |    SELECT unnest(list_transform(
+      |      generate_series(1, greatest(len(string_split(text, ' ')) - 7, 1)),
+      |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')))
+      |      AS gram
+      |    FROM documents)),
+      |batch AS (
+      |  SELECT new_id AS doc_id, text FROM (
+      |    SELECT doc_id + 400000 AS new_id,
+      |      text || ' nv' || CAST(doc_id AS VARCHAR) ||
+      |        ' nv1 nv2 nv3 nv4 nv5 nv6 nv7' AS text
+      |    FROM documents WHERE doc_id % 7 = 0)),
+      |bg AS (
+      |  SELECT DISTINCT doc_id, md5(gram) AS g FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, greatest(len(string_split(text, ' ')) - 7, 1)),
+      |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')))
+      |      AS gram
+      |    FROM batch)),
+      |totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM bg GROUP BY doc_id),
+      |unseen AS (
+      |  SELECT doc_id, COUNT(*) AS n_unseen
+      |  FROM bg ANTI JOIN cg USING (g) GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_grams,
+      |  COALESCE(u.n_unseen, 0) AS n_unseen,
+      |  COALESCE(u.n_unseen, 0) * 10000 // t.n_grams AS novelty_bp,
+      |  COALESCE(u.n_unseen, 0) * 5 >= t.n_grams AS adds_diversity
+      |FROM totals t LEFT JOIN unseen u USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -3779,7 +3855,8 @@ object LlmQueries {
     "l60_tfidf_cosine" -> qTfidfCosine _,
     "l61_random_projection" -> qRandomProjection _,
     "l62_int8_quant" -> qInt8Quant _,
-    "l63_snapshot_diff" -> qSnapshotDiff _
+    "l63_snapshot_diff" -> qSnapshotDiff _,
+    "l64_batch_novelty" -> qBatchNovelty _
   )
 
   val oracles: Map[String, String] = Map(
@@ -3845,6 +3922,7 @@ object LlmQueries {
     "l60_tfidf_cosine" -> qTfidfCosineSql,
     "l61_random_projection" -> qRandomProjectionSql,
     "l62_int8_quant" -> qInt8QuantSql,
-    "l63_snapshot_diff" -> qSnapshotDiffSql
+    "l63_snapshot_diff" -> qSnapshotDiffSql,
+    "l64_batch_novelty" -> qBatchNoveltySql
   )
 }

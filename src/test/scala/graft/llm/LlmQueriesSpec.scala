@@ -682,6 +682,28 @@ class LlmQueriesSpec extends SparkSpec {
     assert(got("unchanged") == (unchanged.toLong, 0L))
   }
 
+  test("l64 batch novelty: unseen count is exactly the tail-covering windows") {
+    val sf = "/root/testdata/sf0.001"
+    val got = LlmQueries.queries("l64_batch_novelty")(spark, sf)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (id, nGrams, nUnseen, bp, adds) =>
+      val n = words(id - 400000)
+      // Batch doc = n core words + 8 novel tail tokens -> n+1 windows;
+      // the max(n-7, 0) core-only windows are all substrings of the
+      // original document, hence seen; every other window covers a tail
+      // token no corpus document contains.
+      val expUnseen = (n + 1) - math.max(n - 7, 0)
+      assert(nUnseen == expUnseen, s"doc $id unseen $nUnseen != $expUnseen (n=$n)")
+      assert(nGrams >= nUnseen && nGrams <= n + 1)
+      assert(bp == nUnseen * 10000 / nGrams, s"doc $id bp mismatch")
+      assert(adds == (nUnseen * 5 >= nGrams), s"doc $id verdict mismatch")
+    }
+  }
+
   test("l62 int8 quantization: codes bounded, max element saturates, error within half-step") {
     val sf = "/root/testdata/sf0.001"
     val got = LlmQueries.queries("l62_int8_quant")(spark, sf)
