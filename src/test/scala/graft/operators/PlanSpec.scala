@@ -654,4 +654,27 @@ class PlanSpec extends SparkSpec {
     val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
     assert(windows.isEmpty, s"l62 plan has ${windows.size} WindowExec node(s)")
   }
+
+  // l63's reconciliation join is a full outer on the id key — the join
+  // type that must NOT broadcast (both sides surface unmatched rows) —
+  // and nothing in the plan is all-pairs.
+  test("l63 snapshot diff: keyed FullOuter join, no all-pairs") {
+    val df = LlmQueries.queries("l63_snapshot_diff")(spark, sf)
+    assertNoAllPairs("l63", df)
+    val p = planOf(df)
+    assert(p.contains("FullOuter"), s"l63 lost the full outer reconciliation join:\n$p")
+  }
+
+  // l64's novelty probe must be a gram-keyed anti EQUI-join (never a
+  // nested loop). The corpus gram set is not broadcast() by the query;
+  // at sf0.001 the optimizer's stats still choose a broadcast build
+  // (it is under the 10 MB threshold here) — the point is that the
+  // decision is left to stats, so an over-threshold corpus at real
+  // scale shuffles by gram instead.
+  test("l64 batch novelty probes via a gram-keyed anti equi-join") {
+    val df = LlmQueries.queries("l64_batch_novelty")(spark, sf)
+    assertNoAllPairs("l64", df)
+    val p = planOf(df)
+    assert(p.contains("LeftAnti"), s"l64 lost the anti-join novelty probe:\n$p")
+  }
 }
