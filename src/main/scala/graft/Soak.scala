@@ -110,6 +110,25 @@ object Soak {
       time("signatures")(docs.select(col("doc_id"),
         graft.functions.TextFunctions.minhashSig(col("text")).as("mh")))
       time("lsh_pairs")(graft.llm.LlmQueries.lshPairsFor(docs))
+      // l64's shape at scale: the corpus gram set (grows with mult) is
+      // anti-probed by a fixed-rate candidate batch — the join must stay
+      // gram-keyed as the corpus side outgrows any broadcast threshold.
+      time("novelty_anti") {
+        val ws = col("ws")
+        val grams = transform(
+          sequence(lit(1), greatest(size(ws) - 7, lit(1))),
+          i => md5(concat_ws(" ", slice(ws, i, lit(8)))))
+        def gramRows(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), split(col("text"), " ").as("ws"))
+            .select(col("doc_id"), explode(grams).as("g")).distinct()
+        val corpusGrams = gramRows(docs).select("g").distinct()
+        val batch = docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 900000000L).as("doc_id"),
+            concat(col("text"), lit(" nv"), col("doc_id").cast("string"),
+              lit(" nv1 nv2 nv3 nv4 nv5 nv6 nv7")).as("text"))
+        gramRows(batch).join(corpusGrams, Seq("g"), "left_anti")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_unseen"))
+      }
       // Release the banded-signature cache lshPairsFor pins, then
       // re-pin the base corpus for the next scale.
       spark.catalog.clearCache()
