@@ -3792,6 +3792,65 @@ object LlmQueries {
       |FROM totals t LEFT JOIN unseen u USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** l65: linear quality-classifier APPLY — the missing third leg of
+    * the model-based-filtering family: l35 DERIVES importance weights
+    * from data, l53 pseudo-labels from centroids; this APPLIES an
+    * already-trained fastText-style linear model (the
+    * quality-classifier filter step of CCNet / RefinedWeb /
+    * FineWeb-Edu pipelines) to every document. Features are the
+    * hashed bag-of-words (l35's exact 15-hex-digit md5 bucketing, 256
+    * buckets, tf-valued); the "trained" model is a 256-row weight
+    * table whose entries derive deterministically from md5 (4 hex
+    * digits − 32768 ∈ [−32768, 32767]) so both engines materialize
+    * the identical model with no artifact to ship; the score is the
+    * BIGINT sparse dot Σ tf_b·w_b and the keep verdict its sign
+    * (fastText's mean-pooled score has the same sign, so averaging is
+    * folded into the threshold; a bias term folds the same way).
+    * Scale shape: one explode + one (doc, bucket) hash agg, the O(256)
+    * model broadcast, one per-doc agg — row-parallel at any corpus
+    * size, exactly how a real classifier-apply pass ships.
+    */
+  def qClassifierFilter(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % 256)
+          .as("b"))
+    val feats = toks.groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+    val weights = s.range(0, 256).toDF("b")
+      .select(col("b"),
+        (conv(substring(md5(concat(lit("w_"), col("b").cast("string"))), 1, 4),
+          16, 10).cast("long") - 32768L).as("wt"))
+    feats.join(broadcast(weights), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("wt")).as("score"))
+      .withColumn("keep", col("score") >= 0L)
+      .orderBy("doc_id")
+  }
+  val qClassifierFilterSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) % 256 AS b
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  WHERE len(w) > 0),
+      |feats AS (
+      |  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM toks GROUP BY doc_id, b),
+      |wts AS (
+      |  SELECT b,
+      |    CAST('0x' || substring(md5('w_' || CAST(b AS VARCHAR)), 1, 4) AS BIGINT)
+      |      - 32768 AS wt
+      |  FROM (SELECT unnest(generate_series(0, 255)) AS b))
+      |SELECT f.doc_id,
+      |  CAST(SUM(f.tf) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(f.tf * w.wt) AS BIGINT) AS score,
+      |  CAST(SUM(f.tf * w.wt) AS BIGINT) >= 0 AS keep
+      |FROM feats f JOIN wts w USING (b)
+      |GROUP BY f.doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -3856,7 +3915,8 @@ object LlmQueries {
     "l61_random_projection" -> qRandomProjection _,
     "l62_int8_quant" -> qInt8Quant _,
     "l63_snapshot_diff" -> qSnapshotDiff _,
-    "l64_batch_novelty" -> qBatchNovelty _
+    "l64_batch_novelty" -> qBatchNovelty _,
+    "l65_classifier_filter" -> qClassifierFilter _
   )
 
   val oracles: Map[String, String] = Map(
@@ -3923,6 +3983,7 @@ object LlmQueries {
     "l61_random_projection" -> qRandomProjectionSql,
     "l62_int8_quant" -> qInt8QuantSql,
     "l63_snapshot_diff" -> qSnapshotDiffSql,
-    "l64_batch_novelty" -> qBatchNoveltySql
+    "l64_batch_novelty" -> qBatchNoveltySql,
+    "l65_classifier_filter" -> qClassifierFilterSql
   )
 }

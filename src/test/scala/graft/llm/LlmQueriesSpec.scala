@@ -704,6 +704,37 @@ class LlmQueriesSpec extends SparkSpec {
     }
   }
 
+  test("l65 classifier apply matches a direct sparse-dot recomputation") {
+    val sf = "/root/testdata/sf0.001"
+    val got = LlmQueries.queries("l65_classifier_filter")(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    def md5hex(x: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def bucket(w: String): Long =
+      java.lang.Long.parseLong(md5hex(w).take(15), 16) % 256
+    val wts = (0 until 256).map(b =>
+      b.toLong -> (java.lang.Long.parseLong(md5hex(s"w_$b").take(4), 16) - 32768L)).toMap
+    // Weights must be genuinely two-sided (a constant-sign model would
+    // make every verdict trivially identical).
+    assert(wts.values.exists(_ > 0) && wts.values.exists(_ < 0))
+    val docsMap = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(got.length == docsMap.size)
+    got.foreach { case (id, nTok, score, keep) =>
+      val words = docsMap(id).split(" ").filter(_.nonEmpty)
+      assert(nTok == words.length.toLong, s"doc $id token count")
+      val exp = words.map(w => wts(bucket(w))).sum
+      assert(score == exp, s"doc $id score $score != $exp")
+      assert(keep == (score >= 0), s"doc $id verdict")
+    }
+    // The model actually separates: both verdicts occur on this corpus.
+    assert(got.exists(_._4) && got.exists(!_._4),
+      "classifier produced a constant verdict — threshold degenerate")
+  }
+
   test("l62 int8 quantization: codes bounded, max element saturates, error within half-step") {
     val sf = "/root/testdata/sf0.001"
     val got = LlmQueries.queries("l62_int8_quant")(spark, sf)
