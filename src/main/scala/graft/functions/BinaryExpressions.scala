@@ -72,7 +72,8 @@ case class BinaryByteFold(child: Expression, weighted: Boolean)
   */
 case class BinaryByteStat(child: Expression, mode: String, center: Int)
     extends UnaryExpression {
-  require(mode == "energy" || mode == "crossings", s"unknown mode $mode")
+  require(mode == "energy" || mode == "crossings" ||
+    mode == "distinct" || mode == "maxfreq", s"unknown mode $mode")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -92,12 +93,24 @@ case class BinaryByteStat(child: Expression, mode: String, center: Int)
         s += v * v
         i += 1
       }
-    } else {
+    } else if (mode == "crossings") {
       while (i + 1 < bytes.length) {
         val a = (bytes(i) & 0xff).toLong - center
         val b = (bytes(i + 1) & 0xff).toLong - center
         if (a * b < 0) s += 1L
         i += 1
+      }
+    } else {
+      val counts = new Array[Long](256)
+      while (i < bytes.length) {
+        counts(bytes(i) & 0xff) += 1L
+        i += 1
+      }
+      var b = 0
+      while (b < 256) {
+        if (mode == "distinct") { if (counts(b) > 0) s += 1L }
+        else if (counts(b) > s) s = counts(b)
+        b += 1
       }
     }
     s
@@ -109,6 +122,7 @@ case class BinaryByteStat(child: Expression, mode: String, center: Int)
       val s = ctx.freshName("s")
       val a = ctx.freshName("a")
       val b = ctx.freshName("b")
+      val c = ctx.freshName("counts")
       val body =
         if (mode == "energy")
           s"""
@@ -117,7 +131,7 @@ case class BinaryByteStat(child: Expression, mode: String, center: Int)
              |  $s += $a * $a;
              |}
            """.stripMargin
-        else
+        else if (mode == "crossings")
           s"""
              |for (int $i = 0; $i + 1 < $bytes.length; $i++) {
              |  long $a = (long) ($bytes[$i] & 0xff) - ${center}L;
@@ -125,6 +139,18 @@ case class BinaryByteStat(child: Expression, mode: String, center: Int)
              |  if ($a * $b < 0) $s += 1L;
              |}
            """.stripMargin
+        else {
+          val reduce =
+            if (mode == "distinct") s"if ($c[$b] > 0L) $s += 1L;"
+            else s"if ($c[$b] > $s) $s = $c[$b];"
+          s"""
+             |long[] $c = new long[256];
+             |for (int $i = 0; $i < $bytes.length; $i++) {
+             |  $c[$bytes[$i] & 0xff] += 1L;
+             |}
+             |for (int $b = 0; $b < 256; $b++) { $reduce }
+           """.stripMargin
+        }
       s"""
          |long $s = 0L;
          |$body
@@ -154,4 +180,16 @@ object BinaryFunctions {
   /** Adjacent strict sign changes of (b − center) — zero crossings. */
   def byteCrossings(bin: Column, center: Int): Column =
     GraftColumns.column(BinaryByteStat(GraftColumns.expression(bin), "crossings", center))
+
+  /** Count of distinct byte values (0–256) — the alphabet-size half of
+    * the byte-entropy screen.
+    */
+  def byteDistinct(bin: Column): Column =
+    GraftColumns.column(BinaryByteStat(GraftColumns.expression(bin), "distinct", 0))
+
+  /** Highest frequency of any single byte value — the dominance half of
+    * the byte-entropy screen.
+    */
+  def byteMaxFreq(bin: Column): Column =
+    GraftColumns.column(BinaryByteStat(GraftColumns.expression(bin), "maxfreq", 0))
 }

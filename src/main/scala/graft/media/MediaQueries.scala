@@ -310,6 +310,48 @@ object MediaQueries {
        |  CAST(4095 - (MAX(energy * 4096 + (4095 - f)) % 4096) AS BIGINT) AS peak_frame
        |FROM feat GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  // ------------------------------------------------------- byte entropy
+  /** m08: byte-entropy screen — the corrupt/compressed/padded-payload
+    * filter a binary ingest pipeline runs before paying for decode: a
+    * payload whose byte alphabet is tiny (≤ 16 distinct values) or
+    * where one byte value dominates (≥ ¼ of all bytes) is flagged
+    * low-entropy — truncated files, zero padding, single-color fills.
+    * True Shannon entropy needs a log; the two integer surrogates here
+    * bracket the same screen exactly on any engine. Both signals come
+    * from ONE codegen'd histogram pass over the payload
+    * ([[graft.functions.BinaryByteStat]] modes `distinct`/`maxfreq` —
+    * a 256-long count array per row, no per-byte rows materialized);
+    * the oracle recomputes them character-wise from the text the stub
+    * payload encodes. Row-local, zero shuffles beyond the final sort.
+    */
+  def qByteEntropy(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.BinaryFunctions.{byteDistinct, byteMaxFreq}
+    MediaOps.mediaTable(s, d)
+      .select(col("media_id"), col("kind"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        byteDistinct(col("payload")).as("distinct_bytes"),
+        byteMaxFreq(col("payload")).as("max_freq"))
+      .withColumn("low_entropy",
+        col("distinct_bytes") <= 16 || col("max_freq") * 4 >= col("n_bytes"))
+      .orderBy("media_id")
+  }
+  val qByteEntropySql: String =
+    s"""WITH $mediaSql,
+       |ch AS (
+       |  SELECT media_id, kind, CAST(n AS BIGINT) AS n_bytes,
+       |    list_transform(generate_series(1, n),
+       |      i -> ascii(substring(text, i, 1))) AS chars
+       |  FROM media)
+       |SELECT media_id, kind, n_bytes,
+       |  CAST(len(list_distinct(chars)) AS BIGINT) AS distinct_bytes,
+       |  CAST(list_max(list_transform(list_distinct(chars),
+       |    c -> len(list_filter(chars, x -> x = c)))) AS BIGINT) AS max_freq,
+       |  (len(list_distinct(chars)) <= 16 OR
+       |   list_max(list_transform(list_distinct(chars),
+       |     c -> len(list_filter(chars, x -> x = c)))) * 4 >= n_bytes)
+       |    AS low_entropy
+       |FROM ch ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_decode" -> qMediaDecode _,
     "m02_image_resize" -> qImageResize _,
@@ -317,7 +359,8 @@ object MediaQueries {
     "m04_media_stats" -> qMediaStats _,
     "m05_media_dedup" -> qMediaDedup _,
     "m06_media_hamming" -> qMediaHammingPairs _,
-    "m07_audio_features" -> qAudioFeatures _
+    "m07_audio_features" -> qAudioFeatures _,
+    "m08_byte_entropy" -> qByteEntropy _
   )
 
   val oracles: Map[String, String] = Map(
@@ -327,6 +370,7 @@ object MediaQueries {
     "m04_media_stats" -> qMediaStatsSql,
     "m05_media_dedup" -> qMediaDedupSql,
     "m06_media_hamming" -> qMediaHammingPairsSql,
-    "m07_audio_features" -> qAudioFeaturesSql
+    "m07_audio_features" -> qAudioFeaturesSql,
+    "m08_byte_entropy" -> qByteEntropySql
   )
 }

@@ -190,4 +190,35 @@ class MediaOpsSpec extends SparkSpec {
     val frameSums = payload.grouped(32).map(_.map(b => (b & 0xff).toLong).sum).sum
     assert(total == frameSums)
   }
+
+  test("byteDistinct / byteMaxFreq histogram kernels, incl. unsigned and empty") {
+    val df = Seq(
+      ("a", "aabbbb".getBytes("UTF-8")),
+      ("b", Array[Byte](0, -1, -1, 7)), // -1 reads as 0xff
+      ("c", Array.empty[Byte]),
+      ("d", Array.fill[Byte](64)(42)))
+      .toDF("k", "bin")
+    val got = df.select($"k", BinaryFunctions.byteDistinct($"bin").as("d"),
+      BinaryFunctions.byteMaxFreq($"bin").as("m"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("a", 2L, 4L), ("b", 3L, 2L), ("c", 0L, 0L), ("d", 1L, 64L)))
+  }
+
+  test("m08 byte-entropy screen matches a direct per-payload recomputation") {
+    val sf = "/root/testdata/sf0.001"
+    val got = MediaQueries.queries("m08_byte_entropy")(spark, sf)
+      .as[(Long, String, Long, Long, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    got.foreach { case (id, _, n, dist, mf, low) =>
+      val bytes = texts(id).getBytes("UTF-8")
+      assert(n == bytes.length.toLong)
+      val hist = bytes.groupBy(b => b & 0xff).view.mapValues(_.length.toLong)
+      assert(dist == hist.size.toLong, s"asset $id distinct")
+      assert(mf == hist.values.max, s"asset $id maxfreq")
+      assert(low == (dist <= 16 || mf * 4 >= n), s"asset $id verdict")
+    }
+  }
 }
