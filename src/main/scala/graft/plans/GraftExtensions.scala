@@ -63,6 +63,8 @@ object RewriteSpaceTokenCount extends Rule[LogicalPlan] {
   *   - `graft_byte_sum(binary)` / `graft_byte_weighted_sum(binary)`
   *   - `graft_byte_energy(binary, center)` / `graft_byte_crossings(binary, center)`
   *     (center must be an integer literal — it shapes the generated code)
+  *   - `graft_byte_distinct(binary)` / `graft_byte_maxfreq(binary)` — the
+  *     byte-entropy screen's histogram kernels
   *
   * Each builder validates arity up front so a SQL misuse fails at
   * analysis with the function's name, not at runtime inside codegen.
@@ -123,6 +125,14 @@ object GraftFunctions {
       arity("graft_byte_crossings", args, 2)
       graft.functions.BinaryByteStat(args(0), "crossings",
         litInt("graft_byte_crossings", args(1)))
+    },
+    fd("graft_byte_distinct") { args =>
+      arity("graft_byte_distinct", args, 1)
+      graft.functions.BinaryByteStat(args(0), "distinct", 0)
+    },
+    fd("graft_byte_maxfreq") { args =>
+      arity("graft_byte_maxfreq", args, 1)
+      graft.functions.BinaryByteStat(args(0), "maxfreq", 0)
     }
   )
 }

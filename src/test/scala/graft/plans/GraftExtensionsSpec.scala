@@ -116,6 +116,10 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(spark.sql(
         "SELECT graft_byte_crossings(CAST(x'7F81' AS BINARY), 128) AS s")
         .head().getLong(0) == 1L)
+      assert(spark.sql("SELECT graft_byte_distinct(CAST('aabbbb' AS BINARY)) AS s")
+        .head().getLong(0) == 2L)
+      assert(spark.sql("SELECT graft_byte_maxfreq(CAST('aabbbb' AS BINARY)) AS s")
+        .head().getLong(0) == 4L)
       // misuse fails at analysis with the function's name
       val err = intercept[Exception](
         spark.sql("SELECT graft_vec_dot(CAST(array(1.0) AS ARRAY<FLOAT>))").head())
