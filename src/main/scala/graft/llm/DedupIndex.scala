@@ -1,0 +1,89 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MinHash/LSH dedup-index LIFECYCLE — build once, persist, probe many:
+  * the [[VectorIndex]] discipline applied to text near-duplicate
+  * detection. Production corpus pipelines materialize the signature +
+  * candidate-pair intermediate exactly once per corpus snapshot and then
+  * run MANY consumers against it (Jaccard re-scoring, clustering, keep
+  * policies, audits, contrastive mining, tf-idf verification);
+  * regenerating the band self-join per consumer repeats the most
+  * expensive stage of the whole dedup pipeline as many times as there
+  * are consumers.
+  *
+  * Layout under `indexDir`:
+  *   - `signatures/`  (doc_id, sig0..sig15) — one row per document; the
+  *     16-lane MinHash sketch, ~130 B/doc regardless of document size.
+  *     At 100 TB of text this table is ~100 GB — re-bandable under a new
+  *     (bands × rows) tradeoff WITHOUT touching the corpus.
+  *   - `bands/`       (doc_id, band, bkey) PARTITIONED BY bp, the first
+  *     hex char of the banded key — 16 directories per corpus. A probe
+  *     batch joins on (bp, band, bkey), so scan planning prunes to the
+  *     band-key prefixes the batch actually hashes into — the
+  *     VectorIndex partition-pruning idea with hash prefixes instead of
+  *     IVF cells (at larger scale, widen the prefix: 2 hex chars = 256
+  *     directories).
+  *   - `pairs/`       (doc_a, doc_b) — the distinct same-bucket
+  *     candidate pairs (doc_a < doc_b), the artifact all seven
+  *     downstream dedup queries consume.
+  *
+  * Every frame is produced by the SAME private builders the inline l03
+  * formulation uses ([[LlmQueries.minhashSignatures]] /
+  * [[LlmQueries.bandedOfSigs]] / [[LlmQueries.lshPairsUnordered]]), so
+  * index-backed and inline results are identical by construction —
+  * pinned cell-for-cell by DedupIndexSpec.
+  */
+object DedupIndex {
+
+  /** Build and persist the index. `docs` needs (doc_id, text). Bands are
+    * derived from the PERSISTED signatures (not recomputed from text),
+    * and pairs from the persisted bands — each stage reads the previous
+    * stage's artifact, so a failed build resumes from the last completed
+    * stage at scale.
+    */
+  def build(docs: DataFrame, indexDir: String): Unit = {
+    val spark = docs.sparkSession
+    LlmQueries.minhashSignatures(docs)
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/signatures")
+    LlmQueries.bandedOfSigs(signatures(spark, indexDir))
+      .withColumn("bp", substring(col("bkey"), 1, 1))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bp").parquet(s"$indexDir/bands")
+    LlmQueries.lshPairsUnordered(bands(spark, indexDir))
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/pairs")
+  }
+
+  /** The persisted per-document MinHash signatures (doc_id, sig0..sig15). */
+  def signatures(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/signatures")
+
+  /** The persisted banded keys (doc_id, band, bkey). */
+  def bands(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/bands").select("doc_id", "band", "bkey")
+
+  /** The persisted candidate pairs (doc_a, doc_b), doc_a < doc_b,
+    * distinct, unordered — consumers impose their own order.
+    */
+  def candidatePairs(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/pairs")
+
+  /** Incremental probe: candidate (batch_doc, corpus_doc) pairs between
+    * a NEW batch (doc_id, text) and the indexed corpus — the l39
+    * incremental-dedup shape served from the persisted artifact. The
+    * batch's banded keys join the corpus bands on (bp, band, bkey), so
+    * only the band-file partitions matching the batch's key prefixes are
+    * read; the corpus text is never touched.
+    */
+  def probe(spark: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
+    val qb = LlmQueries.bandedOfSigs(LlmQueries.minhashSignatures(batch))
+      .withColumn("bp", substring(col("bkey"), 1, 1))
+      .select(col("bp"), col("band"), col("bkey"), col("doc_id").as("batch_doc"))
+    val cb = spark.read.parquet(s"$indexDir/bands")
+      .select(col("bp"), col("band"), col("bkey"), col("doc_id").as("corpus_doc"))
+    qb.join(cb, Seq("bp", "band", "bkey"))
+      .select(col("batch_doc"), col("corpus_doc"))
+      .distinct()
+  }
+}

@@ -1,0 +1,91 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted MinHash/LSH dedup-index lifecycle: build writes
+  * signatures + prefix-partitioned bands + candidate pairs; the
+  * index-backed pairs are CELL-IDENTICAL to the inline l03 formulation
+  * (the TopKPerKeySpec parity discipline); probe finds a new near-dup
+  * batch's corpus twins while reading only matching band partitions.
+  */
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The dup-augmented corpus the declared dedup queries run on (every
+    * 10th doc duplicated under doc_id+100000) — built here from the raw
+    * table so the spec does not depend on LlmQueries' private fixture.
+    */
+  private def corpus = {
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    base.unionByName(
+      base.where($"doc_id" % 10 === 0)
+        .withColumn("doc_id", $"doc_id" + 100000))
+  }
+
+  test("index-backed candidate pairs are cell-identical to the inline formulation") {
+    val dir = Files.createTempDirectory("dedupidx").toString
+    DedupIndex.build(corpus, s"$dir/idx")
+
+    val fromIndex = DedupIndex.candidatePairs(spark, s"$dir/idx")
+      .orderBy("doc_a", "doc_b").as[(Long, Long)].collect()
+    val inline = LlmQueries.lshPairsFor(corpus)
+      .as[(Long, Long)].collect()
+    assert(fromIndex.length == inline.length,
+      s"index ${fromIndex.length} pairs vs inline ${inline.length}")
+    assert(fromIndex.sameElements(inline), "pair sets diverge")
+    assert(fromIndex.nonEmpty, "fixture produced no candidate pairs")
+    assert(fromIndex.forall { case (a, b) => a < b }, "pair orientation broken")
+  }
+
+  test("signatures and bands round-trip the persisted artifacts exactly") {
+    val dir = Files.createTempDirectory("dedupidx").toString
+    DedupIndex.build(corpus, s"$dir/idx")
+
+    val sigCols = DedupIndex.signatures(spark, s"$dir/idx").columns.sorted
+    assert(sigCols.head == "doc_id" && sigCols.count(_.startsWith("sig")) == 16)
+    val persisted = DedupIndex.signatures(spark, s"$dir/idx")
+      .orderBy("doc_id").collect()
+    val recomputed = LlmQueries.minhashSignatures(corpus)
+      .orderBy("doc_id").collect()
+    assert(persisted.sameElements(recomputed), "persisted signatures drifted")
+
+    // bands are directory-partitioned by the key's first hex char
+    val bandDirs = new java.io.File(s"$dir/idx/bands").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bp="))
+    assert(bandDirs.nonEmpty, "no bp= partition directories written")
+    assert(bandDirs.length <= 16, s"${bandDirs.length} prefix dirs > 16")
+    // every doc appears once per band
+    val n = corpus.count()
+    assert(DedupIndex.bands(spark, s"$dir/idx").count() == 2 * n)
+  }
+
+  test("probe finds a new batch's corpus twins without touching corpus text") {
+    val dir = Files.createTempDirectory("dedupidx").toString
+    DedupIndex.build(corpus, s"$dir/idx")
+
+    // a batch of verbatim copies of corpus docs under fresh ids: every
+    // batch doc must surface its source as a candidate (exact dup ==
+    // identical signature == same bucket in EVERY band)
+    val batch = corpus.where($"doc_id" % 10 === 3).limit(5)
+      .select(($"doc_id" + 900000).as("doc_id"), $"text")
+    val sources = batch.select(($"doc_id" - 900000).as("doc_id")).as[Long].collect().toSet
+    val got = DedupIndex.probe(spark, s"$dir/idx", batch)
+      .as[(Long, Long)].collect()
+    val hits = got.collect { case (b, c) if c == b - 900000 => c }.toSet
+    assert(hits == sources, s"probe missed twins: ${sources -- hits}")
+
+    // the probe plan reads the bands artifact, never the signatures or
+    // any text column — the corpus-side input is the pruned band files
+    val plan = DedupIndex.probe(spark, s"$dir/idx", batch)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bands"), "probe does not scan the bands artifact")
+    assert(!plan.contains("signatures"), "probe re-reads the signature table")
+  }
+}
