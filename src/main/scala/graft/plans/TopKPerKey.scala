@@ -52,8 +52,14 @@ case class TopKPerKeyPlan(
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyPlan(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+      val flushKeys = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(TopKPerKeyExec.PartialFlushKeysConf,
+          TopKPerKeyExec.PartialFlushKeys.toString).toInt
+      require(flushKeys >= 1,
+        s"${TopKPerKeyExec.PartialFlushKeysConf} must be >= 1, got $flushKeys")
+      TopKPerKeyExec(keys, order, k, partial = false, flushKeys,
+        TopKPerKeyExec(keys, order, k, partial = true, flushKeys,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -71,6 +77,7 @@ case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
+    flushKeys: Int,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -92,7 +99,7 @@ case class TopKPerKeyExec(
     val sortExprs = order
     val childOutput = child.output
     val isPartial = partial
-    val flushKeys = TopKPerKeyExec.PartialFlushKeys
+    val flushKeysCap = flushKeys
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // "Better" = smaller under the generated ordering (earlier in
@@ -100,51 +107,85 @@ case class TopKPerKeyExec(
       val ord = GenerateOrdering.generate(sortExprs, childOutput)
       val rev = ord.reverse
       import scala.jdk.CollectionConverters._
-      var heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      var flushed: Iterator[InternalRow] = Iterator.empty
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          // Memory bound: the partial pass is an optimization, not a
-          // correctness requirement — on pathological key cardinality
-          // (near-unique keys) it FLUSHES its heaps instead of growing
-          // without limit, so memory stays O(flushKeys · k) and the
-          // final pass still sees a superset of every group's top k.
-          // The final pass cannot flush (it must see a whole group);
-          // its bound is O(#keys-in-partition · k) — the same shape as
-          // a hash aggregate on the same key, and the reason the key
-          // shuffle precedes it.
-          if (isPartial && heaps.size() >= flushKeys) {
-            val old = heaps
-            flushed = flushed ++ old.values().iterator().asScala
-              .flatMap(_.iterator().asScala)
-            heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      // STREAMING flush discipline: each flushed epoch is fully EMITTED
+      // downstream before the next epoch's map is grown — consumption
+      // pauses while an epoch drains (the consumer pulls), so live
+      // memory is at most the draining epoch + the growing map, i.e.
+      // O(2 · flushKeys · k) rows regardless of input size or key
+      // cardinality. (The previous formulation chained every flushed
+      // epoch onto one lazy iterator consumed only AFTER the whole
+      // input: on near-unique keys — exactly the case flushing targets
+      // — all ~n retained rows stayed referenced at once.)
+      // The final pass cannot flush (it must see a whole group); its
+      // bound is O(#keys-in-partition · k) — the same shape as a hash
+      // aggregate on the same key, and the reason the key shuffle
+      // precedes it.
+      new Iterator[InternalRow] {
+        private var heaps =
+          new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+        private var emit: Iterator[InternalRow] = Iterator.empty
+
+        private def insert(row: InternalRow): Unit = {
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          if (heap == null) {
+            heap = new java.util.PriorityQueue[InternalRow](kLocal, rev)
+            heaps.put(key.copy(), heap)
           }
-          heap = new java.util.PriorityQueue[InternalRow](kLocal, rev)
-          heaps.put(key.copy(), heap)
+          if (heap.size() < kLocal) {
+            heap.add(row.copy())
+          } else if (ord.compare(row, heap.peek()) < 0) {
+            heap.poll()
+            heap.add(row.copy())
+          }
         }
-        if (heap.size() < kLocal) {
-          heap.add(row.copy())
-        } else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+
+        private def drain(
+            m: java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]): Iterator[InternalRow] =
+          m.values().iterator().asScala.flatMap(_.iterator().asScala)
+
+        private def advance(): Unit = {
+          while (!emit.hasNext && heaps != null) {
+            if (!iter.hasNext) {
+              emit = drain(heaps)
+              heaps = null // terminal: input and heaps both exhausted
+            } else {
+              val row = iter.next()
+              if (isPartial && heaps.size() >= flushKeysCap &&
+                  !heaps.containsKey(keyProj(row))) {
+                val full = heaps
+                heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+                insert(row)
+                emit = drain(full)
+              } else {
+                insert(row)
+              }
+            }
+          }
         }
+
+        override def hasNext: Boolean = { advance(); emit.hasNext }
+        override def next(): InternalRow = { advance(); emit.next() }
       }
-      flushed ++ heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
     }, preservesPartitioning = true)
   }
 }
 
 object TopKPerKeyExec {
-  /** Key-cardinality cap per partial-pass hash map before it flushes its
-    * heaps downstream (correct because the flushed union is always a
-    * superset of every group's top k — rows are only dropped when k
-    * better same-group rows were emitted in their epoch). 64k keys · k
-    * rows bounds partial memory regardless of key cardinality.
+  /** Default key-cardinality cap per partial-pass hash map before it
+    * flushes its heaps downstream (correct because the flushed union is
+    * always a superset of every group's top k — rows are only dropped
+    * when k better same-group rows were admitted in their epoch). 64k
+    * keys · k rows bounds partial memory regardless of key cardinality.
+    * Tunable per session via `spark.graft.topk.partialFlushKeys`: lower
+    * it when k is large or rows are wide (the live bound is
+    * 2 · flushKeys · k rows), raise it when keys repeat enough that
+    * bigger epochs mean better pre-shuffle reduction.
     */
   val PartialFlushKeys: Int = 1 << 16
+
+  /** The session-conf knob name for the partial-pass flush cap. */
+  val PartialFlushKeysConf: String = "spark.graft.topk.partialFlushKeys"
 }
 
 /** Public entry: `TopK.perKey(df, keys, orderBy, k)`. Arms the planner
@@ -170,7 +211,12 @@ object TopK {
     def attr(n: String): Attribute = analyzed.output.find(matches(_, n)).getOrElse(
       throw new IllegalArgumentException(
         s"column $n not in ${analyzed.output.map(_.name).mkString(", ")}"))
-    val keys = keyCols.map(attr)
+    // Float/double keys are NORMALIZED (-0.0 → 0.0, NaN bit patterns
+    // canonicalized) before grouping: Catalyst's NormalizeFloatingNumbers
+    // rule rewrites Aggregate/Window/Join keys but does not know custom
+    // logical nodes, so without this a float key would split groups the
+    // rank-window formulation merges (the exact-parity contract).
+    val keys = keyCols.map(n => GraftInternal.normalizeFloatingNumbers(attr(n)))
     val order = orderBy.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }

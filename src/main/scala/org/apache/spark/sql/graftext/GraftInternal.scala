@@ -35,4 +35,17 @@ object GraftInternal {
     */
   def experimental(spark: SparkSession): ExperimentalMethods =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+
+  /** `NormalizeFloatingNumbers.normalize` (`private[sql]`): canonicalize
+    * -0.0/0.0 and NaN bit patterns in an expression used as a grouping
+    * key. Catalyst applies this automatically to Aggregate/Window/Join
+    * keys but NOT to custom logical nodes, so graft's own key-clustered
+    * operators (TopKPerKey) must normalize their keys themselves or
+    * float keys split groups the built-in operators would merge.
+    * Self-guarding: returns the expression unchanged when its type has
+    * no normalization to do.
+    */
+  def normalizeFloatingNumbers(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }
