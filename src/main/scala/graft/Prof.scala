@@ -32,6 +32,8 @@ object Prof {
     SparkEntry.tune(spark)
     mode match {
       case "repeat"  => repeat(spark, sfDir)
+      case "plan"    => planSplit(spark, sfDir)
+      case "floor"   => floorStages(spark, sfDir)
       case "t01"     => t01Stages(spark, sfDir)
       case "q25"     => q25Stages(spark, sfDir)
       case "explain" => explain(spark, sfDir)
@@ -119,6 +121,67 @@ object Prof {
         graft.plans.TopK.perKey(RelationalQueries.q66Base(spark, sfDir),
           Seq("l_suppkey"), RelationalQueries.q66Order, k)
       }
+    }
+  }
+
+  /** Stage-by-stage decomposition of the l01 small-query chain (scan →
+    * repartition → dup-union → md5 group-agg → global sort) to localize
+    * the per-query session floor.
+    */
+  private def floorStages(spark: SparkSession, sfDir: String): Unit = {
+    val par = spark.sparkContext.defaultParallelism
+    for (i <- 1 to 3) {
+      val scan = spark.read.parquet(s"$sfDir/documents.parquet")
+      time(s"scan#$i")(scan.select(col("doc_id")))
+      time(s"scan+md5#$i")(scan.select(md5(col("text")).as("f")))
+      val rep = spark.read.parquet(s"$sfDir/documents.parquet").repartition(par)
+      time(s"scan+repart#$i")(rep.select(col("doc_id")))
+      val union = rep.unionByName(rep.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000))
+      time(s"union#$i")(union.select(col("doc_id")))
+      val agg = union.groupBy(md5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("copies"), min("doc_id").as("keeper"),
+          max("doc_id").as("last_copy"))
+      time(s"union+agg#$i")(agg)
+      time(s"union+agg+sort#$i")(agg.orderBy("fp"))
+      // same, skipping the repartition (single input partition)
+      val scan2 = spark.read.parquet(s"$sfDir/documents.parquet")
+      val union2 = scan2.unionByName(scan2.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000))
+      val agg2 = union2.groupBy(md5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("copies"), min("doc_id").as("keeper"),
+          max("doc_id").as("last_copy"))
+      time(s"norepart+agg+sort#$i")(agg2.orderBy("fp"))
+      spark.catalog.clearCache(); System.gc()
+    }
+  }
+
+  /** Split a query's wall clock into plan-build / analysis / physical
+    * planning / execution — the round-8 verdict's tool for localizing
+    * the small-query session floor (is the +0.1s per query spent in
+    * Catalyst before the first task launches, or in the tasks?).
+    * Reported per rep so JIT'd steady state is visible.
+    */
+  private def planSplit(spark: SparkSession, sfDir: String): Unit = {
+    val q = sys.env.getOrElse("PROF_QUERY", "l01_dedup_exact,l07_ann_lsh,q28_quantiles")
+    val reps = sys.env.getOrElse("PROF_REPS", "4").toInt
+    for (i <- 1 to reps; name <- q.split(",")) {
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val t1 = System.nanoTime()
+      df.queryExecution.assertAnalyzed()
+      val t2 = System.nanoTime()
+      df.queryExecution.executedPlan
+      val t3 = System.nanoTime()
+      val n = df.queryExecution.toRdd.count()
+      val t4 = System.nanoTime()
+      System.err.println(
+        f"[prof] $name#$i build=${(t1 - t0) / 1e9}%.3f analyze=${(t2 - t1) / 1e9}%.3f " +
+          f"plan=${(t3 - t2) / 1e9}%.3f exec=${(t4 - t3) / 1e9}%.3f " +
+          f"total=${(t4 - t0) / 1e9}%.3f ($n rows)")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
     }
   }
 

@@ -32,13 +32,27 @@ import org.apache.spark.sql.functions._
 object LlmQueries {
 
   // The driver's tables are single small parquet files -> one input
-  // partition; without an explicit repartition every md5/shingle/dot
-  // projection would run on a single core. (On a real cluster the input
-  // would already be many files/row-groups.)
+  // partition. Scans are NOT blanket-repartitioned: the extra exchange
+  // stage costs ~0.2s of fixed scheduling/shuffle overhead on every
+  // query (the round-8 small-query floor), and on a real cluster the
+  // input is already many files/row-groups so the repartition would be
+  // a pure full-data shuffle. Only pipelines whose pre-shuffle map work
+  // is genuinely heavy (hundreds of md5s per row — MinHash shingling,
+  // SimHash word hashing) buy parallelism explicitly via [[spread]].
   private def docs(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"$d/documents.parquet").repartition(s.sparkContext.defaultParallelism)
+    s.read.parquet(s"$d/documents.parquet")
   private def embs(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"$d/embeddings.parquet").repartition(s.sparkContext.defaultParallelism)
+    s.read.parquet(s"$d/embeddings.parquet")
+
+  /** Spread a small single-partition scan across the cluster before a
+    * per-row-heavy kernel. Deliberately NOT part of [[docs]]/[[embs]]:
+    * worth one exchange only when the map work above it outweighs the
+    * stage overhead (~1.6M md5s for MinHash at sf0.1 vs ~0.25M for a
+    * plain fingerprint — the former is 1-2s single-core, the latter is
+    * cheaper than the shuffle it would pay for).
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Documents augmented with exact duplicates (doc_id+100000 for every
     * 10th doc) so dedup operators have real work; both engines construct
@@ -84,7 +98,7 @@ object LlmQueries {
 
   /** Exploded (doc_id, base-hash) rows: one md5 per shingle, total. */
   private def shingleHashes(base: DataFrame): DataFrame =
-    base
+    spread(base)
       .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
       .select(col("doc_id"),
         (conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % P).as("h"))
@@ -102,7 +116,7 @@ object LlmQueries {
   private[llm] def minhashSignatures(base: DataFrame): DataFrame = {
     val sigCols = (0 until NumHashes).map(j =>
       element_at(col("mh"), j + 1).as(s"sig$j"))
-    base.select(col("doc_id"),
+    spread(base).select(col("doc_id"),
         graft.functions.TextFunctions.minhashSig(col("text")).as("mh"))
       .select(col("doc_id") +: sigCols: _*)
   }
@@ -254,7 +268,7 @@ object LlmQueries {
     * (16 hashes per word) and was the suite's slowest query.
     */
   def qSimhash(s: SparkSession, d: String): DataFrame = {
-    val hashed = docs(s, d).select(col("doc_id"),
+    val hashed = spread(docs(s, d)).select(col("doc_id"),
       transform(split(col("text"), " "), w => md5(w)).as("hs"))
     val bits = (0 until 16).map { j =>
       val contrib = aggregate(col("hs"), lit(0),
@@ -1671,7 +1685,7 @@ object LlmQueries {
     * bit-vector similarity here).
     */
   def qSimhashPairs(s: SparkSession, d: String): DataFrame = {
-    val hashed = docsWithDups(s, d).select(col("doc_id"),
+    val hashed = spread(docsWithDups(s, d)).select(col("doc_id"),
       transform(split(col("text"), " "),
         w => conv(substring(md5(w), 1, 8), 16, 10).cast("long")).as("hw"))
     val bits = (0 until 32).map { j =>
