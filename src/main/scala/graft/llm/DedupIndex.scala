@@ -28,6 +28,16 @@ import org.apache.spark.sql.functions._
   *   - `pairs/`       (doc_a, doc_b) — the distinct same-bucket
   *     candidate pairs (doc_a < doc_b), the artifact all seven
   *     downstream dedup queries consume.
+  *   - `shingle_sets/` (doc_id, sh_set) — each document's DISTINCT
+  *     character-4-gram shingle set as an array, the exact-scoring
+  *     companion to the probabilistic signatures: every candidate
+  *     re-scorer (Jaccard, banding audits, contrastive labeling)
+  *     needs this table, and building it is the single heaviest map
+  *     stage of the pipeline (~|text| substrings + a distinct per
+  *     doc). Materialized ONCE at build, spread across the cluster,
+  *     consumed by key-equi-join — rebuilding it per consumer off the
+  *     raw scan repeats the cost per query and inherits whatever
+  *     (possibly single-file) parallelism the crawl was filed with.
   *
   * Every frame is produced by the SAME private builders the inline l03
   * formulation uses ([[LlmQueries.minhashSignatures]] /
@@ -53,6 +63,8 @@ object DedupIndex {
       .partitionBy("bp").parquet(s"$indexDir/bands")
     LlmQueries.lshPairsUnordered(bands(spark, indexDir))
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/pairs")
+    LlmQueries.docShingleSets(docs)
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/shingle_sets")
   }
 
   /** The persisted per-document MinHash signatures (doc_id, sig0..sig15). */
@@ -68,6 +80,12 @@ object DedupIndex {
     */
   def candidatePairs(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/pairs")
+
+  /** The persisted per-document distinct-shingle sets (doc_id, sh_set) —
+    * the table every exact re-scorer joins against the candidate pairs.
+    */
+  def shingleSets(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/shingle_sets")
 
   /** Incremental probe: candidate (batch_doc, corpus_doc) pairs between
     * a NEW batch (doc_id, text) and the indexed corpus — the l39

@@ -70,6 +70,19 @@ object LlmQueries {
       |  UNION ALL
       |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
+  /** Per-document DISTINCT character-4-gram shingle sets (doc_id,
+    * sh_set) — the exact-scoring table [[DedupIndex.build]] persists
+    * alongside the signatures. Spread before the projection: building
+    * ~|text| substrings plus an array_distinct per document is exactly
+    * the "genuinely heavy map work" the scan-parallelism rule above
+    * exempts from the no-repartition default (left on the raw scan's
+    * single file partition it ran 5-7x slower — the round-9 l05/l41/l59
+    * regression).
+    */
+  private[llm] def docShingleSets(docs: DataFrame): DataFrame =
+    spread(docs).select(col("doc_id"),
+      array_distinct(shingles(col("text"))).as("sh_set"))
+
   /** Character 4-gram shingles of a text column. */
   private def shingles(t: Column): Column =
     transform(sequence(lit(1), greatest(length(t) - 3, lit(1))),
@@ -234,14 +247,43 @@ object LlmQueries {
     * paths row-identical.
     */
   private val sharedIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def indexedPairs(s: SparkSession, d: String): DataFrame = {
-    val dir = sharedIndexDirs.computeIfAbsent(d, _ => {
+  private def sharedIndexDir(s: SparkSession, d: String): String =
+    sharedIndexDirs.computeIfAbsent(d, _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-index-")
         .toString
+      deleteOnExit(tmp)
       DedupIndex.build(docsWithDups(s, d), tmp)
       tmp
     })
-    DedupIndex.candidatePairs(s, dir)
+  private def indexedPairs(s: SparkSession, d: String): DataFrame =
+    DedupIndex.candidatePairs(s, sharedIndexDir(s, d))
+
+  /** The persisted (doc_id, sh_set) distinct-shingle table of the shared
+    * index — what l05/l41/l59 join against the candidate pairs instead
+    * of each rebuilding the corpus's heaviest map stage per query.
+    */
+  private def indexedShingleSets(s: SparkSession, d: String): DataFrame =
+    DedupIndex.shingleSets(s, sharedIndexDir(s, d))
+
+  /** The shared index dirs are keyed by the DATA DIRECTORY path and live
+    * for the JVM: the corpus under a given path is assumed immutable for
+    * the process lifetime (the snapshot discipline every persisted-index
+    * consumer already accepts — [[VectorIndex]] has the same contract).
+    * A process that re-points a path at new data must call
+    * [[invalidateSharedIndexes]]; the temp dirs themselves are removed
+    * at JVM exit so repeated driver runs don't accrete dead indexes.
+    */
+  def invalidateSharedIndexes(): Unit = {
+    val dirs = new java.util.ArrayList(sharedIndexDirs.values())
+    sharedIndexDirs.clear()
+    dirs.forEach(d => deleteRecursively(new java.io.File(d)))
+  }
+  private def deleteOnExit(dir: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      deleteRecursively(new java.io.File(dir))))
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
   private val pairsSqlCtes: String =
     s"""${sigsSqlCtes("dd")},
@@ -301,16 +343,16 @@ object LlmQueries {
     * no float rounding anywhere, so no cross-engine ties.
     */
   def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val dd = docsWithDups(s, d)
     val pairs = indexedPairs(s, d)
     // One row per DOC carrying its distinct-shingle SET as an array; the
     // intersection is computed per candidate pair with a single codegen'd
     // array_intersect — no explode to (pair x shingle) rows, whose shuffle
     // (candidates x ~|text| rows) dominated the naive plan. The doc-array
     // side is |docs| rows and joins by key, so the only per-pair state in
-    // flight is the two arrays the scorer needs.
-    val docSets = dd.select(col("doc_id"),
-      array_distinct(shingles(col("text"))).as("sh_set"))
+    // flight is the two arrays the scorer needs. The sets come from the
+    // shared index's persisted shingle_sets table — materialized once at
+    // build, not rebuilt off the raw scan per re-scorer.
+    val docSets = indexedShingleSets(s, d)
     // Sort BEFORE the intersection projection (the l21 lesson): the
     // orderBy's range partitioner samples its child, so whatever sits
     // below the Sort executes twice. Carrying the two shingle arrays
@@ -2279,10 +2321,8 @@ object LlmQueries {
     * cross-joined (1x1 joins — not a data cross product).
     */
   def qLshAudit(s: SparkSession, d: String): DataFrame = {
-    val dd = docsWithDups(s, d)
     val pairs = indexedPairs(s, d)
-    val docSets = dd.select(col("doc_id"),
-      array_distinct(shingles(col("text"))).as("sh_set"))
+    val docSets = indexedShingleSets(s, d)
     val judged = pairs
       .join(docSets.as("za"), col("doc_a") === col("za.doc_id"))
       .join(docSets.as("zb"), col("doc_b") === col("zb.doc_id"))
@@ -2847,7 +2887,11 @@ object LlmQueries {
       .unionByName(snippets)
     // Distinct word-8-gram hashes per doc (the l33 gram discipline: one
     // md5 per position, the bound-ws lesson to avoid re-splitting).
-    val docSh = corpus
+    // Spread first: one md5 per gram position is the heavy-map-work case
+    // of the scan-parallelism rule, and the persisted table below is
+    // consumed four times, so the build must not run on the raw scan's
+    // single file partition.
+    val docSh = spread(corpus)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(1), greatest(size(col("ws")) - 7, lit(1))))
@@ -3458,8 +3502,7 @@ object LlmQueries {
   def qContrastivePairs(s: SparkSession, d: String): DataFrame = {
     val dd = docsWithDups(s, d)
     val cand = indexedPairs(s, d)
-    val docSets = dd.select(col("doc_id"),
-      array_distinct(shingles(col("text"))).as("sh_set"))
+    val docSets = indexedShingleSets(s, d)
     val pos = cand
       .join(docSets.as("za"), col("doc_a") === col("za.doc_id"))
       .join(docSets.as("zb"), col("doc_b") === col("zb.doc_id"))
