@@ -23,14 +23,15 @@ object Bench {
     * pins 2-3 RUNNABLE tasks at ~1000x their siblings' per-row cost
     * (verified via jstack; independent of query/plan/GC), and a stalled
     * run misreports a query by 10-60s. A measurement above
-    * 5x-the-reference triggers a re-run (up to 4, with a sleep between
-    * them — a stall epoch outlasts back-to-back re-runs). Never reported
-    * as a result; unlisted queries default to a 3s reference.
+    * max(2.5x-the-reference, reference+0.5s) triggers a re-run (up to
+    * 4, with a sleep between them — a stall epoch outlasts back-to-back
+    * re-runs). Never reported as a result; unlisted queries default to
+    * a 3s reference.
     */
   private val referenceSec: Map[String, Double] = Map(
     "l01_dedup_exact" -> 0.7, "l02_minhash_signatures" -> 0.7,
     "l03_lsh_pairs" -> 1.6, "l04_simhash" -> 1.2,
-    "l05_ngram_jaccard" -> 1.0, "l06_cosine_topk" -> 0.5,
+    "l05_ngram_jaccard" -> 0.8, "l06_cosine_topk" -> 0.5,
     "l07_ann_lsh" -> 0.6, "l08_embed_neardup" -> 0.9,
     "l09_langid" -> 0.6, "l10_quality" -> 0.8,
     "l11_token_count" -> 0.6, "l12_fingerprint" -> 0.6,
@@ -48,14 +49,14 @@ object Bench {
     "l36_vocab_coverage" -> 0.9, "l37_semantic_dedup" -> 1.5,
     "l38_dedup_keep_policy" -> 1.5,
     "l39_incremental_dedup" -> 3.0, "l40_text_normalize" -> 1.2,
-    "l41_lsh_audit" -> 0.8,
+    "l41_lsh_audit" -> 0.6,
     "l42_bigram_surprisal" -> 2.5, "l43_pmi_collocations" -> 2.3,
     "l44_token_budget" -> 2.5, "l45_cluster_balance" -> 1.2,
     "l46_split_assignment" -> 1.2, "q51_setops_all" -> 0.8,
     "q52_outliers" -> 1.0, "l47_corpus_funnel" -> 2.0,
     "q53_argmax" -> 0.6, "q54_comovement" -> 0.6, "q55_date_spine" -> 0.6,
     "l48_chunk_sliding" -> 1.2, "l49_compression_ratio" -> 0.6,
-    "l50_containment" -> 3.0, "q56_basket_pairs" -> 2.8,
+    "l50_containment" -> 3.0, "q56_basket_pairs" -> 1.5,
     "l51_training_shuffle" -> 0.8,
     "q57_percentile_cont" -> 0.6, "q58_distinct_window" -> 0.8,
     "q59_interval_join" -> 1.0, "q60_time_weighted" -> 0.5,
@@ -64,7 +65,7 @@ object Bench {
     "l52_winnowing" -> 1.4, "l53_pseudo_label" -> 1.1,
     "l54_ann_recall" -> 1.2, "l55_bm25" -> 0.5,
     "l56_knn_pagerank" -> 1.8, "l57_priority_sample" -> 0.4,
-    "l58_cms_heavy" -> 0.8, "l59_contrastive_pairs" -> 1.0,
+    "l58_cms_heavy" -> 0.8, "l59_contrastive_pairs" -> 0.7,
     "l60_tfidf_cosine" -> 2.2,
     "l61_random_projection" -> 0.7, "l62_int8_quant" -> 0.7,
     "q66_topk_custom" -> 0.8, "l63_snapshot_diff" -> 0.8, "l64_batch_novelty" -> 1.5, "l65_classifier_filter" -> 0.8, "m08_byte_entropy" -> 0.6,
@@ -79,7 +80,7 @@ object Bench {
     "q34_lateral" -> 0.8,
     "m01_media_decode" -> 0.6, "m02_image_resize" -> 0.5,
     "m03_frame_sample" -> 0.5, "m04_media_stats" -> 0.25,
-    "m05_media_dedup" -> 0.5, "m06_media_hamming" -> 1.5,
+    "m05_media_dedup" -> 0.5, "m06_media_hamming" -> 0.9,
     "q01_scan_project" -> 0.6, "q02_filter" -> 0.4,
     "q03_explode" -> 0.4, "q04_agg" -> 1.0,
     "q05_join_broadcast" -> 0.4, "q06_join_multiway" -> 1.0,
@@ -271,17 +272,21 @@ object Bench {
       // basename match: a substring test would also arm at e.g.
       // sf0.15 or sf0.1_big and double the bench at the wrong scale.
       val calibrated = new java.io.File(sfDir).getName == "sf0.1"
-      // 4x multiplier + (ref + 1.5s) floor. The old absolute 8s floor
-      // structurally could not catch a 4x stall on any sub-2s query —
-      // which is now the entire surface (round 8 committed q61 at 2.55s
-      // vs 0.66 steady, m04 0.41 vs 0.20, m05 0.77 vs 0.39, all under
-      // 8s). ref+1.5 still tolerates honest noise (no steady query
-      // varies by 1.5s run-to-run) while arming on every observed stall
-      // magnitude.
+      // 2.5x multiplier + (ref + 0.5s) floor. The previous
+      // max(4*ref, ref+1.5) could NOT catch the stalls actually
+      // observed on sub-1s queries — q61 committed at 2.55s vs 0.66
+      // steady (threshold was 3.2), q09 at 1.83 vs 0.34 (1.9), m05 at
+      // 0.77 vs 0.39 (2.0) all sailed through. 2.5x arms on every one
+      // of those magnitudes for refs >= ~0.35; the +0.5 floor keeps
+      // tiny-ref queries from retrying on honest noise (the measured
+      // host envelope on identical code is <= ~1.9x run-to-run, and
+      // 1.9x of any sub-0.35s ref stays under ref+0.5). Stall shapes
+      // below ~2x of steady state remain indistinguishable from noise
+      // by design — min-of-2 absorbs those.
       val threshold =
         if (calibrated)
-          math.max(4.0 * referenceSec.getOrElse(name, 3.0),
-            referenceSec.getOrElse(name, 3.0) + 1.5)
+          math.max(2.5 * referenceSec.getOrElse(name, 3.0),
+            referenceSec.getOrElse(name, 3.0) + 0.5)
         else Double.MaxValue
       var extra = 0
       while (best > threshold && extra < 4) {
