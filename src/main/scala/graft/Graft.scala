@@ -39,7 +39,13 @@ import graft.streaming.{TickIn, TickOut, TickStream}
   *   - storage layout: [[graft.sources.Warehouse]] (bucketed no-shuffle joins,
   *     partition pruning, small-file compaction, Z-order clustering)
   *   - observability: [[graft.operators.Audit]] (same-pass row/integrity metrics)
-  *   - streaming corpus ingestion: [[graft.streaming.DocStream]]
+  *   - streaming corpus ingestion: [[graft.streaming.DocStream]] (exact +
+  *     canonical + MinHash near-dup rejection per micro-batch, replay-safe)
+  *   - persisted dedup indexes: [[graft.llm.DedupIndex]] (signatures,
+  *     prefix-partitioned bands, candidate pairs, per-doc shingle sets;
+  *     build once per corpus snapshot, probe incrementally — data-path
+  *     keyed JVM cache behind the l-queries is single-snapshot by
+  *     contract, see [[graft.llm.LlmQueries.invalidateSharedIndexes]])
   *   - persisted ANN indexes: [[graft.llm.VectorIndex]] (IVF lists under dynamic
   *     partition pruning; PQ codebook + asymmetric-distance search)
   *   - skew tooling: [[graft.operators.Salted]]

@@ -94,14 +94,42 @@ object DedupIndex {
     * only the band-file partitions matching the batch's key prefixes are
     * read; the corpus text is never touched.
     */
-  def probe(spark: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
-    val qb = LlmQueries.bandedOfSigs(LlmQueries.minhashSignatures(batch))
-      .withColumn("bp", substring(col("bkey"), 1, 1))
+  def probe(spark: SparkSession, indexDir: String, batch: DataFrame): DataFrame =
+    probeAgainst(spark.read.parquet(s"$indexDir/bands"), batch)
+
+  /** The probe join against an arbitrary corpus-bands frame — factored
+    * out so callers holding a FILTERED view of the bands artifact (the
+    * streaming ingest excludes the replaying batch's own partition) run
+    * the identical join. `corpusBands` needs (bp, band, bkey, doc_id);
+    * extra columns (e.g. a batch_id partition column) are ignored.
+    */
+  def probeAgainst(corpusBands: DataFrame, batch: DataFrame): DataFrame = {
+    val qb = bandsOf(batch)
       .select(col("bp"), col("band"), col("bkey"), col("doc_id").as("batch_doc"))
-    val cb = spark.read.parquet(s"$indexDir/bands")
+    // Static partition pruning on the corpus side: the batch's distinct
+    // key prefixes are at most 16 values, collected driver-side (an
+    // O(#prefixes) collect, not a data collect) and pushed as an IN
+    // filter — the scan plans only the matching bp= directories. Join
+    // equality on bp makes the filter a no-op semantically; a dynamic-
+    // pruning subquery would need a selective filter on the build side
+    // to trigger, and a literal IN prunes at PLANNING time instead of
+    // run time. Costs one extra pass over the (micro-batch-sized)
+    // probe side to compute its prefixes.
+    val prefixes = qb.select("bp").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
+    val cb = corpusBands.where(col("bp").isin(prefixes: _*))
       .select(col("bp"), col("band"), col("bkey"), col("doc_id").as("corpus_doc"))
     qb.join(cb, Seq("bp", "band", "bkey"))
       .select(col("batch_doc"), col("corpus_doc"))
       .distinct()
   }
+
+  /** Banded keys (doc_id, band, bkey, bp) of a (doc_id, text) frame —
+    * the exact frame `build` persists under `bands/`, exposed so
+    * incremental writers (the streaming corpus fold) can append a
+    * batch's bands in the index's own layout.
+    */
+  def bandsOf(docs: DataFrame): DataFrame =
+    LlmQueries.bandedOfSigs(LlmQueries.minhashSignatures(docs))
+      .withColumn("bp", substring(col("bkey"), 1, 1))
 }

@@ -38,8 +38,23 @@ object DocStream {
 
   /** One micro-batch of the ingest fold; exposed for direct testing of
     * replay semantics. `batch` needs (doc_id, text).
+    *
+    * When `nearDupIndexDir` is set, a fourth rejection stage runs after
+    * the exact/canonical probes: the batch's MinHash banded keys are
+    * joined against the accumulated band index ([[graft.llm.DedupIndex]]
+    * layout, grown per batch under `bands/batch_id=N/bp=X`), so a NEAR
+    * duplicate of a held document — a small edit that defeats both hash
+    * keys — is rejected too (the l39 incremental probe as a streaming
+    * stage). The join keys on the `bp` partition column, so scan
+    * planning prunes the index read to the band-key prefixes the batch
+    * actually hashes into. Survivors' bands are appended under the
+    * batch's own partition with mode=overwrite, and both the probe and
+    * the exact/canon probes exclude `batch_id = batchId` — the same
+    * replay discipline as the corpus write: a replayed batch re-probes
+    * against everyone else, rewrites its own files, and is a no-op.
     */
-  def ingestBatch(batch: DataFrame, corpusDir: String, batchId: Long): Unit = {
+  def ingestBatch(batch: DataFrame, corpusDir: String, batchId: Long,
+      nearDupIndexDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val keyed = batch
       .withColumn("h", md5(col("text")))
@@ -59,18 +74,43 @@ object DocStream {
           .join(corpus.select("norm_key").distinct(), Seq("norm_key"), "left_anti")
       case None => s2
     }
-    novel.select(col("doc_id"), col("text"), col("h"), col("norm_key"))
+    val survivors = nearDupIndexDir match {
+      case Some(idxDir) =>
+        val held: Option[DataFrame] =
+          try {
+            Some(spark.read.parquet(s"$idxDir/bands")
+              .where(col("batch_id") =!= batchId))
+          } catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val out = held match {
+          case Some(cb) =>
+            val hits = graft.llm.DedupIndex
+              .probeAgainst(cb, novel.select(col("doc_id"), col("text")))
+              .select(col("batch_doc").as("doc_id")).distinct()
+            novel.join(hits, Seq("doc_id"), "left_anti")
+          case None => novel
+        }
+        // Grow the index by this batch's survivors. Safe to re-read the
+        // bands dir when the corpus write below re-executes `out`'s
+        // lineage: the probe's batch_id filter prunes away the partition
+        // this write just created.
+        graft.llm.DedupIndex.bandsOf(out.select(col("doc_id"), col("text")))
+          .write.mode("overwrite").partitionBy("bp")
+          .parquet(s"$idxDir/bands/batch_id=$batchId")
+        out
+      case None => novel
+    }
+    survivors.select(col("doc_id"), col("text"), col("h"), col("norm_key"))
       .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
   }
 
   /** Run the ingest fold over a streaming document source. */
   def ingest(docs: DataFrame, corpusDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, nearDupIndexDir: Option[String] = None): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, corpusDir, batchId)
+        ingestBatch(batch, corpusDir, batchId, nearDupIndexDir)
       }
       .start()
 

@@ -66,6 +66,24 @@ class DedupIndexSpec extends SparkSpec {
     assert(DedupIndex.bands(spark, s"$dir/idx").count() == 2 * n)
   }
 
+  test("persisted shingle sets cover every doc with its exact distinct-shingle count") {
+    val dir = Files.createTempDirectory("dedupidx").toString
+    DedupIndex.build(corpus, s"$dir/idx")
+    val sets = DedupIndex.shingleSets(spark, s"$dir/idx")
+    assert(sets.columns.sorted.toSeq == Seq("doc_id", "sh_set"))
+    assert(sets.count() == corpus.count(), "one row per corpus doc")
+    // spot-exact: a doc's persisted set is the distinct 4-gram set of
+    // its text (values, not just counts — order inside the array is
+    // build-defined, so compare as sets)
+    val doc = corpus.orderBy("doc_id").limit(1)
+      .as[(Long, String)].collect().head
+    val persisted = sets.where($"doc_id" === doc._1)
+      .select($"sh_set").as[Seq[String]].collect().head.toSet
+    val expected = (1 to math.max(doc._2.length - 3, 1))
+      .map(i => doc._2.substring(i - 1, math.min(i + 3, doc._2.length))).toSet
+    assert(persisted == expected, "persisted shingle set drifted from text")
+  }
+
   test("probe finds a new batch's corpus twins without touching corpus text") {
     val dir = Files.createTempDirectory("dedupidx").toString
     DedupIndex.build(corpus, s"$dir/idx")

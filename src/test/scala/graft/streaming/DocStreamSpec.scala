@@ -37,6 +37,58 @@ class DocStreamSpec extends SparkSpec {
       s"corpus ids ${corpus.map(_._1).toSeq} != Seq(1, 2, 6)")
   }
 
+  test("near-dup probe rejects a small edit of a held document, reading only matching bp= partitions") {
+    val dir = Files.createTempDirectory("docneardup").toString
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "green turtles march slowly across the ancient stone bridge carrying " +
+      "baskets of ripe yellow mangoes toward the bustling village market " +
+      "where merchants trade spices silk and copper pots"
+    // one in-place WORD edit: not an exact dup, not a canonicalization
+    // dup (the changed letter survives lower/strip-punct), but >97% of
+    // the character-4-gram shingles are shared, so the MinHash banding
+    // must still bucket the pair somewhere
+    val variant = base.replace("copper pots", "copper pans")
+    val b0 = Seq((1L, base), (2L, "an unrelated second document about sailing boats"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((3L, variant), (4L, "a genuinely novel third document about mountain weather"))
+      .toDF("doc_id", "text")
+    // precondition, not an assumption: the pair really collides in >=1 band
+    val shared = graft.llm.DedupIndex.bandsOf(Seq((1L, base)).toDF("doc_id", "text"))
+      .select($"band", $"bkey")
+      .join(graft.llm.DedupIndex.bandsOf(Seq((3L, variant)).toDF("doc_id", "text"))
+        .select($"band", $"bkey"), Seq("band", "bkey"))
+      .count()
+    assert(shared >= 1, "fixture pair does not band-collide; pick a closer variant")
+
+    val idx = Some(s"$dir/idx")
+    DocStream.ingestBatch(b0, s"$dir/corpus", 0L, idx)
+    DocStream.ingestBatch(b1, s"$dir/corpus", 1L, idx)
+    val ids = DocStream.corpus(spark, s"$dir/corpus")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L),
+      s"near-dup doc 3 should be rejected, novel doc 4 kept: got $ids")
+
+    // replay of batch 1 with the index on: still a no-op (its own band
+    // partition is excluded from the probe, its own files rewritten)
+    DocStream.ingestBatch(b1, s"$dir/corpus", 1L, idx)
+    val afterReplay = DocStream.corpus(spark, s"$dir/corpus")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(afterReplay == Seq(1L, 2L, 4L), s"replay corrupted the corpus: $afterReplay")
+
+    // the probe prunes the corpus-bands scan to the bp= prefixes the
+    // batch hashes into — the scan's PartitionFilters must carry the
+    // IN list over bp, not read all 16 prefix directories
+    val held = spark.read.parquet(s"$dir/idx/bands").where($"batch_id" =!= 9L)
+    val probePlan = graft.llm.DedupIndex
+      .probeAgainst(held, b1.select($"doc_id", $"text"))
+      .queryExecution.executedPlan.toString
+    val bandScanFilters = probePlan.linesIterator
+      .filter(l => l.contains("PartitionFilters") && l.contains("/bands"))
+      .toList
+    assert(bandScanFilters.exists(l => l.contains("bp#") && l.contains(" IN ")),
+      s"bands scan is not partition-pruned on bp:\n${bandScanFilters.mkString("\n").take(2000)}")
+  }
+
   test("a replayed batch is a no-op: no duplicates, no data loss") {
     val dir = Files.createTempDirectory("docreplay").toString
     val b0 = Seq((1L, "first doc"), (2L, "second doc")).toDF("doc_id", "text")
