@@ -39,7 +39,7 @@ object Bench {
     "l15_quality_filter" -> 0.6, "l16_contamination" -> 2.4,
     "l17_dedup_clusters" -> 1.5, "l18_pii_scrub" -> 0.6,
     "l19_repetition" -> 1.3, "l20_stratified_sample" -> 0.5,
-    "l21_edit_distance" -> 2.5, "l22_url_filter" -> 0.6,
+    "l21_edit_distance" -> 1.4, "l22_url_filter" -> 0.6,
     "l23_chunk_dedup" -> 1.8, "l24_sequence_packing" -> 0.6,
     "l25_rare_term_index" -> 1.4, "l26_pq_codes" -> 1.0, "l27_boilerplate" -> 1.5,
     "l28_kmeans_refine" -> 1.5, "l29_bpe_pairs" -> 1.0,
@@ -56,7 +56,7 @@ object Bench {
     "q52_outliers" -> 1.0, "l47_corpus_funnel" -> 2.0,
     "q53_argmax" -> 0.6, "q54_comovement" -> 0.6, "q55_date_spine" -> 0.6,
     "l48_chunk_sliding" -> 1.2, "l49_compression_ratio" -> 0.6,
-    "l50_containment" -> 3.0, "q56_basket_pairs" -> 1.5,
+    "l50_containment" -> 1.4, "q56_basket_pairs" -> 1.5,
     "l51_training_shuffle" -> 0.8,
     "q57_percentile_cont" -> 0.6, "q58_distinct_window" -> 0.8,
     "q59_interval_join" -> 1.0, "q60_time_weighted" -> 0.5,

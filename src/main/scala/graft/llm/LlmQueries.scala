@@ -1096,7 +1096,19 @@ object LlmQueries {
     * shared prefix/suffix is stripped before the DP (distance-
     * preserving), so near-dups — the only pairs LSH emits — cost
     * O(edit_window²), not O(document²).
+    *
+    * A LENGTH-BAND pre-filter bounds the re-scorer to its actual use:
+    * `|len_a − len_b| <= MaxEditBand` is an exact lower bound on the
+    * edit distance (every length delta costs at least one edit), so a
+    * pair outside the band is provably NOT a fuzzy duplicate at the
+    * 32-edit threshold — excluded with two codegen'd length() calls,
+    * never entering the DP. The pairs the filter drops are exactly the
+    * banding's false candidates (hash-collision pairs of unrelated
+    * texts), whose untrimmed O(document²) DPs dominated the unfiltered
+    * runtime ~2x; true near-dups (including every injected exact copy,
+    * delta 0) all survive.
     */
+  private val MaxEditBand = 32
   def qEditDistance(s: SparkSession, d: String): DataFrame = {
     val dd = docsWithDups(s, d)
     val pairs = indexedPairs(s, d)
@@ -1105,12 +1117,14 @@ object LlmQueries {
     // exchange whose partitioner SAMPLES its child — the child lineage
     // executes twice (sampling pass + shuffle write). With the O(len²)
     // kernel above the Sort instead, the double-executed child is just
-    // the joins, and every edit distance is computed exactly once.
+    // the joins + the cheap length filter, and every edit distance is
+    // computed exactly once.
     pairs
       .join(texts.as("ta"), col("doc_a") === col("ta.doc_id"))
       .join(texts.as("tb"), col("doc_b") === col("tb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("ta.text").as("text_a"),
         col("tb.text").as("text_b"))
+      .where(abs(length(col("text_a")) - length(col("text_b"))) <= MaxEditBand)
       .orderBy("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"),
         graft.functions.TextFunctions.levenshteinTrimmed(
@@ -1127,6 +1141,7 @@ object LlmQueries {
        |FROM pairs p
        |JOIN dd ta ON p.doc_a = ta.doc_id
        |JOIN dd tb ON p.doc_b = tb.doc_id
+       |WHERE abs(length(ta.text) - length(tb.text)) <= 32
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
 
   // --------------------------------------------------------- URL filtering
@@ -2885,49 +2900,64 @@ object LlmQueries {
           .as("text"))
     val corpus = docsWithDups(s, d).select(col("doc_id"), col("text"))
       .unionByName(snippets)
-    // Distinct word-8-gram hashes per doc (the l33 gram discipline: one
-    // md5 per position, the bound-ws lesson to avoid re-splitting).
-    // Spread first: one md5 per gram position is the heavy-map-work case
-    // of the scan-parallelism rule, and the persisted table below is
-    // consumed four times, so the build must not run on the raw scan's
-    // single file partition.
-    val docSh = spread(corpus)
+    // Per-doc DISTINCT word-8-gram hash ARRAYS, built row-locally (the
+    // l05 shingle-set lesson: array_distinct inside the row instead of
+    // an explode+distinct shuffle of the 15M-row posting table), spread
+    // across the cluster first (heavy map work — one hash per gram
+    // position). Grams are keyed by xxhash64 (8-byte longs), not md5
+    // hex strings (32 bytes) — every downstream shuffle of gram rows
+    // moves 4x less. The ORDER the rarity rank sees therefore differs
+    // from the oracle's md5 order, which is safe by construction: the
+    // prefix-filter guarantee (a qualifying pair shares at least one
+    // PREFIX gram of its probe side) holds for ANY global total order —
+    // the order only shifts which non-qualifying candidates get scored,
+    // and the final `5*n_inter >= 4*n_a` filter makes the output
+    // exactly the qualifying pairs under either order.
+    val docArr = spread(corpus)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), col("ws"),
-        explode(sequence(lit(1), greatest(size(col("ws")) - 7, lit(1))))
-          .as("pos"))
       .select(col("doc_id"),
-        md5(concat_ws(" ", slice(col("ws"), col("pos"), lit(8)))).as("g"))
-      .distinct()
-      // consumed four times: freq, ranked, the probe, both inter sides
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(col("ws")) - 7, lit(1))),
+          p => xxhash64(concat_ws(" ", slice(col("ws"), p, lit(8))))))
+          .as("garr"))
+      // consumed three times: the posting explode, both inter sides
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = docSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // document frequency of each gram — the rarity key of the prefix
-    val freq = docSh.groupBy(col("g")).agg(count(lit(1)).as("nd"))
-    val ranked = docSh.join(freq, Seq("g")).join(sizes, Seq("doc_id"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("nd"), col("g"))))
-    // prefix_len = n − ⌈0.8n⌉ + 1, integer-exact: ⌈4n/5⌉ = (4n+4) div 5
-    val prefix = ranked
-      .where(col("rn") <= col("n_sh") - expr("(4 * n_sh + 4) div 5") + 1)
-      .select(col("doc_id").as("doc_a"), col("g"))
+    val docSh = docArr.select(col("doc_id"), explode(col("garr")).as("g"))
+    // per-doc set size is row-local off the array — no aggregation
+    val sizes = docArr.select(col("doc_id"), size(col("garr")).cast("long").as("n_sh"))
+    // prefix_len = n − ⌈0.8n⌉ + 1, integer-exact: ⌈4n/5⌉ = (4n+4) div 5.
+    // The global gram order is the RAW HASH order, so each doc's prefix
+    // is a row-local array_sort+slice over its cached gram array — zero
+    // posting-table passes to pick prefixes. Classic prefix filtering
+    // orders grams rarest-first (shorter postings per probe), which
+    // costs a df aggregation + a join or window over the full posting
+    // table; on a corpus whose word-8-grams are overwhelmingly unique
+    // (df 1-2), hash order hits postings of essentially the same length
+    // and those two posting-table passes buy nothing. (If a corpus had
+    // heavy boilerplate — many high-df grams — rarity ordering would
+    // earn its passes back by shrinking the candidate join below.)
+    val prefix = docArr
+      .select(col("doc_id").as("doc_a"),
+        explode(expr(
+          "slice(array_sort(garr), 1, int(size(garr) - (4 * size(garr) + 4) div 5 + 1))"))
+          .as("g"))
     val cand = prefix
-      .join(docSh.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
-      .where(col("doc_a") =!= col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    // Exact |A∩B| as a row-count over the shared gram key — candidate
-    // pairs are few post-prefix-filter, so the per-pair cost is the
-    // overlap itself, not the doc size.
+      .join(docSh, Seq("g"))
+      .where(col("doc_a") =!= col("doc_id"))
+      .select(col("doc_a"), col("doc_id").as("doc_b")).distinct()
+    // Exact |A∩B| as one codegen'd array_intersect per candidate pair
+    // (the l05 re-score shape) — the posting table never shuffles for
+    // the scoring, only the few-thousand-row candidate set does.
     val inter = cand
-      .join(docSh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
-      .join(docSh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+      .join(docArr.select(col("doc_id").as("doc_a"), col("garr").as("ga")),
         Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+      .join(docArr.select(col("doc_id").as("doc_b"), col("garr").as("gb")),
         Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("n_inter"),
+        size(col("ga")).cast("long").as("n_a"),
+        size(col("gb")).cast("long").as("n_b"))
+    inter
       .where(col("n_inter") * 5 >= col("n_a") * 4)
       .orderBy("doc_a", "doc_b")
   }
