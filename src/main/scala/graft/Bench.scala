@@ -94,7 +94,7 @@ object Bench {
     "q21_array_higher_order" -> 0.2, "q22_range_join" -> 0.3,
     "q23_asof" -> 0.4, "q24_ema_udaf" -> 0.5,
     "q25_approx_distinct" -> 1.1, "q26_pivot" -> 0.4,
-    "q27_unpivot" -> 0.5, "q28_quantiles" -> 1.4,
+    "q27_unpivot" -> 0.5, "q28_quantiles" -> 0.5,
     "q29_window_ranks" -> 0.3, "q30_correlated_subquery" -> 0.6,
     "q31_grouping_sets" -> 0.8,
     "q47_moments" -> 0.6, "q48_filtered_agg" -> 0.7,

@@ -11,9 +11,20 @@ import graft.functions.FirFilter
   *   - `PROF_MODE=repeat` (default): run `PROF_QUERY` (comma-separated
   *     names from [[SparkEntry.queries]]) `PROF_REPS` times each —
   *     steady-state per-query wall clock.
+  *   - `PROF_MODE=plan`: per-query build / analyze / plan / exec wall
+  *     split (where a slow query actually spends — driver-side planning
+  *     vs cluster execution).
+  *   - `PROF_MODE=floor`: incremental scan / repartition / union / agg /
+  *     sort stage ladder over the documents table, with and without the
+  *     repartition — what one more exchange costs a small query.
+  *   - `PROF_MODE=explain`: dump formatted physical plans for
+  *     `PROF_QUERY` (the committed PLANS artifact source).
   *   - `PROF_MODE=t01`: stage-by-stage decomposition of the tick parse /
   *     expansion / hot-loop chain.
   *   - `PROF_MODE=q25`: exact vs approx distinct-count decomposition.
+  *   - `PROF_MODE=l21`: LSH-pairs / joins / DP / sort decomposition of
+  *     the edit-distance re-scorer.
+  *   - `PROF_MODE=topk`: custom TopK operator vs window formulation.
   *   - `PROF_MODE=fir`: Remez convergence + dB-spec report for the
   *     predefined decimation designs (no Spark session).
   */

@@ -17,6 +17,10 @@ case class SignalConfig(
     cpmLutSize: Int = 1024,
     amcCarrierPeriod: Float = 16.0f, // validated but never wired in the reference (TickHotLoopF32.jl:115)
     amcLutSize: Int = 1024,
+    // Default-off extension: when true, the AMC carrier increment is
+    // derived from amcCarrierPeriod instead of the reference's hardcoded
+    // period 16. Off reproduces the reference quirk bit-for-bit.
+    honorAmcCarrierPeriod: Boolean = false,
     tickDerivativeImagScale: Float = 4.0f
 ) {
   def validate(): Seq[String] = {
@@ -202,6 +206,7 @@ object PipelineConfig {
         cpmLutSize = i("signal_processing.cpm_lut_size", 1024),
         amcCarrierPeriod = f("signal_processing.amc_carrier_period", 16.0f),
         amcLutSize = i("signal_processing.amc_lut_size", 1024),
+        honorAmcCarrierPeriod = b("signal_processing.honor_amc_carrier_period", false),
         tickDerivativeImagScale = f("signal_processing.tick_derivative_imag_scale", 4.0f)),
       bars = BarConfig(
         enabled = b("bar_processing.enabled", false),
@@ -247,6 +252,7 @@ object PipelineConfig {
        |cpm_lut_size = ${c.signal.cpmLutSize}
        |amc_carrier_period = ${c.signal.amcCarrierPeriod}
        |amc_lut_size = ${c.signal.amcLutSize}
+       |honor_amc_carrier_period = ${c.signal.honorAmcCarrierPeriod}
        |tick_derivative_imag_scale = ${c.signal.tickDerivativeImagScale}
        |
        |[bar_processing]

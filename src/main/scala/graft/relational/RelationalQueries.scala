@@ -601,21 +601,33 @@ object RelationalQueries {
   /** Exact grouped quantiles with the discrete "value at ceil(p*n) in
     * sorted order" definition — deterministic across engines (no
     * interpolation arithmetic to diverge on), ties irrelevant (the value
-    * AT a multiset position is unique however ties are ordered). The
-    * window is partitioned by the group key, so no single-task global
-    * sort; at 100 TB per-group sorts are the exact path and
-    * `approx_percentile` (t-digest, one pass, mergeable) is the
-    * documented approximate alternative.
+    * AT a multiset position is unique however ties are ordered).
+    *
+    * Computed over a VALUE HISTOGRAM, not a per-group row sort: the
+    * quantile column (l_quantity) has a bounded discrete domain (~50
+    * values), so `group by (flag, q)` collapses the table to
+    * #groups x #values rows with full map-side partial aggregation —
+    * every core participates regardless of how few groups there are —
+    * and the position lookup (smallest q whose running count reaches
+    * ceil(p*n), identical to the value at that sorted position) is a
+    * window over the tiny histogram. The previous rank-window
+    * formulation partitioned by the 3-value group key, so 3 tasks
+    * sorted 200k rows each while 29 cores idled; at 100 TB the
+    * histogram shape stays ~150 rows while the sort shape stays
+    * 3 tasks. For genuinely high-cardinality value domains the
+    * histogram degrades toward the sort and `approx_percentile`
+    * (t-digest, one pass, mergeable) is the documented alternative.
     */
   def q28Quantiles(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = li(s, d).select($"l_returnflag", $"l_quantity".cast("long").as("q"))
+    val hist = base.groupBy($"l_returnflag", $"q").agg(count(lit(1)).as("c"))
     val byFlag = Window.partitionBy("l_returnflag")
-    val r = base
-      .withColumn("rn", row_number().over(byFlag.orderBy($"q")))
-      .withColumn("n", count(lit(1)).over(byFlag))
-    def at(p: Double) = max(when($"rn" === ceil($"n" * p).cast("long"), $"q"))
-    r.groupBy($"l_returnflag")
+    val cum = hist
+      .withColumn("cum", sum($"c").over(byFlag.orderBy($"q")))
+      .withColumn("n", sum($"c").over(byFlag))
+    def at(p: Double) = min(when($"cum" >= ceil($"n" * p).cast("long"), $"q"))
+    cum.groupBy($"l_returnflag")
       .agg(at(0.5).as("p50"), at(0.9).as("p90"), at(0.99).as("p99"))
       .orderBy("l_returnflag")
   }

@@ -77,6 +77,24 @@ class HotLoopSpec extends SparkSpec {
     assert(out(2)._2 == r1 * TickFunctions.cpmLutRe(192))
   }
 
+  test("amc: honor_amc_carrier_period derives the increment from the configured period") {
+    // period 8 -> increment 2^32/8 -> lut_idx advances 128 per call
+    // (vs 64 under the hardcoded period 16)
+    val out = TickPipeline.hotLoop(
+      ticks((1L, 39500, 0), (2L, 39510, 10), (3L, 39520, 10)),
+      cfg.copy(encoderType = "amc", amcCarrierPeriod = 8.0f,
+        honorAmcCarrierPeriod = true))
+      .select($"tick_idx", $"signal_re", $"signal_im", $"normalization", $"status_flag")
+      .as[(Long, Double, Double, Double, Int)].collect().sortBy(_._1).toSeq
+    assert(out(0)._2 == 0.0)
+    assert(out(1)._2 == r1 * TickFunctions.cpmLutRe(256))
+    assert(out(1)._3 == r1 * TickFunctions.cpmLutIm(256))
+    assert(out(2)._2 == r1 * TickFunctions.cpmLutRe(384))
+    // flag off at the same period: unchanged reference behavior
+    val off = run("amc", (1L, 39500, 0), (2L, 39510, 10))
+    assert(off(1)._2 == r1 * TickFunctions.cpmLutRe(128))
+  }
+
   test("hexad16: phase cycles mod 16 by tick_idx") {
     val rows = (1L to 18L).map(i => (i, 39500 + 10 * i.toInt, 10))
     val out = run("hexad16", rows: _*)
