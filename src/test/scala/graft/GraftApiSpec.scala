@@ -54,6 +54,18 @@ class GraftApiSpec extends SparkSpec {
     assert(f1 != null && f2 != null)
   }
 
+  test("shared dedup-index cache: invalidate clears and a re-run rebuilds identically") {
+    val sf = "/root/testdata/sf0.001"
+    val before = graft.llm.LlmQueries.queries("l05_ngram_jaccard")(spark, sf).collect()
+    // invalidation deletes the JVM-cached temp index; the next call must
+    // rebuild from the (unchanged) snapshot and serve identical rows —
+    // the escape hatch for a process that re-points a data path
+    graft.llm.LlmQueries.invalidateSharedIndexes()
+    val after = graft.llm.LlmQueries.queries("l05_ngram_jaccard")(spark, sf).collect()
+    assert(before.length == after.length && before.sameElements(after),
+      "rebuilt index served different rows for the same snapshot")
+  }
+
   test("facade primitives: parse drops malformed, timestamp round-trips") {
     val path = writeTickFile()
     val parsed = Graft.readTickFile(spark, path)

@@ -408,6 +408,52 @@ class PlanSpec extends SparkSpec {
     assertNoAllPairs("l50", LlmQueries.queries("l50_containment")(spark, sf))
   }
 
+  // Round 11: l50's prefix selection is row-local array work over the
+  // cached gram arrays — the df rarity window (and with it every
+  // posting-table window pass) is gone. A WindowExec reappearing here
+  // means someone reintroduced a per-gram ranking over the 15M-row
+  // posting table.
+  test("l50 containment plans without any window") {
+    val df = LlmQueries.queries("l50_containment")(spark, sf)
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.isEmpty, s"l50 regained a window:\n${windows.mkString("\n")}")
+  }
+
+  // Round 11: the three shingle-set re-scorers are served from the
+  // persisted DedupIndex artifact — the plan must SCAN shingle_sets,
+  // not rebuild the set off the documents scan (the round-9 regression:
+  // a per-query rebuild inherits the raw scan's parallelism).
+  test("l05/l41/l59 read the persisted shingle_sets artifact") {
+    for (name <- Seq("l05_ngram_jaccard", "l41_lsh_audit", "l59_contrastive_pairs")) {
+      val p = planOf(LlmQueries.queries(name)(spark, sf))
+      assert(p.contains("shingle_sets"),
+        s"$name does not scan the persisted shingle-set table:\n${p.take(1500)}")
+    }
+  }
+
+  // l21 scores LSH candidates only, through equi-joins; the length-band
+  // filter must sit in the plan (it is what keeps false candidates out
+  // of the O(len^2) DP).
+  test("l21 edit distance: equi-joins only, length-band filter present") {
+    val df = LlmQueries.queries("l21_edit_distance")(spark, sf)
+    assertNoAllPairs("l21", df)
+    assert(planOf(df).contains("abs("),
+      s"l21 lost its length-band pre-filter:\n${planOf(df).take(1500)}")
+  }
+
+  // q28's exact quantiles aggregate the (group, value) histogram first;
+  // every window must run over aggregated rows (the tiny histogram),
+  // never over raw lineitem (the old 3-task-sort shape).
+  test("q28 quantile windows run over the histogram aggregate") {
+    val df = RelationalQueries.queries("q28_quantiles")(spark, sf)
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "q28 lost its cumulative window")
+    windows.foreach { w =>
+      assert(w.child.toString.contains("HashAggregate"),
+        s"q28 window runs over raw rows, not the histogram:\n$w")
+    }
+  }
+
   // q58's sliding distinct set must stay partitioned by event type — an
   // unpartitioned frame would serialize the whole corpus onto one task.
   test("q58 distinct window is partitioned by event type") {
