@@ -3868,22 +3868,43 @@ object LlmQueries {
     * verdict arithmetic is BIGINT-exact.
     */
   def qBatchNovelty(s: SparkSession, d: String): DataFrame = {
+    // Per-doc DISTINCT gram arrays built row-locally off a spread scan
+    // (the l50 discipline: heavy per-row hashing buys explicit
+    // parallelism; array_distinct replaces an exploded-rows distinct
+    // shuffle), keyed by xxhash64 longs — the gram identity only feeds
+    // set counts, so an 8-byte key shuffles 4x less than an md5 hex
+    // string and the counts are hash-scheme-independent (both engines'
+    // hashes are injective in practice).
     val ws = col("ws")
-    val grams = transform(
+    val gramArr = array_distinct(transform(
       sequence(lit(1), greatest(size(ws) - 7, lit(1))),
-      i => md5(concat_ws(" ", slice(ws, i, lit(8)))))
-    def gramRows(df: DataFrame): DataFrame =
+      i => xxhash64(concat_ws(" ", slice(ws, i, lit(8))))))
+    // No spread here: per-doc gram hashing is ~50 xxhash64 calls per row
+    // (vs MinHash's hundreds of md5s) — cheaper than the exchange it
+    // would buy, per the scan-parallelism rule above.
+    def gramArrays(df: DataFrame): DataFrame =
       df.select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), explode(grams).as("g")).distinct()
-    val corpusGrams = gramRows(docs(s, d)).select("g").distinct()
+        .select(col("doc_id"), gramArr.as("garr"))
+    // The corpus-wide distinct matters at scale even though the anti
+    // join tolerates duplicate build keys: its map-side partial agg
+    // collapses cross-document repeats (boilerplate) before the only
+    // corpus-sized shuffle.
+    val corpusGrams = gramArrays(docs(s, d))
+      .select(explode(col("garr")).as("g")).distinct()
     val batch = docs(s, d).where(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 400000).as("doc_id"),
         concat(col("text"), lit(" nv"), col("doc_id").cast("string"),
           lit(" nv1 nv2 nv3 nv4 nv5 nv6 nv7")).as("text"))
-    val bg = gramRows(batch)
+    val ba = gramArrays(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = bg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val unseen = bg.join(corpusGrams, Seq("g"), "left_anti")
+    // per-doc gram count is row-local off the array
+    val totals = ba.select(col("doc_id"), size(col("garr")).cast("long").as("n_grams"))
+    // The corpus gram set scales with the corpus — it must never be the
+    // broadcast side (the size estimator undercounts a distinct of
+    // 8-byte longs and would ship ~100MB to every task; at 100 TB it
+    // would ship the corpus). Pin the anti join to a shuffled hash join.
+    val unseen = ba.select(col("doc_id"), explode(col("garr")).as("g"))
+      .join(corpusGrams.hint("shuffle_hash"), Seq("g"), "left_anti")
       .groupBy("doc_id").agg(count(lit(1)).as("n_unseen"))
     totals.join(unseen, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
