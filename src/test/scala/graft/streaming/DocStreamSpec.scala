@@ -89,6 +89,31 @@ class DocStreamSpec extends SparkSpec {
       s"bands scan is not partition-pruned on bp:\n${bandScanFilters.mkString("\n").take(2000)}")
   }
 
+  test("streaming ingest with the near-dup index rejects edits across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("docstreamidx").toString
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "green turtles march slowly across the ancient stone bridge carrying " +
+      "baskets of ripe yellow mangoes toward the bustling village market " +
+      "where merchants trade spices silk and copper pots"
+    val input = MemoryStream[(Long, String)]
+    val q = DocStream.ingest(
+      input.toDF().toDF("doc_id", "text"),
+      s"$dir/corpus", s"$dir/ckpt", Some(s"$dir/idx"))
+    try {
+      input.addData((1L, base), (2L, "an unrelated second document about sailing boats"))
+      q.processAllAvailable()
+      input.addData(
+        (3L, base.replace("copper pots", "copper pans")), // near-dup of doc 1
+        (4L, "a genuinely novel third document about mountain weather"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = DocStream.corpus(spark, s"$dir/corpus")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L),
+      s"streaming near-dup rejection failed: got $ids")
+  }
+
   test("a replayed batch is a no-op: no duplicates, no data loss") {
     val dir = Files.createTempDirectory("docreplay").toString
     val b0 = Seq((1L, "first doc"), (2L, "second doc")).toDF("doc_id", "text")
