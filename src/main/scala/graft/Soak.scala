@@ -129,6 +129,20 @@ object Soak {
         gramRows(batch).join(corpusGrams, Seq("g"), "left_anti")
           .groupBy("doc_id").agg(count(lit(1)).as("n_unseen"))
       }
+      // Round-11 artifacts at scale: the persisted shingle-set build
+      // (the index stage added for the l05/l41/l59 re-scorers — heavy
+      // per-row map work, spread, no shuffle) and the banded incremental
+      // probe of a fixed-rate batch against the grown corpus (the
+      // DocStream near-dup stage; join keyed on (bp, band, bkey), so
+      // the corpus side shuffles once regardless of mult).
+      time("shingle_sets")(graft.llm.DedupIndex.shingleSetsOf(docs)
+        .select(col("doc_id"), size(col("sh_set")).as("n")))
+      time("band_probe") {
+        val batch = docs.where(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 950000000L).as("doc_id"), col("text"))
+        graft.llm.DedupIndex.probeAgainst(
+          graft.llm.DedupIndex.bandsOf(docs), batch)
+      }
       // Release the banded-signature cache lshPairsFor pins, then
       // re-pin the base corpus for the next scale.
       spark.catalog.clearCache()

@@ -132,4 +132,11 @@ object DedupIndex {
   def bandsOf(docs: DataFrame): DataFrame =
     LlmQueries.bandedOfSigs(LlmQueries.minhashSignatures(docs))
       .withColumn("bp", substring(col("bkey"), 1, 1))
+
+  /** The distinct-shingle-set frame (doc_id, sh_set) `build` persists
+    * under `shingle_sets/` — exposed for incremental writers and scale
+    * probes, mirroring [[bandsOf]].
+    */
+  def shingleSetsOf(docs: DataFrame): DataFrame =
+    LlmQueries.docShingleSets(docs)
 }
