@@ -50,21 +50,35 @@ object DedupIndex {
   /** Build and persist the index. `docs` needs (doc_id, text). Bands are
     * derived from the PERSISTED signatures (not recomputed from text),
     * and pairs from the persisted bands — each stage reads the previous
-    * stage's artifact, so a failed build resumes from the last completed
-    * stage at scale.
+    * stage's artifact, so recomputation after a mid-build failure is
+    * bounded to the stage that failed.
+    *
+    * With `resume = true`, stages whose output directory already carries
+    * a committed `_SUCCESS` marker are SKIPPED outright: re-running
+    * `build` after a failure redoes only the unfinished stages (hours of
+    * signature hashing at corpus scale are not repeated because the
+    * band self-join died). A partially-written stage has no `_SUCCESS`
+    * and is overwritten. Default `false` rebuilds everything — the
+    * correct semantics when the corpus snapshot may have changed.
     */
-  def build(docs: DataFrame, indexDir: String): Unit = {
+  def build(docs: DataFrame, indexDir: String, resume: Boolean = false): Unit = {
     val spark = docs.sparkSession
-    LlmQueries.minhashSignatures(docs)
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/signatures")
-    LlmQueries.bandedOfSigs(signatures(spark, indexDir))
-      .withColumn("bp", substring(col("bkey"), 1, 1))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("bp").parquet(s"$indexDir/bands")
-    LlmQueries.lshPairsUnordered(bands(spark, indexDir))
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/pairs")
-    LlmQueries.docShingleSets(docs)
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/shingle_sets")
+    def done(stage: String): Boolean =
+      resume && new java.io.File(s"$indexDir/$stage/_SUCCESS").isFile
+    if (!done("signatures"))
+      LlmQueries.minhashSignatures(docs)
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/signatures")
+    if (!done("bands"))
+      LlmQueries.bandedOfSigs(signatures(spark, indexDir))
+        .withColumn("bp", substring(col("bkey"), 1, 1))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("bp").parquet(s"$indexDir/bands")
+    if (!done("pairs"))
+      LlmQueries.lshPairsUnordered(bands(spark, indexDir))
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/pairs")
+    if (!done("shingle_sets"))
+      LlmQueries.docShingleSets(docs)
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/shingle_sets")
   }
 
   /** The persisted per-document MinHash signatures (doc_id, sig0..sig15). */

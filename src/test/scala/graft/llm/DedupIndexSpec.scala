@@ -84,6 +84,29 @@ class DedupIndexSpec extends SparkSpec {
     assert(persisted == expected, "persisted shingle set drifted from text")
   }
 
+  test("resume skips committed stages and redoes only the missing ones") {
+    val dir = Files.createTempDirectory("dedupidx").toString
+    DedupIndex.build(corpus, s"$dir/idx")
+    // simulate a build that died between the bands and pairs stages
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+      f.delete(): Unit
+    }
+    rmrf(new java.io.File(s"$dir/idx/pairs"))
+    rmrf(new java.io.File(s"$dir/idx/shingle_sets"))
+    val sigMarker = new java.io.File(s"$dir/idx/signatures/_SUCCESS")
+    val before = sigMarker.lastModified()
+    DedupIndex.build(corpus, s"$dir/idx", resume = true)
+    assert(sigMarker.lastModified() == before,
+      "resume rewrote the already-committed signatures stage")
+    // the redone stages are complete and consistent with the signatures
+    val pairs = DedupIndex.candidatePairs(spark, s"$dir/idx")
+      .orderBy("doc_a", "doc_b").as[(Long, Long)].collect()
+    val inline = LlmQueries.lshPairsFor(corpus).as[(Long, Long)].collect()
+    assert(pairs.sameElements(inline), "resumed pairs diverge from inline")
+    assert(DedupIndex.shingleSets(spark, s"$dir/idx").count() == corpus.count())
+  }
+
   test("probe finds a new batch's corpus twins without touching corpus text") {
     val dir = Files.createTempDirectory("dedupidx").toString
     DedupIndex.build(corpus, s"$dir/idx")
