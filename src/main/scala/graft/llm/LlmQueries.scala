@@ -619,15 +619,16 @@ object LlmQueries {
         col("nrm").as("cn"))
     def cos(v: Column, n: Column): Column =
       floor(dotD(v, col("cv")) / (n * col("cn")) * 1e6 + 0.5).cast("long")
+    // home-list argmax via max_by (map-side combined over the K-fold
+    // centroid join; (cc, -c_id) struct = the rank window's tie-break)
     val lists = e.where(col("vec_id") >= 10)
       .join(broadcast(cent))
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
-        col("nrm").as("nn"), col("c_id"),
-        cos(col("embedding"), col("nrm")).as("cc"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy("neighbor_id").orderBy(col("cc").desc, col("c_id").asc)))
-      .where(col("r") === 1)
-      .select(col("neighbor_id"), col("nv"), col("nn"), col("c_id"))
+      .select(col("vec_id").as("neighbor_id"),
+        struct(col("embedding").as("nv"), col("nrm").as("nn"), col("c_id")).as("v"),
+        struct(cos(col("embedding"), col("nrm")).as("cc"), (-col("c_id")).as("nc")).as("k"))
+      .groupBy("neighbor_id").agg(max_by(col("v"), col("k")).as("v"))
+      .select(col("neighbor_id"), col("v.nv").as("nv"),
+        col("v.nn").as("nn"), col("v.c_id").as("c_id"))
     val probes = e.where(col("vec_id") < 10)
       .join(broadcast(cent))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
@@ -1475,17 +1476,24 @@ object LlmQueries {
       .select(col("c_id"), col("sub_id"),
         slice(col("embedding"), (col("sub_id") * 16 + 1).cast("int"), lit(16))
           .as("cs"))
-    val scored = subs.join(broadcast(csub), Seq("sub_id"))
+    // Arg-min via min_by aggregation, not a rank window: the sub-vector x
+    // sub-codebook join is a K-fold row blowup and the agg reduces it
+    // map-side before the shuffle; the (d2, c_id) struct ordering is the
+    // window's exact tie-break (nearest, then lowest code id).
+    scored_minby(subs.join(broadcast(csub), Seq("sub_id"))
       .select(col("vec_id"), col("sub_id"), col("c_id"),
         floor((dotD(col("sv"), col("sv")) - lit(2) * dotD(col("sv"), col("cs"))
-          + dotD(col("cs"), col("cs"))) * 1e6 + 0.5).cast("long").as("d2_x1e6"))
-    val w = Window.partitionBy("vec_id", "sub_id")
-      .orderBy(col("d2_x1e6").asc, col("c_id").asc)
-    scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
-      .select(col("vec_id"), col("sub_id"), col("c_id").as("code"),
-        col("d2_x1e6"))
+          + dotD(col("cs"), col("cs"))) * 1e6 + 0.5).cast("long").as("d2_x1e6")))
       .orderBy("vec_id", "sub_id")
   }
+  /** min_by argmin over the PQ scoring frame, keyed by (vec_id, sub_id). */
+  private def scored_minby(scored: DataFrame): DataFrame =
+    scored
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(min_by(struct(col("c_id"), col("d2_x1e6")),
+        struct(col("d2_x1e6"), col("c_id"))).as("m"))
+      .select(col("vec_id"), col("sub_id"), col("m.c_id").as("code"),
+        col("m.d2_x1e6").as("d2_x1e6"))
   val qPqCodesSql: String = {
     def dot(a: String, b: String) =
       s"""list_sum(list_transform(generate_series(1, len($a)),
@@ -1562,14 +1570,19 @@ object LlmQueries {
     def l2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0L), (acc, x) => acc + x)
+    // Arg-min via min_by aggregation (map-side combined), not a rank
+    // window over the K-fold (vector x centroid) blowup; the
+    // (dist, c_id) struct ordering is the window's exact tie-break.
+    // Run per Lloyd iteration, the saving compounds.
     def assign(cent: DataFrame): DataFrame =
       quant.join(broadcast(cent))
         .select(col("vec_id"), col("qv"), col("c_id"),
           l2(col("qv"), col("cv")).as("dist"))
-        .withColumn("r", row_number().over(Window.partitionBy("vec_id")
-          .orderBy(col("dist").asc, col("c_id").asc)))
-        .where(col("r") === 1)
-        .select(col("vec_id"), col("qv"), col("c_id"), col("dist"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("qv"), col("c_id"), col("dist")),
+          struct(col("dist"), col("c_id"))).as("m"))
+        .select(col("vec_id"), col("m.qv").as("qv"),
+          col("m.c_id").as("c_id"), col("m.dist").as("dist"))
     def update(asg: DataFrame): DataFrame =
       asg.select(col("c_id"),
           explode(sequence(lit(1), lit(dims))).as("pos"), col("qv"))
@@ -2117,27 +2130,33 @@ object LlmQueries {
     val cent = e.where(col("vec_id") % stride === 11)
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"),
         col("nrm").as("cn"))
+    // home-cluster argmax via max_by (map-side combined; (cc, -c_id)
+    // struct = the rank window's nearest-then-lowest-id tie-break)
     val asg = e.join(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"),
-        floor(dotD(col("embedding"), col("cv")) / (col("nrm") * col("cn"))
-          * 1e6 + 0.5).cast("long").as("cc"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("cc").desc, col("c_id").asc)))
-      .where(col("r") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"))
+      .select(col("vec_id"),
+        struct(col("embedding"), col("nrm"), col("c_id")).as("v"),
+        struct(floor(dotD(col("embedding"), col("cv")) / (col("nrm") * col("cn"))
+          * 1e6 + 0.5).cast("long").as("cc"), (-col("c_id")).as("nc")).as("k"))
+      .groupBy("vec_id").agg(max_by(col("v"), col("k")).as("v"))
+      .select(col("vec_id"), col("v.embedding").as("embedding"),
+        col("v.nrm").as("nrm"), col("v.c_id").as("c_id"))
       // consumed twice (both sides of the in-cluster pair join) + output
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = asg.select(col("c_id"), col("vec_id").as("id_a"),
       col("embedding").as("va"), col("nrm").as("na"))
     val b = asg.select(col("c_id"), col("vec_id").as("id_b"),
       col("embedding").as("vb"), col("nrm").as("nb"))
+    // best-lower-neighbor argmax via max_by over the in-cluster pair
+    // join (same blowup argument; (cos, -id_b) = the window tie-break)
     val best = a.join(b, Seq("c_id")).where(col("id_b") < col("id_a"))
       .select(col("id_a"), col("id_b"),
         floor(dotD(col("va"), col("vb")) / (col("na") * col("nb"))
           * 1e6 + 0.5).cast("long").as("cos_x1e6"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy("id_a").orderBy(col("cos_x1e6").desc, col("id_b").asc)))
-      .where(col("r") === 1)
+      .groupBy(col("id_a"))
+      .agg(max_by(struct(col("id_b"), col("cos_x1e6")),
+        struct(col("cos_x1e6"), (-col("id_b")).as("nb"))).as("m"))
+      .select(col("id_a"), col("m.id_b").as("id_b"),
+        col("m.cos_x1e6").as("cos_x1e6"))
     asg.join(best, asg("vec_id") === best("id_a"), "left")
       .select(col("vec_id"), col("c_id"),
         col("id_b").as("best_lower_id"),
@@ -2607,8 +2626,13 @@ object LlmQueries {
         floor((dotD(col("embedding"), col("embedding"))
           - lit(2) * dotD(col("embedding"), col("cv"))
           + dotD(col("cv"), col("cv"))) * 1e6 + 0.5).cast("long").as("d2_x1e6"))
-    val w = Window.partitionBy("vec_id").orderBy(col("d2_x1e6").asc, col("c_id").asc)
-    val assigned = scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
+    // argmin via min_by aggregation (map-side combined over the K-fold
+    // centroid join; (d2, c_id) struct = the rank window's tie-break)
+    val assigned = scored.groupBy(col("vec_id"))
+      .agg(min_by(struct(col("c_id"), col("d2_x1e6")),
+        struct(col("d2_x1e6"), col("c_id"))).as("m"))
+      .select(col("vec_id"), col("m.c_id").as("c_id"),
+        col("m.d2_x1e6").as("d2_x1e6"))
     val perCluster = assigned.groupBy("c_id")
       .agg(count(lit(1)).as("n_members"),
         min("d2_x1e6").as("min_d2"), max("d2_x1e6").as("max_d2"),
@@ -3157,13 +3181,17 @@ object LlmQueries {
     val dist = aggregate(
       zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
+    // nearest-centroid label via min_by aggregation (map-side combined;
+    // (dist, pred_label) struct = the rank window's tie-break)
     quant.where(col("vec_id") % 5 === 0)
       .join(broadcast(cent))
       .select(col("vec_id"), col("label").as("true_label"),
         col("c_label").as("pred_label"), dist.as("dist"))
-      .withColumn("r", row_number().over(Window.partitionBy("vec_id")
-        .orderBy(col("dist").asc, col("pred_label").asc)))
-      .where(col("r") === 1)
+      .groupBy(col("vec_id"), col("true_label"))
+      .agg(min_by(struct(col("pred_label"), col("dist")),
+        struct(col("dist"), col("pred_label"))).as("m"))
+      .select(col("true_label"), col("m.pred_label").as("pred_label"),
+        col("m.dist").as("dist"))
       .groupBy("true_label", "pred_label")
       .agg(count(lit(1)).as("n"), sum("dist").as("dist_sum"))
       .orderBy("true_label", "pred_label")

@@ -41,13 +41,19 @@ object VectorIndex {
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"),
         col("nrm").as("cn"))
     cent.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/centroids")
+    // Arg-max by AGGREGATION, not a rank window: the (vector x centroid)
+    // join blows the row count up K-fold, and a window would shuffle and
+    // sort all of it by vec_id. max_by gets map-side partial combining —
+    // each partition reduces to one candidate per vector before the only
+    // shuffle — and the (cc, -c_id) struct ordering reproduces the
+    // window's exact deterministic tie-break (highest cosine, lowest id).
     val assigned = e.join(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"),
-        cosQ(col("embedding"), col("nrm"), col("cv"), col("cn")).as("cc"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("cc").desc, col("c_id").asc)))
-      .where(col("r") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"))
+      .select(col("vec_id"),
+        struct(col("embedding"), col("nrm"), col("c_id")).as("v"),
+        struct(cosQ(col("embedding"), col("nrm"), col("cv"), col("cn")).as("cc"),
+          (-col("c_id")).as("nc")).as("k"))
+      .groupBy("vec_id").agg(max_by(col("v"), col("k")).as("v"))
+      .select(col("vec_id"), col("v.embedding"), col("v.nrm"), col("v.c_id"))
     assigned.write.mode(SaveMode.Overwrite)
       .partitionBy("c_id").parquet(s"$indexDir/lists")
   }

@@ -185,16 +185,21 @@ class PlanSpec extends SparkSpec {
   // the corpus (a bounded-fanout broadcast product, like l14's IVF
   // assignment) and keep every argmin window partitioned by vector — a
   // CartesianProduct or a global window would serialize the corpus.
-  test("l28 k-means broadcasts centroids and partitions the argmin") {
+  test("l28 k-means broadcasts centroids and aggregates the argmin") {
     val df = LlmQueries.queries("l28_kmeans_refine")(spark, sf)
     val p = planOf(df)
     assert(p.contains("Broadcast"), s"l28 lost the centroid broadcast:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"l28 plans a non-broadcast cartesian:\n$p")
-    val unpartitioned = df.queryExecution.sparkPlan
-      .collect { case w: WindowExec => w }.filter(_.partitionSpec.isEmpty)
-    assert(unpartitioned.isEmpty,
-      s"l28 plan has ${unpartitioned.size} unpartitioned WindowExec node(s)")
+    // Round 11: nearest-centroid assignment is a min_by AGGREGATION
+    // (map-side combined over the K-fold centroid join), not a rank
+    // window — no WindowExec may reappear in the assignment path
+    // (shuffling and sorting the K-fold blowup by vec_id).
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.isEmpty,
+      s"l28 regained ${windows.size} WindowExec node(s) — argmin must stay an aggregation")
+    assert(p.contains("min_by") || p.contains("minby"),
+      s"l28 argmin aggregation missing from plan:\n${p.take(1500)}")
   }
 
   // The rare-term index's df side joins back on the term key and its
@@ -341,12 +346,13 @@ class PlanSpec extends SparkSpec {
 
   // l45's argmin must be keyed by vec_id (embarrassingly parallel); the
   // centroid side is a bounded 16-row broadcast by design.
-  test("l45 cluster balance partitions the argmin by vector") {
+  test("l45 cluster balance aggregates the argmin (no rank window)") {
     val df = LlmQueries.queries("l45_cluster_balance")(spark, sf)
     val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
-    assert(windows.nonEmpty, "l45 lost its argmin window")
-    windows.foreach(w =>
-      assert(w.partitionSpec.nonEmpty, s"l45 window is unpartitioned:\n$w"))
+    assert(windows.isEmpty,
+      s"l45 regained ${windows.size} WindowExec node(s) — argmin must stay a min_by aggregation")
+    assert(planOf(df).contains("min_by") || planOf(df).contains("minby"),
+      s"l45 argmin aggregation missing:\n${planOf(df).take(1500)}")
   }
 
   // q53's arg-max must be ONE hash aggregate over the scan — max_by
