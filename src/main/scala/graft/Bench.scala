@@ -35,23 +35,23 @@ object Bench {
     "l07_ann_lsh" -> 0.6, "l08_embed_neardup" -> 0.9,
     "l09_langid" -> 0.6, "l10_quality" -> 0.8,
     "l11_token_count" -> 0.6, "l12_fingerprint" -> 0.6,
-    "l13_ann_topk" -> 0.5, "l14_ivf_topk" -> 0.9,
-    "l15_quality_filter" -> 0.6, "l16_contamination" -> 2.4,
+    "l13_ann_topk" -> 0.5, "l14_ivf_topk" -> 0.8,
+    "l15_quality_filter" -> 0.6, "l16_contamination" -> 1.2,
     "l17_dedup_clusters" -> 1.5, "l18_pii_scrub" -> 0.6,
     "l19_repetition" -> 1.3, "l20_stratified_sample" -> 0.5,
     "l21_edit_distance" -> 1.4, "l22_url_filter" -> 0.6,
     "l23_chunk_dedup" -> 1.8, "l24_sequence_packing" -> 0.6,
-    "l25_rare_term_index" -> 1.4, "l26_pq_codes" -> 1.0, "l27_boilerplate" -> 1.5,
-    "l28_kmeans_refine" -> 1.5, "l29_bpe_pairs" -> 1.0,
+    "l25_rare_term_index" -> 1.4, "l26_pq_codes" -> 0.7, "l27_boilerplate" -> 1.5,
+    "l28_kmeans_refine" -> 1.2, "l29_bpe_pairs" -> 1.0,
     "l30_domain_mix" -> 0.8, "l31_simhash_pairs" -> 2.0,
-    "l32_source_overlap" -> 2.0, "l33_substring_repeats" -> 1.2,
+    "l32_source_overlap" -> 1.5, "l33_substring_repeats" -> 1.2,
     "l34_rarity_surprisal" -> 0.7, "l35_importance_weights" -> 0.9,
-    "l36_vocab_coverage" -> 0.9, "l37_semantic_dedup" -> 1.5,
+    "l36_vocab_coverage" -> 0.9, "l37_semantic_dedup" -> 1.1,
     "l38_dedup_keep_policy" -> 1.5,
     "l39_incremental_dedup" -> 3.0, "l40_text_normalize" -> 1.2,
     "l41_lsh_audit" -> 0.6,
     "l42_bigram_surprisal" -> 2.5, "l43_pmi_collocations" -> 2.3,
-    "l44_token_budget" -> 2.5, "l45_cluster_balance" -> 1.2,
+    "l44_token_budget" -> 2.5, "l45_cluster_balance" -> 0.6,
     "l46_split_assignment" -> 1.2, "q51_setops_all" -> 0.8,
     "q52_outliers" -> 1.0, "l47_corpus_funnel" -> 2.0,
     "q53_argmax" -> 0.6, "q54_comovement" -> 0.6, "q55_date_spine" -> 0.6,
@@ -62,13 +62,13 @@ object Bench {
     "q59_interval_join" -> 1.0, "q60_time_weighted" -> 0.5,
     "q61_funnel" -> 0.8, "q62_cohort" -> 0.5, "q63_abc_class" -> 1.0,
     "q64_equidepth" -> 0.8, "q65_mad_outliers" -> 1.0,
-    "l52_winnowing" -> 1.4, "l53_pseudo_label" -> 1.1,
-    "l54_ann_recall" -> 1.2, "l55_bm25" -> 0.5,
+    "l52_winnowing" -> 1.4, "l53_pseudo_label" -> 0.6,
+    "l54_ann_recall" -> 0.8, "l55_bm25" -> 0.5,
     "l56_knn_pagerank" -> 1.8, "l57_priority_sample" -> 0.4,
     "l58_cms_heavy" -> 0.8, "l59_contrastive_pairs" -> 0.7,
     "l60_tfidf_cosine" -> 2.2,
     "l61_random_projection" -> 0.7, "l62_int8_quant" -> 0.7,
-    "q66_topk_custom" -> 0.8, "l63_snapshot_diff" -> 0.8, "l64_batch_novelty" -> 1.5, "l65_classifier_filter" -> 0.8, "m08_byte_entropy" -> 0.6,
+    "q66_topk_custom" -> 0.8, "l63_snapshot_diff" -> 0.8, "l64_batch_novelty" -> 2.3, "l65_classifier_filter" -> 0.8, "m08_byte_entropy" -> 0.6,
     "m07_audio_features" -> 1.0,
     "q35_json" -> 0.4, "q36_map" -> 0.4,
     "q37_range_window" -> 0.8, "q38_sessionize" -> 0.9,

@@ -861,20 +861,26 @@ object LlmQueries {
     // PER ARRAY ELEMENT (one full-text split per gram). Referenced twice
     // and non-cheap, the alias survives CollapseProject.
     val ws = col("ws")
-    val grams = transform(
+    // Per-doc DISTINCT gram arrays, row-local (the l50/l64 discipline:
+    // array_distinct replaces the exploded-rows distinct shuffle), with
+    // xxhash64 long keys — gram identity only feeds counts, so the
+    // 8-byte key shuffles 4x less than an md5 hex string and counts are
+    // hash-scheme-independent (both engines' hashes injective in
+    // practice). Persisted at ARRAY granularity (one row per doc), so
+    // the per-doc total is a row-local size().
+    val gramArr = array_distinct(transform(
       sequence(lit(1), greatest(size(ws) - 7, lit(1))),
-      i => md5(concat_ws(" ", slice(ws, i, lit(8)))))
-    // consumed three times (benchmark set, totals, shared) — persist the
-    // exploded gram rows once; callers sweep persisted RDDs after the
-    // action (see the storage note in the object scaladoc)
-    val base = docs(s, d)
+      i => xxhash64(concat_ws(" ", slice(ws, i, lit(8))))))
+    val arrs = docs(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), explode(grams).as("g")).distinct()
+      .select(col("doc_id"), gramArr.as("garr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bench = base.where(col("doc_id") % 17 === 3).select("g").distinct()
-    val corpus = base.where(col("doc_id") % 17 =!= 3)
-    val totals = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val shared = corpus.join(broadcast(bench), Seq("g"), "left_semi")
+    val bench = arrs.where(col("doc_id") % 17 === 3)
+      .select(explode(col("garr")).as("g")).distinct()
+    val corpus = arrs.where(col("doc_id") % 17 =!= 3)
+    val totals = corpus.select(col("doc_id"), size(col("garr")).cast("long").as("n_grams"))
+    val shared = corpus.select(col("doc_id"), explode(col("garr")).as("g"))
+      .join(broadcast(bench), Seq("g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     // No pre-sort persist here: the orderBy double-execution (see
     // qEditDistance) re-runs only the two aggs over the ALREADY-cached
@@ -1824,9 +1830,13 @@ object LlmQueries {
     */
   def qSourceOverlap(s: SparkSession, d: String): DataFrame = {
     val ws = col("ws")
-    val grams = transform(
+    // xxhash64 long gram keys (the l16/l64 discipline — identity only
+    // feeds the overlap counts); the per-doc array_distinct shrinks the
+    // exploded rows before the cross-doc per-source distinct, which
+    // must stay a shuffle (different docs of one source share grams).
+    val grams = array_distinct(transform(
       sequence(lit(1), greatest(size(ws) - 7, lit(1))),
-      i => md5(concat_ws(" ", slice(ws, i, lit(8)))))
+      i => xxhash64(concat_ws(" ", slice(ws, i, lit(8))))))
     val sg = docsWithDups(s, d)
       .select(concat(lit("s"), col("doc_id") % 7).as("src"),
         split(col("text"), " ").as("ws"))
