@@ -1880,18 +1880,26 @@ object LlmQueries {
     // ws bound as a column (not inlined into the per-position slice) —
     // the l16 lambda-body lesson: an inlined split would re-split the
     // full text once per emitted position.
+    // Positional grams keyed by xxhash64 longs (identity only feeds the
+    // occurrence counts — the l16 key discipline; positions must keep
+    // their multiplicity, so no array_distinct here).
     val pg = docsWithDups(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(1), greatest(size(col("ws")) - 7, lit(1))))
           .as("pos"))
       .select(col("doc_id"), col("pos"),
-        md5(concat_ws(" ", slice(col("ws"), col("pos"), lit(8)))).as("g"))
-      // consumed three times (global counts, repeated positions, totals)
+        xxhash64(concat_ws(" ", slice(col("ws"), col("pos"), lit(8)))).as("g"))
+      // consumed twice (global counts, repeated positions)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repeatedGrams = pg.groupBy("g")
       .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
-    val totals = pg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    // positions per doc is closed-form in the word count — row-local off
+    // the scan, no aggregation over the exploded table
+    val totals = docsWithDups(s, d)
+      .select(col("doc_id"),
+        greatest(size(split(col("text"), " ")) - 7, lit(1)).cast("long")
+          .as("n_grams"))
     val rep = pg.join(repeatedGrams, Seq("g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_repeated"))
     totals.join(rep, Seq("doc_id"), "left")
