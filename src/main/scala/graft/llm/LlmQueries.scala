@@ -1928,6 +1928,64 @@ object LlmQueries {
        |FROM totals t LEFT JOIN rep r ON t.doc_id = r.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  /** l66: repeated-SPAN extraction — the cut list ExactSubstr dedup
+    * (Lee et al. 2021, arXiv 2107.06499) actually applies, built on
+    * l33's position-level repeat marking: consecutive repeated gram
+    * positions within a document merge into maximal spans
+    * (gaps-and-islands via the pos − row_number() constant-difference
+    * trick), and each span is reported as (start_pos, end_pos, n_pos) —
+    * the word range `start_pos .. end_pos+7` is what a span cutter
+    * would drop. Every value is an exact integer. Scale shape: the
+    * repeat marking is l33's gram-keyed semi join; the island window
+    * and the island aggregation are both partitioned by doc_id —
+    * per-document work, never a global order.
+    */
+  def qRepeatSpans(s: SparkSession, d: String): DataFrame = {
+    val pg = docsWithDups(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), greatest(size(col("ws")) - 7, lit(1))))
+          .as("pos"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(concat_ws(" ", slice(col("ws"), col("pos"), lit(8)))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repeatedGrams = pg.groupBy("g")
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+    val repPos = pg.join(repeatedGrams, Seq("g"), "left_semi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    repPos
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("pos").as("start_pos"), max("pos").as("end_pos"),
+        count(lit(1)).as("n_pos"))
+      .select(col("doc_id"), col("start_pos").cast("long").as("start_pos"),
+        col("end_pos").cast("long").as("end_pos"), col("n_pos"))
+      .orderBy("doc_id", "start_pos")
+  }
+  val qRepeatSpansSql: String =
+    s"""WITH $docsWithDupsSql,
+       |pg AS (
+       |  SELECT doc_id, pos,
+       |    array_to_string(
+       |      list_slice(string_split(text, ' '), pos, pos + 7), ' ') AS g
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      unnest(generate_series(1,
+       |        greatest(len(string_split(text, ' ')) - 7, 1))) AS pos
+       |    FROM dd)),
+       |gcnt AS (SELECT g, COUNT(*) AS cnt FROM pg GROUP BY g),
+       |rep AS (
+       |  SELECT doc_id, pos FROM pg
+       |  WHERE g IN (SELECT g FROM gcnt WHERE cnt >= 2)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM rep)
+       |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_pos,
+       |  CAST(MAX(pos) AS BIGINT) AS end_pos, COUNT(*) AS n_pos
+       |FROM isl GROUP BY doc_id, island
+       |ORDER BY doc_id, start_pos""".stripMargin
+
   // ------------------------------------------------ unigram LM surprisal
   /** l34: unigram-LM rarity surprisal — the integer-exact stand-in for
     * the perplexity filter of CCNet (arXiv 1911.00359): instead of a
@@ -4116,7 +4174,8 @@ object LlmQueries {
     "l62_int8_quant" -> qInt8Quant _,
     "l63_snapshot_diff" -> qSnapshotDiff _,
     "l64_batch_novelty" -> qBatchNovelty _,
-    "l65_classifier_filter" -> qClassifierFilter _
+    "l65_classifier_filter" -> qClassifierFilter _,
+    "l66_repeat_spans" -> qRepeatSpans _
   )
 
   val oracles: Map[String, String] = Map(
@@ -4184,6 +4243,7 @@ object LlmQueries {
     "l62_int8_quant" -> qInt8QuantSql,
     "l63_snapshot_diff" -> qSnapshotDiffSql,
     "l64_batch_novelty" -> qBatchNoveltySql,
-    "l65_classifier_filter" -> qClassifierFilterSql
+    "l65_classifier_filter" -> qClassifierFilterSql,
+    "l66_repeat_spans" -> qRepeatSpansSql
   )
 }

@@ -559,6 +559,28 @@ class LlmQueriesSpec extends SparkSpec {
     }
   }
 
+  test("l66 repeated spans: islands are contiguous and planted copies are fully covered") {
+    val sf = "/root/testdata/sf0.001"
+    val out = LlmQueries.queries("l66_repeat_spans")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // islands are maximal runs of consecutive positions by construction
+    assert(out.forall { case (_, s0, e0, n) => s0 <= e0 && n == e0 - s0 + 1 },
+      "non-contiguous island emitted")
+    // a planted exact-duplicate pair: every gram position of both docs
+    // repeats, so each must carry exactly ONE span covering 1..n_grams
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val (k, txt) = docs.filter(_._1 % 10 == 0).minBy(_._1)
+    val expectPos = math.max(txt.split(" ").length - 7, 1)
+    for (id <- Seq(k, k + 100000)) {
+      val spans = out.filter(_._1 == id).toSeq
+      assert(spans.length == 1, s"doc $id spans: $spans")
+      assert(spans.head._2 == 1L && spans.head._4 == expectPos.toLong,
+        s"doc $id span ${spans.head} != full coverage 1..$expectPos")
+    }
+  }
+
   test("l50 containment: every planted snippet and exact copy is found with full overlap") {
     val sf = "/root/testdata/sf0.001"
     val got = LlmQueries.queries("l50_containment")(spark, sf)

@@ -447,6 +447,18 @@ class PlanSpec extends SparkSpec {
       s"l21 lost its length-band pre-filter:\n${planOf(df).take(1500)}")
   }
 
+  // l66's island window must stay partitioned by doc_id — an
+  // unpartitioned gaps-and-islands window would serialize the corpus's
+  // repeated positions onto one task.
+  test("l66 repeat spans: island window partitioned by doc, no all-pairs") {
+    val df = LlmQueries.queries("l66_repeat_spans")(spark, sf)
+    assertNoAllPairs("l66", df)
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "l66 lost its island window")
+    windows.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, s"l66 window is unpartitioned:\n$w"))
+  }
+
   // q28's exact quantiles aggregate the (group, value) histogram first;
   // every window must run over aggregated rows (the tiny histogram),
   // never over raw lineitem (the old 3-task-sort shape).
