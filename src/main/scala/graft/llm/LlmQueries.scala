@@ -403,6 +403,26 @@ object LlmQueries {
     * each query vector (vec_id < 10). This is the EXACT baseline; the
     * scale path is [[qAnnTopk]] (bucketed candidates, exact re-rank).
     */
+  /** Per-query top-5 by (cosine desc, neighbor asc) through the CUSTOM
+    * TopK physical operator ([[graft.plans.TopK.perKey]]): a k-bounded
+    * per-key heap with a partial pass below the key shuffle, so the
+    * candidate set is reduced to <= #partitions x #queries x 5 rows
+    * before any exchange — vs the rank-window formulation's full
+    * per-query sort of every candidate. The rank column is attached by
+    * the same window AFTERWARD, over the 5-bounded rows only (exact
+    * parity: the heap's (cos desc, id asc) order is the window's order,
+    * and the oracle keeps the naive window formulation).
+    */
+  private def rankTop5(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_x1e6").desc, col("neighbor_id").asc)
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(("cos_x1e6", false), ("neighbor_id", true)), 5)
+      .withColumn("rank", row_number().over(w))
+      .select("query_id", "rank", "neighbor_id", "cos_x1e6")
+      .orderBy("query_id", "rank")
+  }
+
   def qCosineTopk(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
     val q = e.where(col("vec_id") < 10)
@@ -415,12 +435,7 @@ object LlmQueries {
       .select(col("query_id"), col("neighbor_id"),
         floor(dotD(col("qv"), col("cv")) / (col("qn") * col("cn"))
           * 1e6 + 0.5).cast("long").as("cos_x1e6"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_x1e6").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 5)
-      .select("query_id", "rank", "neighbor_id", "cos_x1e6")
-      .orderBy("query_id", "rank")
+    rankTop5(scored)
   }
   val qCosineTopkSql: String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
@@ -558,12 +573,7 @@ object LlmQueries {
       .select(col("query_id"), col("neighbor_id"),
         floor(dotD(col("qv"), col("cv")) / (col("qn") * col("cn"))
           * 1e6 + 0.5).cast("long").as("cos_x1e6"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_x1e6").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 5)
-      .select("query_id", "rank", "neighbor_id", "cos_x1e6")
-      .orderBy("query_id", "rank")
+    rankTop5(scored)
   }
   val qAnnTopkSql: String =
     s"""WITH e AS (SELECT vec_id, embedding,
@@ -642,12 +652,7 @@ object LlmQueries {
       .select(col("query_id"), col("neighbor_id"),
         floor(dotD(col("qv"), col("nv")) / (col("qn") * col("nn"))
           * 1e6 + 0.5).cast("long").as("cos_x1e6"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_x1e6").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 5)
-      .select("query_id", "rank", "neighbor_id", "cos_x1e6")
-      .orderBy("query_id", "rank")
+    rankTop5(scored)
   }
   val qIvfTopkSql: String =
     s"""WITH e AS (SELECT vec_id, embedding,

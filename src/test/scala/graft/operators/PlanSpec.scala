@@ -447,6 +447,18 @@ class PlanSpec extends SparkSpec {
       s"l21 lost its length-band pre-filter:\n${planOf(df).take(1500)}")
   }
 
+  // The ANN top-5 rankings run through the custom bounded-heap operator
+  // (partial pass below the key shuffle), not a full per-query sort of
+  // every candidate; the only remaining window runs over the 5-bounded
+  // rows to attach ranks.
+  test("l06/l13/l14 rank through the custom TopK partial/final operators") {
+    for (name <- Seq("l06_cosine_topk", "l13_ann_topk", "l14_ivf_topk")) {
+      val p = planOf(LlmQueries.queries(name)(spark, sf))
+      assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"),
+        s"$name does not use the custom TopK operator:\n${p.take(1500)}")
+    }
+  }
+
   // l66's island window must stay partitioned by doc_id — an
   // unpartitioned gaps-and-islands window would serialize the corpus's
   // repeated positions onto one task.
