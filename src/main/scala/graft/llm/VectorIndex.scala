@@ -78,10 +78,15 @@ object VectorIndex {
     val scored = probes.join(lists, Seq("c_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosQ(col("qv"), col("qn"), col("embedding"), col("nrm")).as("cos_x1e6"))
+    // final ranking through the bounded-heap TopK operator (partial
+    // pass below the key shuffle — the probed lists scale with the
+    // corpus, the heap state with topk); the window only attaches ranks
+    // over the topk-bounded survivors
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_x1e6").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= topk)
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(("cos_x1e6", false), ("neighbor_id", true)), topk)
+      .withColumn("rank", row_number().over(w))
       .select("query_id", "rank", "neighbor_id", "cos_x1e6")
       .orderBy("query_id", "rank")
   }
@@ -145,10 +150,12 @@ object VectorIndex {
     val scored = codes.join(adc, Seq("sub_id", "code"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum("ip_part").as("ip_x1e6"))
+    // same bounded-heap final ranking as searchIvf
     val w2 = Window.partitionBy("query_id")
       .orderBy(col("ip_x1e6").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w2))
-      .where(col("rank") <= topk)
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(("ip_x1e6", false), ("neighbor_id", true)), topk)
+      .withColumn("rank", row_number().over(w2))
       .select("query_id", "rank", "neighbor_id", "ip_x1e6")
       .orderBy("query_id", "rank")
   }
