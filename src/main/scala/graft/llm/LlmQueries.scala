@@ -1453,11 +1453,13 @@ object LlmQueries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // top-3 per doc through the bounded-heap TopK operator (the l06
+    // ranking discipline); the window attaches rnk over <=3 rows per doc
     val rw = Window.partitionBy("doc_id")
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tf.join(df, Seq("term"))
+    graft.plans.TopK.perKey(tf.join(df, Seq("term")), Seq("doc_id"),
+        Seq(("tf", false), ("df", true), ("term", true)), 3)
       .withColumn("rnk", row_number().over(rw))
-      .where(col("rnk") <= 3)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
       .orderBy(col("doc_id"), col("rnk"))
   }
@@ -3463,9 +3465,11 @@ object LlmQueries {
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
         floor(dotD(col("a.qv"), col("b.qv")) / (col("a.nrm") * col("b.nrm"))
           * 1e6 + 0.5).cast("long").as("cos_x1e6"))
-    val knn = scored.withColumn("rk", row_number().over(
-        Window.partitionBy("src").orderBy(col("cos_x1e6").desc, col("dst").asc)))
-      .where(col("rk") <= 3).select("src", "dst")
+    // top-3 edges per source through the bounded-heap TopK operator —
+    // no rank column needed, so no window at all
+    val knn = graft.plans.TopK.perKey(scored, Seq("src"),
+        Seq(("cos_x1e6", false), ("dst", true)), 3)
+      .select("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("vec_id").as("v"))
     val deg = knn.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
