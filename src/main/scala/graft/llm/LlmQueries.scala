@@ -1993,6 +1993,91 @@ object LlmQueries {
        |FROM isl GROUP BY doc_id, island
        |ORDER BY doc_id, start_pos""".stripMargin
 
+  /** l67: span-cut APPLICATION — the step that turns l66's cut list into
+    * deduplicated text (what ExactSubstr dedup actually ships): every
+    * word covered by a repeated 8-gram window (positions `pos..pos+7`)
+    * is cut, the survivors re-concatenate in order, and the result is
+    * fingerprinted (kept_fp carries the exact byte content for
+    * cross-engine proof without shipping the text twice). A fully
+    * duplicated document cuts to empty (n_kept = 0, md5 of ""). Scale
+    * shape: the repeat marking is the l33/l66 gram-keyed semi join; the
+    * covered-index expansion is a bounded x8 explode of repeated
+    * positions only; the cut itself is one doc-keyed anti join and one
+    * doc-keyed agg — per-document work throughout.
+    */
+  def qSpanCut(s: SparkSession, d: String): DataFrame = {
+    val dd = docsWithDups(s, d)
+    val pg = dd
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), greatest(size(col("ws")) - 7, lit(1))))
+          .as("pos"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(concat_ws(" ", slice(col("ws"), col("pos"), lit(8)))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repeatedGrams = pg.groupBy("g")
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+    val cut = pg.join(repeatedGrams, Seq("g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + 7)).as("w_idx"))
+      .distinct()
+    val words = dd
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("w_idx"), col("col").as("w"))
+    val kept = words.join(cut, Seq("doc_id", "w_idx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("w_idx"), col("w")))),
+            x => x.getField("w")))).as("kept_fp"))
+    dd.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_fp"),
+          lit("d41d8cd98f00b204e9800998ecf8427e")).as("kept_fp"))
+      .orderBy("doc_id")
+  }
+  val qSpanCutSql: String =
+    s"""WITH $docsWithDupsSql,
+       |pg AS (
+       |  SELECT doc_id, pos,
+       |    array_to_string(
+       |      list_slice(string_split(text, ' '), pos, pos + 7), ' ') AS g
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      unnest(generate_series(1,
+       |        greatest(len(string_split(text, ' ')) - 7, 1))) AS pos
+       |    FROM dd)),
+       |gcnt AS (SELECT g, COUNT(*) AS cnt FROM pg GROUP BY g),
+       |rep AS (
+       |  SELECT doc_id, pos FROM pg
+       |  WHERE g IN (SELECT g FROM gcnt WHERE cnt >= 2)),
+       |cut AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(generate_series(pos, pos + 7)) AS w_idx
+       |  FROM rep),
+       |words AS (
+       |  SELECT doc_id, i AS w_idx, string_split(text, ' ')[i] AS w
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+       |    FROM dd)),
+       |kept AS (
+       |  SELECT w.doc_id, COUNT(*) AS n_kept,
+       |    md5(string_agg(w.w, ' ' ORDER BY w.w_idx)) AS kept_fp
+       |  FROM words w
+       |  WHERE NOT EXISTS (SELECT 1 FROM cut c
+       |    WHERE c.doc_id = w.doc_id AND c.w_idx = w.w_idx)
+       |  GROUP BY w.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+       |  COALESCE(k.n_kept, 0) AS n_kept,
+       |  COALESCE(k.kept_fp, 'd41d8cd98f00b204e9800998ecf8427e') AS kept_fp
+       |FROM dd d LEFT JOIN kept k ON d.doc_id = k.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------ unigram LM surprisal
   /** l34: unigram-LM rarity surprisal — the integer-exact stand-in for
     * the perplexity filter of CCNet (arXiv 1911.00359): instead of a
@@ -4184,7 +4269,8 @@ object LlmQueries {
     "l63_snapshot_diff" -> qSnapshotDiff _,
     "l64_batch_novelty" -> qBatchNovelty _,
     "l65_classifier_filter" -> qClassifierFilter _,
-    "l66_repeat_spans" -> qRepeatSpans _
+    "l66_repeat_spans" -> qRepeatSpans _,
+    "l67_span_cut" -> qSpanCut _
   )
 
   val oracles: Map[String, String] = Map(
@@ -4253,6 +4339,7 @@ object LlmQueries {
     "l63_snapshot_diff" -> qSnapshotDiffSql,
     "l64_batch_novelty" -> qBatchNoveltySql,
     "l65_classifier_filter" -> qClassifierFilterSql,
-    "l66_repeat_spans" -> qRepeatSpansSql
+    "l66_repeat_spans" -> qRepeatSpansSql,
+    "l67_span_cut" -> qSpanCutSql
   )
 }

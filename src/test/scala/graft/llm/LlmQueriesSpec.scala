@@ -581,6 +581,31 @@ class LlmQueriesSpec extends SparkSpec {
     }
   }
 
+  test("l67 span cut: planted copies cut to empty, untouched docs keep their exact text") {
+    val sf = "/root/testdata/sf0.001"
+    val out = LlmQueries.queries("l67_span_cut")(spark, sf)
+      .as[(Long, Long, Long, String)].collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(out.forall { case (_, n, k, _) => k >= 0 && k <= n })
+    // an exact duplicate pair is repeated at every position -> fully cut
+    val dupId = docs.keys.filter(_ % 10 == 0).min
+    for (id <- Seq(dupId, dupId + 100000)) {
+      val row = out.find(_._1 == id).get
+      assert(row._3 == 0L && row._4 == "d41d8cd98f00b204e9800998ecf8427e",
+        s"duplicated doc $id not fully cut: $row")
+    }
+    // a doc the cutter left whole must fingerprint to md5(original text)
+    val whole = out.filter(r => r._3 == r._2 && docs.contains(r._1))
+    assert(whole.nonEmpty, "no document survived uncut")
+    whole.take(5).foreach { case (id, _, _, fp) =>
+      val expect = java.security.MessageDigest.getInstance("MD5")
+        .digest(docs(id).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(fp == expect, s"doc $id kept_fp drifted from its own text")
+    }
+  }
+
   test("l50 containment: every planted snippet and exact copy is found with full overlap") {
     val sf = "/root/testdata/sf0.001"
     val got = LlmQueries.queries("l50_containment")(spark, sf)
