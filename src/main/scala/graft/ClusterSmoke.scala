@@ -82,8 +82,40 @@ object ClusterSmoke {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
     }
+    // The streaming corpus fold's batch body (exact + canonical +
+    // MinHash near-dup rejection, partitioned corpus/index writes) from
+    // real executors: batch 1 holds two docs, batch 2 brings an exact
+    // copy, a near-dup (one-word edit), and a novel doc — only the
+    // novel one may land.
+    try {
+      import org.apache.spark.sql.functions.col
+      val dir = java.nio.file.Files.createTempDirectory("cluster-ingest-").toString
+      val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+        "green turtles march slowly across the ancient stone bridge carrying " +
+        "baskets of ripe yellow mangoes toward the bustling village market " +
+        "where merchants trade spices silk and copper pots"
+      import spark.implicits._
+      val b0 = Seq((1L, base), (2L, "an unrelated second document about sailing boats"))
+        .toDF("doc_id", "text")
+      val b1 = Seq((3L, base), (4L, base.replace("copper pots", "copper pans")),
+        (5L, "a genuinely novel third document about mountain weather"))
+        .toDF("doc_id", "text")
+      graft.streaming.DocStream.ingestBatch(b0, s"$dir/corpus", 0L, Some(s"$dir/idx"))
+      graft.streaming.DocStream.ingestBatch(b1, s"$dir/corpus", 1L, Some(s"$dir/idx"))
+      val ids = graft.streaming.DocStream.corpus(spark, s"$dir/corpus")
+        .select(col("doc_id")).as[Long].collect().sorted.toSeq
+      val ok = ids == Seq(1L, 2L, 5L)
+      if (!ok) failures += 1
+      System.err.println(
+        s"[cluster-smoke] docstream_neardup_ingest: corpus=$ids " +
+          s"${if (ok) "OK" else "MISMATCH (expected 1,2,5)"}")
+    } catch {
+      case e: Throwable =>
+        failures += 1
+        System.err.println(s"[cluster-smoke] docstream_neardup_ingest FAILED: ${e.getMessage}")
+    }
     System.err.println(
-      s"[cluster-smoke] ${Queries.size - failures}/${Queries.size} ok on " +
+      s"[cluster-smoke] ${Queries.size + 1 - failures}/${Queries.size + 1} ok on " +
         s"${spark.sparkContext.master}")
     spark.stop()
     if (failures > 0) sys.exit(1)
