@@ -187,11 +187,19 @@ object MediaQueries {
     * matches, so candidates come from 2 equi-joins on small buckets and
     * the verify is one xor + bit_count. All integer on both engines.
     */
-  def qMediaHammingPairs(s: SparkSession, d: String): DataFrame = {
+  /** The dup-augmented media fixture shared by m05/m06/m09. */
+  private def mediaWithDups(s: SparkSession, d: String): DataFrame = {
     val base = MediaOps.mediaTable(s, d)
-    val dd = base.unionByName(
+    base.unionByName(
       base.where(col("media_id") % 10 === 0)
         .withColumn("media_id", col("media_id") + 100000))
+  }
+
+  /** Per-asset 16-bit aHash fingerprints (media_id, fp) over the
+    * dup-augmented fixture — the base table of m06 and m09.
+    */
+  private def mediaFingerprints(s: SparkSession, d: String): DataFrame = {
+    val dd = mediaWithDups(s, d)
     val n = length(col("payload"))
     val total = byteSum(col("payload"))
     def blockSum(j: Int): Column = {
@@ -202,7 +210,14 @@ object MediaQueries {
     val bits = (0 until 16).map { j =>
       when(blockSum(j) * 16 > total, lit(1L << j)).otherwise(lit(0L))
     }
-    val fps = dd.select(col("media_id"), bits.reduce(_ + _).as("fp"))
+    dd.select(col("media_id"), bits.reduce(_ + _).as("fp"))
+  }
+
+  /** Perceptual near-dup pairs (media_a, media_b, hamming), hamming<=1,
+    * unordered — the banded aHash machinery m06 declares.
+    */
+  private def hammingPairs(s: SparkSession, d: String): DataFrame = {
+    val fps = mediaFingerprints(s, d)
     val banded = fps.select(col("media_id"), col("fp"),
         explode(sequence(lit(0), lit(1))).as("band_id"))
       .select(col("media_id"), col("fp"), col("band_id"),
@@ -216,9 +231,12 @@ object MediaQueries {
       .select(col("media_a"), col("media_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
       .where(col("hamming") <= 1)
-      .orderBy("media_a", "media_b")
   }
-  val qMediaHammingPairsSql: String = {
+
+  def qMediaHammingPairs(s: SparkSession, d: String): DataFrame =
+    hammingPairs(s, d).orderBy("media_a", "media_b")
+  /** The m06 CTE chain up to the hamming<=1 pair set, shared with m09. */
+  private val hammingPairsSqlCtes: String = {
     val bits = (0 until 16).map { j =>
       val lo = s"(($j * n) // 16)"
       val hi = s"((${j + 1} * n) // 16)"
@@ -226,7 +244,7 @@ object MediaQueries {
          |    ${asciiSumSql("1", "n")}
          |  THEN CAST(${1L << j} AS BIGINT) ELSE 0 END""".stripMargin
     }.mkString(" +\n  ")
-    s"""WITH $mediaSql,
+    s"""$mediaSql,
        |mm AS (
        |  SELECT media_id, text, n FROM media
        |  UNION ALL
@@ -242,11 +260,129 @@ object MediaQueries {
        |    x.fp AS fp_a, y.fp AS fp_b
        |  FROM banded x JOIN banded y
        |    ON x.band_id = y.band_id AND x.bv = y.bv
-       |    AND x.media_id < y.media_id)
-       |SELECT media_a, media_b,
-       |  CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
-       |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 1
-       |ORDER BY media_a, media_b""".stripMargin
+       |    AND x.media_id < y.media_id),
+       |hpairs AS (
+       |  SELECT media_a, media_b,
+       |    CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+       |  FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 1)""".stripMargin
+  }
+
+  val qMediaHammingPairsSql: String =
+    s"""WITH $hammingPairsSqlCtes
+       |SELECT media_a, media_b, hamming
+       |FROM hpairs ORDER BY media_a, media_b""".stripMargin
+
+  /** m09: perceptual duplicate CLUSTERS — the media-side l17: connected
+    * components over the hamming<=1 fingerprint pair graph label every
+    * asset with its component's minimum media_id (pointer-jumped
+    * min-label CC, [[graft.llm.LlmQueries.connectedComponents]]), and
+    * the keeper is the minimum itself — one asset retained per
+    * visual-duplicate group. Scale shape: the pair graph is banded
+    * equi-join output (never all-pairs), CC state is the DISTINCT
+    * fingerprint set (not assets), and each CC round is one equi-join +
+    * one hash agg. At sf0.1 the wall clock is dominated by the CC
+    * loop's fixed per-round job costs (the same floor l17 pays, plus
+    * the fingerprint pipeline l17 reads from its persisted index) —
+    * rounds amortize over data volume at scale, not at 5500 assets.
+    * The oracle states the same reachability as a recursive CTE.
+    */
+  def qMediaClusters(s: SparkSession, d: String): DataFrame = {
+    // A 32-BIT aHash (32 blocks), not m06's 16-bit: pair LISTING
+    // tolerates a saturated hash space (a false pair is one wrong row),
+    // but transitive CLUSTERING amplifies it — at 16 bits the corpus
+    // occupies a visible fraction of the space, hamming<=1 chains
+    // nearly everything into one giant deep component, and the CC loop
+    // pays a round per doubling of that diameter. 2^32 keeps organic
+    // collisions rare, so components are the actual duplicate groups
+    // and CC converges in 1-2 rounds.
+    //
+    // CC runs over DISTINCT fingerprints, not assets: every exact dup
+    // group is a per-fp clique the graph does not need — each fp
+    // collapses to its min-media_id representative (the component min
+    // over reps IS the min over assets), the <= |distinct fp| node
+    // graph resolves, and labels broadcast back by fp equi-join. Asset
+    // count drops out of the CC state entirely — the scale property.
+    val dd = mediaWithDups(s, d)
+    val n = length(col("payload"))
+    def blockSum(j: Int): Column = {
+      val lo = floor(lit(j) * n / 32).cast("int")
+      val hi = floor(lit(j + 1) * n / 32).cast("int")
+      byteSum(col("payload").substr(lo + 1, hi - lo))
+    }
+    // Bit j is the PARITY of block j's byte sum, not the m06-style
+    // above-mean threshold: on these near-uniform synthetic payloads the
+    // threshold bits hover at their decision boundary, so unrelated
+    // assets land 1 bit apart and hamming<=1 chains them into large
+    // false "duplicate" clusters (41 unrelated assets in one component
+    // at sf0.1) whose diameter also multiplies the CC round count.
+    // Parity spreads unrelated assets uniformly across the 2^32 space:
+    // components collapse to the actual duplicate groups and the CC
+    // loop converges at clique depth.
+    val bits = (0 until 32).map { j =>
+      when(blockSum(j) % 2 === 1, lit(1L << j)).otherwise(lit(0L))
+    }
+    val fps = dd.select(col("media_id"), bits.reduce(_ + _).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = fps.groupBy(col("fp")).agg(min(col("media_id")).as("rep"))
+    val banded = reps.select(col("rep"), col("fp"),
+        explode(sequence(lit(0), lit(1))).as("band_id"))
+      .select(col("rep"), col("fp"), col("band_id"),
+        expr("shiftright(fp, band_id * 16)").bitwiseAND(lit(65535L)).as("bv"))
+    // persisted: connectedComponents consumes both orientations of the
+    // pair set — without the cache the banded self-join runs twice
+    val fpPairs = banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.bv") === col("y.bv") &&
+        col("x.rep") < col("y.rep"))
+      .where(bit_count(col("x.fp").bitwiseXOR(col("y.fp"))) <= 1)
+      .select(col("x.rep").as("doc_a"), col("y.rep").as("doc_b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = graft.llm.LlmQueries.connectedComponents(
+        reps.select(col("rep").as("doc_id")), fpPairs)
+      .select(col("doc_id").as("rep"), col("cluster_id"))
+    fps.join(reps, Seq("fp")).join(labels, Seq("rep"))
+      .select(col("media_id"), col("cluster_id"))
+      .withColumn("is_keeper", col("media_id") === col("cluster_id"))
+      .orderBy("media_id")
+  }
+  val qMediaClustersSql: String = {
+    val bits32 = (0 until 32).map { j =>
+      val lo = s"(($j * n) // 32)"
+      val hi = s"((${j + 1} * n) // 32)"
+      s"""CASE WHEN ${asciiSumSql(s"$lo + 1", hi)} % 2 = 1
+         |  THEN CAST(${1L << j} AS BIGINT) ELSE 0 END""".stripMargin
+    }.mkString(" +\n  ")
+    s"""WITH RECURSIVE $mediaSql,
+       |mm AS (
+       |  SELECT media_id, text, n FROM media
+       |  UNION ALL
+       |  SELECT media_id + 100000 AS media_id, text, n
+       |  FROM media WHERE media_id % 10 = 0),
+       |fps AS (SELECT media_id, $bits32 AS fp FROM mm),
+       |banded AS (
+       |  SELECT media_id, fp, band_id, (fp >> (band_id * 16)) & 65535 AS bv
+       |  FROM fps CROSS JOIN
+       |    (SELECT unnest(generate_series(0, 1)) AS band_id) b),
+       |hpairs AS (
+       |  SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band_id = y.band_id AND x.bv = y.bv
+       |    AND x.media_id < y.media_id
+       |  WHERE bit_count(xor(x.fp, y.fp)) <= 1),
+       |edges AS (
+       |  SELECT media_a AS u, media_b AS v FROM hpairs
+       |  UNION ALL SELECT media_b, media_a FROM hpairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |minreach AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)
+       |SELECT m.media_id,
+       |  least(m.media_id, COALESCE(r.mv, m.media_id)) AS cluster_id,
+       |  (least(m.media_id, COALESCE(r.mv, m.media_id)) = m.media_id)
+       |    AS is_keeper
+       |FROM mm m LEFT JOIN minreach r ON m.media_id = r.u
+       |ORDER BY m.media_id""".stripMargin
   }
 
   // ------------------------------------------------- audio frame features
@@ -360,7 +496,8 @@ object MediaQueries {
     "m05_media_dedup" -> qMediaDedup _,
     "m06_media_hamming" -> qMediaHammingPairs _,
     "m07_audio_features" -> qAudioFeatures _,
-    "m08_byte_entropy" -> qByteEntropy _
+    "m08_byte_entropy" -> qByteEntropy _,
+    "m09_media_clusters" -> qMediaClusters _
   )
 
   val oracles: Map[String, String] = Map(
@@ -371,6 +508,7 @@ object MediaQueries {
     "m05_media_dedup" -> qMediaDedupSql,
     "m06_media_hamming" -> qMediaHammingPairsSql,
     "m07_audio_features" -> qAudioFeaturesSql,
-    "m08_byte_entropy" -> qByteEntropySql
+    "m08_byte_entropy" -> qByteEntropySql,
+    "m09_media_clusters" -> qMediaClustersSql
   )
 }
