@@ -145,7 +145,10 @@ object TickStream {
   /** Input/output rows for [[sessionCloseStream]]. */
   case class SymTick(sym: String, ts: java.sql.Timestamp, price: Int)
   case class SessionClose(sym: String, n_ticks: Long, first_ms: Long, last_ms: Long)
-  private case class SessAgg(n: Long, firstMs: Long, lastMs: Long, timerAtMs: Long)
+  // NOT private: the state encoder's generated code must reach the
+  // field accessors, else codegen fails and every state (de)serialize
+  // falls back to the interpreted path.
+  case class SessAgg(n: Long, firstMs: Long, lastMs: Long, timerAtMs: Long)
 
   /** State-v2 processor with EVENT-TIME TIMERS: closes a per-symbol
     * session when the symbol has been quiet for `gapMs` of event time —
