@@ -4203,6 +4203,300 @@ object LlmQueries {
       |FROM feats f JOIN wts w USING (b)
       |GROUP BY f.doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ bloom novelty prescreen
+  /** l68: Bloom-filter novelty PRE-SCREEN — the fixed-size membership
+    * sketch that makes l64's question answerable without touching the
+    * corpus per batch. l64's exact anti-join is corpus-sized every time
+    * a candidate batch arrives; a Bloom filter over the corpus gram set
+    * (4 md5-derived hash lanes x 2^20 bits, Bloom CACM 1970) compresses
+    * membership to a BOUNDED table — at most 4x2^20 (lane, bit) rows no
+    * matter the corpus size — that broadcasts once and serves every
+    * batch with ZERO corpus-side work per probe. The relational bitmap
+    * ((lane, bit) distinct rows ≡ set bits) is mergeable by plain UNION
+    * (bit-OR), so per-shard filters combine associatively — the
+    * count-min discipline (l58) applied to membership.
+    *
+    * One-sidedness is the contract: a gram missing ANY lane bit is
+    * DEFINITELY absent from the corpus, so `n_definite_new` is a LOWER
+    * bound on l64's exact `n_unseen` (a false positive can only demote
+    * novel→maybe-seen, never the reverse) — pinned against l64 in
+    * LlmQueriesSpec. The triage: a batch doc whose lower bound already
+    * clears the diversity bar skips the exact check entirely; only the
+    * ambiguous middle pays l64's anti-join. At sf0.1 the corpus sets
+    * ~21% of each lane's bits, so a truly-seen gram false-"new"s never
+    * and a random gram false-"maybe"s at ~0.2% (0.21^4).
+    *
+    * Scale shape: the corpus is touched once (distinct-gram agg — the
+    * same shuffle l64 pays ONCE, here amortized over all future
+    * batches); the probe side is batch-sized x 4 lanes, one broadcast
+    * join + two hash aggs; outputs O(batch). All bit positions derive
+    * from md5 of the gram text, so both engines materialize the
+    * identical filter with no artifact to ship.
+    */
+  def qBloomPrescreen(s: SparkSession, d: String): DataFrame = {
+    // 2^20 bits per lane; the filter ships as PACKED 64-bit words
+    // (lane, word_idx, bit_or of masks) — at most 4 * 2^20/32 = 131,072
+    // rows regardless of corpus size (~3 MB broadcast; 32-bit words,
+    // because a 1<<63 mask overflows DuckDB's checked BIGINT shift). One md5 per
+    // gram TOTAL: the four lane bits are disjoint 8-hex-char slices of
+    // the same digest (the Kirsch–Mitzenmacher two-hash observation,
+    // taken to its slice form), so the hash cost is a quarter of the
+    // naive lane-salted scheme and both engines slice identically.
+    val ws = col("ws")
+    // Gram STRINGS (not xxhash64 — the l64 key trick is unavailable
+    // here): bloom bit positions must be engine-portable, so they hash
+    // the gram text itself through md5 on both engines.
+    val gramArr = array_distinct(transform(
+      sequence(lit(1), greatest(size(ws) - 7, lit(1))),
+      i => concat_ws(" ", slice(ws, i, lit(8)))))
+    def gramRows(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), explode(gramArr).as("gram"))
+    // (lane, bit) rows for a gram column: md5 once, slice per lane.
+    def laneBits(df: DataFrame, keep: Column*): DataFrame =
+      df.withColumn("h", md5(col("gram")))
+        .select(keep :+ explode(sequence(lit(0), lit(3))).as("lane") :+
+          col("h"): _*)
+        .withColumn("bit",
+          expr("CAST(conv(substring(h, lane * 8 + 1, 8), 16, 10) AS BIGINT)" +
+            " % 1048576"))
+    // Corpus bloom with NO corpus-sized shuffle at all: bit_or is
+    // idempotent, so cross-document gram repeats need no distinct pass —
+    // the map-side partial bit_or collapses every partition's grams into
+    // at most 4*2^20/32 packed (lane, word) rows before the exchange, and
+    // the shuffle moves <= #partitions * 131,072 packed longs no matter
+    // the corpus size. The per-row gram build + md5 is genuinely heavy
+    // map work (the l05/SimHash rule), so it buys parallelism via spread.
+    val bloomWords = laneBits(gramRows(spread(docs(s, d))).select(col("gram")))
+      .select(col("lane"), expr("bit div 32").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))").as("m"))
+      .groupBy(col("lane"), col("w"))
+      .agg(expr("bit_or(m)").as("word"))
+    // The l64 candidate-batch fixture: every 7th doc re-submitted with a
+    // doc-specific novel tail (seen core + unseen fringe).
+    val batch = docs(s, d).where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 400000).as("doc_id"),
+        concat(col("text"), lit(" nv"), col("doc_id").cast("string"),
+          lit(" nv1 nv2 nv3 nv4 nv5 nv6 nv7")).as("text"))
+    val probed = laneBits(gramRows(batch), col("doc_id"), col("gram"))
+      .select(col("doc_id"), col("gram"), col("lane"),
+        expr("bit div 32").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))").as("m"))
+      .join(broadcast(bloomWords), Seq("lane", "w"), "left")
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(sum(when(col("word").isNotNull &&
+        (col("word").bitwiseAND(col("m")) =!= 0L), 1L).otherwise(0L)).as("hits"))
+    probed.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("hits") < 4, 1L).otherwise(0L)).as("n_definite_new"))
+      .select(col("doc_id"), col("n_grams"), col("n_definite_new"),
+        expr("n_definite_new * 10000 div n_grams").as("novelty_lb_bp"),
+        (col("n_definite_new") * 5 >= col("n_grams")).as("prescreen_keep"))
+      .orderBy("doc_id")
+  }
+  val qBloomPrescreenSql: String =
+    """WITH lanes AS (SELECT unnest(generate_series(0, 3)) AS lane),
+      |cg AS (
+      |  SELECT DISTINCT gram FROM (
+      |    SELECT unnest(list_transform(
+      |      generate_series(1, greatest(len(string_split(text, ' ')) - 7, 1)),
+      |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')))
+      |      AS gram
+      |    FROM documents)),
+      |cbits AS (
+      |  SELECT lane,
+      |    CAST('0x' || substring(md5(gram), lane * 8 + 1, 8) AS BIGINT)
+      |      % 1048576 AS bit
+      |  FROM cg CROSS JOIN lanes),
+      |words AS (
+      |  SELECT lane, bit // 32 AS w,
+      |    bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INTEGER)) AS word
+      |  FROM cbits GROUP BY lane, bit // 32),
+      |batch AS (
+      |  SELECT doc_id + 400000 AS doc_id,
+      |    text || ' nv' || CAST(doc_id AS VARCHAR) ||
+      |      ' nv1 nv2 nv3 nv4 nv5 nv6 nv7' AS text
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |bg AS (
+      |  SELECT DISTINCT doc_id, gram FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, greatest(len(string_split(text, ' ')) - 7, 1)),
+      |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')))
+      |      AS gram
+      |    FROM batch)),
+      |bbits AS (
+      |  SELECT doc_id, gram, lane,
+      |    CAST('0x' || substring(md5(gram), lane * 8 + 1, 8) AS BIGINT)
+      |      % 1048576 AS bit
+      |  FROM bg CROSS JOIN lanes),
+      |probe AS (
+      |  SELECT b.doc_id, b.gram,
+      |    CAST(SUM(CASE WHEN w.word IS NOT NULL AND
+      |      (w.word & (CAST(1 AS BIGINT) << CAST(b.bit % 32 AS INTEGER))) <> 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS hits
+      |  FROM bbits b
+      |  LEFT JOIN words w ON w.lane = b.lane AND w.w = b.bit // 32
+      |  GROUP BY b.doc_id, b.gram),
+      |perdoc AS (
+      |  SELECT doc_id, COUNT(*) AS n_grams,
+      |    CAST(SUM(CASE WHEN hits < 4 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_definite_new
+      |  FROM probe GROUP BY doc_id)
+      |SELECT doc_id, n_grams, n_definite_new,
+      |  n_definite_new * 10000 // n_grams AS novelty_lb_bp,
+      |  n_definite_new * 5 >= n_grams AS prescreen_keep
+      |FROM perdoc ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------- per-source score calibration
+  /** l69: per-source quality-score CALIBRATION — the normalization step
+    * between scoring and filtering: raw quality scores are not
+    * comparable across heterogeneous sources (a crawl's median differs
+    * from a curated archive's), so production filters keep the top
+    * QUANTILE within each source rather than applying one global bar.
+    * Score here is lexical diversity in basis points
+    * (`n_distinct_words·10⁴ div n_words` — integer-exact); each doc gets
+    * its source-relative decile and a keep-top-30% verdict.
+    *
+    * Scale shape — the q28 value-histogram discipline, NOT a per-source
+    * sort: scores live in a bounded domain (0..10⁴ bp), so the exact
+    * decile thresholds come from a per-(source, score) COUNT table
+    * (≤ |sources|·10⁴ rows regardless of corpus size), a window over
+    * that bounded table (cumulative count below each score), and one
+    * broadcast join back to the row scan for the row-local decile
+    * lookup. A rank-window formulation would sort every document within
+    * its source — a per-source global sort that stragglers at 100 TB;
+    * this never shuffles the corpus at all. Ties: all docs sharing
+    * (source, score) get the decile of their FIRST tied rank
+    * (`cum_lt·10 div n`) — deterministic on both engines, stable under
+    * any within-tie permutation.
+    */
+  def qSourceCalibration(s: SparkSession, d: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    // Integer div, not `/` (double division) — the score must be the
+    // identical BIGINT on both engines.
+    val base = docs(s, d)
+      .select(col("doc_id"), col("source"),
+        size(array_distinct(ws)).cast("long").as("nd"),
+        size(ws).cast("long").as("nw"))
+      .select(col("doc_id"), col("source"),
+        expr("nd * 10000 div nw").as("score"))
+    val hist = base.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("score"))
+    val deciles = hist
+      .withColumn("cum_lt",
+        coalesce(sum(col("c")).over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      .select(col("source"), col("score"),
+        expr("cum_lt * 10 div n").as("decile"))
+    base.join(broadcast(deciles), Seq("source", "score"))
+      .select(col("doc_id"), col("source"), col("score"), col("decile"),
+        (col("decile") >= 7).as("keep_top30"))
+      .orderBy("doc_id")
+  }
+  val qSourceCalibrationSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 10000
+      |      // len(string_split(text, ' ')) AS score
+      |  FROM documents),
+      |hist AS (
+      |  SELECT source, score, COUNT(*) AS c FROM base GROUP BY source, score),
+      |deciles AS (
+      |  SELECT source, score,
+      |    CAST(COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10
+      |      // SUM(c) OVER (PARTITION BY source) AS BIGINT) AS decile
+      |  FROM hist)
+      |SELECT b.doc_id, b.source, b.score, d.decile,
+      |  (d.decile >= 7) AS keep_top30
+      |FROM base b JOIN deciles d ON b.source = d.source AND b.score = d.score
+      |ORDER BY b.doc_id""".stripMargin
+
+  // ---------------------------------------------- cross-source dup flow
+  /** l70: cross-source NEAR-DUP FLOW matrix — which sources copy from
+    * which: the l32 overlap matrix counts shared grams (content-level
+    * leakage); this counts near-duplicate DOCUMENT pairs between each
+    * pair of sources (document-level flow — mirrors syndicating whole
+    * pages, the signal that drives per-source acquisition and dedup
+    * budgets). Candidates come from the persisted [[DedupIndex]] (the
+    * l05/l17 materialize-once set — never an all-pairs comparison);
+    * each candidate is CONFIRMED by exact shingle Jaccard ≥ 0.8 (the
+    * l41 cross-multiply `5·n_inter ≥ 4·n_union`); pairs aggregate onto
+    * the canonicalized (least, greatest) source pair, so the matrix is
+    * one triangle. Scale shape: two doc-keyed equi-joins to attach
+    * shingle sets, two to attach sources, one hash agg to a
+    * |sources|²-bounded output — every join keyed, nothing quadratic,
+    * output size independent of corpus size.
+    */
+  def qSourceDupFlow(s: SparkSession, d: String): DataFrame = {
+    val srcMap = docsWithDups(s, d).select(col("doc_id"), col("source"))
+    val sets = indexedShingleSets(s, d)
+    val scored = indexedPairs(s, d)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("sh_a")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("sh_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_inter"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter") * 5 >=
+          (col("n_a") + col("n_b") - col("n_inter")) * 4).as("confirmed"))
+    scored
+      .join(srcMap.select(col("doc_id").as("doc_a"), col("source").as("src_a")),
+        Seq("doc_a"))
+      .join(srcMap.select(col("doc_id").as("doc_b"), col("source").as("src_b")),
+        Seq("doc_b"))
+      .groupBy(least(col("src_a"), col("src_b")).as("src_lo"),
+        greatest(col("src_a"), col("src_b")).as("src_hi"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("confirmed"), 1L).otherwise(0L)).as("n_confirmed"))
+      .withColumn("confirmed_bp",
+        expr("n_confirmed * 10000 div n_candidates"))
+      .orderBy("src_lo", "src_hi")
+  }
+  val qSourceDupFlowSql: String =
+    s"""WITH $docsWithDupsSql,
+       |$pairsSqlCtes,
+       |doc_sh AS (
+       |  SELECT DISTINCT doc_id, unnest(${shinglesSql("text")}) AS sh FROM dd),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM doc_sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT doc_a, doc_b, COUNT(*) AS n_inter
+       |  FROM pairs
+       |  JOIN doc_sh sa ON doc_a = sa.doc_id
+       |  JOIN doc_sh sb ON doc_b = sb.doc_id AND sa.sh = sb.sh
+       |  GROUP BY doc_a, doc_b),
+       |scored AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    (COALESCE(i.n_inter, 0) * 5 >=
+       |     (za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0)) * 4) AS confirmed
+       |  FROM pairs p
+       |  LEFT JOIN inter i USING (doc_a, doc_b)
+       |  JOIN sizes za ON p.doc_a = za.doc_id
+       |  JOIN sizes zb ON p.doc_b = zb.doc_id),
+       |srcmap AS (
+       |  SELECT doc_id, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id, source
+       |  FROM documents WHERE doc_id % 10 = 0)
+       |SELECT least(ma.source, mb.source) AS src_lo,
+       |  greatest(ma.source, mb.source) AS src_hi,
+       |  COUNT(*) AS n_candidates,
+       |  CAST(SUM(CASE WHEN confirmed THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_confirmed,
+       |  CAST(SUM(CASE WHEN confirmed THEN 1 ELSE 0 END) AS BIGINT) * 10000
+       |    // COUNT(*) AS confirmed_bp
+       |FROM scored s
+       |JOIN srcmap ma ON s.doc_a = ma.doc_id
+       |JOIN srcmap mb ON s.doc_b = mb.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY src_lo, src_hi""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -4270,7 +4564,10 @@ object LlmQueries {
     "l64_batch_novelty" -> qBatchNovelty _,
     "l65_classifier_filter" -> qClassifierFilter _,
     "l66_repeat_spans" -> qRepeatSpans _,
-    "l67_span_cut" -> qSpanCut _
+    "l67_span_cut" -> qSpanCut _,
+    "l68_bloom_prescreen" -> qBloomPrescreen _,
+    "l69_source_calibration" -> qSourceCalibration _,
+    "l70_source_dup_flow" -> qSourceDupFlow _
   )
 
   val oracles: Map[String, String] = Map(
@@ -4340,6 +4637,9 @@ object LlmQueries {
     "l64_batch_novelty" -> qBatchNoveltySql,
     "l65_classifier_filter" -> qClassifierFilterSql,
     "l66_repeat_spans" -> qRepeatSpansSql,
-    "l67_span_cut" -> qSpanCutSql
+    "l67_span_cut" -> qSpanCutSql,
+    "l68_bloom_prescreen" -> qBloomPrescreenSql,
+    "l69_source_calibration" -> qSourceCalibrationSql,
+    "l70_source_dup_flow" -> qSourceDupFlowSql
   )
 }

@@ -488,6 +488,94 @@ object MediaQueries {
        |    AS low_entropy
        |FROM ch ORDER BY media_id""".stripMargin
 
+  // ------------------------------------------------------- format sniffing
+  /** m10: container-format SNIFFING + decode routing — the first gate of
+    * a real multimodal ingest: before any codec is paid for, every
+    * payload's leading bytes are matched against container magics and
+    * the asset is routed (or rejected) by the result. The fixture
+    * overlays deterministic PRINTABLE magics (GIF89a / RIFF····WAVE /
+    * OggS / %PDF) on 4 of every 5 payloads — printable so the text-based
+    * oracle sees the identical bytes — interleaved with the kind cycle
+    * so container-vs-manifest mismatches genuinely occur (a crawl's MIME
+    * labels lie; the bytes do not). The sniffer reads ONLY the payload:
+    * one 12-byte binary slice per row, decoded and compared — row-local,
+    * no full-payload scan, no shuffle until the bounded aggregate.
+    * Output is the (kind × format) routing matrix: asset counts, byte
+    * mass, each format's share of its manifest kind in basis points, and
+    * the mismatch flag that drives quarantine — O(kinds·formats) rows at
+    * any corpus size.
+    */
+  def qFormatSniff(s: SparkSession, d: String): DataFrame = {
+    val m5 = col("media_id") % 5
+    val magic = when(m5 === 0, lit("GIF89a"))
+      .when(m5 === 1, lit("RIFF0000WAVE"))
+      .when(m5 === 2, lit("OggS"))
+      .when(m5 === 3, lit("%PDF-1.4"))
+      .otherwise(lit(""))
+    val withHdr = MediaOps.mediaTable(s, d)
+      .select(col("media_id"), col("kind"),
+        concat(encode(magic, "UTF-8"), col("payload")).as("payload"))
+    // The sniff: decode the first 12 payload BYTES and match magics —
+    // media_id never consulted, so the classifier is honest.
+    val sniffed = withHdr
+      .withColumn("hdr", decode(col("payload").substr(lit(1), lit(12)), "UTF-8"))
+      .withColumn("format",
+        when(substring(col("hdr"), 1, 4) === "GIF8", "gif")
+          .when(substring(col("hdr"), 1, 4) === "RIFF" &&
+            substring(col("hdr"), 9, 4) === "WAVE", "wav")
+          .when(substring(col("hdr"), 1, 4) === "OggS", "ogg")
+          .when(substring(col("hdr"), 1, 4) === "%PDF", "pdf")
+          .otherwise("unknown"))
+    val expected = map(
+      lit("gif"), lit("image"), lit("wav"), lit("audio"),
+      lit("ogg"), lit("audio"), lit("pdf"), lit("document"))
+    val agg = sniffed.groupBy(col("kind"), col("format"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(length(col("payload")).cast("long")).as("total_bytes"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("kind"))
+    agg
+      .withColumn("kind_total", sum(col("n_assets")).over(w))
+      .select(col("kind"), col("format"), col("n_assets"), col("total_bytes"),
+        expr("n_assets * 10000 div kind_total").as("share_bp"),
+        (element_at(expected, col("format")).isNotNull &&
+          element_at(expected, col("format")) =!= col("kind"))
+          .as("container_mismatch"))
+      .orderBy("kind", "format")
+  }
+  val qFormatSniffSql: String =
+    s"""WITH $mediaSql,
+       |hdrd AS (
+       |  SELECT media_id, kind,
+       |    CASE WHEN media_id % 5 = 0 THEN 'GIF89a'
+       |         WHEN media_id % 5 = 1 THEN 'RIFF0000WAVE'
+       |         WHEN media_id % 5 = 2 THEN 'OggS'
+       |         WHEN media_id % 5 = 3 THEN '%PDF-1.4'
+       |         ELSE '' END || text AS payload
+       |  FROM media),
+       |sniffed AS (
+       |  SELECT media_id, kind, length(payload) AS n_bytes,
+       |    CASE WHEN substring(payload, 1, 4) = 'GIF8' THEN 'gif'
+       |         WHEN substring(payload, 1, 4) = 'RIFF'
+       |          AND substring(payload, 9, 4) = 'WAVE' THEN 'wav'
+       |         WHEN substring(payload, 1, 4) = 'OggS' THEN 'ogg'
+       |         WHEN substring(payload, 1, 4) = '%PDF' THEN 'pdf'
+       |         ELSE 'unknown' END AS format
+       |  FROM hdrd),
+       |agg AS (
+       |  SELECT kind, format, COUNT(*) AS n_assets,
+       |    CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+       |  FROM sniffed GROUP BY kind, format)
+       |SELECT kind, format, n_assets, total_bytes,
+       |  CAST(n_assets * 10000 // SUM(n_assets) OVER (PARTITION BY kind)
+       |    AS BIGINT) AS share_bp,
+       |  (CASE format WHEN 'gif' THEN 'image' WHEN 'wav' THEN 'audio'
+       |     WHEN 'ogg' THEN 'audio' WHEN 'pdf' THEN 'document' END
+       |   IS NOT NULL AND
+       |   CASE format WHEN 'gif' THEN 'image' WHEN 'wav' THEN 'audio'
+       |     WHEN 'ogg' THEN 'audio' WHEN 'pdf' THEN 'document' END <> kind)
+       |    AS container_mismatch
+       |FROM agg ORDER BY kind, format""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_decode" -> qMediaDecode _,
     "m02_image_resize" -> qImageResize _,
@@ -497,7 +585,8 @@ object MediaQueries {
     "m06_media_hamming" -> qMediaHammingPairs _,
     "m07_audio_features" -> qAudioFeatures _,
     "m08_byte_entropy" -> qByteEntropy _,
-    "m09_media_clusters" -> qMediaClusters _
+    "m09_media_clusters" -> qMediaClusters _,
+    "m10_format_sniff" -> qFormatSniff _
   )
 
   val oracles: Map[String, String] = Map(
@@ -509,6 +598,7 @@ object MediaQueries {
     "m06_media_hamming" -> qMediaHammingPairsSql,
     "m07_audio_features" -> qAudioFeaturesSql,
     "m08_byte_entropy" -> qByteEntropySql,
-    "m09_media_clusters" -> qMediaClustersSql
+    "m09_media_clusters" -> qMediaClustersSql,
+    "m10_format_sniff" -> qFormatSniffSql
   )
 }

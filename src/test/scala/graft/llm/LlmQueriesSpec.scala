@@ -816,4 +816,97 @@ class LlmQueriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("l68 bloom prescreen: one-sided vs l64 exact, broadcast probe plan") {
+    val sf = "/root/testdata/sf0.001"
+    val bloom = LlmQueries.queries("l68_bloom_prescreen")(spark, sf)
+    // Plan shape: the probe is a broadcast join against the bounded
+    // (lane, bit) table; the corpus-sized anti join is l64's, not ours.
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "bloom bits not broadcast")
+    assert(!plan.contains("LeftAnti"), "prescreen must not pay the exact anti join")
+    val got = bloom.select($"doc_id", $"n_grams", $"n_definite_new")
+      .as[(Long, Long, Long)].collect().toSeq
+    val exact = LlmQueries.queries("l64_batch_novelty")(spark, sf)
+      .select($"doc_id", $"n_grams", $"n_unseen")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.nonEmpty && got.size == exact.size)
+    got.foreach { case (id, nGrams, nDef) =>
+      val (exGrams, exUnseen) = exact(id)
+      assert(nGrams == exGrams, s"doc $id gram count $nGrams != l64 $exGrams")
+      // The one-sided guarantee: a lane miss PROVES novelty, so the
+      // bloom's definite-new count can never exceed the exact unseen
+      // count (false positives only demote novel -> maybe-seen).
+      assert(nDef <= exUnseen, s"doc $id bloom $nDef > exact $exUnseen — unsound")
+      assert(nDef >= 0L)
+    }
+    // The filter is not saturated at this scale: the novel tails are
+    // mostly caught (the lower bound is within 2x of exact in aggregate).
+    val defSum = got.map(_._3).sum
+    val exSum = exact.values.map(_._2).sum
+    assert(defSum * 2 >= exSum,
+      s"bloom lower bound $defSum collapsed vs exact $exSum — filter saturated?")
+  }
+
+  test("l69 source calibration: deciles exact per source, windows over the bounded hist only") {
+    val sf = "/root/testdata/sf0.001"
+    val df = LlmQueries.queries("l69_source_calibration")(spark, sf)
+    val got = df.as[(Long, String, Long, Long, Boolean)].collect().toSeq
+    assert(got.nonEmpty)
+    // Recompute the decile definition independently: decile =
+    // (#docs in the source with strictly smaller score) * 10 div n.
+    val bySrc = got.groupBy(_._2)
+    bySrc.foreach { case (src, rows) =>
+      val n = rows.length.toLong
+      rows.foreach { case (id, _, score, decile, keep) =>
+        val cumLt = rows.count(_._3 < score).toLong
+        assert(decile == cumLt * 10 / n, s"doc $id in $src decile")
+        assert(decile >= 0 && decile <= 9, s"doc $id decile $decile out of range")
+        assert(keep == (decile >= 7), s"doc $id keep verdict")
+      }
+    }
+    // Monotone within source: a higher score never gets a lower decile.
+    bySrc.values.foreach { rows =>
+      rows.sortBy(_._3).sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 <= b._4, "decile not monotone in score")
+        case _ =>
+      }
+    }
+    // Scale pin: every Window in the plan runs over the aggregated
+    // histogram, never the corpus row scan — the plan has exactly one
+    // aggregate below its windows and no corpus-wide Sort outside the
+    // final presentation orderBy.
+    val win = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(win.nonEmpty, "expected hist windows")
+    win.foreach { w =>
+      assert(w.find(_.isInstanceOf[
+        org.apache.spark.sql.execution.aggregate.HashAggregateExec]).isDefined,
+        "window input is not the aggregated histogram")
+    }
+  }
+
+  test("l70 source dup flow: triangle form, injected dups land on the diagonal confirmed") {
+    val sf = "/root/testdata/sf0.001"
+    val got = LlmQueries.queries("l70_source_dup_flow")(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (lo, hi, nCand, nConf, bp) =>
+      assert(lo <= hi, s"pair ($lo,$hi) not canonicalized")
+      assert(nConf <= nCand, s"($lo,$hi) confirmed $nConf > candidates $nCand")
+      assert(bp == nConf * 10000 / nCand, s"($lo,$hi) bp")
+    }
+    // No duplicate cells and one triangle only.
+    assert(got.map(r => (r._1, r._2)).distinct.size == got.size)
+    // Every injected exact dup (doc, doc+100000) shares its source, has
+    // Jaccard 1 and must be confirmed — so the diagonal's confirmed
+    // total is at least the injected-pair count.
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val injected = (0L until nDocs by 10L).size.toLong
+    val diagConf = got.filter(r => r._1 == r._2).map(_._4).sum
+    assert(diagConf >= injected,
+      s"diagonal confirmed $diagConf < injected dup pairs $injected")
+  }
 }

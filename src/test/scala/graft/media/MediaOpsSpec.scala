@@ -221,4 +221,30 @@ class MediaOpsSpec extends SparkSpec {
       assert(low == (dist <= 16 || mf * 4 >= n), s"asset $id verdict")
     }
   }
+
+  test("m10 format sniff: routing matrix counts reconcile, mismatches flagged") {
+    val sf = "/root/testdata/sf0.001"
+    val got = MediaQueries.queries("m10_format_sniff")(spark, sf)
+      .as[(String, String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.nonEmpty)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    // Every asset is routed exactly once.
+    assert(got.map(_._3).sum == nDocs)
+    // Per-kind shares sum to ~10000 bp (floor-div slack < #formats).
+    got.groupBy(_._1).foreach { case (kind, rows) =>
+      val tot = rows.map(_._5).sum
+      assert(tot > 10000 - rows.length && tot <= 10000, s"$kind shares $tot")
+    }
+    // The magic cycle (id % 5) and kind cycle (id % 3) interleave, so
+    // every format appears under every kind, and e.g. a WAV container
+    // inside an 'image' manifest row must be flagged.
+    val formats = got.map(_._2).distinct.sorted
+    assert(formats == Seq("gif", "ogg", "pdf", "unknown", "wav"),
+      s"unexpected formats: $formats")
+    val misByCell = got.map(r => (r._1, r._2) -> r._6).toMap
+    assert(misByCell(("image", "wav")), "wav-in-image not flagged")
+    assert(misByCell(("audio", "gif")), "gif-in-audio not flagged")
+    assert(!misByCell(("image", "gif")), "gif-in-image wrongly flagged")
+    assert(!misByCell(("audio", "unknown")), "unknown must never be a mismatch")
+  }
 }
