@@ -138,6 +138,43 @@ object DedupIndex {
       .distinct()
   }
 
+  /** Incrementally MERGE a delta batch (doc_id, text; ids disjoint from
+    * the indexed corpus) into a persisted index IN PLACE — the daily
+    * crawl-update path. The corpus artifacts are never recomputed or
+    * rewritten: the delta's signatures / bands / shingle sets APPEND
+    * into the existing layout (bands land in their own bp= partition
+    * files), and the pairs artifact gains exactly the pairs a from-
+    * scratch rebuild would add — delta×corpus candidates from the
+    * partition-pruned [[probe]] plus delta×delta candidates from the
+    * band self-join over the delta alone. Cost is O(delta) + the pruned
+    * probe at ANY corpus size; a rebuild is O(corpus + delta). Existing
+    * pairs stay untouched (ids are disjoint, so no new pair can collide
+    * with an old one) — DedupIndexSpec pins merged == rebuilt for every
+    * artifact.
+    *
+    * New pairs are computed and written BEFORE the delta bands append:
+    * the probe must see the PRE-merge corpus bands, or the delta would
+    * self-join twice. Written first, the pairs stage failing leaves the
+    * index consistent (pairs may then hold entries whose bands arrive on
+    * the retry's append — the same at-least-once posture as build's
+    * resume mode, resolved by the retry).
+    */
+  def merge(spark: SparkSession, indexDir: String, delta: DataFrame): Unit = {
+    val deltaBands = bandsOf(delta)
+    val crossPairs = probe(spark, indexDir, delta)
+      .select(least(col("batch_doc"), col("corpus_doc")).as("doc_a"),
+        greatest(col("batch_doc"), col("corpus_doc")).as("doc_b"))
+    val selfPairs = LlmQueries.lshPairsUnordered(deltaBands)
+    crossPairs.unionByName(selfPairs).distinct()
+      .write.mode(SaveMode.Append).parquet(s"$indexDir/pairs")
+    deltaBands
+      .write.mode(SaveMode.Append).partitionBy("bp").parquet(s"$indexDir/bands")
+    LlmQueries.minhashSignatures(delta)
+      .write.mode(SaveMode.Append).parquet(s"$indexDir/signatures")
+    shingleSetsOf(delta)
+      .write.mode(SaveMode.Append).parquet(s"$indexDir/shingle_sets")
+  }
+
   /** Banded keys (doc_id, band, bkey, bp) of a (doc_id, text) frame —
     * the exact frame `build` persists under `bands/`, exposed so
     * incremental writers (the streaming corpus fold) can append a

@@ -129,4 +129,46 @@ class DedupIndexSpec extends SparkSpec {
     assert(plan.contains("bands"), "probe does not scan the bands artifact")
     assert(!plan.contains("signatures"), "probe re-reads the signature table")
   }
+
+  test("merge appends a delta in place and equals a from-scratch rebuild") {
+    val dir = Files.createTempDirectory("dedupidx").toString
+    val base = corpus.where($"doc_id" % 3 =!= 2)
+    // Delta: fresh ids, containing near/exact twins of indexed docs
+    // (verbatim copies under +900000) AND novel docs, so the merged
+    // pairs must gain both delta×corpus and delta×delta entries.
+    val delta = corpus.where($"doc_id" % 3 === 2)
+      .select(($"doc_id" + 900000).as("doc_id"), $"text")
+      .unionByName(corpus.where($"doc_id" % 30 === 0)
+        .select(($"doc_id" + 950000).as("doc_id"), $"text"))
+    DedupIndex.build(base, s"$dir/merged")
+    DedupIndex.merge(spark, s"$dir/merged", delta)
+    DedupIndex.build(base.unionByName(delta), s"$dir/scratch")
+
+    def pairsOf(p: String) = DedupIndex.candidatePairs(spark, p)
+      .as[(Long, Long)].collect().toSet
+    val merged = pairsOf(s"$dir/merged")
+    val scratch = pairsOf(s"$dir/scratch")
+    assert(merged == scratch,
+      s"pairs diverge: merged-only=${(merged -- scratch).take(5)} " +
+        s"scratch-only=${(scratch -- merged).take(5)}")
+    // The merge added real work in both directions.
+    val baseIds = base.select($"doc_id").as[Long].collect().toSet
+    assert(merged.exists { case (a, b) => baseIds(a) ^ baseIds(b) },
+      "no delta×corpus pair surfaced")
+    assert(merged.exists { case (a, b) => !baseIds(a) && !baseIds(b) },
+      "no delta×delta pair surfaced")
+
+    // Every sibling artifact covers exactly the union's docs.
+    val wantDocs = baseIds ++ delta.select($"doc_id").as[Long].collect().toSet
+    for (artifact <- Seq("signatures", "shingle_sets")) {
+      val ids = spark.read.parquet(s"$dir/merged/$artifact")
+        .select($"doc_id").as[Long].collect()
+      assert(ids.length == wantDocs.size, s"$artifact row count")
+      assert(ids.toSet == wantDocs, s"$artifact doc coverage")
+    }
+    val bandRows = DedupIndex.bands(spark, s"$dir/merged")
+      .groupBy($"doc_id").count().as[(Long, Long)].collect()
+    assert(bandRows.map(_._1).toSet == wantDocs, "bands doc coverage")
+    assert(bandRows.forall(_._2 > 0), "empty band set for some doc")
+  }
 }
