@@ -73,9 +73,17 @@ object DedupIndex {
         .withColumn("bp", substring(col("bkey"), 1, 1))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("bp").parquet(s"$indexDir/bands")
-    if (!done("pairs"))
-      LlmQueries.lshPairsUnordered(bands(spark, indexDir))
+    if (!done("pairs")) {
+      // Persist locally and release when the write commits: the banded
+      // frame feeds both sides of the bucket self-join, and build may
+      // run inside a long-lived driver (the shared-index cache) where a
+      // leaked cache would outlive the stage.
+      val banded = bands(spark, indexDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try LlmQueries.lshSelfJoin(banded)
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/pairs")
+      finally { banded.unpersist(); () }
+    }
     if (!done("shingle_sets"))
       LlmQueries.docShingleSets(docs)
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/shingle_sets")
@@ -152,27 +160,82 @@ object DedupIndex {
     * with an old one) — DedupIndexSpec pins merged == rebuilt for every
     * artifact.
     *
+    * Ids-disjoint is CHECKED, not assumed: the delta keys an anti-join
+    * against the persisted signatures' doc_ids (O(delta) — the corpus
+    * side reads one column, hash-joined), and an overlap throws before
+    * anything is written. An overlapping merge would otherwise SILENTLY
+    * corrupt the index (duplicate doc_ids in every artifact, wrong
+    * pairs).
+    *
     * New pairs are computed and written BEFORE the delta bands append:
     * the probe must see the PRE-merge corpus bands, or the delta would
-    * self-join twice. Written first, the pairs stage failing leaves the
-    * index consistent (pairs may then hold entries whose bands arrive on
-    * the retry's append — the same at-least-once posture as build's
-    * resume mode, resolved by the retry).
+    * self-join twice.
+    *
+    * Failure posture. Four sequential appends are individually atomic
+    * (the parquet committer publishes a job's files only at job commit)
+    * but NOT jointly: a merge dying between stages leaves later stages
+    * missing, and a blind re-run would re-append the earlier ones —
+    * duplicate pairs/signatures, double-counted downstream. Passing a
+    * `mergeId` makes the retry safe: each stage records a marker under
+    * `_merges/<mergeId>/` after its append commits, and a re-run with
+    * the same id SKIPS committed stages — build's `resume` discipline
+    * applied to appends (where `_SUCCESS` alone cannot distinguish
+    * "this delta already landed" from "some earlier delta landed").
+    * The disjointness guard is skipped once the signatures stage is
+    * committed (the delta's ids are then legitimately present).
+    * Residual window: a crash BETWEEN a stage's commit and its marker
+    * write re-appends that one stage on retry — pick an id per delta
+    * and re-run until clean, or rebuild on repeated failure. Without a
+    * `mergeId` the merge is one-shot: a failed run requires a rebuild
+    * (`build(docs ∪ delta)`), not a re-merge.
     */
-  def merge(spark: SparkSession, indexDir: String, delta: DataFrame): Unit = {
+  def merge(spark: SparkSession, indexDir: String, delta: DataFrame,
+      mergeId: Option[String] = None): Unit = {
+    val markerDir = mergeId.map(id => new java.io.File(s"$indexDir/_merges/$id"))
+    def done(stage: String): Boolean =
+      markerDir.exists(d => new java.io.File(d, s"$stage.done").isFile)
+    def commit(stage: String): Unit = markerDir.foreach { d =>
+      d.mkdirs()
+      new java.io.File(d, s"$stage.done").createNewFile(); ()
+    }
+    if (!done("signatures")) {
+      val overlap = delta.select(col("doc_id"))
+        .join(signatures(spark, indexDir).select(col("doc_id")), Seq("doc_id"),
+          "left_semi")
+        .limit(1).count()
+      require(overlap == 0L,
+        s"merge delta shares doc_ids with the indexed corpus at $indexDir — " +
+          "merging would duplicate ids across every artifact; re-key the delta")
+    }
     val deltaBands = bandsOf(delta)
-    val crossPairs = probe(spark, indexDir, delta)
-      .select(least(col("batch_doc"), col("corpus_doc")).as("doc_a"),
-        greatest(col("batch_doc"), col("corpus_doc")).as("doc_b"))
-    val selfPairs = LlmQueries.lshPairsUnordered(deltaBands)
-    crossPairs.unionByName(selfPairs).distinct()
-      .write.mode(SaveMode.Append).parquet(s"$indexDir/pairs")
-    deltaBands
-      .write.mode(SaveMode.Append).partitionBy("bp").parquet(s"$indexDir/bands")
-    LlmQueries.minhashSignatures(delta)
-      .write.mode(SaveMode.Append).parquet(s"$indexDir/signatures")
-    shingleSetsOf(delta)
-      .write.mode(SaveMode.Append).parquet(s"$indexDir/shingle_sets")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!done("pairs")) {
+        val crossPairs = probe(spark, indexDir, delta)
+          .select(least(col("batch_doc"), col("corpus_doc")).as("doc_a"),
+            greatest(col("batch_doc"), col("corpus_doc")).as("doc_b"))
+        val selfPairs = LlmQueries.lshSelfJoin(deltaBands)
+        crossPairs.unionByName(selfPairs).distinct()
+          .write.mode(SaveMode.Append).parquet(s"$indexDir/pairs")
+        commit("pairs")
+      }
+      if (!done("bands")) {
+        deltaBands
+          .write.mode(SaveMode.Append).partitionBy("bp")
+          .parquet(s"$indexDir/bands")
+        commit("bands")
+      }
+    } finally { deltaBands.unpersist(); () }
+    if (!done("signatures")) {
+      LlmQueries.minhashSignatures(delta)
+        .write.mode(SaveMode.Append).parquet(s"$indexDir/signatures")
+      commit("signatures")
+    }
+    if (!done("shingle_sets")) {
+      shingleSetsOf(delta)
+        .write.mode(SaveMode.Append).parquet(s"$indexDir/shingle_sets")
+      commit("shingle_sets")
+    }
   }
 
   /** Banded keys (doc_id, band, bkey, bp) of a (doc_id, text) frame —

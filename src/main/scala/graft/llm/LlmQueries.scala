@@ -224,8 +224,17 @@ object LlmQueries {
   /** Distinct same-bucket candidate pairs, unordered — the artifact
     * [[DedupIndex]] persists (consumers impose their own final order).
     */
-  private[llm] def lshPairsUnordered(bandedDf: DataFrame): DataFrame = {
-    val banded = bandedDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private[llm] def lshPairsUnordered(bandedDf: DataFrame): DataFrame =
+    lshSelfJoin(
+      bandedDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The bucket self-join alone, NO caching: the input feeds both join
+    * sides, so callers must either persist it themselves (and unpersist
+    * when done — [[DedupIndex.merge]] owns its delta-band cache this
+    * way, so a long-lived driver running daily merges does not accrete
+    * cached partitions) or accept the double scan.
+    */
+  private[graft] def lshSelfJoin(banded: DataFrame): DataFrame = {
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
         && col("a.doc_id") < col("b.doc_id"))

@@ -171,4 +171,56 @@ class DedupIndexSpec extends SparkSpec {
     assert(bandRows.map(_._1).toSet == wantDocs, "bands doc coverage")
     assert(bandRows.forall(_._2 > 0), "empty band set for some doc")
   }
+
+  test("merge rejects a delta whose ids overlap the indexed corpus") {
+    val dir = Files.createTempDirectory("dedupidx").toString
+    DedupIndex.build(corpus, s"$dir/idx")
+    val before = DedupIndex.signatures(spark, s"$dir/idx").count()
+    val overlapping = corpus.limit(3) // same ids as indexed docs
+    intercept[IllegalArgumentException] {
+      DedupIndex.merge(spark, s"$dir/idx", overlapping)
+    }
+    // nothing was appended before the guard fired
+    assert(DedupIndex.signatures(spark, s"$dir/idx").count() == before,
+      "guard fired after mutating the index")
+  }
+
+  test("merge with a mergeId is idempotent: replay and partial-failure resume") {
+    val dir = Files.createTempDirectory("dedupidx").toString
+    val base = corpus.where($"doc_id" % 3 =!= 2)
+    val delta = corpus.where($"doc_id" % 3 === 2)
+      .select(($"doc_id" + 900000).as("doc_id"), $"text")
+    DedupIndex.build(base, s"$dir/idx")
+    DedupIndex.merge(spark, s"$dir/idx", delta, mergeId = Some("d1"))
+    def counts() = Seq("pairs", "bands", "signatures", "shingle_sets")
+      .map(a => a -> spark.read.parquet(s"$dir/idx/$a").count()).toMap
+    val after = counts()
+    // full replay with the same id: every stage skips, nothing appends
+    DedupIndex.merge(spark, s"$dir/idx", delta, mergeId = Some("d1"))
+    assert(counts() == after, "replayed merge re-appended committed stages")
+    // partial-failure resume: drop the markers for the LAST two stages
+    // (simulating a merge that died after pairs+bands committed) —
+    // the resume must NOT re-append pairs or bands, and must not trip
+    // the disjointness guard even though the delta's ids are now half
+    // merged in.
+    new java.io.File(s"$dir/idx/_merges/d1/signatures.done").delete()
+    new java.io.File(s"$dir/idx/_merges/d1/shingle_sets.done").delete()
+    // roll the index back to that crash state
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+      f.delete(): Unit
+    }
+    rmrf(new java.io.File(s"$dir/idx/signatures"))
+    rmrf(new java.io.File(s"$dir/idx/shingle_sets"))
+    LlmQueries.minhashSignatures(base)
+      .write.parquet(s"$dir/idx/signatures")
+    DedupIndex.shingleSetsOf(base)
+      .write.parquet(s"$dir/idx/shingle_sets")
+    DedupIndex.merge(spark, s"$dir/idx", delta, mergeId = Some("d1"))
+    val resumed = counts()
+    assert(resumed("pairs") == after("pairs"), "resume re-appended pairs")
+    assert(resumed("bands") == after("bands"), "resume re-appended bands")
+    assert(resumed("signatures") == after("signatures"), "signatures not completed")
+    assert(resumed("shingle_sets") == after("shingle_sets"), "shingle_sets not completed")
+  }
 }
