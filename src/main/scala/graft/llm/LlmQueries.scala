@@ -349,10 +349,10 @@ object LlmQueries {
     sharedGramDirs.clear()
     dirs.forEach(d => deleteRecursively(new java.io.File(d)))
   }
-  private def deleteOnExit(dir: String): Unit =
+  private[graft] def deleteOnExit(dir: String): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       deleteRecursively(new java.io.File(dir))))
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }
