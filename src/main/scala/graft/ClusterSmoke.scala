@@ -14,8 +14,15 @@ import org.apache.spark.sql.SparkSession
   * on a real cluster. Each query's row count is compared against the
   * same query run on a plain local session in the same process.
   *
-  * Usage: `SPARK_HOME=/opt/spark sbt "runMain graft.ClusterSmoke"`
-  * (the worker launcher needs a full Spark distribution on SPARK_HOME).
+  * Usage:
+  * `SPARK_SCALA_VERSION=2.13 SPARK_HOME=/opt/spark sbt "runMain graft.ClusterSmoke"`
+  * (the worker launcher needs a full Spark distribution on SPARK_HOME;
+  * SPARK_SCALA_VERSION must be set explicitly because the in-process
+  * workers' executor launcher otherwise falls back to probing SOURCE
+  * build directories — `launcher/target/scala-2.13` — which a binary
+  * dist does not have, and every executor dies at launch with "Cannot
+  * find any build directories". The sbin scripts normally export it via
+  * load-spark-env.sh; an embedded worker inherits this JVM's env).
   */
 object ClusterSmoke {
   private val Queries = Seq(
@@ -114,8 +121,40 @@ object ClusterSmoke {
         failures += 1
         System.err.println(s"[cluster-smoke] docstream_neardup_ingest FAILED: ${e.getMessage}")
     }
+    // DedupIndex.merge under real executors: incremental O(delta)
+    // maintenance (partition-pruned cross-probe + delta self-join +
+    // four appends) must yield the exact pair set a from-scratch build
+    // over the union finds — the DedupIndexSpec parity pin, here with
+    // an RPC boundary under every stage.
+    try {
+      import org.apache.spark.sql.functions.col
+      val dir = java.nio.file.Files.createTempDirectory("cluster-merge-").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val base = docs.where(col("doc_id") % 4 =!= 3)
+      val delta = docs.where(col("doc_id") % 4 === 3)
+        .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 950000).as("doc_id"), col("text")))
+      graft.llm.DedupIndex.build(base, s"$dir/merged")
+      graft.llm.DedupIndex.merge(spark, s"$dir/merged", delta,
+        mergeId = Some("cluster-d1"))
+      graft.llm.DedupIndex.build(base.unionByName(delta), s"$dir/scratch")
+      def pairs(p: String) = graft.llm.DedupIndex.candidatePairs(spark, p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val merged = pairs(s"$dir/merged"); val scratch = pairs(s"$dir/scratch")
+      val ok = merged == scratch && merged.nonEmpty
+      if (!ok) failures += 1
+      System.err.println(
+        s"[cluster-smoke] dedupindex_merge: merged=${merged.size} " +
+          s"scratch=${scratch.size} ${if (ok) "OK" else "MISMATCH"}")
+    } catch {
+      case e: Throwable =>
+        failures += 1
+        System.err.println(s"[cluster-smoke] dedupindex_merge FAILED: ${e.getMessage}")
+    }
     System.err.println(
-      s"[cluster-smoke] ${Queries.size + 1 - failures}/${Queries.size + 1} ok on " +
+      s"[cluster-smoke] ${Queries.size + 2 - failures}/${Queries.size + 2} ok on " +
         s"${spark.sparkContext.master}")
     spark.stop()
     if (failures > 0) sys.exit(1)

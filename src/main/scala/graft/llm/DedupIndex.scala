@@ -253,4 +253,20 @@ object DedupIndex {
     */
   def shingleSetsOf(docs: DataFrame): DataFrame =
     LlmQueries.docShingleSets(docs)
+
+  /** The signature frame (doc_id, sig0..sig15) `build` persists under
+    * `signatures/` — exposed for incremental writers, mirroring
+    * [[bandsOf]].
+    */
+  def signaturesOf(docs: DataFrame): DataFrame =
+    LlmQueries.minhashSignatures(docs)
+
+  /** The distinct same-bucket pair set of a banded frame — `build`'s
+    * pairs formulation exposed for incremental writers computing a
+    * delta's self-pairs. The input feeds both sides of the self-join;
+    * callers with a non-trivial banded frame should persist it first
+    * (micro-batch-sized inputs can accept the double scan).
+    */
+  def pairsOfBands(bands: DataFrame): DataFrame =
+    LlmQueries.lshSelfJoin(bands)
 }

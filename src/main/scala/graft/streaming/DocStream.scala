@@ -47,11 +47,18 @@ object DocStream {
     * keys — is rejected too (the l39 incremental probe as a streaming
     * stage). The join keys on the `bp` partition column, so scan
     * planning prunes the index read to the band-key prefixes the batch
-    * actually hashes into. Survivors' bands are appended under the
-    * batch's own partition with mode=overwrite, and both the probe and
-    * the exact/canon probes exclude `batch_id = batchId` — the same
-    * replay discipline as the corpus write: a replayed batch re-probes
-    * against everyone else, rewrites its own files, and is a no-op.
+    * actually hashes into. Survivors then grow the FULL
+    * [[graft.llm.DedupIndex]] layout — bands, pairs, signatures,
+    * shingle_sets — each artifact under the batch's own `batch_id=N`
+    * partition with mode=overwrite, and every probe excludes
+    * `batch_id = batchId` — the same replay discipline as the corpus
+    * write: a replayed batch re-probes against everyone else, rewrites
+    * its own files byte-identically, and is a no-op. The post-stream
+    * index therefore serves candidatePairs / signatures / shingleSets
+    * consumers identically to a from-scratch
+    * [[graft.llm.DedupIndex.build]] over the surviving corpus
+    * (DocStreamSpec pins this), with each batch paying only O(batch) —
+    * the streaming form of [[graft.llm.DedupIndex.merge]].
     */
   def ingestBatch(batch: DataFrame, corpusDir: String, batchId: Long,
       nearDupIndexDir: Option[String] = None): Unit = {
@@ -89,18 +96,60 @@ object DocStream {
             novel.join(hits, Seq("doc_id"), "left_anti")
           case None => novel
         }
-        // Grow the index by this batch's survivors. Safe to re-read the
-        // bands dir when the corpus write below re-executes `out`'s
-        // lineage: the probe's batch_id filter prunes away the partition
-        // this write just created.
-        graft.llm.DedupIndex.bandsOf(out.select(col("doc_id"), col("text")))
+        // Grow the FULL index layout by this batch's survivors — every
+        // [[graft.llm.DedupIndex]] artifact, not just the rejection
+        // probe's bands, so the streamed corpus serves candidatePairs /
+        // signatures / shingleSets consumers (l70-style flow matrices,
+        // Jaccard re-scorers) with NO from-scratch rebuild: the
+        // streaming form of [[graft.llm.DedupIndex.merge]]'s O(delta)
+        // maintenance, with a stronger idempotency posture — merge must
+        // gate its APPENDs behind mergeId markers, while here every
+        // artifact lands under the batch's own partition directory with
+        // mode=overwrite, so a replayed batch rewrites its files
+        // byte-identically instead of duplicating (the corpus-write
+        // recipe applied to the index itself).
+        //
+        // Pinned cached (it feeds five writes): safe to re-read the
+        // bands dir on each action — the probe's batch_id filter prunes
+        // away the partition the bands write below creates.
+        val outP = out.select(col("doc_id"), col("text"), col("h"), col("norm_key"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val outDocs = outP.select(col("doc_id"), col("text"))
+        val outBands = graft.llm.DedupIndex.bandsOf(outDocs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        outBands
           .write.mode("overwrite").partitionBy("bp")
           .parquet(s"$idxDir/bands/batch_id=$batchId")
-        out
+        // New pairs this batch adds to a rebuild-over-survivors: the
+        // delta self-join, plus delta x held-corpus candidates (those
+        // are EMPTY by construction — any batch doc with a held-band
+        // collision was just rejected — but stating the union keeps the
+        // write the exact streaming transcription of merge's pair
+        // stage rather than an argument about why half of it vanishes;
+        // the probe side is one batch-sized partition-pruned join).
+        val crossPairs = held match {
+          case Some(cb) =>
+            graft.llm.DedupIndex.probeAgainst(cb, outDocs)
+              .select(least(col("batch_doc"), col("corpus_doc")).as("doc_a"),
+                greatest(col("batch_doc"), col("corpus_doc")).as("doc_b"))
+          case None => spark.emptyDataset[(Long, Long)](
+            org.apache.spark.sql.Encoders.product[(Long, Long)])
+            .toDF("doc_a", "doc_b")
+        }
+        graft.llm.DedupIndex.pairsOfBands(outBands)
+          .unionByName(crossPairs).distinct()
+          .write.mode("overwrite").parquet(s"$idxDir/pairs/batch_id=$batchId")
+        graft.llm.DedupIndex.signaturesOf(outDocs)
+          .write.mode("overwrite").parquet(s"$idxDir/signatures/batch_id=$batchId")
+        graft.llm.DedupIndex.shingleSetsOf(outDocs)
+          .write.mode("overwrite").parquet(s"$idxDir/shingle_sets/batch_id=$batchId")
+        outBands.unpersist()
+        outP
       case None => novel
     }
     survivors.select(col("doc_id"), col("text"), col("h"), col("norm_key"))
       .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
+    survivors.unpersist(); ()
   }
 
   /** Run the ingest fold over a streaming document source. */

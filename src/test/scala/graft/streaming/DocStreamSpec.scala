@@ -114,6 +114,63 @@ class DocStreamSpec extends SparkSpec {
       s"streaming near-dup rejection failed: got $ids")
   }
 
+  test("post-stream index serves every artifact identically to a rebuild over the surviving corpus") {
+    val dir = Files.createTempDirectory("docfullidx").toString
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "green turtles march slowly across the ancient stone bridge carrying " +
+      "baskets of ripe yellow mangoes toward the bustling village market " +
+      "where merchants trade spices silk and copper pots"
+    // docs 1+2 are near-dups arriving in the SAME batch: both are kept
+    // (only exact/canonical dups are in-batch-rejected), so the streamed
+    // pairs artifact must carry their band collision. Doc 4 is a
+    // near-dup of HELD doc 1 and is rejected.
+    val b0 = Seq((1L, base), (2L, base.replace("copper pots", "silver pots")),
+      (3L, "an unrelated second document about sailing boats"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((4L, base.replace("copper pots", "copper pans")),
+      (5L, "a genuinely novel third document about mountain weather"))
+      .toDF("doc_id", "text")
+    val idx = Some(s"$dir/idx")
+    DocStream.ingestBatch(b0, s"$dir/corpus", 0L, idx)
+    DocStream.ingestBatch(b1, s"$dir/corpus", 1L, idx)
+    val surviving = DocStream.corpus(spark, s"$dir/corpus")
+      .select($"doc_id", $"text")
+    assert(surviving.select($"doc_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 5L), "unexpected surviving corpus")
+    graft.llm.DedupIndex.build(surviving, s"$dir/rebuild")
+
+    def pairsOf(p: String) = spark.read.parquet(s"$p/pairs")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val streamed = pairsOf(s"$dir/idx")
+    assert(streamed == pairsOf(s"$dir/rebuild"),
+      s"streamed pairs $streamed diverge from rebuild")
+    assert(streamed.contains((1L, 2L)), "in-batch near-dup pair missing")
+
+    val sigCols = graft.llm.DedupIndex.signatures(spark, s"$dir/rebuild")
+      .columns.sorted.map(col)
+    def sigsOf(p: String) = spark.read.parquet(s"$p/signatures")
+      .select(sigCols.toIndexedSeq: _*).orderBy("doc_id").collect().toSeq
+    assert(sigsOf(s"$dir/idx") == sigsOf(s"$dir/rebuild"),
+      "streamed signatures diverge from rebuild")
+
+    def bandsOf(p: String) = graft.llm.DedupIndex.bands(spark, p)
+      .as[(Long, Long, String)].collect().toSet
+    assert(bandsOf(s"$dir/idx") == bandsOf(s"$dir/rebuild"),
+      "streamed bands diverge from rebuild")
+
+    def shinglesOf(p: String) = graft.llm.DedupIndex.shingleSets(spark, p)
+      .select($"doc_id", $"sh_set").as[(Long, Seq[String])].collect()
+      .map { case (id, ss) => (id, ss.toSet) }.toMap
+    assert(shinglesOf(s"$dir/idx") == shinglesOf(s"$dir/rebuild"),
+      "streamed shingle sets diverge from rebuild")
+
+    // replaying the last batch leaves every artifact unchanged
+    DocStream.ingestBatch(b1, s"$dir/corpus", 1L, idx)
+    assert(pairsOf(s"$dir/idx") == streamed, "replay changed the pairs artifact")
+    assert(sigsOf(s"$dir/idx") == sigsOf(s"$dir/rebuild"),
+      "replay changed the signatures artifact")
+  }
+
   test("a replayed batch is a no-op: no duplicates, no data loss") {
     val dir = Files.createTempDirectory("docreplay").toString
     val b0 = Seq((1L, "first doc"), (2L, "second doc")).toDF("doc_id", "text")
