@@ -6,8 +6,9 @@ import org.apache.spark.sql.SparkSession
   * queries that exercise every CUSTOM code path — Catalyst expressions
   * (`minhash_sig`, `levenshtein_trimmed`, `BinaryByteFold`, vector
   * dot), the TopKPerKey physical operator pair, the Aggregator-based
-  * EMA UDAF, the two-pass chunked scan, and the persisted dedup/ANN
-  * index lifecycle — under `local-cluster[2,4,2048]`: two REAL worker
+  * EMA UDAF, the two-pass chunked scan, and every persisted-index
+  * lifecycle (dedup build/merge, gram, media fingerprint, ANN
+  * build/mergeIvf) — under `local-cluster[2,4,2048]`: two REAL worker
   * JVMs with a real RPC boundary, so closure/expression/operator
   * serialization bugs that `local[*]` structurally cannot catch (one
   * JVM, no task serialization on the data path) fail here instead of
@@ -33,7 +34,11 @@ object ClusterSmoke {
     "l06_cosine_topk",    // TopK.perKey + FloatVectorDot expression
     "l21_edit_distance",  // LevenshteinTrimmed kernel + rewrite rule
     "m04_media_stats",    // BinaryByteFold codegen kernels
-    "t03_hotloop_derivative" // two-pass chunked scan + hot-loop chain
+    "t03_hotloop_derivative", // two-pass chunked scan + hot-loop chain
+    "l64_batch_novelty",  // persisted corpus gram index (round 13)
+    "m09_media_clusters", // persisted media fingerprint index + CC loop
+    "l71_merge_parity",   // DedupIndex build+merge lifecycle, served pairs
+    "l72_ann_merge_parity" // VectorIndex build+mergeIvf + pruned search
   )
 
   def main(args: Array[String]): Unit = {
@@ -56,6 +61,7 @@ object ClusterSmoke {
       m
     }
     graft.llm.LlmQueries.invalidateSharedIndexes() // rebuild under the cluster
+    graft.media.MediaQueries.invalidateSharedIndexes()
     // Executors are separate JVMs with no auto-shipped application jar
     // in local-cluster mode — give them this build's class directory
     // (on a real cluster this is the --jars/--packages submission step).

@@ -344,9 +344,11 @@ object LlmQueries {
     val dirs = new java.util.ArrayList(sharedIndexDirs.values())
     dirs.addAll(mergedIndexDirs.values())
     dirs.addAll(sharedGramDirs.values())
+    dirs.addAll(mergedAnnDirs.values())
     sharedIndexDirs.clear()
     mergedIndexDirs.clear()
     sharedGramDirs.clear()
+    mergedAnnDirs.clear()
     dirs.forEach(d => deleteRecursively(new java.io.File(d)))
   }
   private[graft] def deleteOnExit(dir: String): Unit =
@@ -4597,6 +4599,89 @@ object LlmQueries {
        |       ELSE 'cross' END AS pair_kind
        |FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The merged-ANN fixture behind l72: the corpus vectors (vec_id >=
+    * 10) split into a base snapshot (vec_id % 9 != 5) indexed by
+    * [[VectorIndex.buildIvf]] and a later delta (vec_id % 9 == 5)
+    * folded in via [[VectorIndex.mergeIvf]] — built once per JVM per
+    * data directory. The coarse quantizer is derived from the BASE and
+    * FROZEN across the merge (the production IVF posture: quantizer
+    * retrains are offline rebuilds; daily deltas are assignment +
+    * append), so the oracle can state the quantizer in closed form.
+    */
+  private val mergedAnnDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mergedAnnDir(s: SparkSession, d: String): String =
+    mergedAnnDirs.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-merged-ann-")
+        .toString
+      deleteOnExit(tmp)
+      val corpus = embs(s, d).where(col("vec_id") >= 10)
+      VectorIndex.buildIvf(corpus.where(col("vec_id") % 9 =!= 5), tmp)
+      VectorIndex.mergeIvf(s, tmp, corpus.where(col("vec_id") % 9 === 5),
+        mergeId = Some("l72-delta"))
+      tmp
+    })
+
+  /** l72: ANN incremental-merge parity — [[VectorIndex.mergeIvf]] (the
+    * embedding-side O(delta) index-maintenance primitive) under the
+    * driver's cell-hash gate, the vector companion to l71. A base
+    * snapshot's IVF index absorbs a delta by frozen-quantizer
+    * assignment + partitioned append; the MERGED index is then searched
+    * (nprobe=4, top-5 exact re-ranked cosine — the l14 parameters), and
+    * the oracle states the same search over a from-scratch
+    * frozen-quantizer assignment of the UNION — so any divergence in
+    * the merge's assignment arithmetic, its partition layout, or the
+    * append bookkeeping hash-mismatches. Scale shape: the measured
+    * query is the [[VectorIndex.searchIvf]] serving path itself
+    * (broadcast centroid probe + partition-pruned list read + bounded-
+    * heap top-k); the build+merge amortize across the JVM as in
+    * production.
+    */
+  def qAnnMergeParity(s: SparkSession, d: String): DataFrame =
+    VectorIndex.searchIvf(s, mergedAnnDir(s, d),
+      embs(s, d).where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      nprobe = 4, topk = 5)
+  val qAnnMergeParitySql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |stride AS (SELECT greatest(37, CAST(ceil(COUNT(*) / 1000.0) AS BIGINT)) AS k
+       |  FROM embeddings WHERE vec_id >= 10 AND vec_id % 9 <> 5),
+       |cent AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS cn
+       |  FROM e WHERE vec_id >= 10 AND vec_id % 9 <> 5
+       |    AND vec_id % (SELECT k FROM stride) = 11),
+       |asg AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS nv, nrm AS nn, c_id,
+       |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cc
+       |  FROM e CROSS JOIN cent WHERE vec_id >= 10),
+       |lists AS (
+       |  SELECT neighbor_id, nv, nn, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+       |      ORDER BY cc DESC, c_id ASC) AS r FROM asg)
+       |  WHERE r = 1),
+       |qasg AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, c_id,
+       |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cc
+       |  FROM e CROSS JOIN cent WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT query_id, qv, qn, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cc DESC, c_id ASC) AS r FROM qasg)
+       |  WHERE r <= 4),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(floor(${dotSql("qv", "nv")} / (qn * nn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cos_x1e6
+       |  FROM probes JOIN lists USING (c_id)),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cos_x1e6
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -4668,7 +4753,8 @@ object LlmQueries {
     "l68_bloom_prescreen" -> qBloomPrescreen _,
     "l69_source_calibration" -> qSourceCalibration _,
     "l70_source_dup_flow" -> qSourceDupFlow _,
-    "l71_merge_parity" -> qMergeParity _
+    "l71_merge_parity" -> qMergeParity _,
+    "l72_ann_merge_parity" -> qAnnMergeParity _
   )
 
   val oracles: Map[String, String] = Map(
@@ -4742,6 +4828,7 @@ object LlmQueries {
     "l68_bloom_prescreen" -> qBloomPrescreenSql,
     "l69_source_calibration" -> qSourceCalibrationSql,
     "l70_source_dup_flow" -> qSourceDupFlowSql,
-    "l71_merge_parity" -> qMergeParitySql
+    "l71_merge_parity" -> qMergeParitySql,
+    "l72_ann_merge_parity" -> qAnnMergeParitySql
   )
 }

@@ -58,6 +58,55 @@ object VectorIndex {
       .partitionBy("c_id").parquet(s"$indexDir/lists")
   }
 
+  /** Incrementally MERGE a delta batch (vec_id, embedding; ids disjoint
+    * from the indexed corpus) into a persisted IVF index IN PLACE — the
+    * embedding-side daily-crawl path, mirroring
+    * [[DedupIndex.merge]]. The delta is assigned to the EXISTING coarse
+    * quantizer (one broadcast join against the bounded centroid table)
+    * and its rows APPEND into the `c_id`-partitioned lists; the corpus
+    * lists are never recomputed or rewritten and search needs no
+    * changes. This is the production IVF posture: the quantizer is a
+    * versioned artifact retrained OFFLINE when drift warrants (a
+    * retrain re-keys every list — necessarily a rebuild), while daily
+    * deltas are O(delta) assignment + append. Consequently merged ==
+    * rebuild-with-the-SAME-centroids over the union (VectorIndexSpec
+    * pins this; l72 pins it against the DuckDB oracle), NOT ==
+    * `buildIvf(union)`, whose stride-sampled quantizer would differ.
+    *
+    * Ids-disjoint is CHECKED before writing (an O(delta) semi-join;
+    * the corpus side reads only the pruned vec_id column). The single
+    * append is job-atomic; `mergeId` makes a retry of a failed merge
+    * safe to re-issue (marker-gated, as in [[DedupIndex.merge]]).
+    */
+  def mergeIvf(spark: SparkSession, indexDir: String, delta: DataFrame,
+      mergeId: Option[String] = None): Unit = {
+    val marker = mergeId.map(id =>
+      new java.io.File(s"$indexDir/_merges/$id/lists.done"))
+    if (marker.exists(_.isFile)) return
+    val overlap = delta.select(col("vec_id"))
+      .join(spark.read.parquet(s"$indexDir/lists").select(col("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .limit(1).count()
+    require(overlap == 0L,
+      s"mergeIvf delta shares vec_ids with the indexed corpus at $indexDir")
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val e = delta.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    // the buildIvf assignment verbatim: max_by argmax with the
+    // (cc, -c_id) struct tie-break, map-side combined over the
+    // broadcast centroid join
+    val assigned = e.join(broadcast(cent))
+      .select(col("vec_id"),
+        struct(col("embedding"), col("nrm"), col("c_id")).as("v"),
+        struct(cosQ(col("embedding"), col("nrm"), col("cv"), col("cn")).as("cc"),
+          (-col("c_id")).as("nc")).as("k"))
+      .groupBy("vec_id").agg(max_by(col("v"), col("k")).as("v"))
+      .select(col("vec_id"), col("v.embedding"), col("v.nrm"), col("v.c_id"))
+    assigned.write.mode(SaveMode.Append)
+      .partitionBy("c_id").parquet(s"$indexDir/lists")
+    marker.foreach { m => m.getParentFile.mkdirs(); m.createNewFile(); () }
+  }
+
   /** Search the persisted index: `queries` needs (query_id, embedding);
     * returns (query_id, rank, neighbor_id, cos_x1e6), top-`topk` by
     * exact re-ranked cosine over the `nprobe` nearest lists.
@@ -123,6 +172,46 @@ object VectorIndex {
     scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
       .select(col("vec_id"), col("sub_id"), col("c_id").as("code"))
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/pq_codes")
+  }
+
+  /** Incrementally MERGE a delta batch into a persisted PQ index — the
+    * [[mergeIvf]] posture applied to the code table: the delta's codes
+    * are assigned against the EXISTING broadcast codebook (the shipped
+    * model; retraining is an offline rebuild) and appended to
+    * `pq_codes`. Because [[buildPq]]'s codebook derives from a FIXED id
+    * window (vec_ids 10..115 step 7), merged codes equal
+    * `buildPq(union)`'s exactly whenever the codebook ids live in the
+    * base corpus — VectorIndexSpec pins that equality. O(delta):
+    * one broadcast join + one per-(vector, subspace) argmin.
+    */
+  def mergePq(spark: SparkSession, indexDir: String, delta: DataFrame,
+      mergeId: Option[String] = None): Unit = {
+    val marker = mergeId.map(id =>
+      new java.io.File(s"$indexDir/_merges/$id/pq_codes.done"))
+    if (marker.exists(_.isFile)) return
+    val overlap = delta.select(col("vec_id"))
+      .join(spark.read.parquet(s"$indexDir/pq_codes").select(col("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .limit(1).count()
+    require(overlap == 0L,
+      s"mergePq delta shares vec_ids with the indexed corpus at $indexDir")
+    val codebook = spark.read.parquet(s"$indexDir/pq_codebook")
+    val subs = delta
+      .select(col("vec_id"),
+        explode(sequence(lit(0L), lit(3L))).as("sub_id"), col("embedding"))
+      .select(col("vec_id"), col("sub_id"),
+        slice(col("embedding"), (col("sub_id") * 16 + 1).cast("int"), lit(16))
+          .as("sv"))
+    val scored = subs.join(broadcast(codebook), Seq("sub_id"))
+      .select(col("vec_id"), col("sub_id"), col("c_id"),
+        floor((dot(col("sv"), col("sv")) - lit(2) * dot(col("sv"), col("cs"))
+          + dot(col("cs"), col("cs"))) * 1e6 + 0.5).cast("long").as("d2_x1e6"))
+    val w = Window.partitionBy("vec_id", "sub_id")
+      .orderBy(col("d2_x1e6").asc, col("c_id").asc)
+    scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
+      .select(col("vec_id"), col("sub_id"), col("c_id").as("code"))
+      .write.mode(SaveMode.Append).parquet(s"$indexDir/pq_codes")
+    marker.foreach { m => m.getParentFile.mkdirs(); m.createNewFile(); () }
   }
 
   /** Asymmetric-distance (ADC) search over the persisted PQ index: each
