@@ -28,6 +28,11 @@ object Soak {
       spark.stop()
       return
     }
+    if (sys.env.get("SOAK_MODE").contains("merge")) {
+      mergeScale(spark, sfDir)
+      spark.stop()
+      return
+    }
 
     val cfg = graft.config.SignalConfig(encoderType = "derivative",
       minPrice = 39000, maxPrice = 44000, tickDerivativeImagScale = 2.0f)
@@ -151,5 +156,83 @@ object Soak {
     }
     base.unpersist()
     System.err.println(s"[soak-dedup] base corpus: $n docs")
+  }
+
+  /** Incremental-maintenance scale probe (`SOAK_MODE=merge`): a FIXED
+    * delta batch is merged into dedup + IVF indexes built over a
+    * 1x/4x/10x corpus. The claim under test is the round-13 primitives'
+    * O(delta) cost model: build time grows ~linearly with the corpus
+    * (it must — it touches everything once), while `DedupIndex.merge`
+    * and `VectorIndex.mergeIvf` wall time stays ~FLAT as the corpus
+    * grows 10x, because the delta's cross-probe is partition-pruned to
+    * the delta's own band-key prefixes / probed lists and the appends
+    * are delta-sized. The only corpus-proportional residues are the
+    * id-overlap guard's single-column semi-join scan and the probe's
+    * pruned band read — both shallow-slope column scans, visible in the
+    * numbers and documented rather than hidden. Same corpus
+    * construction as [[dedupScale]] (bijective per-copy Caesar maps:
+    * scale without changing the internal duplicate structure);
+    * embeddings scale by id-shifted copies (assignment cost is
+    * similarity-independent).
+    */
+  private def mergeScale(spark: SparkSession, sfDir: String): Unit = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val baseEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = base.count(); baseEmb.count()
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    val digits = "0123456789"
+    def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+    // fixed-size deltas, ids disjoint from every scaled corpus
+    val deltaDocs = base.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 900000000L).as("doc_id"),
+        concat(col("text"), lit(" nv"), col("doc_id").cast("string")).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deltaEmb = baseEmb.where(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    deltaDocs.count(); deltaEmb.count()
+    def timed(label: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      System.err.println(
+        f"[soak-merge] $label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    sys.env.getOrElse("SOAK_MULTS", "1,4,10").split(",").map(_.trim.toInt)
+      .toSeq.foreach { mult =>
+      val docs =
+        if (mult == 1) base
+        else (0 until mult).map { k =>
+          val d = base.withColumn("doc_id", col("doc_id") + lit(k * 1000000L))
+          if (k == 0) d
+          else d.withColumn("text", translate(col("text"),
+            lower + upper + digits,
+            rot(lower, k) + rot(upper, k) + rot(digits, k)))
+        }.reduce(_.unionByName(_))
+      val embs =
+        if (mult == 1) baseEmb
+        else (0 until mult).map { k =>
+          baseEmb.withColumn("vec_id", col("vec_id") + lit(k * 1000000L))
+        }.reduce(_.unionByName(_))
+      val dir = java.nio.file.Files.createTempDirectory("soak-merge-").toString
+      timed(s"${mult}x dedup_build")(
+        graft.llm.DedupIndex.build(docs, s"$dir/dd"))
+      timed(s"${mult}x dedup_merge")(
+        graft.llm.DedupIndex.merge(spark, s"$dir/dd", deltaDocs))
+      timed(s"${mult}x ivf_build")(
+        graft.llm.VectorIndex.buildIvf(embs, s"$dir/ivf"))
+      timed(s"${mult}x ivf_merge")(
+        graft.llm.VectorIndex.mergeIvf(spark, s"$dir/ivf", deltaEmb))
+      graft.llm.LlmQueries.deleteRecursively(new java.io.File(dir))
+      spark.catalog.clearCache()
+      Seq(base, baseEmb, deltaDocs, deltaEmb)
+        .foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      System.gc()
+    }
+    System.err.println(s"[soak-merge] base corpus: $n docs; delta: ${n / 7} docs")
   }
 }

@@ -54,7 +54,13 @@ object VectorIndex {
           (-col("c_id")).as("nc")).as("k"))
       .groupBy("vec_id").agg(max_by(col("v"), col("k")).as("v"))
       .select(col("vec_id"), col("v.embedding"), col("v.nrm"), col("v.c_id"))
-    assigned.write.mode(SaveMode.Overwrite)
+    // Align writer tasks with the partition column before the
+    // partitioned write: without this every task holding rows of k
+    // lists emits k files, so the layout accretes up to tasks×lists
+    // small files (and the commit pays per file). Repartitioned, each
+    // list is written by one task — file count == list count, the
+    // shape a 10⁹-vector index needs; AQE splits any skewed list.
+    assigned.repartition(col("c_id")).write.mode(SaveMode.Overwrite)
       .partitionBy("c_id").parquet(s"$indexDir/lists")
   }
 
@@ -102,7 +108,9 @@ object VectorIndex {
           (-col("c_id")).as("nc")).as("k"))
       .groupBy("vec_id").agg(max_by(col("v"), col("k")).as("v"))
       .select(col("vec_id"), col("v.embedding"), col("v.nrm"), col("v.c_id"))
-    assigned.write.mode(SaveMode.Append)
+    // task-per-list alignment, as in build — a delta append otherwise
+    // scatters up to tasks×lists files into the layout per merge
+    assigned.repartition(col("c_id")).write.mode(SaveMode.Append)
       .partitionBy("c_id").parquet(s"$indexDir/lists")
     marker.foreach { m => m.getParentFile.mkdirs(); m.createNewFile(); () }
   }
