@@ -127,6 +127,37 @@ object ClusterSmoke {
         failures += 1
         System.err.println(s"[cluster-smoke] docstream_neardup_ingest FAILED: ${e.getMessage}")
     }
+    // The streaming embedding-index fold from real executors: quantizer
+    // trained standalone, two batches folded in, an exact-copy
+    // embedding under a fresh id rejected by the multi-probe near-dup
+    // gate, a replay left idempotent.
+    try {
+      import org.apache.spark.sql.functions.{col, lit}
+      val dir = java.nio.file.Files.createTempDirectory("cluster-vec-").toString
+      val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      graft.llm.VectorIndex.trainQuantizer(embs, s"$dir/idx")
+      graft.streaming.VecStream.ingestBatch(
+        embs.where(col("vec_id").between(10, 29)), s"$dir/idx", 0L,
+        dupCosX1e6 = Some(999000L))
+      val twin = embs.where(col("vec_id") === 15)
+        .select(lit(900001L).as("vec_id"), col("embedding"))
+      graft.streaming.VecStream.ingestBatch(
+        embs.where(col("vec_id").between(30, 39)).unionByName(twin),
+        s"$dir/idx", 1L, dupCosX1e6 = Some(999000L))
+      import spark.implicits._
+      val ids = spark.read.parquet(s"$dir/idx/lists")
+        .select(col("vec_id")).as[Long].collect().sorted.toSeq
+      val ok = ids == (10L to 39L).toSeq
+      if (!ok) failures += 1
+      System.err.println(
+        s"[cluster-smoke] vecstream_ingest: ${ids.size} held, twin rejected " +
+          s"${if (ok) "OK" else s"MISMATCH ($ids)"}")
+    } catch {
+      case e: Throwable =>
+        failures += 1
+        System.err.println(s"[cluster-smoke] vecstream_ingest FAILED: ${e.getMessage}")
+    }
     // DedupIndex.merge under real executors: incremental O(delta)
     // maintenance (partition-pruned cross-probe + delta self-join +
     // four appends) must yield the exact pair set a from-scratch build
@@ -160,7 +191,7 @@ object ClusterSmoke {
         System.err.println(s"[cluster-smoke] dedupindex_merge FAILED: ${e.getMessage}")
     }
     System.err.println(
-      s"[cluster-smoke] ${Queries.size + 2 - failures}/${Queries.size + 2} ok on " +
+      s"[cluster-smoke] ${Queries.size + 3 - failures}/${Queries.size + 3} ok on " +
         s"${spark.sparkContext.master}")
     spark.stop()
     if (failures > 0) sys.exit(1)

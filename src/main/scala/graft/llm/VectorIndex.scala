@@ -26,21 +26,42 @@ object VectorIndex {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.vecDot(a, b)
 
+  private def spark(df: DataFrame): SparkSession = df.sparkSession
+
   /** Integer-quantized cosine (the suite-wide `floor(cos·10⁶ + .5)`
     * discipline — engine-exact ordering, id tiebreaks).
     */
   private def cosQ(va: Column, na: Column, vb: Column, nb: Column): Column =
     floor(dot(va, vb) / (na * nb) * 1e6 + 0.5).cast("long")
 
+  /** Derive and persist ONLY the coarse quantizer (the stride-sampled
+    * centroid table) — for callers that own the lists layout
+    * themselves, e.g. the streaming fold
+    * ([[graft.streaming.VecStream]]) whose lists grow under
+    * replay-idempotent `batch_id=N/c_id=M` partitions and therefore
+    * must start from a quantizer with NO seed lists (a mixed-depth
+    * layout — seed lists at `c_id=` next to batches at
+    * `batch_id=/c_id=` — would break partition discovery).
+    */
+  def trainQuantizer(embs: DataFrame, indexDir: String): Unit = {
+    val e = embs.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val stride = math.max(37L, math.ceil(embs.count() / 1000.0).toLong)
+    e.where(col("vec_id") % stride === 11)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+        col("nrm").as("cn"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/centroids")
+  }
+
   /** Build and persist the index. `embs` needs (vec_id, embedding). */
   def buildIvf(embs: DataFrame, indexDir: String): Unit = {
     val e = embs.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-    val stride = math.max(37L, math.ceil(embs.count() / 1000.0).toLong)
-    val cent = e.where(col("vec_id") % stride === 11)
-      .select(col("vec_id").as("c_id"), col("embedding").as("cv"),
-        col("nrm").as("cn"))
-    cent.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/centroids")
+    trainQuantizer(embs, indexDir)
+    // assignment reads the PERSISTED quantizer (stage isolation — the
+    // DedupIndex.build discipline: each stage consumes the previous
+    // stage's artifact)
+    val cent = spark(embs).read.parquet(s"$indexDir/centroids")
     // Arg-max by AGGREGATION, not a rank window: the (vector x centroid)
     // join blows the row count up K-fold, and a window would shuffle and
     // sort all of it by vec_id. max_by gets map-side partial combining —

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.llm.VectorIndex
+
+/** Continuous embedding-index ingestion — the [[DocStream]] discipline
+  * applied to the vector side: a stream of (vec_id, embedding) rows is
+  * folded into a persisted [[graft.llm.VectorIndex]] IVF layout where
+  * each micro-batch pays only per-delta cost and the index is never
+  * rebuilt.
+  *
+  * Prerequisite: the index's coarse quantizer already exists
+  * ([[graft.llm.VectorIndex.trainQuantizer]] over a seed/sample corpus;
+  * the lists layout starts EMPTY and is owned by the stream — uniform
+  * `batch_id=N/c_id=M` depth, which is why the quantizer is trained
+  * standalone rather than via buildIvf's seed lists). This is the
+  * frozen-quantizer posture of [[graft.llm.VectorIndex.mergeIvf]]:
+  * streaming deltas are assignment + append; retraining the quantizer
+  * is an offline rebuild by design.
+  *
+  * Per micro-batch:
+  *   1. id dedup — drop rows whose vec_id is already held (and keep the
+  *      min-id row per vec_id within the batch);
+  *   2. OPTIONAL embedding near-dup rejection (the SemDeDup gate as a
+  *      streaming stage): a batch vector is rejected when some HELD
+  *      vector in one of its `nprobe` nearest lists has quantized
+  *      cosine >= `dupCosX1e6` — the candidate join is pruned to the
+  *      batch's own probed `c_id=` partitions, so the corpus cost is
+  *      nprobe/K of the lists, not a scan;
+  *   3. frozen-quantizer assignment of survivors (broadcast centroid
+  *      join, the buildIvf argmax verbatim);
+  *   4. idempotent append — survivors land under
+  *      `lists/batch_id=N/c_id=...` with mode=overwrite, and every
+  *      probe excludes `batch_id = batchId`, so a replayed batch
+  *      re-probes against everyone else, rewrites its own files
+  *      byte-identically, and is a no-op (the [[DocStream]] replay
+  *      recipe).
+  *
+  * [[graft.llm.VectorIndex.searchIvf]] works unchanged over the grown
+  * layout: `batch_id` is just an extra partition layer above `c_id`,
+  * and the search's dynamic-partition-pruned equi-join on `c_id` prunes
+  * across every batch directory. VecStreamSpec pins the post-stream
+  * lists equal to a frozen-quantizer assignment of the surviving
+  * vectors and search parity against a [[graft.llm.VectorIndex.mergeIvf]]
+  * fold of the same survivors.
+  */
+object VecStream {
+
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.functions.VectorFunctions.vecDot(a, b)
+
+  /** One micro-batch of the ingest fold; exposed for direct replay
+    * testing. `batch` needs (vec_id, embedding). `indexDir` must hold
+    * `centroids/`; `lists/` grows per batch.
+    */
+  def ingestBatch(batch: DataFrame, indexDir: String, batchId: Long,
+      nprobe: Int = 4, dupCosX1e6: Option[Long] = None): Unit = {
+    val spark = batch.sparkSession
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val e = batch
+      .groupBy(col("vec_id")).agg(min_by(col("embedding"), col("vec_id")).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val held: Option[DataFrame] =
+      try Some(spark.read.parquet(s"$indexDir/lists")
+        .where(col("batch_id") =!= batchId))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val newIds = held match {
+      case Some(h) => e.join(h.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      case None => e
+    }
+    // the buildIvf/mergeIvf frozen-quantizer argmax, needed both for
+    // the near-dup probe (which lists to look in) and the final append
+    val assigned = newIds.join(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        struct(col("embedding"), col("nrm"), col("c_id")).as("v"),
+        struct(floor(dot(col("embedding"), col("cv")) / (col("nrm") * col("cn"))
+            * 1e6 + 0.5).cast("long").as("cc"),
+          (-col("c_id")).as("nc")).as("k"))
+      .groupBy("vec_id").agg(max_by(col("v"), col("k")).as("v"))
+      .select(col("vec_id"), col("v.embedding").as("embedding"),
+        col("v.nrm").as("nrm"), col("v.c_id").as("c_id"))
+    val survivors = (held, dupCosX1e6) match {
+      case (Some(h), Some(thr)) =>
+        // multi-probe near-dup gate: candidates only from the batch's
+        // nprobe nearest lists — the scan is pruned to those c_id=
+        // partitions (the searchIvf I/O shape), never the full corpus
+        val probes = newIds.join(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"),
+            floor(dot(col("embedding"), col("cv")) / (col("nrm") * col("cn"))
+              * 1e6 + 0.5).cast("long").as("cc"))
+          .withColumn("r", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("cc").desc, col("c_id").asc)))
+          .where(col("r") <= nprobe)
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"))
+        val dups = probes
+          .join(h.select(col("c_id"), col("embedding").as("hv"), col("nrm").as("hn")),
+            Seq("c_id"))
+          .where(floor(dot(col("embedding"), col("hv")) / (col("nrm") * col("hn"))
+            * 1e6 + 0.5).cast("long") >= thr)
+          .select(col("vec_id")).distinct()
+        assigned.join(dups, Seq("vec_id"), "left_anti")
+      case _ => assigned
+    }
+    survivors.repartition(col("c_id"))
+      .write.mode("overwrite").partitionBy("c_id")
+      .parquet(s"$indexDir/lists/batch_id=$batchId")
+  }
+
+  /** Run the ingest fold over a streaming (vec_id, embedding) source. */
+  def ingest(vecs: DataFrame, indexDir: String, checkpointDir: String,
+      nprobe: Int = 4, dupCosX1e6: Option[Long] = None): StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, indexDir, batchId, nprobe, dupCosX1e6)
+      }
+      .start()
+}

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.llm.VectorIndex
+
+/** The streaming embedding-index fold: frozen-quantizer assignment per
+  * micro-batch, id + near-dup rejection against the held lists, replay
+  * idempotence, and search over the grown layout.
+  */
+class VecStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select($"vec_id", $"embedding")
+
+  test("ingest folds batches into the lists; exact/near dups and held ids are rejected") {
+    val dir = Files.createTempDirectory("vecstream").toString
+    VectorIndex.trainQuantizer(embs, s"$dir/idx")
+
+    val b0 = embs.where($"vec_id".between(10, 29))
+    VecStream.ingestBatch(b0, s"$dir/idx", 0L, dupCosX1e6 = Some(999000L))
+    // batch 1: an exact-copy EMBEDDING of a held vector under a fresh id
+    // (near-dup gate), a re-sent held id (id gate), and novel vectors
+    val twin = embs.where($"vec_id" === 15)
+      .select(lit(900001L).as("vec_id"), $"embedding")
+    val heldId = embs.where($"vec_id" === 40)
+      .select(lit(12L).as("vec_id"), $"embedding") // id 12 already held
+    val novel = embs.where($"vec_id".between(30, 39))
+    VecStream.ingestBatch(novel.unionByName(twin).unionByName(heldId),
+      s"$dir/idx", 1L, dupCosX1e6 = Some(999000L))
+
+    val heldIds = spark.read.parquet(s"$dir/idx/lists")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(heldIds == ((10L to 39L).toSeq),
+      s"expected survivors 10..39 (twin+held-id rejected), got $heldIds")
+
+    // replay of batch 1: byte-identical rewrite, no duplicates
+    VecStream.ingestBatch(novel.unionByName(twin).unionByName(heldId),
+      s"$dir/idx", 1L, dupCosX1e6 = Some(999000L))
+    assert(spark.read.parquet(s"$dir/idx/lists")
+      .select($"vec_id").as[Long].collect().sorted.toSeq == ((10L to 39L).toSeq),
+      "replay changed the lists")
+  }
+
+  test("post-stream lists equal the frozen-quantizer assignment; search works pruned") {
+    val dir = Files.createTempDirectory("vecstream2").toString
+    VectorIndex.trainQuantizer(embs, s"$dir/idx")
+    VecStream.ingestBatch(embs.where($"vec_id".between(10, 59)), s"$dir/idx", 0L)
+    VecStream.ingestBatch(embs.where($"vec_id".between(60, 99)), s"$dir/idx", 1L)
+
+    val cent = spark.read.parquet(s"$dir/idx/centroids")
+    def vdot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.VectorFunctions.vecDot(a, b)
+    val e = embs.where($"vec_id".between(10, 99))
+      .select($"vec_id", $"embedding",
+        sqrt(vdot($"embedding", $"embedding")).as("nrm"))
+    val expected = e.join(broadcast(cent))
+      .select($"vec_id",
+        struct(floor(vdot($"embedding", $"cv") / ($"nrm" * $"cn") * 1e6 + 0.5)
+          .cast("long").as("cc"), (-$"c_id").as("nc")).as("k"), $"c_id")
+      .groupBy("vec_id").agg(max_by($"c_id", $"k").as("c_id"))
+      .as[(Long, Long)].collect().toMap
+    val got = spark.read.parquet(s"$dir/idx/lists")
+      .select($"vec_id", $"c_id").as[(Long, Long)].collect()
+    assert(got.length == 90, s"${got.length} rows != 90 survivors")
+    got.foreach { case (v, c) =>
+      assert(c == expected(v), s"vec $v in list $c, expected ${expected(v)}")
+    }
+
+    // search over the batch-layered layout: self-query ranks itself
+    // first, and the list scan is still dynamically pruned on c_id
+    val queries = embs.where($"vec_id" === 42)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val res = VectorIndex.searchIvf(spark, s"$dir/idx", queries, 4, 5)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"streamed lists scan is not dynamically pruned:\n${plan.take(1500)}")
+    val top = res.as[(Long, Int, Long, Long)].collect().minBy(_._2)
+    assert(top._3 == 42L && top._4 == 1000000L,
+      s"self-query top-1 is ${top._3} at ${top._4}")
+  }
+
+  test("streaming source end-to-end via foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("vecstream3").toString
+    VectorIndex.trainQuantizer(embs, s"$dir/idx")
+    val rows = embs.where($"vec_id".between(10, 29))
+      .as[(Long, Array[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = VecStream.ingest(
+      input.toDF().toDF("vec_id", "embedding"),
+      s"$dir/idx", s"$dir/ckpt", dupCosX1e6 = Some(999000L))
+    try {
+      input.addData(rows.take(10))
+      q.processAllAvailable()
+      // second micro-batch re-sends an already-held embedding under a
+      // new id alongside genuinely new vectors
+      input.addData(rows.drop(10) :+ (900001L, rows.head._2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.read.parquet(s"$dir/idx/lists")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(ids == ((10L to 29L).toSeq), s"streamed corpus ids $ids")
+  }
+}
