@@ -45,7 +45,7 @@ object Bench {
     "l23_chunk_dedup" -> 1.8, "l24_sequence_packing" -> 0.6,
     "l25_rare_term_index" -> 1.4, "l26_pq_codes" -> 0.7, "l27_boilerplate" -> 1.5,
     "l28_kmeans_refine" -> 1.2, "l29_bpe_pairs" -> 1.0,
-    "l30_domain_mix" -> 0.8, "l31_simhash_pairs" -> 1.5,
+    "l30_domain_mix" -> 0.8, "l31_simhash_pairs" -> 1.2,
     "l32_source_overlap" -> 1.5, "l33_substring_repeats" -> 1.2,
     "l34_rarity_surprisal" -> 0.7, "l35_importance_weights" -> 0.9,
     "l36_vocab_coverage" -> 0.9, "l37_semantic_dedup" -> 1.1,

@@ -1828,15 +1828,12 @@ object LlmQueries {
     * bit-vector similarity here).
     */
   def qSimhashPairs(s: SparkSession, d: String): DataFrame = {
-    val hashed = spread(docsWithDups(s, d)).select(col("doc_id"),
-      transform(split(col("text"), " "),
-        w => conv(substring(md5(w), 1, 8), 16, 10).cast("long")).as("hw"))
-    val bits = (0 until 32).map { j =>
-      val contrib = aggregate(col("hw"), lit(0),
-        (acc, h) => acc + (shiftright(h, j) % 2).cast("int") * 2 - 1)
-      when(contrib > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    val sims = hashed.select(col("doc_id"), bits.reduce(_ + _).as("sim"))
+    // Fingerprints through the one-pass codegen'd [[SimHash32]] kernel —
+    // value-identical to the historical word-hash array + 32
+    // interpreted aggregate() folds (TextExpressionsSpec pins it), at
+    // one byte scan per document instead of 32 lambda traversals.
+    val sims = spread(docsWithDups(s, d)).select(col("doc_id"),
+      graft.functions.TextFunctions.simhash32(col("text")).as("sim"))
     val banded = sims.select(col("doc_id"), col("sim"),
       explode(sequence(lit(0), lit(3))).as("band_id"))
       .select(col("doc_id"), col("sim"), col("band_id"),

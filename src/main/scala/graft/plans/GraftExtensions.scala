@@ -108,6 +108,10 @@ object GraftFunctions {
       arity("graft_minhash_sig", args, 1)
       graft.functions.MinHashSig(args(0))
     },
+    fd("graft_simhash32") { args =>
+      arity("graft_simhash32", args, 1)
+      graft.functions.SimHash32(args(0))
+    },
     fd("graft_byte_sum") { args =>
       arity("graft_byte_sum", args, 1)
       graft.functions.BinaryByteFold(args(0), weighted = false)

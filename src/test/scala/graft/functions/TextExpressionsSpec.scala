@@ -123,6 +123,50 @@ class TextExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("simhash32 matches the word-hash array + 32-fold aggregate formulation") {
+    // The one-pass kernel must be value-identical to the historical
+    // transform(split(text,' '), w -> conv(substring(md5(w),1,8),16,10))
+    // array plus 32 interpreted aggregate() bit folds (still the DuckDB
+    // oracle's shape) — including empty strings, leading/trailing/double
+    // spaces (split keeps empty segments), and multibyte words.
+    val texts = Seq(
+      "", " ", "a", "a b", " a b ", "double  space",
+      "the quick brown fox jumps over the lazy dog",
+      "héllo wörld", "日本語 テキスト", "ends with space ")
+    val s = spark
+    import s.implicits._
+    val base = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val hashed = base.select(col("doc_id"),
+      transform(split(col("text"), " "),
+        w => conv(substring(md5(w), 1, 8), 16, 10).cast("long")).as("hw"))
+    val bits = (0 until 32).map { j =>
+      val contrib = aggregate(col("hw"), lit(0),
+        (acc, h) => acc + (shiftright(h, j) % 2).cast("int") * 2 - 1)
+      when(contrib > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    val expected = hashed.select(col("doc_id"), bits.reduce(_ + _).as("sim"))
+    val fused = base.select(col("doc_id"),
+      TextFunctions.simhash32(col("text")).as("fp"))
+    val joined = expected.join(fused, "doc_id")
+      .select("doc_id", "sim", "fp").as[(Long, Long, Long)].collect()
+    assert(joined.length == texts.length)
+    joined.foreach { case (id, sim, fp) =>
+      assert(sim == fp, s"doc $id: aggregate $sim vs kernel $fp")
+    }
+    // and on a real corpus slice
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpusJoined = docs.select(col("doc_id"),
+        transform(split(col("text"), " "),
+          w => conv(substring(md5(w), 1, 8), 16, 10).cast("long")).as("hw"))
+      .select(col("doc_id"), bits.reduce(_ + _).as("sim"))
+      .join(docs.select(col("doc_id"),
+        TextFunctions.simhash32(col("text")).as("fp")), "doc_id")
+      .where(col("sim") =!= col("fp")).count()
+    assert(corpusJoined == 0, s"$corpusJoined corpus docs diverge")
+  }
+
   test("null propagates") {
     val s = spark
     import s.implicits._
