@@ -752,5 +752,48 @@ class PlanSpec extends SparkSpec {
     assertNoAllPairs("l64", df)
     val p = planOf(df)
     assert(p.contains("LeftAnti"), s"l64 lost the anti-join novelty probe:\n$p")
+    // the corpus side is the persisted gram artifact, not a per-run
+    // rebuild off the documents scan (and never the broadcast side —
+    // it is corpus-sized)
+    assert(p.contains("corpus_grams"),
+      s"l64 no longer reads the persisted corpus gram set:\n$p")
+  }
+
+  test("l16/l32 serve their gram tables from the persisted gram index") {
+    for (name <- Seq("l16_contamination", "l32_source_overlap")) {
+      val p = planOf(LlmQueries.queries(name)(spark, sf))
+      assert(p.contains("gram_arrs"),
+        s"$name no longer reads the persisted gram_arrs artifact:\n$p")
+      assert(!p.contains("xxhash64"),
+        s"$name re-hashes grams inline instead of reading the artifact:\n$p")
+    }
+  }
+
+  test("m09 media clusters read the persisted fingerprint artifacts, never payloads") {
+    val df = graft.media.MediaQueries.queries("m09_media_clusters")(spark, sf)
+    val p = planOf(df)
+    assert(!p.contains("payload"),
+      s"m09 re-scans media payloads instead of the fingerprint index:\n$p")
+    assertNoAllPairs("m09", df)
+  }
+
+  test("l71 serves merged pairs from the index: no hashing in the measured plan") {
+    val p = planOf(LlmQueries.queries("l71_merge_parity")(spark, sf))
+    assert(!p.contains("md5") && !p.contains("minhash"),
+      s"l71 recomputes signatures instead of reading the merged index:\n$p")
+  }
+
+  test("l72 merged-ANN search is dynamically partition-pruned") {
+    val p = planOf(LlmQueries.queries("l72_ann_merge_parity")(spark, sf))
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"l72 list scan is not dynamically pruned:\n$p")
+  }
+
+  test("l31 fingerprints come through the one-pass simhash32 kernel") {
+    val p = planOf(LlmQueries.queries("l31_simhash_pairs")(spark, sf))
+    assert(p.contains("simhash32"),
+      s"l31 no longer uses the codegen'd SimHash32 kernel:\n$p")
+    assert(!p.contains("aggregate("),
+      s"l31 regressed to interpreted aggregate() bit folds:\n$p")
   }
 }
