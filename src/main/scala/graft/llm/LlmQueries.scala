@@ -4596,6 +4596,119 @@ object LlmQueries {
        |       ELSE 'cross' END AS pair_kind
        |FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------ distribution drift gate
+  /** l73: distribution-DRIFT gate — the data-validation step (TFDV /
+    * "expectation suite" style) every production ingest runs BEFORE a
+    * batch is allowed to join the training corpus: does the candidate
+    * batch's feature distribution match the reference corpus, or did
+    * the crawler break / a spam source flood in? Feature here is the
+    * token-count histogram (8 fixed-width buckets, the q50 discipline);
+    * the statistic is a chi-square-style sum over buckets computed on
+    * BASIS-POINT shares — `(batch_bp − ref_bp)² · 10⁴ div (ref_bp + 1)`
+    * per bucket — entirely in BIGINT. Shares (not raw counts) keep
+    * every product under ~10¹² at ANY corpus size (the raw-count
+    * chi-square numerator `(o·N_ref − r·N_batch)²` overflows BIGINT
+    * beyond ~10⁵ documents), make the statistic scale-free (a gate
+    * should measure distribution distance, not batch size), and the
+    * `+1` Laplace floor bounds an empty reference bucket's
+    * contribution instead of dividing by zero. The fixture perturbs
+    * every 3rd batch document with a long spam tail so the drift is
+    * real and the verdict non-trivial.
+    *
+    * Scale shape: one row-local bucketing pass per side, two 8-row hash
+    * aggregates, a broadcast-sized join of the two bounded histograms,
+    * and an 8-row window for the total — corpus-size-independent output
+    * and NO global sort; at 100 TB the reference histogram is a cached
+    * artifact and each arriving batch pays only its own scan.
+    */
+  def qDriftGate(s: SparkSession, d: String): DataFrame = {
+    val bucket = expr("least(size(split(text, ' ')) div 16, 7)").cast("long")
+    val reference = docs(s, d).where(col("doc_id") % 4 =!= 1)
+      .select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("ref_n"))
+    val batch = docs(s, d).where(col("doc_id") % 4 === 1)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" spam spam spam spam spam spam spam spam" +
+            " spam spam spam spam spam spam spam spam")))
+          .otherwise(col("text")).as("text"))
+      .select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("batch_n"))
+    // all 8 buckets, so both histograms align even when one side is
+    // empty in a bucket (a 8-row generated dimension — broadcast)
+    val spine = s.range(0, 8).select(col("id").as("bucket"))
+    val joined = spine
+      .join(reference, Seq("bucket"), "left")
+      .join(batch, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("batch_n"), lit(0L)).as("batch_n"))
+    val w = Window.partitionBy(lit(1))
+    val totals = joined
+      .withColumn("ref_total", sum(col("ref_n")).over(w))
+      .withColumn("batch_total", sum(col("batch_n")).over(w))
+    // shares in basis points, then the bounded drift term — every
+    // operand <= 1e8 before the final x1e4 scale, BIGINT-safe at any
+    // corpus size
+    totals
+      .withColumn("ref_bp", expr("ref_n * 10000 div ref_total"))
+      .withColumn("batch_bp", expr("batch_n * 10000 div batch_total"))
+      .withColumn("contrib_x1e4",
+        expr("""(batch_bp - ref_bp) * (batch_bp - ref_bp) * 10000
+               | div (ref_bp + 1)""".stripMargin))
+      .withColumn("drift_x1e4", sum(col("contrib_x1e4")).over(w))
+      // bar calibrated against both sides at sf0.001/0.01/0.1: the
+      // unperturbed negative control reads <= 5.1e6 (sampling noise —
+      // largest at the smallest batch) and the injected spam shift
+      // >= 7.1e7, so 2.5e7 sits ~5x above the worst noise and ~3x
+      // under the weakest true drift (LlmQueriesSpec pins the control)
+      .withColumn("drifted", col("drift_x1e4") > 25000000L)
+      .select(col("bucket"), col("ref_n"), col("batch_n"),
+        col("ref_bp"), col("batch_bp"), col("contrib_x1e4"),
+        col("drift_x1e4"), col("drifted"))
+      .orderBy("bucket")
+  }
+  val qDriftGateSql: String =
+    """WITH ref AS (
+      |  SELECT least(len(string_split(text, ' ')) // 16, 7) AS bucket,
+      |    COUNT(*) AS ref_n
+      |  FROM documents WHERE doc_id % 4 <> 1 GROUP BY 1),
+      |batch AS (
+      |  SELECT least(len(string_split(
+      |      CASE WHEN doc_id % 3 = 0 THEN text ||
+      |        ' spam spam spam spam spam spam spam spam' ||
+      |        ' spam spam spam spam spam spam spam spam'
+      |      ELSE text END, ' ')) // 16, 7) AS bucket,
+      |    COUNT(*) AS batch_n
+      |  FROM documents WHERE doc_id % 4 = 1 GROUP BY 1),
+      |spine AS (SELECT unnest(generate_series(0, 7)) AS bucket),
+      |joined AS (
+      |  SELECT s.bucket,
+      |    COALESCE(r.ref_n, 0) AS ref_n,
+      |    COALESCE(b.batch_n, 0) AS batch_n
+      |  FROM spine s
+      |  LEFT JOIN ref r ON s.bucket = r.bucket
+      |  LEFT JOIN batch b ON s.bucket = b.bucket),
+      |tot AS (
+      |  SELECT *,
+      |    SUM(ref_n) OVER () AS ref_total,
+      |    SUM(batch_n) OVER () AS batch_total
+      |  FROM joined),
+      |shares AS (
+      |  SELECT bucket, ref_n, batch_n,
+      |    CAST(ref_n * 10000 // ref_total AS BIGINT) AS ref_bp,
+      |    CAST(batch_n * 10000 // batch_total AS BIGINT) AS batch_bp
+      |  FROM tot),
+      |scored AS (
+      |  SELECT bucket, ref_n, batch_n, ref_bp, batch_bp,
+      |    CAST((batch_bp - ref_bp) * (batch_bp - ref_bp) * 10000
+      |      // (ref_bp + 1) AS BIGINT) AS contrib_x1e4
+      |  FROM shares)
+      |SELECT bucket, ref_n, batch_n, ref_bp, batch_bp, contrib_x1e4,
+      |  CAST(SUM(contrib_x1e4) OVER () AS BIGINT) AS drift_x1e4,
+      |  (SUM(contrib_x1e4) OVER () > 25000000) AS drifted
+      |FROM scored ORDER BY bucket""".stripMargin
+
   /** The merged-ANN fixture behind l72: the corpus vectors (vec_id >=
     * 10) split into a base snapshot (vec_id % 9 != 5) indexed by
     * [[VectorIndex.buildIvf]] and a later delta (vec_id % 9 == 5)
@@ -4751,7 +4864,8 @@ object LlmQueries {
     "l69_source_calibration" -> qSourceCalibration _,
     "l70_source_dup_flow" -> qSourceDupFlow _,
     "l71_merge_parity" -> qMergeParity _,
-    "l72_ann_merge_parity" -> qAnnMergeParity _
+    "l72_ann_merge_parity" -> qAnnMergeParity _,
+    "l73_drift_gate" -> qDriftGate _
   )
 
   val oracles: Map[String, String] = Map(
@@ -4826,6 +4940,7 @@ object LlmQueries {
     "l69_source_calibration" -> qSourceCalibrationSql,
     "l70_source_dup_flow" -> qSourceDupFlowSql,
     "l71_merge_parity" -> qMergeParitySql,
-    "l72_ann_merge_parity" -> qAnnMergeParitySql
+    "l72_ann_merge_parity" -> qAnnMergeParitySql,
+    "l73_drift_gate" -> qDriftGateSql
   )
 }

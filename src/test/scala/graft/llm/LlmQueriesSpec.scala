@@ -909,4 +909,36 @@ class LlmQueriesSpec extends SparkSpec {
     assert(diagConf >= injected,
       s"diagonal confirmed $diagConf < injected dup pairs $injected")
   }
+
+  test("l73 drift gate: spam batch drifts, clean split does not (negative control)") {
+    val sf = "/root/testdata/sf0.001"
+    val got = LlmQueries.queries("l73_drift_gate")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(got.length == 8, "one row per bucket")
+    assert(got.map(_._1).sorted.toSeq == (0L to 7L), "bucket spine incomplete")
+    // the perturbed fixture must trip the gate, and the statistic is
+    // the sum of the per-bucket contributions
+    assert(got.forall(_._8), "spam-perturbed batch not flagged as drifted")
+    val total = got.map(_._6).sum
+    assert(got.forall(_._7 == total), s"drift_x1e4 ${got.head._7} != sum $total")
+    // negative control: an UNPERTURBED random quarter of the same
+    // corpus must pass the gate — the bar is above sampling noise
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val bucket = org.apache.spark.sql.functions
+      .expr("least(size(split(text, ' ')) div 16, 7)").cast("long")
+    def hist(df: org.apache.spark.sql.DataFrame) = df
+      .select(bucket.as("bucket")).groupBy("bucket").count()
+      .as[(Long, Long)].collect().toMap.withDefaultValue(0L)
+    val ref = hist(docs.where($"doc_id" % 4 =!= 1))
+    val clean = hist(docs.where($"doc_id" % 4 === 1))
+    val refT = ref.values.sum; val cleanT = clean.values.sum
+    val noise = (0L to 7L).map { b =>
+      val rbp = ref(b) * 10000 / refT
+      val bbp = clean(b) * 10000 / cleanT
+      (bbp - rbp) * (bbp - rbp) * 10000 / (rbp + 1)
+    }.sum
+    assert(noise <= 25000000L,
+      s"clean split trips the gate (noise statistic $noise) — bar miscalibrated")
+  }
 }
