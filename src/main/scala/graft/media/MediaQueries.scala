@@ -628,6 +628,88 @@ object MediaQueries {
        |    AS container_mismatch
        |FROM agg ORDER BY kind, format""".stripMargin
 
+  // ------------------------------------------------ shot boundary detection
+  /** m11: video shot-boundary detection — the scene segmentation a video
+    * ingest pipeline runs to pick KEY frames (sampling one frame per
+    * SHOT beats m03's uniform stride: a static scene contributes one
+    * frame, a cut-heavy sequence keeps its variety). Frames are the
+    * asset's consecutive `frame_size`-byte windows (the m03/m07 frame
+    * model); the per-frame signal is the byte sum (mean-brightness
+    * surrogate) through the codegen'd [[graft.functions.BinaryByteFold]]
+    * — one fold per frame, no per-byte rows — and a cut is declared
+    * where the relative change against the previous frame clears 10%:
+    * `|s_f − s_{f−1}| · 10 >= greatest(s_{f−1}, 1)`, integer-exact on
+    * both engines (calibrated on the fixture: ~11% of frame
+    * transitions cut, so most assets segment into a few shots and some
+    * are single-shot). Segments are resolved gaps-and-islands style:
+    * running boundary sum = shot id, then per-shot lengths and per-
+    * asset rollups. Scale shape: explode is per-asset row-local, every
+    * window is PARTITIONED BY media_id (never global), output is one
+    * row per video asset.
+    */
+  def qShotBoundaries(s: SparkSession, d: String): DataFrame = {
+    val n = length(col("payload"))
+    val nFrames = ((n + 31) / 32).cast("long")
+    val frame = col("payload").substr(col("f").cast("int") * 32 + 1, lit(32))
+    val sums = MediaOps.mediaTable(s, d)
+      .where(col("kind") === "video")
+      .select(col("media_id"), col("payload"), nFrames.as("nf"))
+      .withColumn("f", explode(sequence(lit(0L), col("nf") - 1)))
+      .select(col("media_id"), col("nf"), col("f"), byteSum(frame).as("s"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("f")
+    val flagged = sums
+      .withColumn("prev", lag(col("s"), 1).over(wOrd))
+      .withColumn("cut",
+        when(col("prev").isNotNull &&
+          abs(col("s") - col("prev")) * 10 >= greatest(col("prev"), lit(1L)),
+          1L).otherwise(0L))
+      .withColumn("shot_id", sum(col("cut")).over(
+        wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    flagged
+      .groupBy(col("media_id"), col("shot_id"))
+      .agg(max(col("nf")).as("nf"), count(lit(1)).as("shot_len"))
+      .groupBy(col("media_id"))
+      .agg(max(col("nf")).as("n_frames"),
+        count(lit(1)).as("n_shots"),
+        max(col("shot_len")).as("longest_shot"))
+      .orderBy("media_id")
+  }
+  val qShotBoundariesSql: String =
+    s"""WITH $mediaSql,
+       |vids AS (SELECT media_id, text, n, (n + 31) // 32 AS nf
+       |  FROM media WHERE kind = 'video'),
+       |frames AS (
+       |  SELECT media_id, nf, unnest(generate_series(0, nf - 1)) AS f, text, n
+       |  FROM vids),
+       |sums AS (
+       |  SELECT media_id, nf, f,
+       |    ${asciiSumSql("f * 32 + 1", "least((f + 1) * 32, n)")} AS s
+       |  FROM frames),
+       |flagged AS (
+       |  SELECT media_id, nf, f, s,
+       |    lag(s) OVER (PARTITION BY media_id ORDER BY f) AS prev
+       |  FROM sums),
+       |cuts AS (
+       |  SELECT media_id, nf, f,
+       |    CASE WHEN prev IS NOT NULL
+       |      AND abs(s - prev) * 10 >= greatest(prev, 1)
+       |      THEN 1 ELSE 0 END AS cut
+       |  FROM flagged),
+       |shots AS (
+       |  SELECT media_id, nf, f,
+       |    SUM(cut) OVER (PARTITION BY media_id ORDER BY f
+       |      ROWS UNBOUNDED PRECEDING) AS shot_id
+       |  FROM cuts),
+       |lens AS (
+       |  SELECT media_id, shot_id, MAX(nf) AS nf,
+       |    CAST(COUNT(*) AS BIGINT) AS shot_len
+       |  FROM shots GROUP BY media_id, shot_id)
+       |SELECT media_id, CAST(MAX(nf) AS BIGINT) AS n_frames,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shots,
+       |  CAST(MAX(shot_len) AS BIGINT) AS longest_shot
+       |FROM lens GROUP BY media_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_decode" -> qMediaDecode _,
     "m02_image_resize" -> qImageResize _,
@@ -638,7 +720,8 @@ object MediaQueries {
     "m07_audio_features" -> qAudioFeatures _,
     "m08_byte_entropy" -> qByteEntropy _,
     "m09_media_clusters" -> qMediaClusters _,
-    "m10_format_sniff" -> qFormatSniff _
+    "m10_format_sniff" -> qFormatSniff _,
+    "m11_shot_boundaries" -> qShotBoundaries _
   )
 
   val oracles: Map[String, String] = Map(
@@ -651,6 +734,7 @@ object MediaQueries {
     "m07_audio_features" -> qAudioFeaturesSql,
     "m08_byte_entropy" -> qByteEntropySql,
     "m09_media_clusters" -> qMediaClustersSql,
-    "m10_format_sniff" -> qFormatSniffSql
+    "m10_format_sniff" -> qFormatSniffSql,
+    "m11_shot_boundaries" -> qShotBoundariesSql
   )
 }

@@ -247,4 +247,34 @@ class MediaOpsSpec extends SparkSpec {
     assert(!misByCell(("image", "gif")), "gif-in-image wrongly flagged")
     assert(!misByCell(("audio", "unknown")), "unknown must never be a mismatch")
   }
+
+  test("m11 shot boundaries: invariants hold and a direct recomputation agrees") {
+    val sf = "/root/testdata/sf0.001"
+    val got = MediaQueries.queries("m11_shot_boundaries")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, nf, shots, longest) =>
+      assert(shots >= 1 && shots <= nf, s"asset $id: $shots shots of $nf frames")
+      assert(longest >= 1 && longest <= nf, s"asset $id: longest $longest")
+      assert(longest >= (nf + shots - 1) / shots,
+        s"asset $id: longest shot below the pigeonhole floor")
+    }
+    assert(got.exists(_._3 > 1), "no asset segmented into multiple shots")
+    assert(got.exists(r => r._3 < r._2), "every transition cut — threshold too low")
+    // direct recomputation of one asset's segmentation from its bytes
+    val (id, nf, shots, longest) = got.head
+    val payload = graft.media.MediaOps.mediaTable(spark, sf)
+      .where($"media_id" === id).select($"payload")
+      .as[Array[Byte]].head()
+    val sums = payload.grouped(32).map(_.map(_ & 0xFF).map(_.toLong).sum).toSeq
+    assert(sums.length == nf, "frame count")
+    val cuts = sums.zip(sums.drop(1)).map { case (p, s) =>
+      if (math.abs(s - p) * 10 >= math.max(p, 1L)) 1 else 0
+    }
+    assert(shots == cuts.sum + 1, s"asset $id: ${cuts.sum + 1} recomputed shots != $shots")
+    val lens = cuts.foldLeft(List(1L)) { (acc, c) =>
+      if (c == 1) 1L :: acc else (acc.head + 1) :: acc.tail
+    }
+    assert(longest == lens.max, s"asset $id: recomputed longest ${lens.max} != $longest")
+  }
 }
