@@ -75,6 +75,7 @@ object Bench {
     "l70_source_dup_flow" -> 1.2, "m10_format_sniff" -> 0.7,
     "l71_merge_parity" -> 0.4, "l72_ann_merge_parity" -> 0.6,
     "l73_drift_gate" -> 0.5, "m11_shot_boundaries" -> 0.9,
+    "m12_paired_dedup" -> 0.5,
     "m07_audio_features" -> 1.0,
     "q35_json" -> 0.4, "q36_map" -> 0.4,
     "q37_range_window" -> 0.8, "q38_sessionize" -> 0.9,
@@ -86,7 +87,7 @@ object Bench {
     "q34_lateral" -> 0.8,
     "m01_media_decode" -> 0.6, "m02_image_resize" -> 0.5,
     "m03_frame_sample" -> 0.5, "m04_media_stats" -> 0.25,
-    "m05_media_dedup" -> 0.5, "m06_media_hamming" -> 0.9,
+    "m05_media_dedup" -> 0.5, "m06_media_hamming" -> 0.5,
     "q01_scan_project" -> 0.6, "q02_filter" -> 0.4,
     "q03_explode" -> 0.4, "q04_agg" -> 1.0,
     "q05_join_broadcast" -> 0.4, "q06_join_multiway" -> 1.0,

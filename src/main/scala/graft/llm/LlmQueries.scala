@@ -64,7 +64,7 @@ object LlmQueries {
       base.where(col("doc_id") % 10 === 0)
         .withColumn("doc_id", col("doc_id") + 100000))
   }
-  private val docsWithDupsSql: String =
+  private[graft] val docsWithDupsSql: String =
     """dd AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -267,6 +267,13 @@ object LlmQueries {
   private def indexedPairs(s: SparkSession, d: String): DataFrame =
     DedupIndex.candidatePairs(s, sharedIndexDir(s, d))
 
+  /** The shared index's candidate pairs, exposed package-wide for
+    * cross-modal consumers (m12 joins them against the media
+    * fingerprint pairs on the aligned dup-augmented ids).
+    */
+  private[graft] def sharedCandidatePairs(s: SparkSession, d: String): DataFrame =
+    indexedPairs(s, d)
+
   /** Per-document DISTINCT word-8-gram hash arrays (doc_id, garr) — the
     * one gram formulation the whole 8-gram family shares (l16
     * contamination, l32 source overlap, l64 batch novelty), keyed by
@@ -358,7 +365,7 @@ object LlmQueries {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }
-  private val pairsSqlCtes: String =
+  private[graft] val pairsSqlCtes: String =
     s"""${sigsSqlCtes("dd")},
        |$bandedSqlCte,
        |pairs AS (

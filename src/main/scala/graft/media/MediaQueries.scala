@@ -213,11 +213,10 @@ object MediaQueries {
     dd.select(col("media_id"), bits.reduce(_ + _).as("fp"))
   }
 
-  /** Perceptual near-dup pairs (media_a, media_b, hamming), hamming<=1,
-    * unordered — the banded aHash machinery m06 declares.
+  /** The m06 perceptual-pair formulation over an explicit fingerprint
+    * frame — the frame the media index persists under `pairs16/`.
     */
-  private def hammingPairs(s: SparkSession, d: String): DataFrame = {
-    val fps = mediaFingerprints(s, d)
+  private def hammingPairsOf(fps: DataFrame): DataFrame = {
     val banded = fps.select(col("media_id"), col("fp"),
         explode(sequence(lit(0), lit(1))).as("band_id"))
       .select(col("media_id"), col("fp"), col("band_id"),
@@ -232,6 +231,13 @@ object MediaQueries {
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
       .where(col("hamming") <= 1)
   }
+
+  /** Perceptual near-dup pairs (media_a, media_b, hamming), hamming<=1,
+    * unordered — served from the persisted media index (m06 and m12
+    * both consume this set; neither re-scans payloads per run).
+    */
+  private def hammingPairs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${sharedMediaIndexDir(s, d)}/pairs16")
 
   def qMediaHammingPairs(s: SparkSession, d: String): DataFrame =
     hammingPairs(s, d).orderBy("media_a", "media_b")
@@ -355,7 +361,9 @@ object MediaQueries {
     *   - `pairs/` (doc_a, doc_b) — hamming<=1 candidate pairs over the
     *     DISTINCT-fingerprint representatives, from the 2x16-bit
     *     pigeonhole banding (never all-pairs; doc_* naming matches the
-    *     [[graft.llm.LlmQueries.connectedComponents]] edge contract).
+    *     [[graft.llm.LlmQueries.connectedComponents]] edge contract);
+    *   - `pairs16/` (media_a, media_b, hamming) — the m06/m12 16-bit
+    *     threshold-aHash hamming<=1 pair set with its verify distances.
     * Same snapshot semantics as the text index: JVM-cached by data
     * path, removed at exit, dropped by [[invalidateSharedIndexes]].
     */
@@ -366,6 +374,11 @@ object MediaQueries {
         .toString
       graft.llm.LlmQueries.deleteOnExit(tmp)
       parityFingerprints(s, d).write.parquet(s"$tmp/fps")
+      // the m06/m12 16-bit threshold-aHash pair set (a different
+      // fingerprint from m09's 32-bit parity hash — pair LISTING wants
+      // the coarser perceptual bits, CLUSTERING the collision-free
+      // ones; see qMediaClusters' bit-scheme rationale)
+      hammingPairsOf(mediaFingerprints(s, d)).write.parquet(s"$tmp/pairs16")
       val reps = s.read.parquet(s"$tmp/fps")
         .groupBy(col("fp")).agg(min(col("media_id")).as("rep"))
       val banded = reps.select(col("rep"), col("fp"),
@@ -710,6 +723,44 @@ object MediaQueries {
        |  CAST(MAX(shot_len) AS BIGINT) AS longest_shot
        |FROM lens GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  // --------------------------------------------- paired-modality dedup
+  /** m12: PAIRED-modality near-dup detection — the image–caption-pair
+    * dedup a multimodal training set (LAION-style) actually needs:
+    * dropping a pair only when BOTH the caption AND the media content
+    * are near-duplicates (same caption on different images is reuse,
+    * not a dup; same image under different captions may be a caption
+    * augmentation worth keeping). Candidates come from the two
+    * PERSISTED index families on their aligned dup-augmented ids: the
+    * text side from [[graft.llm.DedupIndex]]'s banded-LSH candidate
+    * pairs (served from the shared per-JVM index), the media side from
+    * the 16-bit aHash hamming<=1 pigeonhole pairs (m06's machinery) —
+    * the intersection is one equi-join of two already-bounded pair
+    * sets, never an all-pairs comparison in either modality. Every
+    * planted exact dup (doc, doc+100000) must surface with hamming 0.
+    */
+  def qPairedDedup(s: SparkSession, d: String): DataFrame = {
+    val textPairs = graft.llm.LlmQueries.sharedCandidatePairs(s, d)
+    hammingPairs(s, d)
+      .join(textPairs,
+        col("media_a") === col("doc_a") && col("media_b") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("hamming").as("media_hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+  val qPairedDedupSql: String = {
+    val mediaChain = hammingPairsSqlCtes
+      .replace("banded", "mbanded")
+      .replace("cand", "mcand")
+      .replace("hpairs", "mhpairs")
+      .replace("fps", "mfps")
+    s"""WITH ${graft.llm.LlmQueries.docsWithDupsSql},
+       |${graft.llm.LlmQueries.pairsSqlCtes},
+       |$mediaChain
+       |SELECT p.doc_a, p.doc_b, h.hamming AS media_hamming
+       |FROM pairs p JOIN mhpairs h
+       |  ON p.doc_a = h.media_a AND p.doc_b = h.media_b
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_decode" -> qMediaDecode _,
     "m02_image_resize" -> qImageResize _,
@@ -721,7 +772,8 @@ object MediaQueries {
     "m08_byte_entropy" -> qByteEntropy _,
     "m09_media_clusters" -> qMediaClusters _,
     "m10_format_sniff" -> qFormatSniff _,
-    "m11_shot_boundaries" -> qShotBoundaries _
+    "m11_shot_boundaries" -> qShotBoundaries _,
+    "m12_paired_dedup" -> qPairedDedup _
   )
 
   val oracles: Map[String, String] = Map(
@@ -735,6 +787,7 @@ object MediaQueries {
     "m08_byte_entropy" -> qByteEntropySql,
     "m09_media_clusters" -> qMediaClustersSql,
     "m10_format_sniff" -> qFormatSniffSql,
-    "m11_shot_boundaries" -> qShotBoundariesSql
+    "m11_shot_boundaries" -> qShotBoundariesSql,
+    "m12_paired_dedup" -> qPairedDedupSql
   )
 }
