@@ -769,12 +769,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("m09 media clusters read the persisted fingerprint artifacts, never payloads") {
-    val df = graft.media.MediaQueries.queries("m09_media_clusters")(spark, sf)
-    val p = planOf(df)
-    assert(!p.contains("payload"),
-      s"m09 re-scans media payloads instead of the fingerprint index:\n$p")
-    assertNoAllPairs("m09", df)
+  test("m06/m09/m12 read the persisted fingerprint artifacts, never payloads") {
+    for (name <- Seq("m06_media_hamming", "m09_media_clusters", "m12_paired_dedup")) {
+      val df = graft.media.MediaQueries.queries(name)(spark, sf)
+      val p = planOf(df)
+      assert(!p.contains("payload"),
+        s"$name re-scans media payloads instead of the fingerprint index:\n$p")
+      assertNoAllPairs(name, df)
+    }
   }
 
   test("l71 serves merged pairs from the index: no hashing in the measured plan") {
