@@ -1912,11 +1912,21 @@ object LlmQueries {
         .withColumn("doc_id", col("doc_id") + 100000))
     val sg = ddArrs
       .select(concat(lit("s"), col("doc_id") % 7).as("src"), col("garr"))
-      .select(col("src"), explode(col("garr")).as("g")).distinct()
-    sg.as("a").join(sg.as("b"),
-        col("a.g") === col("b.g") && col("a.src") < col("b.src"))
-      .select(col("a.src").as("src_a"), col("b.src").as("src_b"))
-      .groupBy("src_a", "src_b")
+      .select(col("src"), explode(col("garr")).as("g"))
+    // One aggregation, not a corpus-sized self-join: fold each gram to
+    // its (bounded, <= |sources|) source set — collect_set dedups, so no
+    // separate distinct shuffle — then expand the ordered pairs
+    // combinatorially from the sorted set. At any corpus size the only
+    // corpus-scale shuffle is the single groupBy(g); the pair expansion
+    // is O(|sources|^2) per distinct gram and the final agg is
+    // |sources|^2-bounded.
+    val srcs = sort_array(col("srcs"))
+    sg.groupBy("g").agg(collect_set(col("src")).as("srcs"))
+      .where(size(col("srcs")) > 1)
+      .select(explode(flatten(transform(srcs, (a, i) =>
+        transform(slice(srcs, i + lit(2), size(srcs)),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("shared_grams"))
       .orderBy("src_a", "src_b")
   }

@@ -767,6 +767,13 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("xxhash64"),
         s"$name re-hashes grams inline instead of reading the artifact:\n$p")
     }
+    // l32 mines the source-pair matrix with ZERO joins: one groupBy(g)
+    // fold to bounded source sets + combinatorial pair expansion — a
+    // corpus-sized (src, gram) self-join would be 3 corpus-scale
+    // shuffles where one suffices.
+    val p32 = planOf(LlmQueries.queries("l32_source_overlap")(spark, sf))
+    assert(!p32.contains("Join"),
+      s"l32 reintroduced a join — the pair matrix should fold via collect_set:\n$p32")
   }
 
   test("m06/m09/m12 read the persisted fingerprint artifacts, never payloads") {
