@@ -198,25 +198,32 @@ object MediaQueries {
   /** Per-asset 16-bit aHash fingerprints (media_id, fp) over the
     * dup-augmented fixture — the base table of m06 and m09.
     */
-  private def mediaFingerprints(s: SparkSession, d: String): DataFrame = {
-    val dd = mediaWithDups(s, d)
-    val n = length(col("payload"))
-    val total = byteSum(col("payload"))
+  private def mediaFingerprints(s: SparkSession, d: String): DataFrame =
+    mediaWithDups(s, d).select(col("media_id"), aHash16(col("payload")).as("fp"))
+
+  /** The 16-bit aHash over an arbitrary binary column (bit j set iff
+    * block j's byte sum exceeds its proportional share of the total) —
+    * shared by the batch fingerprint table above and the streaming
+    * ingest fold ([[graft.streaming.MediaStream]]), so a streamed asset
+    * gets the byte-identical fingerprint a batch build would assign.
+    */
+  private[graft] def aHash16(payload: Column): Column = {
+    val n = length(payload)
+    val total = byteSum(payload)
     def blockSum(j: Int): Column = {
       val lo = floor(lit(j) * n / 16).cast("int")
       val hi = floor(lit(j + 1) * n / 16).cast("int")
-      byteSum(col("payload").substr(lo + 1, hi - lo))
+      byteSum(payload.substr(lo + 1, hi - lo))
     }
-    val bits = (0 until 16).map { j =>
+    (0 until 16).map { j =>
       when(blockSum(j) * 16 > total, lit(1L << j)).otherwise(lit(0L))
-    }
-    dd.select(col("media_id"), bits.reduce(_ + _).as("fp"))
+    }.reduce(_ + _)
   }
 
   /** The m06 perceptual-pair formulation over an explicit fingerprint
     * frame — the frame the media index persists under `pairs16/`.
     */
-  private def hammingPairsOf(fps: DataFrame): DataFrame = {
+  private[graft] def hammingPairsOf(fps: DataFrame): DataFrame = {
     val banded = fps.select(col("media_id"), col("fp"),
         explode(sequence(lit(0), lit(1))).as("band_id"))
       .select(col("media_id"), col("fp"), col("band_id"),

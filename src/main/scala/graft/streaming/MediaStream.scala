@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.media.MediaQueries
+
+/** Continuous media-asset ingestion — the [[DocStream]]/[[VecStream]]
+  * discipline applied to the multimodal column, completing the
+  * streaming-ingest triad (text corpus, embedding index, media
+  * fingerprint index). A stream of (media_id, payload) assets is folded
+  * into a persisted perceptual fingerprint index where each micro-batch
+  * pays only per-delta cost: payload bytes are touched EXACTLY ONCE (at
+  * ingest, by the codegen'd aHash/md5 fold) and every downstream
+  * consumer — near-dup pair listing, duplicate clustering, paired-
+  * modality checks — reads the ~20 B/asset fingerprint rows, never the
+  * payloads. At 100 TB of media the index is GBs and ingest is the only
+  * stage whose I/O scales with payload bytes.
+  *
+  * Per micro-batch:
+  *   1. in-batch exact dedup — keep the min media_id per md5(payload);
+  *   2. fingerprint — the m06 16-bit block aHash
+  *      ([[graft.media.MediaQueries.aHash16]]), computed on the same
+  *      pass as the md5 key;
+  *   3. exact-copy probe — LEFT ANTI equi-join on the md5 key against
+  *      the accumulated index, so byte-identical copies of held assets
+  *      are rejected;
+  *   4. OPTIONAL perceptual gate — a batch asset is rejected when some
+  *      HELD asset's fingerprint is within Hamming distance
+  *      `rejectHammingLe` (<= 1 by the 2x8-bit pigeonhole: candidates
+  *      from 2 equi-joins on the banded index, verify = one xor +
+  *      bit_count). The candidate join keys on the `bv` partition
+  *      column of the banded layout, so scan planning prunes the index
+  *      read to the band values the batch actually hashes into;
+  *   5. idempotent append — survivors land under `fps/batch_id=N` and
+  *      `bands/batch_id=N/bv=X` with mode=overwrite, and every probe
+  *      excludes `batch_id = batchId`, so a replayed batch re-probes
+  *      against everyone else, rewrites its own files byte-identically,
+  *      and is a no-op (the [[DocStream]] replay recipe).
+  *
+  * The grown `fps/` table serves
+  * [[graft.media.MediaQueries.hammingPairsOf]] identically to a batch
+  * fingerprint build over the surviving assets (MediaStreamSpec pins
+  * this), so pair mining / clustering never re-scan payloads or rebuild
+  * fingerprints.
+  */
+object MediaStream {
+
+  /** One micro-batch of the ingest fold; exposed for direct replay
+    * testing. `batch` needs (media_id, payload). `indexDir` grows
+    * `fps/` and `bands/` per batch.
+    */
+  def ingestBatch(batch: DataFrame, indexDir: String, batchId: Long,
+      rejectHammingLe: Option[Int] = None): Unit = {
+    val spark = batch.sparkSession
+    val keyed = batch
+      .withColumn("h", md5(col("payload")))
+      .withColumn("fp", MediaQueries.aHash16(col("payload")))
+      .select(col("media_id"), col("h"), col("fp"))
+    // in-batch exact dedup: min media_id per payload hash
+    val k1 = keyed.groupBy(col("h")).agg(min("media_id").as("kid"))
+    val s1 = keyed.join(k1, Seq("h")).where(col("media_id") === col("kid")).drop("kid")
+    val held: Option[DataFrame] =
+      try Some(spark.read.parquet(s"$indexDir/fps")
+        .where(col("batch_id") =!= batchId))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val novel = held match {
+      case Some(idx) => s1.join(idx.select("h").distinct(), Seq("h"), "left_anti")
+      case None => s1
+    }
+    val survivors = (held, rejectHammingLe) match {
+      case (Some(_), Some(maxDist)) =>
+        require(maxDist <= 1,
+          s"the 2x8-bit pigeonhole banding only guarantees hamming<=1; got $maxDist")
+        // candidates only from band-value collisions — the probe reads
+        // the banded layout pruned to this batch's own bv= partitions,
+        // never the full fingerprint set
+        val heldBands = spark.read.parquet(s"$indexDir/bands")
+          .where(col("batch_id") =!= batchId)
+          .select(col("band_id"), col("bv"), col("fp").as("held_fp"))
+        val batchBands = bandsOf(novel)
+        val dups = batchBands
+          .join(heldBands, Seq("band_id", "bv"))
+          .where(bit_count(col("fp").bitwiseXOR(col("held_fp"))) <= maxDist)
+          .select(col("media_id")).distinct()
+        novel.join(dups, Seq("media_id"), "left_anti")
+      case _ => novel
+    }
+    val outP = survivors
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    outP.write.mode("overwrite").parquet(s"$indexDir/fps/batch_id=$batchId")
+    bandsOf(outP)
+      .write.mode("overwrite").partitionBy("bv")
+      .parquet(s"$indexDir/bands/batch_id=$batchId")
+    outP.unpersist(); ()
+  }
+
+  /** The 2x8-bit pigeonhole banding of a (media_id, fp) frame — the
+    * m06 band construction, persisted so probes are partition-pruned
+    * equi-joins on `bv`.
+    */
+  private def bandsOf(fps: DataFrame): DataFrame =
+    fps.select(col("media_id"), col("fp"),
+        explode(sequence(lit(0), lit(1))).as("band_id"))
+      .select(col("media_id"), col("fp"), col("band_id"),
+        expr("shiftright(fp, band_id * 8)").bitwiseAND(lit(255L)).as("bv"))
+
+  /** Run the ingest fold over a streaming (media_id, payload) source. */
+  def ingest(assets: DataFrame, indexDir: String, checkpointDir: String,
+      rejectHammingLe: Option[Int] = None): StreamingQuery =
+    assets.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, indexDir, batchId, rejectHammingLe)
+      }
+      .start()
+
+  /** Read the accumulated fingerprint index (all batch partitions). */
+  def fingerprints(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/fps")
+}

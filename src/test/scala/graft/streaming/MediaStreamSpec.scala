@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.media.{MediaOps, MediaQueries}
+
+/** The streaming media-fingerprint fold: per-batch aHash ingest, exact
+  * and perceptual rejection against the held index, replay idempotence,
+  * and consumer parity with a batch fingerprint build.
+  */
+class MediaStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def assets = MediaOps.mediaTable(spark, sf)
+    .select($"media_id", $"payload")
+
+  private def fpOf(df: org.apache.spark.sql.DataFrame) =
+    df.select($"media_id", MediaQueries.aHash16($"payload").as("fp"))
+
+  test("ingest rejects exact copies and perceptual near-dups of held assets") {
+    val dir = Files.createTempDirectory("mediastream").toString
+    val b0 = assets.where($"media_id".between(10, 29))
+    MediaStream.ingestBatch(b0, dir, 0L, rejectHammingLe = Some(1))
+
+    // an exact copy of held asset 15 under a fresh id (exact gate) ...
+    val copy = assets.where($"media_id" === 15)
+      .select(lit(900001L).as("media_id"), $"payload")
+    // ... and a one-byte EDIT of held asset 16 (md5 differs, so only the
+    // perceptual gate can catch it). Self-validate the premise: the
+    // edited payload's aHash must be within hamming 1 of the original.
+    val edited = assets.where($"media_id" === 16)
+      .select(lit(900002L).as("media_id"),
+        concat(lit(Array[Byte]('Z'.toByte)),
+          expr("substring(payload, 2, length(payload) - 1)")).as("payload"))
+    val Seq(fpOrig) = fpOf(assets.where($"media_id" === 16))
+      .select($"fp").as[Long].collect().toSeq
+    val Seq(fpEdit) = fpOf(edited).select($"fp").as[Long].collect().toSeq
+    assert(java.lang.Long.bitCount(fpOrig ^ fpEdit) <= 1,
+      s"test premise broken: edit moved the aHash by ${java.lang.Long.bitCount(fpOrig ^ fpEdit)} bits")
+
+    val novel = assets.where($"media_id".between(30, 39))
+    MediaStream.ingestBatch(novel.unionByName(copy).unionByName(edited),
+      dir, 1L, rejectHammingLe = Some(1))
+
+    val heldIds = MediaStream.fingerprints(spark, dir)
+      .select($"media_id").as[Long].collect().sorted.toSeq
+    assert(heldIds == ((10L to 39L).toSeq),
+      s"expected survivors 10..39 (copy+edit rejected), got $heldIds")
+  }
+
+  test("post-stream index equals a batch fingerprint build; replay is a no-op") {
+    val dir = Files.createTempDirectory("mediastream2").toString
+    val b0 = assets.where($"media_id".between(10, 59))
+    val b1 = assets.where($"media_id".between(60, 99))
+    MediaStream.ingestBatch(b0, dir, 0L)
+    MediaStream.ingestBatch(b1, dir, 1L)
+
+    val expected = fpOf(assets.where($"media_id".between(10, 99)))
+      .as[(Long, Long)].collect().toMap
+    val got = MediaStream.fingerprints(spark, dir)
+      .select($"media_id", $"fp").as[(Long, Long)].collect()
+    assert(got.length == expected.size, s"${got.length} rows != ${expected.size}")
+    got.foreach { case (id, fp) =>
+      assert(fp == expected(id), s"asset $id fp $fp != batch ${expected(id)}")
+    }
+
+    // pair-mining consumers see the same candidates as a batch build
+    val streamedPairs = MediaQueries.hammingPairsOf(
+        MediaStream.fingerprints(spark, dir).select($"media_id", $"fp"))
+      .as[(Long, Long, Long)].collect().toSet
+    val batchPairs = MediaQueries.hammingPairsOf(
+        fpOf(assets.where($"media_id".between(10, 99))))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamedPairs == batchPairs,
+      s"streamed-index pairs diverge from batch build: ${streamedPairs.diff(batchPairs)} / ${batchPairs.diff(streamedPairs)}")
+
+    // replay of batch 1: byte-identical rewrite, no duplicates
+    MediaStream.ingestBatch(b1, dir, 1L)
+    assert(MediaStream.fingerprints(spark, dir).count() == expected.size,
+      "replay changed the index")
+  }
+
+  test("streaming source end-to-end via foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("mediastream3").toString
+    val rows = assets.where($"media_id".between(10, 29))
+      .as[(Long, Array[Byte])].collect().toSeq
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = MediaStream.ingest(
+      input.toDF().toDF("media_id", "payload"),
+      dir, s"$dir/ckpt", rejectHammingLe = Some(1))
+    try {
+      input.addData(rows.take(10))
+      q.processAllAvailable()
+      // second micro-batch re-sends a held payload under a new id
+      // alongside genuinely new assets
+      input.addData(rows.drop(10) :+ ((900001L, rows.head._2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = MediaStream.fingerprints(spark, dir)
+      .select($"media_id").as[Long].collect().sorted.toSeq
+    assert(ids == ((10L to 29L).toSeq), s"streamed index ids $ids")
+  }
+}
