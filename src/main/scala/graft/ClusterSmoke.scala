@@ -158,6 +158,41 @@ object ClusterSmoke {
         failures += 1
         System.err.println(s"[cluster-smoke] vecstream_ingest FAILED: ${e.getMessage}")
     }
+    // The streaming media-fingerprint fold from real executors: the
+    // codegen'd aHash/byte-fold kernels and the banded perceptual probe
+    // run with an RPC boundary; an exact payload copy under a fresh id
+    // and a one-byte edit of a held asset are both rejected.
+    try {
+      import org.apache.spark.sql.functions.{col, concat, expr, length, lit}
+      val dir = java.nio.file.Files.createTempDirectory("cluster-media-").toString
+      val assets = graft.media.MediaOps.mediaTable(spark, sfDir)
+        .select(col("media_id"), col("payload"))
+      graft.streaming.MediaStream.ingestBatch(
+        assets.where(col("media_id").between(10, 29)), dir, 0L,
+        rejectHammingLe = Some(1))
+      val copy = assets.where(col("media_id") === 15)
+        .select(lit(900001L).as("media_id"), col("payload"))
+      val edited = assets.where(col("media_id") === 16)
+        .select(lit(900002L).as("media_id"),
+          concat(lit(Array[Byte]('Z'.toByte)),
+            expr("substring(payload, 2, length(payload) - 1)")).as("payload"))
+      graft.streaming.MediaStream.ingestBatch(
+        assets.where(col("media_id").between(30, 39))
+          .unionByName(copy).unionByName(edited), dir, 1L,
+        rejectHammingLe = Some(1))
+      import spark.implicits._
+      val ids = graft.streaming.MediaStream.fingerprints(spark, dir)
+        .select(col("media_id")).as[Long].collect().sorted.toSeq
+      val ok = ids == (10L to 39L).toSeq
+      if (!ok) failures += 1
+      System.err.println(
+        s"[cluster-smoke] mediastream_ingest: ${ids.size} held, copy+edit rejected " +
+          s"${if (ok) "OK" else s"MISMATCH ($ids)"}")
+    } catch {
+      case e: Throwable =>
+        failures += 1
+        System.err.println(s"[cluster-smoke] mediastream_ingest FAILED: ${e.getMessage}")
+    }
     // DedupIndex.merge under real executors: incremental O(delta)
     // maintenance (partition-pruned cross-probe + delta self-join +
     // four appends) must yield the exact pair set a from-scratch build
@@ -191,7 +226,7 @@ object ClusterSmoke {
         System.err.println(s"[cluster-smoke] dedupindex_merge FAILED: ${e.getMessage}")
     }
     System.err.println(
-      s"[cluster-smoke] ${Queries.size + 3 - failures}/${Queries.size + 3} ok on " +
+      s"[cluster-smoke] ${Queries.size + 4 - failures}/${Queries.size + 4} ok on " +
         s"${spark.sparkContext.master}")
     spark.stop()
     if (failures > 0) sys.exit(1)
