@@ -225,8 +225,41 @@ object ClusterSmoke {
         failures += 1
         System.err.println(s"[cluster-smoke] dedupindex_merge FAILED: ${e.getMessage}")
     }
+    // DedupIndex.compact under real executors: the maintenance rewrite
+    // (distinct + refile + swap) must leave every consumer identical and
+    // the file counts bounded — the DedupIndexSpec compaction pin, with
+    // the distinct/repartition shuffles crossing worker boundaries.
+    try {
+      import org.apache.spark.sql.functions.col
+      val dir = java.nio.file.Files.createTempDirectory("cluster-compact-").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val base = docs.where(col("doc_id") % 4 =!= 3)
+      val delta = docs.where(col("doc_id") % 4 === 3)
+        .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+      graft.llm.DedupIndex.build(base, s"$dir/idx")
+      graft.llm.DedupIndex.merge(spark, s"$dir/idx", delta,
+        mergeId = Some("cluster-c1"))
+      def pairs() = graft.llm.DedupIndex.candidatePairs(spark, s"$dir/idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val before = pairs()
+      graft.llm.DedupIndex.compact(spark, s"$dir/idx", targetFiles = 4)
+      val after = pairs()
+      val nFiles = new java.io.File(s"$dir/idx/pairs").listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      val ok = after == before && after.nonEmpty && nFiles <= 4 &&
+        !new java.io.File(s"$dir/idx/_merges").exists()
+      if (!ok) failures += 1
+      System.err.println(
+        s"[cluster-smoke] dedupindex_compact: pairs=${after.size} " +
+          s"files=$nFiles ${if (ok) "OK" else "MISMATCH"}")
+    } catch {
+      case e: Throwable =>
+        failures += 1
+        System.err.println(s"[cluster-smoke] dedupindex_compact FAILED: ${e.getMessage}")
+    }
     System.err.println(
-      s"[cluster-smoke] ${Queries.size + 4 - failures}/${Queries.size + 4} ok on " +
+      s"[cluster-smoke] ${Queries.size + 5 - failures}/${Queries.size + 5} ok on " +
         s"${spark.sparkContext.master}")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -238,6 +238,82 @@ object DedupIndex {
     }
   }
 
+  /** COMPACT a persisted index in place — the periodic maintenance pass
+    * that bounds what repeated O(delta) [[merge]]s and streamed batch
+    * folds grow without bound. Two costs accumulate across merges:
+    * FILE COUNT (every append lands its own file generation — a year of
+    * daily deltas is ~365 generations per artifact, and both scan
+    * planning and band-partition pruning pay per file) and the
+    * documented at-least-once residual (a merge retry that crashed
+    * between a stage's append commit and its marker write re-appends
+    * that one stage — full-row duplicate pairs/signatures that
+    * downstream consumers would double-count). Compaction rewrites each
+    * artifact DISTINCT and re-filed into O(targetFiles) files, closing
+    * both.
+    *
+    * Posture: every artifact is first staged under `_compact/<stage>/`
+    * (each staging write carries its own `_SUCCESS`), and only then
+    * swapped into place one artifact at a time. Compaction is
+    * CONTENT-PRESERVING — all four artifacts are logically sets, and
+    * the only rows removed are exact full-row duplicates that appends
+    * alone could have created — so a crash at ANY point leaves a
+    * correct index: each artifact is served by either its old or its
+    * new files, never a mix, and a re-run simply finishes. This is why
+    * compact needs no marker protocol of its own.
+    *
+    * Partition layout is preserved: bands keep their `bp=` pruning
+    * directories, and a streamed index's `batch_id=` directories
+    * ([[graft.streaming.DocStream]]'s replay-overwrite discipline)
+    * survive, so a fold resumed after a between-batches compact still
+    * overwrites its own partition on replay.
+    *
+    * Merge markers under `_merges/` are cleared at the end: the
+    * duplicate window they guard is closed by the rewrite, and clearing
+    * keeps the marker directory from growing one entry per delta
+    * forever. Replaying an already-compacted mergeId afterwards fails
+    * LOUDLY on the id-overlap guard (its ids are in the signatures)
+    * instead of silently skipping — the safe direction.
+    *
+    * Cost is O(corpus) — one distinct + rewrite per artifact — paid at
+    * maintenance cadence and amortized over the many O(delta) merges it
+    * makes cheap to keep taking. At 100 TB the signatures artifact is
+    * ~100 GB and pairs/bands are banding-bounded; the local `renameTo`
+    * swap is the single-filesystem stand-in for `FileSystem.rename` on
+    * HDFS-compatible stores.
+    */
+  def compact(spark: SparkSession, indexDir: String, targetFiles: Int = 8): Unit = {
+    val stages = Seq("signatures", "bands", "pairs", "shingle_sets")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+      f.delete(): Unit
+    }
+    stages.foreach { stage =>
+      val df = spark.read.parquet(s"$indexDir/$stage")
+      // Directory-partition columns present in THIS index's layout —
+      // batch_id before bp mirrors the streamed fold's nesting order.
+      val parts = Seq("batch_id", "bp").filter(df.columns.contains)
+      val deduped = df.distinct()
+      val refiled =
+        if (parts.nonEmpty)
+          // Hash-cluster on the partition keys: each output directory
+          // is then written by exactly one task → one file per dir.
+          deduped.repartition(parts.map(col): _*)
+            .write.mode(SaveMode.Overwrite).partitionBy(parts: _*)
+        else
+          deduped.repartition(targetFiles)
+            .write.mode(SaveMode.Overwrite)
+      refiled.parquet(s"$indexDir/_compact/$stage")
+    }
+    stages.foreach { stage =>
+      val live = new java.io.File(s"$indexDir/$stage")
+      val staged = new java.io.File(s"$indexDir/_compact/$stage")
+      rmrf(live)
+      require(staged.renameTo(live), s"compact swap failed for $stage")
+    }
+    rmrf(new java.io.File(s"$indexDir/_compact"))
+    rmrf(new java.io.File(s"$indexDir/_merges"))
+  }
+
   /** Banded keys (doc_id, band, bkey, bp) of a (doc_id, text) frame —
     * the exact frame `build` persists under `bands/`, exposed so
     * incremental writers (the streaming corpus fold) can append a

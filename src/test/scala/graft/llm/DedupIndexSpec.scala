@@ -185,6 +185,102 @@ class DedupIndexSpec extends SparkSpec {
       "guard fired after mutating the index")
   }
 
+  test("compact bounds file growth, removes at-least-once duplicates, keeps layout") {
+    val dir = Files.createTempDirectory("dedupidx").toString
+    val idx = s"$dir/idx"
+    val base = corpus.where($"doc_id" % 3 === 0)
+    val d1 = corpus.where($"doc_id" % 3 === 1)
+      .select(($"doc_id" + 900000).as("doc_id"), $"text")
+    val d2 = corpus.where($"doc_id" % 3 === 2)
+      .select(($"doc_id" + 950000).as("doc_id"), $"text")
+    DedupIndex.build(base, idx)
+    DedupIndex.merge(spark, idx, d1, mergeId = Some("d1"))
+    DedupIndex.merge(spark, idx, d2, mergeId = Some("d2"))
+    // Simulate the documented at-least-once residual: one stage's append
+    // replayed after its commit (duplicate full rows in pairs).
+    val replayed = DedupIndex.candidatePairs(spark, idx).limit(7).collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(replayed.toIndexedSeq),
+        DedupIndex.candidatePairs(spark, idx).schema)
+      .write.mode("append").parquet(s"$idx/pairs")
+    assert(DedupIndex.candidatePairs(spark, idx).count() >
+      DedupIndex.candidatePairs(spark, idx).distinct().count(),
+      "fixture failed to plant duplicate pairs")
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$idx/pairs") > 4,
+      "fixture should have accumulated more pair files than one write's worth")
+
+    DedupIndex.compact(spark, idx, targetFiles = 4)
+
+    // Content: every artifact identical to a from-scratch rebuild.
+    DedupIndex.build(base.unionByName(d1).unionByName(d2), s"$dir/scratch")
+    def pairsOf(p: String) = DedupIndex.candidatePairs(spark, p)
+      .as[(Long, Long)].collect().toSet
+    assert(pairsOf(idx) == pairsOf(s"$dir/scratch"), "compacted pairs diverge")
+    assert(DedupIndex.candidatePairs(spark, idx).count() ==
+      pairsOf(idx).size.toLong, "duplicate pair rows survived compaction")
+    val n = base.count() + d1.count() + d2.count()
+    assert(DedupIndex.signatures(spark, idx).count() == n)
+    assert(DedupIndex.shingleSets(spark, idx).count() == n)
+    assert(DedupIndex.bands(spark, idx).count() == 2 * n)
+    // Files: bounded; bands keep their bp= pruning directories.
+    assert(parquetFiles(s"$idx/pairs") <= 4, "pairs file count not bounded")
+    val bandDirs = new java.io.File(s"$idx/bands").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bp="))
+    assert(bandDirs.nonEmpty, "compaction lost the bp= partition layout")
+    assert(bandDirs.forall(d => parquetFiles(d.getPath) == 1),
+      "a bp= dir holds more than one file after compaction")
+    // Markers cleared; staging gone; replaying an old mergeId now fails
+    // loudly on the id-overlap guard instead of silently skipping.
+    assert(!new java.io.File(s"$idx/_merges").exists(), "_merges not cleared")
+    assert(!new java.io.File(s"$idx/_compact").exists(), "_compact left behind")
+    intercept[IllegalArgumentException] {
+      DedupIndex.merge(spark, idx, d1, mergeId = Some("d1"))
+    }
+  }
+
+  test("compact preserves a streamed index's batch_id= replay partitions") {
+    val dir = Files.createTempDirectory("dedupidx").toString
+    val idx = s"$dir/idx"
+    // The DocStream fold's layout: every artifact under batch_id=N, with
+    // bands nested batch_id=N/bp=X — written here directly so the spec
+    // exercises layout preservation without running a stream.
+    Seq(0, 1).foreach { b =>
+      val batch = corpus.where($"doc_id" % 2 === b)
+        .select(($"doc_id" + b * 700000).as("doc_id"), $"text")
+      DedupIndex.bandsOf(batch)
+        .write.mode("overwrite").partitionBy("bp")
+        .parquet(s"$idx/bands/batch_id=$b")
+      DedupIndex.signaturesOf(batch)
+        .write.mode("overwrite").parquet(s"$idx/signatures/batch_id=$b")
+      DedupIndex.pairsOfBands(DedupIndex.bandsOf(batch))
+        .write.mode("overwrite").parquet(s"$idx/pairs/batch_id=$b")
+      DedupIndex.shingleSetsOf(batch)
+        .write.mode("overwrite").parquet(s"$idx/shingle_sets/batch_id=$b")
+    }
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.sorted.map(col).toIndexedSeq: _*).collect().toSeq
+    val before = Seq("signatures", "bands", "pairs", "shingle_sets")
+      .map(a => a -> sortedRows(spark.read.parquet(s"$idx/$a"))).toMap
+
+    DedupIndex.compact(spark, idx)
+
+    Seq("signatures", "bands", "pairs", "shingle_sets").foreach { a =>
+      val df = spark.read.parquet(s"$idx/$a")
+      assert(df.columns.contains("batch_id"), s"$a lost its batch_id column")
+      assert(sortedRows(df) == before(a), s"$a content drifted under compaction")
+      val batchDirs = new java.io.File(s"$idx/$a").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      assert(batchDirs.map(_.getName).sorted.toSeq ==
+        Seq("batch_id=0", "batch_id=1"), s"$a batch_id= dirs not preserved")
+    }
+    // the nested bands layout survives: batch_id=N/bp=X
+    val nested = new java.io.File(s"$idx/bands/batch_id=0").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bp="))
+    assert(nested.nonEmpty, "bands lost the nested bp= layout")
+  }
+
   test("merge with a mergeId is idempotent: replay and partial-failure resume") {
     val dir = Files.createTempDirectory("dedupidx").toString
     val base = corpus.where($"doc_id" % 3 =!= 2)
