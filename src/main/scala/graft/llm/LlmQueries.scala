@@ -4726,6 +4726,74 @@ object LlmQueries {
       |  (SUM(contrib_x1e4) OVER () > 25000000) AS drifted
       |FROM scored ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------ dedup provenance rollup
+  /** l74: duplicate-cluster PROVENANCE rollup — the audit report a
+    * dedup pass owes its operators: per duplicate cluster, the keeper,
+    * how many members it absorbed, WHICH documents those were, and the
+    * token mass reclaimed. l17 labels documents and l38 picks keepers;
+    * this is the cluster-level accounting both feed — the table a data
+    * lead reads to answer "what did dedup actually remove, and can I
+    * trace any removed doc back to its keeper?" (the provenance
+    * requirement: removed training data must stay attributable).
+    *
+    * Member lists are CAPPED at the first 64 ids (`n_members` still
+    * counts all) — at corpus scale a template-spam cluster can hold
+    * millions of members, and an audit row must stay bounded; the full
+    * membership remains queryable from the l17 label table.
+    *
+    * Scale shape: cluster labels come from the same O(log diameter)
+    * pointer-jumped [[connectedComponents]] over the index-served pair
+    * artifact that l17 uses; the rollup is ONE cluster-keyed hash agg
+    * over (label, token-count) rows — a few bytes per doc, never the
+    * text — and the output is bounded by the number of multi-member
+    * clusters, not the corpus.
+    */
+  def qDedupProvenance(s: SparkSession, d: String): DataFrame = {
+    val dd = docsWithDups(s, d)
+    val labels = connectedComponents(dd.select(col("doc_id")), indexedPairs(s, d))
+    val toks = dd.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val keeperToks = max(when(col("doc_id") === col("cluster_id"), col("n_tokens")))
+    labels.join(toks, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        array_join(transform(
+          slice(sort_array(collect_list(col("doc_id"))), 1, 64),
+          m => m.cast("string")), ",").as("members"),
+        keeperToks.as("keeper_tokens"),
+        (sum(col("n_tokens")) - keeperToks).as("tokens_saved"))
+      .where(col("n_members") >= 2)
+      .orderBy("cluster_id")
+  }
+  val qDedupProvenanceSql: String =
+    s"""WITH RECURSIVE $docsWithDupsSql,
+       |$pairsSqlCtes,
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |minreach AS (SELECT u, min(v) AS mv FROM reach GROUP BY u),
+       |labeled AS (
+       |  SELECT d.doc_id,
+       |    least(d.doc_id, COALESCE(m.mv, d.doc_id)) AS cluster_id,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM dd d LEFT JOIN minreach m ON d.doc_id = m.u)
+       |SELECT cluster_id,
+       |  COUNT(*) AS n_members,
+       |  array_to_string(list_slice(list_sort(list(doc_id)), 1, 64), ',')
+       |    AS members,
+       |  max(CASE WHEN doc_id = cluster_id THEN n_tokens END) AS keeper_tokens,
+       |  CAST(SUM(n_tokens) AS BIGINT) -
+       |    max(CASE WHEN doc_id = cluster_id THEN n_tokens END) AS tokens_saved
+       |FROM labeled
+       |GROUP BY cluster_id
+       |HAVING COUNT(*) >= 2
+       |ORDER BY cluster_id""".stripMargin
+
   /** The merged-ANN fixture behind l72: the corpus vectors (vec_id >=
     * 10) split into a base snapshot (vec_id % 9 != 5) indexed by
     * [[VectorIndex.buildIvf]] and a later delta (vec_id % 9 == 5)
@@ -4882,7 +4950,8 @@ object LlmQueries {
     "l70_source_dup_flow" -> qSourceDupFlow _,
     "l71_merge_parity" -> qMergeParity _,
     "l72_ann_merge_parity" -> qAnnMergeParity _,
-    "l73_drift_gate" -> qDriftGate _
+    "l73_drift_gate" -> qDriftGate _,
+    "l74_dedup_provenance" -> qDedupProvenance _
   )
 
   val oracles: Map[String, String] = Map(
@@ -4958,6 +5027,7 @@ object LlmQueries {
     "l70_source_dup_flow" -> qSourceDupFlowSql,
     "l71_merge_parity" -> qMergeParitySql,
     "l72_ann_merge_parity" -> qAnnMergeParitySql,
-    "l73_drift_gate" -> qDriftGateSql
+    "l73_drift_gate" -> qDriftGateSql,
+    "l74_dedup_provenance" -> qDedupProvenanceSql
   )
 }
