@@ -281,38 +281,9 @@ object DedupIndex {
     * swap is the single-filesystem stand-in for `FileSystem.rename` on
     * HDFS-compatible stores.
     */
-  def compact(spark: SparkSession, indexDir: String, targetFiles: Int = 8): Unit = {
-    val stages = Seq("signatures", "bands", "pairs", "shingle_sets")
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
-      f.delete(): Unit
-    }
-    stages.foreach { stage =>
-      val df = spark.read.parquet(s"$indexDir/$stage")
-      // Directory-partition columns present in THIS index's layout —
-      // batch_id before bp mirrors the streamed fold's nesting order.
-      val parts = Seq("batch_id", "bp").filter(df.columns.contains)
-      val deduped = df.distinct()
-      val refiled =
-        if (parts.nonEmpty)
-          // Hash-cluster on the partition keys: each output directory
-          // is then written by exactly one task → one file per dir.
-          deduped.repartition(parts.map(col): _*)
-            .write.mode(SaveMode.Overwrite).partitionBy(parts: _*)
-        else
-          deduped.repartition(targetFiles)
-            .write.mode(SaveMode.Overwrite)
-      refiled.parquet(s"$indexDir/_compact/$stage")
-    }
-    stages.foreach { stage =>
-      val live = new java.io.File(s"$indexDir/$stage")
-      val staged = new java.io.File(s"$indexDir/_compact/$stage")
-      rmrf(live)
-      require(staged.renameTo(live), s"compact swap failed for $stage")
-    }
-    rmrf(new java.io.File(s"$indexDir/_compact"))
-    rmrf(new java.io.File(s"$indexDir/_merges"))
-  }
+  def compact(spark: SparkSession, indexDir: String, targetFiles: Int = 8): Unit =
+    IndexMaintenance.compactStages(spark, indexDir,
+      Seq("signatures", "bands", "pairs", "shingle_sets"), targetFiles)
 
   /** Banded keys (doc_id, band, bkey, bp) of a (doc_id, text) frame —
     * the exact frame `build` persists under `bands/`, exposed so

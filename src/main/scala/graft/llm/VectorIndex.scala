@@ -136,6 +136,30 @@ object VectorIndex {
     marker.foreach { m => m.getParentFile.mkdirs(); m.createNewFile(); () }
   }
 
+  /** COMPACT a persisted IVF index in place — [[DedupIndex.compact]]'s
+    * maintenance discipline applied to the embedding side. Every
+    * [[mergeIvf]] appends one file generation into each touched `c_id=`
+    * list (a year of daily deltas multiplies search I/O planning cost
+    * per list), and the marker residual window can leave duplicate
+    * rows; the rewrite restores one file per list and exact-set
+    * contents. The bounded `centroids` artifact is overwrite-only and
+    * never grows, so it is left untouched. A streamed index's
+    * `batch_id=N/c_id=M` layout ([[graft.streaming.VecStream]]) is
+    * preserved. Merge markers are cleared — a replayed old mergeId
+    * afterwards fails loudly on the id-overlap guard.
+    */
+  def compactIvf(spark: SparkSession, indexDir: String,
+      targetFiles: Int = 8): Unit =
+    IndexMaintenance.compactStages(spark, indexDir, Seq("lists"), targetFiles)
+
+  /** [[compactIvf]] for the PQ artifacts: rewrites `pq_codes` distinct
+    * into O(targetFiles) files (the codebook, like the IVF centroids,
+    * is bounded and overwrite-only). Clears merge markers.
+    */
+  def compactPq(spark: SparkSession, indexDir: String,
+      targetFiles: Int = 8): Unit =
+    IndexMaintenance.compactStages(spark, indexDir, Seq("pq_codes"), targetFiles)
+
   /** Search the persisted index: `queries` needs (query_id, embedding);
     * returns (query_id, rank, neighbor_id, cos_x1e6), top-`topk` by
     * exact re-ranked cosine over the `nprobe` nearest lists.

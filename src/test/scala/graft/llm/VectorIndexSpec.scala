@@ -141,6 +141,65 @@ class VectorIndexSpec extends SparkSpec {
     }
   }
 
+  test("compactIvf/compactPq: search parity, one file per list, markers cleared") {
+    val dir = Files.createTempDirectory("ivfcompact").toString
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = embs.where($"vec_id" <= 200)
+    val delta = embs.where($"vec_id" > 200)
+    VectorIndex.buildIvf(base, s"$dir/idx")
+    VectorIndex.mergeIvf(spark, s"$dir/idx", delta, mergeId = Some("d1"))
+    VectorIndex.buildPq(base, s"$dir/idx")
+    VectorIndex.mergePq(spark, s"$dir/idx", delta, mergeId = Some("p1"))
+    val queries = embs.where($"vec_id" % 97 === 11)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def ivfHits() = VectorIndex.searchIvf(spark, s"$dir/idx", queries, 2, 5)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    def pqHits() = VectorIndex.searchPq(spark, s"$dir/idx", queries, 5)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    // capture the duplicate-free answers FIRST: compaction must restore
+    // them after the at-least-once residual corrupts the layout
+    val wantIvf = ivfHits(); val wantPq = pqHits()
+    // the residual: one stage's append replayed after its commit
+    // (duplicate full rows in lists and pq_codes)
+    for (stage <- Seq("lists", "pq_codes")) {
+      val dup = spark.read.parquet(s"$dir/idx/$stage").limit(5).collect()
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(dup.toIndexedSeq),
+          spark.read.parquet(s"$dir/idx/$stage").schema)
+        .write.mode("append")
+        .partitionBy(spark.read.parquet(s"$dir/idx/$stage").schema
+          .fieldNames.filter(Set("c_id")): _*)
+        .parquet(s"$dir/idx/$stage")
+    }
+    val nLists = spark.read.parquet(s"$dir/idx/lists").count()
+    val nCodes = spark.read.parquet(s"$dir/idx/pq_codes").count()
+    assert(nLists == embs.count() + 5 && nCodes == 4 * embs.count() + 5,
+      "fixture failed to plant duplicate rows")
+
+    VectorIndex.compactIvf(spark, s"$dir/idx", targetFiles = 4)
+    VectorIndex.compactPq(spark, s"$dir/idx", targetFiles = 4)
+
+    assert(spark.read.parquet(s"$dir/idx/lists").count() == embs.count(),
+      "duplicate list rows survived compaction")
+    assert(spark.read.parquet(s"$dir/idx/pq_codes").count() == 4 * embs.count(),
+      "duplicate code rows survived compaction")
+    assert(ivfHits() == wantIvf, "IVF search drifted under compaction")
+    assert(pqHits() == wantPq, "PQ search drifted under compaction")
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val listDirs = new java.io.File(s"$dir/idx/lists").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("c_id="))
+    assert(listDirs.nonEmpty, "compaction lost the c_id= list layout")
+    assert(listDirs.forall(d => parquetFiles(d.getPath) == 1),
+      "a c_id= list holds more than one file after compaction")
+    assert(parquetFiles(s"$dir/idx/pq_codes") <= 4, "pq_codes files not bounded")
+    assert(!new java.io.File(s"$dir/idx/_merges").exists(), "_merges not cleared")
+    // replaying an old mergeId now fails loudly on the overlap guard
+    intercept[IllegalArgumentException] {
+      VectorIndex.mergeIvf(spark, s"$dir/idx", delta, mergeId = Some("d1"))
+    }
+  }
+
   test("search prunes unprobed list partitions via dynamic partition pruning") {
     val dir = Files.createTempDirectory("ivfdpp").toString
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
