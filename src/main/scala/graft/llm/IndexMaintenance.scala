@@ -16,10 +16,12 @@ private[graft] object IndexMaintenance {
   /** Directory-partition columns an index layout may carry, in their
     * nesting order: the streamed folds put `batch_id=` outermost
     * (DocStream: `bands/batch_id=N/bp=X`; VecStream:
-    * `lists/batch_id=N/c_id=M`), batch layouts use `bp=` (dedup bands)
-    * or `c_id=` (IVF lists) alone.
+    * `lists/batch_id=N/c_id=M`; MediaStream: `bands/batch_id=N/bv=X`),
+    * batch layouts use `bp=` (dedup bands) or `c_id=` (IVF lists)
+    * alone. The inner columns never co-occur, so one ordered list
+    * covers every layout.
     */
-  private val PartitionCols = Seq("batch_id", "bp", "c_id")
+  private val PartitionCols = Seq("batch_id", "bp", "bv", "c_id")
 
   /** Rewrite each stage directory DISTINCT into O(targetFiles) files
     * (one file per partition directory when the stage is

@@ -120,4 +120,20 @@ object MediaStream {
   /** Read the accumulated fingerprint index (all batch partitions). */
   def fingerprints(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/fps")
+
+  /** COMPACT the accumulated fold layout between runs —
+    * [[graft.llm.DedupIndex.compact]]'s maintenance discipline applied
+    * to the media index: a long-running fold accretes one file set per
+    * micro-batch under `fps/batch_id=N` and `bands/batch_id=N/bv=X`,
+    * and probe planning pays per file. The rewrite is
+    * content-preserving and keeps the `batch_id=` replay partitions, so
+    * a fold resumed afterwards still overwrites its own partition on a
+    * crash replay. Run it with the stream STOPPED (between ingest
+    * runs): compacting concurrently with an in-flight batch write
+    * races the swap.
+    */
+  def compactIndex(spark: SparkSession, indexDir: String,
+      targetFiles: Int = 8): Unit =
+    graft.llm.IndexMaintenance.compactStages(spark, indexDir,
+      Seq("fps", "bands"), targetFiles)
 }

@@ -83,6 +83,31 @@ class MediaStreamSpec extends SparkSpec {
     MediaStream.ingestBatch(b1, dir, 1L)
     assert(MediaStream.fingerprints(spark, dir).count() == expected.size,
       "replay changed the index")
+
+    // between-runs compaction: consumers unchanged, batch_id= replay
+    // partitions preserved, per-partition file count collapsed to one
+    MediaStream.compactIndex(spark, dir)
+    val compacted = MediaStream.fingerprints(spark, dir)
+      .select($"media_id", $"fp").as[(Long, Long)].collect()
+    assert(compacted.length == expected.size, "compaction changed row count")
+    compacted.foreach { case (id, fp) =>
+      assert(fp == expected(id), s"compaction drifted asset $id")
+    }
+    assert(MediaQueries.hammingPairsOf(
+        MediaStream.fingerprints(spark, dir).select($"media_id", $"fp"))
+      .as[(Long, Long, Long)].collect().toSet == batchPairs,
+      "pair consumers drifted under compaction")
+    val fpDirs = new java.io.File(s"$dir/fps").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(fpDirs.map(_.getName).sorted.toSeq ==
+      Seq("batch_id=0", "batch_id=1"), "fps batch_id= dirs not preserved")
+    assert(fpDirs.forall(d => d.listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet")) == 1),
+      "a fps batch partition holds more than one file after compaction")
+    // the preserved layout still honors the fold's replay discipline
+    MediaStream.ingestBatch(b1, dir, 1L)
+    assert(MediaStream.fingerprints(spark, dir).count() == expected.size,
+      "post-compact replay changed the index")
   }
 
   test("streaming source end-to-end via foreachBatch") {
