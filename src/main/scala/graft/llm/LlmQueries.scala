@@ -4794,6 +4794,141 @@ object LlmQueries {
        |HAVING COUNT(*) >= 2
        |ORDER BY cluster_id""".stripMargin
 
+  // ------------------------------------------------- banding parameter sweep
+  /** l75: LSH banding parameter SWEEP — the re-banding decision table.
+    * The signatures artifact is re-bandable under a new (bands × rows)
+    * tradeoff WITHOUT touching the corpus (the [[DedupIndex]] layout's
+    * headline claim); this query is the measurement that decision
+    * consumes: for each candidate scheme — 1×16 (exact-ish), 2×8 (the
+    * production banding), 4×4 (recall-leaning, threshold ≈ 0.71) —
+    * how many candidate pairs would banding emit, how many of them the
+    * sketch itself calls high-similarity (>= 13 of 16 matching lanes —
+    * the MinHash estimate of J >= 0.8, measured in the sketch's own
+    * space because that IS what a banding can deliver; l41 holds the
+    * exact-Jaccard bar for the production scheme), and does the scheme
+    * still catch the known-true planted duplicates. Candidates grow
+    * with the band count exactly as the S-curve predicts while the
+    * high-similarity count stays flat — the table quantifies the
+    * precision cost of each recall step before anyone re-bands a
+    * production index. (Scoring candidates against the full shingle
+    * sets was the first formulation; at a 4x4 banding the candidate
+    * volume made those array intersections the whole query's cost —
+    * lane agreement is 16 integer compares per pair.)
+    *
+    * The sweep runs on a bounded AUDIT subset (doc_id % 13 == 3 —
+    * the l54 recall-audit discipline): every join is audit×corpus,
+    * never corpus×corpus, so a finer-than-production scheme cannot
+    * explode the sweep itself at 100 TB — the corpus side stays the
+    * sharded banded table, probed by equi-join.
+    *
+    * Scale shape: signatures read once from the persisted artifact and
+    * ALL schemes ride one fused pipeline — a single scheme-tagged
+    * banding projection (row-local), ONE audit-bounded bucket
+    * equi-join on (scheme, band, bkey), two narrow joins back to the
+    * 17-column signature table, and one groupBy(scheme) aggregate.
+    * (The first formulation ran the pipeline per scheme; three rounds
+    * of fixed per-job floors dominated a 3-row query — the m09
+    * lesson.) Output: 3 rows.
+    */
+  def qBandingSweep(s: SparkSession, d: String): DataFrame = {
+    val sigs = DedupIndex.signatures(s, sharedIndexDir(s, d))
+    val isAudit = (c: Column) => c % 13 === 3
+    val truth = docs(s, d).where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 100000L).as("doc_b"))
+      .where(isAudit(col("doc_a")) || isAudit(col("doc_b")))
+    val bandKeys = Seq((1, 16), (2, 8), (4, 4)).flatMap { case (nb, rpb) =>
+      (0 until nb).map { b =>
+        val cols = (rpb * b until rpb * (b + 1)).map(j => col(s"sig$j").cast("string"))
+        struct(lit(nb.toLong).as("nb"), lit(b).as("band"),
+          md5(concat_ws("|", cols: _*)).as("bkey"))
+      }
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.nb").as("nb"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = banded.where(isAudit(col("doc_id")))
+      .select(col("nb"), col("band"), col("bkey"), col("doc_id").as("qd"))
+      .join(banded.select(col("nb"), col("band"), col("bkey"),
+        col("doc_id").as("od")), Seq("nb", "band", "bkey"))
+      .where(col("qd") =!= col("od"))
+      .select(col("nb"), least(col("qd"), col("od")).as("doc_a"),
+        greatest(col("qd"), col("od")).as("doc_b"))
+      .distinct()
+      // consumed twice (scoring + truth probe); audit-bounded and
+      // narrow, so an eager localCheckpoint (the CC discipline) beats
+      // recomputing the bucket join per consumer
+      .localCheckpoint()
+    val laneMatch = (0 until NumHashes).map(j =>
+      when(col(s"xa.sig$j") === col(s"xb.sig$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val counts = cand
+      .join(sigs.as("xa"), col("doc_a") === col("xa.doc_id"))
+      .join(sigs.as("xb"), col("doc_b") === col("xb.doc_id"))
+      .select(col("nb"), (laneMatch >= lit(13L)).as("is_high"))
+      .groupBy("nb").agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("is_high"), 1L).otherwise(0L)).as("n_high"))
+    val caught = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy("nb").agg(count(lit(1)).as("n_true_caught"))
+    val truthN = truth.agg(count(lit(1)).as("n_true_audit"))
+    counts
+      .join(caught, Seq("nb"), "left")
+      .crossJoin(truthN)
+      .select(col("nb").as("n_bands"),
+        expr("16 div nb").as("rows_per_band"),
+        col("n_candidates"), col("n_high"), col("n_true_audit"),
+        coalesce(col("n_true_caught"), lit(0L)).as("n_true_caught"))
+      .orderBy("n_bands")
+  }
+  val qBandingSweepSql: String = {
+    val laneMatchSql = (0 until NumHashes)
+      .map(j => s"CASE WHEN a.sig$j = b.sig$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val schemeCtes = Seq((1, 16), (2, 8), (4, 4)).map { case (nb, rpb) =>
+      val bands = (0 until nb).map { b =>
+        val cat = (rpb * b until rpb * (b + 1))
+          .map(j => s"CAST(sig$j AS VARCHAR)").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS bkey FROM sigs"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""banded$nb AS (
+         |  $bands),
+         |cand$nb AS (
+         |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+         |    greatest(a.doc_id, b.doc_id) AS doc_b
+         |  FROM banded$nb a JOIN banded$nb b
+         |    ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.doc_id % 13 = 3 AND a.doc_id <> b.doc_id),
+         |judged$nb AS (
+         |  SELECT ($laneMatchSql) >= 13 AS is_high
+         |  FROM cand$nb p
+         |  JOIN sigs a ON p.doc_a = a.doc_id
+         |  JOIN sigs b ON p.doc_b = b.doc_id),
+         |row$nb AS (
+         |  SELECT CAST($nb AS BIGINT) AS n_bands,
+         |    CAST($rpb AS BIGINT) AS rows_per_band,
+         |    (SELECT COUNT(*) FROM judged$nb) AS n_candidates,
+         |    (SELECT CAST(COALESCE(SUM(CASE WHEN is_high THEN 1 ELSE 0 END), 0)
+         |       AS BIGINT) FROM judged$nb) AS n_high,
+         |    (SELECT COUNT(*) FROM truth) AS n_true_audit,
+         |    (SELECT COUNT(*) FROM truth t WHERE EXISTS (
+         |       SELECT 1 FROM cand$nb c
+         |       WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b)) AS n_true_caught)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $docsWithDupsSql,
+       |${sigsSqlCtes("dd")},
+       |truth AS (
+       |  SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b
+       |  FROM documents
+       |  WHERE doc_id % 10 = 0
+       |    AND (doc_id % 13 = 3 OR (doc_id + 100000) % 13 = 3)),
+       |$schemeCtes
+       |SELECT * FROM row1
+       |UNION ALL SELECT * FROM row2
+       |UNION ALL SELECT * FROM row4
+       |ORDER BY n_bands""".stripMargin
+  }
+
   /** The merged-ANN fixture behind l72: the corpus vectors (vec_id >=
     * 10) split into a base snapshot (vec_id % 9 != 5) indexed by
     * [[VectorIndex.buildIvf]] and a later delta (vec_id % 9 == 5)
@@ -4951,7 +5086,8 @@ object LlmQueries {
     "l71_merge_parity" -> qMergeParity _,
     "l72_ann_merge_parity" -> qAnnMergeParity _,
     "l73_drift_gate" -> qDriftGate _,
-    "l74_dedup_provenance" -> qDedupProvenance _
+    "l74_dedup_provenance" -> qDedupProvenance _,
+    "l75_banding_sweep" -> qBandingSweep _
   )
 
   val oracles: Map[String, String] = Map(
@@ -5028,6 +5164,7 @@ object LlmQueries {
     "l71_merge_parity" -> qMergeParitySql,
     "l72_ann_merge_parity" -> qAnnMergeParitySql,
     "l73_drift_gate" -> qDriftGateSql,
-    "l74_dedup_provenance" -> qDedupProvenanceSql
+    "l74_dedup_provenance" -> qDedupProvenanceSql,
+    "l75_banding_sweep" -> qBandingSweepSql
   )
 }
