@@ -798,6 +798,27 @@ class PlanSpec extends SparkSpec {
       s"l72 list scan is not dynamically pruned:\n$p")
   }
 
+  test("l74 provenance rollup is index-served: no signature hashing in the plan") {
+    val p = planOf(LlmQueries.queries("l74_dedup_provenance")(spark, sf))
+    assert(!p.contains("minhash") && !p.contains("md5"),
+      s"l74 recomputes signatures instead of riding the index-served CC labels:\n$p")
+  }
+
+  test("l75 banding sweep scores from the signatures artifact, never re-hashes text") {
+    // the candidate bucket join itself sits behind the eager
+    // localCheckpoint; what the measured plan must show is the audit
+    // restriction and signature-artifact scans (scoring is lane
+    // agreement over the persisted sigs — no md5 anywhere means no
+    // text shingling and no banding recompute in the measured plan)
+    val p = planOf(LlmQueries.queries("l75_banding_sweep")(spark, sf))
+    assert(p.contains("% 13"),
+      s"l75 lost its audit-subset restriction (corpus x corpus sweep):\n$p")
+    assert(p.contains("signatures"),
+      s"l75 no longer scores from the persisted signatures artifact:\n$p")
+    assert(!p.contains("md5"),
+      s"l75 re-hashes text in the measured plan:\n$p")
+  }
+
   test("l31 fingerprints come through the one-pass simhash32 kernel") {
     val p = planOf(LlmQueries.queries("l31_simhash_pairs")(spark, sf))
     assert(p.contains("simhash32"),
