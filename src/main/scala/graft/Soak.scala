@@ -227,6 +227,15 @@ object Soak {
         graft.llm.VectorIndex.buildIvf(embs, s"$dir/ivf"))
       timed(s"${mult}x ivf_merge")(
         graft.llm.VectorIndex.mergeIvf(spark, s"$dir/ivf", deltaEmb))
+      // compaction is the counterpoint in the cost model: merge stays
+      // flat, compact grows ~linearly with the corpus (a distinct +
+      // rewrite per artifact) — the probe documents BOTH slopes so the
+      // maintenance cadence tradeoff (many O(delta) merges per O(corpus)
+      // compact) is measured, not asserted
+      timed(s"${mult}x dedup_compact")(
+        graft.llm.DedupIndex.compact(spark, s"$dir/dd"))
+      timed(s"${mult}x ivf_compact")(
+        graft.llm.VectorIndex.compactIvf(spark, s"$dir/ivf"))
       graft.llm.LlmQueries.deleteRecursively(new java.io.File(dir))
       spark.catalog.clearCache()
       Seq(base, baseEmb, deltaDocs, deltaEmb)
