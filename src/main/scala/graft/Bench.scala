@@ -76,7 +76,7 @@ object Bench {
     "l71_merge_parity" -> 0.4, "l72_ann_merge_parity" -> 0.6,
     "l73_drift_gate" -> 0.5, "l74_dedup_provenance" -> 2.0,
     "l75_banding_sweep" -> 1.8,
-    "m11_shot_boundaries" -> 0.9,
+    "m11_shot_boundaries" -> 0.9, "m13_audio_fingerprint" -> 1.8,
     "m12_paired_dedup" -> 0.5,
     "m07_audio_features" -> 1.0,
     "q35_json" -> 0.4, "q36_map" -> 0.4,

@@ -768,6 +768,82 @@ object MediaQueries {
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
   }
 
+  // ------------------------------------------- audio temporal fingerprint
+  /** m13: audio energy-delta FINGERPRINT + near-dup pairs — the
+    * audio-specific perceptual hash the generic byte-block aHash (m05/
+    * m06) is not: a 16-bit sign-of-delta code over the first 17 frames'
+    * energies (bit i set iff frame i+1 is louder than frame i — the
+    * time-domain reduction of the spectral-band-delta codes real audio
+    * fingerprinters emit), so it keys on the TEMPORAL energy envelope
+    * rather than global byte statistics. Windows are PROPORTIONAL
+    * slices (window j = bytes [j·n/17, (j+1)·n/17) — the aHash16
+    * slicing discipline): duration-normalized, so every bit is
+    * meaningful on every asset. (The first formulation used fixed
+    * 64-byte frames; at the fixture's ~300-byte median payload 12 of
+    * 16 bits were trailing zeros, the fingerprint space collapsed,
+    * and a quarter of all audio pairs collided — proportional windows
+    * restore full 16-bit discrimination.) Pairs are mined with the
+    * m06 machinery: 2×8-bit pigeonhole bands, hamming <= 1 verified
+    * by xor + bit_count.
+    *
+    * Scale shape: the fingerprint is ENTIRELY row-local — 17
+    * codegen'd energy folds over payload slices (two passes over the
+    * payload in total), no explode, no aggregate — and the banded
+    * self-join is never all-pairs. Output: the hamming<=1 pair list.
+    */
+  def qAudioFingerprint(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.BinaryFunctions.byteEnergy
+    val n = length(col("payload"))
+    def winEnergy(j: Int): Column = {
+      val lo = floor(lit(j) * n / 17).cast("int")
+      val hi = floor(lit(j + 1) * n / 17).cast("int")
+      byteEnergy(col("payload").substr(lo + 1, hi - lo), 96)
+    }
+    val fp = (0 until 16).map(i =>
+      when(winEnergy(i + 1) > winEnergy(i), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    hammingPairsOf(mediaWithDups(s, d)
+        .where(col("kind") === "audio")
+        .select(col("media_id"), fp.as("fp")))
+      .orderBy("media_a", "media_b")
+  }
+  val qAudioFingerprintSql: String = {
+    def energySql(j: Int): String =
+      s"CAST(coalesce(list_sum(list_transform(" +
+        s"generate_series((($j * n) // 17) + 1, ((${j + 1} * n) // 17)), " +
+        "i -> (ascii(substring(text,i,1)) - 96)" +
+        " * (ascii(substring(text,i,1)) - 96))), 0) AS BIGINT)"
+    val bitSum = (0 until 16).map(i =>
+      s"""CASE WHEN ${energySql(i + 1)} >
+         |      ${energySql(i)}
+         |  THEN CAST(${1L << i} AS BIGINT) ELSE 0 END""".stripMargin)
+      .mkString(" +\n  ")
+    s"""WITH $mediaSql,
+       |mm AS (
+       |  SELECT media_id, kind, text, n FROM media
+       |  UNION ALL
+       |  SELECT media_id + 100000 AS media_id, kind, text, n
+       |  FROM media WHERE media_id % 10 = 0),
+       |afps AS (
+       |  SELECT media_id,
+       |  $bitSum AS fp
+       |  FROM mm WHERE kind = 'audio'),
+       |abanded AS (
+       |  SELECT media_id, fp, band_id, (fp >> (band_id * 8)) & 255 AS bv
+       |  FROM afps CROSS JOIN
+       |    (SELECT unnest(generate_series(0, 1)) AS band_id) b),
+       |acand AS (
+       |  SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
+       |    x.fp AS fp_a, y.fp AS fp_b
+       |  FROM abanded x JOIN abanded y
+       |    ON x.band_id = y.band_id AND x.bv = y.bv
+       |    AND x.media_id < y.media_id)
+       |SELECT media_a, media_b,
+       |  CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+       |FROM acand WHERE bit_count(xor(fp_a, fp_b)) <= 1
+       |ORDER BY media_a, media_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_decode" -> qMediaDecode _,
     "m02_image_resize" -> qImageResize _,
@@ -780,7 +856,8 @@ object MediaQueries {
     "m09_media_clusters" -> qMediaClusters _,
     "m10_format_sniff" -> qFormatSniff _,
     "m11_shot_boundaries" -> qShotBoundaries _,
-    "m12_paired_dedup" -> qPairedDedup _
+    "m12_paired_dedup" -> qPairedDedup _,
+    "m13_audio_fingerprint" -> qAudioFingerprint _
   )
 
   val oracles: Map[String, String] = Map(
@@ -795,6 +872,7 @@ object MediaQueries {
     "m09_media_clusters" -> qMediaClustersSql,
     "m10_format_sniff" -> qFormatSniffSql,
     "m11_shot_boundaries" -> qShotBoundariesSql,
-    "m12_paired_dedup" -> qPairedDedupSql
+    "m12_paired_dedup" -> qPairedDedupSql,
+    "m13_audio_fingerprint" -> qAudioFingerprintSql
   )
 }
