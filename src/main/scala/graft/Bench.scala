@@ -77,6 +77,7 @@ object Bench {
     "l73_drift_gate" -> 0.5, "l74_dedup_provenance" -> 2.0,
     "l75_banding_sweep" -> 1.8,
     "m11_shot_boundaries" -> 0.9, "m13_audio_fingerprint" -> 1.8,
+    "m14_keyframes" -> 0.9,
     "m12_paired_dedup" -> 0.5,
     "m07_audio_features" -> 1.0,
     "q35_json" -> 0.4, "q36_map" -> 0.4,

@@ -667,26 +667,8 @@ object MediaQueries {
     * window is PARTITIONED BY media_id (never global), output is one
     * row per video asset.
     */
-  def qShotBoundaries(s: SparkSession, d: String): DataFrame = {
-    val n = length(col("payload"))
-    val nFrames = ((n + 31) / 32).cast("long")
-    val frame = col("payload").substr(col("f").cast("int") * 32 + 1, lit(32))
-    val sums = MediaOps.mediaTable(s, d)
-      .where(col("kind") === "video")
-      .select(col("media_id"), col("payload"), nFrames.as("nf"))
-      .withColumn("f", explode(sequence(lit(0L), col("nf") - 1)))
-      .select(col("media_id"), col("nf"), col("f"), byteSum(frame).as("s"))
-    val wOrd = org.apache.spark.sql.expressions.Window
-      .partitionBy("media_id").orderBy("f")
-    val flagged = sums
-      .withColumn("prev", lag(col("s"), 1).over(wOrd))
-      .withColumn("cut",
-        when(col("prev").isNotNull &&
-          abs(col("s") - col("prev")) * 10 >= greatest(col("prev"), lit(1L)),
-          1L).otherwise(0L))
-      .withColumn("shot_id", sum(col("cut")).over(
-        wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-    flagged
+  def qShotBoundaries(s: SparkSession, d: String): DataFrame =
+    videoShotFrames(s, d)
       .groupBy(col("media_id"), col("shot_id"))
       .agg(max(col("nf")).as("nf"), count(lit(1)).as("shot_len"))
       .groupBy(col("media_id"))
@@ -694,7 +676,101 @@ object MediaQueries {
         count(lit(1)).as("n_shots"),
         max(col("shot_len")).as("longest_shot"))
       .orderBy("media_id")
+
+  /** The shared per-frame shot chain behind m11 and m14: one row per
+    * (video, frame) carrying the byte-sum signal, the frame energy, and
+    * the gaps-and-islands `shot_id`. Both signals come from the same
+    * codegen'd fold family; a consumer that ignores one (m11 never
+    * reads `energy`) pays nothing for it — Catalyst prunes the unused
+    * projection.
+    */
+  private def videoShotFrames(s: SparkSession, d: String): DataFrame = {
+    val n = length(col("payload"))
+    val nFrames = ((n + 31) / 32).cast("long")
+    val frame = col("payload").substr(col("f").cast("int") * 32 + 1, lit(32))
+    val sums = MediaOps.mediaTable(s, d)
+      .where(col("kind") === "video")
+      .select(col("media_id"), col("payload"), nFrames.as("nf"))
+      .withColumn("f", explode(sequence(lit(0L), col("nf") - 1)))
+      .select(col("media_id"), col("nf"), col("f"), byteSum(frame).as("s"),
+        graft.functions.BinaryFunctions.byteEnergy(frame, 96).as("energy"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("f")
+    sums
+      .withColumn("prev", lag(col("s"), 1).over(wOrd))
+      .withColumn("cut",
+        when(col("prev").isNotNull &&
+          abs(col("s") - col("prev")) * 10 >= greatest(col("prev"), lit(1L)),
+          1L).otherwise(0L))
+      .withColumn("shot_id", sum(col("cut")).over(
+        wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
   }
+
+  // ------------------------------------------------- keyframe selection
+  /** m14: per-shot KEYFRAME selection — the step m11's cut list exists
+    * to feed: every shot contributes its single representative frame
+    * (the training-data sampling unit for video: one frame per shot
+    * beats every-Nth-frame because it never skips a short shot and
+    * never double-samples a static one). The key frame is the shot's
+    * peak-ENERGY frame via the m07 composite-BIGINT argmax
+    * (`energy·4096 + (4095 − f)` — max picks highest energy, ties
+    * break to the EARLIEST frame, engine-exact by construction).
+    * Output: one row per (video, shot) with the shot's extent and its
+    * keyframe index + energy — the frame-extraction work list a decode
+    * stage would consume.
+    *
+    * Scale shape: the shared [[videoShotFrames]] chain (row-local
+    * explode + media-partitioned windows, never a global sort) plus
+    * ONE (media, shot)-keyed hash agg; output is bounded by the total
+    * shot count.
+    */
+  def qKeyframes(s: SparkSession, d: String): DataFrame =
+    videoShotFrames(s, d)
+      .groupBy(col("media_id"), col("shot_id"))
+      .agg(min(col("f")).as("shot_start"),
+        count(lit(1)).as("shot_len"),
+        (lit(4095L) - expr("max(energy * 4096 + (4095 - f)) % 4096")).as("key_frame"),
+        expr("max(energy * 4096 + (4095 - f)) div 4096").as("key_energy"))
+      .orderBy("media_id", "shot_id")
+  val qKeyframesSql: String =
+    s"""WITH $mediaSql,
+       |vids AS (SELECT media_id, text, n, (n + 31) // 32 AS nf
+       |  FROM media WHERE kind = 'video'),
+       |frames AS (
+       |  SELECT media_id, nf, unnest(generate_series(0, nf - 1)) AS f, text, n
+       |  FROM vids),
+       |sums AS (
+       |  SELECT media_id, nf, f,
+       |    ${asciiSumSql("f * 32 + 1", "least((f + 1) * 32, n)")} AS s,
+       |    CAST(coalesce(list_sum(list_transform(
+       |      generate_series(f * 32 + 1, least((f + 1) * 32, n)),
+       |      i -> (ascii(substring(text,i,1)) - 96)
+       |         * (ascii(substring(text,i,1)) - 96))), 0) AS BIGINT) AS energy
+       |  FROM frames),
+       |flagged AS (
+       |  SELECT media_id, f, s, energy,
+       |    lag(s) OVER (PARTITION BY media_id ORDER BY f) AS prev
+       |  FROM sums),
+       |cuts AS (
+       |  SELECT media_id, f, energy,
+       |    CASE WHEN prev IS NOT NULL
+       |      AND abs(s - prev) * 10 >= greatest(prev, 1)
+       |      THEN 1 ELSE 0 END AS cut
+       |  FROM flagged),
+       |shots AS (
+       |  SELECT media_id, f, energy,
+       |    SUM(cut) OVER (PARTITION BY media_id ORDER BY f
+       |      ROWS UNBOUNDED PRECEDING) AS shot_id
+       |  FROM cuts)
+       |SELECT media_id, CAST(shot_id AS BIGINT) AS shot_id,
+       |  CAST(MIN(f) AS BIGINT) AS shot_start,
+       |  COUNT(*) AS shot_len,
+       |  CAST(4095 - (MAX(energy * 4096 + (4095 - f)) % 4096) AS BIGINT)
+       |    AS key_frame,
+       |  CAST(MAX(energy * 4096 + (4095 - f)) // 4096 AS BIGINT) AS key_energy
+       |FROM shots GROUP BY media_id, shot_id
+       |ORDER BY media_id, shot_id""".stripMargin
+
   val qShotBoundariesSql: String =
     s"""WITH $mediaSql,
        |vids AS (SELECT media_id, text, n, (n + 31) // 32 AS nf
@@ -857,7 +933,8 @@ object MediaQueries {
     "m10_format_sniff" -> qFormatSniff _,
     "m11_shot_boundaries" -> qShotBoundaries _,
     "m12_paired_dedup" -> qPairedDedup _,
-    "m13_audio_fingerprint" -> qAudioFingerprint _
+    "m13_audio_fingerprint" -> qAudioFingerprint _,
+    "m14_keyframes" -> qKeyframes _
   )
 
   val oracles: Map[String, String] = Map(
@@ -873,6 +950,7 @@ object MediaQueries {
     "m10_format_sniff" -> qFormatSniffSql,
     "m11_shot_boundaries" -> qShotBoundariesSql,
     "m12_paired_dedup" -> qPairedDedupSql,
-    "m13_audio_fingerprint" -> qAudioFingerprintSql
+    "m13_audio_fingerprint" -> qAudioFingerprintSql,
+    "m14_keyframes" -> qKeyframesSql
   )
 }
