@@ -4929,6 +4929,90 @@ object LlmQueries {
        |ORDER BY n_bands""".stripMargin
   }
 
+  // --------------------------------------------------- packed-seq lineage
+  /** l76: packed-sequence LINEAGE — the provenance join the packing
+    * step (l24) owes the decontamination pass (l16): once documents
+    * are concatenated into fixed 512-token training sequences, a
+    * contamination verdict on a DOCUMENT must resolve to the
+    * SEQUENCES it poisons (the unit a trainer actually drops or
+    * re-packs — sequence neighbors inherit the blast radius because
+    * packing mixes documents). Per (lang, sequence): how many
+    * documents touch it, their token mass, how many are contaminated,
+    * and the poisoned verdict. Benchmark documents themselves
+    * (doc_id % 17 == 3 — l16's eval stand-in) count as contaminated
+    * by definition: eval text inside a training sequence IS the leak.
+    *
+    * Scale shape: l24's per-language prefix sum (never a global
+    * sort), a row-local span explode (fan-out = n_seqs_spanned,
+    * ~1–2), one doc-keyed equi-join against the verdict table, and
+    * one (lang, seq)-keyed hash agg — output is bounded by total
+    * token mass / 512.
+    */
+  def qPackLineage(s: SparkSession, d: String): DataFrame = {
+    val packed = qSequencePacking(s, d)
+    val verdicts = qContamination(s, d)
+      .select(col("doc_id"), col("contaminated"))
+      .unionByName(docs(s, d).where(col("doc_id") % 17 === 3)
+        .select(col("doc_id"), lit(true).as("contaminated")))
+    packed
+      .withColumn("seq_id", explode(sequence(col("first_seq"), col("last_seq"))))
+      .join(verdicts, Seq("doc_id"))
+      .groupBy(col("lang"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("est_tokens")).as("touching_tokens"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+        expr("bool_or(contaminated)").as("poisoned"))
+      .orderBy("lang", "seq_id")
+  }
+  val qPackLineageSql: String =
+    """WITH gr AS (
+      |  SELECT DISTINCT doc_id,
+      |    md5(gram) AS g
+      |  FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(
+      |        generate_series(1, greatest(len(string_split(text, ' ')) - 7, 1)),
+      |        i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')))
+      |        AS gram
+      |    FROM documents)),
+      |bench AS (SELECT DISTINCT g FROM gr WHERE doc_id % 17 = 3),
+      |corpus AS (SELECT * FROM gr WHERE doc_id % 17 <> 3),
+      |totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id),
+      |shared AS (
+      |  SELECT doc_id, COUNT(*) AS n_shared
+      |  FROM corpus WHERE g IN (SELECT g FROM bench)
+      |  GROUP BY doc_id),
+      |verd AS (
+      |  SELECT t.doc_id,
+      |    (COALESCE(s.n_shared, 0) * 20 >= t.n_grams) AS contaminated
+      |  FROM totals t LEFT JOIN shared s ON t.doc_id = s.doc_id
+      |  UNION ALL
+      |  SELECT doc_id, true AS contaminated
+      |  FROM documents WHERE doc_id % 17 = 3),
+      |tok AS (
+      |  SELECT doc_id, lang,
+      |    greatest(1, CAST(ceil(length(text) / 4.0) AS BIGINT)) AS est_tokens
+      |  FROM documents),
+      |ofs AS (
+      |  SELECT doc_id, lang, est_tokens,
+      |    CAST(COALESCE(SUM(est_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_ofs
+      |  FROM tok),
+      |perseq AS (
+      |  SELECT doc_id, lang, est_tokens,
+      |    unnest(generate_series(start_ofs // 512,
+      |      (start_ofs + est_tokens - 1) // 512)) AS seq_id
+      |  FROM ofs)
+      |SELECT p.lang, CAST(p.seq_id AS BIGINT) AS seq_id,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(p.est_tokens) AS BIGINT) AS touching_tokens,
+      |  CAST(SUM(CASE WHEN v.contaminated THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_contaminated,
+      |  bool_or(v.contaminated) AS poisoned
+      |FROM perseq p JOIN verd v ON p.doc_id = v.doc_id
+      |GROUP BY p.lang, p.seq_id
+      |ORDER BY p.lang, seq_id""".stripMargin
+
   /** The merged-ANN fixture behind l72: the corpus vectors (vec_id >=
     * 10) split into a base snapshot (vec_id % 9 != 5) indexed by
     * [[VectorIndex.buildIvf]] and a later delta (vec_id % 9 == 5)
@@ -5087,7 +5171,8 @@ object LlmQueries {
     "l72_ann_merge_parity" -> qAnnMergeParity _,
     "l73_drift_gate" -> qDriftGate _,
     "l74_dedup_provenance" -> qDedupProvenance _,
-    "l75_banding_sweep" -> qBandingSweep _
+    "l75_banding_sweep" -> qBandingSweep _,
+    "l76_pack_lineage" -> qPackLineage _
   )
 
   val oracles: Map[String, String] = Map(
@@ -5165,6 +5250,7 @@ object LlmQueries {
     "l72_ann_merge_parity" -> qAnnMergeParitySql,
     "l73_drift_gate" -> qDriftGateSql,
     "l74_dedup_provenance" -> qDedupProvenanceSql,
-    "l75_banding_sweep" -> qBandingSweepSql
+    "l75_banding_sweep" -> qBandingSweepSql,
+    "l76_pack_lineage" -> qPackLineageSql
   )
 }
