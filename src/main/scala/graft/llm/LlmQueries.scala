@@ -5096,6 +5096,123 @@ object LlmQueries {
        |SELECT query_id, rank, neighbor_id, cos_x1e6
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** The IVF+PQ fixture behind l77: BOTH index halves built over the
+    * corpus (vec_id >= 10) in one directory, once per JVM per data
+    * directory — the serving deployment [[VectorIndex.searchIvfPq]]
+    * assumes.
+    */
+  private val ivfPqDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqDir(s: SparkSession, d: String): String =
+    ivfPqDirs.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-").toString
+      deleteOnExit(tmp)
+      val corpus = embs(s, d).where(col("vec_id") >= 10)
+      VectorIndex.buildIvf(corpus, tmp)
+      VectorIndex.buildPq(corpus, tmp)
+      tmp
+    })
+
+  /** l77: IVF-PQ (IVFADC) top-k — the composed serving layout a
+    * 10⁹-vector index runs ([[VectorIndex.searchIvfPq]]): coarse-
+    * quantizer list pruning (l14's IVF side) bounds which vectors are
+    * scored, asymmetric PQ code distance (l26's quantization side)
+    * bounds what scoring costs — no full-precision corpus embedding
+    * is read at search time. The oracle restates BOTH halves in
+    * closed form (the stride-sampled quantizer and the fixed-window
+    * codebook are both data-derived, so DuckDB materializes the
+    * identical index) and any divergence in assignment, code
+    * selection, ADC table, or ranking hash-mismatches. Scale shape:
+    * the measured query is the serving path itself — broadcast
+    * centroid probe, membership-only pruned list read, broadcast ADC
+    * table, one (query, neighbor)-keyed agg, bounded-heap top-k.
+    */
+  def qIvfPqTopk(s: SparkSession, d: String): DataFrame =
+    VectorIndex.searchIvfPq(s, ivfPqDir(s, d),
+      embs(s, d).where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      nprobe = 4, topk = 5)
+  val qIvfPqTopkSql: String = {
+    def ldot(a: String, b: String) =
+      s"""list_sum(list_transform(generate_series(1, len($a)),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |stride AS (SELECT greatest(37, CAST(ceil(COUNT(*) / 1000.0) AS BIGINT)) AS k
+       |  FROM embeddings WHERE vec_id >= 10),
+       |cent AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS cn
+       |  FROM e WHERE vec_id >= 10
+       |    AND vec_id % (SELECT k FROM stride) = 11),
+       |asg AS (
+       |  SELECT vec_id AS neighbor_id, c_id,
+       |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cc
+       |  FROM e CROSS JOIN cent WHERE vec_id >= 10),
+       |lists AS (
+       |  SELECT neighbor_id, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+       |      ORDER BY cc DESC, c_id ASC) AS r FROM asg)
+       |  WHERE r = 1),
+       |qasg AS (
+       |  SELECT vec_id AS query_id, c_id,
+       |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cc
+       |  FROM e CROSS JOIN cent WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT query_id, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cc DESC, c_id ASC) AS r FROM qasg)
+       |  WHERE r <= 4),
+       |member AS (
+       |  SELECT p.query_id, l.neighbor_id
+       |  FROM probes p JOIN lists l USING (c_id)),
+       |m AS (SELECT unnest(generate_series(0, 3)) AS sub_id),
+       |pcent AS (
+       |  SELECT (vec_id - 10) // 7 AS pc_id, embedding AS pcv
+       |  FROM embeddings
+       |  WHERE vec_id BETWEEN 10 AND 115 AND (vec_id - 10) % 7 = 0),
+       |csub AS (
+       |  SELECT pc_id, sub_id, list_slice(pcv, sub_id*16+1, sub_id*16+16) AS cs
+       |  FROM pcent CROSS JOIN m),
+       |sub AS (
+       |  SELECT vec_id, sub_id,
+       |    list_slice(embedding, sub_id*16+1, sub_id*16+16) AS sv
+       |  FROM embeddings CROSS JOIN m WHERE vec_id >= 10),
+       |cscored AS (
+       |  SELECT s.vec_id, s.sub_id, c.pc_id,
+       |    CAST(floor((${ldot("s.sv", "s.sv")}
+       |      - 2*${ldot("s.sv", "c.cs")}
+       |      + ${ldot("c.cs", "c.cs")}) * 1e6 + 0.5) AS BIGINT) AS d2_x1e6
+       |  FROM sub s JOIN csub c ON s.sub_id = c.sub_id),
+       |codes AS (
+       |  SELECT vec_id, sub_id, pc_id AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+       |      ORDER BY d2_x1e6 ASC, pc_id ASC) AS r FROM cscored)
+       |  WHERE r = 1),
+       |qsub AS (
+       |  SELECT vec_id AS query_id, sub_id,
+       |    list_slice(embedding, sub_id*16+1, sub_id*16+16) AS qs
+       |  FROM embeddings CROSS JOIN m WHERE vec_id < 10),
+       |adc AS (
+       |  SELECT q.query_id, q.sub_id, c.pc_id AS code,
+       |    CAST(floor(${ldot("q.qs", "c.cs")} * 1e6 + 0.5) AS BIGINT) AS ip_part
+       |  FROM qsub q JOIN csub c ON q.sub_id = c.sub_id),
+       |scored AS (
+       |  SELECT mm.query_id, mm.neighbor_id,
+       |    CAST(SUM(a.ip_part) AS BIGINT) AS ip_x1e6
+       |  FROM member mm
+       |  JOIN codes k ON mm.neighbor_id = k.vec_id
+       |  JOIN adc a ON a.query_id = mm.query_id
+       |    AND a.sub_id = k.sub_id AND a.code = k.code
+       |  GROUP BY mm.query_id, mm.neighbor_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ip_x1e6 DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, ip_x1e6
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -5172,7 +5289,8 @@ object LlmQueries {
     "l73_drift_gate" -> qDriftGate _,
     "l74_dedup_provenance" -> qDedupProvenance _,
     "l75_banding_sweep" -> qBandingSweep _,
-    "l76_pack_lineage" -> qPackLineage _
+    "l76_pack_lineage" -> qPackLineage _,
+    "l77_ivfpq_topk" -> qIvfPqTopk _
   )
 
   val oracles: Map[String, String] = Map(
@@ -5251,6 +5369,7 @@ object LlmQueries {
     "l73_drift_gate" -> qDriftGateSql,
     "l74_dedup_provenance" -> qDedupProvenanceSql,
     "l75_banding_sweep" -> qBandingSweepSql,
-    "l76_pack_lineage" -> qPackLineageSql
+    "l76_pack_lineage" -> qPackLineageSql,
+    "l77_ivfpq_topk" -> qIvfPqTopkSql
   )
 }

@@ -193,6 +193,68 @@ object VectorIndex {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ (IVFADC) search — the two persisted index halves composed
+    * into the layout a 10⁹-vector index actually serves (FAISS's
+    * IVFADC): the coarse quantizer prunes to the `nprobe` nearest
+    * inverted lists exactly as [[searchIvf]], but candidates are
+    * scored by ASYMMETRIC PQ distance over the 4-byte code table
+    * instead of full-precision cosine — list pruning bounds the I/O,
+    * code scoring bounds the arithmetic and memory, and NO
+    * full-precision corpus embedding is read at search time (the
+    * pruned lists contribute only their vec_id membership; the list
+    * read projects two columns). Requires both [[buildIvf]] and
+    * [[buildPq]] artifacts under `indexDir`. The membership×codes join
+    * here is a plain keyed shuffle; a 10⁹-vector deployment would
+    * bucket `pq_codes` by the same `c_id` as the lists so the join
+    * co-locates — the layout change is mechanical and the search
+    * plan is unchanged. Returns
+    * (query_id, rank, neighbor_id, ip_x1e6) ranked by the ADC
+    * inner-product surrogate (highest first, id tiebreak).
+    */
+  def searchIvfPq(spark: SparkSession, indexDir: String, queries: DataFrame,
+      nprobe: Int, topk: Int): DataFrame = {
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val q = queries.select(col("query_id"), col("embedding").as("qv"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+    val probes = q.join(broadcast(cent))
+      .select(col("query_id"), col("c_id"),
+        cosQ(col("qv"), col("qn"), col("cv"), col("cn")).as("cc"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cc").desc, col("c_id").asc)))
+      .where(col("r") <= nprobe)
+      .select(col("query_id"), col("c_id"))
+    // membership only: the pruned list read projects (c_id, vec_id)
+    val member = spark.read.parquet(s"$indexDir/lists")
+      .select(col("c_id"), col("vec_id").as("neighbor_id"))
+    val cand = probes.join(member, Seq("c_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    // per-query ADC lookup table: 4x16 inner products against the
+    // broadcast codebook — 64 dots per query, not |corpus| of them
+    val codebook = spark.read.parquet(s"$indexDir/pq_codebook")
+    val qsubs = queries
+      .select(col("query_id"),
+        explode(sequence(lit(0L), lit(3L))).as("sub_id"), col("embedding"))
+      .select(col("query_id"), col("sub_id"),
+        slice(col("embedding"), (col("sub_id") * 16 + 1).cast("int"), lit(16))
+          .as("qs"))
+    val adc = qsubs.join(broadcast(codebook), Seq("sub_id"))
+      .select(col("query_id"), col("sub_id"), col("c_id").as("code"),
+        floor(dot(col("qs"), col("cs")) * 1e6 + 0.5).cast("long").as("ip_part"))
+    val codes = spark.read.parquet(s"$indexDir/pq_codes")
+    val scored = cand
+      .join(codes, col("neighbor_id") === col("vec_id"))
+      .join(broadcast(adc), Seq("query_id", "sub_id", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum("ip_part").as("ip_x1e6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("ip_x1e6").desc, col("neighbor_id").asc)
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(("ip_x1e6", false), ("neighbor_id", true)), topk)
+      .withColumn("rank", row_number().over(w))
+      .select("query_id", "rank", "neighbor_id", "ip_x1e6")
+      .orderBy("query_id", "rank")
+  }
+
   /** Build and persist a product-quantization index (the l26 code
     * assignment made durable): `indexDir/pq_codebook` holds the 4×16
     * per-subspace centroid table (64 rows — broadcast-sized at any
