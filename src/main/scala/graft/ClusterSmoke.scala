@@ -38,7 +38,9 @@ object ClusterSmoke {
     "l64_batch_novelty",  // persisted corpus gram index (round 13)
     "m09_media_clusters", // persisted media fingerprint index + CC loop
     "l71_merge_parity",   // DedupIndex build+merge lifecycle, served pairs
-    "l72_ann_merge_parity" // VectorIndex build+mergeIvf + pruned search
+    "l72_ann_merge_parity", // VectorIndex build+mergeIvf + pruned search
+    "l77_ivfpq_topk",     // composed IVF-PQ serving path (round 13)
+    "m14_keyframes"       // shared shot chain + keyframe argmax (round 13)
   )
 
   def main(args: Array[String]): Unit = {

@@ -352,10 +352,12 @@ object LlmQueries {
     dirs.addAll(mergedIndexDirs.values())
     dirs.addAll(sharedGramDirs.values())
     dirs.addAll(mergedAnnDirs.values())
+    dirs.addAll(ivfPqDirs.values())
     sharedIndexDirs.clear()
     mergedIndexDirs.clear()
     sharedGramDirs.clear()
     mergedAnnDirs.clear()
+    ivfPqDirs.clear()
     dirs.forEach(d => deleteRecursively(new java.io.File(d)))
   }
   private[graft] def deleteOnExit(dir: String): Unit =
