@@ -4641,17 +4641,30 @@ object LlmQueries {
     * artifact and each arriving batch pays only its own scan.
     */
   def qDriftGate(s: SparkSession, d: String): DataFrame = {
-    val bucket = expr("least(size(split(text, ' ')) div 16, 7)").cast("long")
     val reference = docs(s, d).where(col("doc_id") % 4 =!= 1)
-      .select(bucket.as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("ref_n"))
+      .select(col("text"))
     val batch = docs(s, d).where(col("doc_id") % 4 === 1)
-      .select(col("doc_id"),
+      .select(
         when(col("doc_id") % 3 === 0,
           concat(col("text"), lit(" spam spam spam spam spam spam spam spam" +
             " spam spam spam spam spam spam spam spam")))
           .otherwise(col("text")).as("text"))
-      .select(bucket.as("bucket"))
+    driftTable(reference, batch).orderBy("bucket")
+  }
+
+  /** The l73 drift statistic over two arbitrary (text) frames — the
+    * 8-row per-bucket table with the BIGINT basis-point chi-square
+    * `drift_x1e4` and the calibrated `drifted` verdict on every row.
+    * Factored out so the STREAMING ingest gate
+    * ([[graft.streaming.DocStream]]) runs the byte-identical formula
+    * the declared l73 query pins against the DuckDB oracle.
+    */
+  private[graft] def driftTable(refTexts: DataFrame, batchTexts: DataFrame): DataFrame = {
+    val s = refTexts.sparkSession
+    val bucket = expr("least(size(split(text, ' ')) div 16, 7)").cast("long")
+    val reference = refTexts.select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("ref_n"))
+    val batch = batchTexts.select(bucket.as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("batch_n"))
     // all 8 buckets, so both histograms align even when one side is
     // empty in a bucket (a 8-row generated dimension — broadcast)
@@ -4681,12 +4694,14 @@ object LlmQueries {
       // largest at the smallest batch) and the injected spam shift
       // >= 7.1e7, so 2.5e7 sits ~5x above the worst noise and ~3x
       // under the weakest true drift (LlmQueriesSpec pins the control)
-      .withColumn("drifted", col("drift_x1e4") > 25000000L)
+      .withColumn("drifted", col("drift_x1e4") > DriftBarX1e4)
       .select(col("bucket"), col("ref_n"), col("batch_n"),
         col("ref_bp"), col("batch_bp"), col("contrib_x1e4"),
         col("drift_x1e4"), col("drifted"))
-      .orderBy("bucket")
   }
+
+  /** The calibrated l73 drift bar (see [[driftTable]]'s comment). */
+  private[graft] val DriftBarX1e4: Long = 25000000L
   val qDriftGateSql: String =
     """WITH ref AS (
       |  SELECT least(len(string_split(text, ' ')) // 16, 7) AS bucket,

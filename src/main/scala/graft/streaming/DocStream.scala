@@ -61,9 +61,42 @@ object DocStream {
     * the streaming form of [[graft.llm.DedupIndex.merge]].
     */
   def ingestBatch(batch: DataFrame, corpusDir: String, batchId: Long,
-      nearDupIndexDir: Option[String] = None): Unit = {
+      nearDupIndexDir: Option[String] = None,
+      driftGate: Boolean = false): Unit = {
     val spark = batch.sparkSession
-    val keyed = batch
+    // Distribution-drift gate (the l73 statistic run INSIDE the fold —
+    // TFDV's "validate before you commit" posture): the arriving
+    // batch's token-count histogram is compared against the HELD
+    // corpus (excluding this batch's own partition, so a replay sees
+    // the same reference and reaches the same verdict), and a drifted
+    // batch is rejected WHOLE — a broken crawler or a spam flood
+    // should not grow the corpus or the dedup index at all. The
+    // verdict is recorded under `_gate/batch_id=N` (underscore dirs
+    // are invisible to the corpus read) with mode=overwrite, so the
+    // gate log is replay-idempotent too. The first batch is ungated —
+    // there is no reference distribution to drift FROM. The statistic
+    // is an 8-row bounded frame; collecting it is O(1).
+    val gateRejected: Boolean = driftGate && {
+      val refTexts: Option[DataFrame] =
+        try Some(spark.read.parquet(corpusDir)
+          .where(col("batch_id") =!= batchId).select(col("text")))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      val verdict = refTexts.map { ref =>
+        val row = graft.llm.LlmQueries
+          .driftTable(ref, batch.select(col("text")))
+          .select(col("drift_x1e4"), col("drifted")).limit(1).collect().head
+        (row.getLong(0), row.getBoolean(1))
+      }
+      verdict.foreach { case (stat, rejected) =>
+        spark.range(1).select(
+            lit(stat).as("drift_x1e4"), lit(rejected).as("rejected"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$corpusDir/_gate/batch_id=$batchId")
+      }
+      verdict.exists(_._2)
+    }
+    val gatedBatch = if (gateRejected) batch.where(lit(false)) else batch
+    val keyed = gatedBatch
       .withColumn("h", md5(col("text")))
       .withColumn("norm_key", md5(canon(col("text"))))
     val k1 = keyed.groupBy(col("h")).agg(min("doc_id").as("kid"))
@@ -154,14 +187,19 @@ object DocStream {
 
   /** Run the ingest fold over a streaming document source. */
   def ingest(docs: DataFrame, corpusDir: String,
-      checkpointDir: String, nearDupIndexDir: Option[String] = None): StreamingQuery =
+      checkpointDir: String, nearDupIndexDir: Option[String] = None,
+      driftGate: Boolean = false): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, corpusDir, batchId, nearDupIndexDir)
+        ingestBatch(batch, corpusDir, batchId, nearDupIndexDir, driftGate)
       }
       .start()
+
+  /** Read the gate log (drift statistic + verdict per gated batch). */
+  def gateLog(spark: org.apache.spark.sql.SparkSession, corpusDir: String): DataFrame =
+    spark.read.parquet(s"$corpusDir/_gate")
 
   /** Read the accumulated corpus (all batch partitions). */
   def corpus(spark: org.apache.spark.sql.SparkSession, corpusDir: String): DataFrame =

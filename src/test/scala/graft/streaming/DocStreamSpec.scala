@@ -171,6 +171,49 @@ class DocStreamSpec extends SparkSpec {
       "replay changed the signatures artifact")
   }
 
+  test("drift gate rejects a drifted batch whole; clean batches and replays unaffected") {
+    val dir = Files.createTempDirectory("docstream-gate").toString
+    val corpusDir = s"$dir/corpus"
+    val idxDir = s"$dir/idx"
+    def doc(id: Long, words: Int, salt: String) =
+      (id, (0 until words).map(w => s"w$w$salt${id}").mkString(" "))
+    // reference era: ~10-token documents (bucket 0)
+    val b0 = spark.createDataset(Seq(doc(1, 10, "a"), doc(2, 11, "b"),
+      doc(3, 12, "c"), doc(4, 10, "d"), doc(5, 11, "e"))).toDF("doc_id", "text")
+    // a clean batch from the same distribution
+    val b1 = spark.createDataset(Seq(doc(6, 10, "f"), doc(7, 12, "g"),
+      doc(8, 11, "h"))).toDF("doc_id", "text")
+    // a drifted batch: every document 40+ tokens (bucket 2) — the spam
+    // flood / broken-crawler shape the gate exists to stop
+    val b2 = spark.createDataset(Seq(doc(9, 40, "i"), doc(10, 44, "j"),
+      doc(11, 42, "k"))).toDF("doc_id", "text")
+
+    DocStream.ingestBatch(b0, corpusDir, 0L, Some(idxDir), driftGate = true)
+    DocStream.ingestBatch(b1, corpusDir, 1L, Some(idxDir), driftGate = true)
+    DocStream.ingestBatch(b2, corpusDir, 2L, Some(idxDir), driftGate = true)
+
+    def corpusIds() = DocStream.corpus(spark, corpusDir)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(corpusIds() == (1L to 8L).toSeq,
+      s"gate verdicts wrong: corpus holds ${corpusIds()}")
+    // the rejected batch grew NEITHER the corpus nor the dedup index
+    val sigIds = spark.read.parquet(s"$idxDir/signatures")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(sigIds == (1L to 8L).toSeq, s"index grew on a gated batch: $sigIds")
+    // gate log: batch 0 ungated (no reference), batch 1 clean, batch 2 rejected
+    val log = DocStream.gateLog(spark, corpusDir)
+      .select($"batch_id".cast("long"), $"rejected")
+      .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(log == Seq((1L, false), (2L, true)), s"gate log $log")
+    // replay of the rejected batch: same reference (its own empty
+    // partition is excluded), same verdict, corpus unchanged
+    DocStream.ingestBatch(b2, corpusDir, 2L, Some(idxDir), driftGate = true)
+    assert(corpusIds() == (1L to 8L).toSeq, "replayed gated batch mutated corpus")
+    // replay of a HELD batch under the gate: still a no-op, still held
+    DocStream.ingestBatch(b1, corpusDir, 1L, Some(idxDir), driftGate = true)
+    assert(corpusIds() == (1L to 8L).toSeq, "replayed clean batch mutated corpus")
+  }
+
   test("a replayed batch is a no-op: no duplicates, no data loss") {
     val dir = Files.createTempDirectory("docreplay").toString
     val b0 = Seq((1L, "first doc"), (2L, "second doc")).toDF("doc_id", "text")
