@@ -115,8 +115,13 @@ object ClusterSmoke {
       val b1 = Seq((3L, base), (4L, base.replace("copper pots", "copper pans")),
         (5L, "a genuinely novel third document about mountain weather"))
         .toDF("doc_id", "text")
-      graft.streaming.DocStream.ingestBatch(b0, s"$dir/corpus", 0L, Some(s"$dir/idx"))
-      graft.streaming.DocStream.ingestBatch(b1, s"$dir/corpus", 1L, Some(s"$dir/idx"))
+      // driftGate on: the same-distribution batch must pass the l73
+      // ingest gate (driver-side 8-row collect + _gate write, across
+      // the executor boundary)
+      graft.streaming.DocStream.ingestBatch(b0, s"$dir/corpus", 0L,
+        Some(s"$dir/idx"), driftGate = true)
+      graft.streaming.DocStream.ingestBatch(b1, s"$dir/corpus", 1L,
+        Some(s"$dir/idx"), driftGate = true)
       val ids = graft.streaming.DocStream.corpus(spark, s"$dir/corpus")
         .select(col("doc_id")).as[Long].collect().sorted.toSeq
       val ok = ids == Seq(1L, 2L, 5L)
