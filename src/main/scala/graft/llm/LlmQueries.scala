@@ -353,11 +353,13 @@ object LlmQueries {
     dirs.addAll(sharedGramDirs.values())
     dirs.addAll(mergedAnnDirs.values())
     dirs.addAll(ivfPqDirs.values())
+    dirs.addAll(compactedIndexDirs.values())
     sharedIndexDirs.clear()
     mergedIndexDirs.clear()
     sharedGramDirs.clear()
     mergedAnnDirs.clear()
     ivfPqDirs.clear()
+    compactedIndexDirs.clear()
     dirs.forEach(d => deleteRecursively(new java.io.File(d)))
   }
   private[graft] def deleteOnExit(dir: String): Unit =
@@ -5113,6 +5115,69 @@ object LlmQueries {
        |SELECT query_id, rank, neighbor_id, cos_x1e6
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** The compacted-index fixture behind l78: the l71 merge lifecycle
+    * (base split indexed, delta merged in) FOLLOWED by a planted
+    * at-least-once duplicate append (the crash-retry residual
+    * [[DedupIndex.compact]] exists to remove) and the compaction pass
+    * itself — built once per JVM per data directory. The duplicate is
+    * planted as a re-append of already-committed pair rows — the
+    * residual's observable on-disk state (a genuine retry recomputes
+    * the pairs stage BEFORE the delta bands land, so it re-appends the
+    * identical rows; replaying a COMPLETED merge here instead would
+    * probe against the delta's own appended bands and mint degenerate
+    * self-pairs no crash can produce).
+    */
+  private val compactedIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def compactedIndexDir(s: SparkSession, d: String): String =
+    compactedIndexDirs.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-compacted-").toString
+      deleteOnExit(tmp)
+      val dd = docsWithDups(s, d)
+      val base = dd.where(col("doc_id") % 5 =!= 4)
+      val delta = dd.where(col("doc_id") % 5 === 4)
+      DedupIndex.build(base, tmp)
+      DedupIndex.merge(s, tmp, delta, mergeId = Some("l78-delta"))
+      val pairs = DedupIndex.candidatePairs(s, tmp)
+      val replayed = pairs.limit(25).collect()
+      s.createDataFrame(
+          s.sparkContext.parallelize(replayed.toIndexedSeq), pairs.schema)
+        .write.mode("append").parquet(s"$tmp/pairs")
+      DedupIndex.compact(s, tmp)
+      tmp
+    })
+
+  /** l78: compaction PARITY — [[DedupIndex.compact]] (the periodic
+    * maintenance rewrite that closes the merge lifecycle) under the
+    * driver's cell-hash oracle gate, completing the discipline that
+    * put `merge` under l71: the fixture builds a base index, merges a
+    * delta, PLANTS the documented at-least-once duplicate (a pairs
+    * append replayed past its marker), and compacts; the compacted
+    * index's candidate pairs must equal what a from-scratch build over
+    * the union finds — so a compaction that loses rows, keeps
+    * duplicates (the driver's hash is over ALL cells, so a duplicated
+    * pair row mismatches), or corrupts the layout hash-mismatches.
+    * Scale shape: the measured query reads the compacted pairs
+    * artifact (fixture amortizes across the JVM); the pair-kind
+    * classification is row-local arithmetic.
+    */
+  def qCompactParity(s: SparkSession, d: String): DataFrame = {
+    val kind = (c: Column) => c % 5 === 4
+    DedupIndex.candidatePairs(s, compactedIndexDir(s, d))
+      .select(col("doc_a"), col("doc_b"),
+        when(kind(col("doc_a")) && kind(col("doc_b")), lit("delta"))
+          .when(!kind(col("doc_a")) && !kind(col("doc_b")), lit("corpus"))
+          .otherwise(lit("cross")).as("pair_kind"))
+      .orderBy("doc_a", "doc_b")
+  }
+  val qCompactParitySql: String =
+    s"""WITH $docsWithDupsSql,
+       |$pairsSqlCtes
+       |SELECT doc_a, doc_b,
+       |  CASE WHEN doc_a % 5 = 4 AND doc_b % 5 = 4 THEN 'delta'
+       |       WHEN doc_a % 5 <> 4 AND doc_b % 5 <> 4 THEN 'corpus'
+       |       ELSE 'cross' END AS pair_kind
+       |FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
   /** The IVF+PQ fixture behind l77: BOTH index halves built over the
     * corpus (vec_id >= 10) in one directory, once per JVM per data
     * directory — the serving deployment [[VectorIndex.searchIvfPq]]
@@ -5307,7 +5372,8 @@ object LlmQueries {
     "l74_dedup_provenance" -> qDedupProvenance _,
     "l75_banding_sweep" -> qBandingSweep _,
     "l76_pack_lineage" -> qPackLineage _,
-    "l77_ivfpq_topk" -> qIvfPqTopk _
+    "l77_ivfpq_topk" -> qIvfPqTopk _,
+    "l78_compact_parity" -> qCompactParity _
   )
 
   val oracles: Map[String, String] = Map(
@@ -5387,6 +5453,7 @@ object LlmQueries {
     "l74_dedup_provenance" -> qDedupProvenanceSql,
     "l75_banding_sweep" -> qBandingSweepSql,
     "l76_pack_lineage" -> qPackLineageSql,
-    "l77_ivfpq_topk" -> qIvfPqTopkSql
+    "l77_ivfpq_topk" -> qIvfPqTopkSql,
+    "l78_compact_parity" -> qCompactParitySql
   )
 }
