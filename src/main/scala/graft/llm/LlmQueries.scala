@@ -354,12 +354,14 @@ object LlmQueries {
     dirs.addAll(mergedAnnDirs.values())
     dirs.addAll(ivfPqDirs.values())
     dirs.addAll(compactedIndexDirs.values())
+    dirs.addAll(compactedAnnDirs.values())
     sharedIndexDirs.clear()
     mergedIndexDirs.clear()
     sharedGramDirs.clear()
     mergedAnnDirs.clear()
     ivfPqDirs.clear()
     compactedIndexDirs.clear()
+    compactedAnnDirs.clear()
     dirs.forEach(d => deleteRecursively(new java.io.File(d)))
   }
   private[graft] def deleteOnExit(dir: String): Unit =
@@ -5295,6 +5297,47 @@ object LlmQueries {
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The compacted-ANN fixture behind l79: the l72 merge lifecycle
+    * (same base/delta split, frozen quantizer) followed by a planted
+    * at-least-once duplicate (list rows re-appended as a crash retry
+    * past a merge marker would) and [[VectorIndex.compactIvf]] — built
+    * once per JVM per data directory.
+    */
+  private val compactedAnnDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def compactedAnnDir(s: SparkSession, d: String): String =
+    compactedAnnDirs.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-compacted-ann-")
+        .toString
+      deleteOnExit(tmp)
+      val corpus = embs(s, d).where(col("vec_id") >= 10)
+      VectorIndex.buildIvf(corpus.where(col("vec_id") % 9 =!= 5), tmp)
+      VectorIndex.mergeIvf(s, tmp, corpus.where(col("vec_id") % 9 === 5),
+        mergeId = Some("l79-delta"))
+      val lists = s.read.parquet(s"$tmp/lists")
+      val replayed = lists.limit(25).collect()
+      s.createDataFrame(
+          s.sparkContext.parallelize(replayed.toIndexedSeq), lists.schema)
+        .write.mode("append").partitionBy("c_id").parquet(s"$tmp/lists")
+      VectorIndex.compactIvf(s, tmp)
+      tmp
+    })
+
+  /** l79: ANN compaction PARITY — [[VectorIndex.compactIvf]] under the
+    * driver's cell-hash gate, the vector companion to l78: the l72
+    * merge lifecycle runs, the documented at-least-once duplicate is
+    * planted into the inverted lists, the index is compacted, and the
+    * COMPACTED index is searched with l72's exact parameters — so the
+    * oracle is l72's closed-form statement verbatim (compaction is
+    * content-preserving by contract), and lost vectors, surviving
+    * duplicate list rows (which would double-emit a neighbor and shift
+    * ranks), or a broken c_id= layout all hash-mismatch.
+    */
+  def qAnnCompactParity(s: SparkSession, d: String): DataFrame =
+    VectorIndex.searchIvf(s, compactedAnnDir(s, d),
+      embs(s, d).where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      nprobe = 4, topk = 5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -5373,7 +5416,8 @@ object LlmQueries {
     "l75_banding_sweep" -> qBandingSweep _,
     "l76_pack_lineage" -> qPackLineage _,
     "l77_ivfpq_topk" -> qIvfPqTopk _,
-    "l78_compact_parity" -> qCompactParity _
+    "l78_compact_parity" -> qCompactParity _,
+    "l79_ann_compact_parity" -> qAnnCompactParity _
   )
 
   val oracles: Map[String, String] = Map(
@@ -5454,6 +5498,7 @@ object LlmQueries {
     "l75_banding_sweep" -> qBandingSweepSql,
     "l76_pack_lineage" -> qPackLineageSql,
     "l77_ivfpq_topk" -> qIvfPqTopkSql,
-    "l78_compact_parity" -> qCompactParitySql
+    "l78_compact_parity" -> qCompactParitySql,
+    "l79_ann_compact_parity" -> qAnnMergeParitySql
   )
 }
