@@ -70,7 +70,8 @@ object Bench {
     "l58_cms_heavy" -> 0.8, "l59_contrastive_pairs" -> 0.7,
     "l60_tfidf_cosine" -> 1.5,
     "l61_random_projection" -> 0.7, "l62_int8_quant" -> 0.7,
-    "q66_topk_custom" -> 0.8, "l63_snapshot_diff" -> 0.8, "l64_batch_novelty" -> 1.0, "l65_classifier_filter" -> 0.8, "l66_repeat_spans" -> 1.2, "l67_span_cut" -> 1.5, "m08_byte_entropy" -> 0.6, "m09_media_clusters" -> 1.5,
+    "q66_topk_custom" -> 0.8, "q67_sliding_median" -> 2.4,
+    "l63_snapshot_diff" -> 0.8, "l64_batch_novelty" -> 1.0, "l65_classifier_filter" -> 0.8, "l66_repeat_spans" -> 1.2, "l67_span_cut" -> 1.5, "m08_byte_entropy" -> 0.6, "m09_media_clusters" -> 1.5,
     "l68_bloom_prescreen" -> 1.8, "l69_source_calibration" -> 1.0,
     "l70_source_dup_flow" -> 1.2, "m10_format_sniff" -> 0.7,
     "l71_merge_parity" -> 0.4, "l72_ann_merge_parity" -> 0.6,

@@ -2078,6 +2078,43 @@ object RelationalQueries {
       |FROM r WHERE rn <= 3
       |ORDER BY l_suppkey, rev_cents DESC, l_orderkey, l_linenumber""".stripMargin
 
+  /** q67: trailing-window exact MEDIAN — the robust companion to q37's
+    * trailing sum/count and q65's batch MAD: per event type, the
+    * interpolated (R-7) median of the event-load value over the
+    * trailing hour. The percentile aggregate rides the same
+    * tie-inclusive RANGE frame as q37 (second-collisions are
+    * deterministic), values are small BIGINTs so every interpolation
+    * is a dyadic half — exact in IEEE on both engines, the q57
+    * discipline applied per frame. Scale shape: one window partitioned
+    * by event type — the honest O(frame) percentile state per row;
+    * at volumes where a type's timeline outgrows a task, the scale
+    * path is q40's mergeable percentile_approx sketch per
+    * (type, hour-bucket), for which this query is the exact reference.
+    */
+  def q67SlidingMedian(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events")
+      .withColumn("tsec", expr("unix_micros(cast(ts as timestamp)) div 1000000"))
+      .withColumn("load", ($"event_id" % 100).cast("long"))
+    val w = Window.partitionBy($"event_type").orderBy($"tsec")
+      .rangeBetween(-3600L, Window.currentRow)
+    ev.select($"event_id", $"event_type", $"tsec",
+        count(lit(1)).over(w).as("n_1h"),
+        expr("percentile(load, 0.5D)").over(w).as("med_1h"))
+      .where($"event_id" % 25 === 0)
+      .orderBy("event_id")
+  }
+  val q67Sql: String =
+    """SELECT event_id, event_type, tsec, n_1h, med_1h FROM (
+      |  SELECT event_id, event_type, epoch_us(ts) // 1000000 AS tsec,
+      |    COUNT(*) OVER (PARTITION BY event_type
+      |      ORDER BY epoch_us(ts) // 1000000
+      |      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h,
+      |    quantile_cont(CAST(event_id % 100 AS BIGINT), 0.5) OVER (
+      |      PARTITION BY event_type ORDER BY epoch_us(ts) // 1000000
+      |      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS med_1h
+      |  FROM events)
+      |WHERE event_id % 25 = 0 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -2144,7 +2181,8 @@ object RelationalQueries {
     "q63_abc_class" -> q63AbcClass _,
     "q64_equidepth" -> q64EquiDepth _,
     "q65_mad_outliers" -> q65MadOutliers _,
-    "q66_topk_custom" -> q66TopkCustom _
+    "q66_topk_custom" -> q66TopkCustom _,
+    "q67_sliding_median" -> q67SlidingMedian _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2213,7 +2251,8 @@ object RelationalQueries {
     "q63_abc_class" -> q63Sql,
     "q64_equidepth" -> q64Sql,
     "q65_mad_outliers" -> q65Sql,
-    "q66_topk_custom" -> q66Sql
+    "q66_topk_custom" -> q66Sql,
+    "q67_sliding_median" -> q67Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits
