@@ -77,7 +77,7 @@ object Bench {
     "l71_merge_parity" -> 0.4, "l72_ann_merge_parity" -> 0.6,
     "l73_drift_gate" -> 0.5, "l74_dedup_provenance" -> 2.0,
     "l75_banding_sweep" -> 1.8, "l76_pack_lineage" -> 1.5,
-    "l77_ivfpq_topk" -> 2.2, "l78_compact_parity" -> 0.4,
+    "l77_ivfpq_topk" -> 1.4, "l78_compact_parity" -> 0.4,
     "l79_ann_compact_parity" -> 1.1,
     "m11_shot_boundaries" -> 0.9, "m13_audio_fingerprint" -> 1.8,
     "m14_keyframes" -> 0.9,

@@ -5193,6 +5193,7 @@ object LlmQueries {
       val corpus = embs(s, d).where(col("vec_id") >= 10)
       VectorIndex.buildIvf(corpus, tmp)
       VectorIndex.buildPq(corpus, tmp)
+      VectorIndex.alignPqToLists(s, tmp)
       tmp
     })
 

@@ -193,6 +193,33 @@ object VectorIndex {
       .orderBy("query_id", "rank")
   }
 
+  /** Align the PQ code table with the IVF lists: `pq_codes_by_list`
+    * holds every (vec_id, sub_id, code) row PARTITIONED BY the owning
+    * inverted list's `c_id` — the layout change [[searchIvfPq]]'s
+    * membership×codes join exists to avoid. Once aligned, the IVF-PQ
+    * search reads ONLY the probed lists' code partitions (directory
+    * pruning, exactly like the lists themselves) and skips the
+    * membership join entirely: at 10⁹ vectors the difference between
+    * scanning nprobe/K of the 4-byte codes and all of them.
+    *
+    * This is a MAINTENANCE artifact, rebuilt by the owner after any
+    * [[mergeIvf]]/[[mergePq]] (the compaction cadence) — a stale
+    * aligned table would silently miss vectors merged after it was
+    * written, so growing the index obligates a re-align the same way
+    * it obligates the markers' bookkeeping. [[searchIvfPq]] uses the
+    * aligned layout when present and falls back to the
+    * membership-join plan otherwise.
+    */
+  def alignPqToLists(spark: SparkSession, indexDir: String): Unit = {
+    val member = spark.read.parquet(s"$indexDir/lists")
+      .select(col("vec_id"), col("c_id"))
+    val codes = spark.read.parquet(s"$indexDir/pq_codes")
+    codes.join(member, Seq("vec_id"))
+      .repartition(col("c_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("c_id")
+      .parquet(s"$indexDir/pq_codes_by_list")
+  }
+
   /** IVF-PQ (IVFADC) search — the two persisted index halves composed
     * into the layout a 10⁹-vector index actually serves (FAISS's
     * IVFADC): the coarse quantizer prunes to the `nprobe` nearest
@@ -203,11 +230,11 @@ object VectorIndex {
     * full-precision corpus embedding is read at search time (the
     * pruned lists contribute only their vec_id membership; the list
     * read projects two columns). Requires both [[buildIvf]] and
-    * [[buildPq]] artifacts under `indexDir`. The membership×codes join
-    * here is a plain keyed shuffle; a 10⁹-vector deployment would
-    * bucket `pq_codes` by the same `c_id` as the lists so the join
-    * co-locates — the layout change is mechanical and the search
-    * plan is unchanged. Returns
+    * [[buildPq]] artifacts under `indexDir`. When the
+    * [[alignPqToLists]] maintenance artifact is present, the code
+    * scan itself is pruned to the probed lists' partitions and the
+    * membership join disappears from the plan; otherwise the codes
+    * table joins membership by a plain keyed shuffle. Returns
     * (query_id, rank, neighbor_id, ip_x1e6) ranked by the ADC
     * inner-product surrogate (highest first, id tiebreak).
     */
@@ -223,11 +250,6 @@ object VectorIndex {
         Window.partitionBy("query_id").orderBy(col("cc").desc, col("c_id").asc)))
       .where(col("r") <= nprobe)
       .select(col("query_id"), col("c_id"))
-    // membership only: the pruned list read projects (c_id, vec_id)
-    val member = spark.read.parquet(s"$indexDir/lists")
-      .select(col("c_id"), col("vec_id").as("neighbor_id"))
-    val cand = probes.join(member, Seq("c_id"))
-      .select(col("query_id"), col("neighbor_id"))
     // per-query ADC lookup table: 4x16 inner products against the
     // broadcast codebook — 64 dots per query, not |corpus| of them
     val codebook = spark.read.parquet(s"$indexDir/pq_codebook")
@@ -240,9 +262,28 @@ object VectorIndex {
     val adc = qsubs.join(broadcast(codebook), Seq("sub_id"))
       .select(col("query_id"), col("sub_id"), col("c_id").as("code"),
         floor(dot(col("qs"), col("cs")) * 1e6 + 0.5).cast("long").as("ip_part"))
-    val codes = spark.read.parquet(s"$indexDir/pq_codes")
-    val scored = cand
-      .join(codes, col("neighbor_id") === col("vec_id"))
+    val aligned = new java.io.File(s"$indexDir/pq_codes_by_list/_SUCCESS").isFile
+    val perCode =
+      if (aligned) {
+        // the aligned layout: the probes join keys on the partition
+        // column, so the code scan plans only the probed c_id=
+        // directories and membership needs no second table at all
+        val codesByList = spark.read.parquet(s"$indexDir/pq_codes_by_list")
+        probes.join(codesByList, Seq("c_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("sub_id"), col("code"))
+      } else {
+        // fallback: membership from the pruned lists (two columns),
+        // codes joined by a plain keyed shuffle
+        val member = spark.read.parquet(s"$indexDir/lists")
+          .select(col("c_id"), col("vec_id").as("neighbor_id"))
+        val codes = spark.read.parquet(s"$indexDir/pq_codes")
+        probes.join(member, Seq("c_id"))
+          .select(col("query_id"), col("neighbor_id"))
+          .join(codes, col("neighbor_id") === col("vec_id"))
+          .select(col("query_id"), col("neighbor_id"), col("sub_id"), col("code"))
+      }
+    val scored = perCode
       .join(broadcast(adc), Seq("query_id", "sub_id", "code"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum("ip_part").as("ip_x1e6"))

@@ -200,6 +200,37 @@ class VectorIndexSpec extends SparkSpec {
     }
   }
 
+  test("aligned PQ layout: identical IVF-PQ results, pruned code scan, no membership join") {
+    val dir = Files.createTempDirectory("ivfpqalign").toString
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = embs.where($"vec_id" >= 10)
+    VectorIndex.buildIvf(corpus, s"$dir/idx")
+    VectorIndex.buildPq(corpus, s"$dir/idx")
+    val queries = embs.where($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def hits() = VectorIndex.searchIvfPq(spark, s"$dir/idx", queries, 2, 5)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    val fallback = hits()
+
+    VectorIndex.alignPqToLists(spark, s"$dir/idx")
+
+    // one c_id= directory per inverted list, each written by one task
+    val codeDirs = new java.io.File(s"$dir/idx/pq_codes_by_list").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("c_id="))
+    assert(codeDirs.nonEmpty, "aligned layout has no c_id= partitions")
+    val aligned = hits()
+    assert(aligned == fallback,
+      "aligned-layout IVF-PQ search diverges from the membership-join plan")
+    // the aligned plan reads the aligned artifact and drops both the
+    // full pq_codes scan and the lists membership join
+    val plan = VectorIndex.searchIvfPq(spark, s"$dir/idx", queries, 2, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("pq_codes_by_list"),
+      s"aligned artifact not used:\n$plan")
+    assert(!plan.contains("pq_codes]") && !plan.contains("pq_codes,"),
+      s"aligned search still scans the unaligned codes table:\n$plan")
+  }
+
   test("search prunes unprobed list partitions via dynamic partition pruning") {
     val dir = Files.createTempDirectory("ivfdpp").toString
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
