@@ -252,10 +252,10 @@ object ClusterSmoke {
       val before = pairs()
       graft.llm.DedupIndex.compact(spark, s"$dir/idx", targetFiles = 4)
       val after = pairs()
-      val nFiles = new java.io.File(s"$dir/idx/pairs").listFiles()
-        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      val nFiles = graft.util.Fs.listFiles(spark, s"$dir/idx/pairs")
+        .count(_.endsWith(".parquet"))
       val ok = after == before && after.nonEmpty && nFiles <= 4 &&
-        !new java.io.File(s"$dir/idx/_merges").exists()
+        !graft.util.Fs.exists(spark, s"$dir/idx/_merges")
       if (!ok) failures += 1
       System.err.println(
         s"[cluster-smoke] dedupindex_compact: pairs=${after.size} " +

@@ -64,7 +64,7 @@ object DedupIndex {
   def build(docs: DataFrame, indexDir: String, resume: Boolean = false): Unit = {
     val spark = docs.sparkSession
     def done(stage: String): Boolean =
-      resume && new java.io.File(s"$indexDir/$stage/_SUCCESS").isFile
+      resume && graft.util.Fs.isFile(spark, s"$indexDir/$stage/_SUCCESS")
     if (!done("signatures"))
       LlmQueries.minhashSignatures(docs)
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/signatures")
@@ -191,13 +191,11 @@ object DedupIndex {
     */
   def merge(spark: SparkSession, indexDir: String, delta: DataFrame,
       mergeId: Option[String] = None): Unit = {
-    val markerDir = mergeId.map(id => new java.io.File(s"$indexDir/_merges/$id"))
+    val markerDir = mergeId.map(id => s"$indexDir/_merges/$id")
     def done(stage: String): Boolean =
-      markerDir.exists(d => new java.io.File(d, s"$stage.done").isFile)
-    def commit(stage: String): Unit = markerDir.foreach { d =>
-      d.mkdirs()
-      new java.io.File(d, s"$stage.done").createNewFile(); ()
-    }
+      markerDir.exists(d => graft.util.Fs.isFile(spark, s"$d/$stage.done"))
+    def commit(stage: String): Unit =
+      markerDir.foreach(d => graft.util.Fs.touch(spark, s"$d/$stage.done"))
     if (!done("signatures")) {
       val overlap = delta.select(col("doc_id"))
         .join(signatures(spark, indexDir).select(col("doc_id")), Seq("doc_id"),
@@ -277,9 +275,9 @@ object DedupIndex {
     * Cost is O(corpus) — one distinct + rewrite per artifact — paid at
     * maintenance cadence and amortized over the many O(delta) merges it
     * makes cheap to keep taking. At 100 TB the signatures artifact is
-    * ~100 GB and pairs/bands are banding-bounded; the local `renameTo`
-    * swap is the single-filesystem stand-in for `FileSystem.rename` on
-    * HDFS-compatible stores.
+    * ~100 GB and pairs/bands are banding-bounded; the swap is three
+    * `FileSystem.rename` metadata moves per artifact, valid on HDFS
+    * and local disks alike (see [[IndexMaintenance.compactStages]]).
     */
   def compact(spark: SparkSession, indexDir: String, targetFiles: Int = 8): Unit =
     IndexMaintenance.compactStages(spark, indexDir,

@@ -367,6 +367,11 @@ object LlmQueries {
   private[graft] def deleteOnExit(dir: String): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       deleteRecursively(new java.io.File(dir))))
+  // java.io.File is CORRECT here, unlike the index-lifecycle plumbing
+  // (which goes through graft.util.Fs): these are driver-local
+  // Files.createTempDirectory fixtures, deleted from a JVM shutdown
+  // hook where the SparkSession (and its Hadoop conf) may already be
+  // stopped.
   private[graft] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit

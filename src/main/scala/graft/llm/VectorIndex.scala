@@ -107,9 +107,8 @@ object VectorIndex {
     */
   def mergeIvf(spark: SparkSession, indexDir: String, delta: DataFrame,
       mergeId: Option[String] = None): Unit = {
-    val marker = mergeId.map(id =>
-      new java.io.File(s"$indexDir/_merges/$id/lists.done"))
-    if (marker.exists(_.isFile)) return
+    val marker = mergeId.map(id => s"$indexDir/_merges/$id/lists.done")
+    if (marker.exists(graft.util.Fs.isFile(spark, _))) return
     val overlap = delta.select(col("vec_id"))
       .join(spark.read.parquet(s"$indexDir/lists").select(col("vec_id")),
         Seq("vec_id"), "left_semi")
@@ -129,12 +128,31 @@ object VectorIndex {
           (-col("c_id")).as("nc")).as("k"))
       .groupBy("vec_id").agg(max_by(col("v"), col("k")).as("v"))
       .select(col("vec_id"), col("v.embedding"), col("v.nrm"), col("v.c_id"))
+    // The aligned PQ code table no longer matches the lists the moment
+    // the delta lands, and a stale one serves top-k results that
+    // silently MISS every merged vector — invalidated BEFORE the
+    // append, so a crash at any point leaves searchIvfPq on the
+    // always-correct membership-join fallback until the owner
+    // re-runs alignPqToLists.
+    invalidateAligned(spark, indexDir)
     // task-per-list alignment, as in build — a delta append otherwise
     // scatters up to tasks×lists files into the layout per merge
     assigned.repartition(col("c_id")).write.mode(SaveMode.Append)
       .partitionBy("c_id").parquet(s"$indexDir/lists")
-    marker.foreach { m => m.getParentFile.mkdirs(); m.createNewFile(); () }
+    marker.foreach(graft.util.Fs.touch(spark, _))
   }
+
+  /** Drop the [[alignPqToLists]] maintenance artifact. Every mutation
+    * of the lists or code tables ([[mergeIvf]]/[[mergePq]]/
+    * [[compactIvf]]/[[compactPq]]) calls this BEFORE writing: a stale
+    * aligned table is the one way this index family can serve silently
+    * wrong results (top-k missing merged vectors; compacted-away
+    * duplicate rows double-counting ADC partial sums), so staleness is
+    * made impossible rather than documented — [[searchIvfPq]] falls
+    * back to the membership-join plan until the owner re-aligns.
+    */
+  private def invalidateAligned(spark: SparkSession, indexDir: String): Unit =
+    graft.util.Fs.delete(spark, s"$indexDir/pq_codes_by_list")
 
   /** COMPACT a persisted IVF index in place — [[DedupIndex.compact]]'s
     * maintenance discipline applied to the embedding side. Every
@@ -149,16 +167,24 @@ object VectorIndex {
     * afterwards fails loudly on the id-overlap guard.
     */
   def compactIvf(spark: SparkSession, indexDir: String,
-      targetFiles: Int = 8): Unit =
+      targetFiles: Int = 8): Unit = {
+    // a crashed-merge duplicate row this rewrite removes from the lists
+    // could survive in the aligned code table and double-count that
+    // vector's ADC partial sums — invalidate first (see
+    // [[invalidateAligned]])
+    invalidateAligned(spark, indexDir)
     IndexMaintenance.compactStages(spark, indexDir, Seq("lists"), targetFiles)
+  }
 
   /** [[compactIvf]] for the PQ artifacts: rewrites `pq_codes` distinct
     * into O(targetFiles) files (the codebook, like the IVF centroids,
     * is bounded and overwrite-only). Clears merge markers.
     */
   def compactPq(spark: SparkSession, indexDir: String,
-      targetFiles: Int = 8): Unit =
+      targetFiles: Int = 8): Unit = {
+    invalidateAligned(spark, indexDir)
     IndexMaintenance.compactStages(spark, indexDir, Seq("pq_codes"), targetFiles)
+  }
 
   /** Search the persisted index: `queries` needs (query_id, embedding);
     * returns (query_id, rank, neighbor_id, cos_x1e6), top-`topk` by
@@ -205,10 +231,10 @@ object VectorIndex {
     * This is a MAINTENANCE artifact, rebuilt by the owner after any
     * [[mergeIvf]]/[[mergePq]] (the compaction cadence) — a stale
     * aligned table would silently miss vectors merged after it was
-    * written, so growing the index obligates a re-align the same way
-    * it obligates the markers' bookkeeping. [[searchIvfPq]] uses the
-    * aligned layout when present and falls back to the
-    * membership-join plan otherwise.
+    * written, so every mutation of the lists or code tables DELETES it
+    * ([[invalidateAligned]]): the obligation is enforced, not
+    * documented. [[searchIvfPq]] uses the aligned layout when present
+    * and falls back to the membership-join plan otherwise.
     */
   def alignPqToLists(spark: SparkSession, indexDir: String): Unit = {
     val member = spark.read.parquet(s"$indexDir/lists")
@@ -262,7 +288,8 @@ object VectorIndex {
     val adc = qsubs.join(broadcast(codebook), Seq("sub_id"))
       .select(col("query_id"), col("sub_id"), col("c_id").as("code"),
         floor(dot(col("qs"), col("cs")) * 1e6 + 0.5).cast("long").as("ip_part"))
-    val aligned = new java.io.File(s"$indexDir/pq_codes_by_list/_SUCCESS").isFile
+    val aligned =
+      graft.util.Fs.isFile(spark, s"$indexDir/pq_codes_by_list/_SUCCESS")
     val perCode =
       if (aligned) {
         // the aligned layout: the probes join keys on the partition
@@ -342,9 +369,8 @@ object VectorIndex {
     */
   def mergePq(spark: SparkSession, indexDir: String, delta: DataFrame,
       mergeId: Option[String] = None): Unit = {
-    val marker = mergeId.map(id =>
-      new java.io.File(s"$indexDir/_merges/$id/pq_codes.done"))
-    if (marker.exists(_.isFile)) return
+    val marker = mergeId.map(id => s"$indexDir/_merges/$id/pq_codes.done")
+    if (marker.exists(graft.util.Fs.isFile(spark, _))) return
     val overlap = delta.select(col("vec_id"))
       .join(spark.read.parquet(s"$indexDir/pq_codes").select(col("vec_id")),
         Seq("vec_id"), "left_semi")
@@ -364,10 +390,13 @@ object VectorIndex {
           + dot(col("cs"), col("cs"))) * 1e6 + 0.5).cast("long").as("d2_x1e6"))
     val w = Window.partitionBy("vec_id", "sub_id")
       .orderBy(col("d2_x1e6").asc, col("c_id").asc)
+    // stale-alignment guard, as in mergeIvf: the delta's codes are
+    // about to be missing from any aligned table — drop it first
+    invalidateAligned(spark, indexDir)
     scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
       .select(col("vec_id"), col("sub_id"), col("c_id").as("code"))
       .write.mode(SaveMode.Append).parquet(s"$indexDir/pq_codes")
-    marker.foreach { m => m.getParentFile.mkdirs(); m.createNewFile(); () }
+    marker.foreach(graft.util.Fs.touch(spark, _))
   }
 
   /** Asymmetric-distance (ADC) search over the persisted PQ index: each

@@ -58,11 +58,8 @@ object Warehouse {
       inPath: String,
       outPath: String,
       targetRowsPerFile: Long): (Int, Int) = {
-    def parquetFiles(p: String): Int = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
-    }
+    def parquetFiles(p: String): Int =
+      graft.util.Fs.listFiles(spark, p).count(_.endsWith(".parquet"))
     val before = parquetFiles(inPath)
     val df = spark.read.parquet(inPath)
     val n = df.count()

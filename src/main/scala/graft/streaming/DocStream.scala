@@ -74,13 +74,20 @@ object DocStream {
     // verdict is recorded under `_gate/batch_id=N` (underscore dirs
     // are invisible to the corpus read) with mode=overwrite, so the
     // gate log is replay-idempotent too. The first batch is ungated —
-    // there is no reference distribution to drift FROM. The statistic
-    // is an 8-row bounded frame; collecting it is O(1).
+    // there is no reference distribution to drift FROM — and an EMPTY
+    // reference is treated identically to a missing one: replaying
+    // batch 0 (the crash-recovery case) finds the corpus directory but
+    // filters out its own partition, and gating against those zero
+    // rows would divide by ref_total = 0 instead of being the no-op
+    // idempotency promises. The statistic is an 8-row bounded frame;
+    // collecting it is O(1).
     val gateRejected: Boolean = driftGate && {
       val refTexts: Option[DataFrame] =
-        try Some(spark.read.parquet(corpusDir)
-          .where(col("batch_id") =!= batchId).select(col("text")))
-        catch { case _: org.apache.spark.sql.AnalysisException => None }
+        try {
+          val r = spark.read.parquet(corpusDir)
+            .where(col("batch_id") =!= batchId).select(col("text"))
+          if (r.isEmpty) None else Some(r)
+        } catch { case _: org.apache.spark.sql.AnalysisException => None }
       val verdict = refTexts.map { ref =>
         val row = graft.llm.LlmQueries
           .driftTable(ref, batch.select(col("text")))

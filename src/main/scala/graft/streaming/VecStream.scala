@@ -61,8 +61,14 @@ object VecStream {
       nprobe: Int = 4, dupCosX1e6: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val cent = spark.read.parquet(s"$indexDir/centroids")
+    // In-batch id dedup. The survivor per vec_id must be DETERMINISTIC
+    // (the groupBy key itself can't tiebreak — it is constant within
+    // the group): a replayed batch carrying the same vec_id with
+    // different embeddings has to rewrite its files byte-identically,
+    // so the min is taken over the embedding values (array ordering is
+    // lexicographic and total), not over arrival order.
     val e = batch
-      .groupBy(col("vec_id")).agg(min_by(col("embedding"), col("vec_id")).as("embedding"))
+      .groupBy(col("vec_id")).agg(min(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     val held: Option[DataFrame] =

@@ -1,0 +1,79 @@
+package graft.util
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Filesystem plumbing for every persisted-index lifecycle (merge
+  * markers, compaction swaps, aligned-layout detection, resume checks)
+  * — through the Hadoop `FileSystem` API, NOT `java.io.File`: the
+  * lifecycle components explicitly claim a 100 TB posture, and that
+  * runs on HDFS/S3-compatible stores where `java.io.File` silently sees
+  * nothing (markers never found ⇒ a replayed mergeId re-appends,
+  * recreating exactly the duplicates the marker exists to stop;
+  * compaction swaps throw). Resolving the filesystem FROM the path via
+  * the session's Hadoop configuration keeps local behavior identical
+  * (`file:` URIs hit `RawLocalFileSystem`) while `hdfs://`/`s3a://`
+  * index directories route to their real store.
+  */
+object Fs {
+
+  private def fs(spark: SparkSession, p: String): (FileSystem, Path) = {
+    val path = new Path(p)
+    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  }
+
+  /** The path exists (file or directory). */
+  def exists(spark: SparkSession, p: String): Boolean = {
+    val (f, q) = fs(spark, p); f.exists(q)
+  }
+
+  /** The path exists and is a regular file (marker checks). */
+  def isFile(spark: SparkSession, p: String): Boolean = {
+    val (f, q) = fs(spark, p)
+    f.exists(q) && f.getFileStatus(q).isFile
+  }
+
+  /** Create an empty marker file, with parents. Overwrites — markers
+    * are idempotent presence bits, so a concurrent double-create is
+    * harmless.
+    */
+  def touch(spark: SparkSession, p: String): Unit = {
+    val (f, q) = fs(spark, p)
+    f.mkdirs(q.getParent)
+    f.create(q, true).close()
+  }
+
+  /** Recursive delete; a missing path is a no-op (maintenance passes
+    * clear directories that may never have been created).
+    */
+  def delete(spark: SparkSession, p: String): Unit = {
+    val (f, q) = fs(spark, p)
+    f.delete(q, true): Unit
+  }
+
+  /** Atomic-per-store rename (`FileSystem.rename` — a metadata move on
+    * HDFS and local disks). Returns false when the source is missing or
+    * the destination blocks the move, mirroring the underlying API.
+    */
+  def rename(spark: SparkSession, src: String, dst: String): Boolean = {
+    val (f, s) = fs(spark, src)
+    f.rename(s, new Path(dst))
+  }
+
+  /** Recursively list the regular files under a directory (file-count
+    * assertions after compaction; warehouse stats). Missing dir = empty.
+    */
+  def listFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val (f, q) = fs(spark, dir)
+    if (!f.exists(q)) Seq.empty
+    else {
+      val it = f.listFiles(q, true)
+      val buf = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) buf += st.getPath.toString
+      }
+      buf.result()
+    }
+  }
+}

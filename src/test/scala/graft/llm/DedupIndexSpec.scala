@@ -240,6 +240,39 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("compact recovers from a mid-swap kill: every crash window leaves a usable index") {
+    val dir = Files.createTempDirectory("dedupswap").toString
+    DedupIndex.build(corpus, s"$dir/idx")
+    val want = DedupIndex.candidatePairs(spark, s"$dir/idx")
+      .as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty, "fixture produced no pairs")
+
+    // Window 1 — killed BETWEEN the two swap renames: the staged
+    // rewrite is complete (its write carries _SUCCESS), the live stage
+    // is renamed aside, nothing sits at the live path. The documented
+    // recovery is "a re-run simply finishes the job".
+    spark.read.parquet(s"$dir/idx/pairs").distinct().repartition(2)
+      .write.parquet(s"$dir/idx/_compact/pairs")
+    assert(graft.util.Fs.rename(spark, s"$dir/idx/pairs",
+      s"$dir/idx/_compact/_old_pairs"))
+    assert(!graft.util.Fs.exists(spark, s"$dir/idx/pairs"))
+    DedupIndex.compact(spark, s"$dir/idx")
+    assert(DedupIndex.candidatePairs(spark, s"$dir/idx")
+      .as[(Long, Long)].collect().toSet == want,
+      "recovery from the mid-swap window lost or changed pairs")
+    assert(!graft.util.Fs.exists(spark, s"$dir/idx/_compact"),
+      "_compact not cleared after recovery")
+
+    // Window 2 — only the aside copy survives (staged rewrite lost):
+    // recovery falls back to restoring the aside copy.
+    assert(graft.util.Fs.rename(spark, s"$dir/idx/pairs",
+      s"$dir/idx/_compact/_old_pairs"))
+    DedupIndex.compact(spark, s"$dir/idx")
+    assert(DedupIndex.candidatePairs(spark, s"$dir/idx")
+      .as[(Long, Long)].collect().toSet == want,
+      "recovery from the aside-only window lost or changed pairs")
+  }
+
   test("compact preserves a streamed index's batch_id= replay partitions") {
     val dir = Files.createTempDirectory("dedupidx").toString
     val idx = s"$dir/idx"

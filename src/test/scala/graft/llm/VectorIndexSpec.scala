@@ -231,6 +231,50 @@ class VectorIndexSpec extends SparkSpec {
       s"aligned search still scans the unaligned codes table:\n$plan")
   }
 
+  test("merge/compact invalidate the aligned PQ table: no re-align needed to see the delta") {
+    val dir = Files.createTempDirectory("ivfpqstale").toString
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    // keep the fixed codebook window (vec_ids 10..115) inside the base
+    val corpus = embs.where($"vec_id".between(10, 200))
+    VectorIndex.buildIvf(corpus, s"$dir/idx")
+    VectorIndex.buildPq(corpus, s"$dir/idx")
+    VectorIndex.alignPqToLists(spark, s"$dir/idx")
+    assert(graft.util.Fs.isFile(spark, s"$dir/idx/pq_codes_by_list/_SUCCESS"))
+
+    // the delta: an exact copy of query vector 5 under a fresh id — its
+    // list is the query's own rank-1 probe, so any plan that reads the
+    // current index MUST surface it; only a stale aligned table can
+    // miss it
+    val delta = embs.where($"vec_id" === 5)
+      .select(lit(900001L).as("vec_id"), $"embedding")
+    VectorIndex.mergeIvf(spark, s"$dir/idx", delta, mergeId = Some("s1"))
+    VectorIndex.mergePq(spark, s"$dir/idx", delta, mergeId = Some("s1"))
+    assert(!graft.util.Fs.exists(spark, s"$dir/idx/pq_codes_by_list"),
+      "merge left a stale aligned PQ table in place")
+
+    val queries = embs.where($"vec_id" === 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def hits() = VectorIndex.searchIvfPq(spark, s"$dir/idx", queries, 4, 5)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    val unaligned = hits()
+    assert(unaligned.exists(_._3 == 900001L),
+      s"merged vector missing from IVF-PQ search without a re-align: $unaligned")
+
+    // re-aligning restores the pruned layout with the identical answer
+    VectorIndex.alignPqToLists(spark, s"$dir/idx")
+    assert(hits() == unaligned,
+      "re-aligned plan diverges from the membership-join plan over the merged index")
+    // and either compaction pass drops the aligned artifact again
+    VectorIndex.compactPq(spark, s"$dir/idx")
+    assert(!graft.util.Fs.exists(spark, s"$dir/idx/pq_codes_by_list"),
+      "compactPq left a stale aligned PQ table in place")
+    VectorIndex.alignPqToLists(spark, s"$dir/idx")
+    VectorIndex.compactIvf(spark, s"$dir/idx")
+    assert(!graft.util.Fs.exists(spark, s"$dir/idx/pq_codes_by_list"),
+      "compactIvf left a stale aligned PQ table in place")
+    assert(hits() == unaligned, "search answer drifted across the lifecycle")
+  }
+
   test("search prunes unprobed list partitions via dynamic partition pruning") {
     val dir = Files.createTempDirectory("ivfdpp").toString
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -214,6 +214,21 @@ class DocStreamSpec extends SparkSpec {
     assert(corpusIds() == (1L to 8L).toSeq, "replayed clean batch mutated corpus")
   }
 
+  test("drift gate with an EMPTY reference: a batch-0 crash replay is a no-op, not a wedge") {
+    val dir = Files.createTempDirectory("docstream-gate0").toString
+    val b0 = Seq((1L, "first doc here"), (2L, "second doc here"))
+      .toDF("doc_id", "text")
+    DocStream.ingestBatch(b0, s"$dir/corpus", 0L, driftGate = true)
+    // the crash-recovery case: the corpus directory now EXISTS but the
+    // reference (everything except batch 0's own partition) is zero
+    // rows — the gate must treat that like the missing-dir first-batch
+    // case, not divide by a zero reference total
+    DocStream.ingestBatch(b0, s"$dir/corpus", 0L, driftGate = true)
+    val ids = DocStream.corpus(spark, s"$dir/corpus")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L), s"batch-0 replay under the gate broke: $ids")
+  }
+
   test("a replayed batch is a no-op: no duplicates, no data loss") {
     val dir = Files.createTempDirectory("docreplay").toString
     val b0 = Seq((1L, "first doc"), (2L, "second doc")).toDF("doc_id", "text")

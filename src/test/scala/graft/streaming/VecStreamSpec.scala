@@ -48,6 +48,39 @@ class VecStreamSpec extends SparkSpec {
       "replay changed the lists")
   }
 
+  test("in-batch id dedup is deterministic: a replay picks the same survivor") {
+    // one vec_id arriving twice in a micro-batch with DIFFERENT
+    // embeddings (an at-least-once upstream): the survivor must not
+    // depend on arrival order, or a crash replay rewrites its partition
+    // with different bytes
+    val dup = embs.where($"vec_id" === 40)
+      .select(lit(900001L).as("vec_id"), $"embedding")
+    val dup2 = embs.where($"vec_id" === 41)
+      .select(lit(900001L).as("vec_id"), $"embedding")
+    val rest = embs.where($"vec_id".between(10, 19))
+    def run(first: org.apache.spark.sql.DataFrame,
+        second: org.apache.spark.sql.DataFrame): Map[Long, Seq[Float]] = {
+      val dir = Files.createTempDirectory("vecdet").toString
+      VectorIndex.trainQuantizer(embs, s"$dir/idx")
+      VecStream.ingestBatch(rest.unionByName(first).unionByName(second),
+        s"$dir/idx", 0L)
+      spark.read.parquet(s"$dir/idx/lists")
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+        .collect().map { case (v, e) => v -> e.toSeq }.toMap
+    }
+    val a = run(dup, dup2)
+    val b = run(dup2, dup)
+    assert(a == b, "in-batch dedup survivor depends on arrival order")
+    // and the surviving embedding is the deterministic (lexicographic
+    // array-min) choice, not whichever row happened to come first
+    val e40 = embs.where($"vec_id" === 40).select($"embedding")
+      .as[Array[Float]].head().toSeq
+    val e41 = embs.where($"vec_id" === 41).select($"embedding")
+      .as[Array[Float]].head().toSeq
+    val wantMin = Seq(e40, e41).min(Ordering.Implicits.seqOrdering[Seq, Float])
+    assert(a(900001L) == wantMin, "survivor is not the array-min embedding")
+  }
+
   test("post-stream lists equal the frozen-quantizer assignment; search works pruned") {
     val dir = Files.createTempDirectory("vecstream2").toString
     VectorIndex.trainQuantizer(embs, s"$dir/idx")
