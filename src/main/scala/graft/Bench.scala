@@ -79,8 +79,9 @@ object Bench {
     "l75_banding_sweep" -> 1.8, "l76_pack_lineage" -> 1.5,
     "l77_ivfpq_topk" -> 1.4, "l78_compact_parity" -> 0.4,
     "l79_ann_compact_parity" -> 1.1,
+    "l80_ivfpq_merge_search" -> 1.4, "l81_vec_drift_gate" -> 0.9,
     "m11_shot_boundaries" -> 0.9, "m13_audio_fingerprint" -> 1.8,
-    "m14_keyframes" -> 0.9,
+    "m14_keyframes" -> 0.9, "m15_media_drift_gate" -> 1.0,
     "m12_paired_dedup" -> 0.5,
     "m07_audio_features" -> 1.0,
     "q35_json" -> 0.4, "q36_map" -> 0.4,

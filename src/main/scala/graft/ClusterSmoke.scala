@@ -40,7 +40,10 @@ object ClusterSmoke {
     "l71_merge_parity",   // DedupIndex build+merge lifecycle, served pairs
     "l72_ann_merge_parity", // VectorIndex build+mergeIvf + pruned search
     "l77_ivfpq_topk",     // composed IVF-PQ serving path (round 13)
-    "m14_keyframes"       // shared shot chain + keyframe argmax (round 13)
+    "l80_ivfpq_merge_search", // merge-invalidated aligned table + fallback plan (round 14)
+    "l81_vec_drift_gate", // assignment-histogram drift statistic (round 14)
+    "m14_keyframes",      // shared shot chain + keyframe argmax (round 13)
+    "m15_media_drift_gate" // payload-size drift statistic (round 14)
   )
 
   def main(args: Array[String]): Unit = {
@@ -152,14 +155,25 @@ object ClusterSmoke {
       graft.streaming.VecStream.ingestBatch(
         embs.where(col("vec_id").between(30, 39)).unionByName(twin),
         s"$dir/idx", 1L, dupCosX1e6 = Some(999000L))
+      // batch 2 under the ASSIGNMENT-DRIFT gate: a constant-direction
+      // flood (broken encoder) must be rejected WHOLE — driver-side
+      // 8-row histogram collect + _gate write across the executor
+      // boundary (the l81 statistic inside the fold)
+      import org.apache.spark.sql.functions.array_repeat
+      graft.streaming.VecStream.ingestBatch(
+        embs.where(col("vec_id").between(40, 49))
+          .select(col("vec_id"), array_repeat(lit(0.125f), 64).as("embedding")),
+        s"$dir/idx", 2L, driftGate = true)
       import spark.implicits._
       val ids = spark.read.parquet(s"$dir/idx/lists")
         .select(col("vec_id")).as[Long].collect().sorted.toSeq
-      val ok = ids == (10L to 39L).toSeq
+      val gateOk = graft.streaming.VecStream.gateLog(spark, s"$dir/idx")
+        .select(col("rejected")).as[Boolean].collect().toSeq == Seq(true)
+      val ok = ids == (10L to 39L).toSeq && gateOk
       if (!ok) failures += 1
       System.err.println(
-        s"[cluster-smoke] vecstream_ingest: ${ids.size} held, twin rejected " +
-          s"${if (ok) "OK" else s"MISMATCH ($ids)"}")
+        s"[cluster-smoke] vecstream_ingest: ${ids.size} held, twin rejected, " +
+          s"flood gated ${if (ok) "OK" else s"MISMATCH ($ids, gate=$gateOk)"}")
     } catch {
       case e: Throwable =>
         failures += 1
@@ -187,14 +201,23 @@ object ClusterSmoke {
         assets.where(col("media_id").between(30, 39))
           .unionByName(copy).unionByName(edited), dir, 1L,
         rejectHammingLe = Some(1))
+      // batch 2 under the PAYLOAD-SIZE drift gate: a padded flood must
+      // be rejected WHOLE (the m15 statistic inside the fold)
+      graft.streaming.MediaStream.ingestBatch(
+        assets.where(col("media_id").between(40, 49))
+          .select(col("media_id"),
+            concat(col("payload"), lit(Array.fill(300)('x'.toByte))).as("payload")),
+        dir, 2L, driftGate = true)
       import spark.implicits._
       val ids = graft.streaming.MediaStream.fingerprints(spark, dir)
         .select(col("media_id")).as[Long].collect().sorted.toSeq
-      val ok = ids == (10L to 39L).toSeq
+      val gateOk = graft.streaming.MediaStream.gateLog(spark, dir)
+        .select(col("rejected")).as[Boolean].collect().toSeq == Seq(true)
+      val ok = ids == (10L to 39L).toSeq && gateOk
       if (!ok) failures += 1
       System.err.println(
-        s"[cluster-smoke] mediastream_ingest: ${ids.size} held, copy+edit rejected " +
-          s"${if (ok) "OK" else s"MISMATCH ($ids)"}")
+        s"[cluster-smoke] mediastream_ingest: ${ids.size} held, copy+edit rejected, " +
+          s"flood gated ${if (ok) "OK" else s"MISMATCH ($ids, gate=$gateOk)"}")
     } catch {
       case e: Throwable =>
         failures += 1

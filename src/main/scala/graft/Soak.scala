@@ -33,6 +33,11 @@ object Soak {
       spark.stop()
       return
     }
+    if (sys.env.get("SOAK_MODE").contains("ivfpq")) {
+      ivfpqScale(spark, sfDir)
+      spark.stop()
+      return
+    }
 
     val cfg = graft.config.SignalConfig(encoderType = "derivative",
       minPrice = 39000, maxPrice = 44000, tickDerivativeImagScale = 2.0f)
@@ -243,5 +248,59 @@ object Soak {
       System.gc()
     }
     System.err.println(s"[soak-merge] base corpus: $n docs; delta: ${n / 7} docs")
+  }
+
+  /** IVF-PQ serving-layout scale probe (`SOAK_MODE=ivfpq`): time
+    * [[graft.llm.VectorIndex.searchIvfPq]] through the MEMBERSHIP-JOIN
+    * fallback vs the [[graft.llm.VectorIndex.alignPqToLists]] aligned
+    * layout over a 1x/4x/10x corpus. The claim under test is the
+    * aligned layout's cost model: the fallback scans the WHOLE 4-byte
+    * code table and shuffles it against the pruned membership (cost
+    * grows with the corpus), while the aligned plan directory-prunes
+    * the code scan itself to the probed lists (cost grows with
+    * nprobe/K of the corpus) — so the gap should WIDEN with scale.
+    * Each mode is timed twice and the min is reported (first run pays
+    * codegen + file listing).
+    */
+  private def ivfpqScale(spark: SparkSession, sfDir: String): Unit = {
+    val baseEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    baseEmb.count()
+    val queries = baseEmb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    queries.count()
+    def timed(label: String)(body: => Long): Unit = {
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = body
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      System.err.println(
+        f"[soak-ivfpq] $label: ${runs.map(_._1).min}%.2fs (${runs.head._2} rows)")
+    }
+    sys.env.getOrElse("SOAK_MULTS", "1,4,10").split(",").map(_.trim.toInt)
+      .toSeq.foreach { mult =>
+      val corpus = (0 until mult).map { k =>
+        val c = baseEmb.withColumn("vec_id", col("vec_id") + lit(k * 1000000L))
+        if (k == 0) c.where(col("vec_id") >= 10) else c
+      }.reduce(_.unionByName(_))
+      val dir = java.nio.file.Files.createTempDirectory("soak-ivfpq-").toString
+      graft.llm.VectorIndex.buildIvf(corpus, dir)
+      graft.llm.VectorIndex.buildPq(corpus, dir)
+      timed(s"${mult}x fallback")(
+        graft.llm.VectorIndex.searchIvfPq(spark, dir, queries, 4, 5)
+          .queryExecution.toRdd.count())
+      graft.llm.VectorIndex.alignPqToLists(spark, dir)
+      timed(s"${mult}x aligned ")(
+        graft.llm.VectorIndex.searchIvfPq(spark, dir, queries, 4, 5)
+          .queryExecution.toRdd.count())
+      graft.llm.LlmQueries.deleteRecursively(new java.io.File(dir))
+      spark.catalog.clearCache()
+      Seq(baseEmb, queries)
+        .foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      System.gc()
+    }
   }
 }

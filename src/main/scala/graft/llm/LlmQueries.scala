@@ -4669,11 +4669,26 @@ object LlmQueries {
     * the declared l73 query pins against the DuckDB oracle.
     */
   private[graft] def driftTable(refTexts: DataFrame, batchTexts: DataFrame): DataFrame = {
-    val s = refTexts.sparkSession
     val bucket = expr("least(size(split(text, ' ')) div 16, 7)").cast("long")
-    val reference = refTexts.select(bucket.as("bucket"))
+    driftOfBuckets(refTexts.select(bucket.as("bucket")),
+      batchTexts.select(bucket.as("bucket")), DriftBarX1e4)
+  }
+
+  /** The drift statistic over two pre-bucketed frames (one `bucket`
+    * LONG column in [0,7] each) — the l73 BIGINT basis-point chi-square
+    * generalized over its feature: the text gate buckets token counts,
+    * the embedding-ingest gate quantizer-cell assignments
+    * ([[graft.streaming.VecStream]]), the media-ingest gate payload
+    * sizes ([[graft.streaming.MediaStream]]). One formula, one overflow
+    * argument, one Laplace floor — per-family calibration lives in the
+    * bar each caller passes.
+    */
+  private[graft] def driftOfBuckets(refBuckets: DataFrame,
+      batchBuckets: DataFrame, barX1e4: Long): DataFrame = {
+    val s = refBuckets.sparkSession
+    val reference = refBuckets
       .groupBy("bucket").agg(count(lit(1)).as("ref_n"))
-    val batch = batchTexts.select(bucket.as("bucket"))
+    val batch = batchBuckets
       .groupBy("bucket").agg(count(lit(1)).as("batch_n"))
     // all 8 buckets, so both histograms align even when one side is
     // empty in a bucket (a 8-row generated dimension — broadcast)
@@ -4698,19 +4713,31 @@ object LlmQueries {
         expr("""(batch_bp - ref_bp) * (batch_bp - ref_bp) * 10000
                | div (ref_bp + 1)""".stripMargin))
       .withColumn("drift_x1e4", sum(col("contrib_x1e4")).over(w))
-      // bar calibrated against both sides at sf0.001/0.01/0.1: the
-      // unperturbed negative control reads <= 5.1e6 (sampling noise —
-      // largest at the smallest batch) and the injected spam shift
-      // >= 7.1e7, so 2.5e7 sits ~5x above the worst noise and ~3x
-      // under the weakest true drift (LlmQueriesSpec pins the control)
-      .withColumn("drifted", col("drift_x1e4") > DriftBarX1e4)
+      // per-family bar calibrated against both sides at
+      // sf0.001/0.01/0.1 — see DriftBarX1e4 / VecDriftBarX1e4 /
+      // MediaDriftBarX1e4 for each family's noise-vs-drift margins
+      // (LlmQueriesSpec pins the text negative control)
+      .withColumn("drifted", col("drift_x1e4") > barX1e4)
       .select(col("bucket"), col("ref_n"), col("batch_n"),
         col("ref_bp"), col("batch_bp"), col("contrib_x1e4"),
         col("drift_x1e4"), col("drifted"))
   }
 
-  /** The calibrated l73 drift bar (see [[driftTable]]'s comment). */
+  /** The calibrated l73 (token-count) drift bar: the unperturbed
+    * negative control reads <= 5.1e6 at sf0.001/0.01/0.1 (sampling
+    * noise — largest at the smallest batch) and the injected spam shift
+    * >= 7.1e7, so 2.5e7 sits ~5x above the worst noise and ~3x under
+    * the weakest true drift.
+    */
   private[graft] val DriftBarX1e4: Long = 25000000L
+
+  /** The calibrated l81 (quantizer-cell assignment) drift bar: the
+    * unperturbed split reads <= 3.3e6 across the three SFs and the
+    * constant-direction flood (a broken encoder emitting one vector)
+    * >= 5.3e7 — 1.5e7 sits ~4.5x above the worst noise and ~3.5x under
+    * the weakest true drift.
+    */
+  private[graft] val VecDriftBarX1e4: Long = 15000000L
   val qDriftGateSql: String =
     """WITH ref AS (
       |  SELECT least(len(string_split(text, ' ')) // 16, 7) AS bucket,
@@ -5344,6 +5371,248 @@ object LlmQueries {
         .select(col("vec_id").as("query_id"), col("embedding")),
       nprobe = 4, topk = 5)
 
+  /** The merged-but-not-re-aligned IVF-PQ fixture behind l80: both
+    * index halves built over a base snapshot (l72's `% 9 != 5` split),
+    * the [[VectorIndex.alignPqToLists]] serving artifact written, and a
+    * delta then merged into BOTH halves WITHOUT a re-align — the exact
+    * operational state (daily delta landed, maintenance not yet run) in
+    * which a stale aligned table would silently drop the delta from
+    * every search. Built once per JVM per data directory.
+    */
+  private val mergedIvfPqDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mergedIvfPqDir(s: SparkSession, d: String): String =
+    mergedIvfPqDirs.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-merged-ivfpq-")
+        .toString
+      deleteOnExit(tmp)
+      val corpus = embs(s, d).where(col("vec_id") >= 10)
+      val base = corpus.where(col("vec_id") % 9 =!= 5)
+      VectorIndex.buildIvf(base, tmp)
+      VectorIndex.buildPq(base, tmp)
+      VectorIndex.alignPqToLists(s, tmp)
+      val delta = corpus.where(col("vec_id") % 9 === 5)
+      VectorIndex.mergeIvf(s, tmp, delta, mergeId = Some("l80-ivf"))
+      VectorIndex.mergePq(s, tmp, delta, mergeId = Some("l80-pq"))
+      tmp
+    })
+
+  /** l80: IVF-PQ search AFTER a merge, with NO re-align — the
+    * staleness trap the maintenance lifecycle must not have, under the
+    * driver's cell-hash gate. The fixture aligns the PQ code table to
+    * the lists (the fast serving layout l77 measures), then merges a
+    * delta into both index halves; the merge INVALIDATES the aligned
+    * artifact, so this search serves the union through the always-
+    * correct membership-join fallback. The oracle states the union
+    * search in closed form (frozen base quantizer + base-window
+    * codebook, both data-derived) — an engine that kept serving the
+    * stale aligned table would return top-k missing every delta vector
+    * and hash-mismatch. Scale shape: identical to l77's serving path
+    * with the membership join in place of the aligned scan — the state
+    * a production index is in between a merge and its next re-align.
+    */
+  def qIvfPqMergeSearch(s: SparkSession, d: String): DataFrame =
+    VectorIndex.searchIvfPq(s, mergedIvfPqDir(s, d),
+      embs(s, d).where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      nprobe = 4, topk = 5)
+  val qIvfPqMergeSearchSql: String = {
+    def ldot(a: String, b: String) =
+      s"""list_sum(list_transform(generate_series(1, len($a)),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |stride AS (SELECT greatest(37, CAST(ceil(COUNT(*) / 1000.0) AS BIGINT)) AS k
+       |  FROM embeddings WHERE vec_id >= 10 AND vec_id % 9 <> 5),
+       |cent AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS cn
+       |  FROM e WHERE vec_id >= 10 AND vec_id % 9 <> 5
+       |    AND vec_id % (SELECT k FROM stride) = 11),
+       |asg AS (
+       |  SELECT vec_id AS neighbor_id, c_id,
+       |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cc
+       |  FROM e CROSS JOIN cent WHERE vec_id >= 10),
+       |lists AS (
+       |  SELECT neighbor_id, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+       |      ORDER BY cc DESC, c_id ASC) AS r FROM asg)
+       |  WHERE r = 1),
+       |qasg AS (
+       |  SELECT vec_id AS query_id, c_id,
+       |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cc
+       |  FROM e CROSS JOIN cent WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT query_id, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cc DESC, c_id ASC) AS r FROM qasg)
+       |  WHERE r <= 4),
+       |member AS (
+       |  SELECT p.query_id, l.neighbor_id
+       |  FROM probes p JOIN lists l USING (c_id)),
+       |m AS (SELECT unnest(generate_series(0, 3)) AS sub_id),
+       |pcent AS (
+       |  SELECT (vec_id - 10) // 7 AS pc_id, embedding AS pcv
+       |  FROM embeddings
+       |  WHERE vec_id BETWEEN 10 AND 115 AND (vec_id - 10) % 7 = 0
+       |    AND vec_id % 9 <> 5),
+       |csub AS (
+       |  SELECT pc_id, sub_id, list_slice(pcv, sub_id*16+1, sub_id*16+16) AS cs
+       |  FROM pcent CROSS JOIN m),
+       |sub AS (
+       |  SELECT vec_id, sub_id,
+       |    list_slice(embedding, sub_id*16+1, sub_id*16+16) AS sv
+       |  FROM embeddings CROSS JOIN m WHERE vec_id >= 10),
+       |cscored AS (
+       |  SELECT s.vec_id, s.sub_id, c.pc_id,
+       |    CAST(floor((${ldot("s.sv", "s.sv")}
+       |      - 2*${ldot("s.sv", "c.cs")}
+       |      + ${ldot("c.cs", "c.cs")}) * 1e6 + 0.5) AS BIGINT) AS d2_x1e6
+       |  FROM sub s JOIN csub c ON s.sub_id = c.sub_id),
+       |codes AS (
+       |  SELECT vec_id, sub_id, pc_id AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+       |      ORDER BY d2_x1e6 ASC, pc_id ASC) AS r FROM cscored)
+       |  WHERE r = 1),
+       |qsub AS (
+       |  SELECT vec_id AS query_id, sub_id,
+       |    list_slice(embedding, sub_id*16+1, sub_id*16+16) AS qs
+       |  FROM embeddings CROSS JOIN m WHERE vec_id < 10),
+       |adc AS (
+       |  SELECT q.query_id, q.sub_id, c.pc_id AS code,
+       |    CAST(floor(${ldot("q.qs", "c.cs")} * 1e6 + 0.5) AS BIGINT) AS ip_part
+       |  FROM qsub q JOIN csub c ON q.sub_id = c.sub_id),
+       |scored AS (
+       |  SELECT mm.query_id, mm.neighbor_id,
+       |    CAST(SUM(a.ip_part) AS BIGINT) AS ip_x1e6
+       |  FROM member mm
+       |  JOIN codes k ON mm.neighbor_id = k.vec_id
+       |  JOIN adc a ON a.query_id = mm.query_id
+       |    AND a.sub_id = k.sub_id AND a.code = k.code
+       |  GROUP BY mm.query_id, mm.neighbor_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ip_x1e6 DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, ip_x1e6
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** l81: embedding-ingest DRIFT gate — the l73 data-validation
+    * discipline applied to the vector side: does an arriving embedding
+    * batch's coarse-quantizer ASSIGNMENT histogram match the held
+    * corpus, or did the encoder break (the canonical failure: a crashed
+    * model emitting one constant direction, which a norm check cannot
+    * see on unit-normalized vectors but which floods a single IVF cell)?
+    * Buckets are assignment cells mod 8; the statistic is
+    * [[driftOfBuckets]]'s BIGINT basis-point chi-square with the
+    * vec-calibrated bar. The fixture floods every 3rd batch vector with
+    * a constant direction so the drift is real and the verdict
+    * non-trivial. [[graft.streaming.VecStream.ingestBatch]] runs the
+    * byte-identical statistic INSIDE the fold (its reference histogram
+    * comes from the held lists' stored assignments — the same frozen-
+    * quantizer cells computed here). Scale shape: the batch side pays
+    * one broadcast-centroid argmax (the ingest assignment it needs
+    * anyway); the reference histogram reads ONE pruned column of the
+    * lists; two 8-row aggregates close it out — corpus-size-independent
+    * output, no global sort.
+    */
+  def qVecDriftGate(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d).select(col("vec_id"), col("embedding"),
+      sqrt(dotD(col("embedding"), col("embedding"))).as("nrm"))
+    val ref = e.where(col("vec_id") % 4 =!= 1)
+    // the trainQuantizer stride rule over the REFERENCE corpus
+    val stride = math.max(37L, math.ceil(ref.count() / 1000.0).toLong)
+    val cent = ref.where(col("vec_id") % stride === 11)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+        col("nrm").as("cn"))
+    val flood = array_repeat(lit(0.125f), 64) // unit-norm constant direction
+    val batch = e.where(col("vec_id") % 4 === 1)
+      .select(col("vec_id"),
+        when(col("vec_id") % 3 === 0, flood).otherwise(col("embedding"))
+          .as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotD(col("embedding"), col("embedding"))).as("nrm"))
+    // frozen-quantizer argmax (the buildIvf/mergeIvf assignment), then
+    // cells mod 8 as the bounded histogram domain
+    def buckets(side: DataFrame): DataFrame = side.join(broadcast(cent))
+      .select(col("vec_id"), col("c_id"),
+        struct(floor(dotD(col("embedding"), col("cv")) / (col("nrm") * col("cn"))
+            * 1e6 + 0.5).cast("long").as("cc"),
+          (-col("c_id")).as("nc")).as("k"))
+      .groupBy("vec_id").agg(max_by(col("c_id"), col("k")).as("c_id"))
+      .select((col("c_id") % 8).cast("long").as("bucket"))
+    driftOfBuckets(buckets(ref), buckets(batch), VecDriftBarX1e4)
+      .orderBy("bucket")
+  }
+  val qVecDriftGateSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |refe AS (SELECT * FROM e WHERE vec_id % 4 <> 1),
+       |stride AS (SELECT greatest(37, CAST(ceil(COUNT(*) / 1000.0) AS BIGINT)) AS k
+       |  FROM refe),
+       |cent AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS cn
+       |  FROM refe WHERE vec_id % (SELECT k FROM stride) = 11),
+       |batchp AS (
+       |  SELECT vec_id,
+       |    CASE WHEN vec_id % 3 = 0
+       |      THEN list_transform(generate_series(1, 64), i -> CAST(0.125 AS FLOAT))
+       |      ELSE embedding END AS embedding
+       |  FROM embeddings WHERE vec_id % 4 = 1),
+       |batche AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM batchp),
+       |rasg AS (
+       |  SELECT r.vec_id, c.c_id,
+       |    CAST(floor(${dotSql("r.embedding", "c.cv")} / (r.nrm * c.cn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cc
+       |  FROM refe r CROSS JOIN cent c),
+       |basg AS (
+       |  SELECT b.vec_id, c.c_id,
+       |    CAST(floor(${dotSql("b.embedding", "c.cv")} / (b.nrm * c.cn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cc
+       |  FROM batche b CROSS JOIN cent c),
+       |rbuck AS (
+       |  SELECT c_id % 8 AS bucket FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cc DESC, c_id ASC) AS r FROM rasg)
+       |  WHERE r = 1),
+       |bbuck AS (
+       |  SELECT c_id % 8 AS bucket FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cc DESC, c_id ASC) AS r FROM basg)
+       |  WHERE r = 1),
+       |rh AS (SELECT bucket, COUNT(*) AS ref_n FROM rbuck GROUP BY 1),
+       |bh AS (SELECT bucket, COUNT(*) AS batch_n FROM bbuck GROUP BY 1),
+       |spine AS (SELECT unnest(generate_series(0, 7)) AS bucket),
+       |joined AS (
+       |  SELECT s.bucket,
+       |    COALESCE(r.ref_n, 0) AS ref_n,
+       |    COALESCE(b.batch_n, 0) AS batch_n
+       |  FROM spine s
+       |  LEFT JOIN rh r ON s.bucket = r.bucket
+       |  LEFT JOIN bh b ON s.bucket = b.bucket),
+       |tot AS (
+       |  SELECT *,
+       |    SUM(ref_n) OVER () AS ref_total,
+       |    SUM(batch_n) OVER () AS batch_total
+       |  FROM joined),
+       |shares AS (
+       |  SELECT bucket, ref_n, batch_n,
+       |    CAST(ref_n * 10000 // ref_total AS BIGINT) AS ref_bp,
+       |    CAST(batch_n * 10000 // batch_total AS BIGINT) AS batch_bp
+       |  FROM tot),
+       |scored AS (
+       |  SELECT bucket, ref_n, batch_n, ref_bp, batch_bp,
+       |    CAST((batch_bp - ref_bp) * (batch_bp - ref_bp) * 10000
+       |      // (ref_bp + 1) AS BIGINT) AS contrib_x1e4
+       |  FROM shares)
+       |SELECT bucket, ref_n, batch_n, ref_bp, batch_bp, contrib_x1e4,
+       |  CAST(SUM(contrib_x1e4) OVER () AS BIGINT) AS drift_x1e4,
+       |  (SUM(contrib_x1e4) OVER () > 15000000) AS drifted
+       |FROM scored ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -5423,7 +5692,9 @@ object LlmQueries {
     "l76_pack_lineage" -> qPackLineage _,
     "l77_ivfpq_topk" -> qIvfPqTopk _,
     "l78_compact_parity" -> qCompactParity _,
-    "l79_ann_compact_parity" -> qAnnCompactParity _
+    "l79_ann_compact_parity" -> qAnnCompactParity _,
+    "l80_ivfpq_merge_search" -> qIvfPqMergeSearch _,
+    "l81_vec_drift_gate" -> qVecDriftGate _
   )
 
   val oracles: Map[String, String] = Map(
@@ -5505,6 +5776,8 @@ object LlmQueries {
     "l76_pack_lineage" -> qPackLineageSql,
     "l77_ivfpq_topk" -> qIvfPqTopkSql,
     "l78_compact_parity" -> qCompactParitySql,
-    "l79_ann_compact_parity" -> qAnnMergeParitySql
+    "l79_ann_compact_parity" -> qAnnMergeParitySql,
+    "l80_ivfpq_merge_search" -> qIvfPqMergeSearchSql,
+    "l81_vec_drift_gate" -> qVecDriftGateSql
   )
 }

@@ -920,6 +920,82 @@ object MediaQueries {
        |ORDER BY media_a, media_b""".stripMargin
   }
 
+  // ------------------------------------------------- ingest drift gate
+  /** The calibrated m15 (payload-size) drift bar: the unperturbed split
+    * reads <= 5.7e6 at sf0.001/0.01/0.1 and the padded flood >= 1.4e10,
+    * so 2.5e7 sits ~4x above the worst noise and orders of magnitude
+    * under the weakest true drift.
+    */
+  private[graft] val MediaDriftBarX1e4: Long = 25000000L
+
+  /** m15: media-ingest DRIFT gate — the l73 data-validation discipline
+    * applied to the multimodal column: does an arriving asset batch's
+    * PAYLOAD-SIZE histogram match the held index, or did an encoder
+    * change / a padded-spam source shift the byte distribution? Buckets
+    * are payload length div 100 capped at 7; the statistic is
+    * [[graft.llm.LlmQueries.driftOfBuckets]]'s BIGINT basis-point
+    * chi-square with the media-calibrated bar. The fixture pads every
+    * 3rd batch payload with a 300-byte tail so the drift is real and
+    * the verdict non-trivial. [[graft.streaming.MediaStream.ingestBatch]]
+    * runs the byte-identical statistic INSIDE the fold (its reference
+    * histogram comes from the held fingerprints' stored `plen` column —
+    * sizes are captured on the single payload pass at ingest, so the
+    * gate never re-reads payload bytes). Scale shape: one row-local
+    * length per side, two 8-row aggregates, bounded output.
+    */
+  def qMediaDriftGate(s: SparkSession, d: String): DataFrame = {
+    val m = MediaOps.mediaTable(s, d).select(col("media_id"), col("payload"))
+    def buckets(df: DataFrame): DataFrame =
+      df.select(expr("CAST(least(length(payload) div 100, 7) AS BIGINT)")
+        .as("bucket"))
+    val ref = m.where(col("media_id") % 4 =!= 1)
+    val pad = lit(Array.fill(300)('x'.toByte))
+    val batch = m.where(col("media_id") % 4 === 1)
+      .select(when(col("media_id") % 3 === 0, concat(col("payload"), pad))
+        .otherwise(col("payload")).as("payload"))
+    graft.llm.LlmQueries.driftOfBuckets(buckets(ref), buckets(batch),
+        MediaDriftBarX1e4)
+      .orderBy("bucket")
+  }
+  val qMediaDriftGateSql: String =
+    s"""WITH $mediaSql,
+       |ref AS (
+       |  SELECT least(n // 100, 7) AS bucket
+       |  FROM media WHERE media_id % 4 <> 1),
+       |batch AS (
+       |  SELECT least((CASE WHEN media_id % 3 = 0 THEN n + 300 ELSE n END)
+       |    // 100, 7) AS bucket
+       |  FROM media WHERE media_id % 4 = 1),
+       |rh AS (SELECT bucket, COUNT(*) AS ref_n FROM ref GROUP BY 1),
+       |bh AS (SELECT bucket, COUNT(*) AS batch_n FROM batch GROUP BY 1),
+       |spine AS (SELECT unnest(generate_series(0, 7)) AS bucket),
+       |joined AS (
+       |  SELECT s.bucket,
+       |    COALESCE(r.ref_n, 0) AS ref_n,
+       |    COALESCE(b.batch_n, 0) AS batch_n
+       |  FROM spine s
+       |  LEFT JOIN rh r ON s.bucket = r.bucket
+       |  LEFT JOIN bh b ON s.bucket = b.bucket),
+       |tot AS (
+       |  SELECT *,
+       |    SUM(ref_n) OVER () AS ref_total,
+       |    SUM(batch_n) OVER () AS batch_total
+       |  FROM joined),
+       |shares AS (
+       |  SELECT bucket, ref_n, batch_n,
+       |    CAST(ref_n * 10000 // ref_total AS BIGINT) AS ref_bp,
+       |    CAST(batch_n * 10000 // batch_total AS BIGINT) AS batch_bp
+       |  FROM tot),
+       |scored AS (
+       |  SELECT bucket, ref_n, batch_n, ref_bp, batch_bp,
+       |    CAST((batch_bp - ref_bp) * (batch_bp - ref_bp) * 10000
+       |      // (ref_bp + 1) AS BIGINT) AS contrib_x1e4
+       |  FROM shares)
+       |SELECT bucket, ref_n, batch_n, ref_bp, batch_bp, contrib_x1e4,
+       |  CAST(SUM(contrib_x1e4) OVER () AS BIGINT) AS drift_x1e4,
+       |  (SUM(contrib_x1e4) OVER () > 25000000) AS drifted
+       |FROM scored ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_decode" -> qMediaDecode _,
     "m02_image_resize" -> qImageResize _,
@@ -934,7 +1010,8 @@ object MediaQueries {
     "m11_shot_boundaries" -> qShotBoundaries _,
     "m12_paired_dedup" -> qPairedDedup _,
     "m13_audio_fingerprint" -> qAudioFingerprint _,
-    "m14_keyframes" -> qKeyframes _
+    "m14_keyframes" -> qKeyframes _,
+    "m15_media_drift_gate" -> qMediaDriftGate _
   )
 
   val oracles: Map[String, String] = Map(
@@ -951,6 +1028,7 @@ object MediaQueries {
     "m11_shot_boundaries" -> qShotBoundariesSql,
     "m12_paired_dedup" -> qPairedDedupSql,
     "m13_audio_fingerprint" -> qAudioFingerprintSql,
-    "m14_keyframes" -> qKeyframesSql
+    "m14_keyframes" -> qKeyframesSql,
+    "m15_media_drift_gate" -> qMediaDriftGateSql
   )
 }

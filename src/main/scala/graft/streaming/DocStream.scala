@@ -81,7 +81,10 @@ object DocStream {
     // rows would divide by ref_total = 0 instead of being the no-op
     // idempotency promises. The statistic is an 8-row bounded frame;
     // collecting it is O(1).
-    val gateRejected: Boolean = driftGate && {
+    // (an EMPTY batch is ungated too — it has no distribution to judge
+    // and both its histogram total and its downstream writes are
+    // trivially zero)
+    val gateRejected: Boolean = driftGate && !batch.isEmpty && {
       val refTexts: Option[DataFrame] =
         try {
           val r = spark.read.parquet(corpusDir)

@@ -19,6 +19,10 @@ import graft.media.MediaQueries
   * stage whose I/O scales with payload bytes.
   *
   * Per micro-batch:
+  *   0. OPTIONAL payload-size drift gate (the l73/m15 statistic inside
+  *      the fold): the batch's size histogram vs the held assets'; a
+  *      drifted batch is rejected whole, verdict logged under
+  *      `_gate/batch_id=N`;
   *   1. in-batch exact dedup — keep the min media_id per md5(payload);
   *   2. fingerprint — the m06 16-bit block aHash
   *      ([[graft.media.MediaQueries.aHash16]]), computed on the same
@@ -52,19 +56,54 @@ object MediaStream {
     * `fps/` and `bands/` per batch.
     */
   def ingestBatch(batch: DataFrame, indexDir: String, batchId: Long,
-      rejectHammingLe: Option[Int] = None): Unit = {
+      rejectHammingLe: Option[Int] = None,
+      driftGate: Boolean = false): Unit = {
     val spark = batch.sparkSession
+    // `plen` rides the same single payload pass as the hash and the
+    // fingerprint: the drift gate's reference histogram then reads the
+    // held index's stored sizes — payload bytes stay touched exactly
+    // once, at ingest
     val keyed = batch
       .withColumn("h", md5(col("payload")))
       .withColumn("fp", MediaQueries.aHash16(col("payload")))
-      .select(col("media_id"), col("h"), col("fp"))
-    // in-batch exact dedup: min media_id per payload hash
-    val k1 = keyed.groupBy(col("h")).agg(min("media_id").as("kid"))
-    val s1 = keyed.join(k1, Seq("h")).where(col("media_id") === col("kid")).drop("kid")
+      .withColumn("plen", length(col("payload")).cast("long"))
+      .select(col("media_id"), col("h"), col("fp"), col("plen"))
     val held: Option[DataFrame] =
       try Some(spark.read.parquet(s"$indexDir/fps")
         .where(col("batch_id") =!= batchId))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
+    // Payload-size drift gate (the l73/m15 statistic run INSIDE the
+    // fold): the arriving batch's size histogram vs the held assets' —
+    // an encoder change or a padded-spam source shifts byte sizes long
+    // before content checks see it — and a drifted batch is rejected
+    // WHOLE. Reference excludes this batch's own partition; an empty
+    // reference is ungated (batch-0 replay); the verdict lands under
+    // `_gate/batch_id=N` with mode=overwrite (the DocStream recipe).
+    val sizeBucket = expr("CAST(least(plen div 100, 7) AS BIGINT)")
+    // (and an EMPTY batch is ungated — no distribution to judge, no
+    // writes to block)
+    val gateRejected: Boolean = driftGate && !batch.isEmpty && {
+      val ref = held.filter(!_.isEmpty)
+      val verdict = ref.map { h =>
+        val row = graft.llm.LlmQueries.driftOfBuckets(
+            h.select(sizeBucket.as("bucket")),
+            keyed.select(sizeBucket.as("bucket")),
+            MediaQueries.MediaDriftBarX1e4)
+          .select(col("drift_x1e4"), col("drifted")).limit(1).collect().head
+        (row.getLong(0), row.getBoolean(1))
+      }
+      verdict.foreach { case (stat, rejected) =>
+        spark.range(1).select(
+            lit(stat).as("drift_x1e4"), lit(rejected).as("rejected"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$indexDir/_gate/batch_id=$batchId")
+      }
+      verdict.exists(_._2)
+    }
+    val gatedKeyed = if (gateRejected) keyed.where(lit(false)) else keyed
+    // in-batch exact dedup: min media_id per payload hash
+    val k1 = gatedKeyed.groupBy(col("h")).agg(min("media_id").as("kid"))
+    val s1 = gatedKeyed.join(k1, Seq("h")).where(col("media_id") === col("kid")).drop("kid")
     val novel = held match {
       case Some(idx) => s1.join(idx.select("h").distinct(), Seq("h"), "left_anti")
       case None => s1
@@ -108,14 +147,19 @@ object MediaStream {
 
   /** Run the ingest fold over a streaming (media_id, payload) source. */
   def ingest(assets: DataFrame, indexDir: String, checkpointDir: String,
-      rejectHammingLe: Option[Int] = None): StreamingQuery =
+      rejectHammingLe: Option[Int] = None,
+      driftGate: Boolean = false): StreamingQuery =
     assets.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, indexDir, batchId, rejectHammingLe)
+        ingestBatch(batch, indexDir, batchId, rejectHammingLe, driftGate)
       }
       .start()
+
+  /** Read the gate log (drift statistic + verdict per gated batch). */
+  def gateLog(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/_gate")
 
   /** Read the accumulated fingerprint index (all batch partitions). */
   def fingerprints(spark: SparkSession, indexDir: String): DataFrame =

@@ -23,8 +23,12 @@ import graft.llm.VectorIndex
   * is an offline rebuild by design.
   *
   * Per micro-batch:
+  *   0. OPTIONAL assignment-drift gate (the l73/l81 statistic inside
+  *      the fold): the batch's quantizer-cell histogram vs the held
+  *      lists'; a drifted batch is rejected whole, verdict logged under
+  *      `_gate/batch_id=N`;
   *   1. id dedup — drop rows whose vec_id is already held (and keep the
-  *      min-id row per vec_id within the batch);
+  *      deterministic array-min row per vec_id within the batch);
   *   2. OPTIONAL embedding near-dup rejection (the SemDeDup gate as a
   *      streaming stage): a batch vector is rejected when some HELD
   *      vector in one of its `nprobe` nearest lists has quantized
@@ -58,7 +62,8 @@ object VecStream {
     * `centroids/`; `lists/` grows per batch.
     */
   def ingestBatch(batch: DataFrame, indexDir: String, batchId: Long,
-      nprobe: Int = 4, dupCosX1e6: Option[Long] = None): Unit = {
+      nprobe: Int = 4, dupCosX1e6: Option[Long] = None,
+      driftGate: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val cent = spark.read.parquet(s"$indexDir/centroids")
     // In-batch id dedup. The survivor per vec_id must be DETERMINISTIC
@@ -75,14 +80,12 @@ object VecStream {
       try Some(spark.read.parquet(s"$indexDir/lists")
         .where(col("batch_id") =!= batchId))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
-    val newIds = held match {
-      case Some(h) => e.join(h.select(col("vec_id")), Seq("vec_id"), "left_anti")
-      case None => e
-    }
-    // the buildIvf/mergeIvf frozen-quantizer argmax, needed both for
-    // the near-dup probe (which lists to look in) and the final append
-    val assigned = newIds.join(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
+    // the buildIvf/mergeIvf frozen-quantizer argmax — needed for the
+    // drift gate's histogram, the near-dup probe (which lists to look
+    // in), and the final append, so it is computed once off the whole
+    // deduped batch
+    val assignedAll = e.join(broadcast(cent))
+      .select(col("vec_id"),
         struct(col("embedding"), col("nrm"), col("c_id")).as("v"),
         struct(floor(dot(col("embedding"), col("cv")) / (col("nrm") * col("cn"))
             * 1e6 + 0.5).cast("long").as("cc"),
@@ -90,12 +93,49 @@ object VecStream {
       .groupBy("vec_id").agg(max_by(col("v"), col("k")).as("v"))
       .select(col("vec_id"), col("v.embedding").as("embedding"),
         col("v.nrm").as("nrm"), col("v.c_id").as("c_id"))
+    // Assignment-drift gate (the l73/l81 statistic run INSIDE the
+    // fold): the arriving batch's quantizer-cell histogram is compared
+    // against the HELD lists' stored assignments — a broken encoder
+    // emitting one constant direction floods a single IVF cell, which
+    // a norm check cannot see on unit vectors — and a drifted batch is
+    // rejected WHOLE. The reference excludes this batch's own
+    // partition and an empty reference is ungated (batch-0 replay), so
+    // the verdict is replay-stable; it lands under `_gate/batch_id=N`
+    // with mode=overwrite (the DocStream gate-log recipe). Cost: the
+    // batch argmax it needs anyway + ONE pruned column of the lists.
+    // (and an EMPTY batch is ungated — no distribution to judge, no
+    // writes to block)
+    val gateRejected: Boolean = driftGate && !batch.isEmpty && {
+      val ref = held.filter(!_.isEmpty)
+      val verdict = ref.map { h =>
+        val row = graft.llm.LlmQueries.driftOfBuckets(
+            h.select((col("c_id") % 8).cast("long").as("bucket")),
+            assignedAll.select((col("c_id") % 8).cast("long").as("bucket")),
+            graft.llm.LlmQueries.VecDriftBarX1e4)
+          .select(col("drift_x1e4"), col("drifted")).limit(1).collect().head
+        (row.getLong(0), row.getBoolean(1))
+      }
+      verdict.foreach { case (stat, rejected) =>
+        spark.range(1).select(
+            lit(stat).as("drift_x1e4"), lit(rejected).as("rejected"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$indexDir/_gate/batch_id=$batchId")
+      }
+      verdict.exists(_._2)
+    }
+    val gated = if (gateRejected) assignedAll.where(lit(false)) else assignedAll
+    val assigned = held match {
+      case Some(h) =>
+        gated.join(h.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      case None => gated
+    }
     val survivors = (held, dupCosX1e6) match {
       case (Some(h), Some(thr)) =>
         // multi-probe near-dup gate: candidates only from the batch's
         // nprobe nearest lists — the scan is pruned to those c_id=
         // partitions (the searchIvf I/O shape), never the full corpus
-        val probes = newIds.join(broadcast(cent))
+        val probes = assigned.select(col("vec_id"), col("embedding"), col("nrm"))
+          .join(broadcast(cent))
           .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"),
             floor(dot(col("embedding"), col("cv")) / (col("nrm") * col("cn"))
               * 1e6 + 0.5).cast("long").as("cc"))
@@ -119,12 +159,17 @@ object VecStream {
 
   /** Run the ingest fold over a streaming (vec_id, embedding) source. */
   def ingest(vecs: DataFrame, indexDir: String, checkpointDir: String,
-      nprobe: Int = 4, dupCosX1e6: Option[Long] = None): StreamingQuery =
+      nprobe: Int = 4, dupCosX1e6: Option[Long] = None,
+      driftGate: Boolean = false): StreamingQuery =
     vecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, indexDir, batchId, nprobe, dupCosX1e6)
+        ingestBatch(batch, indexDir, batchId, nprobe, dupCosX1e6, driftGate)
       }
       .start()
+
+  /** Read the gate log (drift statistic + verdict per gated batch). */
+  def gateLog(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/_gate")
 }

@@ -53,6 +53,38 @@ class MediaStreamSpec extends SparkSpec {
       s"expected survivors 10..39 (copy+edit rejected), got $heldIds")
   }
 
+  test("payload-size drift gate rejects a padded flood; clean batches and replays pass") {
+    val dir = Files.createTempDirectory("mediagate").toString
+    val b0 = assets.where($"media_id".between(10, 209))
+    val b1 = assets.where($"media_id".between(210, 309))
+    // the drifted batch: every payload padded with a 300-byte tail —
+    // the encoder-change / padded-spam shape that shifts the size
+    // histogram long before any content check fires
+    val b2 = assets.where($"media_id".between(310, 409))
+      .select($"media_id",
+        concat($"payload", lit(Array.fill(300)('x'.toByte))).as("payload"))
+    MediaStream.ingestBatch(b0, dir, 0L, driftGate = true)
+    MediaStream.ingestBatch(b1, dir, 1L, driftGate = true)
+    MediaStream.ingestBatch(b2, dir, 2L, driftGate = true)
+
+    def heldIds() = MediaStream.fingerprints(spark, dir)
+      .select($"media_id").as[Long].collect().sorted.toSeq
+    assert(heldIds() == (10L to 309L).toSeq,
+      s"gate verdicts wrong: index holds ${heldIds().size} ids")
+    val log = MediaStream.gateLog(spark, dir)
+      .select($"batch_id".cast("long"), $"rejected")
+      .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(log == Seq((1L, false), (2L, true)), s"gate log $log")
+    // replays: rejected stays rejected, held stays held, index unchanged
+    MediaStream.ingestBatch(b2, dir, 2L, driftGate = true)
+    assert(heldIds() == (10L to 309L).toSeq, "replayed gated batch grew the index")
+    MediaStream.ingestBatch(b1, dir, 1L, driftGate = true)
+    assert(heldIds() == (10L to 309L).toSeq, "replayed clean batch mutated the index")
+    // an EMPTY micro-batch under the gate: ungated, no crash, no growth
+    MediaStream.ingestBatch(assets.where(lit(false)), dir, 3L, driftGate = true)
+    assert(heldIds() == (10L to 309L).toSeq, "empty gated batch mutated the index")
+  }
+
   test("post-stream index equals a batch fingerprint build; replay is a no-op") {
     val dir = Files.createTempDirectory("mediastream2").toString
     val b0 = assets.where($"media_id".between(10, 59))

@@ -81,6 +81,45 @@ class VecStreamSpec extends SparkSpec {
     assert(a(900001L) == wantMin, "survivor is not the array-min embedding")
   }
 
+  test("assignment-drift gate rejects a constant-direction flood; clean batches and replays pass") {
+    val dir = Files.createTempDirectory("vecgate").toString
+    VectorIndex.trainQuantizer(embs, s"$dir/idx")
+    // INTERLEAVED clean split (mod-3, like the mod-4 calibration): a
+    // contiguous id range is NOT distribution-representative in this
+    // synthetic corpus (ids cluster by topic — a contiguous 100-id
+    // "clean" batch reads 3.1e7, above the bar, and legitimately so)
+    val b0 = embs.where($"vec_id".between(10, 409) && $"vec_id" % 3 =!= 2)
+    val b1 = embs.where($"vec_id".between(10, 409) && $"vec_id" % 3 === 2)
+    // the drifted batch: every vector the same unit-norm direction —
+    // the broken-encoder failure a norm check cannot see; it floods a
+    // single quantizer cell
+    val b2 = embs.where($"vec_id".between(410, 499))
+      .select($"vec_id", array_repeat(lit(0.125f), 64).as("embedding"))
+    VecStream.ingestBatch(b0, s"$dir/idx", 0L, driftGate = true)
+    VecStream.ingestBatch(b1, s"$dir/idx", 1L, driftGate = true)
+    VecStream.ingestBatch(b2, s"$dir/idx", 2L, driftGate = true)
+
+    def heldIds() = spark.read.parquet(s"$dir/idx/lists")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(heldIds() == (10L to 409L).toSeq,
+      s"gate verdicts wrong: lists hold ${heldIds().size} ids")
+    // gate log: batch 0 ungated (no reference), batch 1 clean, batch 2 rejected
+    val log = VecStream.gateLog(spark, s"$dir/idx")
+      .select($"batch_id".cast("long"), $"rejected")
+      .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(log == Seq((1L, false), (2L, true)), s"gate log $log")
+    // replay of the rejected batch: same reference (own partition
+    // excluded), same verdict, index unchanged
+    VecStream.ingestBatch(b2, s"$dir/idx", 2L, driftGate = true)
+    assert(heldIds() == (10L to 409L).toSeq, "replayed gated batch grew the index")
+    // replay of a held batch under the gate: still held, still a no-op
+    VecStream.ingestBatch(b1, s"$dir/idx", 1L, driftGate = true)
+    assert(heldIds() == (10L to 409L).toSeq, "replayed clean batch mutated the index")
+    // an EMPTY micro-batch under the gate: ungated, no crash, no growth
+    VecStream.ingestBatch(embs.where(lit(false)), s"$dir/idx", 3L, driftGate = true)
+    assert(heldIds() == (10L to 409L).toSeq, "empty gated batch mutated the index")
+  }
+
   test("post-stream lists equal the frozen-quantizer assignment; search works pruned") {
     val dir = Files.createTempDirectory("vecstream2").toString
     VectorIndex.trainQuantizer(embs, s"$dir/idx")
