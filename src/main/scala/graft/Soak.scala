@@ -253,14 +253,21 @@ object Soak {
   /** IVF-PQ serving-layout scale probe (`SOAK_MODE=ivfpq`): time
     * [[graft.llm.VectorIndex.searchIvfPq]] through the MEMBERSHIP-JOIN
     * fallback vs the [[graft.llm.VectorIndex.alignPqToLists]] aligned
-    * layout over a 1x/4x/10x corpus. The claim under test is the
-    * aligned layout's cost model: the fallback scans the WHOLE 4-byte
-    * code table and shuffles it against the pruned membership (cost
-    * grows with the corpus), while the aligned plan directory-prunes
-    * the code scan itself to the probed lists (cost grows with
-    * nprobe/K of the corpus) — so the gap should WIDEN with scale.
-    * Each mode is timed twice and the min is reported (first run pays
-    * codegen + file listing).
+    * layout over a 1x/4x/10x corpus UNDER A FROZEN QUANTIZER — the
+    * production posture, where the list count K is a bounded design
+    * constant (the stride rule itself caps at ~1000 centroids) and
+    * corpus growth deepens each list rather than minting more of them.
+    * The claim under test is the aligned layout's cost model: the
+    * fallback scans the WHOLE 4-byte code table and shuffles it against
+    * the pruned membership (cost grows with the corpus), while the
+    * aligned plan directory-prunes the code scan itself to the probed
+    * lists (cost grows with nprobe/K of the corpus) — so the gap should
+    * WIDEN with scale. A first formulation rebuilt the quantizer per
+    * scale via buildIvf's stride rule instead: that mints 10x the
+    * DIRECTORIES at 10x corpus (50 rows per list — the classic
+    * small-files regime), and directory listing, not data, dominated
+    * both plans. Each mode is timed twice and the min is reported
+    * (first run pays codegen + file listing).
     */
   private def ivfpqScale(spark: SparkSession, sfDir: String): Unit = {
     val baseEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -287,7 +294,11 @@ object Soak {
         if (k == 0) c.where(col("vec_id") >= 10) else c
       }.reduce(_.unionByName(_))
       val dir = java.nio.file.Files.createTempDirectory("soak-ivfpq-").toString
-      graft.llm.VectorIndex.buildIvf(corpus, dir)
+      // K frozen from the 1x corpus at every scale; lists grow by
+      // frozen-quantizer assignment (the VecStream/mergeIvf fold)
+      graft.llm.VectorIndex.trainQuantizer(
+        baseEmb.where(col("vec_id") >= 10), dir)
+      graft.streaming.VecStream.ingestBatch(corpus, dir, 0L)
       graft.llm.VectorIndex.buildPq(corpus, dir)
       timed(s"${mult}x fallback")(
         graft.llm.VectorIndex.searchIvfPq(spark, dir, queries, 4, 5)
