@@ -142,16 +142,29 @@ object VectorIndex {
     marker.foreach(graft.util.Fs.touch(spark, _))
   }
 
-  /** Drop the [[alignPqToLists]] maintenance artifact. Every mutation
-    * of the lists or code tables ([[mergeIvf]]/[[mergePq]]/
-    * [[compactIvf]]/[[compactPq]]) calls this BEFORE writing: a stale
-    * aligned table is the one way this index family can serve silently
-    * wrong results (top-k missing merged vectors; compacted-away
-    * duplicate rows double-counting ADC partial sums), so staleness is
-    * made impossible rather than documented — [[searchIvfPq]] falls
-    * back to the membership-join plan until the owner re-aligns.
+  /** Invalidate the [[alignPqToLists]] maintenance artifact. Every
+    * mutation of the lists or code tables ([[mergeIvf]]/[[mergePq]]/
+    * [[compactIvf]]/[[compactPq]]) calls one of these BEFORE writing: a
+    * stale aligned table is the one way this index family can serve
+    * silently wrong results (top-k missing merged vectors;
+    * compacted-away duplicate rows double-counting ADC partial sums),
+    * so staleness is made impossible rather than documented —
+    * [[searchIvfPq]] falls back to the membership-join plan until the
+    * owner re-aligns.
+    *
+    * Two strengths, matched to what the mutation did: MERGES only add
+    * rows, so they drop the `_SUCCESS` serving gate but KEEP the
+    * aligned rows — the next [[alignPqToLists]] is then an O(delta)
+    * reconcile-append. COMPACTS remove rows (the at-least-once
+    * duplicate residual), so they drop the whole artifact — rows that
+    * no longer exist upstream cannot be reconciled away by an append,
+    * only by a rebuild.
     */
   private def invalidateAligned(spark: SparkSession, indexDir: String): Unit =
+    graft.util.Fs.delete(spark, s"$indexDir/pq_codes_by_list/_SUCCESS")
+
+  /** The hard form, for content-REMOVING mutations (compacts). */
+  private def dropAligned(spark: SparkSession, indexDir: String): Unit =
     graft.util.Fs.delete(spark, s"$indexDir/pq_codes_by_list")
 
   /** COMPACT a persisted IVF index in place — [[DedupIndex.compact]]'s
@@ -170,9 +183,9 @@ object VectorIndex {
       targetFiles: Int = 8): Unit = {
     // a crashed-merge duplicate row this rewrite removes from the lists
     // could survive in the aligned code table and double-count that
-    // vector's ADC partial sums — invalidate first (see
-    // [[invalidateAligned]])
-    invalidateAligned(spark, indexDir)
+    // vector's ADC partial sums — drop the artifact first (removed rows
+    // cannot be reconciled by an append; see [[invalidateAligned]])
+    dropAligned(spark, indexDir)
     IndexMaintenance.compactStages(spark, indexDir, Seq("lists"), targetFiles)
   }
 
@@ -182,7 +195,7 @@ object VectorIndex {
     */
   def compactPq(spark: SparkSession, indexDir: String,
       targetFiles: Int = 8): Unit = {
-    invalidateAligned(spark, indexDir)
+    dropAligned(spark, indexDir)
     IndexMaintenance.compactStages(spark, indexDir, Seq("pq_codes"), targetFiles)
   }
 
@@ -228,22 +241,42 @@ object VectorIndex {
     * membership join entirely: at 10⁹ vectors the difference between
     * scanning nprobe/K of the 4-byte codes and all of them.
     *
-    * This is a MAINTENANCE artifact, rebuilt by the owner after any
-    * [[mergeIvf]]/[[mergePq]] (the compaction cadence) — a stale
-    * aligned table would silently miss vectors merged after it was
-    * written, so every mutation of the lists or code tables DELETES it
+    * This is a MAINTENANCE artifact — a stale aligned table would
+    * silently miss vectors merged after it was written, so every
+    * mutation of the lists or code tables INVALIDATES it
     * ([[invalidateAligned]]): the obligation is enforced, not
-    * documented. [[searchIvfPq]] uses the aligned layout when present
-    * and falls back to the membership-join plan otherwise.
+    * documented. [[searchIvfPq]] uses the aligned layout when its
+    * `_SUCCESS` gate is present and falls back to the membership-join
+    * plan otherwise.
+    *
+    * Re-aligning after a merge is O(delta), not O(corpus): merges only
+    * ADD rows (ids are disjoint by the merge guard, and compacts —
+    * which remove rows — drop this artifact entirely), so the aligned
+    * table is reconciled by appending exactly the (codes ⋈ membership)
+    * rows whose vec_ids it does not yet hold. The anti-join doubles as
+    * the idempotence protocol: a crashed re-align leaves appended rows
+    * with no `_SUCCESS` (search stays on the fallback), and the retry's
+    * anti-join skips them — no marker bookkeeping, no double-count
+    * window. The final `_SUCCESS` is restored by the append job's own
+    * commit.
     */
   def alignPqToLists(spark: SparkSession, indexDir: String): Unit = {
     val member = spark.read.parquet(s"$indexDir/lists")
       .select(col("vec_id"), col("c_id"))
     val codes = spark.read.parquet(s"$indexDir/pq_codes")
-    codes.join(member, Seq("vec_id"))
-      .repartition(col("c_id"))
-      .write.mode(SaveMode.Overwrite).partitionBy("c_id")
-      .parquet(s"$indexDir/pq_codes_by_list")
+    val fresh = codes.join(member, Seq("vec_id"))
+    val alignedDir = s"$indexDir/pq_codes_by_list"
+    val existing: Option[DataFrame] =
+      if (graft.util.Fs.exists(spark, alignedDir))
+        Some(spark.read.parquet(alignedDir).select(col("vec_id")).distinct())
+      else None
+    val delta = existing match {
+      case Some(ids) => fresh.join(ids, Seq("vec_id"), "left_anti")
+      case None => fresh
+    }
+    delta.repartition(col("c_id"))
+      .write.mode(SaveMode.Append).partitionBy("c_id")
+      .parquet(alignedDir)
   }
 
   /** IVF-PQ (IVFADC) search — the two persisted index halves composed

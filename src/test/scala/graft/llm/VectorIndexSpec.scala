@@ -249,8 +249,10 @@ class VectorIndexSpec extends SparkSpec {
       .select(lit(900001L).as("vec_id"), $"embedding")
     VectorIndex.mergeIvf(spark, s"$dir/idx", delta, mergeId = Some("s1"))
     VectorIndex.mergePq(spark, s"$dir/idx", delta, mergeId = Some("s1"))
-    assert(!graft.util.Fs.exists(spark, s"$dir/idx/pq_codes_by_list"),
-      "merge left a stale aligned PQ table in place")
+    // merges drop only the serving gate (rows stay for the O(delta)
+    // reconcile) — search must be on the fallback plan now
+    assert(!graft.util.Fs.isFile(spark, s"$dir/idx/pq_codes_by_list/_SUCCESS"),
+      "merge left a stale aligned PQ table serveable")
 
     val queries = embs.where($"vec_id" === 5)
       .select($"vec_id".as("query_id"), $"embedding")
@@ -260,11 +262,27 @@ class VectorIndexSpec extends SparkSpec {
     assert(unaligned.exists(_._3 == 900001L),
       s"merged vector missing from IVF-PQ search without a re-align: $unaligned")
 
-    // re-aligning restores the pruned layout with the identical answer
+    // re-aligning is an O(delta) reconcile-append: the delta's 4 code
+    // rows land, nothing is duplicated, and the aligned plan serves
+    // the identical answer
+    def alignedRows() = spark.read.parquet(s"$dir/idx/pq_codes_by_list").count()
+    val beforeRealign = alignedRows()
     VectorIndex.alignPqToLists(spark, s"$dir/idx")
+    assert(alignedRows() == beforeRealign + 4,
+      "reconcile-append did not add exactly the delta's code rows")
     assert(hits() == unaligned,
       "re-aligned plan diverges from the membership-join plan over the merged index")
-    // and either compaction pass drops the aligned artifact again
+    // a crashed re-align (appended rows, _SUCCESS never restored) is
+    // healed by the retry's anti-join — no duplicate rows, gate restored
+    graft.util.Fs.delete(spark, s"$dir/idx/pq_codes_by_list/_SUCCESS")
+    VectorIndex.alignPqToLists(spark, s"$dir/idx")
+    assert(alignedRows() == beforeRealign + 4,
+      "re-align retry duplicated aligned code rows")
+    assert(graft.util.Fs.isFile(spark, s"$dir/idx/pq_codes_by_list/_SUCCESS"),
+      "re-align retry did not restore the serving gate")
+    assert(hits() == unaligned, "post-retry aligned search drifted")
+    // compaction passes remove rows, so they drop the artifact WHOLE
+    // (an append cannot reconcile away rows)
     VectorIndex.compactPq(spark, s"$dir/idx")
     assert(!graft.util.Fs.exists(spark, s"$dir/idx/pq_codes_by_list"),
       "compactPq left a stale aligned PQ table in place")
