@@ -5248,11 +5248,14 @@ object LlmQueries {
       embs(s, d).where(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding")),
       nprobe = 4, topk = 5)
-  val qIvfPqTopkSql: String = {
+  /** The closed-form IVF-PQ restatement (both index halves over the
+    * vec_id >= 10 corpus) shared by l77's top-k and l82's recall audit.
+    */
+  private val ivfPqSqlCtes: String = {
     def ldot(a: String, b: String) =
       s"""list_sum(list_transform(generate_series(1, len($a)),
          |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding,
+    s"""e AS (SELECT vec_id, embedding,
        |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |  FROM embeddings),
        |stride AS (SELECT greatest(37, CAST(ceil(COUNT(*) / 1000.0) AS BIGINT)) AS k
@@ -5325,10 +5328,12 @@ object LlmQueries {
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY ip_x1e6 DESC, neighbor_id ASC) AS rank
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+  val qIvfPqTopkSql: String =
+    s"""WITH $ivfPqSqlCtes
        |SELECT query_id, rank, neighbor_id, ip_x1e6
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-  }
 
   /** The compacted-ANN fixture behind l79: the l72 merge lifecycle
     * (same base/delta split, frozen quantizer) followed by a planted
@@ -5613,6 +5618,76 @@ object LlmQueries {
        |  (SUM(contrib_x1e4) OVER () > 15000000) AS drifted
        |FROM scored ORDER BY bucket""".stripMargin
 
+  /** l82: IVF-PQ RECALL audit — the serving-quality metric every ANN
+    * deployment reports next to its latency: per query, how many of the
+    * exact cosine top-5 does the approximate IVFADC top-5 actually
+    * find? Approximation error here has two independent sources — list
+    * pruning (the true neighbor lives in an unprobed cell) and code
+    * quantization (ADC misranks within the probed cells) — and this
+    * audit measures their COMBINED effect against the brute-force
+    * baseline, the vector companion to l54's LSH-ANN recall and l41's
+    * LSH banding audit. Output is (query_id, n_hits, recall_bp), exact
+    * integers under the driver's hash gate. Scale shape: the ADC side
+    * is the l77 serving path off the persisted fixture; the exact side
+    * is the l06 broadcast brute-force baseline (queries are the
+    * bounded side) with the bounded-heap TopK below the key shuffle;
+    * the overlap is one (query, neighbor)-keyed join of two
+    * topk-bounded sets. At audit cadence the exact side runs over a
+    * SAMPLE of queries — exactly this formulation with a sampled query
+    * frame.
+    */
+  def qIvfPqRecall(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val queries = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val adc = VectorIndex.searchIvfPq(s, ivfPqDir(s, d), queries, 4, 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col("query_id"), col("embedding").as("qv"),
+      sqrt(dotD(col("embedding"), col("embedding"))).as("qn"))
+    val corpus = e.where(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        sqrt(dotD(col("embedding"), col("embedding"))).as("nn"))
+    val scored = corpus.join(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        floor(dotD(col("qv"), col("nv")) / (col("qn") * col("nn")) * 1e6 + 0.5)
+          .cast("long").as("cos_x1e6"))
+    val exact = graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(("cos_x1e6", false), ("neighbor_id", true)), 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = adc.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    queries.select(col("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_bp", col("n_hits") * 2000)
+      .orderBy("query_id")
+  }
+  val qIvfPqRecallSql: String =
+    s"""WITH $ivfPqSqlCtes,
+       |adc5 AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        CAST(floor(${dotSql("q.embedding", "c.embedding")}
+       |          / (q.nrm * c.nrm) * 1e6 + 0.5) AS BIGINT) DESC,
+       |        c.vec_id ASC) AS r
+       |    FROM e q CROSS JOIN e c
+       |    WHERE q.vec_id < 10 AND c.vec_id >= 10)
+       |  WHERE r <= 5),
+       |hits AS (
+       |  SELECT a.query_id, COUNT(*) AS n_hits
+       |  FROM adc5 a JOIN exact x
+       |    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+       |  GROUP BY 1)
+       |SELECT q.query_id,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(COALESCE(h.n_hits, 0) * 2000 AS BIGINT) AS recall_bp
+       |FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings
+       |      WHERE vec_id < 10) q
+       |LEFT JOIN hits h ON q.query_id = h.query_id
+       |ORDER BY q.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -5694,7 +5769,8 @@ object LlmQueries {
     "l78_compact_parity" -> qCompactParity _,
     "l79_ann_compact_parity" -> qAnnCompactParity _,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearch _,
-    "l81_vec_drift_gate" -> qVecDriftGate _
+    "l81_vec_drift_gate" -> qVecDriftGate _,
+    "l82_ivfpq_recall" -> qIvfPqRecall _
   )
 
   val oracles: Map[String, String] = Map(
@@ -5778,6 +5854,7 @@ object LlmQueries {
     "l78_compact_parity" -> qCompactParitySql,
     "l79_ann_compact_parity" -> qAnnMergeParitySql,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearchSql,
-    "l81_vec_drift_gate" -> qVecDriftGateSql
+    "l81_vec_drift_gate" -> qVecDriftGateSql,
+    "l82_ivfpq_recall" -> qIvfPqRecallSql
   )
 }
