@@ -63,11 +63,18 @@ object MediaStream {
     // fingerprint: the drift gate's reference histogram then reads the
     // held index's stored sizes — payload bytes stay touched exactly
     // once, at ingest
+    // Pinned for the batch's lifetime: `keyed` feeds the gate histogram,
+    // the in-batch dedup (agg + join), the corpus probe, and the final
+    // writes — without the persist each consumer would RE-RUN the
+    // payload fold, and "touched exactly once" is a claim about the
+    // plan, not the prose. The persisted rows are ~30 B/asset (payload
+    // projected away).
     val keyed = batch
       .withColumn("h", md5(col("payload")))
       .withColumn("fp", MediaQueries.aHash16(col("payload")))
       .withColumn("plen", length(col("payload")).cast("long"))
       .select(col("media_id"), col("h"), col("fp"), col("plen"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val held: Option[DataFrame] =
       try Some(spark.read.parquet(s"$indexDir/fps")
         .where(col("batch_id") =!= batchId))
@@ -132,7 +139,8 @@ object MediaStream {
     bandsOf(outP)
       .write.mode("overwrite").partitionBy("bv")
       .parquet(s"$indexDir/bands/batch_id=$batchId")
-    outP.unpersist(); ()
+    outP.unpersist()
+    keyed.unpersist(); ()
   }
 
   /** The 2x8-bit pigeonhole banding of a (media_id, fp) frame — the

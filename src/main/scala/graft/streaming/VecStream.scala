@@ -83,7 +83,8 @@ object VecStream {
     // the buildIvf/mergeIvf frozen-quantizer argmax — needed for the
     // drift gate's histogram, the near-dup probe (which lists to look
     // in), and the final append, so it is computed once off the whole
-    // deduped batch
+    // deduped batch and PINNED for the batch's lifetime (each consumer
+    // would otherwise re-run the broadcast argmax)
     val assignedAll = e.join(broadcast(cent))
       .select(col("vec_id"),
         struct(col("embedding"), col("nrm"), col("c_id")).as("v"),
@@ -93,6 +94,7 @@ object VecStream {
       .groupBy("vec_id").agg(max_by(col("v"), col("k")).as("v"))
       .select(col("vec_id"), col("v.embedding").as("embedding"),
         col("v.nrm").as("nrm"), col("v.c_id").as("c_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Assignment-drift gate (the l73/l81 statistic run INSIDE the
     // fold): the arriving batch's quantizer-cell histogram is compared
     // against the HELD lists' stored assignments — a broken encoder
@@ -155,6 +157,7 @@ object VecStream {
     survivors.repartition(col("c_id"))
       .write.mode("overwrite").partitionBy("c_id")
       .parquet(s"$indexDir/lists/batch_id=$batchId")
+    assignedAll.unpersist(); ()
   }
 
   /** Run the ingest fold over a streaming (vec_id, embedding) source. */

@@ -158,6 +158,32 @@ class VecStreamSpec extends SparkSpec {
       s"self-query top-1 is ${top._3} at ${top._4}")
   }
 
+  test("compactIvf over a streamed layout: search parity, batch_id= partitions kept, files bounded") {
+    val dir = Files.createTempDirectory("veccompact").toString
+    VectorIndex.trainQuantizer(embs, s"$dir/idx")
+    VecStream.ingestBatch(embs.where($"vec_id".between(10, 59)), s"$dir/idx", 0L)
+    VecStream.ingestBatch(embs.where($"vec_id".between(60, 99)), s"$dir/idx", 1L)
+    val queries = embs.where($"vec_id" === 42)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def hits() = VectorIndex.searchIvf(spark, s"$dir/idx", queries, 4, 5)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    val want = hits()
+
+    VectorIndex.compactIvf(spark, s"$dir/idx", targetFiles = 4)
+
+    assert(hits() == want, "search drifted under streamed-layout compaction")
+    // the replay-overwrite partitions survive the rewrite, so a fold
+    // resumed afterwards still overwrites its own partition on replay
+    val batchDirs = graft.util.Fs.listFiles(spark, s"$dir/idx/lists")
+      .filter(_.endsWith(".parquet"))
+    assert(batchDirs.nonEmpty && batchDirs.forall(_.contains("batch_id=")),
+      s"compaction lost the batch_id= layout: ${batchDirs.take(3)}")
+    VecStream.ingestBatch(embs.where($"vec_id".between(60, 99)), s"$dir/idx", 1L)
+    assert(spark.read.parquet(s"$dir/idx/lists")
+      .select($"vec_id").as[Long].collect().sorted.toSeq == (10L to 99L).toSeq,
+      "post-compact replay broke the fold")
+  }
+
   test("streaming source end-to-end via foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("vecstream3").toString
