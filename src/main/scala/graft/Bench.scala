@@ -80,7 +80,11 @@ object Bench {
     "l77_ivfpq_topk" -> 1.4, "l78_compact_parity" -> 0.4,
     "l79_ann_compact_parity" -> 1.1,
     "l80_ivfpq_merge_search" -> 1.4, "l81_vec_drift_gate" -> 0.9,
-    "l82_ivfpq_recall" -> 1.5,
+    "l82_ivfpq_recall" -> 1.5, "l83_cell_balance" -> 0.6,
+    // q68: the bucket-histogram sliding median pays its x12 window
+    // expansion at this fixture's sub-1-event-per-bin density — the
+    // docstring's measured crossover; priced at the honest reading
+    "q68_bucket_median" -> 3.2,
     "m11_shot_boundaries" -> 0.9, "m13_audio_fingerprint" -> 1.8,
     "m14_keyframes" -> 0.9, "m15_media_drift_gate" -> 1.0,
     "m12_paired_dedup" -> 0.5,

@@ -42,6 +42,7 @@ object ClusterSmoke {
     "l77_ivfpq_topk",     // composed IVF-PQ serving path (round 13)
     "l80_ivfpq_merge_search", // merge-invalidated aligned table + fallback plan (round 14)
     "l81_vec_drift_gate", // assignment-histogram drift statistic (round 14)
+    "l82_ivfpq_recall",   // ADC vs exact-topk overlap: TopK + broadcast brute force (round 14)
     "m14_keyframes",      // shared shot chain + keyframe argmax (round 13)
     "m15_media_drift_gate" // payload-size drift statistic (round 14)
   )

@@ -5688,6 +5688,76 @@ object LlmQueries {
        |LEFT JOIN hits h ON q.query_id = h.query_id
        |ORDER BY q.query_id""".stripMargin
 
+  /** The documented operational retrain bar for [[qCellBalance]]: a
+    * cell holding 3x its balanced share. The healthy fixture index
+    * reads max 1.2-1.4x across sf0.001/0.01/0.1, so the verdict is
+    * honestly `false` here — the metric exists to flip when real drift
+    * concentrates mass (the l81 flood would push one cell toward
+    * K x 10⁴).
+    */
+  private[graft] val RetrainBarX1e4: Long = 30000L
+
+  /** l83: IVF cell-BALANCE audit — the quantizer-retrain cadence
+    * metric: [[VectorIndex.mergeIvf]] and [[graft.streaming.VecStream]]
+    * both freeze the coarse quantizer by design (retraining re-keys
+    * every list — necessarily an offline rebuild), which obligates the
+    * owner to MONITOR when that rebuild is warranted. Skewed inverted
+    * lists are the operational symptom: probe latency becomes
+    * tail-heavy (one probed list dominates the scan) and recall uneven
+    * (a bloated cell under-ranks its interior). Per non-empty cell this
+    * reports occupancy, corpus share in basis points, and the balance
+    * statistic `share x K x 10⁴` (10000 = perfectly balanced), with the
+    * retrain verdict against the documented 3x bar. Scale shape: ONE
+    * column-pruned read of the persisted lists' partition column, a
+    * K-bounded hash agg, and a K-row window — output bounded by the
+    * quantizer size (~1000 at any corpus scale), never the corpus.
+    */
+  def qCellBalance(s: SparkSession, d: String): DataFrame = {
+    val lists = s.read.parquet(s"${ivfPqDir(s, d)}/lists").select(col("c_id"))
+    val perCell = lists.groupBy("c_id").agg(count(lit(1)).as("n_vecs"))
+    val w = Window.partitionBy(lit(1))
+    perCell
+      .withColumn("total", sum(col("n_vecs")).over(w))
+      .withColumn("k", count(lit(1)).over(w))
+      .select(col("c_id"), col("n_vecs"),
+        expr("n_vecs * 10000 div total").as("share_bp"),
+        expr("n_vecs * 10000 * k div total").as("balance_x1e4"))
+      .withColumn("retrain",
+        max(col("balance_x1e4")).over(w) > lit(RetrainBarX1e4))
+      .orderBy("c_id")
+  }
+  val qCellBalanceSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |stride AS (SELECT greatest(37, CAST(ceil(COUNT(*) / 1000.0) AS BIGINT)) AS k
+       |  FROM embeddings WHERE vec_id >= 10),
+       |cent AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS cn
+       |  FROM e WHERE vec_id >= 10
+       |    AND vec_id % (SELECT k FROM stride) = 11),
+       |asg AS (
+       |  SELECT vec_id, c_id,
+       |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cc
+       |  FROM e CROSS JOIN cent WHERE vec_id >= 10),
+       |lists AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cc DESC, c_id ASC) AS r FROM asg)
+       |  WHERE r = 1),
+       |pc AS (SELECT c_id, COUNT(*) AS n_vecs FROM lists GROUP BY 1),
+       |tot AS (
+       |  SELECT *, SUM(n_vecs) OVER () AS total, COUNT(*) OVER () AS k
+       |  FROM pc),
+       |scored AS (
+       |  SELECT c_id, n_vecs,
+       |    CAST(n_vecs * 10000 // total AS BIGINT) AS share_bp,
+       |    CAST(n_vecs * 10000 * k // total AS BIGINT) AS balance_x1e4
+       |  FROM tot)
+       |SELECT c_id, n_vecs, share_bp, balance_x1e4,
+       |  (MAX(balance_x1e4) OVER () > 30000) AS retrain
+       |FROM scored ORDER BY c_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -5770,7 +5840,8 @@ object LlmQueries {
     "l79_ann_compact_parity" -> qAnnCompactParity _,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearch _,
     "l81_vec_drift_gate" -> qVecDriftGate _,
-    "l82_ivfpq_recall" -> qIvfPqRecall _
+    "l82_ivfpq_recall" -> qIvfPqRecall _,
+    "l83_cell_balance" -> qCellBalance _
   )
 
   val oracles: Map[String, String] = Map(
@@ -5855,6 +5926,7 @@ object LlmQueries {
     "l79_ann_compact_parity" -> qAnnMergeParitySql,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearchSql,
     "l81_vec_drift_gate" -> qVecDriftGateSql,
-    "l82_ivfpq_recall" -> qIvfPqRecallSql
+    "l82_ivfpq_recall" -> qIvfPqRecallSql,
+    "l83_cell_balance" -> qCellBalanceSql
   )
 }

@@ -2115,6 +2115,89 @@ object RelationalQueries {
       |  FROM events)
       |WHERE event_id % 25 = 0 ORDER BY event_id""".stripMargin
 
+  /** q68: bucket-aligned sliding median via MERGEABLE HISTOGRAMS — the
+    * scale path q67's docstring names, materialized. q67 carries the
+    * honest O(frame) exact-percentile state per row (right at moderate
+    * volume, wrong when one type's timeline outgrows a task); this
+    * formulation carries O(bins) state instead: per (event_type,
+    * 5-minute bucket) a value histogram (the load domain is the
+    * integers 0..99, so bins ARE values and the median is EXACT — for
+    * continuous domains the same plan holds with fixed-width bins and
+    * the answer is within half a bin), merged across the trailing hour
+    * by exploding each bucket's histogram into the <= 12 target buckets
+    * it serves (bounded x12 expansion, equi-join against the real
+    * bucket spine — no range join), then one cumulative pass over <= 100
+    * rows per (type, bucket) extracts the lower median. Scale shape:
+    * a map-side-combining histogram agg, a bounded explode, a keyed
+    * agg, and windows over <= 100-row groups — thousands of small
+    * partitions instead of one O(frame) state per row, and the
+    * histogram table is exactly the mergeable artifact a streaming
+    * fold would keep per watermarked window.
+    *
+    * Honest crossover accounting (measured, sf0.1): this fixture runs
+    * ~2.6 events per (type, bucket) — BELOW one event per bin — so the
+    * histogram compresses nothing (hist rows == event rows) and the
+    * x12 window expansion makes this formulation ~3.2 s where q67's
+    * exact frame (~31 rows) reads 2.5 s. The plans trade places when
+    * density crosses the bin count: at 10⁶ events/hour/type the exact
+    * window holds 10⁶-row state per row while this one still moves
+    * 100 x 12 rows per (type, bucket). Both are kept, both priced.
+    */
+  def q68BucketMedian(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events")
+      .withColumn("tsec", expr("unix_micros(cast(ts as timestamp)) div 1000000"))
+      .select($"event_type", expr("tsec div 300").as("tb"),
+        ($"event_id" % 100).cast("long").as("load"))
+    val hist = ev.groupBy($"event_type", $"tb", $"load")
+      .agg(count(lit(1)).as("c"))
+    val buckets = hist.select($"event_type", $"tb").distinct()
+    val contrib = hist.select($"event_type", $"load", $"c",
+      explode(sequence($"tb", $"tb" + lit(11L))).as("tb"))
+    // the spine is bounded by time-span/300 x types (a year is ~105k
+    // rows) — broadcast it so the x12 contribution stream never shuffles
+    // before its combining agg
+    val merged = contrib.join(broadcast(buckets), Seq("event_type", "tb"))
+      .groupBy($"event_type", $"tb", $"load").agg(sum($"c").as("c12"))
+    val wc = Window.partitionBy($"event_type", $"tb").orderBy($"load")
+    val wt = Window.partitionBy($"event_type", $"tb")
+    merged
+      .withColumn("cum", sum($"c12").over(wc))
+      .withColumn("n_1h", sum($"c12").over(wt))
+      .where($"cum" * 2 >= $"n_1h")
+      .groupBy($"event_type", $"tb")
+      .agg(max($"n_1h").as("n_1h"), min($"load").as("med_1h"))
+      .orderBy($"event_type", $"tb")
+  }
+  val q68Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) // 1000000 // 300 AS tb,
+      |    CAST(event_id % 100 AS BIGINT) AS load
+      |  FROM events),
+      |hist AS (
+      |  SELECT event_type, tb, load, COUNT(*) AS c
+      |  FROM ev GROUP BY 1, 2, 3),
+      |buckets AS (SELECT DISTINCT event_type, tb FROM hist),
+      |contrib AS (
+      |  SELECT event_type, load, c,
+      |    unnest(generate_series(tb, tb + 11)) AS tb2
+      |  FROM hist),
+      |merged AS (
+      |  SELECT co.event_type, co.tb2 AS tb, co.load,
+      |    CAST(SUM(co.c) AS BIGINT) AS c12
+      |  FROM contrib co JOIN buckets b
+      |    ON co.event_type = b.event_type AND co.tb2 = b.tb
+      |  GROUP BY 1, 2, 3),
+      |sc AS (
+      |  SELECT *,
+      |    SUM(c12) OVER (PARTITION BY event_type, tb ORDER BY load) AS cum,
+      |    SUM(c12) OVER (PARTITION BY event_type, tb) AS n_1h
+      |  FROM merged)
+      |SELECT event_type, tb,
+      |  CAST(MAX(n_1h) AS BIGINT) AS n_1h,
+      |  CAST(MIN(load) AS BIGINT) AS med_1h
+      |FROM sc WHERE cum * 2 >= n_1h
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -2182,7 +2265,8 @@ object RelationalQueries {
     "q64_equidepth" -> q64EquiDepth _,
     "q65_mad_outliers" -> q65MadOutliers _,
     "q66_topk_custom" -> q66TopkCustom _,
-    "q67_sliding_median" -> q67SlidingMedian _
+    "q67_sliding_median" -> q67SlidingMedian _,
+    "q68_bucket_median" -> q68BucketMedian _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2252,7 +2336,8 @@ object RelationalQueries {
     "q64_equidepth" -> q64Sql,
     "q65_mad_outliers" -> q65Sql,
     "q66_topk_custom" -> q66Sql,
-    "q67_sliding_median" -> q67Sql
+    "q67_sliding_median" -> q67Sql,
+    "q68_bucket_median" -> q68Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits

@@ -160,6 +160,7 @@ object DocStream {
         val outDocs = outP.select(col("doc_id"), col("text"))
         val outBands = graft.llm.DedupIndex.bandsOf(outDocs)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
         outBands
           .write.mode("overwrite").partitionBy("bp")
           .parquet(s"$idxDir/bands/batch_id=$batchId")
@@ -186,13 +187,16 @@ object DocStream {
           .write.mode("overwrite").parquet(s"$idxDir/signatures/batch_id=$batchId")
         graft.llm.DedupIndex.shingleSetsOf(outDocs)
           .write.mode("overwrite").parquet(s"$idxDir/shingle_sets/batch_id=$batchId")
-        outBands.unpersist()
+        } finally { outBands.unpersist(); () }
         outP
       case None => novel
     }
-    survivors.select(col("doc_id"), col("text"), col("h"), col("norm_key"))
+    // unpersist in a finally so a failed write cannot leak the pinned
+    // batch cache into a long-lived streaming driver (unpersist on the
+    // un-persisted None branch is a no-op)
+    try survivors.select(col("doc_id"), col("text"), col("h"), col("norm_key"))
       .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
-    survivors.unpersist(); ()
+    finally { survivors.unpersist(); () }
   }
 
   /** Run the ingest fold over a streaming document source. */

@@ -75,6 +75,7 @@ object MediaStream {
       .withColumn("plen", length(col("payload")).cast("long"))
       .select(col("media_id"), col("h"), col("fp"), col("plen"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val held: Option[DataFrame] =
       try Some(spark.read.parquet(s"$indexDir/fps")
         .where(col("batch_id") =!= batchId))
@@ -139,8 +140,8 @@ object MediaStream {
     bandsOf(outP)
       .write.mode("overwrite").partitionBy("bv")
       .parquet(s"$indexDir/bands/batch_id=$batchId")
-    outP.unpersist()
-    keyed.unpersist(); ()
+    outP.unpersist(); ()
+    } finally { keyed.unpersist(); () }
   }
 
   /** The 2x8-bit pigeonhole banding of a (media_id, fp) frame — the

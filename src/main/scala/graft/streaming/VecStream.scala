@@ -95,6 +95,7 @@ object VecStream {
       .select(col("vec_id"), col("v.embedding").as("embedding"),
         col("v.nrm").as("nrm"), col("v.c_id").as("c_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // Assignment-drift gate (the l73/l81 statistic run INSIDE the
     // fold): the arriving batch's quantizer-cell histogram is compared
     // against the HELD lists' stored assignments — a broken encoder
@@ -157,7 +158,7 @@ object VecStream {
     survivors.repartition(col("c_id"))
       .write.mode("overwrite").partitionBy("c_id")
       .parquet(s"$indexDir/lists/batch_id=$batchId")
-    assignedAll.unpersist(); ()
+    } finally { assignedAll.unpersist(); () }
   }
 
   /** Run the ingest fold over a streaming (vec_id, embedding) source. */
