@@ -826,4 +826,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("aggregate("),
       s"l31 regressed to interpreted aggregate() bit folds:\n$p")
   }
+
+  test("q68 bucket-histogram median: broadcast spine join, bucket-partitioned windows") {
+    val df = RelationalQueries.queries("q68_bucket_median")(spark, sf)
+    assertNoAllPairs("q68", df)
+    val p = planOf(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"q68's bucket-spine join no longer broadcasts (the x12 contribution " +
+        s"stream would shuffle before combining):\n$p")
+    // every window is partitioned by (event_type, tb) — never a global
+    // single-partition window over the merged histogram
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"q68 lost its windowed median extraction:\n$p")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"q68 has an unpartitioned (single-task) window:\n$p"))
+  }
+
+  test("l83 cell balance reads ONLY the lists' partition column") {
+    val df = LlmQueries.queries("l83_cell_balance")(spark, sf)
+    val p = planOf(df)
+    // ReadSchema must be empty/struct<> — occupancy comes from the c_id
+    // partition DIRECTORIES plus row counts, never the embedding bytes
+    assert(!p.contains("embedding"),
+      s"l83 reads embedding data for what is a partition-column census:\n$p")
+  }
 }
