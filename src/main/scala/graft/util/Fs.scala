@@ -53,11 +53,15 @@ object Fs {
 
   /** Atomic-per-store rename (`FileSystem.rename` — a metadata move on
     * HDFS and local disks). Returns false when the source is missing or
-    * the destination blocks the move, mirroring the underlying API.
+    * the destination blocks the move. The missing-source case is
+    * guarded EXPLICITLY because stores disagree: HDFS returns false,
+    * but the local `ChecksumFileSystem` falls back to a copy attempt
+    * that throws `FileNotFoundException` (FsSpec pins the uniform
+    * false).
     */
   def rename(spark: SparkSession, src: String, dst: String): Boolean = {
     val (f, s) = fs(spark, src)
-    f.rename(s, new Path(dst))
+    f.exists(s) && f.rename(s, new Path(dst))
   }
 
   /** Recursively list the regular files under a directory (file-count

@@ -206,4 +206,38 @@ class VecStreamSpec extends SparkSpec {
       .select($"vec_id").as[Long].collect().sorted.toSeq
     assert(ids == ((10L to 29L).toSeq), s"streamed corpus ids $ids")
   }
+
+  test("streaming end-to-end with the drift gate: a flood batch is rejected mid-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("vecstream4").toString
+    VectorIndex.trainQuantizer(embs, s"$dir/idx")
+    // the calibrated mod-3 split from the batch-level gate test (the
+    // fixture lesson: contiguous id ranges are topic-correlated and
+    // legitimately drift; and a halved reference doubles the noise)
+    val b0rows = embs.where($"vec_id".between(10, 409) && $"vec_id" % 3 =!= 2)
+      .as[(Long, Array[Float])].collect().toSeq
+    val b2rows = embs.where($"vec_id".between(10, 409) && $"vec_id" % 3 === 2)
+      .as[(Long, Array[Float])].collect().toSeq
+    val flood = (500L to 549L).map(id => (id, Array.fill(64)(0.125f))).toSeq
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = VecStream.ingest(
+      input.toDF().toDF("vec_id", "embedding"),
+      s"$dir/idx", s"$dir/ckpt", driftGate = true)
+    try {
+      input.addData(b0rows) // batch 0: ungated (no reference)
+      q.processAllAvailable()
+      input.addData(flood) // batch 1: constant-direction flood — rejected
+      q.processAllAvailable()
+      input.addData(b2rows) // batch 2: clean — held
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.read.parquet(s"$dir/idx/lists")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(ids == (b0rows ++ b2rows).map(_._1).sorted,
+      s"gate verdicts wrong through the streaming path: ${ids.size} held")
+    val log = VecStream.gateLog(spark, s"$dir/idx")
+      .select($"batch_id".cast("long"), $"rejected")
+      .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(log == Seq((1L, true), (2L, false)), s"gate log $log")
+  }
 }
