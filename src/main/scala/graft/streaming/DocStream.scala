@@ -85,12 +85,14 @@ object DocStream {
     // and both its histogram total and its downstream writes are
     // trivially zero)
     val gateRejected: Boolean = driftGate && !batch.isEmpty && {
+      // existence, not exception-swallowing: a present-but-broken corpus
+      // layout must fail the batch loudly, not degrade to "ungated"
       val refTexts: Option[DataFrame] =
-        try {
+        if (graft.util.Fs.exists(spark, corpusDir)) {
           val r = spark.read.parquet(corpusDir)
             .where(col("batch_id") =!= batchId).select(col("text"))
           if (r.isEmpty) None else Some(r)
-        } catch { case _: org.apache.spark.sql.AnalysisException => None }
+        } else None
       val verdict = refTexts.map { ref =>
         val row = graft.llm.LlmQueries
           .driftTable(ref, batch.select(col("text")))
@@ -114,10 +116,10 @@ object DocStream {
     val k2 = s1.groupBy(col("norm_key")).agg(min("doc_id").as("kid"))
     val s2 = s1.join(k2, Seq("norm_key")).where(col("doc_id") === col("kid")).drop("kid")
     val existing: Option[DataFrame] =
-      try {
+      if (graft.util.Fs.exists(spark, corpusDir)) {
         val c = spark.read.parquet(corpusDir)
         Some(c.where(col("batch_id") =!= batchId).select(col("h"), col("norm_key")))
-      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+      } else None
     val novel = existing match {
       case Some(corpus) =>
         s2.join(corpus.select("h").distinct(), Seq("h"), "left_anti")
@@ -127,10 +129,10 @@ object DocStream {
     val survivors = nearDupIndexDir match {
       case Some(idxDir) =>
         val held: Option[DataFrame] =
-          try {
+          if (graft.util.Fs.exists(spark, s"$idxDir/bands"))
             Some(spark.read.parquet(s"$idxDir/bands")
               .where(col("batch_id") =!= batchId))
-          } catch { case _: org.apache.spark.sql.AnalysisException => None }
+          else None
         val out = held match {
           case Some(cb) =>
             val hits = graft.llm.DedupIndex

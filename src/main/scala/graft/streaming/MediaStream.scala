@@ -76,10 +76,14 @@ object MediaStream {
       .select(col("media_id"), col("h"), col("fp"), col("plen"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+    // existence, not exception-swallowing (the VecStream/DocStream
+    // discipline): a present-but-broken fps layout fails loudly instead
+    // of silently folding the batch as batch-0
     val held: Option[DataFrame] =
-      try Some(spark.read.parquet(s"$indexDir/fps")
-        .where(col("batch_id") =!= batchId))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      if (graft.util.Fs.exists(spark, s"$indexDir/fps"))
+        Some(spark.read.parquet(s"$indexDir/fps")
+          .where(col("batch_id") =!= batchId))
+      else None
     // Payload-size drift gate (the l73/m15 statistic run INSIDE the
     // fold): the arriving batch's size histogram vs the held assets' —
     // an encoder change or a padded-spam source shifts byte sizes long
@@ -90,8 +94,16 @@ object MediaStream {
     val sizeBucket = expr("CAST(least(plen div 100, 7) AS BIGINT)")
     // (and an EMPTY batch is ungated — no distribution to judge, no
     // writes to block)
+    // Size-gating needs the reference sizes, and only fps partitions
+    // written at or after the version that added `plen` carry them: on
+    // an older held index the gate SKIPS (empty-reference semantics —
+    // the batch is ungated, not failed) rather than throwing an
+    // unresolved-column error from inside the fold. The held index
+    // back-fills naturally: every batch ingested from now on stores
+    // plen, so the gate arms once the pre-plen generations compact away
+    // or age out.
     val gateRejected: Boolean = driftGate && !batch.isEmpty && {
-      val ref = held.filter(!_.isEmpty)
+      val ref = held.filter(_.columns.contains("plen")).filter(!_.isEmpty)
       val verdict = ref.map { h =>
         val row = graft.llm.LlmQueries.driftOfBuckets(
             h.select(sizeBucket.as("bucket")),

@@ -76,10 +76,16 @@ object VecStream {
       .groupBy(col("vec_id")).agg(min(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    // "no held index yet" is an EXISTENCE question, not an exception to
+    // swallow: a broad AnalysisException catch here would fold a genuine
+    // schema/path error into "empty corpus" and silently re-run the
+    // batch as batch-0. With the Fs.exists test, a present-but-broken
+    // layout fails the batch loudly instead of degrading.
     val held: Option[DataFrame] =
-      try Some(spark.read.parquet(s"$indexDir/lists")
-        .where(col("batch_id") =!= batchId))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      if (graft.util.Fs.exists(spark, s"$indexDir/lists"))
+        Some(spark.read.parquet(s"$indexDir/lists")
+          .where(col("batch_id") =!= batchId))
+      else None
     // the buildIvf/mergeIvf frozen-quantizer argmax — needed for the
     // drift gate's histogram, the near-dup probe (which lists to look
     // in), and the final append, so it is computed once off the whole

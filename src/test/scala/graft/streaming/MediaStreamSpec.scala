@@ -85,6 +85,32 @@ class MediaStreamSpec extends SparkSpec {
     assert(heldIds() == (10L to 309L).toSeq, "empty gated batch mutated the index")
   }
 
+  test("drift gate on a pre-plen fps index: batch ingests ungated, no unresolved-column failure") {
+    val dir = Files.createTempDirectory("mediagateold").toString
+    val b0 = assets.where($"media_id".between(10, 109))
+    MediaStream.ingestBatch(b0, dir, 0L)
+    // simulate an index written BEFORE the size column existed: rewrite
+    // the held fps generation without plen (same rows otherwise)
+    val legacy = spark.read.parquet(s"$dir/fps/batch_id=0").drop("plen")
+    legacy.write.mode("overwrite").parquet(s"$dir/fps_legacy")
+    graft.util.Fs.delete(spark, s"$dir/fps/batch_id=0")
+    spark.read.parquet(s"$dir/fps_legacy")
+      .write.mode("overwrite").parquet(s"$dir/fps/batch_id=0")
+    assert(!spark.read.parquet(s"$dir/fps").columns.contains("plen"),
+      "fixture failed to strip plen from the held index")
+    // gating a new batch against the legacy index must DEGRADE (skip
+    // the size gate), not throw: the batch lands and no verdict is
+    // logged for it
+    val b1 = assets.where($"media_id".between(110, 159))
+    MediaStream.ingestBatch(b1, dir, 1L, driftGate = true)
+    val heldIds = MediaStream.fingerprints(spark, dir)
+      .select($"media_id").as[Long].collect().sorted.toSeq
+    assert(heldIds == (10L to 159L).toSeq,
+      s"legacy-index gate skip lost rows: ${heldIds.size} ids held")
+    assert(!graft.util.Fs.exists(spark, s"$dir/_gate/batch_id=1"),
+      "size gate logged a verdict it could not have computed")
+  }
+
   test("post-stream index equals a batch fingerprint build; replay is a no-op") {
     val dir = Files.createTempDirectory("mediastream2").toString
     val b0 = assets.where($"media_id".between(10, 59))
