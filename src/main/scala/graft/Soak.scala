@@ -38,6 +38,11 @@ object Soak {
       spark.stop()
       return
     }
+    if (sys.env.get("SOAK_MODE").contains("align")) {
+      alignScale(spark, sfDir)
+      spark.stop()
+      return
+    }
 
     val cfg = graft.config.SignalConfig(encoderType = "derivative",
       minPrice = 39000, maxPrice = 44000, tickDerivativeImagScale = 2.0f)
@@ -248,6 +253,76 @@ object Soak {
       System.gc()
     }
     System.err.println(s"[soak-merge] base corpus: $n docs; delta: ${n / 7} docs")
+  }
+
+  /** Re-align maintenance scale probe (`SOAK_MODE=align`): a FIXED
+    * delta is merged into BOTH halves of an IVF-PQ index built over a
+    * 1x/10x/100x corpus, and [[graft.llm.VectorIndex.alignPqToLists]]
+    * is timed. The claim under test is round 15's O(delta) reconcile:
+    * merges record their delta under `_align_pending/`, so the re-align
+    * joins two delta-sized frames and dynamically overwrites one
+    * `mseg=` generation — it never scans `pq_codes` or `lists`. Before
+    * this round the reconcile was `pq_codes ⋈ lists` over the FULL
+    * corpus plus an anti-join against the full aligned table (O(corpus)
+    * read per daily re-align); the probe's flat wall time at a fixed
+    * delta is the proof the O(corpus) residue is gone. The full BASE
+    * align is timed too as the counterpoint — it must grow with the
+    * corpus (it touches every code row once), exactly like compaction
+    * in the merge probe. Search parity after the re-align is asserted,
+    * not timed ([[ivfpqScale]] owns the serving-cost story).
+    */
+  private def alignScale(spark: SparkSession, sfDir: String): Unit = {
+    val baseEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = baseEmb.count()
+    // fixed-size delta, ids disjoint from every scaled corpus
+    val delta = baseEmb.where(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nd = delta.count()
+    def timed(label: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      System.err.println(
+        f"[soak-align] $label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    sys.env.getOrElse("SOAK_MULTS", "1,10,100").split(",").map(_.trim.toInt)
+      .toSeq.foreach { mult =>
+      val embs = (0 until mult).map { k =>
+        baseEmb.withColumn("vec_id", col("vec_id") + lit(k * 1000000L))
+      }.reduce(_.unionByName(_))
+      val dir = java.nio.file.Files.createTempDirectory("soak-align-").toString
+      // frozen-K posture (the ivfpqScale lesson): quantizer from the 1x
+      // corpus at every scale — buildIvf over the 1x slice, then the
+      // remaining copies merged in as a frozen-assignment growth merge,
+      // so corpus growth deepens lists instead of minting directories
+      graft.llm.VectorIndex.buildIvf(baseEmb, s"$dir/idx")
+      if (mult > 1)
+        graft.llm.VectorIndex.mergeIvf(spark, s"$dir/idx",
+          embs.where(col("vec_id") >= 1000000L), mergeId = Some("grow"))
+      graft.llm.VectorIndex.buildPq(embs, s"$dir/idx")
+      timed(s"${mult}x align_base ")(
+        graft.llm.VectorIndex.alignPqToLists(spark, s"$dir/idx"))
+      graft.llm.VectorIndex.mergeIvf(spark, s"$dir/idx", delta,
+        mergeId = Some("day1"))
+      graft.llm.VectorIndex.mergePq(spark, s"$dir/idx", delta,
+        mergeId = Some("day1"))
+      timed(s"${mult}x align_delta")(
+        graft.llm.VectorIndex.alignPqToLists(spark, s"$dir/idx"))
+      require(graft.util.Fs.isFile(spark,
+        s"$dir/idx/pq_codes_by_list/_SUCCESS"), "gate not restored")
+      val hits = graft.llm.VectorIndex.searchIvfPq(spark, s"$dir/idx",
+          delta.limit(3).select(col("vec_id").as("query_id"), col("embedding")),
+          4, 5).collect()
+      require(hits.nonEmpty, "post-align search returned nothing")
+      graft.llm.LlmQueries.deleteRecursively(new java.io.File(dir))
+      spark.catalog.clearCache()
+      Seq(baseEmb, delta)
+        .foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      System.gc()
+    }
+    System.err.println(s"[soak-align] base corpus: $n vectors; delta: $nd")
   }
 
   /** IVF-PQ serving-layout scale probe (`SOAK_MODE=ivfpq`): time

@@ -135,12 +135,37 @@ object VectorIndex {
     // always-correct membership-join fallback until the owner
     // re-runs alignPqToLists.
     invalidateAligned(spark, indexDir)
-    // task-per-list alignment, as in build — a delta append otherwise
-    // scatters up to tasks×lists files into the layout per merge
-    assigned.repartition(col("c_id")).write.mode(SaveMode.Append)
-      .partitionBy("c_id").parquet(s"$indexDir/lists")
+    val assignedP = assigned
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Record the delta's membership for the O(delta) re-align: the
+      // assignment is already in hand, so provenance costs one extra
+      // O(delta) write instead of a corpus-scale reconcile later.
+      // mode=overwrite into a per-merge pid= partition — a crash-retry
+      // of this merge rewrites it byte-equivalently (invalidation above
+      // keeps search on the fallback until the pending record is
+      // consumed by alignPqToLists).
+      assignedP.select(col("vec_id"), col("c_id"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$indexDir/_align_pending/lists/pid=${pendingId(mergeId)}")
+      // task-per-list alignment, as in build — a delta append otherwise
+      // scatters up to tasks×lists files into the layout per merge
+      assignedP.repartition(col("c_id")).write.mode(SaveMode.Append)
+        .partitionBy("c_id").parquet(s"$indexDir/lists")
+    } finally { assignedP.unpersist(); () }
     marker.foreach(graft.util.Fs.touch(spark, _))
   }
+
+  /** The per-merge provenance-partition id under `_align_pending/` —
+    * the mergeId when the caller supplied one (so a crash-retry of the
+    * same merge overwrites its own record), a fresh random id
+    * otherwise (an unnamed merge claims no replay protocol anywhere).
+    * Sanitized to filesystem-safe partition-value characters.
+    */
+  private def pendingId(mergeId: Option[String]): String =
+    mergeId.getOrElse(java.util.UUID.randomUUID().toString)
+      .map(c => if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.') c else '_')
 
   /** Invalidate the [[alignPqToLists]] maintenance artifact. Every
     * mutation of the lists or code tables ([[mergeIvf]]/[[mergePq]]/
@@ -154,11 +179,13 @@ object VectorIndex {
     *
     * Two strengths, matched to what the mutation did: MERGES only add
     * rows, so they drop the `_SUCCESS` serving gate but KEEP the
-    * aligned rows — the next [[alignPqToLists]] is then an O(delta)
-    * reconcile-append. COMPACTS remove rows (the at-least-once
-    * duplicate residual), so they drop the whole artifact — rows that
-    * no longer exist upstream cannot be reconciled away by an append,
-    * only by a rebuild.
+    * aligned rows, and record their delta under `_align_pending/` — the
+    * next [[alignPqToLists]] is then an O(delta) join of the pending
+    * frames. COMPACTS remove rows (the at-least-once duplicate
+    * residual), so they drop the whole artifact — rows that no longer
+    * exist upstream cannot be reconciled away by a segment write, only
+    * by the full rebuild the next align runs (which also supersedes and
+    * clears any pending records).
     */
   private def invalidateAligned(spark: SparkSession, indexDir: String): Unit =
     graft.util.Fs.delete(spark, s"$indexDir/pq_codes_by_list/_SUCCESS")
@@ -234,12 +261,13 @@ object VectorIndex {
 
   /** Align the PQ code table with the IVF lists: `pq_codes_by_list`
     * holds every (vec_id, sub_id, code) row PARTITIONED BY the owning
-    * inverted list's `c_id` — the layout change [[searchIvfPq]]'s
-    * membership×codes join exists to avoid. Once aligned, the IVF-PQ
-    * search reads ONLY the probed lists' code partitions (directory
-    * pruning, exactly like the lists themselves) and skips the
-    * membership join entirely: at 10⁹ vectors the difference between
-    * scanning nprobe/K of the 4-byte codes and all of them.
+    * inverted list's `c_id` (outer) and a merge-segment `mseg` (inner)
+    * — the layout change [[searchIvfPq]]'s membership×codes join exists
+    * to avoid. Once aligned, the IVF-PQ search reads ONLY the probed
+    * lists' code partitions (directory pruning on the outer `c_id`,
+    * exactly like the lists themselves) and skips the membership join
+    * entirely: at 10⁹ vectors the difference between scanning nprobe/K
+    * of the 4-byte codes and all of them.
     *
     * This is a MAINTENANCE artifact — a stale aligned table would
     * silently miss vectors merged after it was written, so every
@@ -249,34 +277,104 @@ object VectorIndex {
     * `_SUCCESS` gate is present and falls back to the membership-join
     * plan otherwise.
     *
-    * Re-aligning after a merge is O(delta), not O(corpus): merges only
-    * ADD rows (ids are disjoint by the merge guard, and compacts —
-    * which remove rows — drop this artifact entirely), so the aligned
-    * table is reconciled by appending exactly the (codes ⋈ membership)
-    * rows whose vec_ids it does not yet hold. The anti-join doubles as
-    * the idempotence protocol: a crashed re-align leaves appended rows
-    * with no `_SUCCESS` (search stays on the fallback), and the retry's
-    * anti-join skips them — no marker bookkeeping, no double-count
-    * window. The final `_SUCCESS` is restored by the append job's own
-    * commit.
+    * Re-aligning after a merge is O(delta) in BOTH read and write:
+    * [[mergeIvf]]/[[mergePq]] record the delta's membership and code
+    * rows under `_align_pending/` as they merge (the rows are already
+    * in hand — recording them costs one extra O(delta) write), so the
+    * reconcile is a join of the two pending frames with NO corpus-scale
+    * scan at all. The delta lands as one dynamically-overwritten
+    * `mseg=<segment>` generation inside each touched `c_id=` list —
+    * a crashed re-align is retried by re-running it: the same pending
+    * set derives the same segment id, the overwrite replaces the same
+    * leaf directories byte-equivalently, and the pending record is
+    * cleared only after the commit (which itself restores the
+    * `_SUCCESS` serving gate). No anti-join against the corpus, no
+    * double-count window.
+    *
+    * The first call (and any call after a compact dropped the artifact,
+    * or after the owner deletes it to force a repair) takes the FULL
+    * path — `pq_codes ⋈ lists` over the whole corpus into the `base`
+    * segment — and marks the artifact with `_BASE`; only that marker
+    * selects the incremental path, so a half-written base can never be
+    * mistaken for one. Single-writer maintenance discipline (the same
+    * assumption every merge/compact here makes): one align runs at a
+    * time, and not concurrently with a merge.
     */
   def alignPqToLists(spark: SparkSession, indexDir: String): Unit = {
-    val member = spark.read.parquet(s"$indexDir/lists")
-      .select(col("vec_id"), col("c_id"))
-    val codes = spark.read.parquet(s"$indexDir/pq_codes")
-    val fresh = codes.join(member, Seq("vec_id"))
     val alignedDir = s"$indexDir/pq_codes_by_list"
-    val existing: Option[DataFrame] =
-      if (graft.util.Fs.exists(spark, alignedDir))
-        Some(spark.read.parquet(alignedDir).select(col("vec_id")).distinct())
-      else None
-    val delta = existing match {
-      case Some(ids) => fresh.join(ids, Seq("vec_id"), "left_anti")
-      case None => fresh
+    val pendLists = s"$indexDir/_align_pending/lists"
+    val pendCodes = s"$indexDir/_align_pending/codes"
+    if (!graft.util.Fs.isFile(spark, s"$alignedDir/_BASE")) {
+      // full build / no-provenance repair: one corpus-scale join, the
+      // price of (re)deriving the artifact from scratch
+      val member = spark.read.parquet(s"$indexDir/lists")
+        .select(col("vec_id"), col("c_id"))
+      val codes = spark.read.parquet(s"$indexDir/pq_codes")
+      codes.join(member, Seq("vec_id"))
+        .withColumn("mseg", lit("base"))
+        .repartition(col("c_id"))
+        .write.mode(SaveMode.Overwrite).partitionBy("c_id", "mseg")
+        .parquet(alignedDir)
+      // the full join covered every merged row — pending is superseded
+      graft.util.Fs.delete(spark, s"$indexDir/_align_pending")
+      graft.util.Fs.touch(spark, s"$alignedDir/_BASE")
+    } else {
+      val haveL = graft.util.Fs.exists(spark, pendLists)
+      val haveC = graft.util.Fs.exists(spark, pendCodes)
+      if (!haveL && !haveC) {
+        // nothing pending: the only way the serving gate can be down
+        // here is a crash between a merge's invalidation and its
+        // pending write (lists unchanged — the artifact is still
+        // complete) or an externally-deleted marker; restore it
+        graft.util.Fs.touch(spark, s"$alignedDir/_SUCCESS")
+        return
+      }
+      require(haveL && haveC,
+        s"re-align at $indexDir found a pending ${if (haveL) "IVF" else "PQ"} " +
+          "delta with no matching " + (if (haveL) "PQ" else "IVF") +
+          " delta: merge the other index half before re-aligning, or delete " +
+          s"$alignedDir to force a full rebuild")
+      val member = spark.read.parquet(pendLists)
+      val codes = spark.read.parquet(pendCodes)
+      // both halves must cover the same vec_ids, or clearing pending
+      // below would silently orphan the uncovered side — fail loudly
+      val onlyM = member.select(col("vec_id")).distinct()
+        .join(codes.select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+        .limit(1).count()
+      val onlyC = codes.select(col("vec_id")).distinct()
+        .join(member.select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+        .limit(1).count()
+      require(onlyM == 0L && onlyC == 0L,
+        s"re-align at $indexDir: pending IVF and PQ deltas cover different " +
+          "vec_ids — merge both halves of every delta before re-aligning")
+      // deterministic segment id from the pending merge ids: a crashed
+      // re-align's retry sees the same pending set, derives the same
+      // segment, and overwrites the same leaves
+      val pids = (member.select(col("pid")).distinct()
+          .unionByName(codes.select(col("pid")).distinct()).distinct()
+          .collect().map(_.getString(0)).sorted)
+      val joined = pids.mkString("+")
+      val seg =
+        if (joined.length <= 96) joined
+        else java.security.MessageDigest.getInstance("MD5")
+          .digest(joined.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      codes.select(col("vec_id"), col("sub_id"), col("code"))
+        .join(member.select(col("vec_id"), col("c_id")), Seq("vec_id"))
+        .withColumn("mseg", lit(seg))
+        .repartition(col("c_id"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("c_id", "mseg")
+        .parquet(alignedDir)
+      // consume the pending record, then restore the serving gate (the
+      // dynamic-overwrite committer does not emit a root _SUCCESS).
+      // Crash windows converge: before the deletes, the retry re-runs
+      // the same segment; between delete and touch, the no-pending
+      // branch above restores the gate over the already-complete rows.
+      graft.util.Fs.delete(spark, pendLists)
+      graft.util.Fs.delete(spark, pendCodes)
+      graft.util.Fs.touch(spark, s"$alignedDir/_SUCCESS")
     }
-    delta.repartition(col("c_id"))
-      .write.mode(SaveMode.Append).partitionBy("c_id")
-      .parquet(alignedDir)
   }
 
   /** IVF-PQ (IVFADC) search — the two persisted index halves composed
@@ -426,9 +524,20 @@ object VectorIndex {
     // stale-alignment guard, as in mergeIvf: the delta's codes are
     // about to be missing from any aligned table — drop it first
     invalidateAligned(spark, indexDir)
-    scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
+    val deltaCodes = scored.withColumn("r", row_number().over(w))
+      .where(col("r") === 1)
       .select(col("vec_id"), col("sub_id"), col("c_id").as("code"))
-      .write.mode(SaveMode.Append).parquet(s"$indexDir/pq_codes")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the mergeIvf provenance recipe on the code side: the delta's
+      // codes land under a per-merge pid= partition so the re-align is
+      // an O(delta) join of the two pending frames, never a corpus scan
+      deltaCodes.coalesce(1)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$indexDir/_align_pending/codes/pid=${pendingId(mergeId)}")
+      deltaCodes
+        .write.mode(SaveMode.Append).parquet(s"$indexDir/pq_codes")
+    } finally { deltaCodes.unpersist(); () }
     marker.foreach(graft.util.Fs.touch(spark, _))
   }
 

@@ -293,6 +293,70 @@ class VectorIndexSpec extends SparkSpec {
     assert(hits() == unaligned, "search answer drifted across the lifecycle")
   }
 
+  test("re-align is O(delta): pending-only reads, multi-merge consume, mismatched halves fail loudly") {
+    val dir = Files.createTempDirectory("ivfpqodelta").toString
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = embs.where($"vec_id".between(10, 200))
+    VectorIndex.buildIvf(corpus, s"$dir/idx")
+    VectorIndex.buildPq(corpus, s"$dir/idx")
+    VectorIndex.alignPqToLists(spark, s"$dir/idx")
+
+    // two daily deltas, merged into both halves but not yet re-aligned
+    val d1 = embs.where($"vec_id".between(201, 210))
+      .select(($"vec_id" + 800000L).as("vec_id"), $"embedding")
+    val d2 = embs.where($"vec_id".between(211, 220))
+      .select(($"vec_id" + 800000L).as("vec_id"), $"embedding")
+    VectorIndex.mergeIvf(spark, s"$dir/idx", d1, mergeId = Some("day1"))
+    VectorIndex.mergePq(spark, s"$dir/idx", d1, mergeId = Some("day1"))
+    VectorIndex.mergeIvf(spark, s"$dir/idx", d2, mergeId = Some("day2"))
+    VectorIndex.mergePq(spark, s"$dir/idx", d2, mergeId = Some("day2"))
+
+    // capture the fallback answer over the merged index FIRST
+    val queries = embs.where($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def hits() = VectorIndex.searchIvfPq(spark, s"$dir/idx", queries, 4, 5)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    val fallback = hits()
+
+    // the O(delta) proof: hide BOTH corpus-scale tables — a reconcile
+    // that scans lists or pq_codes now fails; the pending-only join
+    // must not notice
+    assert(graft.util.Fs.rename(spark, s"$dir/idx/lists", s"$dir/hidden_lists"))
+    assert(graft.util.Fs.rename(spark, s"$dir/idx/pq_codes", s"$dir/hidden_codes"))
+    VectorIndex.alignPqToLists(spark, s"$dir/idx")
+    assert(graft.util.Fs.rename(spark, s"$dir/hidden_lists", s"$dir/idx/lists"))
+    assert(graft.util.Fs.rename(spark, s"$dir/hidden_codes", s"$dir/idx/pq_codes"))
+
+    // one align consumed every pending merge and restored the gate
+    assert(!graft.util.Fs.exists(spark, s"$dir/idx/_align_pending/lists"),
+      "pending membership record not consumed")
+    assert(!graft.util.Fs.exists(spark, s"$dir/idx/_align_pending/codes"),
+      "pending code record not consumed")
+    assert(graft.util.Fs.isFile(spark, s"$dir/idx/pq_codes_by_list/_SUCCESS"),
+      "re-align did not restore the serving gate")
+    assert(hits() == fallback,
+      "pending-only re-aligned search diverges from the membership-join plan")
+    // a repeat align with nothing pending is a no-op on the rows
+    val n = spark.read.parquet(s"$dir/idx/pq_codes_by_list").count()
+    VectorIndex.alignPqToLists(spark, s"$dir/idx")
+    assert(spark.read.parquet(s"$dir/idx/pq_codes_by_list").count() == n,
+      "idle re-align mutated the aligned table")
+
+    // a half-merged delta (IVF landed, PQ not) must fail the re-align
+    // loudly instead of clearing provenance it did not consume
+    val d3 = embs.where($"vec_id" === 230)
+      .select(($"vec_id" + 800000L).as("vec_id"), $"embedding")
+    VectorIndex.mergeIvf(spark, s"$dir/idx", d3, mergeId = Some("day3"))
+    intercept[IllegalArgumentException] {
+      VectorIndex.alignPqToLists(spark, s"$dir/idx")
+    }
+    // finishing the other half heals it
+    VectorIndex.mergePq(spark, s"$dir/idx", d3, mergeId = Some("day3"))
+    VectorIndex.alignPqToLists(spark, s"$dir/idx")
+    assert(graft.util.Fs.isFile(spark, s"$dir/idx/pq_codes_by_list/_SUCCESS"))
+    assert(hits().nonEmpty, "post-heal aligned search returned nothing")
+  }
+
   test("search prunes unprobed list partitions via dynamic partition pruning") {
     val dir = Files.createTempDirectory("ivfdpp").toString
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
