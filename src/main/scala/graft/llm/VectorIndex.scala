@@ -43,38 +43,113 @@ object VectorIndex {
     * layout — seed lists at `c_id=` next to batches at
     * `batch_id=/c_id=` — would break partition discovery).
     */
-  def trainQuantizer(embs: DataFrame, indexDir: String): Unit = {
+  def trainQuantizer(embs: DataFrame, indexDir: String,
+      lloydIters: Int = 0): Unit =
+    writeQuantizer(embs, s"$indexDir/centroids", lloydIters)
+
+  /** [[trainQuantizer]]'s mechanics, parameterized on the output path so
+    * [[retrainIvf]] can STAGE a new quantizer under `_compact/` instead
+    * of overwriting the live one in place.
+    *
+    * `lloydIters = 0` is the stride-sampling quantizer every existing
+    * fixture pins. `lloydIters > 0` refines those seeds with the l28
+    * k-means machinery run in QUANTIZED integer space (embeddings
+    * scaled x1024 to BIGINT, L2 assignment with the (dist, c_id)
+    * tie-break, per-cell floored-mean update, empty cells keeping their
+    * previous centroid) — every iteration is exact BIGINT arithmetic,
+    * so the refined centroids are engine-reproducible; only the final
+    * store converts `m/1024` to float (one IEEE round-to-nearest, the
+    * same on any engine). Refinement changes WHERE the cell boundaries
+    * sit, not any search formula: the centroid table keeps its
+    * (c_id, cv, cn) schema and bounded K, and l85 measures what the
+    * refinement buys in recall.
+    */
+  private def writeQuantizer(embs: DataFrame, centroidsPath: String,
+      lloydIters: Int): Unit = {
     val e = embs.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     val stride = math.max(37L, math.ceil(embs.count() / 1000.0).toLong)
-    e.where(col("vec_id") % stride === 11)
-      .select(col("vec_id").as("c_id"), col("embedding").as("cv"),
-        col("nrm").as("cn"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/centroids")
+    val seeds = e.where(col("vec_id") % stride === 11)
+    val cents =
+      if (lloydIters <= 0)
+        seeds.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+          col("nrm").as("cn"))
+      else {
+        val quant = embs.select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1024.0 + 0.5).cast("long")).as("qv"))
+        def l2(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, x) => acc + x)
+        def assignQ(cent: DataFrame): DataFrame =
+          quant.join(broadcast(cent))
+            .select(col("vec_id"), col("qv"), col("c_id"),
+              l2(col("qv"), col("cv")).as("dist"))
+            .groupBy(col("vec_id"))
+            .agg(min_by(struct(col("qv"), col("c_id")),
+              struct(col("dist"), col("c_id"))).as("m"))
+            .select(col("m.qv").as("qv"), col("m.c_id").as("c_id"))
+        def updateQ(prev: DataFrame, asg: DataFrame): DataFrame = {
+          val means = asg.select(col("c_id"),
+              explode(sequence(lit(1), lit(64))).as("pos"), col("qv"))
+            .select(col("c_id"), col("pos"),
+              element_at(col("qv"), col("pos")).as("v"))
+            .groupBy("c_id", "pos")
+            .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+            .select(col("c_id"), col("pos"),
+              floor(col("sv").cast("double") / col("n")).cast("long").as("m"))
+            .groupBy("c_id")
+            .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+              s0 => s0.getField("m")).as("mv"))
+          prev.join(means, Seq("c_id"), "left")
+            .select(col("c_id"),
+              coalesce(col("mv"), col("cv")).as("cv"))
+        }
+        var cur = seeds.select(col("vec_id").as("c_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1024.0 + 0.5).cast("long")).as("cv"))
+        for (_ <- 1 to lloydIters) cur = updateQ(cur, assignQ(cur))
+        val cv = transform(col("cv"),
+          x => (x.cast("double") / 1024.0).cast("float"))
+        cur.select(col("c_id"), cv.as("cv"))
+          .select(col("c_id"), col("cv"),
+            sqrt(dot(col("cv"), col("cv"))).as("cn"))
+      }
+    cents.write.mode(SaveMode.Overwrite).parquet(centroidsPath)
   }
 
-  /** Build and persist the index. `embs` needs (vec_id, embedding). */
-  def buildIvf(embs: DataFrame, indexDir: String): Unit = {
-    val e = embs.select(col("vec_id"), col("embedding"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-    trainQuantizer(embs, indexDir)
-    // assignment reads the PERSISTED quantizer (stage isolation — the
-    // DedupIndex.build discipline: each stage consumes the previous
-    // stage's artifact)
-    val cent = spark(embs).read.parquet(s"$indexDir/centroids")
-    // Arg-max by AGGREGATION, not a rank window: the (vector x centroid)
-    // join blows the row count up K-fold, and a window would shuffle and
-    // sort all of it by vec_id. max_by gets map-side partial combining —
-    // each partition reduces to one candidate per vector before the only
-    // shuffle — and the (cc, -c_id) struct ordering reproduces the
-    // window's exact deterministic tie-break (highest cosine, lowest id).
-    val assigned = e.join(broadcast(cent))
+  /** The buildIvf/mergeIvf/retrainIvf assignment, verbatim-shared:
+    * arg-max by AGGREGATION, not a rank window — the (vector x centroid)
+    * join blows the row count up K-fold, and a window would shuffle and
+    * sort all of it by vec_id. max_by gets map-side partial combining —
+    * each partition reduces to one candidate per vector before the only
+    * shuffle — and the (cc, -c_id) struct ordering reproduces the
+    * window's exact deterministic tie-break (highest cosine, lowest id).
+    */
+  private def assignAgainst(e: DataFrame, cent: DataFrame): DataFrame =
+    e.join(broadcast(cent))
       .select(col("vec_id"),
         struct(col("embedding"), col("nrm"), col("c_id")).as("v"),
         struct(cosQ(col("embedding"), col("nrm"), col("cv"), col("cn")).as("cc"),
           (-col("c_id")).as("nc")).as("k"))
       .groupBy("vec_id").agg(max_by(col("v"), col("k")).as("v"))
-      .select(col("vec_id"), col("v.embedding"), col("v.nrm"), col("v.c_id"))
+      .select(col("vec_id"), col("v.embedding").as("embedding"),
+        col("v.nrm").as("nrm"), col("v.c_id").as("c_id"))
+
+  /** Build and persist the index. `embs` needs (vec_id, embedding).
+    * `lloydIters > 0` selects the refined quantizer (see
+    * [[trainQuantizer]]); the default is the stride-sampling quantizer
+    * every existing oracle pins.
+    */
+  def buildIvf(embs: DataFrame, indexDir: String, lloydIters: Int = 0): Unit = {
+    val e = embs.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    trainQuantizer(embs, indexDir, lloydIters)
+    // assignment reads the PERSISTED quantizer (stage isolation — the
+    // DedupIndex.build discipline: each stage consumes the previous
+    // stage's artifact)
+    val cent = spark(embs).read.parquet(s"$indexDir/centroids")
+    val assigned = assignAgainst(e, cent)
     // Align writer tasks with the partition column before the
     // partitioned write: without this every task holding rows of k
     // lists emits k files, so the layout accretes up to tasks×lists
@@ -118,16 +193,10 @@ object VectorIndex {
     val cent = spark.read.parquet(s"$indexDir/centroids")
     val e = delta.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-    // the buildIvf assignment verbatim: max_by argmax with the
-    // (cc, -c_id) struct tie-break, map-side combined over the
-    // broadcast centroid join
-    val assigned = e.join(broadcast(cent))
-      .select(col("vec_id"),
-        struct(col("embedding"), col("nrm"), col("c_id")).as("v"),
-        struct(cosQ(col("embedding"), col("nrm"), col("cv"), col("cn")).as("cc"),
-          (-col("c_id")).as("nc")).as("k"))
-      .groupBy("vec_id").agg(max_by(col("v"), col("k")).as("v"))
-      .select(col("vec_id"), col("v.embedding"), col("v.nrm"), col("v.c_id"))
+    // the buildIvf assignment verbatim ([[assignAgainst]]): max_by
+    // argmax with the (cc, -c_id) struct tie-break, map-side combined
+    // over the broadcast centroid join
+    val assigned = assignAgainst(e, cent)
     // The aligned PQ code table no longer matches the lists the moment
     // the delta lands, and a stale one serves top-k results that
     // silently MISS every merged vector — invalidated BEFORE the
@@ -224,6 +293,65 @@ object VectorIndex {
       targetFiles: Int = 8): Unit = {
     dropAligned(spark, indexDir)
     IndexMaintenance.compactStages(spark, indexDir, Seq("pq_codes"), targetFiles)
+  }
+
+  /** RETRAIN the coarse quantizer over the CURRENT corpus and re-key
+    * every inverted list — the actuator for l83's cell-balance verdict.
+    * [[mergeIvf]] and [[graft.streaming.VecStream]] freeze the
+    * quantizer by design (daily deltas are O(delta) assignment+append);
+    * the price is drift: a frozen quantizer trained on last year's
+    * distribution concentrates this year's mass into few cells, and
+    * l83 measures exactly when that passes the 3x bar. This is the
+    * offline rebuild those docstrings promise.
+    *
+    * Semantics: retrained index == `buildIvf(current corpus)`, exactly
+    * — same stride rule (over the current corpus size), same argmax,
+    * same layout — so l84 pins parity in closed form against the
+    * oracle. The corpus is read from the lists themselves (vec_id,
+    * embedding — DISTINCT, since a retrain is a rebuild and absorbs
+    * any at-least-once duplicate residual like a compact would).
+    * `lloydIters` selects the refined quantizer, as in [[buildIvf]].
+    *
+    * Mechanics: both replacement stages (`centroids`, re-keyed `lists`)
+    * are STAGED under `_compact/` with buildIvf's own write shapes and
+    * swapped in under [[IndexMaintenance.swapStages]]'s intent-marked
+    * protocol — at every kill point a recovery pass (re-running
+    * retrain, or any compact) converges the pair to a complete
+    * generation; the staged copies are `_SUCCESS`-gated so a partial
+    * rewrite is never swapped. Between the two stage swaps the index
+    * briefly pairs generations, so the single-writer maintenance
+    * contract extends to serving: do not serve between a retrain CRASH
+    * and its recovery (a completed call has no such window for readers
+    * that resolve each search from the final directories). The PQ code
+    * table is quantizer-independent and survives as-is; the ALIGNED
+    * code layout is keyed by c_id and is dropped whole, with any
+    * pending provenance (superseded by the rebuild the next
+    * [[alignPqToLists]] runs). Merge markers are cleared — a replayed
+    * old mergeId afterwards fails loudly on the id-overlap guard.
+    */
+  def retrainIvf(spark: SparkSession, indexDir: String,
+      lloydIters: Int = 0): Unit = {
+    IndexMaintenance.refuseNonAtomic(spark, indexDir) // before the rebuild, not after
+    val stages = Seq("centroids", "lists")
+    IndexMaintenance.recoverStages(spark, indexDir, stages)
+    val corpus = spark.read.parquet(s"$indexDir/lists")
+      .select(col("vec_id"), col("embedding")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      writeQuantizer(corpus, s"$indexDir/_compact/centroids", lloydIters)
+      val cent = spark.read.parquet(s"$indexDir/_compact/centroids")
+      val e = corpus.select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      assignAgainst(e, cent)
+        .repartition(col("c_id")).write.mode(SaveMode.Overwrite)
+        .partitionBy("c_id").parquet(s"$indexDir/_compact/lists")
+      // the re-key invalidates every c_id-keyed derivative
+      dropAligned(spark, indexDir)
+      graft.util.Fs.delete(spark, s"$indexDir/_align_pending")
+      IndexMaintenance.swapStages(spark, indexDir, stages)
+      graft.util.Fs.delete(spark, s"$indexDir/_compact")
+      graft.util.Fs.delete(spark, s"$indexDir/_merges")
+    } finally { corpus.unpersist(); () }
   }
 
   /** Search the persisted index: `queries` needs (query_id, embedding);

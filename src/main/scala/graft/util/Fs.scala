@@ -13,7 +13,11 @@ import org.apache.spark.sql.SparkSession
   * compaction swaps throw). Resolving the filesystem FROM the path via
   * the session's Hadoop configuration keeps local behavior identical
   * (`file:` URIs hit `RawLocalFileSystem`) while `hdfs://`/`s3a://`
-  * index directories route to their real store.
+  * index directories route to their real store. Routing is not the
+  * same as equivalence: object stores fake rename with copy+delete, so
+  * the rename-based maintenance swaps additionally gate on
+  * [[atomicRename]] and refuse stores where the protocol's atomicity
+  * premise is false.
   */
 object Fs {
 
@@ -51,17 +55,44 @@ object Fs {
     f.delete(q, true): Unit
   }
 
-  /** Atomic-per-store rename (`FileSystem.rename` — a metadata move on
-    * HDFS and local disks). Returns false when the source is missing or
-    * the destination blocks the move. The missing-source case is
-    * guarded EXPLICITLY because stores disagree: HDFS returns false,
-    * but the local `ChecksumFileSystem` falls back to a copy attempt
-    * that throws `FileNotFoundException` (FsSpec pins the uniform
-    * false).
+  /** `FileSystem.rename` — a metadata move on HDFS and local disks,
+    * but NOT universally atomic: S3-class object stores (s3a, gs, …)
+    * implement it as an O(data) copy+delete, so a crash mid-rename can
+    * leave BOTH a partial source and a partial destination. Callers
+    * whose crash-safety argument rests on rename atomicity (the
+    * [[graft.llm.IndexMaintenance]] swap protocol) must gate on
+    * [[atomicRename]] rather than assume it. Returns false when the
+    * source is missing or the destination blocks the move. The
+    * missing-source case is guarded EXPLICITLY because stores disagree:
+    * HDFS returns false, but the local `ChecksumFileSystem` falls back
+    * to a copy attempt that throws `FileNotFoundException` (FsSpec pins
+    * the uniform false).
     */
   def rename(spark: SparkSession, src: String, dst: String): Boolean = {
     val (f, s) = fs(spark, src)
     f.exists(s) && f.rename(s, new Path(dst))
+  }
+
+  /** Does this path's store implement directory rename as an ATOMIC
+    * metadata move? True on HDFS-semantics filesystems (hdfs, local
+    * file, viewfs, Azure abfs — ADLS Gen2 renames are atomic); FALSE on
+    * the known copy+delete object stores, where a mid-rename crash
+    * leaves partially-populated directories. A capability deny-list
+    * keyed on the resolved filesystem's scheme — Hadoop exposes no
+    * portable atomicity flag (`StreamCapabilities` covers streams, not
+    * renames), so the honest contract is to name the stores the swap
+    * protocol refuses rather than discover them at crash time.
+    */
+  def atomicRename(spark: SparkSession, p: String): Boolean = {
+    // scheme from the URI, not from an instantiated FileSystem: the
+    // refusal must work (and be testable) on hosts that don't even
+    // carry the object-store connector jars
+    val scheme = Option(new Path(p).toUri.getScheme).map(_.toLowerCase)
+      .orElse(Option(FileSystem.getDefaultUri(
+        spark.sparkContext.hadoopConfiguration).getScheme).map(_.toLowerCase))
+      .getOrElse("file")
+    !Set("s3", "s3a", "s3n", "gs", "oss", "cosn", "obs", "swift", "wasb", "wasbs")
+      .contains(scheme)
   }
 
   /** Recursively list the regular files under a directory (file-count

@@ -271,6 +271,31 @@ class DedupIndexSpec extends SparkSpec {
     assert(DedupIndex.candidatePairs(spark, s"$dir/idx")
       .as[(Long, Long)].collect().toSet == want,
       "recovery from the aside-only window lost or changed pairs")
+
+    // Window 3 — a PARTIAL rename planted at the live path: the
+    // object-store failure mode the atomicRename gate refuses outright,
+    // simulated here to pin that recovery is belt-and-suspenders even
+    // against it. The swap-intent marker is up, the staged rewrite is
+    // complete (_SUCCESS), and the live stage holds a truncated file
+    // subset — bare existence of the live path must NOT be trusted.
+    spark.read.parquet(s"$dir/idx/pairs").distinct().repartition(2)
+      .write.parquet(s"$dir/idx/_compact/pairs")
+    graft.util.Fs.touch(spark, s"$dir/idx/_compact/_swapping_pairs")
+    graft.util.Fs.delete(spark, s"$dir/idx/pairs")
+    val stagedFiles = new java.io.File(s"$dir/idx/_compact/pairs").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(stagedFiles.length > 1, "fixture needs a multi-file staged rewrite")
+    new java.io.File(s"$dir/idx/pairs").mkdirs()
+    java.nio.file.Files.copy(stagedFiles.head.toPath,
+      new java.io.File(s"$dir/idx/pairs", stagedFiles.head.getName).toPath)
+    assert(spark.read.parquet(s"$dir/idx/pairs").count() <
+      want.size.toLong, "fixture failed to plant a truncated live stage")
+    DedupIndex.compact(spark, s"$dir/idx")
+    assert(DedupIndex.candidatePairs(spark, s"$dir/idx")
+      .as[(Long, Long)].collect().toSet == want,
+      "recovery served the partial-rename residue instead of the staged copy")
+    assert(!graft.util.Fs.exists(spark, s"$dir/idx/_compact"),
+      "swap-intent bookkeeping not cleared after partial-rename recovery")
   }
 
   test("compact preserves a streamed index's batch_id= replay partitions") {

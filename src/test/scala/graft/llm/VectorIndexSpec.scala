@@ -357,6 +357,112 @@ class VectorIndexSpec extends SparkSpec {
     assert(hits().nonEmpty, "post-heal aligned search returned nothing")
   }
 
+  test("retrainIvf equals buildIvf over the current corpus; re-key invalidates derivatives; kill window converges") {
+    val dir = Files.createTempDirectory("ivfretrain").toString
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = embs.where($"vec_id" >= 10)
+    val base = corpus.where($"vec_id" % 9 =!= 5)
+    val delta = corpus.where($"vec_id" % 9 === 5)
+    VectorIndex.buildIvf(base, s"$dir/idx")
+    VectorIndex.mergeIvf(spark, s"$dir/idx", delta, mergeId = Some("d1"))
+    VectorIndex.buildPq(corpus, s"$dir/idx")
+    VectorIndex.alignPqToLists(spark, s"$dir/idx")
+    assert(graft.util.Fs.isFile(spark, s"$dir/idx/pq_codes_by_list/_SUCCESS"))
+
+    // the actuator: retrain re-derives the quantizer from the CURRENT
+    // corpus — exactly buildIvf(union) (stride over the union count,
+    // not the base count the frozen quantizer was trained with)
+    VectorIndex.retrainIvf(spark, s"$dir/idx")
+    VectorIndex.buildIvf(corpus, s"$dir/scratch")
+    def table(p: String, cols: String*) = spark.read.parquet(p)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(table(s"$dir/idx/centroids", "c_id") ==
+      table(s"$dir/scratch/centroids", "c_id"),
+      "retrained quantizer differs from buildIvf over the union")
+    assert(table(s"$dir/idx/lists", "vec_id", "c_id") ==
+      table(s"$dir/scratch/lists", "vec_id", "c_id"),
+      "retrained lists differ from buildIvf over the union")
+    // the re-key dropped the c_id-keyed aligned artifact and provenance
+    assert(!graft.util.Fs.exists(spark, s"$dir/idx/pq_codes_by_list"),
+      "retrain left a stale aligned PQ table keyed by dead c_ids")
+    assert(!graft.util.Fs.exists(spark, s"$dir/idx/_align_pending"),
+      "retrain left stale align provenance")
+    // merge markers cleared: a replayed old mergeId fails the guard
+    intercept[IllegalArgumentException] {
+      VectorIndex.mergeIvf(spark, s"$dir/idx", delta, mergeId = Some("d1"))
+    }
+    // PQ survives (quantizer-independent); a fresh align serves again
+    VectorIndex.alignPqToLists(spark, s"$dir/idx")
+    val queries = embs.where($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    assert(VectorIndex.searchIvfPq(spark, s"$dir/idx", queries, 4, 5)
+      .count() > 0, "post-retrain IVF-PQ search returned nothing")
+
+    // mid-retrain kill between the two stage swaps: centroids already
+    // swapped to the new generation, lists swap pending (intent up,
+    // staged complete). Re-running retrain must converge the PAIR to
+    // one complete generation, not serve new centroids over old lists.
+    val delta2 = embs.where($"vec_id" === 7)
+      .select(lit(950001L).as("vec_id"), $"embedding")
+    VectorIndex.mergeIvf(spark, s"$dir/idx", delta2, mergeId = Some("d2"))
+    val union2 = corpus.select($"vec_id", $"embedding").unionByName(delta2)
+    VectorIndex.buildIvf(union2, s"$dir/scratch2")
+    graft.util.Fs.delete(spark, s"$dir/idx/centroids")
+    assert(graft.util.Fs.rename(spark, s"$dir/scratch2/centroids",
+      s"$dir/idx/centroids"))
+    assert(graft.util.Fs.rename(spark, s"$dir/scratch2/lists",
+      s"$dir/idx/_compact/lists"))
+    graft.util.Fs.touch(spark, s"$dir/idx/_compact/_swapping_lists")
+    VectorIndex.retrainIvf(spark, s"$dir/idx")
+    VectorIndex.buildIvf(union2, s"$dir/scratch3")
+    assert(table(s"$dir/idx/centroids", "c_id") ==
+      table(s"$dir/scratch3/centroids", "c_id"),
+      "post-kill retrain centroids diverge from the union rebuild")
+    assert(table(s"$dir/idx/lists", "vec_id", "c_id") ==
+      table(s"$dir/scratch3/lists", "vec_id", "c_id"),
+      "post-kill retrain lists diverge from the union rebuild")
+  }
+
+  test("lloyd-refined quantizer: same schema and K, deterministic, searchable") {
+    val dir = Files.createTempDirectory("ivflloyd").toString
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = embs.where($"vec_id" >= 10)
+    VectorIndex.buildIvf(corpus, s"$dir/a", lloydIters = 2)
+    VectorIndex.buildIvf(corpus, s"$dir/b", lloydIters = 2)
+    VectorIndex.buildIvf(corpus, s"$dir/sampled")
+    val refined = spark.read.parquet(s"$dir/a/centroids")
+      .select($"c_id", $"cv", $"cn")
+      .as[(Long, Array[Float], Double)].collect().sortBy(_._1)
+    val again = spark.read.parquet(s"$dir/b/centroids")
+      .select($"c_id", $"cv", $"cn")
+      .as[(Long, Array[Float], Double)].collect().sortBy(_._1)
+    val sampled = spark.read.parquet(s"$dir/sampled/centroids")
+      .select($"c_id").as[Long].collect().sorted
+    // same cells (seed ids), refined positions, bit-identical re-run
+    assert(refined.map(_._1).sameElements(sampled),
+      "refinement changed the cell id set")
+    assert(refined.length == again.length &&
+      refined.zip(again).forall { case ((i1, v1, n1), (i2, v2, n2)) =>
+        i1 == i2 && n1 == n2 && v1.sameElements(v2) },
+      "refined quantizer is not deterministic across builds")
+    assert(refined.exists { case (id, v, _) =>
+      val seed = corpus.where($"vec_id" === id)
+        .select($"embedding").as[Array[Float]].head()
+      !v.sameElements(seed)
+    }, "refinement moved no centroid — Lloyd step had no effect")
+    // the refined index serves: every corpus self-query still ranks
+    // itself first at cos 1e6 (refinement moves cell boundaries, not
+    // the exact re-ranking)
+    val queries = corpus.limit(3).select($"vec_id".as("query_id"), $"embedding")
+    val got = VectorIndex.searchIvf(spark, s"$dir/a", queries, 4, 5)
+      .as[(Long, Int, Long, Long)].collect()
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val top = rows.minBy(_._2)
+      assert(top._3 == qid && top._4 == 1000000L,
+        s"refined-index self-query $qid does not rank itself first")
+    }
+  }
+
   test("search prunes unprobed list partitions via dynamic partition pruning") {
     val dir = Files.createTempDirectory("ivfdpp").toString
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -53,6 +53,28 @@ class FsSpec extends SparkSpec {
         "(the compact swap's require() owns the failure message)")
   }
 
+  test("atomicRename admits HDFS-semantics stores and refuses object stores by scheme") {
+    val d = tmp()
+    assert(Fs.atomicRename(spark, d), "local paths must be admitted")
+    assert(Fs.atomicRename(spark, s"file://$d"), "file:// must be admitted")
+    assert(Fs.atomicRename(spark, "hdfs://nn:8020/warehouse/idx"),
+      "hdfs:// must be admitted")
+    assert(Fs.atomicRename(spark, "abfs://c@a.dfs.core.windows.net/idx"),
+      "abfs (ADLS Gen2, atomic rename) must be admitted")
+    for (p <- Seq("s3a://bucket/idx", "s3://bucket/idx", "gs://bucket/idx",
+        "wasb://c@a.blob.core.windows.net/idx", "oss://bucket/idx"))
+      assert(!Fs.atomicRename(spark, p),
+        s"$p fakes rename with copy+delete and must be refused")
+    // ... and the maintenance entry gate actually consumes it: a swap
+    // against an object-store path refuses with the protocol named,
+    // instead of discovering non-atomicity at crash time
+    val ex = intercept[IllegalArgumentException] {
+      graft.llm.IndexMaintenance.refuseNonAtomic(spark, "s3a://bucket/idx")
+    }
+    assert(ex.getMessage.contains("atomic-rename"),
+      s"refusal must name the protocol requirement: ${ex.getMessage}")
+  }
+
   test("listFiles is recursive, files-only, and empty for a missing dir") {
     val d = tmp()
     Fs.touch(spark, s"$d/idx/pairs/part-0.parquet")
