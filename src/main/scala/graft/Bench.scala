@@ -81,6 +81,10 @@ object Bench {
     "l79_ann_compact_parity" -> 1.1,
     "l80_ivfpq_merge_search" -> 1.4, "l81_vec_drift_gate" -> 0.9,
     "l82_ivfpq_recall" -> 1.5, "l83_cell_balance" -> 0.6,
+    // l84 amortizes its fixture's retrain across the JVM; the measured
+    // query is the l72-shaped serving path. l85 runs two serving paths
+    // + the brute-force baseline (its refined fixture amortizes too).
+    "l84_retrain_parity" -> 1.0, "l85_quantizer_recall" -> 1.6,
     // q68: the bucket-histogram sliding median pays its x12 window
     // expansion at this fixture's sub-1-event-per-bin density — the
     // docstring's measured crossover; priced at the honest reading

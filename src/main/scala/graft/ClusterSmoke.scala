@@ -44,7 +44,9 @@ object ClusterSmoke {
     "l81_vec_drift_gate", // assignment-histogram drift statistic (round 14)
     "l82_ivfpq_recall",   // ADC vs exact-topk overlap: TopK + broadcast brute force (round 14)
     "m14_keyframes",      // shared shot chain + keyframe argmax (round 13)
-    "m15_media_drift_gate" // payload-size drift statistic (round 14)
+    "m15_media_drift_gate", // payload-size drift statistic (round 14)
+    "l84_retrain_parity", // retrainIvf: staged re-key + intent-marked swap (round 15)
+    "l85_quantizer_recall" // Lloyd-refined quantizer + dual serving paths (round 15)
   )
 
   def main(args: Array[String]): Unit = {

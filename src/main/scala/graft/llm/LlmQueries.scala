@@ -355,6 +355,9 @@ object LlmQueries {
     dirs.addAll(ivfPqDirs.values())
     dirs.addAll(compactedIndexDirs.values())
     dirs.addAll(compactedAnnDirs.values())
+    dirs.addAll(mergedIvfPqDirs.values())
+    dirs.addAll(retrainedIvfDirs.values())
+    dirs.addAll(refinedIvfDirs.values())
     sharedIndexDirs.clear()
     mergedIndexDirs.clear()
     sharedGramDirs.clear()
@@ -362,6 +365,9 @@ object LlmQueries {
     ivfPqDirs.clear()
     compactedIndexDirs.clear()
     compactedAnnDirs.clear()
+    mergedIvfPqDirs.clear()
+    retrainedIvfDirs.clear()
+    refinedIvfDirs.clear()
     dirs.forEach(d => deleteRecursively(new java.io.File(d)))
   }
   private[graft] def deleteOnExit(dir: String): Unit =
@@ -5758,6 +5764,269 @@ object LlmQueries {
        |  (MAX(balance_x1e4) OVER () > 30000) AS retrain
        |FROM scored ORDER BY c_id""".stripMargin
 
+  /** The retrained-IVF fixture behind l84: the l72 merge lifecycle
+    * (base `% 9 != 5` indexed, delta merged under the FROZEN base
+    * quantizer) followed by [[VectorIndex.retrainIvf]] — the l83
+    * verdict's actuator run to completion, so the quantizer is
+    * re-derived from the UNION corpus and every list re-keyed. Built
+    * once per JVM per data directory.
+    */
+  private val retrainedIvfDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def retrainedIvfDir(s: SparkSession, d: String): String =
+    retrainedIvfDirs.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-retrained-")
+        .toString
+      deleteOnExit(tmp)
+      val corpus = embs(s, d).where(col("vec_id") >= 10)
+      VectorIndex.buildIvf(corpus.where(col("vec_id") % 9 =!= 5), tmp)
+      VectorIndex.mergeIvf(s, tmp, corpus.where(col("vec_id") % 9 === 5),
+        mergeId = Some("l84-delta"))
+      VectorIndex.retrainIvf(s, tmp)
+      tmp
+    })
+
+  /** l84: quantizer RETRAIN parity — [[VectorIndex.retrainIvf]] under
+    * the driver's cell-hash gate, closing the lifecycle l83's 3x
+    * verdict points at: the fixture merges a delta under the frozen
+    * base quantizer (l72's exact state), then RETRAINS — new stride
+    * quantizer over the union corpus, every list re-keyed, swapped in
+    * under the intent-marked staged protocol. The contract is
+    * `retrained == buildIvf(union)`, so the oracle is the l72 search
+    * statement with ONE change: the stride and centroid window derive
+    * from the UNION corpus instead of the base split. An engine that
+    * kept any base-quantizer residue — old stride, old centroid ids,
+    * stale list keys, the dropped-then-rebuilt aligned artifact —
+    * mis-probes and hash-mismatches. Scale shape: the measured query
+    * is the l72 serving path over the retrained fixture (broadcast
+    * centroid probe, DPP-pruned list read, bounded-heap top-k).
+    */
+  def qRetrainParity(s: SparkSession, d: String): DataFrame =
+    VectorIndex.searchIvf(s, retrainedIvfDir(s, d),
+      embs(s, d).where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      nprobe = 4, topk = 5)
+  val qRetrainParitySql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |stride AS (SELECT greatest(37, CAST(ceil(COUNT(*) / 1000.0) AS BIGINT)) AS k
+       |  FROM embeddings WHERE vec_id >= 10),
+       |cent AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS cn
+       |  FROM e WHERE vec_id >= 10
+       |    AND vec_id % (SELECT k FROM stride) = 11),
+       |asg AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS nv, nrm AS nn, c_id,
+       |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cc
+       |  FROM e CROSS JOIN cent WHERE vec_id >= 10),
+       |lists AS (
+       |  SELECT neighbor_id, nv, nn, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+       |      ORDER BY cc DESC, c_id ASC) AS r FROM asg)
+       |  WHERE r = 1),
+       |qasg AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, c_id,
+       |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cc
+       |  FROM e CROSS JOIN cent WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT query_id, qv, qn, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cc DESC, c_id ASC) AS r FROM qasg)
+       |  WHERE r <= 4),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(floor(${dotSql("qv", "nv")} / (qn * nn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cos_x1e6
+       |  FROM probes JOIN lists USING (c_id)),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cos_x1e6
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** The Lloyd-refined IVF fixture behind l85 (`lloydIters = 2`), built
+    * once per JVM per data directory; the SAMPLED side reuses the l77
+    * fixture's index (same corpus, same seeds, zero refinement).
+    */
+  private val refinedIvfDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def refinedIvfDir(s: SparkSession, d: String): String =
+    refinedIvfDirs.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-refined-")
+        .toString
+      deleteOnExit(tmp)
+      VectorIndex.buildIvf(embs(s, d).where(col("vec_id") >= 10), tmp,
+        lloydIters = 2)
+      tmp
+    })
+
+  /** l85: what quantizer TRAINING buys — recall@5 of the stride-SAMPLED
+    * coarse quantizer vs the same seeds after two Lloyd refinement
+    * iterations ([[VectorIndex.trainQuantizer]]'s `lloydIters` path),
+    * measured with the l82 instrument: per query, how many of the
+    * exact cosine top-5 does each IVF top-5 (nprobe=4) find? Refinement
+    * moves cell BOUNDARIES toward the data's actual clusters, so true
+    * neighbors land in probed cells more often — the delta between the
+    * two recall columns is the measured value of training, the number
+    * an owner weighs against the retrain cost l84 exercises. All
+    * refinement arithmetic is quantized BIGINT (engine-reproducible;
+    * the oracle restates both Lloyd iterations in closed form, l28's
+    * recipe plus empty-cell retention), so every cell is exact under
+    * the hash gate. Scale shape: two l72-shaped serving paths plus the
+    * l82 broadcast brute-force baseline over the audit-bounded query
+    * frame; the Lloyd iterations are one broadcast join + one bounded
+    * hash agg each over the corpus — the training cost is two extra
+    * corpus passes, paid offline.
+    */
+  def qQuantizerRecall(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val queries = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def top5(dir: String) =
+      VectorIndex.searchIvf(s, dir, queries, nprobe = 4, topk = 5)
+        .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col("query_id"), col("embedding").as("qv"),
+      sqrt(dotD(col("embedding"), col("embedding"))).as("qn"))
+    val corpus = e.where(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        sqrt(dotD(col("embedding"), col("embedding"))).as("nn"))
+    val scored = corpus.join(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        floor(dotD(col("qv"), col("nv")) / (col("qn") * col("nn")) * 1e6 + 0.5)
+          .cast("long").as("cos_x1e6"))
+    val exact = graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(("cos_x1e6", false), ("neighbor_id", true)), 5)
+      .select(col("query_id"), col("neighbor_id"))
+    def hitsOf(approx: DataFrame, name: String) =
+      approx.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as(name))
+    queries.select(col("query_id"))
+      .join(hitsOf(top5(ivfPqDir(s, d)), "h_sampled"), Seq("query_id"), "left")
+      .join(hitsOf(top5(refinedIvfDir(s, d)), "h_refined"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("h_sampled"), lit(0L)).as("hits_sampled"),
+        coalesce(col("h_refined"), lit(0L)).as("hits_refined"))
+      .withColumn("recall_bp_sampled", col("hits_sampled") * 2000)
+      .withColumn("recall_bp_refined", col("hits_refined") * 2000)
+      .orderBy("query_id")
+  }
+  val qQuantizerRecallSql: String = {
+    def l2(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, 64), i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+    def ivfTop5(cent: String, out: String) =
+      s"""${out}_asg AS (
+         |  SELECT vec_id AS neighbor_id, embedding AS nv, nrm AS nn, c_id,
+         |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+         |      * 1e6 + 0.5) AS BIGINT) AS cc
+         |  FROM e CROSS JOIN $cent WHERE vec_id >= 10),
+         |${out}_lists AS (
+         |  SELECT neighbor_id, nv, nn, c_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+         |      ORDER BY cc DESC, c_id ASC) AS r FROM ${out}_asg)
+         |  WHERE r = 1),
+         |${out}_qasg AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, c_id,
+         |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+         |      * 1e6 + 0.5) AS BIGINT) AS cc
+         |  FROM e CROSS JOIN $cent WHERE vec_id < 10),
+         |${out}_probes AS (
+         |  SELECT query_id, qv, qn, c_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cc DESC, c_id ASC) AS r FROM ${out}_qasg)
+         |  WHERE r <= 4),
+         |${out}_top5 AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY
+         |        CAST(floor(${dotSql("qv", "nv")} / (qn * nn)
+         |          * 1e6 + 0.5) AS BIGINT) DESC, neighbor_id ASC) AS r
+         |    FROM ${out}_probes JOIN ${out}_lists USING (c_id))
+         |  WHERE r <= 5)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |stride AS (SELECT greatest(37, CAST(ceil(COUNT(*) / 1000.0) AS BIGINT)) AS k
+       |  FROM embeddings WHERE vec_id >= 10),
+       |scent AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS cn
+       |  FROM e WHERE vec_id >= 10
+       |    AND vec_id % (SELECT k FROM stride) = 11),
+       |quant AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings WHERE vec_id >= 10),
+       |pos AS (SELECT unnest(generate_series(1, 64)) AS pos),
+       |c0 AS (SELECT vec_id AS c_id, qv AS cv FROM quant
+       |  WHERE vec_id % (SELECT k FROM stride) = 11),
+       |a1 AS (
+       |  SELECT vec_id, qv, c_id FROM (
+       |    SELECT q.vec_id, q.qv, c.c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${l2("q.qv", "c.cv")} ASC, c.c_id ASC) AS r
+       |    FROM quant q CROSS JOIN c0 c) WHERE r = 1),
+       |m1 AS (
+       |  SELECT c_id, pos,
+       |    CAST(floor(CAST(sum(qv[pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+       |  FROM a1 CROSS JOIN pos GROUP BY c_id, pos),
+       |c1 AS (
+       |  SELECT s.c_id, COALESCE(u.mv, s.cv) AS cv
+       |  FROM c0 s LEFT JOIN (
+       |    SELECT c_id, list(m ORDER BY pos) AS mv FROM m1 GROUP BY c_id) u
+       |  ON s.c_id = u.c_id),
+       |a2 AS (
+       |  SELECT vec_id, qv, c_id FROM (
+       |    SELECT q.vec_id, q.qv, c.c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${l2("q.qv", "c.cv")} ASC, c.c_id ASC) AS r
+       |    FROM quant q CROSS JOIN c1 c) WHERE r = 1),
+       |m2 AS (
+       |  SELECT c_id, pos,
+       |    CAST(floor(CAST(sum(qv[pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+       |  FROM a2 CROSS JOIN pos GROUP BY c_id, pos),
+       |c2 AS (
+       |  SELECT s.c_id, COALESCE(u.mv, s.cv) AS cv
+       |  FROM c1 s LEFT JOIN (
+       |    SELECT c_id, list(m ORDER BY pos) AS mv FROM m2 GROUP BY c_id) u
+       |  ON s.c_id = u.c_id),
+       |rcent AS (
+       |  SELECT c_id,
+       |    list_transform(cv,
+       |      x -> CAST(CAST(x AS DOUBLE) / 1024.0 AS REAL)) AS cv
+       |  FROM c2),
+       |rcent2 AS (
+       |  SELECT c_id, cv, sqrt(${dotSql("cv", "cv")}) AS cn FROM rcent),
+       |${ivfTop5("scent", "s")},
+       |${ivfTop5("rcent2", "f")},
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        CAST(floor(${dotSql("q.embedding", "c.embedding")}
+       |          / (q.nrm * c.nrm) * 1e6 + 0.5) AS BIGINT) DESC,
+       |        c.vec_id ASC) AS r
+       |    FROM e q CROSS JOIN e c
+       |    WHERE q.vec_id < 10 AND c.vec_id >= 10)
+       |  WHERE r <= 5),
+       |hs AS (
+       |  SELECT a.query_id, COUNT(*) AS n FROM s_top5 a
+       |  JOIN exact x ON a.query_id = x.query_id
+       |    AND a.neighbor_id = x.neighbor_id GROUP BY 1),
+       |hf AS (
+       |  SELECT a.query_id, COUNT(*) AS n FROM f_top5 a
+       |  JOIN exact x ON a.query_id = x.query_id
+       |    AND a.neighbor_id = x.neighbor_id GROUP BY 1)
+       |SELECT q.query_id,
+       |  CAST(COALESCE(hs.n, 0) AS BIGINT) AS hits_sampled,
+       |  CAST(COALESCE(hf.n, 0) AS BIGINT) AS hits_refined,
+       |  CAST(COALESCE(hs.n, 0) * 2000 AS BIGINT) AS recall_bp_sampled,
+       |  CAST(COALESCE(hf.n, 0) * 2000 AS BIGINT) AS recall_bp_refined
+       |FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings
+       |      WHERE vec_id < 10) q
+       |LEFT JOIN hs ON q.query_id = hs.query_id
+       |LEFT JOIN hf ON q.query_id = hf.query_id
+       |ORDER BY q.query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_dedup_exact" -> qDedupExact _,
     "l02_minhash_signatures" -> qMinhashSignatures _,
@@ -5841,7 +6110,9 @@ object LlmQueries {
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearch _,
     "l81_vec_drift_gate" -> qVecDriftGate _,
     "l82_ivfpq_recall" -> qIvfPqRecall _,
-    "l83_cell_balance" -> qCellBalance _
+    "l83_cell_balance" -> qCellBalance _,
+    "l84_retrain_parity" -> qRetrainParity _,
+    "l85_quantizer_recall" -> qQuantizerRecall _
   )
 
   val oracles: Map[String, String] = Map(
@@ -5927,6 +6198,8 @@ object LlmQueries {
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearchSql,
     "l81_vec_drift_gate" -> qVecDriftGateSql,
     "l82_ivfpq_recall" -> qIvfPqRecallSql,
-    "l83_cell_balance" -> qCellBalanceSql
+    "l83_cell_balance" -> qCellBalanceSql,
+    "l84_retrain_parity" -> qRetrainParitySql,
+    "l85_quantizer_recall" -> qQuantizerRecallSql
   )
 }
