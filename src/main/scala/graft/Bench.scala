@@ -89,6 +89,8 @@ object Bench {
     // expansion at this fixture's sub-1-event-per-bin density — the
     // docstring's measured crossover; priced at the honest reading
     "q68_bucket_median" -> 3.2,
+    // q69: q68's explode/spine shape twice (sketch + exact audit side)
+    "q69_hll_window" -> 2.8,
     "m11_shot_boundaries" -> 0.9, "m13_audio_fingerprint" -> 1.8,
     "m14_keyframes" -> 0.9, "m15_media_drift_gate" -> 1.0,
     "m12_paired_dedup" -> 0.5,

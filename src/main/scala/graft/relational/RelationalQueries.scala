@@ -2198,6 +2198,146 @@ object RelationalQueries {
       |FROM sc WHERE cum * 2 >= n_1h
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** The 64 linear-counting estimates `round(64 * ln(64 / V))` for
+    * V = 1..64 empty registers, baked as literals on BOTH engines: the
+    * one step of the HLL estimator that needs a transcendental is
+    * reduced to a 64-entry integer lookup, so q69 stays engine-exact
+    * (libm implementations may differ in the last ulp; a frozen table
+    * cannot).
+    */
+  private val HllLinearCounting: String =
+    "266,222,196,177,163,151,142,133,126,119,113,107,102,97,93,89,85,81," +
+      "78,74,71,68,65,63,60,58,55,53,51,48,46,44,42,40,39,37,35,33,32,30," +
+      "28,27,25,24,23,21,20,18,17,16,15,13,12,11,10,9,7,6,5,4,3,2,1,0"
+
+  /** Trailing-hour distinct users via MERGEABLE per-bucket HLL sketches
+    * — q58's named scale path materialized, the q67→q68 discipline
+    * applied to the distinct-count window. q58 carries the exact frame
+    * set (`size(collect_set)` — O(frame-distinct) state per row, the
+    * honest cost of exactness); here each (type, 5-min-bucket) keeps a
+    * 64-register HLL sketch (register = max leading-zero rank of a
+    * 60-bit md5-derived hash slice) and the trailing hour is the
+    * register-wise MAX of 12 sketches — the q68 bounded ×12 explode +
+    * broadcast spine equi-join, then one keyed agg. O(64) state per
+    * bucket regardless of cardinality: exactly the artifact a streaming
+    * fold keeps and a 100 TB timeline merges, where q58's per-row set
+    * cannot. Everything is engine-exact by construction: the hash is
+    * md5 (identical hex on both engines), register/rank arithmetic is
+    * BIGINT, the register sum uses integer `2^(57-M)` shifts (no
+    * floating accumulation — addition order cannot matter), the raw
+    * estimate is ONE IEEE double division, and the small-range
+    * linear-counting branch is the frozen [[HllLinearCounting]] lookup.
+    * The exact distinct count rides along per bucket (the l82 audit
+    * pattern: an approximation is reported NEXT TO its ground truth),
+    * with the honest crossover note: at this fixture's cardinalities
+    * (tens per window) the sketch's ~10% relative error is visible in
+    * err_bp and the exact side is cheap — the sketch wins where q58's
+    * set state blows up, i.e. high-cardinality production timelines.
+    */
+  def q69HllWindow(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events")
+      .withColumn("tsec", expr("unix_micros(cast(ts as timestamp)) div 1000000"))
+      .select($"event_type", expr("tsec div 300").as("tb"), $"user_id")
+    val regs = ev
+      .select($"event_type", $"tb",
+        expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h60"))
+      .select($"event_type", $"tb",
+        expr("h60 % 64").as("reg"),
+        expr("CAST(CASE WHEN h60 DIV 64 = 0 THEN 55 " +
+          "ELSE 55 - length(bin(h60 DIV 64)) END AS BIGINT)").as("rho"))
+    val sketch = regs.groupBy($"event_type", $"tb", $"reg")
+      .agg(max($"rho").as("m"))
+    val buckets = ev.select($"event_type", $"tb").distinct()
+    val contrib = sketch.select($"event_type", $"reg", $"m",
+      explode(sequence($"tb", $"tb" + lit(11L))).as("tb"))
+    val merged = contrib.join(broadcast(buckets), Seq("event_type", "tb"))
+      .groupBy($"event_type", $"tb", $"reg").agg(max($"m").as("m"))
+    val state = merged.groupBy($"event_type", $"tb")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(57 - m AS INT))"))
+          .as("s_seen"),
+        count(lit(1)).as("n_seen"))
+      .select($"event_type", $"tb",
+        ($"s_seen" +
+          (lit(64L) - $"n_seen") * expr("shiftleft(CAST(1 AS BIGINT), 57)"))
+          .as("s_all"),
+        (lit(64L) - $"n_seen").as("v"))
+    val est = state
+      .withColumn("raw", expr("CAST(floor(0.709 * 4096 * " +
+        "CAST(shiftleft(CAST(1 AS BIGINT), 57) AS DOUBLE) / " +
+        "CAST(s_all AS DOUBLE)) AS BIGINT)"))
+      .withColumn("u_hll", expr("CAST(CASE WHEN v > 0 AND raw <= 160 THEN " +
+        s"element_at(array($HllLinearCounting), CAST(v AS INT)) " +
+        "ELSE raw END AS BIGINT)"))
+    val du = ev.distinct()
+    val exact = du.select($"event_type", $"user_id",
+        explode(sequence($"tb", $"tb" + lit(11L))).as("tb"))
+      .join(broadcast(buckets), Seq("event_type", "tb"))
+      .groupBy($"event_type", $"tb")
+      .agg(countDistinct($"user_id").as("u_exact"))
+    est.join(exact, Seq("event_type", "tb"))
+      .select($"event_type", $"tb", $"u_hll", $"u_exact",
+        expr("abs(u_hll - u_exact) * 10000 div u_exact").as("err_bp"))
+      .orderBy($"event_type", $"tb")
+  }
+  val q69Sql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, epoch_us(ts) // 1000000 // 300 AS tb, user_id
+       |  FROM events),
+       |regs AS (
+       |  SELECT event_type, tb,
+       |    h60 % 64 AS reg,
+       |    CAST(CASE WHEN h60 // 64 = 0 THEN 55
+       |      ELSE 55 - length(bin(h60 // 64)) END AS BIGINT) AS rho
+       |  FROM (
+       |    SELECT event_type, tb,
+       |      ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+       |        AS h60
+       |    FROM ev)),
+       |sketch AS (
+       |  SELECT event_type, tb, reg, MAX(rho) AS m
+       |  FROM regs GROUP BY 1, 2, 3),
+       |buckets AS (SELECT DISTINCT event_type, tb FROM ev),
+       |contrib AS (
+       |  SELECT event_type, reg, m,
+       |    unnest(generate_series(tb, tb + 11)) AS tb2
+       |  FROM sketch),
+       |merged AS (
+       |  SELECT co.event_type, co.tb2 AS tb, co.reg, MAX(co.m) AS m
+       |  FROM contrib co JOIN buckets b
+       |    ON co.event_type = b.event_type AND co.tb2 = b.tb
+       |  GROUP BY 1, 2, 3),
+       |state AS (
+       |  SELECT event_type, tb,
+       |    CAST(SUM(1::BIGINT << CAST(57 - m AS INT)) AS BIGINT)
+       |      + (64 - COUNT(*)) * (1::BIGINT << 57) AS s_all,
+       |    64 - COUNT(*) AS v
+       |  FROM merged GROUP BY 1, 2),
+       |est AS (
+       |  SELECT event_type, tb, v, raw,
+       |    CAST(CASE WHEN v > 0 AND raw <= 160 THEN
+       |      ([$HllLinearCounting])[CAST(v AS INT)]
+       |      ELSE raw END AS BIGINT) AS u_hll
+       |  FROM (
+       |    SELECT *,
+       |      CAST(floor(0.709 * 4096 * CAST(1::BIGINT << 57 AS DOUBLE)
+       |        / CAST(s_all AS DOUBLE)) AS BIGINT) AS raw
+       |    FROM state)),
+       |exact AS (
+       |  SELECT d.event_type, d.tb2 AS tb, COUNT(DISTINCT d.user_id) AS u_exact
+       |  FROM (
+       |    SELECT event_type, user_id,
+       |      unnest(generate_series(tb, tb + 11)) AS tb2
+       |    FROM (SELECT DISTINCT event_type, tb, user_id FROM ev)) d
+       |  JOIN buckets b ON d.event_type = b.event_type AND d.tb2 = b.tb
+       |  GROUP BY 1, 2)
+       |SELECT e.event_type, e.tb, e.u_hll,
+       |  CAST(x.u_exact AS BIGINT) AS u_exact,
+       |  CAST(abs(e.u_hll - x.u_exact) * 10000 // x.u_exact AS BIGINT) AS err_bp
+       |FROM est e JOIN exact x
+       |  ON e.event_type = x.event_type AND e.tb = x.tb
+       |ORDER BY e.event_type, e.tb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter" -> q02Filter _,
@@ -2266,7 +2406,8 @@ object RelationalQueries {
     "q65_mad_outliers" -> q65MadOutliers _,
     "q66_topk_custom" -> q66TopkCustom _,
     "q67_sliding_median" -> q67SlidingMedian _,
-    "q68_bucket_median" -> q68BucketMedian _
+    "q68_bucket_median" -> q68BucketMedian _,
+    "q69_hll_window" -> q69HllWindow _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2337,7 +2478,8 @@ object RelationalQueries {
     "q65_mad_outliers" -> q65Sql,
     "q66_topk_custom" -> q66Sql,
     "q67_sliding_median" -> q67Sql,
-    "q68_bucket_median" -> q68Sql
+    "q68_bucket_median" -> q68Sql,
+    "q69_hll_window" -> q69Sql
   )
 
   // $"..." interpolator without importing a bound spark session's implicits

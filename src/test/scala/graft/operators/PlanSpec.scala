@@ -842,6 +842,21 @@ class PlanSpec extends SparkSpec {
       s"q68 has an unpartitioned (single-task) window:\n$p"))
   }
 
+  test("q69 HLL window: broadcast spine joins, keyed aggs, no window operator at all") {
+    val df = RelationalQueries.queries("q69_hll_window")(spark, sf)
+    assertNoAllPairs("q69", df)
+    val p = planOf(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"q69's bucket-spine join no longer broadcasts (the x12 sketch " +
+        s"stream would shuffle before combining):\n$p")
+    // the whole point of the sketch formulation: the trailing-hour merge
+    // is hash aggregation over bounded register state — no window
+    // function (q58's exact form is the one that pays a frame per row)
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.isEmpty,
+      s"q69 should merge sketches with keyed aggs, not window frames:\n$p")
+  }
+
   test("l83 cell balance reads ONLY the lists' partition column") {
     val df = LlmQueries.queries("l83_cell_balance")(spark, sf)
     val p = planOf(df)
