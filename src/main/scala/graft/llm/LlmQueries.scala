@@ -4729,11 +4729,51 @@ object LlmQueries {
         col("drift_x1e4"), col("drifted"))
   }
 
+  /** Calibrate a drift-gate bar from NEGATIVE CONTROLS — the documented
+    * procedure behind [[DriftBarX1e4]]/[[VecDriftBarX1e4]]/
+    * [[graft.media.MediaQueries.MediaDriftBarX1e4]], factored into a
+    * callable so a deployment derives its own bar the same way instead
+    * of inheriting this fixture's constants. Each control pair is
+    * (reference buckets, held-out CLEAN buckets): the same bucketing
+    * pipeline with NO injected drift, so its `drift_x1e4` reading is
+    * pure sampling noise — run one pair per operating scale/epoch (the
+    * shipped bars use the three SFs). The bar is the WORST control
+    * reading x4.5 — the safety factor the three shipped bars sit at
+    * (4.4-4.9x above worst noise, and 2.8x+ under the weakest true
+    * drift in each family's calibration) — rounded to the nearest
+    * half-significant figure ([[halfSigRound]]): a bar is an operating
+    * point, not a measurement, and trailing digits would imply
+    * precision the sampling noise doesn't support.
+    * DriftCalibrationSpec pins that this helper reproduces all three
+    * shipped constants from their own negative controls.
+    */
+  private[graft] def driftBarFrom(controls: Seq[(DataFrame, DataFrame)]): Long = {
+    require(controls.nonEmpty, "driftBarFrom needs at least one negative control")
+    val worst = controls.map { case (ref, ctl) =>
+      driftOfBuckets(ref, ctl, Long.MaxValue)
+        .select(col("drift_x1e4")).limit(1).collect().head.getLong(0)
+    }.max
+    halfSigRound(worst * 9 / 2)
+  }
+
+  /** Round to the nearest half-significant figure: the closest value of
+    * the form {10, 15, 20, 25, ..., 95} x 10^k. 22,950,000 -> 2.5e7;
+    * 14,850,000 -> 1.5e7.
+    */
+  private[graft] def halfSigRound(x: Long): Long = {
+    require(x > 0, s"halfSigRound needs a positive statistic, got $x")
+    if (x < 10) return x
+    var p = 1L
+    while (x / p >= 100) p *= 10
+    val step = 5 * p
+    ((x + step / 2) / step) * step
+  }
+
   /** The calibrated l73 (token-count) drift bar: the unperturbed
     * negative control reads <= 5.1e6 at sf0.001/0.01/0.1 (sampling
     * noise — largest at the smallest batch) and the injected spam shift
     * >= 7.1e7, so 2.5e7 sits ~5x above the worst noise and ~3x under
-    * the weakest true drift.
+    * the weakest true drift. Derived by [[driftBarFrom]]'s procedure.
     */
   private[graft] val DriftBarX1e4: Long = 25000000L
 
