@@ -85,6 +85,9 @@ object Bench {
     // query is the l72-shaped serving path. l85 runs two serving paths
     // + the brute-force baseline (its refined fixture amortizes too).
     "l84_retrain_parity" -> 1.0, "l85_quantizer_recall" -> 1.6,
+    // l86 measures the same pairs read as l78 — the pointer-resolved
+    // layout adds one control-file probe, not a plan change
+    "l86_pointer_swap_parity" -> 0.5,
     // q68: the bucket-histogram sliding median pays its x12 window
     // expansion at this fixture's sub-1-event-per-bin density — the
     // docstring's measured crossover; priced at the honest reading

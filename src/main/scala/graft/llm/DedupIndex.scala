@@ -47,6 +47,14 @@ import org.apache.spark.sql.functions._
   */
 object DedupIndex {
 
+  /** Live path of a maintenance-swapped stage — pointer-resolved
+    * ([[graft.util.Fs.stagePath]]): identical to `indexDir/<stage>`
+    * until a pointer-protocol compact moves the stage under a `_gen/`
+    * generation (object-store maintenance).
+    */
+  private def stg(spark: SparkSession, indexDir: String, stage: String): String =
+    graft.util.Fs.stagePath(spark, indexDir, stage)
+
   /** Build and persist the index. `docs` needs (doc_id, text). Bands are
     * derived from the PERSISTED signatures (not recomputed from text),
     * and pairs from the persisted bands — each stage reads the previous
@@ -64,15 +72,15 @@ object DedupIndex {
   def build(docs: DataFrame, indexDir: String, resume: Boolean = false): Unit = {
     val spark = docs.sparkSession
     def done(stage: String): Boolean =
-      resume && graft.util.Fs.isFile(spark, s"$indexDir/$stage/_SUCCESS")
+      resume && graft.util.Fs.isFile(spark, s"${stg(spark, indexDir, stage)}/_SUCCESS")
     if (!done("signatures"))
       LlmQueries.minhashSignatures(docs)
-        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/signatures")
+        .write.mode(SaveMode.Overwrite).parquet(stg(spark, indexDir, "signatures"))
     if (!done("bands"))
       LlmQueries.bandedOfSigs(signatures(spark, indexDir))
         .withColumn("bp", substring(col("bkey"), 1, 1))
         .write.mode(SaveMode.Overwrite)
-        .partitionBy("bp").parquet(s"$indexDir/bands")
+        .partitionBy("bp").parquet(stg(spark, indexDir, "bands"))
     if (!done("pairs")) {
       // Persist locally and release when the write commits: the banded
       // frame feeds both sides of the bucket self-join, and build may
@@ -81,33 +89,33 @@ object DedupIndex {
       val banded = bands(spark, indexDir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try LlmQueries.lshSelfJoin(banded)
-        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/pairs")
+        .write.mode(SaveMode.Overwrite).parquet(stg(spark, indexDir, "pairs"))
       finally { banded.unpersist(); () }
     }
     if (!done("shingle_sets"))
       LlmQueries.docShingleSets(docs)
-        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/shingle_sets")
+        .write.mode(SaveMode.Overwrite).parquet(stg(spark, indexDir, "shingle_sets"))
   }
 
   /** The persisted per-document MinHash signatures (doc_id, sig0..sig15). */
   def signatures(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/signatures")
+    spark.read.parquet(stg(spark, indexDir, "signatures"))
 
   /** The persisted banded keys (doc_id, band, bkey). */
   def bands(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/bands").select("doc_id", "band", "bkey")
+    spark.read.parquet(stg(spark, indexDir, "bands")).select("doc_id", "band", "bkey")
 
   /** The persisted candidate pairs (doc_a, doc_b), doc_a < doc_b,
     * distinct, unordered — consumers impose their own order.
     */
   def candidatePairs(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/pairs")
+    spark.read.parquet(stg(spark, indexDir, "pairs"))
 
   /** The persisted per-document distinct-shingle sets (doc_id, sh_set) —
     * the table every exact re-scorer joins against the candidate pairs.
     */
   def shingleSets(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/shingle_sets")
+    spark.read.parquet(stg(spark, indexDir, "shingle_sets"))
 
   /** Incremental probe: candidate (batch_doc, corpus_doc) pairs between
     * a NEW batch (doc_id, text) and the indexed corpus — the l39
@@ -117,7 +125,7 @@ object DedupIndex {
     * read; the corpus text is never touched.
     */
   def probe(spark: SparkSession, indexDir: String, batch: DataFrame): DataFrame =
-    probeAgainst(spark.read.parquet(s"$indexDir/bands"), batch)
+    probeAgainst(spark.read.parquet(stg(spark, indexDir, "bands")), batch)
 
   /** The probe join against an arbitrary corpus-bands frame — factored
     * out so callers holding a FILTERED view of the bands artifact (the
@@ -214,24 +222,24 @@ object DedupIndex {
             greatest(col("batch_doc"), col("corpus_doc")).as("doc_b"))
         val selfPairs = LlmQueries.lshSelfJoin(deltaBands)
         crossPairs.unionByName(selfPairs).distinct()
-          .write.mode(SaveMode.Append).parquet(s"$indexDir/pairs")
+          .write.mode(SaveMode.Append).parquet(stg(spark, indexDir, "pairs"))
         commit("pairs")
       }
       if (!done("bands")) {
         deltaBands
           .write.mode(SaveMode.Append).partitionBy("bp")
-          .parquet(s"$indexDir/bands")
+          .parquet(stg(spark, indexDir, "bands"))
         commit("bands")
       }
     } finally { deltaBands.unpersist(); () }
     if (!done("signatures")) {
       LlmQueries.minhashSignatures(delta)
-        .write.mode(SaveMode.Append).parquet(s"$indexDir/signatures")
+        .write.mode(SaveMode.Append).parquet(stg(spark, indexDir, "signatures"))
       commit("signatures")
     }
     if (!done("shingle_sets")) {
       shingleSetsOf(delta)
-        .write.mode(SaveMode.Append).parquet(s"$indexDir/shingle_sets")
+        .write.mode(SaveMode.Append).parquet(stg(spark, indexDir, "shingle_sets"))
       commit("shingle_sets")
     }
   }

@@ -14,20 +14,36 @@ import graft.util.Fs
   * clearing); this object holds only the mechanics so the text and
   * vector indexes cannot drift apart.
   *
-  * Store requirements. The swap is three `FileSystem.rename` calls per
-  * stage, and its crash-safety argument is exactly "each rename is an
-  * atomic metadata move". That is TRUE on HDFS-semantics stores (hdfs,
-  * local, viewfs, abfs) and FALSE on S3-class object stores, where
-  * rename is a non-atomic copy+delete and a mid-rename crash leaves
-  * partially-populated directories. Every entry point therefore gates
-  * on [[graft.util.Fs.atomicRename]] and REFUSES object-store index
-  * paths instead of claiming them — run maintenance against an
-  * HDFS-semantics staging location (or a future pointer-manifest swap,
-  * whose one-file current-pointer write IS atomic on object stores).
-  * On gated stores, recovery additionally tolerates a partial rename
-  * planted by an ungated writer: a swap-intent marker brackets each
-  * swap, and while it is up the `_SUCCESS`-gated staged rewrite — not
-  * bare existence of the live path — is what recovery trusts.
+  * Store requirements — TWO swap protocols, selected per store. The
+  * RENAME protocol (three `FileSystem.rename` calls per stage) rests
+  * its crash-safety on "each rename is an atomic metadata move" — TRUE
+  * on HDFS-semantics stores (hdfs, local, viewfs, abfs), FALSE on
+  * S3-class object stores, where rename is a non-atomic copy+delete
+  * and a mid-rename crash leaves partially-populated directories. On
+  * stores [[graft.util.Fs.atomicRename]] denies, maintenance therefore
+  * switches to the POINTER protocol: the rewrite is staged into a
+  * fresh versioned generation directory (`_gen/<stage>/gN` —
+  * unreferenced until published, so even a torn write there is inert
+  * garbage), and the swap is ONE single-file pointer publish
+  * (`_ptr/<stage>`), which is exactly the atomic primitive object
+  * stores do provide (a PUT is visible all-or-nothing). Multi-stage
+  * swaps (retrain's centroids+lists) are bracketed by a one-file
+  * intent JOURNAL written before the first flip; recovery replays the
+  * journal, so a crash between flips converges instead of serving a
+  * mixed index. Readers resolve every stage through
+  * [[graft.util.Fs.stagePath]], which follows the pointer when one
+  * exists and the bare `indexDir/<stage>` path otherwise — indexes
+  * that never ran a pointer-mode swap keep their layout unchanged.
+  * `spark.graft.index.swapMode` (`auto`/`rename`/`pointer`) overrides
+  * the per-store choice — `rename` for an HCFS connector the deny-list
+  * wrongly flags, `pointer` to force the object-store protocol
+  * anywhere (how the specs exercise it on local disk).
+  *
+  * On rename-protocol stores, recovery additionally tolerates a
+  * partial rename planted by an ungated writer: a swap-intent marker
+  * brackets each swap, and while it is up the `_SUCCESS`-gated staged
+  * rewrite — not bare existence of the live path — is what recovery
+  * trusts.
   */
 private[graft] object IndexMaintenance {
 
@@ -41,14 +57,56 @@ private[graft] object IndexMaintenance {
     */
   private val PartitionCols = Seq("batch_id", "bp", "bv", "c_id")
 
-  private[graft] def refuseNonAtomic(spark: SparkSession, indexDir: String): Unit =
-    require(Fs.atomicRename(spark, indexDir),
-      s"index maintenance at $indexDir: the staged-swap protocol requires an " +
-        "atomic-rename store (HDFS, local, abfs); this store implements " +
-        "rename as a non-atomic copy+delete, under which a crash mid-swap " +
-        "can leave a partially-populated live stage. Run maintenance " +
-        "against an HDFS-semantics location and copy the result, or keep " +
-        "the index on such a store outright.")
+  /** Which swap protocol maintenance at `indexDir` runs: POINTER on
+    * stores whose rename is a non-atomic copy+delete (the
+    * [[graft.util.Fs.atomicRename]] deny-list), RENAME otherwise.
+    * `spark.graft.index.swapMode` overrides (`rename` / `pointer`);
+    * the default `auto` trusts the deny-list — and is STICKY on layout:
+    * an index that has ever pointer-swapped (its `_ptr/` directory
+    * exists) stays pointer-governed under `auto` even on an
+    * atomic-rename store, because its live stages now sit under `_gen/`
+    * generations where the rename protocol's bare-path moves would not
+    * find them. Only the explicit `rename` override bypasses the
+    * stickiness (an operator migrating a layout back takes
+    * responsibility for first moving the pointed generations to the
+    * bare paths).
+    */
+  private[graft] def pointerMode(spark: SparkSession, indexDir: String): Boolean =
+    spark.conf.get("spark.graft.index.swapMode", "auto") match {
+      case "pointer" => true
+      case "rename"  => false
+      case _ => !Fs.atomicRename(spark, indexDir) ||
+        Fs.exists(spark, s"$indexDir/_ptr")
+    }
+
+  /** Where a replacement for `stage` is STAGED before its swap:
+    * `_compact/<stage>` under the rename protocol, the NEXT generation
+    * directory `_gen/<stage>/gN` under the pointer protocol.
+    * Deterministic while the stage's pointer is unflipped, so staging
+    * writes and the subsequent [[swapStages]] derive the same target —
+    * and so a crashed rewrite's retry overwrites the same (still
+    * unreferenced) directory instead of leaking one per attempt.
+    */
+  private[graft] def stagedDir(spark: SparkSession, indexDir: String,
+      stage: String): String =
+    if (pointerMode(spark, indexDir))
+      s"$indexDir/_gen/$stage/${nextGen(spark, indexDir, stage)}"
+    else s"$indexDir/_compact/$stage"
+
+  /** The generation name a pointer-mode swap of `stage` will publish:
+    * the successor of the currently-pointed generation (`g1` for a
+    * stage still living at its bare pre-pointer path).
+    */
+  private def nextGen(spark: SparkSession, indexDir: String,
+      stage: String): String =
+    "g" + (currentGen(spark, indexDir, stage).map(_.drop(1).toLong + 1L)
+      .getOrElse(1L))
+
+  private def currentGen(spark: SparkSession, indexDir: String,
+      stage: String): Option[String] = {
+    val ptr = s"$indexDir/_ptr/$stage"
+    if (Fs.isFile(spark, ptr)) Some(Fs.readString(spark, ptr).trim) else None
+  }
 
   /** Rewrite each stage directory DISTINCT into O(targetFiles) files
     * (one file per partition directory when the stage is
@@ -66,10 +124,9 @@ private[graft] object IndexMaintenance {
     */
   def compactStages(spark: SparkSession, indexDir: String,
       stages: Seq[String], targetFiles: Int): Unit = {
-    refuseNonAtomic(spark, indexDir)
     recoverStages(spark, indexDir, stages)
     stages.foreach { stage =>
-      val df = spark.read.parquet(s"$indexDir/$stage")
+      val df = spark.read.parquet(Fs.stagePath(spark, indexDir, stage))
       val parts = PartitionCols.filter(df.columns.contains)
       val deduped = df.distinct()
       val refiled =
@@ -81,7 +138,7 @@ private[graft] object IndexMaintenance {
         else
           deduped.repartition(targetFiles)
             .write.mode(SaveMode.Overwrite)
-      refiled.parquet(s"$indexDir/_compact/$stage")
+      refiled.parquet(stagedDir(spark, indexDir, stage))
     }
     swapStages(spark, indexDir, stages)
     Fs.delete(spark, s"$indexDir/_compact")
@@ -108,8 +165,12 @@ private[graft] object IndexMaintenance {
     * windows, the assumption every marker file here already makes.
     */
   def swapStages(spark: SparkSession, indexDir: String,
+      stages: Seq[String]): Unit =
+    if (pointerMode(spark, indexDir)) swapByPointer(spark, indexDir, stages)
+    else swapByRename(spark, indexDir, stages)
+
+  private def swapByRename(spark: SparkSession, indexDir: String,
       stages: Seq[String]): Unit = {
-    refuseNonAtomic(spark, indexDir)
     stages.foreach { stage =>
       val live = s"$indexDir/$stage"
       val staged = s"$indexDir/_compact/$stage"
@@ -126,6 +187,53 @@ private[graft] object IndexMaintenance {
         s"compact swap failed for $stage")
       Fs.delete(spark, aside)
       Fs.delete(spark, intent)
+    }
+  }
+
+  /** The pointer-protocol swap: each stage's staged generation (already
+    * written by the caller at [[stagedDir]], `_SUCCESS`-complete) is
+    * published by overwriting the stage's one-file pointer — the single
+    * atomic primitive object stores provide. Before the first flip the
+    * full flip set is journaled in ONE intent file (`_ptr/_intent`), so
+    * a crash between a multi-stage swap's flips is converged by
+    * [[recoverStages]] replaying the journal rather than serving a
+    * mixed index (the rename protocol's intent-marker role, one file
+    * for the whole set instead of one bracket per stage). After each
+    * flip the superseded copy — the previous generation, or the bare
+    * pre-pointer directory on a stage's first pointer swap — is
+    * dropped; that delete is garbage collection, not correctness (the
+    * old copy is unreferenced the instant the pointer lands), so a
+    * failure there is cleaned by the next recovery's hygiene pass.
+    */
+  private def swapByPointer(spark: SparkSession, indexDir: String,
+      stages: Seq[String]): Unit = {
+    // re-derives what stagedDir gave the caller: pointers are unflipped
+    // until the loop below, so the successor generation is the same
+    val plan = stages.map(s => s -> nextGen(spark, indexDir, s))
+    plan.foreach { case (stage, gen) =>
+      require(Fs.isFile(spark, s"$indexDir/_gen/$stage/$gen/_SUCCESS"),
+        s"pointer swap for $stage: staged generation $gen is not " +
+          "_SUCCESS-complete")
+    }
+    Fs.writeString(spark, s"$indexDir/_ptr/_intent",
+      plan.map { case (s, g) => s"$s $g" }.mkString("\n"))
+    flipPointers(spark, indexDir, plan)
+    Fs.delete(spark, s"$indexDir/_ptr/_intent")
+  }
+
+  /** Publish each (stage → generation) flip, dropping the superseded
+    * copy. Idempotent — re-publishing an already-current pointer is a
+    * no-op rewrite of the same content, which is what lets recovery
+    * replay a journal without knowing how far the crashed swap got.
+    */
+  private def flipPointers(spark: SparkSession, indexDir: String,
+      plan: Seq[(String, String)]): Unit = plan.foreach { case (stage, gen) =>
+    val prev = currentGen(spark, indexDir, stage)
+    Fs.writeString(spark, s"$indexDir/_ptr/$stage", gen)
+    prev match {
+      case Some(g) if g != gen => Fs.delete(spark, s"$indexDir/_gen/$stage/$g")
+      case None                => Fs.delete(spark, s"$indexDir/$stage")
+      case _                   => ()
     }
   }
 
@@ -152,6 +260,52 @@ private[graft] object IndexMaintenance {
     * overwritten by the next rewrite.
     */
   def recoverStages(spark: SparkSession, indexDir: String,
+      stages: Seq[String]): Unit =
+    if (pointerMode(spark, indexDir)) recoverByPointer(spark, indexDir, stages)
+    else recoverByRename(spark, indexDir, stages)
+
+  /** Pointer-protocol recovery: (1) an intent journal left by a crashed
+    * [[swapByPointer]] is REPLAYED — every journaled generation was
+    * `_SUCCESS`-verified before the journal was written, so each flip
+    * is re-published idempotently and the swap completes exactly as the
+    * crashed run would have; a journaled generation found missing means
+    * external damage and fails loudly rather than guessing. (2) a
+    * hygiene pass then drops every generation directory no pointer
+    * references (aborted rewrites, superseded generations whose
+    * best-effort delete failed) and, once a stage has a pointer, any
+    * leftover bare pre-pointer directory — bounding the garbage a
+    * crash-rewrite-retry loop can accumulate to one unreferenced
+    * generation per stage.
+    */
+  private def recoverByPointer(spark: SparkSession, indexDir: String,
+      stages: Seq[String]): Unit = {
+    val intent = s"$indexDir/_ptr/_intent"
+    if (Fs.isFile(spark, intent)) {
+      val plan = Fs.readString(spark, intent).split("\n").toSeq
+        .map(_.trim).filter(_.nonEmpty)
+        .map { line =>
+          val Array(s, g) = line.split(" "): @unchecked
+          (s, g)
+        }
+      plan.foreach { case (stage, gen) =>
+        require(Fs.isFile(spark, s"$indexDir/_gen/$stage/$gen/_SUCCESS"),
+          s"pointer-swap recovery: journaled generation $gen for $stage is " +
+            "missing or incomplete — the journal is only written after the " +
+            "generation committed, so the layout has been externally damaged")
+      }
+      flipPointers(spark, indexDir, plan)
+      Fs.delete(spark, intent)
+    }
+    stages.foreach { stage =>
+      val cur = currentGen(spark, indexDir, stage)
+      Fs.listDirNames(spark, s"$indexDir/_gen/$stage")
+        .filterNot(cur.contains)
+        .foreach(g => Fs.delete(spark, s"$indexDir/_gen/$stage/$g"))
+      if (cur.isDefined) Fs.delete(spark, s"$indexDir/$stage")
+    }
+  }
+
+  private def recoverByRename(spark: SparkSession, indexDir: String,
       stages: Seq[String]): Unit = stages.foreach { stage =>
     val live = s"$indexDir/$stage"
     val staged = s"$indexDir/_compact/$stage"

@@ -5258,6 +5258,73 @@ object LlmQueries {
        |       ELSE 'cross' END AS pair_kind
        |FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The pointer-swapped fixture behind l86: the l78 lifecycle
+    * (base indexed, delta merged, at-least-once duplicate planted) with
+    * the compaction run under the POINTER swap protocol — the
+    * object-store maintenance path ([[IndexMaintenance]]): the rewrite
+    * lands in a versioned `_gen/<stage>/gN` generation and the swap is
+    * ONE single-file pointer publish instead of directory renames,
+    * because S3-class stores fake rename with a non-atomic copy+delete
+    * but do provide atomic single-object PUTs. Forced here via
+    * `spark.graft.index.swapMode=pointer` on local disk (the protocol
+    * is store-generic; only its SELECTION is store-keyed).
+    */
+  private val pointerIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pointerIndexDir(s: SparkSession, d: String): String =
+    pointerIndexDirs.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ptrswap-").toString
+      deleteOnExit(tmp)
+      val dd = docsWithDups(s, d)
+      val base = dd.where(col("doc_id") % 5 =!= 4)
+      val delta = dd.where(col("doc_id") % 5 === 4)
+      DedupIndex.build(base, tmp)
+      DedupIndex.merge(s, tmp, delta, mergeId = Some("l86-delta"))
+      val pairs = DedupIndex.candidatePairs(s, tmp)
+      val replayed = pairs.limit(25).collect()
+      s.createDataFrame(
+          s.sparkContext.parallelize(replayed.toIndexedSeq), pairs.schema)
+        .write.mode("append").parquet(s"$tmp/pairs")
+      val prev = s.conf.getOption("spark.graft.index.swapMode")
+      s.conf.set("spark.graft.index.swapMode", "pointer")
+      try DedupIndex.compact(s, tmp)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.graft.index.swapMode", v)
+        case None    => s.conf.unset("spark.graft.index.swapMode")
+      }
+      tmp
+    })
+
+  /** l86: POINTER-SWAP compaction parity — [[DedupIndex.compact]] run
+    * under the object-store swap protocol (versioned generations + a
+    * one-file pointer publish, [[IndexMaintenance]]), under the same
+    * oracle gate as l78's rename-protocol compaction: the pairs served
+    * THROUGH the pointer-resolved layout must equal a from-scratch
+    * build over the union, duplicates removed — so a pointer flip that
+    * loses rows, serves a stale generation, or breaks the read
+    * resolver hash-mismatches. Together l78+l86 pin that the two swap
+    * protocols are observationally identical to every consumer; which
+    * one runs is purely a property of the store. Scale shape: the
+    * measured query reads the compacted pairs artifact (fixture
+    * amortizes across the JVM); classification is row-local.
+    */
+  def qPointerSwapParity(s: SparkSession, d: String): DataFrame = {
+    val kind = (c: Column) => c % 5 === 4
+    DedupIndex.candidatePairs(s, pointerIndexDir(s, d))
+      .select(col("doc_a"), col("doc_b"),
+        when(kind(col("doc_a")) && kind(col("doc_b")), lit("delta"))
+          .when(!kind(col("doc_a")) && !kind(col("doc_b")), lit("corpus"))
+          .otherwise(lit("cross")).as("pair_kind"))
+      .orderBy("doc_a", "doc_b")
+  }
+  val qPointerSwapParitySql: String =
+    s"""WITH $docsWithDupsSql,
+       |$pairsSqlCtes
+       |SELECT doc_a, doc_b,
+       |  CASE WHEN doc_a % 5 = 4 AND doc_b % 5 = 4 THEN 'delta'
+       |       WHEN doc_a % 5 <> 4 AND doc_b % 5 <> 4 THEN 'corpus'
+       |       ELSE 'cross' END AS pair_kind
+       |FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
   /** The IVF+PQ fixture behind l77: BOTH index halves built over the
     * corpus (vec_id >= 10) in one directory, once per JVM per data
     * directory — the serving deployment [[VectorIndex.searchIvfPq]]
@@ -6146,6 +6213,7 @@ object LlmQueries {
     "l76_pack_lineage" -> qPackLineage _,
     "l77_ivfpq_topk" -> qIvfPqTopk _,
     "l78_compact_parity" -> qCompactParity _,
+    "l86_pointer_swap_parity" -> qPointerSwapParity _,
     "l79_ann_compact_parity" -> qAnnCompactParity _,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearch _,
     "l81_vec_drift_gate" -> qVecDriftGate _,
@@ -6234,6 +6302,7 @@ object LlmQueries {
     "l76_pack_lineage" -> qPackLineageSql,
     "l77_ivfpq_topk" -> qIvfPqTopkSql,
     "l78_compact_parity" -> qCompactParitySql,
+    "l86_pointer_swap_parity" -> qPointerSwapParitySql,
     "l79_ann_compact_parity" -> qAnnMergeParitySql,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearchSql,
     "l81_vec_drift_gate" -> qVecDriftGateSql,

@@ -28,6 +28,14 @@ object VectorIndex {
 
   private def spark(df: DataFrame): SparkSession = df.sparkSession
 
+  /** Live path of a maintenance-swapped stage — pointer-resolved
+    * ([[graft.util.Fs.stagePath]]): identical to `indexDir/<stage>`
+    * until a pointer-protocol compact/retrain moves the stage under a
+    * `_gen/` generation (object-store maintenance).
+    */
+  private def stg(ss: SparkSession, indexDir: String, stage: String): String =
+    graft.util.Fs.stagePath(ss, indexDir, stage)
+
   /** Integer-quantized cosine (the suite-wide `floor(cos·10⁶ + .5)`
     * discipline — engine-exact ordering, id tiebreaks).
     */
@@ -45,7 +53,7 @@ object VectorIndex {
     */
   def trainQuantizer(embs: DataFrame, indexDir: String,
       lloydIters: Int = 0): Unit =
-    writeQuantizer(embs, s"$indexDir/centroids", lloydIters)
+    writeQuantizer(embs, stg(embs.sparkSession, indexDir, "centroids"), lloydIters)
 
   /** [[trainQuantizer]]'s mechanics, parameterized on the output path so
     * [[retrainIvf]] can STAGE a new quantizer under `_compact/` instead
@@ -148,7 +156,7 @@ object VectorIndex {
     // assignment reads the PERSISTED quantizer (stage isolation — the
     // DedupIndex.build discipline: each stage consumes the previous
     // stage's artifact)
-    val cent = spark(embs).read.parquet(s"$indexDir/centroids")
+    val cent = spark(embs).read.parquet(stg(spark(embs), indexDir, "centroids"))
     val assigned = assignAgainst(e, cent)
     // Align writer tasks with the partition column before the
     // partitioned write: without this every task holding rows of k
@@ -157,7 +165,7 @@ object VectorIndex {
     // list is written by one task — file count == list count, the
     // shape a 10⁹-vector index needs; AQE splits any skewed list.
     assigned.repartition(col("c_id")).write.mode(SaveMode.Overwrite)
-      .partitionBy("c_id").parquet(s"$indexDir/lists")
+      .partitionBy("c_id").parquet(stg(spark(embs), indexDir, "lists"))
   }
 
   /** Incrementally MERGE a delta batch (vec_id, embedding; ids disjoint
@@ -185,12 +193,12 @@ object VectorIndex {
     val marker = mergeId.map(id => s"$indexDir/_merges/$id/lists.done")
     if (marker.exists(graft.util.Fs.isFile(spark, _))) return
     val overlap = delta.select(col("vec_id"))
-      .join(spark.read.parquet(s"$indexDir/lists").select(col("vec_id")),
+      .join(spark.read.parquet(stg(spark, indexDir, "lists")).select(col("vec_id")),
         Seq("vec_id"), "left_semi")
       .limit(1).count()
     require(overlap == 0L,
       s"mergeIvf delta shares vec_ids with the indexed corpus at $indexDir")
-    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val cent = spark.read.parquet(stg(spark, indexDir, "centroids"))
     val e = delta.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     // the buildIvf assignment verbatim ([[assignAgainst]]): max_by
@@ -221,7 +229,7 @@ object VectorIndex {
       // task-per-list alignment, as in build — a delta append otherwise
       // scatters up to tasks×lists files into the layout per merge
       assignedP.repartition(col("c_id")).write.mode(SaveMode.Append)
-        .partitionBy("c_id").parquet(s"$indexDir/lists")
+        .partitionBy("c_id").parquet(stg(spark, indexDir, "lists"))
     } finally { assignedP.unpersist(); () }
     marker.foreach(graft.util.Fs.touch(spark, _))
   }
@@ -331,20 +339,24 @@ object VectorIndex {
     */
   def retrainIvf(spark: SparkSession, indexDir: String,
       lloydIters: Int = 0): Unit = {
-    IndexMaintenance.refuseNonAtomic(spark, indexDir) // before the rebuild, not after
     val stages = Seq("centroids", "lists")
     IndexMaintenance.recoverStages(spark, indexDir, stages)
-    val corpus = spark.read.parquet(s"$indexDir/lists")
+    val corpus = spark.read.parquet(stg(spark, indexDir, "lists"))
       .select(col("vec_id"), col("embedding")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      writeQuantizer(corpus, s"$indexDir/_compact/centroids", lloydIters)
-      val cent = spark.read.parquet(s"$indexDir/_compact/centroids")
+      // staging targets per the store's swap protocol: `_compact/…`
+      // where renames are atomic, a fresh unreferenced `_gen/…`
+      // generation under the object-store pointer protocol
+      val stagedCent = IndexMaintenance.stagedDir(spark, indexDir, "centroids")
+      val stagedLists = IndexMaintenance.stagedDir(spark, indexDir, "lists")
+      writeQuantizer(corpus, stagedCent, lloydIters)
+      val cent = spark.read.parquet(stagedCent)
       val e = corpus.select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
       assignAgainst(e, cent)
         .repartition(col("c_id")).write.mode(SaveMode.Overwrite)
-        .partitionBy("c_id").parquet(s"$indexDir/_compact/lists")
+        .partitionBy("c_id").parquet(stagedLists)
       // the re-key invalidates every c_id-keyed derivative
       dropAligned(spark, indexDir)
       graft.util.Fs.delete(spark, s"$indexDir/_align_pending")
@@ -360,8 +372,8 @@ object VectorIndex {
     */
   def searchIvf(spark: SparkSession, indexDir: String, queries: DataFrame,
       nprobe: Int, topk: Int): DataFrame = {
-    val cent = spark.read.parquet(s"$indexDir/centroids")
-    val lists = spark.read.parquet(s"$indexDir/lists")
+    val cent = spark.read.parquet(stg(spark, indexDir, "centroids"))
+    val lists = spark.read.parquet(stg(spark, indexDir, "lists"))
     val q = queries.select(col("query_id"), col("embedding").as("qv"),
       sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
     val probes = q.join(broadcast(cent))
@@ -435,9 +447,9 @@ object VectorIndex {
     if (!graft.util.Fs.isFile(spark, s"$alignedDir/_BASE")) {
       // full build / no-provenance repair: one corpus-scale join, the
       // price of (re)deriving the artifact from scratch
-      val member = spark.read.parquet(s"$indexDir/lists")
+      val member = spark.read.parquet(stg(spark, indexDir, "lists"))
         .select(col("vec_id"), col("c_id"))
-      val codes = spark.read.parquet(s"$indexDir/pq_codes")
+      val codes = spark.read.parquet(stg(spark, indexDir, "pq_codes"))
       codes.join(member, Seq("vec_id"))
         .withColumn("mseg", lit("base"))
         .repartition(col("c_id"))
@@ -525,7 +537,7 @@ object VectorIndex {
     */
   def searchIvfPq(spark: SparkSession, indexDir: String, queries: DataFrame,
       nprobe: Int, topk: Int): DataFrame = {
-    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val cent = spark.read.parquet(stg(spark, indexDir, "centroids"))
     val q = queries.select(col("query_id"), col("embedding").as("qv"),
       sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
     val probes = q.join(broadcast(cent))
@@ -537,7 +549,7 @@ object VectorIndex {
       .select(col("query_id"), col("c_id"))
     // per-query ADC lookup table: 4x16 inner products against the
     // broadcast codebook — 64 dots per query, not |corpus| of them
-    val codebook = spark.read.parquet(s"$indexDir/pq_codebook")
+    val codebook = spark.read.parquet(stg(spark, indexDir, "pq_codebook"))
     val qsubs = queries
       .select(col("query_id"),
         explode(sequence(lit(0L), lit(3L))).as("sub_id"), col("embedding"))
@@ -561,9 +573,9 @@ object VectorIndex {
       } else {
         // fallback: membership from the pruned lists (two columns),
         // codes joined by a plain keyed shuffle
-        val member = spark.read.parquet(s"$indexDir/lists")
+        val member = spark.read.parquet(stg(spark, indexDir, "lists"))
           .select(col("c_id"), col("vec_id").as("neighbor_id"))
-        val codes = spark.read.parquet(s"$indexDir/pq_codes")
+        val codes = spark.read.parquet(stg(spark, indexDir, "pq_codes"))
         probes.join(member, Seq("c_id"))
           .select(col("query_id"), col("neighbor_id"))
           .join(codes, col("neighbor_id") === col("vec_id"))
@@ -604,7 +616,7 @@ object VectorIndex {
       .select(col("c_id"), col("sub_id"),
         slice(col("embedding"), (col("sub_id") * 16 + 1).cast("int"), lit(16))
           .as("cs"))
-    codebook.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/pq_codebook")
+    codebook.write.mode(SaveMode.Overwrite).parquet(stg(spark(embs), indexDir, "pq_codebook"))
     val scored = subs.join(broadcast(codebook), Seq("sub_id"))
       .select(col("vec_id"), col("sub_id"), col("c_id"),
         floor((dot(col("sv"), col("sv")) - lit(2) * dot(col("sv"), col("cs"))
@@ -613,7 +625,7 @@ object VectorIndex {
       .orderBy(col("d2_x1e6").asc, col("c_id").asc)
     scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
       .select(col("vec_id"), col("sub_id"), col("c_id").as("code"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/pq_codes")
+      .write.mode(SaveMode.Overwrite).parquet(stg(spark(embs), indexDir, "pq_codes"))
   }
 
   /** Incrementally MERGE a delta batch into a persisted PQ index — the
@@ -631,12 +643,12 @@ object VectorIndex {
     val marker = mergeId.map(id => s"$indexDir/_merges/$id/pq_codes.done")
     if (marker.exists(graft.util.Fs.isFile(spark, _))) return
     val overlap = delta.select(col("vec_id"))
-      .join(spark.read.parquet(s"$indexDir/pq_codes").select(col("vec_id")),
+      .join(spark.read.parquet(stg(spark, indexDir, "pq_codes")).select(col("vec_id")),
         Seq("vec_id"), "left_semi")
       .limit(1).count()
     require(overlap == 0L,
       s"mergePq delta shares vec_ids with the indexed corpus at $indexDir")
-    val codebook = spark.read.parquet(s"$indexDir/pq_codebook")
+    val codebook = spark.read.parquet(stg(spark, indexDir, "pq_codebook"))
     val subs = delta
       .select(col("vec_id"),
         explode(sequence(lit(0L), lit(3L))).as("sub_id"), col("embedding"))
@@ -664,7 +676,7 @@ object VectorIndex {
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$indexDir/_align_pending/codes/pid=${pendingId(mergeId)}")
       deltaCodes
-        .write.mode(SaveMode.Append).parquet(s"$indexDir/pq_codes")
+        .write.mode(SaveMode.Append).parquet(stg(spark, indexDir, "pq_codes"))
     } finally { deltaCodes.unpersist(); () }
     marker.foreach(graft.util.Fs.touch(spark, _))
   }
@@ -680,8 +692,8 @@ object VectorIndex {
     */
   def searchPq(spark: SparkSession, indexDir: String, queries: DataFrame,
       topk: Int): DataFrame = {
-    val codebook = spark.read.parquet(s"$indexDir/pq_codebook")
-    val codes = spark.read.parquet(s"$indexDir/pq_codes")
+    val codebook = spark.read.parquet(stg(spark, indexDir, "pq_codebook"))
+    val codes = spark.read.parquet(stg(spark, indexDir, "pq_codes"))
     val qsubs = queries
       .select(col("query_id"),
         explode(sequence(lit(0L), lit(3L))).as("sub_id"), col("embedding"))

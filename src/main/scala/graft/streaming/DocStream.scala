@@ -129,8 +129,8 @@ object DocStream {
     val survivors = nearDupIndexDir match {
       case Some(idxDir) =>
         val held: Option[DataFrame] =
-          if (graft.util.Fs.exists(spark, s"$idxDir/bands"))
-            Some(spark.read.parquet(s"$idxDir/bands")
+          if (graft.util.Fs.exists(spark, graft.util.Fs.stagePath(spark, idxDir, "bands")))
+            Some(spark.read.parquet(graft.util.Fs.stagePath(spark, idxDir, "bands"))
               .where(col("batch_id") =!= batchId))
           else None
         val out = held match {
@@ -165,7 +165,7 @@ object DocStream {
         try {
         outBands
           .write.mode("overwrite").partitionBy("bp")
-          .parquet(s"$idxDir/bands/batch_id=$batchId")
+          .parquet(s"${graft.util.Fs.stagePath(spark, idxDir, "bands")}/batch_id=$batchId")
         // New pairs this batch adds to a rebuild-over-survivors: the
         // delta self-join, plus delta x held-corpus candidates (those
         // are EMPTY by construction — any batch doc with a held-band
@@ -184,11 +184,11 @@ object DocStream {
         }
         graft.llm.DedupIndex.pairsOfBands(outBands)
           .unionByName(crossPairs).distinct()
-          .write.mode("overwrite").parquet(s"$idxDir/pairs/batch_id=$batchId")
+          .write.mode("overwrite").parquet(s"${graft.util.Fs.stagePath(spark, idxDir, "pairs")}/batch_id=$batchId")
         graft.llm.DedupIndex.signaturesOf(outDocs)
-          .write.mode("overwrite").parquet(s"$idxDir/signatures/batch_id=$batchId")
+          .write.mode("overwrite").parquet(s"${graft.util.Fs.stagePath(spark, idxDir, "signatures")}/batch_id=$batchId")
         graft.llm.DedupIndex.shingleSetsOf(outDocs)
-          .write.mode("overwrite").parquet(s"$idxDir/shingle_sets/batch_id=$batchId")
+          .write.mode("overwrite").parquet(s"${graft.util.Fs.stagePath(spark, idxDir, "shingle_sets")}/batch_id=$batchId")
         } finally { outBands.unpersist(); () }
         outP
       case None => novel

@@ -80,8 +80,8 @@ object MediaStream {
     // discipline): a present-but-broken fps layout fails loudly instead
     // of silently folding the batch as batch-0
     val held: Option[DataFrame] =
-      if (graft.util.Fs.exists(spark, s"$indexDir/fps"))
-        Some(spark.read.parquet(s"$indexDir/fps")
+      if (graft.util.Fs.exists(spark, graft.util.Fs.stagePath(spark, indexDir, "fps")))
+        Some(spark.read.parquet(graft.util.Fs.stagePath(spark, indexDir, "fps"))
           .where(col("batch_id") =!= batchId))
       else None
     // Payload-size drift gate (the l73/m15 statistic run INSIDE the
@@ -135,7 +135,7 @@ object MediaStream {
         // candidates only from band-value collisions — the probe reads
         // the banded layout pruned to this batch's own bv= partitions,
         // never the full fingerprint set
-        val heldBands = spark.read.parquet(s"$indexDir/bands")
+        val heldBands = spark.read.parquet(graft.util.Fs.stagePath(spark, indexDir, "bands"))
           .where(col("batch_id") =!= batchId)
           .select(col("band_id"), col("bv"), col("fp").as("held_fp"))
         val batchBands = bandsOf(novel)
@@ -148,10 +148,10 @@ object MediaStream {
     }
     val outP = survivors
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    outP.write.mode("overwrite").parquet(s"$indexDir/fps/batch_id=$batchId")
+    outP.write.mode("overwrite").parquet(s"${graft.util.Fs.stagePath(spark, indexDir, "fps")}/batch_id=$batchId")
     bandsOf(outP)
       .write.mode("overwrite").partitionBy("bv")
-      .parquet(s"$indexDir/bands/batch_id=$batchId")
+      .parquet(s"${graft.util.Fs.stagePath(spark, indexDir, "bands")}/batch_id=$batchId")
     outP.unpersist(); ()
     } finally { keyed.unpersist(); () }
   }
@@ -184,7 +184,7 @@ object MediaStream {
 
   /** Read the accumulated fingerprint index (all batch partitions). */
   def fingerprints(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/fps")
+    spark.read.parquet(graft.util.Fs.stagePath(spark, indexDir, "fps"))
 
   /** COMPACT the accumulated fold layout between runs —
     * [[graft.llm.DedupIndex.compact]]'s maintenance discipline applied

@@ -65,7 +65,7 @@ object VecStream {
       nprobe: Int = 4, dupCosX1e6: Option[Long] = None,
       driftGate: Boolean = false): Unit = {
     val spark = batch.sparkSession
-    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val cent = spark.read.parquet(graft.util.Fs.stagePath(spark, indexDir, "centroids"))
     // In-batch id dedup. The survivor per vec_id must be DETERMINISTIC
     // (the groupBy key itself can't tiebreak — it is constant within
     // the group): a replayed batch carrying the same vec_id with
@@ -82,8 +82,8 @@ object VecStream {
     // batch as batch-0. With the Fs.exists test, a present-but-broken
     // layout fails the batch loudly instead of degrading.
     val held: Option[DataFrame] =
-      if (graft.util.Fs.exists(spark, s"$indexDir/lists"))
-        Some(spark.read.parquet(s"$indexDir/lists")
+      if (graft.util.Fs.exists(spark, graft.util.Fs.stagePath(spark, indexDir, "lists")))
+        Some(spark.read.parquet(graft.util.Fs.stagePath(spark, indexDir, "lists"))
           .where(col("batch_id") =!= batchId))
       else None
     // the buildIvf/mergeIvf frozen-quantizer argmax — needed for the
@@ -163,7 +163,7 @@ object VecStream {
     }
     survivors.repartition(col("c_id"))
       .write.mode("overwrite").partitionBy("c_id")
-      .parquet(s"$indexDir/lists/batch_id=$batchId")
+      .parquet(s"${graft.util.Fs.stagePath(spark, indexDir, "lists")}/batch_id=$batchId")
     } finally { assignedAll.unpersist(); () }
   }
 

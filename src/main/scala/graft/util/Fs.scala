@@ -95,6 +95,71 @@ object Fs {
       .contains(scheme)
   }
 
+  /** Read a small control file (stage pointer, swap-intent journal) as
+    * UTF-8. Control files are written whole by [[writeString]]; a read
+    * therefore sees a complete previous or complete current value,
+    * never a torn one, on any store where a single-object publish is
+    * atomic (every object store's PUT; HDFS create+close under the
+    * single-writer maintenance discipline the index lifecycle already
+    * assumes).
+    */
+  def readString(spark: SparkSession, p: String): String = {
+    val (f, q) = fs(spark, p)
+    val in = f.open(q)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  /** Publish a small control file whole (create-overwrite, write,
+    * close), with parents. This is the ONE primitive the pointer-swap
+    * maintenance protocol needs to be atomic, and it is exactly the
+    * primitive object stores provide: a single-object PUT becomes
+    * visible all-or-nothing at close, so a reader racing the publish
+    * sees the old pointer or the new one, never a partial — the
+    * property directory rename lacks there. (On HDFS/local,
+    * create-overwrite truncates before writing; the pointer protocol
+    * is selected on those stores only by explicit override, under the
+    * single-writer maintenance window every marker here assumes.)
+    */
+  def writeString(spark: SparkSession, p: String, s: String): Unit = {
+    val (f, q) = fs(spark, p)
+    f.mkdirs(q.getParent)
+    val out = f.create(q, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Resolve the CURRENT directory of a maintenance-swapped index
+    * stage. Stages live at `indexDir/<stage>` until the first
+    * POINTER-mode swap ([[graft.llm.IndexMaintenance]]) moves the live
+    * copy under a versioned generation directory
+    * `indexDir/_gen/<stage>/<gen>` and publishes the generation name in
+    * the one-file pointer `indexDir/_ptr/<stage>`. No pointer file ⇒
+    * the bare path is live (the universal pre-pointer layout, and the
+    * permanent layout on atomic-rename stores, where swaps move
+    * directories instead) — so resolution costs one existence probe
+    * and changes nothing for every index that never ran a pointer-mode
+    * swap.
+    */
+  def stagePath(spark: SparkSession, indexDir: String, stage: String): String = {
+    val ptr = s"$indexDir/_ptr/$stage"
+    if (isFile(spark, ptr)) s"$indexDir/_gen/$stage/${readString(spark, ptr).trim}"
+    else s"$indexDir/$stage"
+  }
+
+  /** Immediate child DIRECTORY names of a path (generation listing for
+    * pointer-swap hygiene). Missing dir = empty.
+    */
+  def listDirNames(spark: SparkSession, dir: String): Seq[String] = {
+    val (f, q) = fs(spark, dir)
+    if (!f.exists(q)) Seq.empty
+    else f.listStatus(q).filter(_.isDirectory).map(_.getPath.getName).toSeq
+  }
+
   /** Recursively list the regular files under a directory (file-count
     * assertions after compaction; warehouse stats). Missing dir = empty.
     */

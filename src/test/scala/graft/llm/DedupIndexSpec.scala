@@ -298,6 +298,107 @@ class DedupIndexSpec extends SparkSpec {
       "swap-intent bookkeeping not cleared after partial-rename recovery")
   }
 
+  test("pointer-protocol compact: object-store swap via one-file publish; crash windows converge") {
+    val dir = Files.createTempDirectory("dedupptr").toString
+    val idx = s"$dir/idx"
+    DedupIndex.build(corpus, idx)
+    // the documented at-least-once residual: committed pair rows
+    // re-appended past their marker — the duplicates compact removes
+    val pairs0 = DedupIndex.candidatePairs(spark, idx)
+    val replayed = pairs0.limit(20).collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(replayed.toIndexedSeq), pairs0.schema)
+      .write.mode("append").parquet(s"$idx/pairs")
+    val want = DedupIndex.candidatePairs(spark, idx)
+      .as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty, "fixture produced no pairs")
+
+    spark.conf.set("spark.graft.index.swapMode", "pointer")
+    try {
+      DedupIndex.compact(spark, idx)
+      // the swap moved every stage under a published generation: the
+      // pointer file names it, the bare pre-pointer directory is gone,
+      // and the resolver serves the generation path
+      for (stage <- Seq("signatures", "bands", "pairs", "shingle_sets")) {
+        assert(graft.util.Fs.isFile(spark, s"$idx/_ptr/$stage"),
+          s"$stage: no pointer published")
+        assert(!graft.util.Fs.exists(spark, s"$idx/$stage"),
+          s"$stage: bare pre-pointer directory not dropped")
+        assert(graft.util.Fs.stagePath(spark, idx, stage)
+          .startsWith(s"$idx/_gen/$stage/"), s"$stage: resolver not redirected")
+      }
+      // content parity: the duplicate rows are gone, nothing else moved
+      val got = DedupIndex.candidatePairs(spark, idx)
+      assert(got.as[(Long, Long)].collect().toSet == want,
+        "pointer-mode compact lost or changed pairs")
+      assert(got.count() == want.size.toLong,
+        "pointer-mode compact kept the planted duplicates")
+      // the probe path reads through the resolver (pruned as before)
+      assert(DedupIndex.probe(spark, idx,
+        corpus.where($"doc_id" % 10 === 0).limit(5)).count() > 0)
+
+      // a second compact bumps the generation and GCs the old one
+      DedupIndex.compact(spark, idx)
+      assert(graft.util.Fs.readString(spark, s"$idx/_ptr/pairs").trim == "g2")
+      assert(graft.util.Fs.listDirNames(spark, s"$idx/_gen/pairs") == Seq("g2"),
+        "superseded generation not collected")
+
+      // merges keep working against the pointed layout: appends land in
+      // the live generation and the pair set grows exactly as before
+      val delta = corpus.where($"doc_id" % 10 === 3)
+        .withColumn("doc_id", $"doc_id" + 500000)
+      DedupIndex.merge(spark, idx, delta, mergeId = Some("ptr-delta"))
+      val merged = DedupIndex.candidatePairs(spark, idx)
+        .as[(Long, Long)].collect().toSet
+      assert(merged.size > want.size, "merge after pointer compact added no pairs")
+      assert(want.subsetOf(merged), "merge after pointer compact lost pairs")
+
+      // crash window 1 — journal written, flips not run: recovery
+      // replays the journal (the staged generation was verified
+      // complete before the journal existed), never serving a mix
+      val pre = DedupIndex.candidatePairs(spark, idx)
+        .as[(Long, Long)].collect().toSet
+      val staged = graft.llm.IndexMaintenance.stagedDir(spark, idx, "pairs")
+      DedupIndex.candidatePairs(spark, idx).distinct()
+        .write.parquet(staged)
+      val gen = staged.split('/').last
+      graft.util.Fs.writeString(spark, s"$idx/_ptr/_intent", s"pairs $gen")
+      graft.llm.IndexMaintenance.recoverStages(spark, idx, Seq("pairs"))
+      assert(graft.util.Fs.readString(spark, s"$idx/_ptr/pairs").trim == gen,
+        "journal replay did not complete the flip")
+      assert(!graft.util.Fs.isFile(spark, s"$idx/_ptr/_intent"),
+        "journal not cleared after replay")
+      assert(DedupIndex.candidatePairs(spark, idx)
+        .as[(Long, Long)].collect().toSet == pre,
+        "journal replay changed the pair set")
+
+      // crash window 2 — a rewrite aborted mid-write (partial
+      // generation, no journal): it is unreferenced garbage; recovery's
+      // hygiene pass drops it and the next compact proceeds normally
+      val orphan = graft.llm.IndexMaintenance.stagedDir(spark, idx, "pairs")
+      graft.util.Fs.touch(spark, s"$orphan/part-00000.parquet")
+      assert(!graft.util.Fs.isFile(spark, s"$orphan/_SUCCESS"))
+      DedupIndex.compact(spark, idx)
+      assert(DedupIndex.candidatePairs(spark, idx)
+        .as[(Long, Long)].collect().toSet == pre,
+        "compact after an aborted rewrite lost pairs")
+      assert(graft.util.Fs.listDirNames(spark, s"$idx/_gen/pairs").size == 1,
+        "aborted generation not collected")
+    } finally spark.conf.unset("spark.graft.index.swapMode")
+
+    // mode is STICKY on layout: with the override gone (auto, local
+    // disk), this index stays pointer-governed — the rename protocol
+    // would look for live stages at bare paths that no longer exist
+    assert(graft.llm.IndexMaintenance.pointerMode(spark, idx),
+      "auto mode must keep a pointer layout pointer-governed")
+    val before = DedupIndex.candidatePairs(spark, idx)
+      .as[(Long, Long)].collect().toSet
+    DedupIndex.compact(spark, idx)
+    assert(DedupIndex.candidatePairs(spark, idx)
+      .as[(Long, Long)].collect().toSet == before,
+      "auto-mode compact over a pointer layout lost pairs")
+  }
+
   test("compact preserves a streamed index's batch_id= replay partitions") {
     val dir = Files.createTempDirectory("dedupidx").toString
     val idx = s"$dir/idx"

@@ -423,6 +423,78 @@ class VectorIndexSpec extends SparkSpec {
       "post-kill retrain lists diverge from the union rebuild")
   }
 
+  test("pointer-protocol retrain: journaled two-stage flip, parity with buildIvf, pointed layout serves") {
+    val dir = Files.createTempDirectory("ivfptr").toString
+    val idx = s"$dir/idx"
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = embs.where($"vec_id" >= 10)
+    VectorIndex.buildIvf(corpus, idx)
+    VectorIndex.buildPq(corpus, idx)
+    def table(p: String, cols: String*) = spark.read.parquet(p)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+
+    spark.conf.set("spark.graft.index.swapMode", "pointer")
+    try {
+      VectorIndex.retrainIvf(spark, idx)
+      // both stages flipped to published generations; bare paths gone
+      for (stage <- Seq("centroids", "lists")) {
+        assert(graft.util.Fs.isFile(spark, s"$idx/_ptr/$stage"),
+          s"$stage: no pointer published")
+        assert(!graft.util.Fs.exists(spark, s"$idx/$stage"),
+          s"$stage: bare pre-pointer directory not dropped")
+      }
+      assert(!graft.util.Fs.isFile(spark, s"$idx/_ptr/_intent"),
+        "intent journal not cleared after a completed retrain")
+      // parity: pointer-mode retrain computes exactly buildIvf(corpus)
+      VectorIndex.buildIvf(corpus, s"$dir/scratch")
+      assert(table(graft.util.Fs.stagePath(spark, idx, "centroids"), "c_id") ==
+        table(s"$dir/scratch/centroids", "c_id"),
+        "pointer-mode retrained quantizer differs from buildIvf")
+      assert(table(graft.util.Fs.stagePath(spark, idx, "lists"),
+          "vec_id", "c_id") ==
+        table(s"$dir/scratch/lists", "vec_id", "c_id"),
+        "pointer-mode retrained lists differ from buildIvf")
+      // serving resolves through the pointers: plain IVF search, then
+      // the composed IVF-PQ path after a fresh align (retrain dropped
+      // the c_id-keyed aligned artifact, as in rename mode)
+      val queries = embs.where($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"embedding")
+      assert(VectorIndex.searchIvf(spark, idx, queries, 4, 5).count() > 0)
+      VectorIndex.alignPqToLists(spark, idx)
+      assert(VectorIndex.searchIvfPq(spark, idx, queries, 4, 5).count() > 0,
+        "IVF-PQ search over the pointed layout returned nothing")
+
+      // crash between the journal write and the flips: BOTH stages'
+      // generations are staged and journaled; recovery must flip both
+      // — the journal is what keeps a two-stage swap from serving new
+      // centroids over old lists
+      val wantC = table(graft.util.Fs.stagePath(spark, idx, "centroids"),
+        "c_id", "cv", "cn")
+      val wantL = table(graft.util.Fs.stagePath(spark, idx, "lists"),
+        "vec_id", "c_id")
+      val sc = graft.llm.IndexMaintenance.stagedDir(spark, idx, "centroids")
+      val sl = graft.llm.IndexMaintenance.stagedDir(spark, idx, "lists")
+      spark.read.parquet(graft.util.Fs.stagePath(spark, idx, "centroids"))
+        .write.parquet(sc)
+      spark.read.parquet(graft.util.Fs.stagePath(spark, idx, "lists"))
+        .write.parquet(sl)
+      graft.util.Fs.writeString(spark, s"$idx/_ptr/_intent",
+        s"centroids ${sc.split('/').last}\nlists ${sl.split('/').last}")
+      graft.llm.IndexMaintenance.recoverStages(spark, idx,
+        Seq("centroids", "lists"))
+      assert(graft.util.Fs.readString(spark, s"$idx/_ptr/centroids").trim ==
+        sc.split('/').last, "journal replay missed the centroids flip")
+      assert(graft.util.Fs.readString(spark, s"$idx/_ptr/lists").trim ==
+        sl.split('/').last, "journal replay missed the lists flip")
+      assert(table(graft.util.Fs.stagePath(spark, idx, "centroids"),
+        "c_id", "cv", "cn") == wantC, "replayed flip changed the quantizer")
+      assert(table(graft.util.Fs.stagePath(spark, idx, "lists"),
+        "vec_id", "c_id") == wantL, "replayed flip changed the lists")
+      assert(VectorIndex.searchIvf(spark, idx, queries, 4, 5).count() > 0,
+        "search broken after journal replay")
+    } finally spark.conf.unset("spark.graft.index.swapMode")
+  }
+
   test("lloyd-refined quantizer: same schema and K, deterministic, searchable") {
     val dir = Files.createTempDirectory("ivflloyd").toString
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")

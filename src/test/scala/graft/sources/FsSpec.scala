@@ -65,14 +65,31 @@ class FsSpec extends SparkSpec {
         "wasb://c@a.blob.core.windows.net/idx", "oss://bucket/idx"))
       assert(!Fs.atomicRename(spark, p),
         s"$p fakes rename with copy+delete and must be refused")
-    // ... and the maintenance entry gate actually consumes it: a swap
-    // against an object-store path refuses with the protocol named,
-    // instead of discovering non-atomicity at crash time
-    val ex = intercept[IllegalArgumentException] {
-      graft.llm.IndexMaintenance.refuseNonAtomic(spark, "s3a://bucket/idx")
-    }
-    assert(ex.getMessage.contains("atomic-rename"),
-      s"refusal must name the protocol requirement: ${ex.getMessage}")
+    // ... and the maintenance protocol selector actually consumes it:
+    // an object-store path gets the pointer protocol (one-file publish,
+    // the primitive those stores DO provide), an HDFS-semantics path
+    // keeps the rename protocol, and the conf override wins either way
+    assert(graft.llm.IndexMaintenance.pointerMode(spark, "s3a://bucket/idx"),
+      "object-store maintenance must select the pointer protocol")
+    assert(!graft.llm.IndexMaintenance.pointerMode(spark, d),
+      "local maintenance must keep the rename protocol")
+    spark.conf.set("spark.graft.index.swapMode", "pointer")
+    try assert(graft.llm.IndexMaintenance.pointerMode(spark, d),
+      "swapMode=pointer must force the pointer protocol anywhere")
+    finally spark.conf.unset("spark.graft.index.swapMode")
+  }
+
+  test("stagePath resolves through a stage pointer; bare path without one") {
+    val d = tmp()
+    assert(Fs.stagePath(spark, s"$d/idx", "lists") == s"$d/idx/lists",
+      "no pointer: the bare pre-pointer path is live")
+    Fs.writeString(spark, s"$d/idx/_ptr/lists", "g3")
+    assert(Fs.stagePath(spark, s"$d/idx", "lists") == s"$d/idx/_gen/lists/g3",
+      "a pointer redirects to its generation directory")
+    // control-file round-trip, including the overwrite a flip performs
+    Fs.writeString(spark, s"$d/idx/_ptr/lists", "g4")
+    assert(Fs.readString(spark, s"$d/idx/_ptr/lists") == "g4")
+    assert(Fs.listDirNames(spark, s"$d/missing").isEmpty)
   }
 
   test("listFiles is recursive, files-only, and empty for a missing dir") {
