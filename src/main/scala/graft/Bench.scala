@@ -88,6 +88,9 @@ object Bench {
     // l86 measures the same pairs read as l78 — the pointer-resolved
     // layout adds one control-file probe, not a plan change
     "l86_pointer_swap_parity" -> 0.5,
+    // l87 measures the l72-shaped serving path over the maintained
+    // fixture (audit + retrain amortize across the JVM)
+    "l87_maintenance_loop" -> 1.0,
     // q68: the bucket-histogram sliding median pays its x12 window
     // expansion at this fixture's sub-1-event-per-bin density — the
     // docstring's measured crossover; priced at the honest reading

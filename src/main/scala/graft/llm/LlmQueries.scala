@@ -357,6 +357,7 @@ object LlmQueries {
     dirs.addAll(compactedAnnDirs.values())
     dirs.addAll(mergedIvfPqDirs.values())
     dirs.addAll(retrainedIvfDirs.values())
+    dirs.addAll(maintainedIvfDirs.values())
     dirs.addAll(refinedIvfDirs.values())
     sharedIndexDirs.clear()
     mergedIndexDirs.clear()
@@ -367,6 +368,7 @@ object LlmQueries {
     compactedAnnDirs.clear()
     mergedIvfPqDirs.clear()
     retrainedIvfDirs.clear()
+    maintainedIvfDirs.clear()
     refinedIvfDirs.clear()
     dirs.forEach(d => deleteRecursively(new java.io.File(d)))
   }
@@ -5953,6 +5955,109 @@ object LlmQueries {
        |SELECT query_id, rank, neighbor_id, cos_x1e6
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** The maintained-index fixture behind l87: the CLOSED maintenance
+    * loop — a constant-direction flood (2n/5 copies of vec_id 7's
+    * embedding under fresh ids, the l81 failure mode) merged under the
+    * frozen quantizer floods ONE cell; [[VectorIndex.auditCellBalance]]
+    * must flip the 3x verdict, and [[VectorIndex.maintainIfDue]] must
+    * consume it with the retrain — both REQUIREd here, so a loop that
+    * fails to fire or to actuate breaks the query loudly rather than
+    * serving a stale index that happens to hash-match.
+    */
+  private val maintainedIvfDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def maintainedIvfDir(s: SparkSession, d: String): String =
+    maintainedIvfDirs.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-maintained-")
+        .toString
+      deleteOnExit(tmp)
+      val corpus = embs(s, d).where(col("vec_id") >= 10)
+      VectorIndex.buildIvf(corpus, tmp)
+      val flood = s.range(1, 2 * corpus.count() / 5 + 1)
+        .select((col("id") + 800000L).as("vec_id"))
+        .crossJoin(embs(s, d).where(col("vec_id") === 7)
+          .select(col("embedding")))
+      VectorIndex.mergeIvf(s, tmp, flood, mergeId = Some("l87-flood"))
+      require(VectorIndex.auditCellBalance(s, tmp),
+        "l87 fixture: the constant-direction flood must trip the 3x bar")
+      require(VectorIndex.maintainIfDue(s, tmp),
+        "l87 fixture: the recorded verdict must actuate the retrain")
+      tmp
+    })
+
+  /** l87: the MAINTENANCE LOOP closed under the driver's cell-hash
+    * gate — l83's audit statistic, recorded as a verdict by
+    * [[VectorIndex.auditCellBalance]] (the same bookkeeping
+    * [[graft.streaming.VecStream]]'s `balanceAudit` runs inside the
+    * fold), consumed by [[VectorIndex.maintainIfDue]]'s retrain: the
+    * fixture floods one frozen cell past the 3x bar, the loop fires,
+    * and the measured query is the l72 serving path over the
+    * maintained index. The contract is the l84 one applied to the
+    * flooded corpus: maintained == `buildIvf(corpus + flood)`, so the
+    * oracle re-derives the post-retrain quantizer from the UNION
+    * (stride and centroid window over base + flood ids) and replays
+    * the search — an engine whose audit never fires, whose actuator
+    * skips, or whose retrain keeps base-quantizer residue mis-probes
+    * and hash-mismatches. Identical flood vectors make heavy cosine
+    * ties; the (cos DESC, neighbor_id ASC) tiebreak keeps every cell
+    * deterministic. Scale shape: audit = one pruned read of the lists'
+    * partition column + a K-bounded agg; retrain = the l84 rebuild; the
+    * measured query is the DPP-pruned broadcast-probe search.
+    */
+  def qMaintenanceLoop(s: SparkSession, d: String): DataFrame =
+    VectorIndex.searchIvf(s, maintainedIvfDir(s, d),
+      embs(s, d).where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      nprobe = 4, topk = 5)
+  val qMaintenanceLoopSql: String =
+    s"""WITH u AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT CAST(800000 + x AS BIGINT) AS vec_id, f.embedding
+       |  FROM (SELECT unnest(generate_series(1,
+       |      (SELECT 2 * COUNT(*) // 5 FROM embeddings
+       |       WHERE vec_id >= 10))) AS x) t
+       |  CROSS JOIN (SELECT embedding FROM embeddings
+       |              WHERE vec_id = 7) f),
+       |e AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM u),
+       |stride AS (SELECT greatest(37, CAST(ceil(COUNT(*) / 1000.0) AS BIGINT)) AS k
+       |  FROM u WHERE vec_id >= 10),
+       |cent AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS cn
+       |  FROM e WHERE vec_id >= 10
+       |    AND vec_id % (SELECT k FROM stride) = 11),
+       |asg AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS nv, nrm AS nn, c_id,
+       |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cc
+       |  FROM e CROSS JOIN cent WHERE vec_id >= 10),
+       |lists AS (
+       |  SELECT neighbor_id, nv, nn, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+       |      ORDER BY cc DESC, c_id ASC) AS r FROM asg)
+       |  WHERE r = 1),
+       |qasg AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, c_id,
+       |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cc
+       |  FROM e CROSS JOIN cent WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT query_id, qv, qn, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cc DESC, c_id ASC) AS r FROM qasg)
+       |  WHERE r <= 4),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(floor(${dotSql("qv", "nv")} / (qn * nn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cos_x1e6
+       |  FROM probes JOIN lists USING (c_id)),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cos_x1e6
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** The Lloyd-refined IVF fixture behind l85 (`lloydIters = 2`), built
     * once per JVM per data directory; the SAMPLED side reuses the l77
     * fixture's index (same corpus, same seeds, zero refinement).
@@ -6214,6 +6319,7 @@ object LlmQueries {
     "l77_ivfpq_topk" -> qIvfPqTopk _,
     "l78_compact_parity" -> qCompactParity _,
     "l86_pointer_swap_parity" -> qPointerSwapParity _,
+    "l87_maintenance_loop" -> qMaintenanceLoop _,
     "l79_ann_compact_parity" -> qAnnCompactParity _,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearch _,
     "l81_vec_drift_gate" -> qVecDriftGate _,
@@ -6303,6 +6409,7 @@ object LlmQueries {
     "l77_ivfpq_topk" -> qIvfPqTopkSql,
     "l78_compact_parity" -> qCompactParitySql,
     "l86_pointer_swap_parity" -> qPointerSwapParitySql,
+    "l87_maintenance_loop" -> qMaintenanceLoopSql,
     "l79_ann_compact_parity" -> qAnnMergeParitySql,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearchSql,
     "l81_vec_drift_gate" -> qVecDriftGateSql,

@@ -63,7 +63,7 @@ object VecStream {
     */
   def ingestBatch(batch: DataFrame, indexDir: String, batchId: Long,
       nprobe: Int = 4, dupCosX1e6: Option[Long] = None,
-      driftGate: Boolean = false): Unit = {
+      driftGate: Boolean = false, balanceAudit: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val cent = spark.read.parquet(graft.util.Fs.stagePath(spark, indexDir, "centroids"))
     // In-batch id dedup. The survivor per vec_id must be DETERMINISTIC
@@ -164,18 +164,29 @@ object VecStream {
     survivors.repartition(col("c_id"))
       .write.mode("overwrite").partitionBy("c_id")
       .parquet(s"${graft.util.Fs.stagePath(spark, indexDir, "lists")}/batch_id=$batchId")
+    // Post-append cell-balance audit (the l83 statistic as fold
+    // bookkeeping): records the retrain verdict under
+    // `_maintenance/balance` for the next maintenance window's
+    // [[graft.llm.VectorIndex.maintainIfDue]] — the frozen-quantizer
+    // drift this fold accumulates by design is then consumed by a
+    // proven actuator instead of terminating in a human. Cost per
+    // batch: one pruned read of the lists' partition column + a
+    // K-bounded agg; overwrite semantics make replays idempotent.
+    if (balanceAudit)
+      VectorIndex.auditCellBalance(spark, indexDir): Unit
     } finally { assignedAll.unpersist(); () }
   }
 
   /** Run the ingest fold over a streaming (vec_id, embedding) source. */
   def ingest(vecs: DataFrame, indexDir: String, checkpointDir: String,
       nprobe: Int = 4, dupCosX1e6: Option[Long] = None,
-      driftGate: Boolean = false): StreamingQuery =
+      driftGate: Boolean = false, balanceAudit: Boolean = false): StreamingQuery =
     vecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, indexDir, batchId, nprobe, dupCosX1e6, driftGate)
+        ingestBatch(batch, indexDir, batchId, nprobe, dupCosX1e6, driftGate,
+          balanceAudit)
       }
       .start()
 

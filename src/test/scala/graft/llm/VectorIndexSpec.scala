@@ -423,6 +423,95 @@ class VectorIndexSpec extends SparkSpec {
       "post-kill retrain lists diverge from the union rebuild")
   }
 
+  test("cell-balance audit records the l83 verdict; maintainIfDue retrains and consumes it") {
+    val dir = Files.createTempDirectory("ivfmaint").toString
+    val idx = s"$dir/idx"
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = embs.where($"vec_id" >= 10)
+    VectorIndex.buildIvf(corpus, idx)
+    // healthy index: audit records the verdict (audit trail) but no
+    // retrain is due, and the actuator is a no-op
+    assert(!VectorIndex.auditCellBalance(spark, idx),
+      "healthy index tripped the 3x bar")
+    assert(graft.util.Fs.isFile(spark, s"$idx/_maintenance/balance/_SUCCESS"),
+      "audit did not record its verdict")
+    assert(!VectorIndex.maintenanceDue(spark, idx))
+    assert(!VectorIndex.maintainIfDue(spark, idx))
+
+    // the l81 failure mode: a constant-direction flood (0.4x the
+    // corpus, every row vec_id 7's embedding) all lands in ONE frozen
+    // cell — the audit must flip the 3x verdict
+    val n = corpus.count()
+    val flood = spark.range(1, 2 * n / 5 + 1)
+      .select(($"id" + 800000L).as("vec_id"))
+      .crossJoin(embs.where($"vec_id" === 7).select($"embedding"))
+    VectorIndex.mergeIvf(spark, idx, flood, mergeId = Some("flood"))
+    assert(VectorIndex.auditCellBalance(spark, idx),
+      "constant-direction flood did not trip the 3x bar")
+    assert(VectorIndex.maintenanceDue(spark, idx))
+
+    // the actuator consumes the verdict: retrain runs, and the result
+    // is exactly buildIvf over the current (flooded) corpus
+    assert(VectorIndex.maintainIfDue(spark, idx), "actuator did not run")
+    VectorIndex.buildIvf(
+      corpus.select($"vec_id", $"embedding").unionByName(flood),
+      s"$dir/scratch")
+    def table(p: String, cols: String*) = spark.read.parquet(p)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(table(s"$idx/centroids", "c_id") ==
+      table(s"$dir/scratch/centroids", "c_id"),
+      "maintained quantizer differs from buildIvf over the flooded corpus")
+    assert(table(s"$idx/lists", "vec_id", "c_id") ==
+      table(s"$dir/scratch/lists", "vec_id", "c_id"),
+      "maintained lists differ from buildIvf over the flooded corpus")
+    // verdict consumed: the loop is quiescent until the next audit
+    assert(!graft.util.Fs.exists(spark, s"$idx/_maintenance/balance"),
+      "verdict not cleared after the retrain")
+    assert(!VectorIndex.maintainIfDue(spark, idx))
+  }
+
+  test("retrainIvf preserves a streamed batch_id= layout; post-retrain replay stays safe") {
+    val dir = Files.createTempDirectory("ivfstreamretrain").toString
+    val idx = s"$dir/idx"
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = embs.where($"vec_id" >= 10)
+      .select($"vec_id", $"embedding")
+    VectorIndex.trainQuantizer(corpus, idx)
+    val b0 = corpus.where($"vec_id" % 2 === 0)
+    val b1 = corpus.where($"vec_id" % 2 === 1)
+    graft.streaming.VecStream.ingestBatch(b0, idx, 0L)
+    graft.streaming.VecStream.ingestBatch(b1, idx, 1L, balanceAudit = true)
+    // the fold's audit recorded its verdict
+    assert(graft.util.Fs.isFile(spark, s"$idx/_maintenance/balance/_SUCCESS"),
+      "ingest fold did not record the balance audit")
+
+    VectorIndex.retrainIvf(spark, idx)
+    // the re-key kept the replay partitions: batch_id= outer, c_id= in
+    val batchDirs = graft.util.Fs
+      .listDirNames(spark, graft.util.Fs.stagePath(spark, idx, "lists"))
+      .filter(_.startsWith("batch_id=")).sorted
+    assert(batchDirs == Seq("batch_id=0", "batch_id=1"),
+      s"retrain lost the streamed replay partitions: $batchDirs")
+    assert(graft.util.Fs.listDirNames(spark,
+        s"${graft.util.Fs.stagePath(spark, idx, "lists")}/batch_id=0")
+      .exists(_.startsWith("c_id=")), "c_id= layer missing under batch dirs")
+    // every vector survived the re-key with its batch
+    assert(spark.read.parquet(graft.util.Fs.stagePath(spark, idx, "lists"))
+      .count() == corpus.count())
+
+    // a crash-replay of batch 1 AFTER the retrain overwrites its own
+    // partition under the new quantizer — no mixed-depth corruption,
+    // and the index stays complete and searchable
+    graft.streaming.VecStream.ingestBatch(b1, idx, 1L)
+    assert(spark.read.parquet(graft.util.Fs.stagePath(spark, idx, "lists"))
+      .count() == corpus.count(),
+      "post-retrain replay changed the corpus size")
+    val queries = embs.where($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    assert(VectorIndex.searchIvf(spark, idx, queries, 4, 5).count() > 0,
+      "search broken after post-retrain replay")
+  }
+
   test("pointer-protocol retrain: journaled two-stage flip, parity with buildIvf, pointed layout serves") {
     val dir = Files.createTempDirectory("ivfptr").toString
     val idx = s"$dir/idx"
