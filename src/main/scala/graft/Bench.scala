@@ -91,6 +91,9 @@ object Bench {
     // l87 measures the l72-shaped serving path over the maintained
     // fixture (audit + retrain amortize across the JVM)
     "l87_maintenance_loop" -> 1.0,
+    // l88 reads the rebanded pairs artifact (reband amortizes); the
+    // 4x4 scheme roughly doubles the candidate volume vs l78's read
+    "l88_reband_parity" -> 0.6,
     // q68: the bucket-histogram sliding median pays its x12 window
     // expansion at this fixture's sub-1-event-per-bin density — the
     // docstring's measured crossover; priced at the honest reading

@@ -48,7 +48,8 @@ object ClusterSmoke {
     "l84_retrain_parity", // retrainIvf: staged re-key + intent-marked swap (round 15)
     "l85_quantizer_recall", // Lloyd-refined quantizer + dual serving paths (round 15)
     "l86_pointer_swap_parity", // pointer-protocol compact + resolver-served reads (round 15)
-    "l87_maintenance_loop" // audit-verdict-actuator loop: flood -> 3x bar -> retrain (round 15)
+    "l87_maintenance_loop", // audit-verdict-actuator loop: flood -> 3x bar -> retrain (round 15)
+    "l88_reband_parity" // reband actuator + scheme-aware post-reband merge (round 15)
   )
 
   def main(args: Array[String]): Unit = {

@@ -124,8 +124,10 @@ object DedupIndex {
     * only the band-file partitions matching the batch's key prefixes are
     * read; the corpus text is never touched.
     */
-  def probe(spark: SparkSession, indexDir: String, batch: DataFrame): DataFrame =
-    probeAgainst(spark.read.parquet(stg(spark, indexDir, "bands")), batch)
+  def probe(spark: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
+    val (nb, rb) = bandingOf(spark, indexDir)
+    probeAgainst(spark.read.parquet(stg(spark, indexDir, "bands")), batch, nb, rb)
+  }
 
   /** The probe join against an arbitrary corpus-bands frame — factored
     * out so callers holding a FILTERED view of the bands artifact (the
@@ -133,8 +135,9 @@ object DedupIndex {
     * the identical join. `corpusBands` needs (bp, band, bkey, doc_id);
     * extra columns (e.g. a batch_id partition column) are ignored.
     */
-  def probeAgainst(corpusBands: DataFrame, batch: DataFrame): DataFrame = {
-    val qb = bandsOf(batch)
+  def probeAgainst(corpusBands: DataFrame, batch: DataFrame,
+      numBands: Int = 2, rowsPerBand: Int = 8): DataFrame = {
+    val qb = bandsOfScheme(batch, numBands, rowsPerBand)
       .select(col("bp"), col("band"), col("bkey"), col("doc_id").as("batch_doc"))
     // Static partition pruning on the corpus side: the batch's distinct
     // key prefixes are at most 16 values, collected driver-side (an
@@ -213,7 +216,12 @@ object DedupIndex {
         s"merge delta shares doc_ids with the indexed corpus at $indexDir — " +
           "merging would duplicate ids across every artifact; re-key the delta")
     }
-    val deltaBands = bandsOf(delta)
+    // band the delta in the INDEX'S OWN scheme: after a [[reband]] the
+    // live bands may be finer or coarser than the production 2x8, and
+    // banding the delta differently would silently miss every
+    // delta x corpus candidate (keys from different schemes never match)
+    val (nb, rb) = bandingOf(spark, indexDir)
+    val deltaBands = bandsOfScheme(delta, nb, rb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (!done("pairs")) {
@@ -294,11 +302,93 @@ object DedupIndex {
   /** Banded keys (doc_id, band, bkey, bp) of a (doc_id, text) frame —
     * the exact frame `build` persists under `bands/`, exposed so
     * incremental writers (the streaming corpus fold) can append a
-    * batch's bands in the index's own layout.
+    * batch's bands in the index's own layout. This is the PRODUCTION
+    * 2x8 scheme; writers against a [[reband]]ed index must band in the
+    * index's own scheme ([[bandsOfScheme]] + [[bandingOf]] — [[merge]]
+    * and [[probe]] already do).
     */
-  def bandsOf(docs: DataFrame): DataFrame =
-    LlmQueries.bandedOfSigs(LlmQueries.minhashSignatures(docs))
+  def bandsOf(docs: DataFrame): DataFrame = bandsOfScheme(docs, 2, 8)
+
+  /** [[bandsOf]] under an explicit (bands x rows) scheme. */
+  def bandsOfScheme(docs: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame =
+    LlmQueries.bandedOfSigs(LlmQueries.minhashSignatures(docs),
+        numBands, rowsPerBand)
       .withColumn("bp", substring(col("bkey"), 1, 1))
+
+  /** The (bands x rows) scheme the persisted index is CURRENTLY banded
+    * under — read from the data itself (`max(band) + 1` over the bands
+    * artifact's pruned band column), not from a side file, so the
+    * answer survives compaction rewrites, stage swaps, and crashes by
+    * construction: whatever bands directory is live IS the scheme.
+    * An absent or empty bands artifact reports the production 2x8
+    * default (the scheme `build` writes).
+    */
+  def bandingOf(spark: SparkSession, indexDir: String): (Int, Int) = {
+    val p = stg(spark, indexDir, "bands")
+    if (!graft.util.Fs.exists(spark, p)) (2, 8)
+    else {
+      val row = spark.read.parquet(p).agg(max(col("band"))).collect().head
+      if (row.isNullAt(0)) (2, 8)
+      else {
+        val nb = row.getInt(0) + 1
+        (nb, 16 / nb)
+      }
+    }
+  }
+
+  /** RE-BAND a persisted index under a new (bands x rows) tradeoff —
+    * the actuator for the decision l75's sweep prices: a finer banding
+    * (more bands, fewer rows each) lowers the S-curve threshold and
+    * buys recall at a candidate-volume cost; a coarser one the
+    * reverse. The layout's headline claim is that this NEVER touches
+    * the corpus: both replacement artifacts derive from the persisted
+    * signatures alone — `bands` is a row-local projection of the
+    * signature table, `pairs` the bucket self-join over it — so the
+    * cost is O(signatures + candidate volume) however large the
+    * original text was. Signatures and shingle sets are
+    * scheme-independent and survive untouched.
+    *
+    * Both stages are STAGED and swapped under [[IndexMaintenance]]'s
+    * protocol (rename-aside on HDFS-semantics stores, journaled
+    * pointer publish on object stores): like retrain, the replacement
+    * is NOT content-equal to the live stage, so the multi-stage
+    * journal is what keeps a crash from serving 4x4 bands next to 2x8
+    * pairs — recovery converges the pair to one generation. Merge
+    * markers are cleared (the rewrite supersedes the duplicate window
+    * they guard; a replayed old mergeId fails loudly on the id-overlap
+    * guard). Subsequent [[merge]]s and [[probe]]s band their inputs in
+    * the NEW scheme automatically ([[bandingOf]] reads it from the
+    * live artifact). Streamed layouts are refused: their bands carry
+    * replay-owned `batch_id=` partitions, and re-derived candidate
+    * pairs have no well-defined owning batch.
+    */
+  def reband(spark: SparkSession, indexDir: String, numBands: Int,
+      rowsPerBand: Int): Unit = {
+    require(numBands * rowsPerBand == 16,
+      s"reband scheme ${numBands}x$rowsPerBand does not tile the 16-lane signature")
+    val stages = Seq("bands", "pairs")
+    IndexMaintenance.recoverStages(spark, indexDir, stages)
+    require(!spark.read.parquet(stg(spark, indexDir, "bands"))
+        .columns.contains("batch_id"),
+      s"reband at $indexDir: a streamed batch_id= layout cannot be rebanded " +
+        "in place (re-derived pairs have no owning batch); fold it into a " +
+        "batch index first")
+    val banded = LlmQueries.bandedOfSigs(signatures(spark, indexDir),
+        numBands, rowsPerBand)
+      .withColumn("bp", substring(col("bkey"), 1, 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stagedBands = IndexMaintenance.stagedDir(spark, indexDir, "bands")
+      val stagedPairs = IndexMaintenance.stagedDir(spark, indexDir, "pairs")
+      banded.repartition(col("bp")).write.mode(SaveMode.Overwrite)
+        .partitionBy("bp").parquet(stagedBands)
+      LlmQueries.lshSelfJoin(banded)
+        .write.mode(SaveMode.Overwrite).parquet(stagedPairs)
+      IndexMaintenance.swapStages(spark, indexDir, stages)
+      graft.util.Fs.delete(spark, s"$indexDir/_compact")
+      graft.util.Fs.delete(spark, s"$indexDir/_merges")
+    } finally { banded.unpersist(); () }
+  }
 
   /** The distinct-shingle-set frame (doc_id, sh_set) `build` persists
     * under `shingle_sets/` — exposed for incremental writers and scale

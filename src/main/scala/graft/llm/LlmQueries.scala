@@ -182,9 +182,22 @@ object LlmQueries {
     * from PERSISTED signatures instead of recomputing them, while the
     * inline path below stays byte-identical.
     */
-  private[llm] def bandedOfSigs(sigs: DataFrame): DataFrame = {
-    val bandKeys = (0 until NumBands).map { b =>
-      val cols = (RowsPerBand * b until RowsPerBand * (b + 1))
+  private[llm] def bandedOfSigs(sigs: DataFrame): DataFrame =
+    bandedOfSigs(sigs, NumBands, RowsPerBand)
+
+  /** The banding construction under an EXPLICIT (bands x rows) scheme —
+    * what [[DedupIndex.reband]] derives its replacement artifacts from
+    * (the production constants above are just one point in the l75
+    * sweep's tradeoff table). Same key recipe at any scheme: the band's
+    * consecutive signature lanes joined and md5'd.
+    */
+  private[llm] def bandedOfSigs(sigs: DataFrame, numBands: Int,
+      rowsPerBand: Int): DataFrame = {
+    require(numBands * rowsPerBand == NumHashes,
+      s"banding scheme ${numBands}x$rowsPerBand does not tile the " +
+        s"$NumHashes-lane signature")
+    val bandKeys = (0 until numBands).map { b =>
+      val cols = (rowsPerBand * b until rowsPerBand * (b + 1))
         .map(j => col(s"sig$j").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bkey"))
     }
@@ -358,6 +371,7 @@ object LlmQueries {
     dirs.addAll(mergedIvfPqDirs.values())
     dirs.addAll(retrainedIvfDirs.values())
     dirs.addAll(maintainedIvfDirs.values())
+    dirs.addAll(rebandedIndexDirs.values())
     dirs.addAll(refinedIvfDirs.values())
     sharedIndexDirs.clear()
     mergedIndexDirs.clear()
@@ -369,6 +383,7 @@ object LlmQueries {
     mergedIvfPqDirs.clear()
     retrainedIvfDirs.clear()
     maintainedIvfDirs.clear()
+    rebandedIndexDirs.clear()
     refinedIvfDirs.clear()
     dirs.forEach(d => deleteRecursively(new java.io.File(d)))
   }
@@ -5327,6 +5342,77 @@ object LlmQueries {
        |       ELSE 'cross' END AS pair_kind
        |FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The rebanded fixture behind l88: base indexed under the
+    * production 2x8 scheme, one delta merged under it, the index
+    * REBANDED to the recall-leaning 4x4 scheme (l75's sweep row, now
+    * actuated — both replacement artifacts derived from the persisted
+    * signatures alone, swapped under the maintenance protocol), and a
+    * SECOND delta merged — which [[DedupIndex.merge]] must band in the
+    * index's post-reband scheme ([[DedupIndex.bandingOf]] reads it
+    * from the live artifact), or every delta x corpus candidate is
+    * silently lost.
+    */
+  private val rebandedIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def rebandedIndexDir(s: SparkSession, d: String): String =
+    rebandedIndexDirs.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-rebanded-").toString
+      deleteOnExit(tmp)
+      val dd = docsWithDups(s, d)
+      DedupIndex.build(dd.where(col("doc_id") % 7 =!= 3 && col("doc_id") % 7 =!= 5), tmp)
+      DedupIndex.merge(s, tmp, dd.where(col("doc_id") % 7 === 3),
+        mergeId = Some("l88-pre"))
+      DedupIndex.reband(s, tmp, 4, 4)
+      DedupIndex.merge(s, tmp, dd.where(col("doc_id") % 7 === 5),
+        mergeId = Some("l88-post"))
+      tmp
+    })
+
+  /** l88: RE-BANDING parity — [[DedupIndex.reband]] under the driver's
+    * cell-hash gate, actuating the tradeoff l75's sweep prices: the
+    * index's bands and pairs are re-derived from the persisted
+    * SIGNATURES alone under the finer 4x4 scheme (lower S-curve
+    * threshold, more candidates — the corpus text is never touched),
+    * swapped in under the maintenance protocol, and then a further
+    * delta is merged, which the engine must band in the index's NEW
+    * scheme. The oracle restates the full 4x4 derivation over the
+    * union corpus in closed form, so a reband that loses 2x8 pairs,
+    * keys a band wrong, swaps a mixed generation, or merges a
+    * post-reband delta under the stale production scheme
+    * hash-mismatches. Scale shape: the measured query reads the
+    * rebanded pairs artifact (fixture amortizes across the JVM);
+    * classification is row-local.
+    */
+  def qRebandParity(s: SparkSession, d: String): DataFrame = {
+    val kind = (c: Column) => c % 7 === 3 || c % 7 === 5
+    DedupIndex.candidatePairs(s, rebandedIndexDir(s, d))
+      .select(col("doc_a"), col("doc_b"),
+        when(kind(col("doc_a")) && kind(col("doc_b")), lit("delta"))
+          .when(!kind(col("doc_a")) && !kind(col("doc_b")), lit("corpus"))
+          .otherwise(lit("cross")).as("pair_kind"))
+      .orderBy("doc_a", "doc_b")
+  }
+  val qRebandParitySql: String = {
+    val bands4 = (0 until 4).map { b =>
+      val cat = (4 * b until 4 * (b + 1))
+        .map(j => s"CAST(sig$j AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bkey FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $docsWithDupsSql,
+       |${sigsSqlCtes("dd")},
+       |banded4 AS (
+       |  $bands4),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded4 a JOIN banded4 b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CASE WHEN doc_a % 7 IN (3, 5) AND doc_b % 7 IN (3, 5) THEN 'delta'
+       |       WHEN doc_a % 7 NOT IN (3, 5) AND doc_b % 7 NOT IN (3, 5)
+       |         THEN 'corpus'
+       |       ELSE 'cross' END AS pair_kind
+       |FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** The IVF+PQ fixture behind l77: BOTH index halves built over the
     * corpus (vec_id >= 10) in one directory, once per JVM per data
     * directory — the serving deployment [[VectorIndex.searchIvfPq]]
@@ -6320,6 +6406,7 @@ object LlmQueries {
     "l78_compact_parity" -> qCompactParity _,
     "l86_pointer_swap_parity" -> qPointerSwapParity _,
     "l87_maintenance_loop" -> qMaintenanceLoop _,
+    "l88_reband_parity" -> qRebandParity _,
     "l79_ann_compact_parity" -> qAnnCompactParity _,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearch _,
     "l81_vec_drift_gate" -> qVecDriftGate _,
@@ -6410,6 +6497,7 @@ object LlmQueries {
     "l78_compact_parity" -> qCompactParitySql,
     "l86_pointer_swap_parity" -> qPointerSwapParitySql,
     "l87_maintenance_loop" -> qMaintenanceLoopSql,
+    "l88_reband_parity" -> qRebandParitySql,
     "l79_ann_compact_parity" -> qAnnMergeParitySql,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearchSql,
     "l81_vec_drift_gate" -> qVecDriftGateSql,

@@ -440,6 +440,61 @@ class DedupIndexSpec extends SparkSpec {
     assert(nested.nonEmpty, "bands lost the nested bp= layout")
   }
 
+  test("reband derives a new scheme from persisted signatures; merges/probes follow it") {
+    val dir = Files.createTempDirectory("dedupreband").toString
+    val idx = s"$dir/idx"
+    val base = corpus.where($"doc_id" % 7 =!= 3)
+    val delta = corpus.where($"doc_id" % 7 === 3)
+    DedupIndex.build(base, idx)
+    assert(DedupIndex.bandingOf(spark, idx) == ((2, 8)),
+      "fresh build must report the production 2x8 scheme")
+    val pairs2x8 = DedupIndex.candidatePairs(spark, idx)
+      .as[(Long, Long)].collect().toSet
+
+    DedupIndex.reband(spark, idx, 4, 4)
+    assert(DedupIndex.bandingOf(spark, idx) == ((4, 4)),
+      "scheme not readable from the rebanded artifact")
+    // contract: rebanded == the 4x4 derivation from the SAME signatures
+    val want = LlmQueries.lshSelfJoin(
+        LlmQueries.bandedOfSigs(DedupIndex.signatures(spark, idx), 4, 4))
+      .as[(Long, Long)].collect().toSet
+    val got = DedupIndex.candidatePairs(spark, idx)
+      .as[(Long, Long)].collect().toSet
+    assert(got == want, "rebanded pairs diverge from the 4x4 derivation")
+    // a finer banding is recall-leaning: an 8-lane band match is two
+    // 4-lane matches, so every 2x8 pair survives and new ones appear
+    assert(pairs2x8.subsetOf(got), "reband lost 2x8 candidates")
+    assert(got.size > pairs2x8.size, "4x4 banding emitted no new candidates")
+    // bp= pruning directories rebuilt
+    assert(graft.util.Fs.listDirNames(spark,
+      graft.util.Fs.stagePath(spark, idx, "bands"))
+      .exists(_.startsWith("bp=")), "bp= pruning layout lost")
+
+    // merges against the rebanded index band their delta in the NEW
+    // scheme: merged pairs == the 4x4 derivation over the union
+    DedupIndex.merge(spark, idx, delta, mergeId = Some("reband-delta"))
+    val wantUnion = LlmQueries.lshSelfJoin(
+        LlmQueries.bandedOfSigs(DedupIndex.signatures(spark, idx), 4, 4))
+      .as[(Long, Long)].collect().toSet
+    assert(DedupIndex.candidatePairs(spark, idx)
+      .as[(Long, Long)].collect().toSet == wantUnion,
+      "post-reband merge banded its delta in the wrong scheme")
+    // probe follows the scheme too (a 2x8-banded probe would miss)
+    assert(DedupIndex.probe(spark, idx, delta.limit(5)).count() > 0,
+      "post-reband probe found nothing")
+
+    // invalid scheme and streamed layouts are refused
+    intercept[IllegalArgumentException] {
+      DedupIndex.reband(spark, idx, 5, 3)
+    }
+    val sdir = Files.createTempDirectory("dedupstreamed").toString
+    graft.streaming.DocStream.ingestBatch(
+      base.limit(10), s"$sdir/corpus", 0L, Some(s"$sdir/idx"))
+    intercept[IllegalArgumentException] {
+      DedupIndex.reband(spark, s"$sdir/idx", 4, 4)
+    }
+  }
+
   test("merge with a mergeId is idempotent: replay and partial-failure resume") {
     val dir = Files.createTempDirectory("dedupidx").toString
     val base = corpus.where($"doc_id" % 3 =!= 2)
