@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
   *     batch joins on (bp, band, bkey), so scan planning prunes to the
   *     band-key prefixes the batch actually hashes into — the
   *     VectorIndex partition-pruning idea with hash prefixes instead of
-  *     IVF cells (at larger scale, widen the prefix: 2 hex chars = 256
-  *     directories).
+  *     IVF cells. At larger scale, widen the prefix (`prefixLen` on
+  *     [[build]]/[[reband]]: 2 hex chars = 256 directories, 3 = 4096)
+  *     so each band-file partition stays planner-sized; the width is
+  *     self-described by the live layout ([[prefixLenOf]]) and probes
+  *     and merges follow it automatically.
   *   - `pairs/`       (doc_a, doc_b) — the distinct same-bucket
   *     candidate pairs (doc_a < doc_b), the artifact all seven
   *     downstream dedup queries consume.
@@ -69,7 +72,8 @@ object DedupIndex {
     * and is overwritten. Default `false` rebuilds everything — the
     * correct semantics when the corpus snapshot may have changed.
     */
-  def build(docs: DataFrame, indexDir: String, resume: Boolean = false): Unit = {
+  def build(docs: DataFrame, indexDir: String, resume: Boolean = false,
+      prefixLen: Int = 1): Unit = {
     val spark = docs.sparkSession
     def done(stage: String): Boolean =
       resume && graft.util.Fs.isFile(spark, s"${stg(spark, indexDir, stage)}/_SUCCESS")
@@ -78,7 +82,7 @@ object DedupIndex {
         .write.mode(SaveMode.Overwrite).parquet(stg(spark, indexDir, "signatures"))
     if (!done("bands"))
       LlmQueries.bandedOfSigs(signatures(spark, indexDir))
-        .withColumn("bp", substring(col("bkey"), 1, 1))
+        .withColumn("bp", substring(col("bkey"), 1, prefixLen))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("bp").parquet(stg(spark, indexDir, "bands"))
     if (!done("pairs")) {
@@ -126,7 +130,8 @@ object DedupIndex {
     */
   def probe(spark: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
     val (nb, rb) = bandingOf(spark, indexDir)
-    probeAgainst(spark.read.parquet(stg(spark, indexDir, "bands")), batch, nb, rb)
+    probeAgainst(spark.read.parquet(stg(spark, indexDir, "bands")), batch,
+      nb, rb, prefixLenOf(spark, indexDir))
   }
 
   /** The probe join against an arbitrary corpus-bands frame — factored
@@ -136,8 +141,9 @@ object DedupIndex {
     * extra columns (e.g. a batch_id partition column) are ignored.
     */
   def probeAgainst(corpusBands: DataFrame, batch: DataFrame,
-      numBands: Int = 2, rowsPerBand: Int = 8): DataFrame = {
-    val qb = bandsOfScheme(batch, numBands, rowsPerBand)
+      numBands: Int = 2, rowsPerBand: Int = 8,
+      prefixLen: Int = 1): DataFrame = {
+    val qb = bandsOfScheme(batch, numBands, rowsPerBand, prefixLen)
       .select(col("bp"), col("band"), col("bkey"), col("doc_id").as("batch_doc"))
     // Static partition pruning on the corpus side: the batch's distinct
     // key prefixes are at most 16 values, collected driver-side (an
@@ -221,7 +227,7 @@ object DedupIndex {
     // banding the delta differently would silently miss every
     // delta x corpus candidate (keys from different schemes never match)
     val (nb, rb) = bandingOf(spark, indexDir)
-    val deltaBands = bandsOfScheme(delta, nb, rb)
+    val deltaBands = bandsOfScheme(delta, nb, rb, prefixLenOf(spark, indexDir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (!done("pairs")) {
@@ -309,11 +315,33 @@ object DedupIndex {
     */
   def bandsOf(docs: DataFrame): DataFrame = bandsOfScheme(docs, 2, 8)
 
-  /** [[bandsOf]] under an explicit (bands x rows) scheme. */
-  def bandsOfScheme(docs: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame =
+  /** [[bandsOf]] under an explicit (bands x rows) scheme and pruning
+    * prefix width: `prefixLen` hex chars of the banded key become the
+    * `bp=` partition value — 16^prefixLen pruning directories. The
+    * production width is 1 (16 directories); at 100 TB widen to 2
+    * (256) or 3 (4096) so each band-file partition stays
+    * planner-sized. The prefix is a FUNCTION of the key, so any width
+    * yields the same pairs — it is purely the scan-pruning layout.
+    */
+  def bandsOfScheme(docs: DataFrame, numBands: Int, rowsPerBand: Int,
+      prefixLen: Int = 1): DataFrame = {
+    require(prefixLen >= 1 && prefixLen <= 8,
+      s"bp prefix width $prefixLen outside [1, 8]")
     LlmQueries.bandedOfSigs(LlmQueries.minhashSignatures(docs),
         numBands, rowsPerBand)
-      .withColumn("bp", substring(col("bkey"), 1, 1))
+      .withColumn("bp", substring(col("bkey"), 1, prefixLen))
+  }
+
+  /** The `bp=` pruning-prefix width the persisted index currently uses
+    * — like [[bandingOf]], read from the live artifact itself (the
+    * length of any `bp=` partition value), so it survives compaction
+    * and swaps by construction. Absent/empty bands report the
+    * production width 1.
+    */
+  def prefixLenOf(spark: SparkSession, indexDir: String): Int =
+    graft.util.Fs.listDirNames(spark, stg(spark, indexDir, "bands"))
+      .collectFirst { case d if d.startsWith("bp=") => d.length - 3 }
+      .getOrElse(1)
 
   /** The (bands x rows) scheme the persisted index is CURRENTLY banded
     * under — read from the data itself (`max(band) + 1` over the bands
@@ -363,7 +391,7 @@ object DedupIndex {
     * pairs have no well-defined owning batch.
     */
   def reband(spark: SparkSession, indexDir: String, numBands: Int,
-      rowsPerBand: Int): Unit = {
+      rowsPerBand: Int, prefixLen: Int = 1): Unit = {
     require(numBands * rowsPerBand == 16,
       s"reband scheme ${numBands}x$rowsPerBand does not tile the 16-lane signature")
     val stages = Seq("bands", "pairs")
@@ -373,9 +401,11 @@ object DedupIndex {
       s"reband at $indexDir: a streamed batch_id= layout cannot be rebanded " +
         "in place (re-derived pairs have no owning batch); fold it into a " +
         "batch index first")
+    require(prefixLen >= 1 && prefixLen <= 8,
+      s"bp prefix width $prefixLen outside [1, 8]")
     val banded = LlmQueries.bandedOfSigs(signatures(spark, indexDir),
         numBands, rowsPerBand)
-      .withColumn("bp", substring(col("bkey"), 1, 1))
+      .withColumn("bp", substring(col("bkey"), 1, prefixLen))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val stagedBands = IndexMaintenance.stagedDir(spark, indexDir, "bands")

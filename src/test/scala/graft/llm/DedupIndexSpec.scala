@@ -495,6 +495,47 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("bp pruning prefix widens to 2 hex chars; width is self-described and followed") {
+    val dir = Files.createTempDirectory("dedupwide").toString
+    val idx = s"$dir/idx"
+    val base = corpus.where($"doc_id" % 7 =!= 3)
+    val delta = corpus.where($"doc_id" % 7 === 3)
+    DedupIndex.build(base, idx, prefixLen = 2)
+    assert(DedupIndex.prefixLenOf(spark, idx) == 2,
+      "width not readable from the live layout")
+    val dirs = graft.util.Fs.listDirNames(spark,
+        graft.util.Fs.stagePath(spark, idx, "bands"))
+      .filter(_.startsWith("bp="))
+    assert(dirs.forall(_.length == 5), s"bp values not 2 hex chars: ${dirs.take(3)}")
+    assert(dirs.size > 16, s"2-char prefix yielded only ${dirs.size} partitions")
+
+    // the prefix is layout only: pairs equal a width-1 build's
+    DedupIndex.build(base, s"$dir/narrow")
+    assert(DedupIndex.candidatePairs(spark, idx)
+        .as[(Long, Long)].collect().toSet ==
+      DedupIndex.candidatePairs(spark, s"$dir/narrow")
+        .as[(Long, Long)].collect().toSet,
+      "prefix width changed the candidate pairs")
+
+    // probe and merge band their input at the index's width (a 1-char
+    // probe against a 2-char layout would prune to nonexistent dirs)
+    assert(DedupIndex.probe(spark, idx, delta.limit(5)).count() ==
+      DedupIndex.probe(spark, s"$dir/narrow", delta.limit(5)).count(),
+      "probe results diverge across prefix widths")
+    DedupIndex.merge(spark, idx, delta, mergeId = Some("wide-delta"))
+    DedupIndex.merge(spark, s"$dir/narrow", delta, mergeId = Some("narrow-delta"))
+    assert(DedupIndex.candidatePairs(spark, idx)
+        .as[(Long, Long)].collect().toSet ==
+      DedupIndex.candidatePairs(spark, s"$dir/narrow")
+        .as[(Long, Long)].collect().toSet,
+      "merge under a widened prefix lost candidates")
+
+    // reband can widen in the same pass; both properties re-derive
+    DedupIndex.reband(spark, s"$dir/narrow", 4, 4, prefixLen = 2)
+    assert(DedupIndex.bandingOf(spark, s"$dir/narrow") == ((4, 4)))
+    assert(DedupIndex.prefixLenOf(spark, s"$dir/narrow") == 2)
+  }
+
   test("merge with a mergeId is idempotent: replay and partial-failure resume") {
     val dir = Files.createTempDirectory("dedupidx").toString
     val base = corpus.where($"doc_id" % 3 =!= 2)
