@@ -1648,7 +1648,9 @@ object RelationalQueries {
     * semantic necessity — at 100 TB, where a single type's timeline
     * outgrows one task, the scale path is q25's HLL sketch per
     * (type, hour-bucket) merged across buckets, trading exactness for
-    * mergeability; this query is the exact reference for that sketch.
+    * mergeability; this query is the exact reference for that sketch,
+    * and q69 materializes it (per-bucket deterministic HLL registers
+    * merged across the trailing hour, exact side emitted alongside).
     * Tie semantics: RANGE on epoch seconds is tie-inclusive (the q37
     * discipline), so second-collisions are deterministic.
     */
