@@ -94,6 +94,9 @@ object Bench {
     // l88 reads the rebanded pairs artifact (reband amortizes); the
     // 4x4 scheme roughly doubles the candidate volume vs l78's read
     "l88_reband_parity" -> 0.6,
+    // l89: one corpus->vocab collapse + three vocab-bounded
+    // explode/agg/rewrite rounds with 1-row argmax broadcasts
+    "l89_bpe_train" -> 1.2,
     // q68: the bucket-histogram sliding median pays its x12 window
     // expansion at this fixture's sub-1-event-per-bin density — the
     // docstring's measured crossover; priced at the honest reading

@@ -1803,6 +1803,130 @@ object LlmQueries {
       |FROM pairs GROUP BY pair
       |ORDER BY pair_count DESC, pair ASC LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------- BPE training
+  /** l89: iterative BPE TRAINING — three merge rounds of byte-pair-
+    * encoding, the tokenizer-training loop l29 counts the first round
+    * of. Each round counts adjacent SYMBOL pairs over the vocabulary
+    * (weighted by word frequency), elects the max pair (count DESC,
+    * then lexicographic — deterministic), and REWRITES every word's
+    * symbol sequence with that pair merged left-to-right
+    * non-overlapping, exactly the canonical BPE semantics; round 2's
+    * counts depend on round 1's rewrite, so the oracle pins the whole
+    * iteration, not three independent counts. Output: the top-3 pairs
+    * per round (9 rows) — rank 1 is the adopted merge rule, ranks 2-3
+    * pin the rest of each round's count table against the hash gate.
+    *
+    * The merge trick: sequences are carried as delimiter-wrapped
+    * strings (`|s1||s2||s3|` — each symbol wears its OWN delimiters),
+    * so merging pair (a,b) is `replace(seq, "|a||b|", "|ab|")`: both
+    * engines implement `replace` as a left-to-right non-overlapping
+    * scan of the original string, and because delimiters are not
+    * shared between tokens the replacement never consumes a
+    * neighbour's boundary — `a a a a` merges to `aa aa`, `a a a` to
+    * `aa a`, the BPE answer. Words are restricted to `[a-z]+` so `|`
+    * cannot occur inside a symbol. Scale shape: the corpus collapses
+    * to its vocabulary ONCE (the l29 ordering lesson — words repeat
+    * enormously); each round is then one explode+hash-agg over the
+    * vocabulary, a 1-row argmax broadcast back, and a row-local
+    * rewrite — no corpus re-scan, no window, state bounded by the
+    * vocabulary however large the corpus.
+    */
+  def qBpeTrain(s: SparkSession, d: String): DataFrame = {
+    val vocab = docs(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        concat(lit("|"), concat_ws("||", split(col("w"), "")), lit("|"))
+          .as("seq"))
+    def toks(seq: Column): Column =
+      split(regexp_replace(seq, "^\\||\\|$", ""), "\\|\\|")
+    def pairCounts(seqs: DataFrame): DataFrame =
+      seqs.select(col("freq"), toks(col("seq")).as("ts"))
+        // a fully-merged word has ONE symbol left: filter before the
+        // position sequence — `sequence(1, 0)` is the DESCENDING
+        // two-element array, the l19/l29 hazard
+        .where(size(col("ts")) >= 2)
+        .select(col("freq"), col("ts"),
+          explode(sequence(lit(1), size(col("ts")) - 1)).as("i"))
+        .select(element_at(col("ts"), col("i")).as("left"),
+          element_at(col("ts"), col("i") + 1).as("right"), col("freq"))
+        .groupBy("left", "right").agg(sum("freq").as("pair_count"))
+    def top3(pc: DataFrame, round: Int): DataFrame =
+      pc.orderBy(col("pair_count").desc, col("left").asc, col("right").asc)
+        .limit(3)
+        .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+          .Window.orderBy(col("pair_count").desc, col("left").asc,
+            col("right").asc)))
+        .select(lit(round).as("round"), col("rank"), col("left"),
+          col("right"), col("pair_count"))
+    def merged(seqs: DataFrame, pc: DataFrame): DataFrame = {
+      val win = pc
+        .orderBy(col("pair_count").desc, col("left").asc, col("right").asc)
+        .limit(1)
+        .select(col("left").as("wl"), col("right").as("wr"))
+      seqs.crossJoin(broadcast(win))
+        .select(col("freq"),
+          expr("replace(seq, '|' || wl || '||' || wr || '|', " +
+            "'|' || wl || wr || '|')").as("seq"))
+    }
+    val s0 = vocab
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pc1 = pairCounts(s0)
+      val s1 = merged(s0, pc1)
+      val pc2 = pairCounts(s1)
+      val s2 = merged(s1, pc2)
+      val pc3 = pairCounts(s2)
+      top3(pc1, 1).unionByName(top3(pc2, 2)).unionByName(top3(pc3, 3))
+        .orderBy("round", "rank")
+        // the fixture-sized result is materialized before s0 unpersists
+        .localCheckpoint(true)
+    } finally { s0.unpersist(); () }
+  }
+  val qBpeTrainSql: String = {
+    def round(prev: String, n: Int): String =
+      s"""pc$n AS (
+         |  SELECT ts[i] AS lft, ts[i + 1] AS rgt,
+         |    CAST(SUM(freq) AS BIGINT) AS pair_count
+         |  FROM (SELECT freq,
+         |          string_split(trim(seq, '|'), '||') AS ts FROM $prev) x,
+         |    LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) t
+         |  GROUP BY 1, 2),
+         |win$n AS (
+         |  SELECT lft, rgt FROM pc$n
+         |  ORDER BY pair_count DESC, lft ASC, rgt ASC LIMIT 1),
+         |top$n AS (
+         |  SELECT $n AS round,
+         |    row_number() OVER (ORDER BY pair_count DESC, lft ASC, rgt ASC)
+         |      AS rank,
+         |    lft AS "left", rgt AS "right", pair_count
+         |  FROM pc$n
+         |  ORDER BY pair_count DESC, lft ASC, rgt ASC LIMIT 3),
+         |s$n AS (
+         |  SELECT freq,
+         |    replace(seq, '|' || w.lft || '||' || w.rgt || '|',
+         |      '|' || w.lft || w.rgt || '|') AS seq
+         |  FROM $prev CROSS JOIN win$n w)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |vocab AS (
+       |  SELECT w, COUNT(*) AS freq FROM words
+       |  WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) >= 2
+       |  GROUP BY w),
+       |s0 AS (
+       |  SELECT freq,
+       |    '|' || array_to_string(string_split(w, ''), '||') || '|' AS seq
+       |  FROM vocab),
+       |${round("s0", 1)},
+       |${round("s1", 2)},
+       |${round("s2", 3)}
+       |SELECT round, rank, "left", "right", pair_count FROM top1
+       |UNION ALL SELECT round, rank, "left", "right", pair_count FROM top2
+       |UNION ALL SELECT round, rank, "left", "right", pair_count FROM top3
+       |ORDER BY round, rank""".stripMargin
+  }
+
   // ------------------------------------------------------- domain mixing
   /** Domain-mix rebalancing — the step that turns a crawl's natural
     * domain skew into a training mix: per-source keep rates are computed
@@ -6407,6 +6531,7 @@ object LlmQueries {
     "l86_pointer_swap_parity" -> qPointerSwapParity _,
     "l87_maintenance_loop" -> qMaintenanceLoop _,
     "l88_reband_parity" -> qRebandParity _,
+    "l89_bpe_train" -> qBpeTrain _,
     "l79_ann_compact_parity" -> qAnnCompactParity _,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearch _,
     "l81_vec_drift_gate" -> qVecDriftGate _,
@@ -6498,6 +6623,7 @@ object LlmQueries {
     "l86_pointer_swap_parity" -> qPointerSwapParitySql,
     "l87_maintenance_loop" -> qMaintenanceLoopSql,
     "l88_reband_parity" -> qRebandParitySql,
+    "l89_bpe_train" -> qBpeTrainSql,
     "l79_ann_compact_parity" -> qAnnMergeParitySql,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearchSql,
     "l81_vec_drift_gate" -> qVecDriftGateSql,
