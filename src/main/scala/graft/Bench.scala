@@ -97,6 +97,9 @@ object Bench {
     // l89: one corpus->vocab collapse + three vocab-bounded
     // explode/agg/rewrite rounds with 1-row argmax broadcasts
     "l89_bpe_train" -> 1.2,
+    // l90: l77's serving path over the stream-grown layout (fixture
+    // folds two batches once per JVM); one extra partition level
+    "l90_stream_ivfpq" -> 1.4,
     // q68: the bucket-histogram sliding median pays its x12 window
     // expansion at this fixture's sub-1-event-per-bin density — the
     // docstring's measured crossover; priced at the honest reading

@@ -372,6 +372,7 @@ object LlmQueries {
     dirs.addAll(retrainedIvfDirs.values())
     dirs.addAll(maintainedIvfDirs.values())
     dirs.addAll(rebandedIndexDirs.values())
+    dirs.addAll(streamedIvfPqDirs.values())
     dirs.addAll(refinedIvfDirs.values())
     sharedIndexDirs.clear()
     mergedIndexDirs.clear()
@@ -384,6 +385,7 @@ object LlmQueries {
     retrainedIvfDirs.clear()
     maintainedIvfDirs.clear()
     rebandedIndexDirs.clear()
+    streamedIvfPqDirs.clear()
     refinedIvfDirs.clear()
     dirs.forEach(d => deleteRecursively(new java.io.File(d)))
   }
@@ -5573,6 +5575,51 @@ object LlmQueries {
       embs(s, d).where(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding")),
       nprobe = 4, topk = 5)
+
+  /** The STREAM-BUILT IVFADC fixture behind l90: quantizer and PQ
+    * codebook trained standalone over the corpus
+    * ([[VectorIndex.trainQuantizer]]/[[VectorIndex.trainPqCodebook]] —
+    * the stream-prerequisite artifacts), then BOTH serving halves
+    * grown by the ingest fold alone: two disjoint micro-batches folded
+    * with `pqCodes = true`, so lists AND 4-byte codes accrete under
+    * replay-owned `batch_id=` partitions with O(delta) align
+    * provenance recorded as they land.
+    */
+  private val streamedIvfPqDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def streamedIvfPqDir(s: SparkSession, d: String): String =
+    streamedIvfPqDirs.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-streampq-").toString
+      deleteOnExit(tmp)
+      val corpus = embs(s, d).where(col("vec_id") >= 10)
+      VectorIndex.trainQuantizer(corpus, tmp)
+      VectorIndex.trainPqCodebook(corpus, tmp)
+      graft.streaming.VecStream.ingestBatch(
+        corpus.where(col("vec_id") % 2 === 0), tmp, 0L, pqCodes = true)
+      graft.streaming.VecStream.ingestBatch(
+        corpus.where(col("vec_id") % 2 === 1), tmp, 1L, pqCodes = true)
+      tmp
+    })
+
+  /** l90: STREAMED IVFADC parity — the full composed serving path
+    * ([[VectorIndex.searchIvfPq]]) over an index whose BOTH halves
+    * were grown by the streaming fold (`pqCodes = true`:
+    * [[graft.streaming.VecStream]] assigns each batch's 4-byte codes
+    * against the held codebook with the buildPq argmin and lands them
+    * under replay-owned batch partitions, next to the lists), under
+    * l77's EXACT oracle: the stream's standalone-trained quantizer and
+    * codebook follow the same data-derived rules as `buildIvf` +
+    * `buildPq` over the same corpus, so stream-built must equal
+    * batch-built cell-for-cell — an ingest fold that drops a vector,
+    * assigns a code against the wrong codebook, or breaks the batch
+    * layout's partition discovery hash-mismatches. Scale shape:
+    * identical to l77's serving path; the `batch_id=` layer is one
+    * more partition level above the same pruned joins.
+    */
+  def qStreamIvfPq(s: SparkSession, d: String): DataFrame =
+    VectorIndex.searchIvfPq(s, streamedIvfPqDir(s, d),
+      embs(s, d).where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      nprobe = 4, topk = 5)
   /** The closed-form IVF-PQ restatement (both index halves over the
     * vec_id >= 10 corpus) shared by l77's top-k and l82's recall audit.
     */
@@ -6532,6 +6579,7 @@ object LlmQueries {
     "l87_maintenance_loop" -> qMaintenanceLoop _,
     "l88_reband_parity" -> qRebandParity _,
     "l89_bpe_train" -> qBpeTrain _,
+    "l90_stream_ivfpq" -> qStreamIvfPq _,
     "l79_ann_compact_parity" -> qAnnCompactParity _,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearch _,
     "l81_vec_drift_gate" -> qVecDriftGate _,
@@ -6624,6 +6672,7 @@ object LlmQueries {
     "l87_maintenance_loop" -> qMaintenanceLoopSql,
     "l88_reband_parity" -> qRebandParitySql,
     "l89_bpe_train" -> qBpeTrainSql,
+    "l90_stream_ivfpq" -> qIvfPqTopkSql,
     "l79_ann_compact_parity" -> qAnnMergeParitySql,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearchSql,
     "l81_vec_drift_gate" -> qVecDriftGateSql,

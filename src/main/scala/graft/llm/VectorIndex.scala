@@ -264,7 +264,7 @@ object VectorIndex {
     * by the full rebuild the next align runs (which also supersedes and
     * clears any pending records).
     */
-  private def invalidateAligned(spark: SparkSession, indexDir: String): Unit =
+  private[graft] def invalidateAligned(spark: SparkSession, indexDir: String): Unit =
     graft.util.Fs.delete(spark, s"$indexDir/pq_codes_by_list/_SUCCESS")
 
   /** The hard form, for content-REMOVING mutations (compacts). */
@@ -510,11 +510,15 @@ object VectorIndex {
     * scan at all. The delta lands as one dynamically-overwritten
     * `mseg=<segment>` generation inside each touched `c_id=` list —
     * a crashed re-align is retried by re-running it: the same pending
-    * set derives the same segment id, the overwrite replaces the same
-    * leaf directories byte-equivalently, and the pending record is
-    * cleared only after the commit (which itself restores the
-    * `_SUCCESS` serving gate). No anti-join against the corpus, no
-    * double-count window.
+    * set derives the same per-pid segments, the overwrite replaces the
+    * same leaf directories byte-equivalently, and the pending record
+    * is cleared only after the commit (which itself restores the
+    * `_SUCCESS` serving gate). Segments are PER PENDING ID
+    * (`mseg=p_<pid>`), so convergence survives regrouping too: a
+    * crash-replayed stream batch whose pending record reappears after
+    * its rows were already aligned overwrites its own segment rather
+    * than duplicating rows into a differently-grouped one. No
+    * anti-join against the corpus, no double-count window.
     *
     * The first call (and any call after a compact dropped the artifact,
     * or after the owner deletes it to force a repair) takes the FULL
@@ -524,6 +528,21 @@ object VectorIndex {
     * mistaken for one. Single-writer maintenance discipline (the same
     * assumption every merge/compact here makes): one align runs at a
     * time, and not concurrently with a merge.
+    *
+    * Consumed-pid LEDGER: `pq_codes_by_list/_CONSUMED` lists every pid
+    * whose rows the artifact already contains (base or `p_<pid>`
+    * segment). It exists for the one producer that is not marker-gated
+    * across restarts — a crash-replayed stream batch
+    * ([[graft.streaming.VecStream]] `pqCodes`): the replay consults the
+    * ledger and skips re-recording a pending record the artifact
+    * already absorbed (its data rewrites are byte-identical by the
+    * fold's pinned determinism, so the aligned rows stay exact and the
+    * serving gate need not drop). Without the ledger, a pending record
+    * re-created after a FULL align had absorbed the batch into `base`
+    * would be re-appended as a `p_<pid>` segment — duplicated rows,
+    * double-counted ADC sums. The ledger lives inside the artifact, so
+    * dropping the artifact (compact/retrain) drops it too, and the
+    * subsequent full rebuild re-derives everything from scratch.
     */
   def alignPqToLists(spark: SparkSession, indexDir: String): Unit = {
     val alignedDir = s"$indexDir/pq_codes_by_list"
@@ -535,12 +554,22 @@ object VectorIndex {
       val member = spark.read.parquet(stg(spark, indexDir, "lists"))
         .select(col("vec_id"), col("c_id"))
       val codes = spark.read.parquet(stg(spark, indexDir, "pq_codes"))
+      // capture the superseded pids and any prior ledger BEFORE the
+      // Overwrite wipes the artifact directory
+      val superseded = (consumedPids(spark, alignedDir) ++
+        graft.util.Fs.listDirNames(spark, pendLists) ++
+        graft.util.Fs.listDirNames(spark, pendCodes))
+        .map(_.stripPrefix("pid=")).distinct.sorted
       codes.join(member, Seq("vec_id"))
         .withColumn("mseg", lit("base"))
         .repartition(col("c_id"))
         .write.mode(SaveMode.Overwrite).partitionBy("c_id", "mseg")
         .parquet(alignedDir)
-      // the full join covered every merged row — pending is superseded
+      // the full join covered every merged row — pending is superseded;
+      // the ledger remembers the absorbed pids so a crash-replayed
+      // stream batch does not re-pend rows base already holds
+      graft.util.Fs.writeString(spark, s"$alignedDir/_CONSUMED",
+        superseded.mkString("\n"))
       graft.util.Fs.delete(spark, s"$indexDir/_align_pending")
       graft.util.Fs.touch(spark, s"$alignedDir/_BASE")
     } else {
@@ -572,34 +601,52 @@ object VectorIndex {
       require(onlyM == 0L && onlyC == 0L,
         s"re-align at $indexDir: pending IVF and PQ deltas cover different " +
           "vec_ids — merge both halves of every delta before re-aligning")
-      // deterministic segment id from the pending merge ids: a crashed
-      // re-align's retry sees the same pending set, derives the same
-      // segment, and overwrites the same leaves
-      val pids = (member.select(col("pid")).distinct()
-          .unionByName(codes.select(col("pid")).distinct()).distinct()
-          .collect().map(_.getString(0)).sorted)
-      val joined = pids.mkString("+")
-      val seg =
-        if (joined.length <= 96) joined
-        else java.security.MessageDigest.getInstance("MD5")
-          .digest(joined.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      // PER-PID segments: each pending merge/batch lands in its OWN
+      // mseg=p_<pid> generation, so convergence is pid-scoped — a
+      // crashed re-align's retry, or a crash-replayed stream batch
+      // whose pending record reappears after an align consumed it in a
+      // larger group, dynamically overwrites exactly its own leaves
+      // byte-equivalently instead of minting an overlapping
+      // differently-grouped segment (the one path that could have
+      // double-counted ADC partial sums). No driver-side pid collect.
       codes.select(col("vec_id"), col("sub_id"), col("code"))
-        .join(member.select(col("vec_id"), col("c_id")), Seq("vec_id"))
-        .withColumn("mseg", lit(seg))
+        .join(member.select(col("vec_id"), col("c_id"), col("pid")),
+          Seq("vec_id"))
+        .withColumn("mseg", concat(lit("p_"), col("pid"))).drop("pid")
         .repartition(col("c_id"))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("c_id", "mseg")
         .parquet(alignedDir)
-      // consume the pending record, then restore the serving gate (the
-      // dynamic-overwrite committer does not emit a root _SUCCESS).
-      // Crash windows converge: before the deletes, the retry re-runs
-      // the same segment; between delete and touch, the no-pending
-      // branch above restores the gate over the already-complete rows.
+      // record the absorbed pids in the ledger, consume the pending
+      // record, then restore the serving gate (the dynamic-overwrite
+      // committer does not emit a root _SUCCESS). Crash windows
+      // converge: before the deletes, the retry re-runs the same
+      // per-pid segments and rewrites the same ledger union; between
+      // delete and touch, the no-pending branch above restores the
+      // gate over the already-complete rows.
+      val absorbed = (consumedPids(spark, alignedDir) ++
+        (graft.util.Fs.listDirNames(spark, pendLists) ++
+          graft.util.Fs.listDirNames(spark, pendCodes))
+          .map(_.stripPrefix("pid="))).distinct.sorted
+      graft.util.Fs.writeString(spark, s"$alignedDir/_CONSUMED",
+        absorbed.mkString("\n"))
       graft.util.Fs.delete(spark, pendLists)
       graft.util.Fs.delete(spark, pendCodes)
       graft.util.Fs.touch(spark, s"$alignedDir/_SUCCESS")
     }
+  }
+
+  /** The consumed-pid ledger of an aligned artifact — pids whose rows
+    * the artifact already contains (see [[alignPqToLists]]). Empty when
+    * the artifact or ledger is absent.
+    */
+  private[graft] def consumedPids(spark: SparkSession,
+      alignedDir: String): Seq[String] = {
+    val f = s"$alignedDir/_CONSUMED"
+    if (!graft.util.Fs.isFile(spark, f)) Seq.empty
+    else graft.util.Fs.readString(spark, f).split("\n").toSeq
+      .map(_.trim).filter(_.nonEmpty)
   }
 
   /** IVF-PQ (IVFADC) search — the two persisted index halves composed
@@ -688,12 +735,23 @@ object VectorIndex {
     * 10⁹-vector corpus fit in cluster memory for ADC scanning.
     */
   def buildPq(embs: DataFrame, indexDir: String): Unit = {
-    val subs = embs
-      .select(col("vec_id"),
-        explode(sequence(lit(0L), lit(3L))).as("sub_id"), col("embedding"))
-      .select(col("vec_id"), col("sub_id"),
-        slice(col("embedding"), (col("sub_id") * 16 + 1).cast("int"), lit(16))
-          .as("sv"))
+    trainPqCodebook(embs, indexDir)
+    val codebook = spark(embs).read
+      .parquet(stg(spark(embs), indexDir, "pq_codebook"))
+    codesOf(embs, codebook)
+      .write.mode(SaveMode.Overwrite).parquet(stg(spark(embs), indexDir, "pq_codes"))
+  }
+
+  /** Derive and persist ONLY the 4x16 PQ codebook — for callers that
+    * own the code table themselves (the streaming fold,
+    * [[graft.streaming.VecStream]] with `pqCodes = true`), mirroring
+    * [[trainQuantizer]] on the coarse-quantizer side. The codebook
+    * derives from the FIXED id window (vec_ids 10..115 step 7 — the
+    * shipped-model posture: deterministic, engine-restatable in closed
+    * form); code assignment against it is [[codesOf]], shared verbatim
+    * by build, merge, and stream.
+    */
+  def trainPqCodebook(embs: DataFrame, indexDir: String): Unit = {
     val codebook = embs
       .where(col("vec_id").between(10, 115) && (col("vec_id") - 10) % 7 === 0)
       .select(expr("(vec_id - 10) div 7").as("c_id"),
@@ -701,7 +759,23 @@ object VectorIndex {
       .select(col("c_id"), col("sub_id"),
         slice(col("embedding"), (col("sub_id") * 16 + 1).cast("int"), lit(16))
           .as("cs"))
-    codebook.write.mode(SaveMode.Overwrite).parquet(stg(spark(embs), indexDir, "pq_codebook"))
+    codebook.write.mode(SaveMode.Overwrite)
+      .parquet(stg(spark(embs), indexDir, "pq_codebook"))
+  }
+
+  /** PQ code assignment of `embs` (vec_id, embedding) against a
+    * codebook frame — the buildPq/mergePq/stream argmin, shared
+    * verbatim: per (vector, subspace), the quantized-L2-nearest
+    * codebook row with the (d2, c_id) tie-break. Returns
+    * (vec_id, sub_id, code).
+    */
+  private[graft] def codesOf(embs: DataFrame, codebook: DataFrame): DataFrame = {
+    val subs = embs
+      .select(col("vec_id"),
+        explode(sequence(lit(0L), lit(3L))).as("sub_id"), col("embedding"))
+      .select(col("vec_id"), col("sub_id"),
+        slice(col("embedding"), (col("sub_id") * 16 + 1).cast("int"), lit(16))
+          .as("sv"))
     val scored = subs.join(broadcast(codebook), Seq("sub_id"))
       .select(col("vec_id"), col("sub_id"), col("c_id"),
         floor((dot(col("sv"), col("sv")) - lit(2) * dot(col("sv"), col("cs"))
@@ -710,7 +784,6 @@ object VectorIndex {
       .orderBy(col("d2_x1e6").asc, col("c_id").asc)
     scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
       .select(col("vec_id"), col("sub_id"), col("c_id").as("code"))
-      .write.mode(SaveMode.Overwrite).parquet(stg(spark(embs), indexDir, "pq_codes"))
   }
 
   /** Incrementally MERGE a delta batch into a persisted PQ index — the
@@ -734,24 +807,10 @@ object VectorIndex {
     require(overlap == 0L,
       s"mergePq delta shares vec_ids with the indexed corpus at $indexDir")
     val codebook = spark.read.parquet(stg(spark, indexDir, "pq_codebook"))
-    val subs = delta
-      .select(col("vec_id"),
-        explode(sequence(lit(0L), lit(3L))).as("sub_id"), col("embedding"))
-      .select(col("vec_id"), col("sub_id"),
-        slice(col("embedding"), (col("sub_id") * 16 + 1).cast("int"), lit(16))
-          .as("sv"))
-    val scored = subs.join(broadcast(codebook), Seq("sub_id"))
-      .select(col("vec_id"), col("sub_id"), col("c_id"),
-        floor((dot(col("sv"), col("sv")) - lit(2) * dot(col("sv"), col("cs"))
-          + dot(col("cs"), col("cs"))) * 1e6 + 0.5).cast("long").as("d2_x1e6"))
-    val w = Window.partitionBy("vec_id", "sub_id")
-      .orderBy(col("d2_x1e6").asc, col("c_id").asc)
     // stale-alignment guard, as in mergeIvf: the delta's codes are
     // about to be missing from any aligned table — drop it first
     invalidateAligned(spark, indexDir)
-    val deltaCodes = scored.withColumn("r", row_number().over(w))
-      .where(col("r") === 1)
-      .select(col("vec_id"), col("sub_id"), col("c_id").as("code"))
+    val deltaCodes = codesOf(delta, codebook)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // the mergeIvf provenance recipe on the code side: the delta's

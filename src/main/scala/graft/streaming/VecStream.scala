@@ -63,7 +63,8 @@ object VecStream {
     */
   def ingestBatch(batch: DataFrame, indexDir: String, batchId: Long,
       nprobe: Int = 4, dupCosX1e6: Option[Long] = None,
-      driftGate: Boolean = false, balanceAudit: Boolean = false): Unit = {
+      driftGate: Boolean = false, balanceAudit: Boolean = false,
+      pqCodes: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val cent = spark.read.parquet(graft.util.Fs.stagePath(spark, indexDir, "centroids"))
     // In-batch id dedup. The survivor per vec_id must be DETERMINISTIC
@@ -161,9 +162,59 @@ object VecStream {
         assigned.join(dups, Seq("vec_id"), "left_anti")
       case _ => assigned
     }
-    survivors.repartition(col("c_id"))
+    val outP =
+      if (pqCodes)
+        survivors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else survivors
+    outP.repartition(col("c_id"))
       .write.mode("overwrite").partitionBy("c_id")
       .parquet(s"${graft.util.Fs.stagePath(spark, indexDir, "lists")}/batch_id=$batchId")
+    // The PQ half of the serving path, fed by the SAME fold: the
+    // survivors' 4-byte codes are assigned against the held codebook
+    // ([[graft.llm.VectorIndex.codesOf]] — the buildPq/mergePq argmin
+    // verbatim) and land under their own replay-owned batch partition,
+    // so a streamed index serves [[graft.llm.VectorIndex.searchIvfPq]]
+    // directly. The mergePq invalidation/provenance discipline rides
+    // along: any aligned layout's serving gate drops BEFORE the codes
+    // land (search falls back to the always-correct membership join),
+    // and the batch's membership and code rows are recorded under
+    // replay-stable `pid=batch_<N>` pending partitions so the next
+    // alignPqToLists is the O(delta) join of the pending frames.
+    if (pqCodes) {
+      require(graft.util.Fs.exists(spark,
+          graft.util.Fs.stagePath(spark, indexDir, "pq_codebook")),
+        s"pqCodes ingest at $indexDir needs a persisted pq_codebook " +
+          "(VectorIndex.trainPqCodebook over the seed corpus)")
+      val codebook = spark.read.parquet(
+        graft.util.Fs.stagePath(spark, indexDir, "pq_codebook"))
+      // The consumed-pid ledger check ([[graft.llm.VectorIndex
+      // .alignPqToLists]]): a crash-REPLAYED batch whose pending record
+      // an align already absorbed must not re-pend (the incremental
+      // path would re-append rows the artifact already holds) — and
+      // since its data rewrites below are byte-identical by this
+      // fold's pinned determinism, the aligned rows stay exact and the
+      // serving gate need not drop either.
+      val absorbed = graft.llm.VectorIndex
+        .consumedPids(spark, s"$indexDir/pq_codes_by_list")
+        .contains(s"batch_$batchId")
+      if (!absorbed) {
+        graft.llm.VectorIndex.invalidateAligned(spark, indexDir)
+        outP.select(col("vec_id"), col("c_id")).coalesce(1)
+          .write.mode("overwrite")
+          .parquet(s"$indexDir/_align_pending/lists/pid=batch_$batchId")
+      }
+      val codes = graft.llm.VectorIndex.codesOf(
+          outP.select(col("vec_id"), col("embedding")), codebook)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (!absorbed)
+          codes.coalesce(1).write.mode("overwrite")
+            .parquet(s"$indexDir/_align_pending/codes/pid=batch_$batchId")
+        codes.coalesce(1).write.mode("overwrite")
+          .parquet(s"${graft.util.Fs.stagePath(spark, indexDir, "pq_codes")}/batch_id=$batchId")
+      } finally { codes.unpersist(); () }
+      outP.unpersist(); ()
+    }
     // Post-append cell-balance audit (the l83 statistic as fold
     // bookkeeping): records the retrain verdict under
     // `_maintenance/balance` for the next maintenance window's
@@ -180,13 +231,14 @@ object VecStream {
   /** Run the ingest fold over a streaming (vec_id, embedding) source. */
   def ingest(vecs: DataFrame, indexDir: String, checkpointDir: String,
       nprobe: Int = 4, dupCosX1e6: Option[Long] = None,
-      driftGate: Boolean = false, balanceAudit: Boolean = false): StreamingQuery =
+      driftGate: Boolean = false, balanceAudit: Boolean = false,
+      pqCodes: Boolean = false): StreamingQuery =
     vecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, indexDir, batchId, nprobe, dupCosX1e6, driftGate,
-          balanceAudit)
+          balanceAudit, pqCodes)
       }
       .start()
 

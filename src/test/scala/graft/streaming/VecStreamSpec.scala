@@ -184,6 +184,66 @@ class VecStreamSpec extends SparkSpec {
       "post-compact replay broke the fold")
   }
 
+  test("pqCodes ingest feeds the full IVFADC serving path; replay and align converge") {
+    val dir = Files.createTempDirectory("vecstreampq").toString
+    val idx = s"$dir/idx"
+    val corpus = embs.where($"vec_id" >= 10)
+    VectorIndex.trainQuantizer(corpus, idx)
+    VectorIndex.trainPqCodebook(corpus, idx)
+    val b0 = corpus.where($"vec_id" % 2 === 0)
+    val b1 = corpus.where($"vec_id" % 2 === 1)
+    VecStream.ingestBatch(b0, idx, 0L, pqCodes = true)
+    VecStream.ingestBatch(b1, idx, 1L, pqCodes = true)
+
+    // the streamed code table equals the batch assignment against the
+    // same codebook, batch-partitioned
+    val got = spark.read.parquet(s"$idx/pq_codes")
+      .select($"vec_id", $"sub_id", $"code").collect().map(_.toSeq).toSet
+    val want = VectorIndex.codesOf(corpus,
+        spark.read.parquet(s"$idx/pq_codebook"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "streamed codes diverge from the batch assignment")
+
+    // the composed serving path works straight off the streamed layout
+    // (no aligned artifact yet -> membership-join fallback)
+    val queries = embs.where($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val fallback = VectorIndex.searchIvfPq(spark, idx, queries, 4, 5)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(fallback.nonEmpty, "streamed IVFADC fallback returned nothing")
+
+    // the fold recorded O(delta) provenance; align consumes it into
+    // per-batch segments and the aligned plan serves the same answer
+    assert(graft.util.Fs.exists(spark, s"$idx/_align_pending/lists/pid=batch_0"))
+    assert(graft.util.Fs.exists(spark, s"$idx/_align_pending/codes/pid=batch_1"))
+    // no _BASE yet: first align takes the full path, which also works
+    VectorIndex.alignPqToLists(spark, idx)
+    assert(graft.util.Fs.isFile(spark, s"$idx/pq_codes_by_list/_SUCCESS"))
+    assert(VectorIndex.searchIvfPq(spark, idx, queries, 4, 5)
+      .as[(Long, Int, Long, Long)].collect().toSeq == fallback,
+      "aligned streamed search diverges from the fallback")
+
+    // the replay window that used to be the one double-count path: a
+    // crash-replayed batch re-creates its pending record AFTER an align
+    // consumed it in a larger group; the per-pid segment overwrites
+    // itself instead of duplicating rows into a new segment
+    VecStream.ingestBatch(b1, idx, 1L, pqCodes = true)
+    val nAligned = spark.read.parquet(s"$idx/pq_codes_by_list").count()
+    VectorIndex.alignPqToLists(spark, idx)
+    assert(spark.read.parquet(s"$idx/pq_codes_by_list").count() == nAligned,
+      "replayed batch's re-align duplicated aligned rows")
+    assert(VectorIndex.searchIvfPq(spark, idx, queries, 4, 5)
+      .as[(Long, Int, Long, Long)].collect().toSeq == fallback,
+      "post-replay aligned search diverges")
+
+    // pqCodes without a codebook fails loudly, not silently
+    val bare = Files.createTempDirectory("vecstreampq2").toString
+    VectorIndex.trainQuantizer(corpus, s"$bare/idx")
+    intercept[IllegalArgumentException] {
+      VecStream.ingestBatch(b0, s"$bare/idx", 0L, pqCodes = true)
+    }
+  }
+
   test("streaming source end-to-end via foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("vecstream3").toString
