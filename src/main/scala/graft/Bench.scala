@@ -100,6 +100,9 @@ object Bench {
     // l90: l77's serving path over the stream-grown layout (fixture
     // folds two batches once per JVM); one extra partition level
     "l90_stream_ivfpq" -> 1.4,
+    // l91: l89's vocab-bounded training + one corpus explode joined
+    // to the vocabulary token counts + one per-doc agg
+    "l91_bpe_encode" -> 1.6,
     // q68: the bucket-histogram sliding median pays its x12 window
     // expansion at this fixture's sub-1-event-per-bin density — the
     // docstring's measured crossover; priced at the honest reading

@@ -1833,27 +1833,47 @@ object LlmQueries {
     * rewrite — no corpus re-scan, no window, state bounded by the
     * vocabulary however large the corpus.
     */
-  def qBpeTrain(s: SparkSession, d: String): DataFrame = {
-    val vocab = docs(s, d)
+  /** The BPE building blocks, shared by l89 (training report) and l91
+    * (corpus encode): the frequency-weighted vocabulary with each word
+    * as a delimiter-wrapped symbol sequence, the pair-count aggregate,
+    * and the winner-merge rewrite. Sequences carry the `w` column
+    * through every round so the encode can join token counts back to
+    * the corpus.
+    */
+  private def bpeVocab(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(col("freq"),
+      .select(col("w"), col("freq"),
         concat(lit("|"), concat_ws("||", split(col("w"), "")), lit("|"))
           .as("seq"))
-    def toks(seq: Column): Column =
-      split(regexp_replace(seq, "^\\||\\|$", ""), "\\|\\|")
-    def pairCounts(seqs: DataFrame): DataFrame =
-      seqs.select(col("freq"), toks(col("seq")).as("ts"))
-        // a fully-merged word has ONE symbol left: filter before the
-        // position sequence — `sequence(1, 0)` is the DESCENDING
-        // two-element array, the l19/l29 hazard
-        .where(size(col("ts")) >= 2)
-        .select(col("freq"), col("ts"),
-          explode(sequence(lit(1), size(col("ts")) - 1)).as("i"))
-        .select(element_at(col("ts"), col("i")).as("left"),
-          element_at(col("ts"), col("i") + 1).as("right"), col("freq"))
-        .groupBy("left", "right").agg(sum("freq").as("pair_count"))
+  private def bpeToks(seq: Column): Column =
+    split(regexp_replace(seq, "^\\||\\|$", ""), "\\|\\|")
+  private def bpePairCounts(seqs: DataFrame): DataFrame =
+    seqs.select(col("freq"), bpeToks(col("seq")).as("ts"))
+      // a fully-merged word has ONE symbol left: filter before the
+      // position sequence — `sequence(1, 0)` is the DESCENDING
+      // two-element array, the l19/l29 hazard
+      .where(size(col("ts")) >= 2)
+      .select(col("freq"), col("ts"),
+        explode(sequence(lit(1), size(col("ts")) - 1)).as("i"))
+      .select(element_at(col("ts"), col("i")).as("left"),
+        element_at(col("ts"), col("i") + 1).as("right"), col("freq"))
+      .groupBy("left", "right").agg(sum("freq").as("pair_count"))
+  private def bpeMerged(seqs: DataFrame, pc: DataFrame): DataFrame = {
+    val win = pc
+      .orderBy(col("pair_count").desc, col("left").asc, col("right").asc)
+      .limit(1)
+      .select(col("left").as("wl"), col("right").as("wr"))
+    seqs.crossJoin(broadcast(win))
+      .withColumn("seq",
+        expr("replace(seq, '|' || wl || '||' || wr || '|', " +
+          "'|' || wl || wr || '|')"))
+      .drop("wl", "wr")
+  }
+
+  def qBpeTrain(s: SparkSession, d: String): DataFrame = {
     def top3(pc: DataFrame, round: Int): DataFrame =
       pc.orderBy(col("pair_count").desc, col("left").asc, col("right").asc)
         .limit(3)
@@ -1862,32 +1882,87 @@ object LlmQueries {
             col("right").asc)))
         .select(lit(round).as("round"), col("rank"), col("left"),
           col("right"), col("pair_count"))
-    def merged(seqs: DataFrame, pc: DataFrame): DataFrame = {
-      val win = pc
-        .orderBy(col("pair_count").desc, col("left").asc, col("right").asc)
-        .limit(1)
-        .select(col("left").as("wl"), col("right").as("wr"))
-      seqs.crossJoin(broadcast(win))
-        .select(col("freq"),
-          expr("replace(seq, '|' || wl || '||' || wr || '|', " +
-            "'|' || wl || wr || '|')").as("seq"))
-    }
-    val s0 = vocab
+    val s0 = bpeVocab(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val pc1 = pairCounts(s0)
-      val s1 = merged(s0, pc1)
-      val pc2 = pairCounts(s1)
-      val s2 = merged(s1, pc2)
-      val pc3 = pairCounts(s2)
+      val pc1 = bpePairCounts(s0)
+      val s1 = bpeMerged(s0, pc1)
+      val pc2 = bpePairCounts(s1)
+      val s2 = bpeMerged(s1, pc2)
+      val pc3 = bpePairCounts(s2)
       top3(pc1, 1).unionByName(top3(pc2, 2)).unionByName(top3(pc3, 3))
         .orderBy("round", "rank")
         // the fixture-sized result is materialized before s0 unpersists
         .localCheckpoint(true)
     } finally { s0.unpersist(); () }
   }
-  val qBpeTrainSql: String = {
-    def round(prev: String, n: Int): String =
+
+  /** l91: BPE corpus ENCODE — the inference half of l89's trained
+    * tokenizer, applied at corpus scale: every document's words are
+    * tokenized under the three learned merges and the per-document
+    * token accounting (words, characters, BPE tokens, basis-point
+    * compression) is reported. Words outside the trained domain
+    * (non-`[a-z]+`, single chars) count one token each — the
+    * untrained-byte fallback every real tokenizer has. The oracle
+    * replays the identical three training rounds (the l89 CTEs carry
+    * each word through its rewrites) and re-derives every count, so a
+    * wrong merge order, an overlap-violating rewrite, or a lost word
+    * shifts some document's totals and hash-mismatches. Scale shape:
+    * training is vocab-bounded (l89); the encode is one corpus explode
+    * joined to the vocabulary's token counts by word key — the join's
+    * build side is the vocabulary, orders of magnitude smaller than
+    * the corpus — and one per-document hash agg. No windows, no
+    * per-position state.
+    */
+  def qBpeEncode(s: SparkSession, d: String): DataFrame = {
+    val s0 = bpeVocab(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val s1 = bpeMerged(s0, bpePairCounts(s0))
+      val s2 = bpeMerged(s1, bpePairCounts(s1))
+      val s3 = bpeMerged(s2, bpePairCounts(s2))
+      val wordTok = s3.select(col("w"), size(bpeToks(col("seq"))).as("ntok"))
+      val encoded = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .join(wordTok, Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w"))).as("n_chars"),
+          sum(coalesce(col("ntok"), lit(1L))).as("n_tokens"))
+        .withColumn("saved_bp",
+          when(col("n_chars") > col("n_tokens"),
+            expr("(n_chars - n_tokens) * 10000 div n_chars"))
+            .otherwise(lit(0L)))
+        .orderBy("doc_id")
+      encoded.localCheckpoint(true)
+    } finally { s0.unpersist(); () }
+  }
+  val qBpeEncodeSql: String =
+    s"""WITH $bpeTrainedSqlCtes,
+       |wordtok AS (
+       |  SELECT w,
+       |    CAST(len(string_split(trim(seq, '|'), '||')) AS BIGINT) AS ntok
+       |  FROM s3),
+       |docw AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |enc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(length(d.w)) AS BIGINT) AS n_chars,
+       |    CAST(SUM(COALESCE(t.ntok, 1)) AS BIGINT) AS n_tokens
+       |  FROM docw d LEFT JOIN wordtok t ON d.w = t.w
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_words, n_chars, n_tokens,
+       |  CASE WHEN n_chars > n_tokens
+       |    THEN (n_chars - n_tokens) * 10000 // n_chars
+       |    ELSE 0 END AS saved_bp
+       |FROM enc ORDER BY doc_id""".stripMargin
+  /** One BPE round's CTE chain (pair counts, winner, top-3, rewritten
+    * sequences) — shared by l89's training oracle and l91's encode
+    * oracle, which replays the same three rounds to reach the trained
+    * symbol sequences.
+    */
+  private def bpeRoundSql(prev: String, n: Int): String =
       s"""pc$n AS (
          |  SELECT ts[i] AS lft, ts[i + 1] AS rgt,
          |    CAST(SUM(freq) AS BIGINT) AS pair_count
@@ -1906,28 +1981,38 @@ object LlmQueries {
          |  FROM pc$n
          |  ORDER BY pair_count DESC, lft ASC, rgt ASC LIMIT 3),
          |s$n AS (
-         |  SELECT freq,
-         |    replace(seq, '|' || w.lft || '||' || w.rgt || '|',
-         |      '|' || w.lft || w.rgt || '|') AS seq
-         |  FROM $prev CROSS JOIN win$n w)""".stripMargin
-    s"""WITH words AS (
+         |  SELECT x.w, x.freq,
+         |    replace(x.seq, '|' || wn.lft || '||' || wn.rgt || '|',
+         |      '|' || wn.lft || wn.rgt || '|') AS seq
+         |  FROM $prev x CROSS JOIN win$n wn)""".stripMargin
+
+  /** The vocabulary + initial-sequence CTEs + all three training
+    * rounds — the common prefix of l89's and l91's oracles. l91 needs
+    * `seq` carried per WORD (to join token counts back to documents),
+    * so s0 keeps the word column; l89's rounds only read (freq, seq)
+    * and ignore it.
+    */
+  private lazy val bpeTrainedSqlCtes: String =
+    s"""words AS (
        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
        |vocab AS (
        |  SELECT w, COUNT(*) AS freq FROM words
        |  WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) >= 2
        |  GROUP BY w),
        |s0 AS (
-       |  SELECT freq,
+       |  SELECT w, freq,
        |    '|' || array_to_string(string_split(w, ''), '||') || '|' AS seq
        |  FROM vocab),
-       |${round("s0", 1)},
-       |${round("s1", 2)},
-       |${round("s2", 3)}
+       |${bpeRoundSql("s0", 1)},
+       |${bpeRoundSql("s1", 2)},
+       |${bpeRoundSql("s2", 3)}""".stripMargin
+
+  val qBpeTrainSql: String =
+    s"""WITH $bpeTrainedSqlCtes
        |SELECT round, rank, "left", "right", pair_count FROM top1
        |UNION ALL SELECT round, rank, "left", "right", pair_count FROM top2
        |UNION ALL SELECT round, rank, "left", "right", pair_count FROM top3
        |ORDER BY round, rank""".stripMargin
-  }
 
   // ------------------------------------------------------- domain mixing
   /** Domain-mix rebalancing — the step that turns a crawl's natural
@@ -6580,6 +6665,7 @@ object LlmQueries {
     "l88_reband_parity" -> qRebandParity _,
     "l89_bpe_train" -> qBpeTrain _,
     "l90_stream_ivfpq" -> qStreamIvfPq _,
+    "l91_bpe_encode" -> qBpeEncode _,
     "l79_ann_compact_parity" -> qAnnCompactParity _,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearch _,
     "l81_vec_drift_gate" -> qVecDriftGate _,
@@ -6673,6 +6759,7 @@ object LlmQueries {
     "l88_reband_parity" -> qRebandParitySql,
     "l89_bpe_train" -> qBpeTrainSql,
     "l90_stream_ivfpq" -> qIvfPqTopkSql,
+    "l91_bpe_encode" -> qBpeEncodeSql,
     "l79_ann_compact_parity" -> qAnnMergeParitySql,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearchSql,
     "l81_vec_drift_gate" -> qVecDriftGateSql,
