@@ -43,6 +43,11 @@ object Soak {
       spark.stop()
       return
     }
+    if (sys.env.get("SOAK_MODE").contains("reband")) {
+      rebandScale(spark, sfDir)
+      spark.stop()
+      return
+    }
 
     val cfg = graft.config.SignalConfig(encoderType = "derivative",
       minPrice = 39000, maxPrice = 44000, tickDerivativeImagScale = 2.0f)
@@ -323,6 +328,50 @@ object Soak {
       System.gc()
     }
     System.err.println(s"[soak-align] base corpus: $n vectors; delta: $nd")
+  }
+
+  /** Re-banding scale probe (`SOAK_MODE=reband`): the same document
+    * SET with its text inflated x1/x4/x10 (each text repeated), so
+    * corpus BYTES grow an order of magnitude while the document count
+    * — and therefore the signatures artifact — stays fixed. The claim
+    * under test is l88's: [[graft.llm.DedupIndex.reband]] derives both
+    * replacement artifacts from the persisted 16-lane signatures
+    * alone, so its cost must stay FLAT as the text grows, while
+    * [[graft.llm.DedupIndex.build]] — which shingles every byte —
+    * grows with the corpus and is timed as the counterpoint.
+    * (Repeated text barely changes a document's distinct 4-gram
+    * shingle set, so the signature/banding structure stays comparable
+    * across scales; what changes is exactly and only the byte volume
+    * build must chew through.)
+    */
+  private def rebandScale(spark: SparkSession, sfDir: String): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def timed(label: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      System.err.println(
+        f"[soak-reband] $label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    sys.env.getOrElse("SOAK_MULTS", "1,4,10").split(",").map(_.trim.toInt)
+      .toSeq.foreach { mult =>
+      val scaled =
+        if (mult == 1) docs
+        else docs.withColumn("text",
+          concat_ws(" ", array_repeat(col("text"), mult)))
+      val dir = java.nio.file.Files.createTempDirectory("soak-reband-").toString
+      timed(s"${mult}x build ")(
+        graft.llm.DedupIndex.build(scaled, s"$dir/idx"))
+      timed(s"${mult}x reband")(
+        graft.llm.DedupIndex.reband(spark, s"$dir/idx", 4, 4))
+      require(graft.llm.DedupIndex.bandingOf(spark, s"$dir/idx") == ((4, 4)),
+        "reband did not land the 4x4 scheme")
+      require(graft.llm.DedupIndex.candidatePairs(spark, s"$dir/idx")
+        .limit(1).count() > 0, "rebanded index has no pairs")
+      graft.llm.LlmQueries.deleteRecursively(new java.io.File(dir))
+      spark.catalog.clearCache()
+      System.gc()
+    }
   }
 
   /** IVF-PQ serving-layout scale probe (`SOAK_MODE=ivfpq`): time

@@ -22,6 +22,53 @@ class MediaStreamSpec extends SparkSpec {
   private def fpOf(df: org.apache.spark.sql.DataFrame) =
     df.select($"media_id", MediaQueries.aHash16($"payload").as("fp"))
 
+  test("pointer-protocol compact of the streamed layout: replay writes follow the pointer") {
+    val dir = Files.createTempDirectory("mediaptr").toString
+    val b0 = assets.where($"media_id".between(10, 29))
+    val b1 = assets.where($"media_id".between(30, 49))
+    MediaStream.ingestBatch(b0, dir, 0L)
+    MediaStream.ingestBatch(b1, dir, 1L)
+    val want = MediaStream.fingerprints(spark, dir)
+      .select($"media_id").as[Long].collect().toSet
+
+    spark.conf.set("spark.graft.index.swapMode", "pointer")
+    try {
+      MediaStream.compactIndex(spark, dir)
+      for (stage <- Seq("fps", "bands")) {
+        assert(graft.util.Fs.isFile(spark, s"$dir/_ptr/$stage"),
+          s"$stage: no pointer published")
+        assert(!graft.util.Fs.exists(spark, s"$dir/$stage"),
+          s"$stage: bare pre-pointer directory not dropped")
+      }
+      assert(MediaStream.fingerprints(spark, dir)
+        .select($"media_id").as[Long].collect().toSet == want,
+        "pointer-mode compact changed the held set")
+      // the batch_id= replay partitions survived inside the generation
+      val batchDirs = graft.util.Fs
+        .listDirNames(spark, graft.util.Fs.stagePath(spark, dir, "fps"))
+        .filter(_.startsWith("batch_id=")).sorted
+      assert(batchDirs == Seq("batch_id=0", "batch_id=1"),
+        s"replay partitions lost: $batchDirs")
+
+      // a crash-replay of batch 1 must overwrite its partition INSIDE
+      // the pointed generation — a write to the bare path would fork
+      // the index into two layouts
+      MediaStream.ingestBatch(b1, dir, 1L)
+      assert(!graft.util.Fs.exists(spark, s"$dir/fps"),
+        "replay resurrected the bare pre-pointer path")
+      assert(MediaStream.fingerprints(spark, dir)
+        .select($"media_id").as[Long].collect().toSet == want,
+        "post-compact replay changed the held set")
+      // and the fold still dedups against the pointed layout
+      val copy = assets.where($"media_id" === 15)
+        .select(lit(900001L).as("media_id"), $"payload")
+      MediaStream.ingestBatch(copy, dir, 2L)
+      assert(MediaStream.fingerprints(spark, dir)
+        .select($"media_id").as[Long].collect().toSet == want,
+        "exact-dup gate missed against the pointed layout")
+    } finally spark.conf.unset("spark.graft.index.swapMode")
+  }
+
   test("ingest rejects exact copies and perceptual near-dups of held assets") {
     val dir = Files.createTempDirectory("mediastream").toString
     val b0 = assets.where($"media_id".between(10, 29))
