@@ -80,11 +80,16 @@ object DedupIndex {
     if (!done("signatures"))
       LlmQueries.minhashSignatures(docs)
         .write.mode(SaveMode.Overwrite).parquet(stg(spark, indexDir, "signatures"))
-    if (!done("bands"))
+    if (!done("bands")) {
       LlmQueries.bandedOfSigs(signatures(spark, indexDir))
         .withColumn("bp", substring(col("bkey"), 1, prefixLen))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("bp").parquet(stg(spark, indexDir, "bands"))
+      // the scheme control file travels WITH the stage directory (see
+      // [[bandingOf]]); build always bands under the production scheme
+      graft.util.Fs.writeString(spark,
+        s"${stg(spark, indexDir, "bands")}/_SCHEME", "2x8")
+    }
     if (!done("pairs")) {
       // Persist locally and release when the write commits: the banded
       // frame feeds both sides of the bucket self-join, and build may
@@ -344,21 +349,32 @@ object DedupIndex {
       .getOrElse(1)
 
   /** The (bands x rows) scheme the persisted index is CURRENTLY banded
-    * under — read from the data itself (`max(band) + 1` over the bands
-    * artifact's pruned band column), not from a side file, so the
-    * answer survives compaction rewrites, stage swaps, and crashes by
-    * construction: whatever bands directory is live IS the scheme.
-    * An absent or empty bands artifact reports the production 2x8
-    * default (the scheme `build` writes).
+    * under. Fast path: the `_SCHEME` control file INSIDE the live
+    * bands directory (written by [[build]] and [[reband]]; it lives
+    * with the stage, so swaps and pointer generations carry it and
+    * appends keep it). Fallback: derive from the data itself
+    * (`max(band) + 1` over the artifact's band column — always
+    * correct, since whatever bands directory is live IS the scheme)
+    * and SELF-HEAL the control file, so the one full-column scan is
+    * paid once after the file is lost (a compaction rewrite) rather
+    * than on every probe/merge — at the 100 TB posture the bands
+    * artifact is banding-bounded but still corpus-sized, and the
+    * probe path exists to avoid exactly that class of scan. An absent
+    * or empty bands artifact reports the production 2x8 default.
     */
   def bandingOf(spark: SparkSession, indexDir: String): (Int, Int) = {
     val p = stg(spark, indexDir, "bands")
     if (!graft.util.Fs.exists(spark, p)) (2, 8)
-    else {
+    else if (graft.util.Fs.isFile(spark, s"$p/_SCHEME")) {
+      val Array(nb, rb) = graft.util.Fs.readString(spark, s"$p/_SCHEME")
+        .trim.split('x').map(_.toInt)
+      (nb, rb)
+    } else {
       val row = spark.read.parquet(p).agg(max(col("band"))).collect().head
       if (row.isNullAt(0)) (2, 8)
       else {
         val nb = row.getInt(0) + 1
+        graft.util.Fs.writeString(spark, s"$p/_SCHEME", s"${nb}x${16 / nb}")
         (nb, 16 / nb)
       }
     }
@@ -412,6 +428,10 @@ object DedupIndex {
       val stagedPairs = IndexMaintenance.stagedDir(spark, indexDir, "pairs")
       banded.repartition(col("bp")).write.mode(SaveMode.Overwrite)
         .partitionBy("bp").parquet(stagedBands)
+      // the scheme file is staged INSIDE the replacement bands dir, so
+      // the swap publishes layout and scheme as one unit at any store
+      graft.util.Fs.writeString(spark, s"$stagedBands/_SCHEME",
+        s"${numBands}x$rowsPerBand")
       LlmQueries.lshSelfJoin(banded)
         .write.mode(SaveMode.Overwrite).parquet(stagedPairs)
       IndexMaintenance.swapStages(spark, indexDir, stages)

@@ -126,7 +126,12 @@ private[graft] object IndexMaintenance {
       stages: Seq[String], targetFiles: Int): Unit = {
     recoverStages(spark, indexDir, stages)
     stages.foreach { stage =>
-      val df = spark.read.parquet(Fs.stagePath(spark, indexDir, stage))
+      // mergeSchema: a stage whose generations straddle a schema
+      // addition (e.g. the media index's plen column) must compact
+      // under the UNION schema — the default single-footer sampling
+      // could silently drop the newer column from the whole rewrite
+      val df = spark.read.option("mergeSchema", "true")
+        .parquet(Fs.stagePath(spark, indexDir, stage))
       val parts = PartitionCols.filter(df.columns.contains)
       val deduped = df.distinct()
       val refiled =
@@ -172,22 +177,40 @@ private[graft] object IndexMaintenance {
   private def swapByRename(spark: SparkSession, indexDir: String,
       stages: Seq[String]): Unit = {
     stages.foreach { stage =>
-      val live = s"$indexDir/$stage"
-      val staged = s"$indexDir/_compact/$stage"
-      val aside = s"$indexDir/_compact/_old_$stage"
-      val intent = s"$indexDir/_compact/_swapping_$stage"
-      require(Fs.isFile(spark, s"$staged/_SUCCESS"),
-        s"stage swap for $stage: staged rewrite at $staged is not " +
-          "_SUCCESS-complete")
-      Fs.touch(spark, intent)
-      Fs.delete(spark, aside) // a stale aside from a recovered crash
-      require(Fs.rename(spark, live, aside),
-        s"compact swap failed renaming $stage aside")
-      require(Fs.rename(spark, staged, live),
-        s"compact swap failed for $stage")
-      Fs.delete(spark, aside)
-      Fs.delete(spark, intent)
+      require(Fs.isFile(spark, s"$indexDir/_compact/$stage/_SUCCESS"),
+        s"stage swap for $stage: staged rewrite at " +
+          s"$indexDir/_compact/$stage is not _SUCCESS-complete")
     }
+    // SET journal, written before the first swap: a multi-stage
+    // replacement whose stages are not content-equal to the live ones
+    // (retrain's centroids+lists, reband's bands+pairs) must not be
+    // served half-swapped, and the per-stage intent markers cannot see
+    // the BETWEEN-stages crash window (stage 1 swapped and its marker
+    // cleared, stage 2 untouched — every path then looks quiescent to
+    // a marker-only recovery while the live set is mixed). The journal
+    // names the whole set; recovery finishes any member whose staged
+    // copy is still present. This is the rename-protocol analog of the
+    // pointer protocol's one-file `_ptr/_intent` flip journal.
+    Fs.writeString(spark, s"$indexDir/_compact/_swap_set",
+      stages.mkString("\n"))
+    stages.foreach(stage => swapOneByRename(spark, indexDir, stage))
+    Fs.delete(spark, s"$indexDir/_compact/_swap_set")
+  }
+
+  private def swapOneByRename(spark: SparkSession, indexDir: String,
+      stage: String): Unit = {
+    val live = s"$indexDir/$stage"
+    val staged = s"$indexDir/_compact/$stage"
+    val aside = s"$indexDir/_compact/_old_$stage"
+    val intent = s"$indexDir/_compact/_swapping_$stage"
+    Fs.touch(spark, intent)
+    Fs.delete(spark, aside) // a stale aside from a recovered crash
+    require(Fs.rename(spark, live, aside),
+      s"compact swap failed renaming $stage aside")
+    require(Fs.rename(spark, staged, live),
+      s"compact swap failed for $stage")
+    Fs.delete(spark, aside)
+    Fs.delete(spark, intent)
   }
 
   /** The pointer-protocol swap: each stage's staged generation (already
@@ -306,7 +329,36 @@ private[graft] object IndexMaintenance {
   }
 
   private def recoverByRename(spark: SparkSession, indexDir: String,
-      stages: Seq[String]): Unit = stages.foreach { stage =>
+      stages: Seq[String]): Unit = {
+    // a SET journal left by a crashed multi-stage [[swapByRename]]
+    // names members that may not have been reached at all — recover
+    // those too, even when the caller's own stage list is narrower
+    // (e.g. a compactIvf running after a crashed retrain)
+    val setJournal = s"$indexDir/_compact/_swap_set"
+    val journaled: Seq[String] =
+      if (Fs.isFile(spark, setJournal))
+        Fs.readString(spark, setJournal).split("\n").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+      else Seq.empty
+    (stages ++ journaled).distinct
+      .foreach(stage => recoverOneByRename(spark, indexDir, stage))
+    if (journaled.nonEmpty) {
+      // finish any journal member whose swap never ran: its staged
+      // copy is still _SUCCESS-complete in place (a member whose swap
+      // completed, or that per-stage recovery just completed, has
+      // consumed it) — without this pass a crash BETWEEN two stage
+      // swaps would leave the set half-swapped and every marker
+      // quiescent, silently serving e.g. new centroids over old lists
+      journaled.foreach { stage =>
+        if (Fs.isFile(spark, s"$indexDir/_compact/$stage/_SUCCESS"))
+          swapOneByRename(spark, indexDir, stage)
+      }
+      Fs.delete(spark, setJournal)
+    }
+  }
+
+  private def recoverOneByRename(spark: SparkSession, indexDir: String,
+      stage: String): Unit = {
     val live = s"$indexDir/$stage"
     val staged = s"$indexDir/_compact/$stage"
     val aside = s"$indexDir/_compact/_old_$stage"

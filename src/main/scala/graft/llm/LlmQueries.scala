@@ -4981,7 +4981,13 @@ object LlmQueries {
       driftOfBuckets(ref, ctl, Long.MaxValue)
         .select(col("drift_x1e4")).limit(1).collect().head.getLong(0)
     }.max
-    halfSigRound(worst * 9 / 2)
+    // A PERFECTLY clean control (identical reference and held-out
+    // buckets — small deterministic fixtures do this) legitimately
+    // reads 0: return the minimal positive bar instead of asking
+    // halfSigRound to round a non-statistic. Any real drift then trips
+    // it, which is the right failure direction for a control too clean
+    // to measure noise with.
+    if (worst == 0L) 1L else halfSigRound(worst * 9 / 2)
   }
 
   /** Round to the nearest half-significant figure: the closest value of

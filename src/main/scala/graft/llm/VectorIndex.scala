@@ -240,9 +240,19 @@ object VectorIndex {
     * otherwise (an unnamed merge claims no replay protocol anywhere).
     * Sanitized to filesystem-safe partition-value characters.
     */
-  private def pendingId(mergeId: Option[String]): String =
-    mergeId.getOrElse(java.util.UUID.randomUUID().toString)
+  private def pendingId(mergeId: Option[String]): String = {
+    val raw = mergeId.getOrElse(java.util.UUID.randomUUID().toString)
+    val clean = raw
       .map(c => if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.') c else '_')
+    // sanitization must stay INJECTIVE: "day:1" and "day/1" both clean
+    // to "day_1", and colliding pids would let one merge's pending
+    // record overwrite another's — the align would then silently never
+    // reconcile the overwritten delta. A short hash of the original id
+    // disambiguates exactly when characters were replaced.
+    if (clean == raw) raw
+    else clean + "-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(raw.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+  }
 
   /** Invalidate the [[alignPqToLists]] maintenance artifact. Every
     * mutation of the lists or code tables ([[mergeIvf]]/[[mergePq]]/
@@ -407,9 +417,13 @@ object VectorIndex {
     val perCell = spark.read.parquet(stg(spark, indexDir, "lists"))
       .select(col("c_id"))
       .groupBy("c_id").agg(count(lit(1)).as("n"))
+    // coalesce: sum/max of ZERO groups are null, and getLong on null
+    // throws before any total == 0 guard could run — an empty (but
+    // readable) lists artifact must audit as healthy, not crash the
+    // fold that asked
     val row = perCell
-      .agg(count(lit(1)).as("k"), sum(col("n")).as("total"),
-        max(col("n")).as("maxn"))
+      .agg(count(lit(1)).as("k"), coalesce(sum(col("n")), lit(0L)).as("total"),
+        coalesce(max(col("n")), lit(0L)).as("maxn"))
       .collect().head
     val (k, total, maxn) = (row.getLong(0), row.getLong(1), row.getLong(2))
     val balance = if (total == 0L) 0L else maxn * k * 10000L / total

@@ -163,6 +163,13 @@ object DocStream {
         val outBands = graft.llm.DedupIndex.bandsOf(outDocs)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+        // An all-rejected (or gate-rejected) batch writes NO index
+        // partitions: a partitionBy write of an empty frame leaves a
+        // directory holding only _SUCCESS, which the next batch's
+        // existence check would see and then fail to read — a
+        // permanent crash loop. Replay-idempotent (the replay
+        // re-derives the same empty set and skips again).
+        if (!outP.isEmpty) {
         outBands
           .write.mode("overwrite").partitionBy("bp")
           .parquet(s"${graft.util.Fs.stagePath(spark, idxDir, "bands")}/batch_id=$batchId")
@@ -189,6 +196,7 @@ object DocStream {
           .write.mode("overwrite").parquet(s"${graft.util.Fs.stagePath(spark, idxDir, "signatures")}/batch_id=$batchId")
         graft.llm.DedupIndex.shingleSetsOf(outDocs)
           .write.mode("overwrite").parquet(s"${graft.util.Fs.stagePath(spark, idxDir, "shingle_sets")}/batch_id=$batchId")
+        }
         } finally { outBands.unpersist(); () }
         outP
       case None => novel

@@ -79,9 +79,15 @@ object MediaStream {
     // existence, not exception-swallowing (the VecStream/DocStream
     // discipline): a present-but-broken fps layout fails loudly instead
     // of silently folding the batch as batch-0
+    // mergeSchema: a mixed pre-/post-plen layout (old generations
+    // without the column next to new ones with it) must resolve to the
+    // UNION schema deterministically — the default single-footer
+    // sampling would arm or disarm the size gate depending on which
+    // file Spark happened to pick
     val held: Option[DataFrame] =
       if (graft.util.Fs.exists(spark, graft.util.Fs.stagePath(spark, indexDir, "fps")))
-        Some(spark.read.parquet(graft.util.Fs.stagePath(spark, indexDir, "fps"))
+        Some(spark.read.option("mergeSchema", "true")
+          .parquet(graft.util.Fs.stagePath(spark, indexDir, "fps"))
           .where(col("batch_id") =!= batchId))
       else None
     // Payload-size drift gate (the l73/m15 statistic run INSIDE the
@@ -98,12 +104,16 @@ object MediaStream {
     // written at or after the version that added `plen` carry them: on
     // an older held index the gate SKIPS (empty-reference semantics —
     // the batch is ungated, not failed) rather than throwing an
-    // unresolved-column error from inside the fold. The held index
-    // back-fills naturally: every batch ingested from now on stores
-    // plen, so the gate arms once the pre-plen generations compact away
-    // or age out.
+    // unresolved-column error from inside the fold. On a MIXED layout
+    // the union schema (mergeSchema above) carries plen with nulls for
+    // pre-plen rows; the reference keeps only the rows that STORED a
+    // size — a null bucket would otherwise hold the legacy mass and
+    // read as a huge spurious shift. The held index back-fills
+    // naturally: every batch ingested from now on stores plen, so the
+    // reference widens to the full corpus as generations turn over.
     val gateRejected: Boolean = driftGate && !batch.isEmpty && {
-      val ref = held.filter(_.columns.contains("plen")).filter(!_.isEmpty)
+      val ref = held.filter(_.columns.contains("plen"))
+        .map(_.where(col("plen").isNotNull)).filter(!_.isEmpty)
       val verdict = ref.map { h =>
         val row = graft.llm.LlmQueries.driftOfBuckets(
             h.select(sizeBucket.as("bucket")),
@@ -148,10 +158,18 @@ object MediaStream {
     }
     val outP = survivors
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    outP.write.mode("overwrite").parquet(s"${graft.util.Fs.stagePath(spark, indexDir, "fps")}/batch_id=$batchId")
-    bandsOf(outP)
-      .write.mode("overwrite").partitionBy("bv")
-      .parquet(s"${graft.util.Fs.stagePath(spark, indexDir, "bands")}/batch_id=$batchId")
+    // An all-rejected batch writes NOTHING: the partitionBy("bv")
+    // write of an empty frame leaves a directory holding only
+    // _SUCCESS, which the next batch's band probe would see and then
+    // fail to read. (The fps write is unpartitioned and would be safe,
+    // but skipping both keeps the two artifacts batch-consistent.)
+    // Replay-idempotent: the replay re-derives the same empty set.
+    if (!outP.isEmpty) {
+      outP.write.mode("overwrite").parquet(s"${graft.util.Fs.stagePath(spark, indexDir, "fps")}/batch_id=$batchId")
+      bandsOf(outP)
+        .write.mode("overwrite").partitionBy("bv")
+        .parquet(s"${graft.util.Fs.stagePath(spark, indexDir, "bands")}/batch_id=$batchId")
+    }
     outP.unpersist(); ()
     } finally { keyed.unpersist(); () }
   }

@@ -162,13 +162,32 @@ object VecStream {
         assigned.join(dups, Seq("vec_id"), "left_anti")
       case _ => assigned
     }
-    val outP =
-      if (pqCodes)
-        survivors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else survivors
-    outP.repartition(col("c_id"))
-      .write.mode("overwrite").partitionBy("c_id")
-      .parquet(s"${graft.util.Fs.stagePath(spark, indexDir, "lists")}/batch_id=$batchId")
+    val outP = survivors
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    // An EMPTY survivor set (empty source batch, drift-rejected batch,
+    // or every row deduplicated away) writes NOTHING: a partitionBy
+    // write of an empty frame emits a directory with _SUCCESS but no
+    // schema-bearing data file, which the next batch's existence check
+    // would see and then fail to read — a permanent crash loop. The
+    // skip is replay-idempotent (the replayed batch re-derives the
+    // same empty set and skips again), and the gate verdict above was
+    // already recorded.
+    val hasRows = !outP.isEmpty
+    if (hasRows) {
+      // pqCodes: the aligned artifact's serving gate must drop BEFORE
+      // the lists append below lands (the mergeIvf invariant) — a
+      // search racing this batch would otherwise take the aligned path
+      // and silently miss the batch's vectors. (The ledger-absorbed
+      // replay case keeps the gate: its rewrites are byte-identical.)
+      if (pqCodes && !graft.llm.VectorIndex
+          .consumedPids(spark, s"$indexDir/pq_codes_by_list")
+          .contains(s"batch_$batchId"))
+        graft.llm.VectorIndex.invalidateAligned(spark, indexDir)
+      outP.repartition(col("c_id"))
+        .write.mode("overwrite").partitionBy("c_id")
+        .parquet(s"${graft.util.Fs.stagePath(spark, indexDir, "lists")}/batch_id=$batchId")
+    }
     // The PQ half of the serving path, fed by the SAME fold: the
     // survivors' 4-byte codes are assigned against the held codebook
     // ([[graft.llm.VectorIndex.codesOf]] — the buildPq/mergePq argmin
@@ -180,7 +199,7 @@ object VecStream {
     // and the batch's membership and code rows are recorded under
     // replay-stable `pid=batch_<N>` pending partitions so the next
     // alignPqToLists is the O(delta) join of the pending frames.
-    if (pqCodes) {
+    if (pqCodes && hasRows) {
       require(graft.util.Fs.exists(spark,
           graft.util.Fs.stagePath(spark, indexDir, "pq_codebook")),
         s"pqCodes ingest at $indexDir needs a persisted pq_codebook " +
@@ -191,18 +210,16 @@ object VecStream {
       // .alignPqToLists]]): a crash-REPLAYED batch whose pending record
       // an align already absorbed must not re-pend (the incremental
       // path would re-append rows the artifact already holds) — and
-      // since its data rewrites below are byte-identical by this
-      // fold's pinned determinism, the aligned rows stay exact and the
-      // serving gate need not drop either.
+      // since its data rewrites are byte-identical by this fold's
+      // pinned determinism, the aligned rows stay exact (the gate was
+      // accordingly kept up above).
       val absorbed = graft.llm.VectorIndex
         .consumedPids(spark, s"$indexDir/pq_codes_by_list")
         .contains(s"batch_$batchId")
-      if (!absorbed) {
-        graft.llm.VectorIndex.invalidateAligned(spark, indexDir)
+      if (!absorbed)
         outP.select(col("vec_id"), col("c_id")).coalesce(1)
           .write.mode("overwrite")
           .parquet(s"$indexDir/_align_pending/lists/pid=batch_$batchId")
-      }
       val codes = graft.llm.VectorIndex.codesOf(
           outP.select(col("vec_id"), col("embedding")), codebook)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -213,8 +230,8 @@ object VecStream {
         codes.coalesce(1).write.mode("overwrite")
           .parquet(s"${graft.util.Fs.stagePath(spark, indexDir, "pq_codes")}/batch_id=$batchId")
       } finally { codes.unpersist(); () }
-      outP.unpersist(); ()
     }
+    } finally { outP.unpersist(); () }
     // Post-append cell-balance audit (the l83 statistic as fold
     // bookkeeping): records the retrain verdict under
     // `_maintenance/balance` for the next maintenance window's
@@ -223,7 +240,8 @@ object VecStream {
     // proven actuator instead of terminating in a human. Cost per
     // batch: one pruned read of the lists' partition column + a
     // K-bounded agg; overwrite semantics make replays idempotent.
-    if (balanceAudit)
+    if (balanceAudit && graft.util.Fs.exists(spark,
+        graft.util.Fs.stagePath(spark, indexDir, "lists")))
       VectorIndex.auditCellBalance(spark, indexDir): Unit
     } finally { assignedAll.unpersist(); () }
   }

@@ -495,6 +495,40 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("a crash BETWEEN two rename-protocol stage swaps converges via the set journal") {
+    val dir = Files.createTempDirectory("dedupsetjournal").toString
+    val idx = s"$dir/idx"
+    DedupIndex.build(corpus, idx)
+    // stage a NOT-content-equal replacement for both stages (what a
+    // reband stages): 4x4 bands + their pairs
+    val sigs = DedupIndex.signatures(spark, idx)
+    val banded4 = LlmQueries.bandedOfSigs(sigs, 4, 4)
+      .withColumn("bp", substring($"bkey", 1, 1))
+    banded4.write.partitionBy("bp").parquet(s"$idx/_compact/bands")
+    graft.util.Fs.writeString(spark, s"$idx/_compact/bands/_SCHEME", "4x4")
+    LlmQueries.lshSelfJoin(banded4).write.parquet(s"$idx/_compact/pairs")
+    val wantPairs = LlmQueries.lshSelfJoin(banded4)
+      .as[(Long, Long)].collect().toSet
+    // the crash: the set journal is up, the BANDS swap completed (its
+    // intent marker cleared, staged consumed), the PAIRS swap never
+    // ran — every per-stage marker is quiescent, yet the live set is
+    // mixed (4x4 bands over 2x8 pairs)
+    graft.util.Fs.writeString(spark, s"$idx/_compact/_swap_set", "bands\npairs")
+    graft.util.Fs.delete(spark, s"$idx/bands")
+    assert(graft.util.Fs.rename(spark, s"$idx/_compact/bands", s"$idx/bands"))
+    assert(DedupIndex.candidatePairs(spark, idx)
+      .as[(Long, Long)].collect().toSet != wantPairs,
+      "fixture failed to produce a mixed half-swapped state")
+
+    graft.llm.IndexMaintenance.recoverStages(spark, idx, Seq("bands", "pairs"))
+    assert(DedupIndex.candidatePairs(spark, idx)
+      .as[(Long, Long)].collect().toSet == wantPairs,
+      "recovery did not finish the journaled pairs swap — mixed set served")
+    assert(DedupIndex.bandingOf(spark, idx) == ((4, 4)))
+    assert(!graft.util.Fs.isFile(spark, s"$idx/_compact/_swap_set"),
+      "set journal not cleared after convergence")
+  }
+
   test("bp pruning prefix widens to 2 hex chars; width is self-described and followed") {
     val dir = Files.createTempDirectory("dedupwide").toString
     val idx = s"$dir/idx"

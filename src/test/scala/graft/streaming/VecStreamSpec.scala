@@ -184,6 +184,31 @@ class VecStreamSpec extends SparkSpec {
       "post-compact replay broke the fold")
   }
 
+  test("an empty or fully-deduplicated batch writes nothing and never bricks the stream") {
+    val dir = Files.createTempDirectory("vecstreamempty").toString
+    val idx = s"$dir/idx"
+    val corpus = embs.where($"vec_id" >= 10)
+    VectorIndex.trainQuantizer(corpus, idx)
+    // batch 0 is EMPTY: a partitionBy write of an empty frame would
+    // leave lists/batch_id=0 holding only _SUCCESS — existing but
+    // unreadable, a permanent crash loop for every later batch's
+    // held-index read. The fold must skip the write entirely.
+    VecStream.ingestBatch(corpus.where(lit(false)), idx, 0L,
+      balanceAudit = true)
+    assert(!graft.util.Fs.exists(spark, s"$idx/lists"),
+      "empty batch materialized a fileless lists partition")
+    // the next batch reads held = none and proceeds normally
+    VecStream.ingestBatch(corpus, idx, 1L, balanceAudit = true)
+    assert(spark.read.parquet(s"$idx/lists").count() == corpus.count())
+    // a batch whose every row is already held (all deduplicated away)
+    // also writes nothing — and its replay skips identically
+    VecStream.ingestBatch(corpus.limit(5), idx, 2L)
+    assert(graft.util.Fs.listDirNames(spark, s"$idx/lists")
+      .filter(_.startsWith("batch_id=")).sorted == Seq("batch_id=1"),
+      "fully-deduplicated batch materialized a fileless partition")
+    assert(spark.read.parquet(s"$idx/lists").count() == corpus.count())
+  }
+
   test("pqCodes ingest feeds the full IVFADC serving path; replay and align converge") {
     val dir = Files.createTempDirectory("vecstreampq").toString
     val idx = s"$dir/idx"
