@@ -1873,27 +1873,38 @@ object LlmQueries {
       .drop("wl", "wr")
   }
 
+  private def bpeTop3(pc: DataFrame, round: Int): DataFrame =
+    pc.orderBy(col("pair_count").desc, col("left").asc, col("right").asc)
+      .limit(3)
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("pair_count").desc, col("left").asc,
+          col("right").asc)))
+      .select(lit(round).as("round"), col("rank"), col("left"),
+        col("right"), col("pair_count"))
+
+  /** l89's frame built from a caller-supplied vocabulary seed — the
+    * query persists the seed and eagerly checkpoints the 9-row result;
+    * the plan pin builds the same chain lazily off the raw seed.
+    */
+  private[graft] def bpeTrainFrame(s0: DataFrame): DataFrame = {
+    val pc1 = bpePairCounts(s0)
+    val s1 = bpeMerged(s0, pc1)
+    val pc2 = bpePairCounts(s1)
+    val s2 = bpeMerged(s1, pc2)
+    val pc3 = bpePairCounts(s2)
+    bpeTop3(pc1, 1).unionByName(bpeTop3(pc2, 2)).unionByName(bpeTop3(pc3, 3))
+      .orderBy("round", "rank")
+  }
+
+  private[graft] def bpeTrainPlanFrame(s: SparkSession, d: String): DataFrame =
+    bpeTrainFrame(bpeVocab(s, d))
+
   def qBpeTrain(s: SparkSession, d: String): DataFrame = {
-    def top3(pc: DataFrame, round: Int): DataFrame =
-      pc.orderBy(col("pair_count").desc, col("left").asc, col("right").asc)
-        .limit(3)
-        .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
-          .Window.orderBy(col("pair_count").desc, col("left").asc,
-            col("right").asc)))
-        .select(lit(round).as("round"), col("rank"), col("left"),
-          col("right"), col("pair_count"))
     val s0 = bpeVocab(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val pc1 = bpePairCounts(s0)
-      val s1 = bpeMerged(s0, pc1)
-      val pc2 = bpePairCounts(s1)
-      val s2 = bpeMerged(s1, pc2)
-      val pc3 = bpePairCounts(s2)
-      top3(pc1, 1).unionByName(top3(pc2, 2)).unionByName(top3(pc3, 3))
-        .orderBy("round", "rank")
-        // the fixture-sized result is materialized before s0 unpersists
-        .localCheckpoint(true)
+      // the fixture-sized result is materialized before s0 unpersists
+      bpeTrainFrame(s0).localCheckpoint(true)
     } finally { s0.unpersist(); () }
   }
 
@@ -1914,28 +1925,34 @@ object LlmQueries {
     * the corpus — and one per-document hash agg. No windows, no
     * per-position state.
     */
+  private[graft] def bpeEncodeFrame(s: SparkSession, d: String,
+      s0: DataFrame): DataFrame = {
+    val s1 = bpeMerged(s0, bpePairCounts(s0))
+    val s2 = bpeMerged(s1, bpePairCounts(s1))
+    val s3 = bpeMerged(s2, bpePairCounts(s2))
+    val wordTok = s3.select(col("w"), size(bpeToks(col("seq"))).as("ntok"))
+    docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(wordTok, Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).as("n_chars"),
+        sum(coalesce(col("ntok"), lit(1L))).as("n_tokens"))
+      .withColumn("saved_bp",
+        when(col("n_chars") > col("n_tokens"),
+          expr("(n_chars - n_tokens) * 10000 div n_chars"))
+          .otherwise(lit(0L)))
+      .orderBy("doc_id")
+  }
+
+  private[graft] def bpeEncodePlanFrame(s: SparkSession, d: String): DataFrame =
+    bpeEncodeFrame(s, d, bpeVocab(s, d))
+
   def qBpeEncode(s: SparkSession, d: String): DataFrame = {
     val s0 = bpeVocab(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val s1 = bpeMerged(s0, bpePairCounts(s0))
-      val s2 = bpeMerged(s1, bpePairCounts(s1))
-      val s3 = bpeMerged(s2, bpePairCounts(s2))
-      val wordTok = s3.select(col("w"), size(bpeToks(col("seq"))).as("ntok"))
-      val encoded = docs(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .join(wordTok, Seq("w"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_words"),
-          sum(length(col("w"))).as("n_chars"),
-          sum(coalesce(col("ntok"), lit(1L))).as("n_tokens"))
-        .withColumn("saved_bp",
-          when(col("n_chars") > col("n_tokens"),
-            expr("(n_chars - n_tokens) * 10000 div n_chars"))
-            .otherwise(lit(0L)))
-        .orderBy("doc_id")
-      encoded.localCheckpoint(true)
-    } finally { s0.unpersist(); () }
+    try bpeEncodeFrame(s, d, s0).localCheckpoint(true)
+    finally { s0.unpersist(); () }
   }
   val qBpeEncodeSql: String =
     s"""WITH $bpeTrainedSqlCtes,

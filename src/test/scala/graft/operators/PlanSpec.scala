@@ -865,4 +865,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("embedding"),
       s"l83 reads embedding data for what is a partition-column census:\n$p")
   }
+
+  test("l89 BPE training: 1-row winner broadcasts into the rewrite, no sort-merge") {
+    // the declared query returns an eagerly-checkpointed 9-row result
+    // (its plan is a checkpoint scan); the pin reads the same chain
+    // built lazily
+    val df = LlmQueries.bpeTrainPlanFrame(spark, sf)
+    val p = planOf(df)
+    // each round's elected pair reaches the vocabulary rewrite as a
+    // BROADCAST of one row (a BroadcastNestedLoopJoin against a
+    // limit(1) frame — the bounded-broadcast cross pattern, NOT an
+    // all-pairs product); a shuffled join here would re-key the whole
+    // vocabulary per round
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"l89's winner no longer broadcasts into the merge rewrite:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"l89 sort-merge-joins somewhere in a vocab-bounded chain:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"l89 built a non-broadcast cartesian product:\n$p")
+  }
+
+  test("l91 BPE encode: corpus explode joins the vocabulary token counts by key") {
+    val df = LlmQueries.bpeEncodePlanFrame(spark, sf)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"),
+      s"l91 built a cartesian product:\n$p")
+    // the per-doc accounting is a hash aggregation, not a window
+    assert(p.contains("HashAggregate"),
+      s"l91 lost its per-document hash agg:\n$p")
+    assert(df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"l91 pays a window for what is keyed aggregation:\n$p")
+  }
+
+  test("l90 streamed IVFADC: broadcast probe/ADC tables, no non-broadcast product") {
+    val df = LlmQueries.queries("l90_stream_ivfpq")(spark, sf)
+    val p = planOf(df)
+    // the bounded centroid table broadcasts into the probe (the
+    // BNLJ-against-broadcast-bounded pattern searchIvfPq shares with
+    // l77); the ADC and membership joins are keyed broadcasts
+    assert(p.contains("BroadcastHashJoin"),
+      s"l90's ADC/membership joins no longer broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"l90 built a non-broadcast cartesian product:\n$p")
+  }
 }
