@@ -103,6 +103,9 @@ object Bench {
     // l91: l89's vocab-bounded training + one corpus explode joined
     // to the vocabulary token counts + one per-doc agg
     "l91_bpe_encode" -> 1.6,
+    // l92: the l72-shaped serving path + one semi-join against the
+    // predicate id set (fixture index amortizes via l77)
+    "l92_filtered_ann" -> 0.9,
     // q68: the bucket-histogram sliding median pays its x12 window
     // expansion at this fixture's sub-1-event-per-bin density — the
     // docstring's measured crossover; priced at the honest reading

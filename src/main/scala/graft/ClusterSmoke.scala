@@ -50,7 +50,8 @@ object ClusterSmoke {
     "l86_pointer_swap_parity", // pointer-protocol compact + resolver-served reads (round 15)
     "l87_maintenance_loop", // audit-verdict-actuator loop: flood -> 3x bar -> retrain (round 15)
     "l88_reband_parity", // reband actuator + scheme-aware post-reband merge (round 15)
-    "l90_stream_ivfpq" // stream-grown IVFADC: pqCodes fold + composed serving path (round 15)
+    "l90_stream_ivfpq", // stream-grown IVFADC: pqCodes fold + composed serving path (round 15)
+    "l92_filtered_ann" // metadata-predicate filtered ANN: semi-join before scoring (round 15)
   )
 
   def main(args: Array[String]): Unit = {

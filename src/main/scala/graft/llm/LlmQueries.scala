@@ -6423,6 +6423,73 @@ object LlmQueries {
        |SELECT query_id, rank, neighbor_id, cos_x1e6
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** l92: FILTERED ANN — the metadata-predicate vector search every
+    * production vector store serves, over the persisted l77 index:
+    * top-5 cosine neighbors among vectors whose DOCUMENT is English
+    * (`documents.lang = 'en'`, joined by the doc_id == vec_id
+    * correspondence), via [[VectorIndex.searchIvfFiltered]]: identical
+    * probe pruning to the unfiltered search, the allowed id set
+    * semi-joined into the candidate stream BEFORE any cosine is
+    * computed. POST-FILTER semantics stated honestly (candidates come
+    * from the nprobe nearest lists of the unfiltered index, so a
+    * selective filter can under-fill k — the standard filtered-ANN
+    * tradeoff; the oracle states exactly that semantics, so an engine
+    * that pre-filters the index instead, or scores disallowed
+    * candidates into the heap, hash-mismatches). Scale shape: the
+    * serving path plus ONE semi-join against the predicate's id set —
+    * pruned-list-sized probe I/O, filter applied before arithmetic.
+    */
+  def qFilteredAnn(s: SparkSession, d: String): DataFrame = {
+    val allowed = docs(s, d).where(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    VectorIndex.searchIvfFiltered(s, ivfPqDir(s, d),
+      embs(s, d).where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      allowed, nprobe = 4, topk = 5)
+  }
+  val qFilteredAnnSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |stride AS (SELECT greatest(37, CAST(ceil(COUNT(*) / 1000.0) AS BIGINT)) AS k
+       |  FROM embeddings WHERE vec_id >= 10),
+       |cent AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS cn
+       |  FROM e WHERE vec_id >= 10
+       |    AND vec_id % (SELECT k FROM stride) = 11),
+       |asg AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS nv, nrm AS nn, c_id,
+       |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cc
+       |  FROM e CROSS JOIN cent WHERE vec_id >= 10),
+       |lists AS (
+       |  SELECT neighbor_id, nv, nn, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+       |      ORDER BY cc DESC, c_id ASC) AS r FROM asg)
+       |  WHERE r = 1),
+       |qasg AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, c_id,
+       |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cc
+       |  FROM e CROSS JOIN cent WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT query_id, qv, qn, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cc DESC, c_id ASC) AS r FROM qasg)
+       |  WHERE r <= 4),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(floor(${dotSql("qv", "nv")} / (qn * nn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cos_x1e6
+       |  FROM probes JOIN lists USING (c_id)
+       |  WHERE neighbor_id IN (SELECT doc_id FROM documents
+       |                        WHERE lang = 'en')),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cos_x1e6
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** The Lloyd-refined IVF fixture behind l85 (`lloydIters = 2`), built
     * once per JVM per data directory; the SAMPLED side reuses the l77
     * fixture's index (same corpus, same seeds, zero refinement).
@@ -6689,6 +6756,7 @@ object LlmQueries {
     "l89_bpe_train" -> qBpeTrain _,
     "l90_stream_ivfpq" -> qStreamIvfPq _,
     "l91_bpe_encode" -> qBpeEncode _,
+    "l92_filtered_ann" -> qFilteredAnn _,
     "l79_ann_compact_parity" -> qAnnCompactParity _,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearch _,
     "l81_vec_drift_gate" -> qVecDriftGate _,
@@ -6783,6 +6851,7 @@ object LlmQueries {
     "l89_bpe_train" -> qBpeTrainSql,
     "l90_stream_ivfpq" -> qIvfPqTopkSql,
     "l91_bpe_encode" -> qBpeEncodeSql,
+    "l92_filtered_ann" -> qFilteredAnnSql,
     "l79_ann_compact_parity" -> qAnnMergeParitySql,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearchSql,
     "l81_vec_drift_gate" -> qVecDriftGateSql,

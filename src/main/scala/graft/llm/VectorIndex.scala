@@ -498,6 +498,47 @@ object VectorIndex {
       .orderBy("query_id", "rank")
   }
 
+  /** FILTERED search — the metadata-predicate ANN every production
+    * vector store serves ("top-k among vectors whose document passes
+    * this filter"): identical probe pruning to [[searchIvf]], with the
+    * caller's `allowed` id set (one `vec_id` column — derive it from
+    * any predicate over any table) SEMI-joined into the candidate
+    * stream BEFORE the cosine is computed, so disallowed vectors cost
+    * neither arithmetic nor heap space. POST-FILTER semantics, stated
+    * honestly: candidates come from the `nprobe` nearest lists of the
+    * UNFILTERED index, so a very selective filter can return fewer
+    * than `topk` rows when the probed lists hold too few allowed
+    * vectors — the standard filtered-ANN tradeoff; raise `nprobe` for
+    * selective filters (production systems auto-over-probe the same
+    * way). Returns (query_id, rank, neighbor_id, cos_x1e6).
+    */
+  def searchIvfFiltered(spark: SparkSession, indexDir: String,
+      queries: DataFrame, allowed: DataFrame, nprobe: Int,
+      topk: Int): DataFrame = {
+    val cent = spark.read.parquet(stg(spark, indexDir, "centroids"))
+    val lists = spark.read.parquet(stg(spark, indexDir, "lists"))
+    val q = queries.select(col("query_id"), col("embedding").as("qv"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+    val probes = q.join(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("qn"), col("c_id"),
+        cosQ(col("qv"), col("qn"), col("cv"), col("cn")).as("cc"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cc").desc, col("c_id").asc)))
+      .where(col("r") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("c_id"))
+    val scored = probes.join(lists, Seq("c_id"))
+      .join(allowed.select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosQ(col("qv"), col("qn"), col("embedding"), col("nrm")).as("cos_x1e6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_x1e6").desc, col("neighbor_id").asc)
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(("cos_x1e6", false), ("neighbor_id", true)), topk)
+      .withColumn("rank", row_number().over(w))
+      .select("query_id", "rank", "neighbor_id", "cos_x1e6")
+      .orderBy("query_id", "rank")
+  }
+
   /** Align the PQ code table with the IVF lists: `pq_codes_by_list`
     * holds every (vec_id, sub_id, code) row PARTITIONED BY the owning
     * inverted list's `c_id` (outer) and a merge-segment `mseg` (inner)

@@ -423,6 +423,33 @@ class VectorIndexSpec extends SparkSpec {
       "post-kill retrain lists diverge from the union rebuild")
   }
 
+  test("filtered search never surfaces a disallowed vector; ranks stay dense") {
+    val dir = Files.createTempDirectory("ivffiltered").toString
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    VectorIndex.buildIvf(embs.where($"vec_id" >= 10), s"$dir/idx")
+    val queries = embs.where($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val allowed = embs.where($"vec_id" % 3 === 0).select($"vec_id")
+    val got = VectorIndex.searchIvfFiltered(spark, s"$dir/idx", queries,
+        allowed, nprobe = 4, topk = 5)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(got.nonEmpty, "filtered search returned nothing")
+    assert(got.forall(_._3 % 3 == 0),
+      "a disallowed vector leaked through the filter")
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted.sameElements(1 to rows.length),
+        s"query $qid ranks not dense: ${rows.map(_._2).toSeq}")
+      assert(rows.length <= 5)
+    }
+    // the unfiltered search must NOT equal the filtered one here (the
+    // filter excludes 2/3 of the corpus): post-filter semantics are
+    // doing real work, not a no-op
+    val unfiltered = VectorIndex.searchIvf(spark, s"$dir/idx", queries, 4, 5)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(!unfiltered.forall(_._3 % 3 == 0),
+      "fixture too weak: the unfiltered top-k already satisfies the filter")
+  }
+
   test("cell-balance audit records the l83 verdict; maintainIfDue retrains and consumes it") {
     val dir = Files.createTempDirectory("ivfmaint").toString
     val idx = s"$dir/idx"
