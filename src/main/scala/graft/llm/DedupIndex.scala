@@ -305,10 +305,17 @@ object DedupIndex {
     * ~100 GB and pairs/bands are banding-bounded; the swap is three
     * `FileSystem.rename` metadata moves per artifact, valid on HDFS
     * and local disks alike (see [[IndexMaintenance.compactStages]]).
+    *
+    * `swapMode` (None = the session default) picks the swap protocol
+    * for THIS call without touching the session-global
+    * `spark.graft.index.swapMode` conf — a session toggle would force
+    * every concurrent maintenance op into the chosen protocol.
     */
-  def compact(spark: SparkSession, indexDir: String, targetFiles: Int = 8): Unit =
+  def compact(spark: SparkSession, indexDir: String, targetFiles: Int = 8,
+      swapMode: Option[String] = None): Unit =
     IndexMaintenance.compactStages(spark, indexDir,
-      Seq("signatures", "bands", "pairs", "shingle_sets"), targetFiles)
+      Seq("signatures", "bands", "pairs", "shingle_sets"), targetFiles,
+      swapMode)
 
   /** Banded keys (doc_id, band, bkey, bp) of a (doc_id, text) frame —
     * the exact frame `build` persists under `bands/`, exposed so

@@ -34,6 +34,12 @@ import graft.util.Fs
   * [[graft.util.Fs.stagePath]], which follows the pointer when one
   * exists and the bare `indexDir/<stage>` path otherwise — indexes
   * that never ran a pointer-mode swap keep their layout unchanged.
+  * Flips are READER-SAFE: the superseded copy is retained until later
+  * maintenance entries GC it beyond the `spark.graft.index.retainGens`
+  * window (default 1 — see [[retainGens]]), so a query that resolved
+  * its stage paths just before a flip finishes its scan against the
+  * old generation instead of losing files mid-job; a reader must only
+  * not SPAN more than `retainGens` whole maintenance cycles.
   * `spark.graft.index.swapMode` (`auto`/`rename`/`pointer`) overrides
   * the per-store choice — `rename` for an HCFS connector the deny-list
   * wrongly flags, `pointer` to force the object-store protocol
@@ -69,10 +75,16 @@ private[graft] object IndexMaintenance {
     * find them. Only the explicit `rename` override bypasses the
     * stickiness (an operator migrating a layout back takes
     * responsibility for first moving the pointed generations to the
-    * bare paths).
+    * bare paths). Callers that want one maintenance call under a
+    * specific protocol pass `swapMode` explicitly (every entry point
+    * threads it here) instead of mutating the session conf — a
+    * session-global toggle would silently force every concurrent
+    * query in the same session into the chosen protocol.
     */
-  private[graft] def pointerMode(spark: SparkSession, indexDir: String): Boolean =
-    spark.conf.get("spark.graft.index.swapMode", "auto") match {
+  private[graft] def pointerMode(spark: SparkSession, indexDir: String,
+      swapMode: Option[String] = None): Boolean =
+    swapMode.getOrElse(
+        spark.conf.get("spark.graft.index.swapMode", "auto")) match {
       case "pointer" => true
       case "rename"  => false
       case _ => !Fs.atomicRename(spark, indexDir) ||
@@ -88,8 +100,8 @@ private[graft] object IndexMaintenance {
     * unreferenced) directory instead of leaking one per attempt.
     */
   private[graft] def stagedDir(spark: SparkSession, indexDir: String,
-      stage: String): String =
-    if (pointerMode(spark, indexDir))
+      stage: String, swapMode: Option[String] = None): String =
+    if (pointerMode(spark, indexDir, swapMode))
       s"$indexDir/_gen/$stage/${nextGen(spark, indexDir, stage)}"
     else s"$indexDir/_compact/$stage"
 
@@ -123,8 +135,9 @@ private[graft] object IndexMaintenance {
     * finishes the job" holds at every kill point, including mid-swap.
     */
   def compactStages(spark: SparkSession, indexDir: String,
-      stages: Seq[String], targetFiles: Int): Unit = {
-    recoverStages(spark, indexDir, stages)
+      stages: Seq[String], targetFiles: Int,
+      swapMode: Option[String] = None): Unit = {
+    recoverStages(spark, indexDir, stages, swapMode)
     stages.foreach { stage =>
       // mergeSchema: a stage whose generations straddle a schema
       // addition (e.g. the media index's plen column) must compact
@@ -143,9 +156,9 @@ private[graft] object IndexMaintenance {
         else
           deduped.repartition(targetFiles)
             .write.mode(SaveMode.Overwrite)
-      refiled.parquet(stagedDir(spark, indexDir, stage))
+      refiled.parquet(stagedDir(spark, indexDir, stage, swapMode))
     }
-    swapStages(spark, indexDir, stages)
+    swapStages(spark, indexDir, stages, swapMode)
     Fs.delete(spark, s"$indexDir/_compact")
     Fs.delete(spark, s"$indexDir/_merges")
   }
@@ -170,8 +183,9 @@ private[graft] object IndexMaintenance {
     * windows, the assumption every marker file here already makes.
     */
   def swapStages(spark: SparkSession, indexDir: String,
-      stages: Seq[String]): Unit =
-    if (pointerMode(spark, indexDir)) swapByPointer(spark, indexDir, stages)
+      stages: Seq[String], swapMode: Option[String] = None): Unit =
+    if (pointerMode(spark, indexDir, swapMode))
+      swapByPointer(spark, indexDir, stages)
     else swapByRename(spark, indexDir, stages)
 
   private def swapByRename(spark: SparkSession, indexDir: String,
@@ -221,12 +235,12 @@ private[graft] object IndexMaintenance {
     * a crash between a multi-stage swap's flips is converged by
     * [[recoverStages]] replaying the journal rather than serving a
     * mixed index (the rename protocol's intent-marker role, one file
-    * for the whole set instead of one bracket per stage). After each
-    * flip the superseded copy — the previous generation, or the bare
-    * pre-pointer directory on a stage's first pointer swap — is
-    * dropped; that delete is garbage collection, not correctness (the
-    * old copy is unreferenced the instant the pointer lands), so a
-    * failure there is cleaned by the next recovery's hygiene pass.
+    * for the whole set instead of one bracket per stage). The
+    * superseded copy — the previous generation, or the bare
+    * pre-pointer directory on a stage's first pointer swap — is NOT
+    * dropped by the flip: it stays on disk for in-flight readers that
+    * resolved the stage pre-flip ([[retainGens]]), and the next
+    * maintenance entry's hygiene pass is the garbage collector.
     */
   private def swapByPointer(spark: SparkSession, indexDir: String,
       stages: Seq[String]): Unit = {
@@ -244,20 +258,36 @@ private[graft] object IndexMaintenance {
     Fs.delete(spark, s"$indexDir/_ptr/_intent")
   }
 
-  /** Publish each (stage → generation) flip, dropping the superseded
-    * copy. Idempotent — re-publishing an already-current pointer is a
-    * no-op rewrite of the same content, which is what lets recovery
-    * replay a journal without knowing how far the crashed swap got.
+  /** How many SUPERSEDED generations a stage retains after a pointer
+    * flip (`spark.graft.index.retainGens`, default 1). The flip never
+    * deletes what it supersedes — an in-flight reader that resolved
+    * [[graft.util.Fs.stagePath]] a moment before the flip holds
+    * concrete file paths into the previous copy, and at 100 TB a scan
+    * spans many minutes of maintenance opportunity (the same reason
+    * Iceberg/Delta keep superseded snapshots). Garbage collection is
+    * deferred to the NEXT maintenance entry's hygiene pass
+    * ([[recoverByPointer]]), which keeps the `retainGens` most recent
+    * superseded copies per stage (the bare pre-pointer directory
+    * counts as the oldest). The reader contract this buys: a read that
+    * resolved its stage paths while generation N was current stays
+    * readable until `retainGens` FURTHER maintenance passes have
+    * entered — with the default 1, a reader is safe unless it spans
+    * two whole maintenance cycles.
+    */
+  private def retainGens(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.index.retainGens", "1").trim.toInt.max(0)
+
+  /** Publish each (stage → generation) flip. The superseded copy is
+    * NOT deleted here — it stays readable for in-flight readers that
+    * resolved the stage pre-flip, and the next maintenance entry's
+    * hygiene pass GCs beyond the [[retainGens]] retention window.
+    * Idempotent — re-publishing an already-current pointer is a no-op
+    * rewrite of the same content, which is what lets recovery replay a
+    * journal without knowing how far the crashed swap got.
     */
   private def flipPointers(spark: SparkSession, indexDir: String,
       plan: Seq[(String, String)]): Unit = plan.foreach { case (stage, gen) =>
-    val prev = currentGen(spark, indexDir, stage)
     Fs.writeString(spark, s"$indexDir/_ptr/$stage", gen)
-    prev match {
-      case Some(g) if g != gen => Fs.delete(spark, s"$indexDir/_gen/$stage/$g")
-      case None                => Fs.delete(spark, s"$indexDir/$stage")
-      case _                   => ()
-    }
   }
 
   /** Restore a consistent live stage after a mid-swap kill, for each
@@ -283,8 +313,9 @@ private[graft] object IndexMaintenance {
     * overwritten by the next rewrite.
     */
   def recoverStages(spark: SparkSession, indexDir: String,
-      stages: Seq[String]): Unit =
-    if (pointerMode(spark, indexDir)) recoverByPointer(spark, indexDir, stages)
+      stages: Seq[String], swapMode: Option[String] = None): Unit =
+    if (pointerMode(spark, indexDir, swapMode))
+      recoverByPointer(spark, indexDir, stages)
     else recoverByRename(spark, indexDir, stages)
 
   /** Pointer-protocol recovery: (1) an intent journal left by a crashed
@@ -293,12 +324,16 @@ private[graft] object IndexMaintenance {
     * is re-published idempotently and the swap completes exactly as the
     * crashed run would have; a journaled generation found missing means
     * external damage and fails loudly rather than guessing. (2) a
-    * hygiene pass then drops every generation directory no pointer
-    * references (aborted rewrites, superseded generations whose
-    * best-effort delete failed) and, once a stage has a pointer, any
-    * leftover bare pre-pointer directory — bounding the garbage a
-    * crash-rewrite-retry loop can accumulate to one unreferenced
-    * generation per stage.
+    * hygiene pass — the protocol's garbage collector — then drops, per
+    * stage: every ABORTED rewrite (a generation staged beyond the
+    * current pointer that never published — no reader ever resolved
+    * it), and every SUPERSEDED copy beyond the [[retainGens]] retention
+    * window (superseded generations newest-first, with the bare
+    * pre-pointer directory as the oldest). Retained superseded copies
+    * are what keep in-flight readers safe across the flip that
+    * replaced them; the budget bounds the garbage a long maintenance
+    * history can accumulate to `retainGens` copies + one aborted
+    * rewrite per stage between maintenance entries.
     */
   private def recoverByPointer(spark: SparkSession, indexDir: String,
       stages: Seq[String]): Unit = {
@@ -319,12 +354,24 @@ private[graft] object IndexMaintenance {
       flipPointers(spark, indexDir, plan)
       Fs.delete(spark, intent)
     }
+    val retain = retainGens(spark)
     stages.foreach { stage =>
-      val cur = currentGen(spark, indexDir, stage)
-      Fs.listDirNames(spark, s"$indexDir/_gen/$stage")
-        .filterNot(cur.contains)
-        .foreach(g => Fs.delete(spark, s"$indexDir/_gen/$stage/$g"))
-      if (cur.isDefined) Fs.delete(spark, s"$indexDir/$stage")
+      currentGen(spark, indexDir, stage).foreach { cur =>
+        val curN = cur.drop(1).toLong
+        val (older, aborted) =
+          Fs.listDirNames(spark, s"$indexDir/_gen/$stage")
+            .filter(_ != cur)
+            .partition(_.drop(1).toLong < curN)
+        aborted.foreach(g => Fs.delete(spark, s"$indexDir/_gen/$stage/$g"))
+        val superseded = older.sortBy(g => -g.drop(1).toLong)
+        superseded.drop(retain)
+          .foreach(g => Fs.delete(spark, s"$indexDir/_gen/$stage/$g"))
+        // the bare pre-pointer directory is the oldest superseded copy:
+        // it survives only while the newer superseded generations have
+        // not yet filled the retention budget
+        if (superseded.length >= retain)
+          Fs.delete(spark, s"$indexDir/$stage")
+      }
     }
   }
 

@@ -5516,9 +5516,10 @@ object LlmQueries {
     * lands in a versioned `_gen/<stage>/gN` generation and the swap is
     * ONE single-file pointer publish instead of directory renames,
     * because S3-class stores fake rename with a non-atomic copy+delete
-    * but do provide atomic single-object PUTs. Forced here via
-    * `spark.graft.index.swapMode=pointer` on local disk (the protocol
-    * is store-generic; only its SELECTION is store-keyed).
+    * but do provide atomic single-object PUTs. Forced here by passing
+    * `swapMode = Some("pointer")` into the one compact call on local
+    * disk (the protocol is store-generic; only its SELECTION is
+    * store-keyed).
     */
   private val pointerIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def pointerIndexDir(s: SparkSession, d: String): String =
@@ -5535,13 +5536,10 @@ object LlmQueries {
       s.createDataFrame(
           s.sparkContext.parallelize(replayed.toIndexedSeq), pairs.schema)
         .write.mode("append").parquet(s"$tmp/pairs")
-      val prev = s.conf.getOption("spark.graft.index.swapMode")
-      s.conf.set("spark.graft.index.swapMode", "pointer")
-      try DedupIndex.compact(s, tmp)
-      finally prev match {
-        case Some(v) => s.conf.set("spark.graft.index.swapMode", v)
-        case None    => s.conf.unset("spark.graft.index.swapMode")
-      }
+      // swap mode passed explicitly for THIS call — toggling the
+      // session-global conf would silently force any concurrent
+      // maintenance op in the same session into the pointer protocol
+      DedupIndex.compact(s, tmp, swapMode = Some("pointer"))
       tmp
     })
 

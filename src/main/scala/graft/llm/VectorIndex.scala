@@ -426,7 +426,13 @@ object VectorIndex {
         coalesce(max(col("n")), lit(0L)).as("maxn"))
       .collect().head
     val (k, total, maxn) = (row.getLong(0), row.getLong(1), row.getLong(2))
-    val balance = if (total == 0L) 0L else maxn * k * 10000L / total
+    // BigInt intermediate: at the advertised 10^9-vector / ~10^6-cell
+    // posture, extreme skew makes maxn * k * 10^4 overflow Long — the
+    // balance would go negative and report "healthy" in exactly the
+    // failure mode this audit exists to catch
+    val balance =
+      if (total == 0L) 0L
+      else (BigInt(maxn) * k * 10000 / total).toLong
     val due = balance > barX1e4
     spark.range(1).select(lit(balance).as("balance_x1e4"),
         lit(barX1e4).as("bar_x1e4"), lit(due).as("retrain"))

@@ -174,20 +174,6 @@ object VecStream {
     // same empty set and skips again), and the gate verdict above was
     // already recorded.
     val hasRows = !outP.isEmpty
-    if (hasRows) {
-      // pqCodes: the aligned artifact's serving gate must drop BEFORE
-      // the lists append below lands (the mergeIvf invariant) — a
-      // search racing this batch would otherwise take the aligned path
-      // and silently miss the batch's vectors. (The ledger-absorbed
-      // replay case keeps the gate: its rewrites are byte-identical.)
-      if (pqCodes && !graft.llm.VectorIndex
-          .consumedPids(spark, s"$indexDir/pq_codes_by_list")
-          .contains(s"batch_$batchId"))
-        graft.llm.VectorIndex.invalidateAligned(spark, indexDir)
-      outP.repartition(col("c_id"))
-        .write.mode("overwrite").partitionBy("c_id")
-        .parquet(s"${graft.util.Fs.stagePath(spark, indexDir, "lists")}/batch_id=$batchId")
-    }
     // The PQ half of the serving path, fed by the SAME fold: the
     // survivors' 4-byte codes are assigned against the held codebook
     // ([[graft.llm.VectorIndex.codesOf]] — the buildPq/mergePq argmin
@@ -211,25 +197,47 @@ object VecStream {
       // an align already absorbed must not re-pend (the incremental
       // path would re-append rows the artifact already holds) — and
       // since its data rewrites are byte-identical by this fold's
-      // pinned determinism, the aligned rows stay exact (the gate was
-      // accordingly kept up above).
+      // pinned determinism, the aligned rows stay exact (the serving
+      // gate accordingly stays up for an absorbed replay).
       val absorbed = graft.llm.VectorIndex
         .consumedPids(spark, s"$indexDir/pq_codes_by_list")
         .contains(s"batch_$batchId")
-      if (!absorbed)
-        outP.select(col("vec_id"), col("c_id")).coalesce(1)
-          .write.mode("overwrite")
-          .parquet(s"$indexDir/_align_pending/lists/pid=batch_$batchId")
+      // the aligned artifact's serving gate must drop BEFORE any
+      // serving-path append below lands (the mergeIvf invariant) — a
+      // search racing this batch would otherwise take the aligned path
+      // and silently miss the batch's vectors
+      if (!absorbed) graft.llm.VectorIndex.invalidateAligned(spark, indexDir)
       val codes = graft.llm.VectorIndex.codesOf(
           outP.select(col("vec_id"), col("embedding")), codebook)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        if (!absorbed)
+        // mergeIvf's ordering, mirrored: BOTH `_align_pending` records
+        // land BEFORE the batch-partition appends they describe.
+        // [[graft.llm.VectorIndex.alignPqToLists]]' no-pending branch
+        // restores the aligned artifact's serving gate on the
+        // assumption that gate-down + no-pending means "lists
+        // unchanged" — appending the lists partition first would open
+        // a crash window (lists committed, pending not yet recorded)
+        // where an align run during the outage re-gates an aligned
+        // artifact missing this batch's vectors, and the aligned
+        // search path silently drops them until the replay lands.
+        if (!absorbed) {
+          outP.select(col("vec_id"), col("c_id")).coalesce(1)
+            .write.mode("overwrite")
+            .parquet(s"$indexDir/_align_pending/lists/pid=batch_$batchId")
           codes.coalesce(1).write.mode("overwrite")
             .parquet(s"$indexDir/_align_pending/codes/pid=batch_$batchId")
+        }
+        outP.repartition(col("c_id"))
+          .write.mode("overwrite").partitionBy("c_id")
+          .parquet(s"${graft.util.Fs.stagePath(spark, indexDir, "lists")}/batch_id=$batchId")
         codes.coalesce(1).write.mode("overwrite")
           .parquet(s"${graft.util.Fs.stagePath(spark, indexDir, "pq_codes")}/batch_id=$batchId")
       } finally { codes.unpersist(); () }
+    } else if (hasRows) {
+      outP.repartition(col("c_id"))
+        .write.mode("overwrite").partitionBy("c_id")
+        .parquet(s"${graft.util.Fs.stagePath(spark, indexDir, "lists")}/batch_id=$batchId")
     }
     } finally { outP.unpersist(); () }
     // Post-append cell-balance audit (the l83 statistic as fold

@@ -313,17 +313,20 @@ class DedupIndexSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(want.nonEmpty, "fixture produced no pairs")
 
-    spark.conf.set("spark.graft.index.swapMode", "pointer")
-    try {
-      DedupIndex.compact(spark, idx)
+    {
+      // swap mode passed per-call — the session conf stays untouched
+      DedupIndex.compact(spark, idx, swapMode = Some("pointer"))
       // the swap moved every stage under a published generation: the
-      // pointer file names it, the bare pre-pointer directory is gone,
-      // and the resolver serves the generation path
+      // pointer file names it and the resolver serves the generation
+      // path; the bare pre-pointer directory is RETAINED (it is the
+      // one superseded copy — an in-flight reader that resolved the
+      // stage pre-flip still holds paths into it)
       for (stage <- Seq("signatures", "bands", "pairs", "shingle_sets")) {
         assert(graft.util.Fs.isFile(spark, s"$idx/_ptr/$stage"),
           s"$stage: no pointer published")
-        assert(!graft.util.Fs.exists(spark, s"$idx/$stage"),
-          s"$stage: bare pre-pointer directory not dropped")
+        assert(graft.util.Fs.exists(spark, s"$idx/$stage"),
+          s"$stage: superseded bare directory dropped at flip time — " +
+            "in-flight readers would lose files mid-scan")
         assert(graft.util.Fs.stagePath(spark, idx, stage)
           .startsWith(s"$idx/_gen/$stage/"), s"$stage: resolver not redirected")
       }
@@ -337,11 +340,18 @@ class DedupIndexSpec extends SparkSpec {
       assert(DedupIndex.probe(spark, idx,
         corpus.where($"doc_id" % 10 === 0).limit(5)).count() > 0)
 
-      // a second compact bumps the generation and GCs the old one
+      // a second compact bumps the generation; g1 is superseded but
+      // RETAINED (retainGens default 1) — a reader that resolved g1
+      // just before this flip still completes its scan
+      val preFlipPath = graft.util.Fs.stagePath(spark, idx, "pairs")
       DedupIndex.compact(spark, idx)
       assert(graft.util.Fs.readString(spark, s"$idx/_ptr/pairs").trim == "g2")
-      assert(graft.util.Fs.listDirNames(spark, s"$idx/_gen/pairs") == Seq("g2"),
-        "superseded generation not collected")
+      assert(graft.util.Fs.exists(spark, preFlipPath),
+        "superseded generation deleted at flip — pre-flip readers lose files")
+      assert(spark.read.parquet(preFlipPath).count() == want.size.toLong,
+        "retained superseded generation no longer readable")
+      assert(graft.util.Fs.listDirNames(spark, s"$idx/_gen/pairs").toSet ==
+        Set("g1", "g2"), "retention window wrong after second flip")
 
       // merges keep working against the pointed layout: appends land in
       // the live generation and the pair set grows exactly as before
@@ -374,7 +384,9 @@ class DedupIndexSpec extends SparkSpec {
 
       // crash window 2 — a rewrite aborted mid-write (partial
       // generation, no journal): it is unreferenced garbage; recovery's
-      // hygiene pass drops it and the next compact proceeds normally
+      // hygiene pass drops it and the next compact proceeds normally.
+      // Steady-state garbage stays bounded: current + one retained
+      // superseded + the just-superseded copy awaiting the next entry.
       val orphan = graft.llm.IndexMaintenance.stagedDir(spark, idx, "pairs")
       graft.util.Fs.touch(spark, s"$orphan/part-00000.parquet")
       assert(!graft.util.Fs.isFile(spark, s"$orphan/_SUCCESS"))
@@ -382,9 +394,10 @@ class DedupIndexSpec extends SparkSpec {
       assert(DedupIndex.candidatePairs(spark, idx)
         .as[(Long, Long)].collect().toSet == pre,
         "compact after an aborted rewrite lost pairs")
-      assert(graft.util.Fs.listDirNames(spark, s"$idx/_gen/pairs").size == 1,
-        "aborted generation not collected")
-    } finally spark.conf.unset("spark.graft.index.swapMode")
+      assert(graft.util.Fs.listDirNames(spark, s"$idx/_gen/pairs").toSet ==
+        Set("g2", "g3", "g4"),
+        "generation GC did not converge to the bounded retention window")
+    }
 
     // mode is STICKY on layout: with the override gone (auto, local
     // disk), this index stays pointer-governed — the rename protocol
@@ -397,6 +410,32 @@ class DedupIndexSpec extends SparkSpec {
     assert(DedupIndex.candidatePairs(spark, idx)
       .as[(Long, Long)].collect().toSet == before,
       "auto-mode compact over a pointer layout lost pairs")
+  }
+
+  test("retainGens=0: flips still never delete; the next maintenance entry GCs all superseded copies") {
+    val dir = Files.createTempDirectory("dedupgc").toString
+    val idx = s"$dir/idx"
+    DedupIndex.build(corpus, idx)
+    val want = DedupIndex.candidatePairs(spark, idx)
+      .as[(Long, Long)].collect().toSet
+    DedupIndex.compact(spark, idx, swapMode = Some("pointer"))
+    // even at retention 0 the flip itself defers deletion: the bare
+    // pre-pointer copy survives until the NEXT maintenance entry
+    assert(graft.util.Fs.exists(spark, s"$idx/pairs"),
+      "flip deleted the superseded copy in the same call")
+    spark.conf.set("spark.graft.index.retainGens", "0")
+    try {
+      DedupIndex.compact(spark, idx) // entry hygiene GCs bare; flips to g2
+      assert(!graft.util.Fs.exists(spark, s"$idx/pairs"),
+        "retainGens=0 entry hygiene kept the bare pre-pointer copy")
+      DedupIndex.compact(spark, idx) // entry hygiene GCs g1; flips to g3
+      assert(graft.util.Fs.listDirNames(spark, s"$idx/_gen/pairs").toSet ==
+        Set("g2", "g3"),
+        "retainGens=0 did not converge to {just-superseded, current}")
+      assert(DedupIndex.candidatePairs(spark, idx)
+        .as[(Long, Long)].collect().toSet == want,
+        "GC cadence changed served content")
+    } finally spark.conf.unset("spark.graft.index.retainGens")
   }
 
   test("compact preserves a streamed index's batch_id= replay partitions") {

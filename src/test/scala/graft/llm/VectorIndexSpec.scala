@@ -552,12 +552,15 @@ class VectorIndexSpec extends SparkSpec {
     spark.conf.set("spark.graft.index.swapMode", "pointer")
     try {
       VectorIndex.retrainIvf(spark, idx)
-      // both stages flipped to published generations; bare paths gone
+      // both stages flipped to published generations; the superseded
+      // bare directories are RETAINED for in-flight readers (the
+      // retainGens window — GC happens at later maintenance entries)
       for (stage <- Seq("centroids", "lists")) {
         assert(graft.util.Fs.isFile(spark, s"$idx/_ptr/$stage"),
           s"$stage: no pointer published")
-        assert(!graft.util.Fs.exists(spark, s"$idx/$stage"),
-          s"$stage: bare pre-pointer directory not dropped")
+        assert(graft.util.Fs.exists(spark, s"$idx/$stage"),
+          s"$stage: superseded bare directory dropped at flip time — " +
+            "in-flight readers would lose files mid-scan")
       }
       assert(!graft.util.Fs.isFile(spark, s"$idx/_ptr/_intent"),
         "intent journal not cleared after a completed retrain")
