@@ -30,8 +30,38 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * replays true no-ops. Scale shape: hash-keyed anti joins only; the
   * corpus side reads just its two key columns (column pruning), and the
   * stream side is one micro-batch.
+  *
+  * Layout under `corpusDir`: survivors land in a `docs/` STAGE
+  * (`docs/batch_id=N/`), with the gate log a SIBLING (`_gate/`) — the
+  * stage boundary is what makes the corpus maintainable by the shared
+  * [[graft.llm.IndexMaintenance]] engine ([[compactCorpus]]): a
+  * long-lived stream accretes one file set per micro-batch without
+  * bound, and a stage swap of the corpus data must not destroy the
+  * verdict log riding next to it. Corpora written before the stage
+  * existed (`batch_id=` directly under `corpusDir`) keep reading and
+  * folding unchanged ([[dataDir]]); [[compactCorpus]] migrates them.
   */
 object DocStream {
+
+  /** The corpus DATA path: the `docs/` stage when present (canonical —
+    * pointer-resolved via [[graft.util.Fs.stagePath]], so object-store
+    * maintenance swaps redirect reads too), else the legacy layout
+    * with `batch_id=` partitions directly under `corpusDir`. A fresh
+    * corpus starts in the stage layout.
+    */
+  private[graft] def dataDir(spark: org.apache.spark.sql.SparkSession,
+      corpusDir: String): String = {
+    val staged = graft.util.Fs.exists(spark, s"$corpusDir/docs") ||
+      graft.util.Fs.isFile(spark, s"$corpusDir/_ptr/docs")
+    if (!staged && legacyLayout(spark, corpusDir)) corpusDir
+    else graft.util.Fs.stagePath(spark, corpusDir, "docs")
+  }
+
+  private def legacyLayout(spark: org.apache.spark.sql.SparkSession,
+      corpusDir: String): Boolean =
+    graft.util.Fs.exists(spark, corpusDir) &&
+      graft.util.Fs.listDirNames(spark, corpusDir)
+        .exists(_.startsWith("batch_id="))
 
   private def canon(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
@@ -64,6 +94,9 @@ object DocStream {
       nearDupIndexDir: Option[String] = None,
       driftGate: Boolean = false): Unit = {
     val spark = batch.sparkSession
+    // resolved ONCE and pinned for the batch (a migration or swap
+    // cannot move the corpus mid-batch — single-writer discipline)
+    val data = dataDir(spark, corpusDir)
     // Distribution-drift gate (the l73 statistic run INSIDE the fold —
     // TFDV's "validate before you commit" posture): the arriving
     // batch's token-count histogram is compared against the HELD
@@ -71,9 +104,10 @@ object DocStream {
     // the same reference and reaches the same verdict), and a drifted
     // batch is rejected WHOLE — a broken crawler or a spam flood
     // should not grow the corpus or the dedup index at all. The
-    // verdict is recorded under `_gate/batch_id=N` (underscore dirs
-    // are invisible to the corpus read) with mode=overwrite, so the
-    // gate log is replay-idempotent too. The first batch is ungated —
+    // verdict is recorded under `_gate/batch_id=N` — a SIBLING of the
+    // docs/ stage (and an underscore dir, invisible to a legacy-layout
+    // corpus read), so corpus compaction swaps never touch it — with
+    // mode=overwrite, so the gate log is replay-idempotent too. The first batch is ungated —
     // there is no reference distribution to drift FROM — and an EMPTY
     // reference is treated identically to a missing one: replaying
     // batch 0 (the crash-recovery case) finds the corpus directory but
@@ -88,8 +122,8 @@ object DocStream {
       // existence, not exception-swallowing: a present-but-broken corpus
       // layout must fail the batch loudly, not degrade to "ungated"
       val refTexts: Option[DataFrame] =
-        if (graft.util.Fs.exists(spark, corpusDir)) {
-          val r = spark.read.parquet(corpusDir)
+        if (graft.util.Fs.exists(spark, data)) {
+          val r = spark.read.parquet(data)
             .where(col("batch_id") =!= batchId).select(col("text"))
           if (r.isEmpty) None else Some(r)
         } else None
@@ -116,8 +150,8 @@ object DocStream {
     val k2 = s1.groupBy(col("norm_key")).agg(min("doc_id").as("kid"))
     val s2 = s1.join(k2, Seq("norm_key")).where(col("doc_id") === col("kid")).drop("kid")
     val existing: Option[DataFrame] =
-      if (graft.util.Fs.exists(spark, corpusDir)) {
-        val c = spark.read.parquet(corpusDir)
+      if (graft.util.Fs.exists(spark, data)) {
+        val c = spark.read.parquet(data)
         Some(c.where(col("batch_id") =!= batchId).select(col("h"), col("norm_key")))
       } else None
     val novel = existing match {
@@ -205,7 +239,7 @@ object DocStream {
     // batch cache into a long-lived streaming driver (unpersist on the
     // un-persisted None branch is a no-op)
     try survivors.select(col("doc_id"), col("text"), col("h"), col("norm_key"))
-      .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
+      .write.mode("overwrite").parquet(s"$data/batch_id=$batchId")
     finally { survivors.unpersist(); () }
   }
 
@@ -221,11 +255,55 @@ object DocStream {
       }
       .start()
 
-  /** Read the gate log (drift statistic + verdict per gated batch). */
+  /** Read the gate log (drift statistic + verdict per gated batch).
+    * The log rides NEXT TO the `docs/` stage, not inside it, so corpus
+    * maintenance swaps ([[compactCorpus]]) cannot destroy it.
+    */
   def gateLog(spark: org.apache.spark.sql.SparkSession, corpusDir: String): DataFrame =
     spark.read.parquet(s"$corpusDir/_gate")
 
   /** Read the accumulated corpus (all batch partitions). */
   def corpus(spark: org.apache.spark.sql.SparkSession, corpusDir: String): DataFrame =
-    spark.read.parquet(corpusDir)
+    spark.read.parquet(dataDir(spark, corpusDir))
+
+  /** COMPACT the streamed corpus between ingest runs — the
+    * [[MediaStream.compactIndex]] maintenance discipline applied to
+    * the corpus itself, the one fold artifact that previously had no
+    * compaction path: a long-lived stream accretes one file set per
+    * micro-batch under `docs/batch_id=N`, and both probe anti-joins
+    * and scan planning pay per file forever. The rewrite is
+    * content-preserving and keeps the `batch_id=` replay partitions
+    * (one file per batch directory afterwards), so a fold resumed
+    * later still overwrites its own partition on a crash replay; the
+    * gate log survives because it lives OUTSIDE the swapped stage.
+    * Run with the stream STOPPED (between ingest runs) — compacting
+    * concurrently with an in-flight batch write races the swap.
+    *
+    * A LEGACY corpus (`batch_id=` partitions directly under
+    * `corpusDir`, written before the `docs/` stage existed) is
+    * migrated first: each batch partition moves under `docs/` (pure
+    * metadata renames), then the stage compacts under the standard
+    * protocol. The migration is convergent — a crash mid-move leaves
+    * the remaining legacy partitions in place and a re-run moves them
+    * — but it briefly splits the corpus across the two layouts, so it
+    * shares the single-writer maintenance window every swap here
+    * assumes (no concurrent corpus readers during the migration).
+    */
+  def compactCorpus(spark: org.apache.spark.sql.SparkSession,
+      corpusDir: String, targetFiles: Int = 8): Unit = {
+    val legacy = graft.util.Fs.listDirNames(spark, corpusDir)
+      .filter(_.startsWith("batch_id="))
+    if (legacy.nonEmpty) {
+      // seed the stage directory so the per-partition renames have a
+      // destination parent on HDFS-semantics stores
+      graft.util.Fs.touch(spark, s"$corpusDir/docs/_MIGRATED")
+      legacy.foreach { name =>
+        require(graft.util.Fs.rename(spark, s"$corpusDir/$name",
+            s"$corpusDir/docs/$name"),
+          s"corpus migration failed moving $name under $corpusDir/docs/")
+      }
+    }
+    graft.llm.IndexMaintenance.compactStages(spark, corpusDir,
+      Seq("docs"), targetFiles)
+  }
 }

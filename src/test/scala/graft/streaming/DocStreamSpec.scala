@@ -246,4 +246,82 @@ class DocStreamSpec extends SparkSpec {
     assert(afterReplay == Seq(1L, 2L, 3L),
       s"replay corrupted the corpus: $afterReplay")
   }
+
+  test("compactCorpus bounds file count, keeps content + gate log, and replays stay no-ops") {
+    val dir = Files.createTempDirectory("doccompact").toString
+    val corpusDir = s"$dir/corpus"
+    val b0 = Seq((1L, "alpha doc one"), (2L, "beta doc two")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "gamma doc three"), (4L, "alpha doc one")).toDF("doc_id", "text")
+    val b2 = Seq((5L, "delta doc four"), (6L, "omega doc five")).toDF("doc_id", "text")
+    DocStream.ingestBatch(b0, corpusDir, 0L, driftGate = true)
+    DocStream.ingestBatch(b1, corpusDir, 1L, driftGate = true)
+    DocStream.ingestBatch(b2, corpusDir, 2L, driftGate = true)
+    def ids() = DocStream.corpus(spark, corpusDir)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    def parquetFiles(p: String) = graft.util.Fs.listFiles(spark, p)
+      .count(_.endsWith(".parquet"))
+    assert(ids() == Seq(1L, 2L, 3L, 5L, 6L), s"pre-compact corpus ${ids()}")
+    val gateRows = DocStream.gateLog(spark, corpusDir).count()
+    assert(gateRows == 2L, "batches 1 and 2 should each have a gate verdict")
+    val before = parquetFiles(s"$corpusDir/docs")
+
+    DocStream.compactCorpus(spark, corpusDir)
+    assert(ids() == Seq(1L, 2L, 3L, 5L, 6L), "compaction changed the corpus")
+    assert(DocStream.gateLog(spark, corpusDir).count() == gateRows,
+      "compaction destroyed the gate log")
+    // one file per batch_id= replay partition afterwards
+    val after = parquetFiles(graft.util.Fs.stagePath(spark, corpusDir, "docs"))
+    assert(after <= 3 && after < before,
+      s"compaction did not bound the file count: $before -> $after")
+
+    // replay stability survives the rewrite: the replayed batch still
+    // excludes its own partition and overwrites only its own files
+    DocStream.ingestBatch(b1, corpusDir, 1L, driftGate = true)
+    assert(ids() == Seq(1L, 2L, 3L, 5L, 6L), "post-compact replay mutated corpus")
+    // and the fold keeps growing normally
+    DocStream.ingestBatch(
+      Seq((7L, "epsilon doc six"), (8L, "beta doc two")).toDF("doc_id", "text"),
+      corpusDir, 3L, driftGate = true)
+    assert(ids() == Seq(1L, 2L, 3L, 5L, 6L, 7L), "post-compact ingest broken")
+  }
+
+  test("compactCorpus migrates a legacy corpus (batch partitions at the top level)") {
+    val dir = Files.createTempDirectory("doclegacy").toString
+    val corpusDir = s"$dir/corpus"
+    // the pre-stage layout, written the way the old fold wrote it:
+    // keyed survivor rows directly under corpusDir/batch_id=N
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("h", md5($"text"))
+      .withColumn("norm_key", md5(trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " "))))
+    keyed(Seq((1L, "legacy doc one"), (2L, "legacy doc two"))
+      .toDF("doc_id", "text")).write.parquet(s"$corpusDir/batch_id=0")
+    def ids() = DocStream.corpus(spark, corpusDir)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids() == Seq(1L, 2L), "legacy layout unreadable through corpus()")
+
+    // the fold keeps appending IN the legacy layout (no silent split)
+    DocStream.ingestBatch(
+      Seq((3L, "legacy doc three"), (4L, "legacy doc one"))
+        .toDF("doc_id", "text"), corpusDir, 1L)
+    assert(ids() == Seq(1L, 2L, 3L), s"legacy-layout ingest broken: ${ids()}")
+    assert(!graft.util.Fs.exists(spark, s"$corpusDir/docs"),
+      "ingest into a legacy corpus must not fork a second layout")
+
+    // migration + compaction: batch partitions move under docs/, the
+    // top level is clean, content and replay discipline are preserved
+    DocStream.compactCorpus(spark, corpusDir)
+    assert(ids() == Seq(1L, 2L, 3L), "migration changed the corpus")
+    assert(graft.util.Fs.listDirNames(spark, corpusDir)
+      .forall(!_.startsWith("batch_id=")),
+      "legacy batch partitions left at the corpus top level")
+    assert(graft.util.Fs.listDirNames(spark,
+        graft.util.Fs.stagePath(spark, corpusDir, "docs"))
+      .count(_.startsWith("batch_id=")) == 2,
+      "migrated stage lost a batch partition")
+    DocStream.ingestBatch(
+      Seq((5L, "legacy doc five"), (6L, "legacy doc two"))
+        .toDF("doc_id", "text"), corpusDir, 2L)
+    assert(ids() == Seq(1L, 2L, 3L, 5L), "post-migration ingest broken")
+  }
 }
