@@ -106,6 +106,9 @@ object Bench {
     // l92: the l72-shaped serving path + one semi-join against the
     // predicate id set (fixture index amortizes via l77)
     "l92_filtered_ann" -> 0.9,
+    // l92b: two filtered serving paths (base + over-probed) + the l82
+    // broadcast brute-force baseline over the allowed subset
+    "l92b_filtered_recall" -> 2.0,
     // q68: the bucket-histogram sliding median pays its x12 window
     // expansion at this fixture's sub-1-event-per-bin density — the
     // docstring's measured crossover; priced at the honest reading

@@ -1908,6 +1908,50 @@ object LlmQueries {
     } finally { s0.unpersist(); () }
   }
 
+  /** Library BPE TRAINING generalized beyond l89's three unrolled
+    * rounds — a real tokenizer run is the one place the round count IS
+    * the product (a production vocab is thousands of merges), so the
+    * iteration is a driver loop over `rounds`, each round ONE
+    * vocabulary-bounded job: the pair-count explode+hash-agg, a 1-row
+    * winner broadcast, and the row-local delimiter-wrapped rewrite
+    * (identical semantics to l89's unrolled three — l89's oracle pins
+    * the 3-round prefix of exactly this loop). The rewritten
+    * vocabulary is CHECKPOINTED each round (`localCheckpoint`, eager),
+    * so round N+1 plans one layer of rewrite instead of N stacked
+    * crossJoin+replace layers — without the lineage cut a thousand-
+    * merge run would hit analyzer/codegen limits long before it hit
+    * compute ones (the l56 iteration lesson). Returns the merge table
+    * `(round, rank, left, right, pair_count)` — top-3 pairs per round,
+    * rank 1 being the adopted merge — and stops EARLY when no adjacent
+    * pair remains (every word fully merged), so the table can carry
+    * fewer than `rounds` rounds on a tiny vocabulary. Determinism is
+    * the l89 total order (count DESC, then lexicographic), so
+    * `trainBpe(n)` is a prefix of `trainBpe(m)` for n <= m —
+    * LlmPipelineSpec pins trainBpe(3) == l89's table cell-for-cell and
+    * the 8-round extension's prefix property.
+    */
+  def trainBpe(s: SparkSession, d: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"trainBpe rounds $rounds < 1")
+    var seqs = bpeVocab(s, d).localCheckpoint(true)
+    val tops = Seq.newBuilder[DataFrame]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // checkpointed because it feeds BOTH the round's report and the
+      // rewrite (and the report is read again by the final union)
+      val pc = bpePairCounts(seqs).localCheckpoint(true)
+      if (pc.isEmpty) exhausted = true
+      else {
+        tops += bpeTop3(pc, r).localCheckpoint(true)
+        if (r < rounds) seqs = bpeMerged(seqs, pc).localCheckpoint(true)
+      }
+      r += 1
+    }
+    val all = tops.result()
+    require(all.nonEmpty, "trainBpe: vocabulary has no adjacent pairs at all")
+    all.reduce(_.unionByName(_)).orderBy("round", "rank")
+  }
+
   /** l91: BPE corpus ENCODE — the inference half of l89's trained
     * tokenizer, applied at corpus scale: every document's words are
     * tokenized under the three learned merges and the per-document
@@ -6488,6 +6532,154 @@ object LlmQueries {
        |SELECT query_id, rank, neighbor_id, cos_x1e6
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** l92b: filtered-ANN RECALL audit + the selectivity-aware
+    * over-probe priced — l82's instrument pointed at the filtered
+    * serving path: per query, how many of the EXACT filtered cosine
+    * top-5 (brute force over the allowed subset) does the filtered IVF
+    * top-5 find, (a) at the base nprobe=4 and (b) with
+    * `autoOverProbe`, which scales the probe width by the filter's
+    * inverse selectivity ([[VectorIndex.overProbeOf]]:
+    * `min(K, nprobe * ceil(|corpus| / |allowed|))`). The chosen width
+    * is emitted as a COLUMN (`nprobe_over`), so the decision formula
+    * itself sits under the driver's hash gate — the oracle re-derives
+    * it from the same two counts in SQL, and an engine that rounds
+    * differently, caps differently, or probes a different width
+    * hash-mismatches. The recall delta between the two column pairs is
+    * the measured value of over-probing on this workload. Scale shape:
+    * two filtered serving paths (probe-pruned, filter semi-joined
+    * before the cosine) + the l82 broadcast brute-force baseline over
+    * the ALLOWED subset only; the decision aggregate is one
+    * distinct-count of the id set + a metadata-cheap lists count.
+    */
+  def qFilteredRecall(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val dir = ivfPqDir(s, d)
+    val queries = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val allowed = docs(s, d).where(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    val effN = VectorIndex.overProbeOf(s, dir, allowed, 4)
+    val base = VectorIndex.searchIvfFiltered(s, dir, queries, allowed, 4, 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val over = VectorIndex.searchIvfFiltered(s, dir, queries, allowed, 4, 5,
+        autoOverProbe = true)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col("query_id"), col("embedding").as("qv"),
+      sqrt(dotD(col("embedding"), col("embedding"))).as("qn"))
+    val corpus = e.where(col("vec_id") >= 10)
+      .join(allowed.distinct(), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        sqrt(dotD(col("embedding"), col("embedding"))).as("nn"))
+    val scored = corpus.join(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        floor(dotD(col("qv"), col("nv")) / (col("qn") * col("nn")) * 1e6 + 0.5)
+          .cast("long").as("cos_x1e6"))
+    val exact = graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq(("cos_x1e6", false), ("neighbor_id", true)), 5)
+      .select(col("query_id"), col("neighbor_id"))
+    def hits(adc: DataFrame, nm: String) =
+      adc.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as(nm))
+    queries.select(col("query_id"))
+      .join(hits(base, "nb"), Seq("query_id"), "left")
+      .join(hits(over, "no"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        lit(4).as("nprobe_base"), lit(effN).as("nprobe_over"),
+        coalesce(col("nb"), lit(0L)).as("n_hits_base"),
+        (coalesce(col("nb"), lit(0L)) * 2000).as("recall_bp_base"),
+        coalesce(col("no"), lit(0L)).as("n_hits_over"),
+        (coalesce(col("no"), lit(0L)) * 2000).as("recall_bp_over"))
+      .orderBy("query_id")
+  }
+  val qFilteredRecallSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |stride AS (SELECT greatest(37, CAST(ceil(COUNT(*) / 1000.0) AS BIGINT)) AS k
+       |  FROM embeddings WHERE vec_id >= 10),
+       |cent AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS cn
+       |  FROM e WHERE vec_id >= 10
+       |    AND vec_id % (SELECT k FROM stride) = 11),
+       |allowed AS (SELECT DISTINCT doc_id AS vec_id FROM documents
+       |            WHERE lang = 'en'),
+       |effn AS (SELECT LEAST(
+       |    (SELECT COUNT(*) FROM cent),
+       |    4 * (((SELECT COUNT(*) FROM e WHERE vec_id >= 10)
+       |          + (SELECT COUNT(*) FROM allowed) - 1)
+       |         // (SELECT COUNT(*) FROM allowed))) AS np),
+       |asg AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS nv, nrm AS nn, c_id,
+       |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cc
+       |  FROM e CROSS JOIN cent WHERE vec_id >= 10),
+       |lists AS (
+       |  SELECT neighbor_id, nv, nn, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+       |      ORDER BY cc DESC, c_id ASC) AS r FROM asg)
+       |  WHERE r = 1),
+       |qasg AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, c_id,
+       |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cc
+       |  FROM e CROSS JOIN cent WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT query_id, qv, qn, c_id, r FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cc DESC, c_id ASC) AS r FROM qasg)),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, r,
+       |    CAST(floor(${dotSql("qv", "nv")} / (qn * nn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cos_x1e6
+       |  FROM probes JOIN lists USING (c_id)
+       |  WHERE neighbor_id IN (SELECT vec_id FROM allowed)),
+       |adcb AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS rank
+       |    FROM scored WHERE r <= 4)
+       |  WHERE rank <= 5),
+       |adco AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS rank
+       |    FROM scored WHERE r <= (SELECT np FROM effn))
+       |  WHERE rank <= 5),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        CAST(floor(${dotSql("q.embedding", "c.embedding")}
+       |          / (q.nrm * c.nrm) * 1e6 + 0.5) AS BIGINT) DESC,
+       |        c.vec_id ASC) AS r
+       |    FROM e q CROSS JOIN e c
+       |    WHERE q.vec_id < 10 AND c.vec_id >= 10
+       |      AND c.vec_id IN (SELECT vec_id FROM allowed))
+       |  WHERE r <= 5),
+       |hb AS (
+       |  SELECT a.query_id, COUNT(*) AS n
+       |  FROM adcb a JOIN exact x
+       |    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+       |  GROUP BY 1),
+       |ho AS (
+       |  SELECT a.query_id, COUNT(*) AS n
+       |  FROM adco a JOIN exact x
+       |    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+       |  GROUP BY 1)
+       |SELECT q.query_id,
+       |  CAST(4 AS INTEGER) AS nprobe_base,
+       |  (SELECT CAST(np AS INTEGER) FROM effn) AS nprobe_over,
+       |  CAST(COALESCE(hb.n, 0) AS BIGINT) AS n_hits_base,
+       |  CAST(COALESCE(hb.n, 0) * 2000 AS BIGINT) AS recall_bp_base,
+       |  CAST(COALESCE(ho.n, 0) AS BIGINT) AS n_hits_over,
+       |  CAST(COALESCE(ho.n, 0) * 2000 AS BIGINT) AS recall_bp_over
+       |FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings
+       |      WHERE vec_id < 10) q
+       |LEFT JOIN hb ON q.query_id = hb.query_id
+       |LEFT JOIN ho ON q.query_id = ho.query_id
+       |ORDER BY q.query_id""".stripMargin
+
   /** The Lloyd-refined IVF fixture behind l85 (`lloydIters = 2`), built
     * once per JVM per data directory; the SAMPLED side reuses the l77
     * fixture's index (same corpus, same seeds, zero refinement).
@@ -6755,6 +6947,7 @@ object LlmQueries {
     "l90_stream_ivfpq" -> qStreamIvfPq _,
     "l91_bpe_encode" -> qBpeEncode _,
     "l92_filtered_ann" -> qFilteredAnn _,
+    "l92b_filtered_recall" -> qFilteredRecall _,
     "l79_ann_compact_parity" -> qAnnCompactParity _,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearch _,
     "l81_vec_drift_gate" -> qVecDriftGate _,
@@ -6850,6 +7043,7 @@ object LlmQueries {
     "l90_stream_ivfpq" -> qIvfPqTopkSql,
     "l91_bpe_encode" -> qBpeEncodeSql,
     "l92_filtered_ann" -> qFilteredAnnSql,
+    "l92b_filtered_recall" -> qFilteredRecallSql,
     "l79_ann_compact_parity" -> qAnnMergeParitySql,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearchSql,
     "l81_vec_drift_gate" -> qVecDriftGateSql,

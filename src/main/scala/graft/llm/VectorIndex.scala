@@ -515,14 +515,22 @@ object VectorIndex {
     * UNFILTERED index, so a very selective filter can return fewer
     * than `topk` rows when the probed lists hold too few allowed
     * vectors — the standard filtered-ANN tradeoff; raise `nprobe` for
-    * selective filters (production systems auto-over-probe the same
-    * way). Returns (query_id, rank, neighbor_id, cos_x1e6).
+    * selective filters, or set `autoOverProbe` and the search scales
+    * it for you (the selectivity-aware over-probe production systems
+    * run): the effective probe count is [[overProbeOf]] —
+    * `min(K, nprobe * ceil(|corpus| / |allowed|))` — so a filter that
+    * passes 1/s of the corpus probes ~s times as many lists, keeping
+    * the EXPECTED number of allowed candidates scanned roughly what
+    * the unfiltered search would scan, at the same per-list cost
+    * model. Returns (query_id, rank, neighbor_id, cos_x1e6).
     */
   def searchIvfFiltered(spark: SparkSession, indexDir: String,
       queries: DataFrame, allowed: DataFrame, nprobe: Int,
-      topk: Int): DataFrame = {
+      topk: Int, autoOverProbe: Boolean = false): DataFrame = {
     val cent = spark.read.parquet(stg(spark, indexDir, "centroids"))
     val lists = spark.read.parquet(stg(spark, indexDir, "lists"))
+    val np = if (autoOverProbe) overProbeOf(spark, indexDir, allowed, nprobe)
+      else nprobe
     val q = queries.select(col("query_id"), col("embedding").as("qv"),
       sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
     val probes = q.join(broadcast(cent))
@@ -530,7 +538,7 @@ object VectorIndex {
         cosQ(col("qv"), col("qn"), col("cv"), col("cn")).as("cc"))
       .withColumn("r", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cc").desc, col("c_id").asc)))
-      .where(col("r") <= nprobe)
+      .where(col("r") <= np)
       .select(col("query_id"), col("qv"), col("qn"), col("c_id"))
     val scored = probes.join(lists, Seq("c_id"))
       .join(allowed.select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi")
@@ -543,6 +551,30 @@ object VectorIndex {
       .withColumn("rank", row_number().over(w))
       .select("query_id", "rank", "neighbor_id", "cos_x1e6")
       .orderBy("query_id", "rank")
+  }
+
+  /** The selectivity-aware EFFECTIVE probe count for a filtered search:
+    * `min(K, nprobe * ceil(|corpus| / |allowed|))` — scale the probe
+    * width by the filter's inverse selectivity, capped at the quantizer
+    * size (probing every list = exact-over-allowed, the natural
+    * ceiling). Rationale: post-filter candidates arrive at rate
+    * |allowed|/|corpus| per scanned row, so a filter passing 1/s of the
+    * corpus needs ~s× the lists to surface the same number of allowed
+    * candidates the unfiltered search would rank. Cost of the decision
+    * itself: one distinct-count over the caller's id set (the filter's
+    * own output, usually tiny next to the corpus), one metadata-cheap
+    * `count()` of the lists (no data columns read — parquet row-group
+    * counts), and the K-bounded centroid count. All-integer arithmetic
+    * so the choice is engine-reproducible (l92b's oracle re-derives
+    * it in SQL and pins it under the hash gate).
+    */
+  def overProbeOf(spark: SparkSession, indexDir: String, allowed: DataFrame,
+      nprobe: Int): Int = {
+    val total = spark.read.parquet(stg(spark, indexDir, "lists")).count()
+    val nAllowed = allowed.select(col("vec_id")).distinct().count()
+    val k = spark.read.parquet(stg(spark, indexDir, "centroids")).count()
+    if (nAllowed == 0L) nprobe
+    else math.min(k, nprobe.toLong * ((total + nAllowed - 1L) / nAllowed)).toInt
   }
 
   /** Align the PQ code table with the IVF lists: `pq_codes_by_list`

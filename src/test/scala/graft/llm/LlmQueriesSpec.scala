@@ -941,4 +941,29 @@ class LlmQueriesSpec extends SparkSpec {
     assert(noise <= 25000000L,
       s"clean split trips the gate (noise statistic $noise) — bar miscalibrated")
   }
+
+  test("trainBpe(3) equals l89's unrolled merge table; trainBpe(8) extends it as a prefix") {
+    val d = "/root/testdata/sf0.001"
+    val cols = Seq("round", "rank", "left", "right", "pair_count")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(cols.map(col): _*)
+      .as[(Int, Int, String, String, Long)].collect().toSeq
+    val unrolled = rows(LlmQueries.qBpeTrain(spark, d))
+    val looped3 = rows(LlmQueries.trainBpe(spark, d, 3))
+    assert(looped3 == unrolled,
+      "the driver-loop trainBpe(3) diverged from l89's unrolled three rounds")
+    val looped8 = rows(LlmQueries.trainBpe(spark, d, 8))
+    assert(looped8.length == 24,
+      s"trainBpe(8) produced ${looped8.length} rows, expected 8 rounds x top-3")
+    // monotone extension: the deterministic total order makes each
+    // round's outcome a pure function of the previous rewrite, so the
+    // 8-round run must start with exactly the 3-round table
+    assert(looped8.take(9) == looped3,
+      "trainBpe(8) is not a monotone extension of trainBpe(3)")
+    // each adopted merge (rank 1) really is consumed: no later round
+    // re-elects an identical (left, right) winner
+    val winners = looped8.filter(_._2 == 1).map(r => (r._3, r._4))
+    assert(winners.distinct.length == winners.length,
+      s"a merged pair was re-elected in a later round: $winners")
+  }
 }
