@@ -109,6 +109,9 @@ object Bench {
     // l92b: two filtered serving paths (base + over-probed) + the l82
     // broadcast brute-force baseline over the allowed subset
     "l92b_filtered_recall" -> 2.0,
+    // l93: reads the maintained (1x16-rebanded) pairs artifact; the
+    // fixture's flood/audit/reband amortizes across the JVM
+    "l93_band_maintenance" -> 0.8,
     // q68: the bucket-histogram sliding median pays its x12 window
     // expansion at this fixture's sub-1-event-per-bin density — the
     // docstring's measured crossover; priced at the honest reading

@@ -52,7 +52,8 @@ object ClusterSmoke {
     "l88_reband_parity", // reband actuator + scheme-aware post-reband merge (round 15)
     "l90_stream_ivfpq", // stream-grown IVFADC: pqCodes fold + composed serving path (round 15)
     "l92_filtered_ann", // metadata-predicate filtered ANN: semi-join before scoring (round 15)
-    "l92b_filtered_recall" // filtered recall audit + selectivity-aware over-probe (round 16)
+    "l92b_filtered_recall", // filtered recall audit + selectivity-aware over-probe (round 16)
+    "l93_band_maintenance" // text-index maintenance loop: flood -> pressure bar -> reband (round 16)
   )
 
   def main(args: Array[String]): Unit = {

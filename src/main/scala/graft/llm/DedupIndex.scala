@@ -447,6 +447,83 @@ object DedupIndex {
     } finally { banded.unpersist(); () }
   }
 
+  /** The documented operational re-banding bar: more than 3 candidate
+    * pairs per indexed document (`pressure x1e4 > 30000`) — the
+    * candidate volume at which the banding scheme, not the scorer, is
+    * the quadratic cost l75's sweep prices. The healthy synthetic
+    * corpora read well under it at every SF; a near-duplicate flood
+    * (one crawler page re-emitted under fresh ids) blows past it.
+    */
+  val RebandBarX1e4: Long = 30000L
+
+  /** AUDIT the index's candidate-pair pressure and RECORD the verdict —
+    * the text-side analog of [[VectorIndex.auditCellBalance]], closing
+    * the bookkeeping gap between l75 (which PRICES the banding
+    * tradeoff) and [[reband]] (which ACTUATES it): pressure =
+    * `|pairs| x 10^4 / |documents|`, judged against `barX1e4`. The
+    * verdict lands as one row under `_maintenance/banding`
+    * (mode=overwrite — each audit supersedes the last, replays are
+    * idempotent) where [[maintainIfDue]] consumes it; recording even a
+    * healthy verdict keeps an audit trail a monitoring scrape can
+    * read. Cost: two metadata-cheap `count()`s (parquet row-group
+    * counts — no data columns read), a BigInt division, one 1-row
+    * write — corpus-size-independent, so it can run after every
+    * [[merge]]. Note the bar measures CANDIDATE VOLUME: a true-
+    * duplicate flood keeps tripping it even after a coarser re-banding
+    * (those candidates are real pairs — removing them is upstream
+    * dedup's job, not the index's); what the actuator buys is the
+    * near-threshold noise component. Returns whether a reband is due.
+    */
+  def auditBandingPressure(spark: SparkSession, indexDir: String,
+      barX1e4: Long = RebandBarX1e4): Boolean = {
+    val pairs = spark.read.parquet(stg(spark, indexDir, "pairs")).count()
+    val docs = spark.read.parquet(stg(spark, indexDir, "signatures")).count()
+    // BigInt: a hot-bucket pathology can put |pairs| near |docs|^2 —
+    // the one regime this audit exists to flag must not overflow
+    val pressure =
+      if (docs == 0L) 0L else (BigInt(pairs) * 10000 / docs).toLong
+    val due = pressure > barX1e4
+    spark.range(1).select(lit(pressure).as("pressure_x1e4"),
+        lit(barX1e4).as("bar_x1e4"), lit(due).as("reband"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexDir/_maintenance/banding")
+    due
+  }
+
+  /** Is a recorded reband verdict pending? (No verdict file = no.) */
+  def maintenanceDue(spark: SparkSession, indexDir: String): Boolean =
+    graft.util.Fs.isFile(spark,
+      s"$indexDir/_maintenance/banding/_SUCCESS") &&
+      spark.read.parquet(s"$indexDir/_maintenance/banding")
+        .where(col("reband")).limit(1).count() > 0
+
+  /** CONSUME a recorded reband verdict: if [[auditBandingPressure]]
+    * left `reband = true`, re-band to the precision-leaning target
+    * scheme (default 1x16 — the coarsest tiling, highest S-curve
+    * threshold, the direction that sheds candidate volume) and clear
+    * the verdict — the closed loop [[VectorIndex.maintainIfDue]] runs
+    * for the vector index, applied to the text index: the audit's bar
+    * terminates in a proven actuator instead of a human. The verdict
+    * is cleared AFTER the reband commits: a crash mid-reband leaves it
+    * up and the re-run rebands again (content-idempotent — reband is a
+    * pure derivation from the persisted signatures) rather than
+    * silently skipping. Same single-writer maintenance window as every
+    * swap here; streamed `batch_id=` layouts are refused by [[reband]]
+    * itself (fold them into a batch index first). Returns whether a
+    * reband ran.
+    */
+  def maintainIfDue(spark: SparkSession, indexDir: String,
+      numBands: Int = 1, rowsPerBand: Int = 16,
+      prefixLen: Int = 1): Boolean = {
+    val due = maintenanceDue(spark, indexDir)
+    if (due) {
+      reband(spark, indexDir, numBands, rowsPerBand, prefixLen)
+      graft.util.Fs.delete(spark, s"$indexDir/_maintenance/banding")
+    }
+    due
+  }
+
   /** The distinct-shingle-set frame (doc_id, sh_set) `build` persists
     * under `shingle_sets/` — exposed for incremental writers and scale
     * probes, mirroring [[bandsOf]].

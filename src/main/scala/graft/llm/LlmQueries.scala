@@ -5689,6 +5689,99 @@ object LlmQueries {
        |FROM pairs ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** The band-maintained fixture behind l93: the CLOSED text-index
+    * maintenance loop — the [[VectorIndex]] l87 shape applied to the
+    * dedup index. A near-duplicate flood (one page re-emitted under
+    * `4 * ceil(sqrt(n))` fresh ids — sized so the flood's candidate
+    * pairs stay O(n) while the per-document pressure it adds is
+    * constant across SFs) is merged into a healthy index;
+    * [[DedupIndex.auditBandingPressure]] must flip the 3-pairs-per-doc
+    * verdict, and [[DedupIndex.maintainIfDue]] must consume it with
+    * the precision-leaning 1x16 [[DedupIndex.reband]] — all REQUIREd
+    * here, so a loop that fails to fire or to actuate breaks the
+    * query loudly rather than serving a stale scheme that happens to
+    * hash-match.
+    */
+  private val bandMaintainedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bandMaintainedDir(s: SparkSession, d: String): String =
+    bandMaintainedDirs.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bandmaint-")
+        .toString
+      deleteOnExit(tmp)
+      val corpus = docs(s, d).select(col("doc_id"), col("text"))
+      DedupIndex.build(corpus, tmp)
+      require(!DedupIndex.auditBandingPressure(s, tmp),
+        "l93 fixture: the healthy corpus must not trip the candidate-volume bar")
+      val n = corpus.count()
+      val m = 4L * math.ceil(math.sqrt(n.toDouble)).toLong
+      val flood = s.range(1, m + 1)
+        .select((col("id") + 900000L).as("doc_id"))
+        .crossJoin(broadcast(
+          corpus.orderBy(col("doc_id").asc).limit(1).select(col("text"))))
+      DedupIndex.merge(s, tmp, flood, mergeId = Some("l93-flood"))
+      require(DedupIndex.auditBandingPressure(s, tmp),
+        "l93 fixture: the near-dup flood must trip the candidate-volume bar")
+      require(DedupIndex.maintainIfDue(s, tmp),
+        "l93 fixture: the recorded verdict must actuate the reband")
+      require(DedupIndex.bandingOf(s, tmp) == ((1, 16)),
+        "l93 fixture: the maintained index must serve the 1x16 scheme")
+      tmp
+    })
+
+  /** l93: the text-index MAINTENANCE LOOP closed under the driver's
+    * cell-hash gate — l75 prices the banding tradeoff, l88 proves the
+    * actuator, and this query closes the circuit between them exactly
+    * as l87 closed the vector one: the flood trips
+    * [[DedupIndex.auditBandingPressure]]'s candidate-volume bar, the
+    * recorded verdict is consumed by [[DedupIndex.maintainIfDue]]'s
+    * 1x16 re-banding, and the measured query serves the maintained
+    * pairs artifact. The oracle re-derives the whole loop in closed
+    * form — union corpus (documents + the sqrt-sized flood), 16-lane
+    * signatures, the SINGLE full-signature band, the bucket self-join
+    * — so an audit that never fires, an actuator that skips, a reband
+    * that loses pairs or keys a band wrong, or a flood sized
+    * differently on either engine hash-mismatches. Scale shape: the
+    * measured query reads the rebanded pairs artifact (fixture
+    * amortizes across the JVM); classification is row-local; the
+    * audit itself is two metadata-cheap counts.
+    */
+  def qBandMaintenance(s: SparkSession, d: String): DataFrame = {
+    val kind = (c: Column) => c >= 900000L
+    DedupIndex.candidatePairs(s, bandMaintainedDir(s, d))
+      .select(col("doc_a"), col("doc_b"),
+        when(kind(col("doc_a")) && kind(col("doc_b")), lit("flood"))
+          .when(!kind(col("doc_a")) && !kind(col("doc_b")), lit("corpus"))
+          .otherwise(lit("cross")).as("pair_kind"))
+      .orderBy("doc_a", "doc_b")
+  }
+  val qBandMaintenanceSql: String = {
+    val cat16 = (0 until 16).map(j => s"CAST(sig$j AS VARCHAR)")
+      .mkString(" || '|' || ")
+    s"""WITH flood AS (
+       |  SELECT CAST(900000 + x AS BIGINT) AS doc_id, b.text
+       |  FROM (SELECT unnest(generate_series(1,
+       |      (SELECT 4 * CAST(ceil(sqrt(COUNT(*))) AS BIGINT)
+       |       FROM documents))) AS x) t
+       |  CROSS JOIN (SELECT text FROM documents
+       |              WHERE doc_id = (SELECT MIN(doc_id) FROM documents)) b),
+       |u AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, text FROM flood),
+       |${sigsSqlCtes("u")},
+       |banded1 AS (
+       |  SELECT doc_id, 0 AS band, md5($cat16) AS bkey FROM sigs),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded1 a JOIN banded1 b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CASE WHEN doc_a >= 900000 AND doc_b >= 900000 THEN 'flood'
+       |       WHEN doc_a < 900000 AND doc_b < 900000 THEN 'corpus'
+       |       ELSE 'cross' END AS pair_kind
+       |FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** The IVF+PQ fixture behind l77: BOTH index halves built over the
     * corpus (vec_id >= 10) in one directory, once per JVM per data
     * directory — the serving deployment [[VectorIndex.searchIvfPq]]
@@ -6602,11 +6695,13 @@ object LlmQueries {
        |    AND vec_id % (SELECT k FROM stride) = 11),
        |allowed AS (SELECT DISTINCT doc_id AS vec_id FROM documents
        |            WHERE lang = 'en'),
+       |held AS (SELECT COUNT(*) AS na FROM allowed
+       |         WHERE vec_id IN (SELECT vec_id FROM e WHERE vec_id >= 10)),
        |effn AS (SELECT LEAST(
        |    (SELECT COUNT(*) FROM cent),
        |    4 * (((SELECT COUNT(*) FROM e WHERE vec_id >= 10)
-       |          + (SELECT COUNT(*) FROM allowed) - 1)
-       |         // (SELECT COUNT(*) FROM allowed))) AS np),
+       |          + (SELECT na FROM held) - 1)
+       |         // (SELECT na FROM held))) AS np),
        |asg AS (
        |  SELECT vec_id AS neighbor_id, embedding AS nv, nrm AS nn, c_id,
        |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
@@ -6948,6 +7043,7 @@ object LlmQueries {
     "l91_bpe_encode" -> qBpeEncode _,
     "l92_filtered_ann" -> qFilteredAnn _,
     "l92b_filtered_recall" -> qFilteredRecall _,
+    "l93_band_maintenance" -> qBandMaintenance _,
     "l79_ann_compact_parity" -> qAnnCompactParity _,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearch _,
     "l81_vec_drift_gate" -> qVecDriftGate _,
@@ -7044,6 +7140,7 @@ object LlmQueries {
     "l91_bpe_encode" -> qBpeEncodeSql,
     "l92_filtered_ann" -> qFilteredAnnSql,
     "l92b_filtered_recall" -> qFilteredRecallSql,
+    "l93_band_maintenance" -> qBandMaintenanceSql,
     "l79_ann_compact_parity" -> qAnnMergeParitySql,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearchSql,
     "l81_vec_drift_gate" -> qVecDriftGateSql,

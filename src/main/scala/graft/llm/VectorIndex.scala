@@ -518,7 +518,7 @@ object VectorIndex {
     * selective filters, or set `autoOverProbe` and the search scales
     * it for you (the selectivity-aware over-probe production systems
     * run): the effective probe count is [[overProbeOf]] —
-    * `min(K, nprobe * ceil(|corpus| / |allowed|))` — so a filter that
+    * `min(K, nprobe * ceil(|corpus| / |allowed ∩ corpus|))` — so a filter that
     * passes 1/s of the corpus probes ~s times as many lists, keeping
     * the EXPECTED number of allowed candidates scanned roughly what
     * the unfiltered search would scan, at the same per-list cost
@@ -554,24 +554,32 @@ object VectorIndex {
   }
 
   /** The selectivity-aware EFFECTIVE probe count for a filtered search:
-    * `min(K, nprobe * ceil(|corpus| / |allowed|))` — scale the probe
-    * width by the filter's inverse selectivity, capped at the quantizer
-    * size (probing every list = exact-over-allowed, the natural
-    * ceiling). Rationale: post-filter candidates arrive at rate
-    * |allowed|/|corpus| per scanned row, so a filter passing 1/s of the
-    * corpus needs ~s× the lists to surface the same number of allowed
-    * candidates the unfiltered search would rank. Cost of the decision
-    * itself: one distinct-count over the caller's id set (the filter's
-    * own output, usually tiny next to the corpus), one metadata-cheap
-    * `count()` of the lists (no data columns read — parquet row-group
-    * counts), and the K-bounded centroid count. All-integer arithmetic
-    * so the choice is engine-reproducible (l92b's oracle re-derives
-    * it in SQL and pins it under the hash gate).
+    * `min(K, nprobe * ceil(|corpus| / |allowed ∩ corpus|))` — scale
+    * the probe width by the filter's inverse selectivity, capped at
+    * the quantizer size (probing every list = exact-over-allowed, the
+    * natural ceiling). Rationale: post-filter candidates arrive at
+    * rate |allowed ∩ corpus|/|corpus| per scanned row, so a filter
+    * passing 1/s of the corpus needs ~s× the lists to surface the
+    * same number of allowed candidates the unfiltered search would
+    * rank. The selectivity is measured against the INTERSECTION with
+    * the indexed corpus — the caller's id set may name ids the index
+    * does not hold (a predicate over a wider table), and counting
+    * those would understate how selective the filter really is where
+    * it matters. Cost of the decision: one column-pruned semi-join of
+    * the lists' id column against the (usually tiny) allowed set, a
+    * metadata-cheap lists `count()`, and the K-bounded centroid
+    * count. All-integer arithmetic so the choice is
+    * engine-reproducible (l92b's oracle re-derives it in SQL and pins
+    * it under the hash gate).
     */
   def overProbeOf(spark: SparkSession, indexDir: String, allowed: DataFrame,
       nprobe: Int): Int = {
-    val total = spark.read.parquet(stg(spark, indexDir, "lists")).count()
-    val nAllowed = allowed.select(col("vec_id")).distinct().count()
+    val lists = spark.read.parquet(stg(spark, indexDir, "lists"))
+    val total = lists.count()
+    val nAllowed = lists.select(col("vec_id"))
+      .join(allowed.select(col("vec_id")).distinct(), Seq("vec_id"),
+        "left_semi")
+      .count()
     val k = spark.read.parquet(stg(spark, indexDir, "centroids")).count()
     if (nAllowed == 0L) nprobe
     else math.min(k, nprobe.toLong * ((total + nAllowed - 1L) / nAllowed)).toInt

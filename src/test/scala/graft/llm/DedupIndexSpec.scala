@@ -438,6 +438,57 @@ class DedupIndexSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.index.retainGens")
   }
 
+  test("banding-pressure audit records a verdict; maintainIfDue consumes it with the 1x16 reband") {
+    val dir = Files.createTempDirectory("dedupmaint").toString
+    val idx = s"$dir/idx"
+    DedupIndex.build(corpus, idx)
+    // healthy: verdict recorded, reband=false, actuator is a no-op
+    assert(!DedupIndex.auditBandingPressure(spark, idx),
+      "healthy fixture corpus trips the candidate-volume bar")
+    val healthy = spark.read.parquet(s"$idx/_maintenance/banding")
+      .select($"pressure_x1e4", $"bar_x1e4", $"reband")
+      .as[(Long, Long, Boolean)].head()
+    assert(!healthy._3 && healthy._1 <= healthy._2,
+      s"healthy verdict inconsistent: $healthy")
+    assert(!DedupIndex.maintainIfDue(spark, idx),
+      "maintainIfDue actuated on a healthy verdict")
+    assert(DedupIndex.bandingOf(spark, idx) == ((2, 8)),
+      "no-op maintenance changed the banding scheme")
+
+    // flood: one page re-emitted under fresh ids — pressure blows the
+    // bar, the verdict is recorded, the actuator rebands to 1x16 and
+    // clears it only after the reband committed
+    val page = corpus.orderBy($"doc_id").limit(1)
+      .select($"text").as[String].head()
+    val flood = spark.range(1, 121)
+      .select(($"id" + 900000L).as("doc_id"), lit(page).as("text"))
+    DedupIndex.merge(spark, idx, flood, mergeId = Some("maint-flood"))
+    assert(DedupIndex.auditBandingPressure(spark, idx),
+      "the flood did not trip the candidate-volume bar")
+    assert(DedupIndex.maintenanceDue(spark, idx))
+    assert(DedupIndex.maintainIfDue(spark, idx),
+      "a recorded reband verdict was not actuated")
+    assert(DedupIndex.bandingOf(spark, idx) == ((1, 16)),
+      "the actuator did not leave the index in the target scheme")
+    assert(!DedupIndex.maintenanceDue(spark, idx),
+      "the consumed verdict was not cleared")
+    // the maintained index serves: flood pairs are all present under
+    // the new scheme (identical text -> identical full signature)
+    val floodPairs = DedupIndex.candidatePairs(spark, idx)
+      .where($"doc_a" >= 900000L && $"doc_b" >= 900000L).count()
+    assert(floodPairs == 120L * 119L / 2L,
+      s"rebanded index lost flood pairs: $floodPairs")
+    // and a post-maintenance merge bands in the NEW scheme (the l88
+    // guarantee, re-checked through the maintenance path)
+    val delta = corpus.where($"doc_id" % 10 === 7)
+      .withColumn("doc_id", $"doc_id" + 700000L)
+    DedupIndex.merge(spark, idx, delta, mergeId = Some("maint-post"))
+    val crossDup = DedupIndex.candidatePairs(spark, idx)
+      .where($"doc_b" === $"doc_a" + 700000L).count()
+    assert(crossDup > 0,
+      "post-maintenance merge banded in a stale scheme (no exact-dup pairs)")
+  }
+
   test("compact preserves a streamed index's batch_id= replay partitions") {
     val dir = Files.createTempDirectory("dedupidx").toString
     val idx = s"$dir/idx"
