@@ -48,6 +48,11 @@ object Soak {
       spark.stop()
       return
     }
+    if (sys.env.get("SOAK_MODE").contains("corpus")) {
+      corpusScale(spark, sfDir)
+      spark.stop()
+      return
+    }
 
     val cfg = graft.config.SignalConfig(encoderType = "derivative",
       minPrice = 39000, maxPrice = 44000, tickDerivativeImagScale = 2.0f)
@@ -372,6 +377,87 @@ object Soak {
       spark.catalog.clearCache()
       System.gc()
     }
+  }
+
+  /** Streamed-corpus compaction probe (`SOAK_MODE=corpus`): fold the
+    * documents into N micro-batches (default 8/16/32 —
+    * `SOAK_BATCHES`), so the corpus accretes one file set per batch,
+    * then time the per-batch cost a LIVE fold keeps paying — one more
+    * [[graft.streaming.DocStream.ingestBatch]], whose two anti-joins
+    * probe the whole accumulated corpus — before and after
+    * [[graft.streaming.DocStream.compactCorpus]], with the parquet
+    * file counts that drive the difference. The claims under test:
+    * probe cost grows with the FILE count a long-lived stream
+    * accretes (not just rows), compaction bounds files at one per
+    * replay partition, content survives exactly, and a replayed batch
+    * stays a no-op through the rewrite.
+    */
+  private def corpusScale(spark: SparkSession, sfDir: String): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count(): Unit
+    // Emulate the shape a CLUSTER fold has at real scale: there the
+    // corpus side of the probe's anti-joins is far past any broadcast
+    // threshold (it is the whole accumulated corpus), the joins
+    // shuffle, and each batch write lands shuffle-partition-many
+    // files. Locally the fixture corpus broadcasts and AQE coalesces
+    // the tiny outputs to one file per batch — which hides exactly
+    // the per-file accretion compaction exists to bound. (Compaction's
+    // own output is unaffected by either conf — its
+    // one-file-per-directory shape comes from the repartition on the
+    // partition keys.)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+    def timed(label: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      System.err.println(
+        f"[soak-corpus] $label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    sys.env.getOrElse("SOAK_BATCHES", "8,16,32").split(",").map(_.trim.toInt)
+      .toSeq.foreach { batches =>
+      val dir = java.nio.file.Files.createTempDirectory("soak-corpus-").toString
+      val corpusDir = s"$dir/corpus"
+      (0 until batches).foreach { b =>
+        graft.streaming.DocStream.ingestBatch(
+          docs.where(pmod(col("doc_id"), lit(batches)) === b), corpusDir,
+          b.toLong)
+      }
+      // the probe batch is NOVEL (fresh ids, text salted per doc), so
+      // its cost profile is the live fold's: full anti-join probe +
+      // a real survivor write
+      val probe = docs.where(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 800000L).as("doc_id"),
+          concat(col("text"), lit(" zq"), col("doc_id")).as("text"))
+      val probeN = probe.count()
+      val rows0 = graft.streaming.DocStream.corpus(spark, corpusDir).count()
+      def files(): Long = graft.util.Fs
+        .listFiles(spark, graft.streaming.DocStream.dataDir(spark, corpusDir))
+        .count(_.endsWith(".parquet")).toLong
+      val f0 = files()
+      timed(s"${batches}b pre-compact ingest ($f0 files)")(
+        graft.streaming.DocStream.ingestBatch(probe, corpusDir, 9999L))
+      timed(s"${batches}b compactCorpus")(
+        graft.streaming.DocStream.compactCorpus(spark, corpusDir))
+      val f1 = files()
+      require(graft.streaming.DocStream.corpus(spark, corpusDir).count() ==
+        rows0 + probeN, "compaction changed the corpus row count")
+      timed(s"${batches}b post-compact replay ($f1 files)")(
+        graft.streaming.DocStream.ingestBatch(probe, corpusDir, 9999L))
+      require(graft.streaming.DocStream.corpus(spark, corpusDir).count() ==
+        rows0 + probeN, "post-compact replay changed the corpus")
+      System.err.println(s"[soak-corpus] ${batches}b files $f0 -> $f1")
+      graft.llm.LlmQueries.deleteRecursively(new java.io.File(dir))
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    docs.unpersist(): Unit
   }
 
   /** IVF-PQ serving-layout scale probe (`SOAK_MODE=ivfpq`): time
