@@ -414,11 +414,12 @@ object DedupIndex {
     * pairs have no well-defined owning batch.
     */
   def reband(spark: SparkSession, indexDir: String, numBands: Int,
-      rowsPerBand: Int, prefixLen: Int = 1): Unit = {
+      rowsPerBand: Int, prefixLen: Int = 1,
+      swapMode: Option[String] = None): Unit = {
     require(numBands * rowsPerBand == 16,
       s"reband scheme ${numBands}x$rowsPerBand does not tile the 16-lane signature")
     val stages = Seq("bands", "pairs")
-    IndexMaintenance.recoverStages(spark, indexDir, stages)
+    IndexMaintenance.recoverStages(spark, indexDir, stages, swapMode)
     require(!spark.read.parquet(stg(spark, indexDir, "bands"))
         .columns.contains("batch_id"),
       s"reband at $indexDir: a streamed batch_id= layout cannot be rebanded " +
@@ -431,8 +432,10 @@ object DedupIndex {
       .withColumn("bp", substring(col("bkey"), 1, prefixLen))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val stagedBands = IndexMaintenance.stagedDir(spark, indexDir, "bands")
-      val stagedPairs = IndexMaintenance.stagedDir(spark, indexDir, "pairs")
+      val stagedBands = IndexMaintenance.stagedDir(spark, indexDir, "bands",
+        swapMode)
+      val stagedPairs = IndexMaintenance.stagedDir(spark, indexDir, "pairs",
+        swapMode)
       banded.repartition(col("bp")).write.mode(SaveMode.Overwrite)
         .partitionBy("bp").parquet(stagedBands)
       // the scheme file is staged INSIDE the replacement bands dir, so
@@ -441,7 +444,7 @@ object DedupIndex {
         s"${numBands}x$rowsPerBand")
       LlmQueries.lshSelfJoin(banded)
         .write.mode(SaveMode.Overwrite).parquet(stagedPairs)
-      IndexMaintenance.swapStages(spark, indexDir, stages)
+      IndexMaintenance.swapStages(spark, indexDir, stages, swapMode)
       graft.util.Fs.delete(spark, s"$indexDir/_compact")
       graft.util.Fs.delete(spark, s"$indexDir/_merges")
     } finally { banded.unpersist(); () }

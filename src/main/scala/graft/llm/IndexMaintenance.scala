@@ -190,6 +190,23 @@ private[graft] object IndexMaintenance {
 
   private def swapByRename(spark: SparkSession, indexDir: String,
       stages: Seq[String]): Unit = {
+    // An explicit `rename` override on a pointer-governed layout must
+    // fail LOUDLY, not silently swap the retained (stale) bare
+    // directory while every reader keeps resolving through the
+    // pointer: the documented migration contract is that the operator
+    // first moves the pointed generations back to the bare paths AND
+    // removes the pointers. Before flips retained their superseded
+    // copies this misuse failed on the missing bare path; the guard
+    // restores that loudness.
+    stages.foreach { stage =>
+      require(!Fs.isFile(spark, s"$indexDir/_ptr/$stage"),
+        s"rename-protocol swap for $stage at $indexDir: the stage is " +
+          "pointer-governed (_ptr/" + stage + " exists) — a rename swap " +
+          "would replace the retained stale bare copy while readers keep " +
+          "serving the pointed generation; migrate the layout back (move " +
+          "the pointed generation to the bare path, remove the pointer) " +
+          "before forcing swapMode=rename")
+    }
     stages.foreach { stage =>
       require(Fs.isFile(spark, s"$indexDir/_compact/$stage/_SUCCESS"),
         s"stage swap for $stage: staged rewrite at " +

@@ -6651,11 +6651,14 @@ object LlmQueries {
       .select(col("vec_id").as("query_id"), col("embedding"))
     val allowed = docs(s, d).where(col("lang") === "en")
       .select(col("doc_id").as("vec_id"))
+    // the decision aggregate runs ONCE: the chosen width feeds both
+    // the report column and the over-probed search (passing it as the
+    // explicit nprobe is definitionally what autoOverProbe computes —
+    // VectorIndexSpec pins the two paths identical)
     val effN = VectorIndex.overProbeOf(s, dir, allowed, 4)
     val base = VectorIndex.searchIvfFiltered(s, dir, queries, allowed, 4, 5)
       .select(col("query_id"), col("neighbor_id"))
-    val over = VectorIndex.searchIvfFiltered(s, dir, queries, allowed, 4, 5,
-        autoOverProbe = true)
+    val over = VectorIndex.searchIvfFiltered(s, dir, queries, allowed, effN, 5)
       .select(col("query_id"), col("neighbor_id"))
     val q = queries.select(col("query_id"), col("embedding").as("qv"),
       sqrt(dotD(col("embedding"), col("embedding"))).as("qn"))

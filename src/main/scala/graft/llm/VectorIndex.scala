@@ -294,13 +294,14 @@ object VectorIndex {
     * afterwards fails loudly on the id-overlap guard.
     */
   def compactIvf(spark: SparkSession, indexDir: String,
-      targetFiles: Int = 8): Unit = {
+      targetFiles: Int = 8, swapMode: Option[String] = None): Unit = {
     // a crashed-merge duplicate row this rewrite removes from the lists
     // could survive in the aligned code table and double-count that
     // vector's ADC partial sums — drop the artifact first (removed rows
     // cannot be reconciled by an append; see [[invalidateAligned]])
     dropAligned(spark, indexDir)
-    IndexMaintenance.compactStages(spark, indexDir, Seq("lists"), targetFiles)
+    IndexMaintenance.compactStages(spark, indexDir, Seq("lists"), targetFiles,
+      swapMode)
   }
 
   /** [[compactIvf]] for the PQ artifacts: rewrites `pq_codes` distinct
@@ -308,9 +309,10 @@ object VectorIndex {
     * is bounded and overwrite-only). Clears merge markers.
     */
   def compactPq(spark: SparkSession, indexDir: String,
-      targetFiles: Int = 8): Unit = {
+      targetFiles: Int = 8, swapMode: Option[String] = None): Unit = {
     dropAligned(spark, indexDir)
-    IndexMaintenance.compactStages(spark, indexDir, Seq("pq_codes"), targetFiles)
+    IndexMaintenance.compactStages(spark, indexDir, Seq("pq_codes"),
+      targetFiles, swapMode)
   }
 
   /** RETRAIN the coarse quantizer over the CURRENT corpus and re-key
@@ -348,9 +350,9 @@ object VectorIndex {
     * old mergeId afterwards fails loudly on the id-overlap guard.
     */
   def retrainIvf(spark: SparkSession, indexDir: String,
-      lloydIters: Int = 0): Unit = {
+      lloydIters: Int = 0, swapMode: Option[String] = None): Unit = {
     val stages = Seq("centroids", "lists")
-    IndexMaintenance.recoverStages(spark, indexDir, stages)
+    IndexMaintenance.recoverStages(spark, indexDir, stages, swapMode)
     val live = spark.read.parquet(stg(spark, indexDir, "lists"))
     // A STREAMED layout ([[graft.streaming.VecStream]]) carries a
     // batch_id= partition layer above c_id=; the re-key must preserve
@@ -369,8 +371,10 @@ object VectorIndex {
       // staging targets per the store's swap protocol: `_compact/…`
       // where renames are atomic, a fresh unreferenced `_gen/…`
       // generation under the object-store pointer protocol
-      val stagedCent = IndexMaintenance.stagedDir(spark, indexDir, "centroids")
-      val stagedLists = IndexMaintenance.stagedDir(spark, indexDir, "lists")
+      val stagedCent = IndexMaintenance.stagedDir(spark, indexDir,
+        "centroids", swapMode)
+      val stagedLists = IndexMaintenance.stagedDir(spark, indexDir, "lists",
+        swapMode)
       writeQuantizer(corpus, stagedCent, lloydIters)
       val cent = spark.read.parquet(stagedCent)
       val e = corpus.select(col("vec_id"), col("embedding"),
@@ -387,7 +391,7 @@ object VectorIndex {
       // the re-key invalidates every c_id-keyed derivative
       dropAligned(spark, indexDir)
       graft.util.Fs.delete(spark, s"$indexDir/_align_pending")
-      IndexMaintenance.swapStages(spark, indexDir, stages)
+      IndexMaintenance.swapStages(spark, indexDir, stages, swapMode)
       graft.util.Fs.delete(spark, s"$indexDir/_compact")
       graft.util.Fs.delete(spark, s"$indexDir/_merges")
     } finally { corpus.unpersist(); () }

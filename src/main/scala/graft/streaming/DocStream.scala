@@ -53,6 +53,14 @@ object DocStream {
       corpusDir: String): String = {
     val staged = graft.util.Fs.exists(spark, s"$corpusDir/docs") ||
       graft.util.Fs.isFile(spark, s"$corpusDir/_ptr/docs")
+    // A corpus holding BOTH layouts is a crashed migration: serving or
+    // folding against only the migrated half would silently admit
+    // duplicates of the unmigrated documents (and read partial
+    // corpora) — fail loudly until the re-run finishes the migration.
+    require(!(staged && legacyLayout(spark, corpusDir)),
+      s"corpus at $corpusDir is split across the legacy and docs/ layouts " +
+        "(a crashed migration) — re-run DocStream.compactCorpus to finish " +
+        "the migration before reading or folding")
     if (!staged && legacyLayout(spark, corpusDir)) corpusDir
     else graft.util.Fs.stagePath(spark, corpusDir, "docs")
   }
@@ -281,29 +289,49 @@ object DocStream {
     *
     * A LEGACY corpus (`batch_id=` partitions directly under
     * `corpusDir`, written before the `docs/` stage existed) is
-    * migrated first: each batch partition moves under `docs/` (pure
-    * metadata renames), then the stage compacts under the standard
-    * protocol. The migration is convergent — a crash mid-move leaves
-    * the remaining legacy partitions in place and a re-run moves them
-    * — but it briefly splits the corpus across the two layouts, so it
-    * shares the single-writer maintenance window every swap here
-    * assumes (no concurrent corpus readers during the migration).
+    * migrated first. On atomic-rename stores each batch partition
+    * MOVES under `docs/` (pure metadata renames); on object stores —
+    * where rename is a non-atomic copy+delete that a crash can tear
+    * mid-partition — the migration is instead ONE content-copy job
+    * (read the legacy partitions under their inferred `batch_id=`
+    * keys, write the stage in one parquet commit) followed by
+    * deleting the legacy partitions, so a torn state is impossible:
+    * either the stage write committed or it didn't. Both paths are
+    * convergent under a crash — a re-run finishes the remaining moves
+    * (or re-runs the copy, content-identically) — and while the
+    * corpus is split across the two layouts every read and fold FAILS
+    * LOUDLY ([[dataDir]]) instead of silently serving the migrated
+    * half; like every swap here, the migration assumes the
+    * single-writer maintenance window (stream stopped).
     */
   def compactCorpus(spark: org.apache.spark.sql.SparkSession,
-      corpusDir: String, targetFiles: Int = 8): Unit = {
+      corpusDir: String, targetFiles: Int = 8,
+      swapMode: Option[String] = None): Unit = {
     val legacy = graft.util.Fs.listDirNames(spark, corpusDir)
       .filter(_.startsWith("batch_id="))
     if (legacy.nonEmpty) {
-      // seed the stage directory so the per-partition renames have a
-      // destination parent on HDFS-semantics stores
-      graft.util.Fs.touch(spark, s"$corpusDir/docs/_MIGRATED")
-      legacy.foreach { name =>
-        require(graft.util.Fs.rename(spark, s"$corpusDir/$name",
-            s"$corpusDir/docs/$name"),
-          s"corpus migration failed moving $name under $corpusDir/docs/")
+      if (graft.util.Fs.atomicRename(spark, corpusDir)) {
+        // seed the stage directory so the per-partition renames have a
+        // destination parent
+        graft.util.Fs.touch(spark, s"$corpusDir/docs/_MIGRATED")
+        legacy.foreach { name =>
+          require(graft.util.Fs.rename(spark, s"$corpusDir/$name",
+              s"$corpusDir/docs/$name"),
+            s"corpus migration failed moving $name under $corpusDir/docs/")
+        }
+      } else {
+        // explicit per-partition paths: reading corpusDir whole would
+        // hit mixed-directory discovery on a crashed re-run (docs/
+        // next to batch_id=), and basePath keeps the batch_id key
+        spark.read.option("basePath", corpusDir)
+          .parquet(legacy.map(n => s"$corpusDir/$n"): _*)
+          .repartition(col("batch_id"))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(s"$corpusDir/docs")
+        legacy.foreach(n => graft.util.Fs.delete(spark, s"$corpusDir/$n"))
       }
     }
     graft.llm.IndexMaintenance.compactStages(spark, corpusDir,
-      Seq("docs"), targetFiles)
+      Seq("docs"), targetFiles, swapMode)
   }
 }

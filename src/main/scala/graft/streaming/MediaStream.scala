@@ -216,7 +216,7 @@ object MediaStream {
     * races the swap.
     */
   def compactIndex(spark: SparkSession, indexDir: String,
-      targetFiles: Int = 8): Unit =
+      targetFiles: Int = 8, swapMode: Option[String] = None): Unit =
     graft.llm.IndexMaintenance.compactStages(spark, indexDir,
-      Seq("fps", "bands"), targetFiles)
+      Seq("fps", "bands"), targetFiles, swapMode)
 }

@@ -412,6 +412,25 @@ class DedupIndexSpec extends SparkSpec {
       "auto-mode compact over a pointer layout lost pairs")
   }
 
+  test("explicit swapMode=rename on a pointer-governed layout fails loudly, served pairs untouched") {
+    val dir = Files.createTempDirectory("dedupguard").toString
+    val idx = s"$dir/idx"
+    DedupIndex.build(corpus, idx)
+    DedupIndex.compact(spark, idx, swapMode = Some("pointer"))
+    val want = DedupIndex.candidatePairs(spark, idx)
+      .as[(Long, Long)].collect().toSet
+    // with flips retaining the superseded bare copy, a forced rename
+    // swap would otherwise "succeed" against the stale bare directory
+    // while every reader keeps resolving through the pointer
+    val e = intercept[IllegalArgumentException](
+      DedupIndex.compact(spark, idx, swapMode = Some("rename")))
+    assert(e.getMessage.contains("pointer-governed"),
+      s"wrong guard message: ${e.getMessage}")
+    assert(DedupIndex.candidatePairs(spark, idx)
+      .as[(Long, Long)].collect().toSet == want,
+      "the refused rename-mode compact changed served pairs")
+  }
+
   test("retainGens=0: flips still never delete; the next maintenance entry GCs all superseded copies") {
     val dir = Files.createTempDirectory("dedupgc").toString
     val idx = s"$dir/idx"

@@ -549,9 +549,11 @@ class VectorIndexSpec extends SparkSpec {
     def table(p: String, cols: String*) = spark.read.parquet(p)
       .select(cols.map(col): _*).collect().map(_.toSeq).toSet
 
-    spark.conf.set("spark.graft.index.swapMode", "pointer")
-    try {
-      VectorIndex.retrainIvf(spark, idx)
+    {
+      // swap mode passed per-call; the layout is sticky afterwards, so
+      // the later recoverStages/stagedDir calls stay pointer-governed
+      // without any session-conf toggle
+      VectorIndex.retrainIvf(spark, idx, swapMode = Some("pointer"))
       // both stages flipped to published generations; the superseded
       // bare directories are RETAINED for in-flight readers (the
       // retainGens window — GC happens at later maintenance entries)
@@ -611,7 +613,7 @@ class VectorIndexSpec extends SparkSpec {
         "vec_id", "c_id") == wantL, "replayed flip changed the lists")
       assert(VectorIndex.searchIvf(spark, idx, queries, 4, 5).count() > 0,
         "search broken after journal replay")
-    } finally spark.conf.unset("spark.graft.index.swapMode")
+    }
   }
 
   test("lloyd-refined quantizer: same schema and K, deterministic, searchable") {
@@ -652,6 +654,38 @@ class VectorIndexSpec extends SparkSpec {
       assert(top._3 == qid && top._4 == 1000000L,
         s"refined-index self-query $qid does not rank itself first")
     }
+  }
+
+  test("filtered search: autoOverProbe equals the explicit overProbeOf width; selectivity is corpus-scoped") {
+    val dir = Files.createTempDirectory("ivffilter").toString
+    val idx = s"$dir/idx"
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = embs.where($"vec_id" >= 10)
+    VectorIndex.buildIvf(corpus, idx)
+    val queries = embs.where($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    // a 1-in-5 filter widens the probe width by ~5x (capped at K)
+    val allowed = corpus.where($"vec_id" % 5 === 0).select($"vec_id")
+    val eff = VectorIndex.overProbeOf(spark, idx, allowed, 2)
+    assert(eff > 2, s"selective filter did not widen the probe count: $eff")
+    val auto = VectorIndex
+      .searchIvfFiltered(spark, idx, queries, allowed, 2, 5,
+        autoOverProbe = true)
+      .collect().map(_.toSeq).toSeq
+    val explicit = VectorIndex
+      .searchIvfFiltered(spark, idx, queries, allowed, eff, 5)
+      .collect().map(_.toSeq).toSeq
+    assert(auto == explicit,
+      "autoOverProbe diverged from the explicit overProbeOf width")
+    // an unselective filter does not widen...
+    assert(VectorIndex.overProbeOf(spark, idx,
+      corpus.select($"vec_id"), 2) == 2)
+    // ...and ids the index does not hold cannot dilute the measured
+    // selectivity (the filter may come from a wider table)
+    val withJunk = allowed.unionByName(
+      spark.range(5000000, 5003000).select($"id".as("vec_id")))
+    assert(VectorIndex.overProbeOf(spark, idx, withJunk, 2) == eff,
+      "out-of-corpus ids diluted the selectivity estimate")
   }
 
   test("search prunes unprobed list partitions via dynamic partition pruning") {

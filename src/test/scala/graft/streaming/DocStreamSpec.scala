@@ -324,4 +324,39 @@ class DocStreamSpec extends SparkSpec {
         .toDF("doc_id", "text"), corpusDir, 2L)
     assert(ids() == Seq(1L, 2L, 3L, 5L), "post-migration ingest broken")
   }
+
+  test("a crashed mid-migration (split layout) fails reads and folds loudly; the re-run converges") {
+    val dir = Files.createTempDirectory("docsplit").toString
+    val corpusDir = s"$dir/corpus"
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("h", md5($"text"))
+      .withColumn("norm_key", md5(trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " "))))
+    keyed(Seq((1L, "split doc one")).toDF("doc_id", "text"))
+      .write.parquet(s"$corpusDir/batch_id=0")
+    keyed(Seq((2L, "split doc two")).toDF("doc_id", "text"))
+      .write.parquet(s"$corpusDir/batch_id=1")
+    // simulate the crash window: one partition migrated, one not —
+    // serving or folding against only the migrated half would admit a
+    // duplicate of doc 2 and read partial corpora
+    graft.util.Fs.touch(spark, s"$corpusDir/docs/_MIGRATED")
+    assert(graft.util.Fs.rename(spark, s"$corpusDir/batch_id=0",
+      s"$corpusDir/docs/batch_id=0"))
+    intercept[IllegalArgumentException](
+      DocStream.corpus(spark, corpusDir).count())
+    intercept[IllegalArgumentException](
+      DocStream.ingestBatch(
+        Seq((3L, "split doc two")).toDF("doc_id", "text"), corpusDir, 2L))
+    // the documented recovery: re-running the migration converges
+    DocStream.compactCorpus(spark, corpusDir)
+    val ids = DocStream.corpus(spark, corpusDir)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L), s"migration re-run lost documents: $ids")
+    // and the duplicate that would have slipped through is rejected
+    DocStream.ingestBatch(
+      Seq((3L, "split doc two")).toDF("doc_id", "text"), corpusDir, 2L)
+    val after = DocStream.corpus(spark, corpusDir)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(after == Seq(1L, 2L), s"post-recovery fold admitted a dup: $after")
+  }
 }

@@ -37,8 +37,10 @@ class MediaStreamSpec extends SparkSpec {
       for (stage <- Seq("fps", "bands")) {
         assert(graft.util.Fs.isFile(spark, s"$dir/_ptr/$stage"),
           s"$stage: no pointer published")
-        assert(!graft.util.Fs.exists(spark, s"$dir/$stage"),
-          s"$stage: bare pre-pointer directory not dropped")
+        // the superseded bare copy is RETAINED for in-flight readers
+        // (retainGens); later maintenance entries GC it
+        assert(graft.util.Fs.exists(spark, s"$dir/$stage"),
+          s"$stage: superseded bare directory dropped at flip time")
       }
       assert(MediaStream.fingerprints(spark, dir)
         .select($"media_id").as[Long].collect().toSet == want,
@@ -51,11 +53,13 @@ class MediaStreamSpec extends SparkSpec {
         s"replay partitions lost: $batchDirs")
 
       // a crash-replay of batch 1 must overwrite its partition INSIDE
-      // the pointed generation — a write to the bare path would fork
-      // the index into two layouts
+      // the pointed generation — a write to the (retained, stale) bare
+      // path would fork the index into two layouts
+      val bareBefore = graft.util.Fs.listFiles(spark, s"$dir/fps").toSet
       MediaStream.ingestBatch(b1, dir, 1L)
-      assert(!graft.util.Fs.exists(spark, s"$dir/fps"),
-        "replay resurrected the bare pre-pointer path")
+      assert(graft.util.Fs.listFiles(spark, s"$dir/fps").toSet == bareBefore,
+        "replay wrote into the retained bare copy instead of the " +
+          "pointed generation")
       assert(MediaStream.fingerprints(spark, dir)
         .select($"media_id").as[Long].collect().toSet == want,
         "post-compact replay changed the held set")
