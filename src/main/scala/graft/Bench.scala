@@ -112,6 +112,12 @@ object Bench {
     // l93: reads the maintained (1x16-rebanded) pairs artifact; the
     // fixture's flood/audit/reband amortizes across the JVM
     "l93_band_maintenance" -> 0.8,
+    // l94: one pruned pairs read + two broadcastable anti-joins (the
+    // tombstone deletion vector); fixture build amortizes per JVM
+    "l94_tombstone_dedup" -> 0.8,
+    // l95: the l72-shaped serving path + one anti-join below the
+    // pruned list read
+    "l95_tombstone_ann" -> 0.8,
     // q68: the bucket-histogram sliding median pays its x12 window
     // expansion at this fixture's sub-1-event-per-bin density — the
     // docstring's measured crossover; priced at the honest reading

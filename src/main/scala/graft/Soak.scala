@@ -48,6 +48,11 @@ object Soak {
       spark.stop()
       return
     }
+    if (sys.env.get("SOAK_MODE").contains("delete")) {
+      deleteScale(spark, sfDir)
+      spark.stop()
+      return
+    }
     if (sys.env.get("SOAK_MODE").contains("corpus")) {
       corpusScale(spark, sfDir)
       spark.stop()
@@ -377,6 +382,54 @@ object Soak {
       spark.catalog.clearCache()
       System.gc()
     }
+  }
+
+  /** Tombstone-delete scale probe (`SOAK_MODE=delete`): the corpus
+    * grows x1/x4/x10 by id-shifted copies while the DELETE SET stays
+    * fixed (64 ids) — the takedown shape at scale. Claims under test,
+    * per the [[graft.llm.Tombstones]] cost model: the DELETE call is
+    * O(|ids|) and must stay FLAT as the corpus grows; the
+    * tombstone-filtered pairs read pays one broadcastable anti-join
+    * over the unfiltered read (measured against the pre-delete read of
+    * the same artifact); and the FOLD (compact) is the only
+    * corpus-scale job — timed as the counterpoint, it is maintenance
+    * cadence, not takedown latency.
+    */
+  private def deleteScale(spark: SparkSession, sfDir: String): Unit = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def timed(label: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      System.err.println(
+        f"[soak-delete] $label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    val delIds = base.orderBy(col("doc_id")).limit(64).select(col("doc_id"))
+      .persist()
+    delIds.count()
+    sys.env.getOrElse("SOAK_MULTS", "1,4,10").split(",").map(_.trim.toInt)
+      .toSeq.foreach { mult =>
+      val scaled = (0 until mult).map(i =>
+          base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            col("text")))
+        .reduce(_.unionByName(_))
+      val dir = java.nio.file.Files.createTempDirectory("soak-delete-").toString
+      graft.llm.DedupIndex.build(scaled, s"$dir/idx")
+      timed(s"${mult}x read (pre-delete) ")(
+        graft.llm.DedupIndex.candidatePairs(spark, s"$dir/idx").count(): Unit)
+      timed(s"${mult}x DELETE (64 ids)   ")(
+        graft.llm.DedupIndex.delete(spark, s"$dir/idx", delIds))
+      timed(s"${mult}x read (tombstoned) ")(
+        graft.llm.DedupIndex.candidatePairs(spark, s"$dir/idx").count(): Unit)
+      timed(s"${mult}x fold (compact)    ")(
+        graft.llm.DedupIndex.compact(spark, s"$dir/idx"))
+      require(!graft.util.Fs.exists(spark, s"$dir/idx/_tombstones"),
+        "fold did not clear the tombstones")
+      graft.llm.LlmQueries.deleteRecursively(new java.io.File(dir))
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    delIds.unpersist(); ()
   }
 
   /** Streamed-corpus compaction probe (`SOAK_MODE=corpus`): fold the

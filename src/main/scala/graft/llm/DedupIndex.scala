@@ -106,25 +106,55 @@ object DedupIndex {
         .write.mode(SaveMode.Overwrite).parquet(stg(spark, indexDir, "shingle_sets"))
   }
 
-  /** The persisted per-document MinHash signatures (doc_id, sig0..sig15). */
+  /** The persisted per-document MinHash signatures (doc_id, sig0..sig15).
+    * Tombstone-filtered, like every public reader here ([[delete]]).
+    */
   def signatures(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(stg(spark, indexDir, "signatures"))
+    Tombstones.filter(spark, indexDir,
+      spark.read.parquet(stg(spark, indexDir, "signatures")), Seq("doc_id"))
 
   /** The persisted banded keys (doc_id, band, bkey). */
   def bands(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(stg(spark, indexDir, "bands")).select("doc_id", "band", "bkey")
+    Tombstones.filter(spark, indexDir,
+      spark.read.parquet(stg(spark, indexDir, "bands"))
+        .select("doc_id", "band", "bkey"), Seq("doc_id"))
 
   /** The persisted candidate pairs (doc_a, doc_b), doc_a < doc_b,
-    * distinct, unordered — consumers impose their own order.
+    * distinct, unordered — consumers impose their own order. A pair is
+    * filtered when EITHER endpoint is tombstoned ([[delete]]).
     */
   def candidatePairs(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(stg(spark, indexDir, "pairs"))
+    Tombstones.filter(spark, indexDir,
+      spark.read.parquet(stg(spark, indexDir, "pairs")),
+      Seq("doc_a", "doc_b"))
 
   /** The persisted per-document distinct-shingle sets (doc_id, sh_set) —
     * the table every exact re-scorer joins against the candidate pairs.
     */
   def shingleSets(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(stg(spark, indexDir, "shingle_sets"))
+    Tombstones.filter(spark, indexDir,
+      spark.read.parquet(stg(spark, indexDir, "shingle_sets")), Seq("doc_id"))
+
+  /** DELETE documents from the index — the takedown/GDPR verb, closing
+    * the lifecycle (build / probe / merge / compact / reband / delete).
+    * Tombstone semantics ([[Tombstones]]): the id set lands in O(|ids|)
+    * under `_tombstones/`, every public reader and [[probe]] anti-joins
+    * it from that moment (a deleted document stops producing candidate
+    * pairs, signatures, bands, and shingle rows immediately — the pair
+    * dies when EITHER endpoint is deleted), and the next [[compact]]
+    * folds the removals into the artifacts and clears the set. Because
+    * per-document artifacts are row-local derivations of their
+    * document, the filtered index is EXACTLY the index a from-scratch
+    * build over the surviving corpus would produce (DedupIndexSpec pins
+    * this; l94 pins it against the DuckDB oracle).
+    *
+    * Re-adding a deleted id: [[merge]] fails LOUDLY while the id's rows
+    * are still in the artifacts (its guard reads the raw signatures —
+    * merging would leave the new rows tombstoned too, a silent
+    * re-delete); compact first, then merge.
+    */
+  def delete(spark: SparkSession, indexDir: String, ids: DataFrame): Unit =
+    Tombstones.add(spark, indexDir, ids, "doc_id")
 
   /** Incremental probe: candidate (batch_doc, corpus_doc) pairs between
     * a NEW batch (doc_id, text) and the indexed corpus — the l39
@@ -135,8 +165,12 @@ object DedupIndex {
     */
   def probe(spark: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
     val (nb, rb) = bandingOf(spark, indexDir)
-    probeAgainst(spark.read.parquet(stg(spark, indexDir, "bands")), batch,
-      nb, rb, prefixLenOf(spark, indexDir))
+    // tombstone filter on the corpus side: a deleted document must not
+    // produce candidates against new batches (the anti-join composes
+    // with the bp= pruning below — both restrict the corpus scan)
+    probeAgainst(Tombstones.filter(spark, indexDir,
+        spark.read.parquet(stg(spark, indexDir, "bands")), Seq("doc_id")),
+      batch, nb, rb, prefixLenOf(spark, indexDir))
   }
 
   /** The probe join against an arbitrary corpus-bands frame — factored
@@ -219,13 +253,20 @@ object DedupIndex {
     def commit(stage: String): Unit =
       markerDir.foreach(d => graft.util.Fs.touch(spark, s"$d/$stage.done"))
     if (!done("signatures")) {
+      // the guard reads the RAW signatures, not the tombstone-filtered
+      // reader: re-merging a deleted-but-not-yet-folded id would append
+      // rows the live tombstone silently filters (a re-delete the
+      // caller never asked for) — fail loudly instead; compact (which
+      // folds and clears the tombstones) before re-adding an id
       val overlap = delta.select(col("doc_id"))
-        .join(signatures(spark, indexDir).select(col("doc_id")), Seq("doc_id"),
-          "left_semi")
+        .join(spark.read.parquet(stg(spark, indexDir, "signatures"))
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
         .limit(1).count()
       require(overlap == 0L,
         s"merge delta shares doc_ids with the indexed corpus at $indexDir — " +
-          "merging would duplicate ids across every artifact; re-key the delta")
+          "merging would duplicate ids across every artifact (a tombstoned " +
+          "id would land pre-deleted); re-key the delta, or compact first " +
+          "if the id was deleted")
     }
     // band the delta in the INDEX'S OWN scheme: after a [[reband]] the
     // live bands may be finer or coarser than the production 2x8, and
@@ -310,12 +351,26 @@ object DedupIndex {
     * for THIS call without touching the session-global
     * `spark.graft.index.swapMode` conf — a session toggle would force
     * every concurrent maintenance op into the chosen protocol.
+    *
+    * Compaction is also the [[delete]] FOLD: each staged rewrite drops
+    * the tombstoned rows (pairs by either endpoint), and the tombstone
+    * set is cleared only after every stage has swapped — so readers see
+    * the filtered view at every instant, and a crash anywhere re-runs
+    * to the same result.
     */
   def compact(spark: SparkSession, indexDir: String, targetFiles: Int = 8,
-      swapMode: Option[String] = None): Unit =
+      swapMode: Option[String] = None): Unit = {
     IndexMaintenance.compactStages(spark, indexDir,
       Seq("signatures", "bands", "pairs", "shingle_sets"), targetFiles,
-      swapMode)
+      swapMode,
+      rowFilter = {
+        case ("pairs", df) =>
+          Tombstones.filter(spark, indexDir, df, Seq("doc_a", "doc_b"))
+        case (_, df) =>
+          Tombstones.filter(spark, indexDir, df, Seq("doc_id"))
+      })
+    Tombstones.clear(spark, indexDir)
+  }
 
   /** Banded keys (doc_id, band, bkey, bp) of a (doc_id, text) frame —
     * the exact frame `build` persists under `bands/`, exposed so

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
 
 import graft.util.Fs
@@ -126,17 +126,26 @@ private[graft] object IndexMaintenance {
     * `_compact/<stage>` before any swap, then swapping one stage at a
     * time and clearing `_merges/`.
     *
-    * Crash safety. The rewrite is content-preserving, so correctness
-    * needs only that a READABLE copy of each stage exists at every
-    * instant. The swap therefore never deletes the live stage before
-    * its replacement is in place ([[swapStages]]), and [[recoverStages]]
-    * (run on entry before anything is read) finishes an interrupted
-    * swap from the `_SUCCESS`-gated staged copy — so "a re-run simply
-    * finishes the job" holds at every kill point, including mid-swap.
+    * `rowFilter` (stage name, stage frame) → frame lets the caller fold
+    * row REMOVALS into the rewrite — the [[Tombstones]] deletion fold
+    * rides here so deletes cost no job of their own. The identity
+    * default keeps plain compaction content-preserving.
+    *
+    * Crash safety. The rewrite is content-preserving (tombstone-folding
+    * callers clear their tombstone set only AFTER this returns, so
+    * "live content" means the tombstone-FILTERED view throughout — see
+    * [[Tombstones]]), so correctness needs only that a READABLE copy of
+    * each stage exists at every instant. The swap therefore never
+    * deletes the live stage before its replacement is in place
+    * ([[swapStages]]), and [[recoverStages]] (run on entry before
+    * anything is read) finishes an interrupted swap from the
+    * `_SUCCESS`-gated staged copy — so "a re-run simply finishes the
+    * job" holds at every kill point, including mid-swap.
     */
   def compactStages(spark: SparkSession, indexDir: String,
       stages: Seq[String], targetFiles: Int,
-      swapMode: Option[String] = None): Unit = {
+      swapMode: Option[String] = None,
+      rowFilter: (String, DataFrame) => DataFrame = (_, df) => df): Unit = {
     recoverStages(spark, indexDir, stages, swapMode)
     stages.foreach { stage =>
       // mergeSchema: a stage whose generations straddle a schema
@@ -146,7 +155,7 @@ private[graft] object IndexMaintenance {
       val df = spark.read.option("mergeSchema", "true")
         .parquet(Fs.stagePath(spark, indexDir, stage))
       val parts = PartitionCols.filter(df.columns.contains)
-      val deduped = df.distinct()
+      val deduped = rowFilter(stage, df).distinct()
       val refiled =
         if (parts.nonEmpty)
           // Hash-cluster on the partition keys: each output directory

@@ -5782,6 +5782,142 @@ object LlmQueries {
        |FROM pairs ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** The deleted-index fixture behind l94: the takedown lifecycle's
+    * read side — [[DedupIndex.build]] over the dup-augmented corpus,
+    * then [[DedupIndex.delete]] of every 20th base document (each has a
+    * planted +100000 twin, so the deletion visibly removes candidate
+    * pairs). Served PRE-fold deliberately: the measured query exercises
+    * the tombstone anti-join itself — the state the index is in between
+    * a takedown and its next maintenance window; the fold's parity is
+    * DedupIndexSpec's job.
+    */
+  private val deletedDedupDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def deletedDedupDir(s: SparkSession, d: String): String =
+    deletedDedupDirs.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-deldedup-")
+        .toString
+      deleteOnExit(tmp)
+      DedupIndex.build(docsWithDups(s, d), tmp)
+      DedupIndex.delete(s, tmp,
+        docs(s, d).where(col("doc_id") % 20 === 0).select(col("doc_id")))
+      require(Tombstones.any(s, tmp),
+        "l94 fixture: the delete must leave a committed tombstone set")
+      tmp
+    })
+
+  /** l94: index DELETION (takedown/GDPR) under the driver's cell-hash
+    * gate — the lifecycle verb the build/merge/compact/reband family
+    * was missing, in the deletion-vector discipline ([[Tombstones]]):
+    * the delete lands O(|ids|) tombstones, and every reader anti-joins
+    * them from that moment, so the measured candidate pairs must equal
+    * what a from-scratch build over the SURVIVING corpus finds — the
+    * oracle re-derives exactly that (union corpus minus the deleted
+    * ids, 16-lane signatures, production 2x8 banding, bucket
+    * self-join), so a tombstone that fails to filter, filters the
+    * wrong endpoint, or leaks through one of the four artifacts
+    * hash-mismatches. Scale shape: the measured query is one pruned
+    * pairs read + one broadcastable anti-join per endpoint; the
+    * delete's cost model (O(|ids|) write, fold deferred to compaction)
+    * is what makes takedowns affordable at 100 TB.
+    */
+  def qTombstoneDedup(s: SparkSession, d: String): DataFrame =
+    DedupIndex.candidatePairs(s, deletedDedupDir(s, d))
+      .select(col("doc_a"), col("doc_b"))
+      .orderBy("doc_a", "doc_b")
+  val qTombstoneDedupSql: String =
+    s"""WITH $docsWithDupsSql,
+       |u AS (SELECT doc_id, text FROM dd
+       |      WHERE NOT (doc_id % 20 = 0 AND doc_id < 100000)),
+       |${sigsSqlCtes("u")},
+       |$bandedSqlCte
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The deleted-ANN fixture behind l95: [[VectorIndex.buildIvf]] over
+    * the corpus, then [[VectorIndex.deleteIvf]] of every ninth-residue
+    * vector — served pre-fold, like l94's text side. The quantizer is a
+    * MODEL and keeps its centroids (a delete does not un-train it;
+    * that is [[VectorIndex.retrainIvf]]'s job) — only the candidate
+    * stream loses the deleted vectors.
+    */
+  private val deletedAnnDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def deletedAnnDir(s: SparkSession, d: String): String =
+    deletedAnnDirs.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-delann-")
+        .toString
+      deleteOnExit(tmp)
+      val corpus = embs(s, d).where(col("vec_id") >= 10)
+      VectorIndex.buildIvf(corpus, tmp)
+      VectorIndex.deleteIvf(s, tmp,
+        corpus.where(col("vec_id") % 9 === 5).select(col("vec_id")))
+      require(Tombstones.any(s, tmp),
+        "l95 fixture: the delete must leave a committed tombstone set")
+      tmp
+    })
+
+  /** l95: ANN DELETION parity — l94's verb on the embedding index:
+    * [[VectorIndex.searchIvf]] over a tombstoned index must rank as if
+    * the deleted vectors never existed, WITHOUT retraining the
+    * quantizer (the production posture: takedowns are immediate,
+    * retrains are scheduled). The oracle restates the full-corpus
+    * frozen quantizer (stride rule and centroid window over the
+    * ORIGINAL corpus — deletes do not un-train the model) with the
+    * candidate stream filtered to survivors, so a serving path that
+    * leaks a deleted vector through any of the four read routes (IVF
+    * lists, PQ codes, the aligned layout, the filtered search) or that
+    * wrongly drops centroids hash-mismatches. Scale shape: the l72
+    * serving path plus one broadcastable anti-join below the pruned
+    * list read.
+    */
+  def qTombstoneAnn(s: SparkSession, d: String): DataFrame =
+    VectorIndex.searchIvf(s, deletedAnnDir(s, d),
+      embs(s, d).where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      nprobe = 4, topk = 5)
+  val qTombstoneAnnSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |stride AS (SELECT greatest(37, CAST(ceil(COUNT(*) / 1000.0) AS BIGINT)) AS k
+       |  FROM embeddings WHERE vec_id >= 10),
+       |cent AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS cn
+       |  FROM e WHERE vec_id >= 10
+       |    AND vec_id % (SELECT k FROM stride) = 11),
+       |asg AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS nv, nrm AS nn, c_id,
+       |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cc
+       |  FROM e CROSS JOIN cent WHERE vec_id >= 10),
+       |lists AS (
+       |  SELECT neighbor_id, nv, nn, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+       |      ORDER BY cc DESC, c_id ASC) AS r FROM asg)
+       |  WHERE r = 1),
+       |qasg AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, c_id,
+       |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cc
+       |  FROM e CROSS JOIN cent WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT query_id, qv, qn, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cc DESC, c_id ASC) AS r FROM qasg)
+       |  WHERE r <= 4),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(floor(${dotSql("qv", "nv")} / (qn * nn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cos_x1e6
+       |  FROM probes JOIN lists USING (c_id)
+       |  WHERE neighbor_id % 9 <> 5),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cos_x1e6
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** The IVF+PQ fixture behind l77: BOTH index halves built over the
     * corpus (vec_id >= 10) in one directory, once per JVM per data
     * directory — the serving deployment [[VectorIndex.searchIvfPq]]
@@ -7047,6 +7183,8 @@ object LlmQueries {
     "l92_filtered_ann" -> qFilteredAnn _,
     "l92b_filtered_recall" -> qFilteredRecall _,
     "l93_band_maintenance" -> qBandMaintenance _,
+    "l94_tombstone_dedup" -> qTombstoneDedup _,
+    "l95_tombstone_ann" -> qTombstoneAnn _,
     "l79_ann_compact_parity" -> qAnnCompactParity _,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearch _,
     "l81_vec_drift_gate" -> qVecDriftGate _,
@@ -7144,6 +7282,8 @@ object LlmQueries {
     "l92_filtered_ann" -> qFilteredAnnSql,
     "l92b_filtered_recall" -> qFilteredRecallSql,
     "l93_band_maintenance" -> qBandMaintenanceSql,
+    "l94_tombstone_dedup" -> qTombstoneDedupSql,
+    "l95_tombstone_ann" -> qTombstoneAnnSql,
     "l79_ann_compact_parity" -> qAnnMergeParitySql,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearchSql,
     "l81_vec_drift_gate" -> qVecDriftGateSql,

@@ -198,6 +198,7 @@ object VectorIndex {
       .limit(1).count()
     require(overlap == 0L,
       s"mergeIvf delta shares vec_ids with the indexed corpus at $indexDir")
+    requireNotTombstoned(spark, indexDir, delta, "mergeIvf")
     val cent = spark.read.parquet(stg(spark, indexDir, "centroids"))
     val e = delta.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
@@ -233,6 +234,26 @@ object VectorIndex {
     } finally { assignedP.unpersist(); () }
     marker.foreach(graft.util.Fs.touch(spark, _))
   }
+
+  /** Merge-guard companion to the id-overlap check: a delta naming a
+    * TOMBSTONED id would append rows the live deletion vector silently
+    * filters — a re-delete the caller never asked for. Fail loudly;
+    * folding ([[compact]]/[[compactIvf]]+[[compactPq]]/[[retrainIvf]])
+    * clears the tombstones and legitimizes the re-add. Identity-cheap
+    * when no tombstone set exists.
+    */
+  private def requireNotTombstoned(spark: SparkSession, indexDir: String,
+      delta: DataFrame, op: String): Unit =
+    if (Tombstones.any(spark, indexDir)) {
+      val hit = delta.select(col("vec_id"))
+        .join(Tombstones.ids(spark, indexDir).withColumnRenamed("id", "vec_id"),
+          Seq("vec_id"), "left_semi")
+        .limit(1).count()
+      require(hit == 0L,
+        s"$op delta names tombstoned vec_ids at $indexDir — the rows would " +
+          "land pre-deleted (silently filtered by the live tombstone set); " +
+          "fold the deletes first (compact or retrain), then re-add")
+    }
 
   /** The per-merge provenance-partition id under `_align_pending/` —
     * the mergeId when the caller supplied one (so a crash-retry of the
@@ -301,7 +322,11 @@ object VectorIndex {
     // cannot be reconciled by an append; see [[invalidateAligned]])
     dropAligned(spark, indexDir)
     IndexMaintenance.compactStages(spark, indexDir, Seq("lists"), targetFiles,
-      swapMode)
+      swapMode, rowFilter = vecTombstoneFold(spark, indexDir))
+    // tombstones clear only once every id-bearing stage is folded — a
+    // live pq_codes stage may still hold the deleted rows
+    if (!graft.util.Fs.exists(spark, stg(spark, indexDir, "pq_codes")))
+      Tombstones.clear(spark, indexDir)
   }
 
   /** [[compactIvf]] for the PQ artifacts: rewrites `pq_codes` distinct
@@ -312,7 +337,57 @@ object VectorIndex {
       targetFiles: Int = 8, swapMode: Option[String] = None): Unit = {
     dropAligned(spark, indexDir)
     IndexMaintenance.compactStages(spark, indexDir, Seq("pq_codes"),
-      targetFiles, swapMode)
+      targetFiles, swapMode, rowFilter = vecTombstoneFold(spark, indexDir))
+    // the delete fold is complete only when EVERY id-bearing stage has
+    // been rewritten — clearing with live tombstoned rows still in the
+    // lists would resurrect them
+    if (!graft.util.Fs.exists(spark, stg(spark, indexDir, "lists")))
+      Tombstones.clear(spark, indexDir)
+  }
+
+  /** DELETE vectors from the index — the takedown verb, mirroring
+    * [[DedupIndex.delete]] ([[Tombstones]] semantics): O(|ids|) now,
+    * one anti-join per read until the next fold. Every serving path
+    * ([[searchIvf]]/[[searchIvfFiltered]]/[[searchIvfPq]]/[[searchPq]],
+    * including the aligned code layout) excludes deleted vectors from
+    * the moment this returns; [[compact]] (or [[compactIvf]] +
+    * [[compactPq]], or a [[retrainIvf]]) folds the removals into the
+    * artifacts. The frozen quantizer and PQ codebook are MODELS, not
+    * copies — a delete does not un-train them; removing a deleted
+    * vector's influence on the quantizer is what [[retrainIvf]] (which
+    * trains on the tombstone-filtered corpus) is for.
+    *
+    * Re-adding a deleted id: [[mergeIvf]]/[[mergePq]] fail loudly while
+    * the tombstone is live (the rows would land pre-deleted); fold
+    * first.
+    */
+  def deleteIvf(spark: SparkSession, indexDir: String,
+      ids: DataFrame): Unit =
+    Tombstones.add(spark, indexDir, ids, "vec_id")
+
+  /** The [[deleteIvf]] fold applied to a staged rewrite — both
+    * id-bearing stages filter on vec_id.
+    */
+  private def vecTombstoneFold(spark: SparkSession, indexDir: String)
+      : (String, DataFrame) => DataFrame =
+    (_, df) => Tombstones.filter(spark, indexDir, df, Seq("vec_id"))
+
+  /** COMPACT every id-bearing stage of the index in ONE maintenance
+    * entry — lists and (when present) pq_codes rewritten under a single
+    * swap set — and complete the [[deleteIvf]] fold by clearing the
+    * tombstone set afterwards. [[compactIvf]]/[[compactPq]] remain the
+    * single-stage passes (each folds its own stage and clears only when
+    * it was the last id-bearing one); this is the entry an operator
+    * runs to retire a takedown in one call.
+    */
+  def compact(spark: SparkSession, indexDir: String, targetFiles: Int = 8,
+      swapMode: Option[String] = None): Unit = {
+    dropAligned(spark, indexDir)
+    val stages = Seq("lists", "pq_codes")
+      .filter(st => graft.util.Fs.exists(spark, stg(spark, indexDir, st)))
+    IndexMaintenance.compactStages(spark, indexDir, stages, targetFiles,
+      swapMode, rowFilter = vecTombstoneFold(spark, indexDir))
+    Tombstones.clear(spark, indexDir)
   }
 
   /** RETRAIN the coarse quantizer over the CURRENT corpus and re-key
@@ -364,7 +439,11 @@ object VectorIndex {
     // content-consistent with every later probe, exactly as if the
     // batch had arrived after the retrain.
     val streamed = live.columns.contains("batch_id")
-    val corpus = live
+    // tombstone-filtered: a retrain is a rebuild of the CURRENT corpus,
+    // and the current corpus excludes deleted vectors — this is also
+    // where a delete's influence on the quantizer itself is removed
+    // (the one thing read-side filtering cannot do)
+    val corpus = Tombstones.filter(spark, indexDir, live, Seq("vec_id"))
       .select(col("vec_id"), col("embedding")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -394,6 +473,10 @@ object VectorIndex {
       IndexMaintenance.swapStages(spark, indexDir, stages, swapMode)
       graft.util.Fs.delete(spark, s"$indexDir/_compact")
       graft.util.Fs.delete(spark, s"$indexDir/_merges")
+      // the rebuild folded the lists; the tombstone set retires only if
+      // no other id-bearing stage still holds the deleted rows
+      if (!graft.util.Fs.exists(spark, stg(spark, indexDir, "pq_codes")))
+        Tombstones.clear(spark, indexDir)
     } finally { corpus.unpersist(); () }
   }
 
@@ -482,7 +565,10 @@ object VectorIndex {
   def searchIvf(spark: SparkSession, indexDir: String, queries: DataFrame,
       nprobe: Int, topk: Int): DataFrame = {
     val cent = spark.read.parquet(stg(spark, indexDir, "centroids"))
-    val lists = spark.read.parquet(stg(spark, indexDir, "lists"))
+    // tombstone filter ([[deleteIvf]]): identity when nothing is
+    // deleted; otherwise one anti-join below the probe-pruned list read
+    val lists = Tombstones.filter(spark, indexDir,
+      spark.read.parquet(stg(spark, indexDir, "lists")), Seq("vec_id"))
     val q = queries.select(col("query_id"), col("embedding").as("qv"),
       sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
     val probes = q.join(broadcast(cent))
@@ -532,7 +618,8 @@ object VectorIndex {
       queries: DataFrame, allowed: DataFrame, nprobe: Int,
       topk: Int, autoOverProbe: Boolean = false): DataFrame = {
     val cent = spark.read.parquet(stg(spark, indexDir, "centroids"))
-    val lists = spark.read.parquet(stg(spark, indexDir, "lists"))
+    val lists = Tombstones.filter(spark, indexDir,
+      spark.read.parquet(stg(spark, indexDir, "lists")), Seq("vec_id"))
     val np = if (autoOverProbe) overProbeOf(spark, indexDir, allowed, nprobe)
       else nprobe
     val q = queries.select(col("query_id"), col("embedding").as("qv"),
@@ -578,7 +665,10 @@ object VectorIndex {
     */
   def overProbeOf(spark: SparkSession, indexDir: String, allowed: DataFrame,
       nprobe: Int): Int = {
-    val lists = spark.read.parquet(stg(spark, indexDir, "lists"))
+    // live (tombstone-filtered) counts: a deleted vector neither serves
+    // nor should weigh in the selectivity estimate
+    val lists = Tombstones.filter(spark, indexDir,
+      spark.read.parquet(stg(spark, indexDir, "lists")), Seq("vec_id"))
     val total = lists.count()
     val nAllowed = lists.select(col("vec_id"))
       .join(allowed.select(col("vec_id")).distinct(), Seq("vec_id"),
@@ -802,15 +892,20 @@ object VectorIndex {
       if (aligned) {
         // the aligned layout: the probes join keys on the partition
         // column, so the code scan plans only the probed c_id=
-        // directories and membership needs no second table at all
-        val codesByList = spark.read.parquet(s"$indexDir/pq_codes_by_list")
+        // directories and membership needs no second table at all.
+        // Tombstone-filtered: the aligned artifact is NOT invalidated
+        // by a delete — the anti-join keeps it exact until the fold.
+        val codesByList = Tombstones.filter(spark, indexDir,
+          spark.read.parquet(s"$indexDir/pq_codes_by_list"), Seq("vec_id"))
         probes.join(codesByList, Seq("c_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             col("sub_id"), col("code"))
       } else {
         // fallback: membership from the pruned lists (two columns),
-        // codes joined by a plain keyed shuffle
-        val member = spark.read.parquet(stg(spark, indexDir, "lists"))
+        // codes joined by a plain keyed shuffle; tombstone-filtering
+        // membership covers the codes side too (deleted ids never join)
+        val member = Tombstones.filter(spark, indexDir,
+            spark.read.parquet(stg(spark, indexDir, "lists")), Seq("vec_id"))
           .select(col("c_id"), col("vec_id").as("neighbor_id"))
         val codes = spark.read.parquet(stg(spark, indexDir, "pq_codes"))
         probes.join(member, Seq("c_id"))
@@ -911,6 +1006,7 @@ object VectorIndex {
       .limit(1).count()
     require(overlap == 0L,
       s"mergePq delta shares vec_ids with the indexed corpus at $indexDir")
+    requireNotTombstoned(spark, indexDir, delta, "mergePq")
     val codebook = spark.read.parquet(stg(spark, indexDir, "pq_codebook"))
     // stale-alignment guard, as in mergeIvf: the delta's codes are
     // about to be missing from any aligned table — drop it first
@@ -942,7 +1038,8 @@ object VectorIndex {
   def searchPq(spark: SparkSession, indexDir: String, queries: DataFrame,
       topk: Int): DataFrame = {
     val codebook = spark.read.parquet(stg(spark, indexDir, "pq_codebook"))
-    val codes = spark.read.parquet(stg(spark, indexDir, "pq_codes"))
+    val codes = Tombstones.filter(spark, indexDir,
+      spark.read.parquet(stg(spark, indexDir, "pq_codes")), Seq("vec_id"))
     val qsubs = queries
       .select(col("query_id"),
         explode(sequence(lit(0L), lit(3L))).as("sub_id"), col("embedding"))

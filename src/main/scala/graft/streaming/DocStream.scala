@@ -131,8 +131,12 @@ object DocStream {
       // layout must fail the batch loudly, not degrade to "ungated"
       val refTexts: Option[DataFrame] =
         if (graft.util.Fs.exists(spark, data)) {
-          val r = spark.read.parquet(data)
-            .where(col("batch_id") =!= batchId).select(col("text"))
+          // tombstone-filtered ([[deleteDocs]]): deleted documents no
+          // longer shape the reference distribution
+          val r = graft.llm.Tombstones.filter(spark, corpusDir,
+              spark.read.parquet(data).where(col("batch_id") =!= batchId),
+              Seq("doc_id"))
+            .select(col("text"))
           if (r.isEmpty) None else Some(r)
         } else None
       val verdict = refTexts.map { ref =>
@@ -150,7 +154,17 @@ object DocStream {
       verdict.exists(_._2)
     }
     val gatedBatch = if (gateRejected) batch.where(lit(false)) else batch
-    val keyed = gatedBatch
+    // a live tombstone keeps its doc_id "taken" ([[deleteDocs]]): an
+    // arrival re-using a deleted id would otherwise land and be
+    // silently re-deleted by the read filter — rows drop here until a
+    // compactCorpus retires the tombstones (fresh content under a NEW
+    // id is unaffected)
+    val idGated =
+      if (graft.llm.Tombstones.any(spark, corpusDir))
+        gatedBatch.join(graft.llm.Tombstones.ids(spark, corpusDir)
+          .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_anti")
+      else gatedBatch
+    val keyed = idGated
       .withColumn("h", md5(col("text")))
       .withColumn("norm_key", md5(canon(col("text"))))
     val k1 = keyed.groupBy(col("h")).agg(min("doc_id").as("kid"))
@@ -159,8 +173,12 @@ object DocStream {
     val s2 = s1.join(k2, Seq("norm_key")).where(col("doc_id") === col("kid")).drop("kid")
     val existing: Option[DataFrame] =
       if (graft.util.Fs.exists(spark, data)) {
-        val c = spark.read.parquet(data)
-        Some(c.where(col("batch_id") =!= batchId).select(col("h"), col("norm_key")))
+        // tombstone-filtered: a deleted document must not reject a
+        // fresh arrival as its duplicate ([[deleteDocs]])
+        val c = graft.llm.Tombstones.filter(spark, corpusDir,
+          spark.read.parquet(data).where(col("batch_id") =!= batchId),
+          Seq("doc_id"))
+        Some(c.select(col("h"), col("norm_key")))
       } else None
     val novel = existing match {
       case Some(corpus) =>
@@ -172,8 +190,12 @@ object DocStream {
       case Some(idxDir) =>
         val held: Option[DataFrame] =
           if (graft.util.Fs.exists(spark, graft.util.Fs.stagePath(spark, idxDir, "bands")))
-            Some(spark.read.parquet(graft.util.Fs.stagePath(spark, idxDir, "bands"))
-              .where(col("batch_id") =!= batchId))
+            // the INDEX's own tombstones ([[deleteDocs]] forwards ids
+            // there): a deleted document's bands must not near-dup-
+            // reject a fresh arrival
+            Some(graft.llm.Tombstones.filter(spark, idxDir,
+              spark.read.parquet(graft.util.Fs.stagePath(spark, idxDir, "bands"))
+                .where(col("batch_id") =!= batchId), Seq("doc_id")))
           else None
         val out = held match {
           case Some(cb) =>
@@ -270,9 +292,36 @@ object DocStream {
   def gateLog(spark: org.apache.spark.sql.SparkSession, corpusDir: String): DataFrame =
     spark.read.parquet(s"$corpusDir/_gate")
 
-  /** Read the accumulated corpus (all batch partitions). */
+  /** Read the accumulated corpus (all batch partitions).
+    * Tombstone-filtered ([[deleteDocs]]).
+    */
   def corpus(spark: org.apache.spark.sql.SparkSession, corpusDir: String): DataFrame =
-    spark.read.parquet(dataDir(spark, corpusDir))
+    graft.llm.Tombstones.filter(spark, corpusDir,
+      spark.read.parquet(dataDir(spark, corpusDir)), Seq("doc_id"))
+
+  /** DELETE documents from the streamed corpus — the takedown verb on
+    * the corpus itself ([[graft.llm.Tombstones]] semantics): O(|ids|)
+    * now; [[corpus]] and the fold's exact/canonical rejection probes
+    * exclude the deleted documents immediately (a takedown'd page must
+    * neither be served nor block a legitimate re-crawl of different
+    * content under its old hash — and symmetric takedown policy may
+    * well WANT the same bytes re-admittable under a new id: content
+    * policy is the caller's, id removal is ours); the next
+    * [[compactCorpus]] folds the removals into the `docs/` stage and
+    * clears the set. When the fold also maintains a near-dup index
+    * (`nearDupIndexDir`), pass it here so the SAME ids tombstone the
+    * index artifacts through [[graft.llm.DedupIndex.delete]] — a
+    * corpus-only delete would leave the index still probing against
+    * the deleted documents' bands. Replay caveat: replaying a
+    * PRE-delete micro-batch after the fold re-ingests whatever the
+    * batch held — delete again, or advance the checkpoint past the
+    * deleted batches before folding.
+    */
+  def deleteDocs(spark: org.apache.spark.sql.SparkSession, corpusDir: String,
+      ids: DataFrame, nearDupIndexDir: Option[String] = None): Unit = {
+    graft.llm.Tombstones.add(spark, corpusDir, ids, "doc_id")
+    nearDupIndexDir.foreach(idx => graft.llm.DedupIndex.delete(spark, idx, ids))
+  }
 
   /** COMPACT the streamed corpus between ingest runs — the
     * [[MediaStream.compactIndex]] maintenance discipline applied to
@@ -332,6 +381,12 @@ object DocStream {
       }
     }
     graft.llm.IndexMaintenance.compactStages(spark, corpusDir,
-      Seq("docs"), targetFiles, swapMode)
+      Seq("docs"), targetFiles, swapMode,
+      rowFilter = (_, df) => graft.llm.Tombstones.filter(spark, corpusDir,
+        df, Seq("doc_id")))
+    // the docs/ stage is the corpus's only id-bearing artifact — the
+    // [[deleteDocs]] fold completes here (an attached near-dup index
+    // folds its own tombstones in its own compact)
+    graft.llm.Tombstones.clear(spark, corpusDir)
   }
 }

@@ -84,11 +84,15 @@ object MediaStream {
     // UNION schema deterministically — the default single-footer
     // sampling would arm or disarm the size gate depending on which
     // file Spark happened to pick
+    // tombstone-filtered ([[deleteFromIndex]]): a deleted asset must
+    // not reject a fresh arrival as its duplicate, nor weigh in the
+    // size-drift reference
     val held: Option[DataFrame] =
       if (graft.util.Fs.exists(spark, graft.util.Fs.stagePath(spark, indexDir, "fps")))
-        Some(spark.read.option("mergeSchema", "true")
-          .parquet(graft.util.Fs.stagePath(spark, indexDir, "fps"))
-          .where(col("batch_id") =!= batchId))
+        Some(graft.llm.Tombstones.filter(spark, indexDir,
+          spark.read.option("mergeSchema", "true")
+            .parquet(graft.util.Fs.stagePath(spark, indexDir, "fps"))
+            .where(col("batch_id") =!= batchId), Seq("media_id")))
       else None
     // Payload-size drift gate (the l73/m15 statistic run INSIDE the
     // fold): the arriving batch's size histogram vs the held assets' —
@@ -130,7 +134,15 @@ object MediaStream {
       }
       verdict.exists(_._2)
     }
-    val gatedKeyed = if (gateRejected) keyed.where(lit(false)) else keyed
+    val gatedKeyed0 = if (gateRejected) keyed.where(lit(false)) else keyed
+    // a live tombstone keeps its media_id "taken" ([[deleteFromIndex]]):
+    // an arrival re-using a deleted id would land pre-filtered — drop
+    // it until a compactIndex retires the tombstones
+    val gatedKeyed =
+      if (graft.llm.Tombstones.any(spark, indexDir))
+        gatedKeyed0.join(graft.llm.Tombstones.ids(spark, indexDir)
+          .withColumnRenamed("id", "media_id"), Seq("media_id"), "left_anti")
+      else gatedKeyed0
     // in-batch exact dedup: min media_id per payload hash
     val k1 = gatedKeyed.groupBy(col("h")).agg(min("media_id").as("kid"))
     val s1 = gatedKeyed.join(k1, Seq("h")).where(col("media_id") === col("kid")).drop("kid")
@@ -145,8 +157,9 @@ object MediaStream {
         // candidates only from band-value collisions — the probe reads
         // the banded layout pruned to this batch's own bv= partitions,
         // never the full fingerprint set
-        val heldBands = spark.read.parquet(graft.util.Fs.stagePath(spark, indexDir, "bands"))
-          .where(col("batch_id") =!= batchId)
+        val heldBands = graft.llm.Tombstones.filter(spark, indexDir,
+            spark.read.parquet(graft.util.Fs.stagePath(spark, indexDir, "bands"))
+              .where(col("batch_id") =!= batchId), Seq("media_id"))
           .select(col("band_id"), col("bv"), col("fp").as("held_fp"))
         val batchBands = bandsOf(novel)
         val dups = batchBands
@@ -200,9 +213,29 @@ object MediaStream {
   def gateLog(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/_gate")
 
-  /** Read the accumulated fingerprint index (all batch partitions). */
+  /** Read the accumulated fingerprint index (all batch partitions).
+    * Tombstone-filtered ([[deleteFromIndex]]).
+    */
   def fingerprints(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(graft.util.Fs.stagePath(spark, indexDir, "fps"))
+    graft.llm.Tombstones.filter(spark, indexDir,
+      spark.read.parquet(graft.util.Fs.stagePath(spark, indexDir, "fps")),
+      Seq("media_id"))
+
+  /** DELETE assets from the index — [[graft.llm.DedupIndex.delete]]'s
+    * takedown verb on the media fold ([[graft.llm.Tombstones]]
+    * semantics): O(|ids|) now; [[fingerprints]] and both in-fold
+    * rejection probes (exact hash and perceptual bands) exclude the
+    * deleted assets immediately — a takedown'd image must neither be
+    * served NOR keep rejecting fresh arrivals as its duplicates — and
+    * the next [[compactIndex]] folds the removals and clears the set.
+    * Replay caveat (shared with the corpus fold): replaying a
+    * PRE-delete micro-batch after the fold re-ingests whatever the
+    * batch held — delete again, or advance the checkpoint past the
+    * deleted batches before folding.
+    */
+  def deleteFromIndex(spark: SparkSession, indexDir: String,
+      ids: DataFrame): Unit =
+    graft.llm.Tombstones.add(spark, indexDir, ids, "media_id")
 
   /** COMPACT the accumulated fold layout between runs —
     * [[graft.llm.DedupIndex.compact]]'s maintenance discipline applied
@@ -216,7 +249,13 @@ object MediaStream {
     * races the swap.
     */
   def compactIndex(spark: SparkSession, indexDir: String,
-      targetFiles: Int = 8, swapMode: Option[String] = None): Unit =
+      targetFiles: Int = 8, swapMode: Option[String] = None): Unit = {
     graft.llm.IndexMaintenance.compactStages(spark, indexDir,
-      Seq("fps", "bands"), targetFiles, swapMode)
+      Seq("fps", "bands"), targetFiles, swapMode,
+      rowFilter = (_, df) => graft.llm.Tombstones.filter(spark, indexDir,
+        df, Seq("media_id")))
+    // both id-bearing stages fold in the one swap set above, so the
+    // delete completes here ([[deleteFromIndex]])
+    graft.llm.Tombstones.clear(spark, indexDir)
+  }
 }

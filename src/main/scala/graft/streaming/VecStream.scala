@@ -82,10 +82,14 @@ object VecStream {
     // schema/path error into "empty corpus" and silently re-run the
     // batch as batch-0. With the Fs.exists test, a present-but-broken
     // layout fails the batch loudly instead of degrading.
+    // tombstone-filtered ([[graft.llm.VectorIndex.deleteIvf]]): a
+    // deleted vector must not id-block or near-dup-reject a fresh
+    // arrival, nor shape the drift reference
     val held: Option[DataFrame] =
       if (graft.util.Fs.exists(spark, graft.util.Fs.stagePath(spark, indexDir, "lists")))
-        Some(spark.read.parquet(graft.util.Fs.stagePath(spark, indexDir, "lists"))
-          .where(col("batch_id") =!= batchId))
+        Some(graft.llm.Tombstones.filter(spark, indexDir,
+          spark.read.parquet(graft.util.Fs.stagePath(spark, indexDir, "lists"))
+            .where(col("batch_id") =!= batchId), Seq("vec_id")))
       else None
     // the buildIvf/mergeIvf frozen-quantizer argmax — needed for the
     // drift gate's histogram, the near-dup probe (which lists to look
@@ -134,10 +138,27 @@ object VecStream {
       verdict.exists(_._2)
     }
     val gated = if (gateRejected) assignedAll.where(lit(false)) else assignedAll
-    val assigned = held match {
-      case Some(h) =>
-        gated.join(h.select(col("vec_id")), Seq("vec_id"), "left_anti")
-      case None => gated
+    // the ID gate blocks on held ids PLUS live tombstones: a deleted
+    // id's re-arrival before the fold would otherwise be admitted and
+    // then silently re-deleted by the read filter — a tombstoned id
+    // stays "taken" until a compact/retrain retires it (the streaming
+    // form of the mergeIvf tombstone guard, drop-not-fail because a
+    // fold rejects rows, not batches)
+    val takenIds: Option[DataFrame] = {
+      val heldIds = held.map(_.select(col("vec_id")))
+      val tombIds =
+        if (graft.llm.Tombstones.any(spark, indexDir))
+          Some(graft.llm.Tombstones.ids(spark, indexDir)
+            .withColumnRenamed("id", "vec_id"))
+        else None
+      (heldIds, tombIds) match {
+        case (Some(a), Some(b)) => Some(a.unionByName(b))
+        case (a, b)             => a.orElse(b)
+      }
+    }
+    val assigned = takenIds match {
+      case Some(ids) => gated.join(ids, Seq("vec_id"), "left_anti")
+      case None      => gated
     }
     val survivors = (held, dupCosX1e6) match {
       case (Some(h), Some(thr)) =>

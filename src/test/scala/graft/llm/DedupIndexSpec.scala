@@ -717,4 +717,67 @@ class DedupIndexSpec extends SparkSpec {
     assert(resumed("signatures") == after("signatures"), "signatures not completed")
     assert(resumed("shingle_sets") == after("shingle_sets"), "shingle_sets not completed")
   }
+
+  test("delete tombstones documents: filtered reads equal a survivors-only build; compact folds and clears") {
+    val dir = Files.createTempDirectory("dedupidx").toString
+    DedupIndex.build(corpus, s"$dir/idx")
+    // delete every 10th base doc — each has a planted +100000 twin, so
+    // the deletion visibly removes candidate pairs
+    val deleted = corpus.where($"doc_id" % 10 === 0 && $"doc_id" < 100000)
+      .select($"doc_id")
+    val deletedIds = deleted.as[Long].collect().toSet
+    assert(deletedIds.nonEmpty)
+    DedupIndex.delete(spark, s"$dir/idx", deleted)
+    // replayed delete is inert (at-least-once posture)
+    DedupIndex.delete(spark, s"$dir/idx", deleted)
+
+    // every reader filters, and the filtered view equals a from-scratch
+    // build over the surviving corpus (row-local artifacts make the two
+    // identical by construction — this is the delete's core contract)
+    val survivors = corpus.where(!$"doc_id".isin(deletedIds.toSeq: _*))
+    DedupIndex.build(survivors, s"$dir/ref")
+    def pairsOf(idx: String) = DedupIndex.candidatePairs(spark, s"$dir/$idx")
+      .orderBy("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    val filteredPairs = pairsOf("idx")
+    assert(filteredPairs.nonEmpty)
+    assert(filteredPairs == pairsOf("ref"), "filtered pairs != survivors-only build")
+    assert(!filteredPairs.exists { case (a, b) =>
+      deletedIds(a) || deletedIds(b) }, "a deleted endpoint survived")
+    val sigIds = DedupIndex.signatures(spark, s"$dir/idx")
+      .select("doc_id").as[Long].collect().toSet
+    assert(sigIds.intersect(deletedIds).isEmpty, "deleted signature served")
+    assert(DedupIndex.shingleSets(spark, s"$dir/idx").count() ==
+      survivors.count(), "shingle sets not filtered")
+
+    // probe: a batch pasting a deleted doc's text must not hit the
+    // deleted corpus doc (its surviving +100000 twin still matches)
+    val sample = deletedIds.min
+    val batch = corpus.where($"doc_id" === sample)
+      .select(($"doc_id" + 500000).as("doc_id"), $"text")
+    val hits = DedupIndex.probe(spark, s"$dir/idx", batch)
+      .select("corpus_doc").as[Long].collect().toSet
+    assert(!hits.contains(sample), "probe served a deleted corpus doc")
+    assert(hits.contains(sample + 100000), "probe lost the surviving twin")
+
+    // merge re-adding a deleted (unfolded) id fails loudly
+    val readd = corpus.where($"doc_id" === sample)
+    val ex = intercept[IllegalArgumentException] {
+      DedupIndex.merge(spark, s"$dir/idx", readd)
+    }
+    assert(ex.getMessage.contains("doc_ids"), ex.getMessage)
+
+    // compact folds the removals into the artifacts and clears the set;
+    // the served view is unchanged, and the RAW artifacts are now clean
+    DedupIndex.compact(spark, s"$dir/idx")
+    assert(!new java.io.File(s"$dir/idx/_tombstones").exists(),
+      "tombstones not cleared by the fold")
+    assert(pairsOf("idx") == filteredPairs, "fold changed the served pairs")
+    val rawSigIds = spark.read.parquet(s"$dir/idx/signatures")
+      .select("doc_id").as[Long].collect().toSet
+    assert(rawSigIds.intersect(deletedIds).isEmpty, "fold left deleted rows")
+    // post-fold, the id is legitimately re-addable
+    DedupIndex.merge(spark, s"$dir/idx", readd)
+    assert(DedupIndex.signatures(spark, s"$dir/idx")
+      .where($"doc_id" === sample).count() == 1L, "re-add after fold failed")
+  }
 }

@@ -698,4 +698,113 @@ class VectorIndexSpec extends SparkSpec {
     assert(planned.toLowerCase.contains("dynamicpruning"),
       s"list scan is not dynamically pruned:\n$planned")
   }
+
+  test("deleteIvf tombstones vectors on every serving path; folds clear only when complete") {
+    val dir = Files.createTempDirectory("ivf").toString
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    VectorIndex.buildIvf(embs, s"$dir/idx")
+    VectorIndex.buildPq(embs, s"$dir/idx")
+    VectorIndex.alignPqToLists(spark, s"$dir/idx")
+    val deleted = embs.where($"vec_id" % 7 === 3).select($"vec_id")
+    val deletedIds = deleted.as[Long].collect().toSet
+    assert(deletedIds.nonEmpty)
+    VectorIndex.deleteIvf(spark, s"$dir/idx", deleted)
+
+    val queries = embs.where($"vec_id" % 7 === 3).limit(2)
+      .select($"vec_id".as("query_id"), $"embedding")
+    // self-queries over deleted vectors: the deleted self can no longer
+    // be its own rank-1 on any serving path
+    def neighborsOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("neighbor_id").as[Long].collect().toSet
+    val ivf = neighborsOf(VectorIndex.searchIvf(spark, s"$dir/idx",
+      queries, nprobe = 4, topk = 5))
+    assert(ivf.nonEmpty && ivf.intersect(deletedIds).isEmpty,
+      "searchIvf served a deleted vector")
+    val pq = neighborsOf(VectorIndex.searchPq(spark, s"$dir/idx", queries, 5))
+    assert(pq.nonEmpty && pq.intersect(deletedIds).isEmpty,
+      "searchPq served a deleted vector")
+    assert(graft.util.Fs.isFile(spark, s"$dir/idx/pq_codes_by_list/_SUCCESS"),
+      "delete must not invalidate the aligned artifact (reads filter)")
+    val ivfpqAligned = VectorIndex.searchIvfPq(spark, s"$dir/idx",
+      queries, nprobe = 4, topk = 5)
+    assert(neighborsOf(ivfpqAligned).intersect(deletedIds).isEmpty,
+      "aligned IVFADC served a deleted vector")
+    graft.util.Fs.delete(spark, s"$dir/idx/pq_codes_by_list/_SUCCESS")
+    val ivfpqFallback = VectorIndex.searchIvfPq(spark, s"$dir/idx",
+      queries, nprobe = 4, topk = 5)
+    assert(neighborsOf(ivfpqFallback).intersect(deletedIds).isEmpty,
+      "fallback IVFADC served a deleted vector")
+    graft.util.Fs.touch(spark, s"$dir/idx/pq_codes_by_list/_SUCCESS")
+    val filtered = VectorIndex.searchIvfFiltered(spark, s"$dir/idx", queries,
+      embs.select($"vec_id"), nprobe = 4, topk = 5)
+    assert(neighborsOf(filtered).intersect(deletedIds).isEmpty,
+      "filtered search served a deleted vector")
+
+    // re-adding a deleted id pre-fold fails loudly (the id-overlap
+    // guard sees the raw lists)
+    val readd = embs.where($"vec_id" === deletedIds.min)
+    val ex = intercept[IllegalArgumentException] {
+      VectorIndex.mergeIvf(spark, s"$dir/idx", readd)
+    }
+    assert(ex.getMessage.contains("vec_ids"), ex.getMessage)
+
+    // compactIvf folds the lists but must NOT clear the tombstones
+    // while pq_codes still holds the deleted rows
+    val servedBefore = VectorIndex.searchIvf(spark, s"$dir/idx", queries,
+      nprobe = 4, topk = 5).collect().toSeq
+    VectorIndex.compactIvf(spark, s"$dir/idx")
+    assert(new java.io.File(s"$dir/idx/_tombstones").exists(),
+      "tombstones cleared while pq_codes was unfolded")
+    assert(spark.read.parquet(s"$dir/idx/lists").select("vec_id")
+      .as[Long].collect().toSet.intersect(deletedIds).isEmpty,
+      "compactIvf left deleted rows in the lists")
+    // THE dangerous window: the lists no longer hold the id (so the
+    // overlap guard passes) but the tombstone is still live — without
+    // the tombstone guard this merge would land rows that the read
+    // filter silently re-deletes
+    val ex2 = intercept[IllegalArgumentException] {
+      VectorIndex.mergeIvf(spark, s"$dir/idx", readd)
+    }
+    assert(ex2.getMessage.contains("tombstoned"), ex2.getMessage)
+    // the full fold (lists + pq_codes in one swap set) clears them
+    VectorIndex.compact(spark, s"$dir/idx")
+    assert(!new java.io.File(s"$dir/idx/_tombstones").exists(),
+      "compact(all) did not clear the tombstones")
+    assert(spark.read.parquet(s"$dir/idx/pq_codes").select("vec_id")
+      .as[Long].collect().toSet.intersect(deletedIds).isEmpty,
+      "fold left deleted rows in pq_codes")
+    // fold parity: the served results are unchanged by the rewrite
+    val servedAfter = VectorIndex.searchIvf(spark, s"$dir/idx", queries,
+      nprobe = 4, topk = 5).collect().toSeq
+    assert(servedAfter == servedBefore, "fold changed served results")
+    // post-fold the id is legitimately re-addable
+    VectorIndex.mergeIvf(spark, s"$dir/idx", readd)
+    assert(spark.read.parquet(s"$dir/idx/lists")
+      .where($"vec_id" === deletedIds.min).count() == 1L)
+  }
+
+  test("retrainIvf trains on the tombstone-filtered corpus and folds the lists") {
+    val dir = Files.createTempDirectory("ivf").toString
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    VectorIndex.buildIvf(embs, s"$dir/idx")
+    val deleted = embs.where($"vec_id" % 5 === 1).select($"vec_id")
+    val deletedIds = deleted.as[Long].collect().toSet
+    VectorIndex.deleteIvf(spark, s"$dir/idx", deleted)
+    VectorIndex.retrainIvf(spark, s"$dir/idx")
+    // the rebuild excluded the deleted vectors from lists AND training
+    assert(spark.read.parquet(s"$dir/idx/lists").select("vec_id")
+      .as[Long].collect().toSet.intersect(deletedIds).isEmpty,
+      "retrain kept deleted vectors")
+    // no pq stage here, so the retrain completed the fold
+    assert(!new java.io.File(s"$dir/idx/_tombstones").exists(),
+      "retrain did not clear a completed fold")
+    // parity: retrained == buildIvf over the surviving corpus
+    val ref = Files.createTempDirectory("ivf").toString
+    VectorIndex.buildIvf(
+      embs.where($"vec_id" % 5 =!= 1), s"$ref/idx")
+    val q = embs.limit(3).select($"vec_id".as("query_id"), $"embedding")
+    val got = VectorIndex.searchIvf(spark, s"$dir/idx", q, 4, 5).collect().toSeq
+    val want = VectorIndex.searchIvf(spark, s"$ref/idx", q, 4, 5).collect().toSeq
+    assert(got == want, "retrained index != survivors-only build")
+  }
 }

@@ -359,4 +359,51 @@ class DocStreamSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().sorted.toSeq
     assert(after == Seq(1L, 2L), s"post-recovery fold admitted a dup: $after")
   }
+
+  test("deleteDocs tombstones the corpus and its index; content re-admits, ids stay taken; compact folds") {
+    val dir = Files.createTempDirectory("docstream").toString
+    val (corpusDir, idxDir) = (s"$dir/corpus", s"$dir/idx")
+    DocStream.ingestBatch(
+      Seq((1L, "alpha takedown target document"),
+        (2L, "beta kept document two here"))
+        .toDF("doc_id", "text"), corpusDir, 0L, Some(idxDir))
+    DocStream.ingestBatch(
+      Seq((3L, "gamma kept document three here")).toDF("doc_id", "text"),
+      corpusDir, 1L, Some(idxDir))
+    DocStream.deleteDocs(spark, corpusDir, Seq(1L).toDF("doc_id"),
+      Some(idxDir))
+    // served corpus and index exclude the deleted doc immediately
+    assert(DocStream.corpus(spark, corpusDir)
+      .select($"doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    assert(graft.llm.DedupIndex.signatures(spark, idxDir)
+      .select($"doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // the deleted doc's exact text re-admits under a NEW id (its hash
+    // and bands no longer block), a re-used deleted ID stays taken, and
+    // a near-dup edit of the deleted doc also re-admits
+    DocStream.ingestBatch(
+      Seq((4L, "alpha takedown target document"),
+        (1L, "unrelated fresh text entirely new"),
+        (5L, "alpha takedown target documents")).toDF("doc_id", "text"),
+      corpusDir, 2L, Some(idxDir))
+    val ids = DocStream.corpus(spark, corpusDir)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(2L, 3L, 4L, 5L),
+      s"expected re-admits 4,5 and id 1 still taken; got $ids")
+    // the fold retires the tombstones on both artifacts
+    DocStream.compactCorpus(spark, corpusDir)
+    graft.llm.DedupIndex.compact(spark, idxDir)
+    assert(!new java.io.File(s"$corpusDir/_tombstones").exists())
+    assert(!new java.io.File(s"$idxDir/_tombstones").exists())
+    assert(spark.read.parquet(s"$corpusDir/docs").select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(2L, 3L, 4L, 5L),
+      "fold left the deleted doc in the raw corpus stage")
+    assert(spark.read.parquet(s"$idxDir/signatures").where($"doc_id" === 1L)
+      .count() == 0L, "fold left the deleted doc in the raw index")
+    // post-fold the id is free again
+    DocStream.ingestBatch(
+      Seq((1L, "unrelated fresh text entirely new")).toDF("doc_id", "text"),
+      corpusDir, 3L, Some(idxDir))
+    assert(DocStream.corpus(spark, corpusDir).where($"doc_id" === 1L)
+      .count() == 1L, "post-fold re-use of the retired id failed")
+  }
 }

@@ -240,4 +240,36 @@ class MediaStreamSpec extends SparkSpec {
       .select($"media_id").as[Long].collect().sorted.toSeq
     assert(ids == ((10L to 29L).toSeq), s"streamed index ids $ids")
   }
+
+  test("deleteFromIndex tombstones assets: copies re-admit, ids stay taken, compact folds") {
+    val dir = Files.createTempDirectory("mediastream").toString
+    MediaStream.ingestBatch(assets.where($"media_id".between(10, 29)),
+      dir, 0L, rejectHammingLe = Some(1))
+    MediaStream.deleteFromIndex(spark, dir, Seq(15L).toDF("media_id"))
+    assert(!MediaStream.fingerprints(spark, dir)
+      .select($"media_id").as[Long].collect().contains(15L),
+      "deleted asset still served")
+    // an exact copy of the DELETED asset under a fresh id now admits
+    // (pre-delete the exact gate rejected it — see the ingest spec
+    // above), while a re-use of the deleted id stays taken
+    val copy = assets.where($"media_id" === 15)
+      .select(lit(900001L).as("media_id"), $"payload")
+    val reuse = assets.where($"media_id" === 30)
+      .select(lit(15L).as("media_id"), $"payload")
+    MediaStream.ingestBatch(copy.unionByName(reuse), dir, 1L,
+      rejectHammingLe = Some(1))
+    val ids = MediaStream.fingerprints(spark, dir)
+      .select($"media_id").as[Long].collect().sorted.toSeq
+    assert(ids.contains(900001L), "copy of the deleted asset was rejected")
+    assert(!ids.contains(15L), "re-used deleted id was admitted")
+    // the fold rewrites both stages minus the tombstoned rows and
+    // clears the set
+    MediaStream.compactIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/_tombstones").exists(),
+      "compactIndex did not clear the tombstones")
+    assert(spark.read.parquet(s"$dir/fps").where($"media_id" === 15L)
+      .count() == 0L, "fold left the deleted asset in fps")
+    assert(spark.read.parquet(s"$dir/bands").where($"media_id" === 15L)
+      .count() == 0L, "fold left the deleted asset in bands")
+  }
 }
