@@ -164,13 +164,20 @@ object DedupIndex {
     * read; the corpus text is never touched.
     */
   def probe(spark: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
-    val (nb, rb) = bandingOf(spark, indexDir)
+    // ONE snapshot-pinned bands path for the scheme read, the prefix
+    // width, and the data read: resolving each separately could
+    // straddle a concurrent reband flip and band the batch under the
+    // OLD scheme against the NEW bands — zero matches, silently
+    // ([[IndexMaintenance.snapshotStages]])
+    val bandsPath = IndexMaintenance
+      .snapshotStages(spark, indexDir, Seq("bands"))("bands")
+    val (nb, rb) = bandingOfPath(spark, bandsPath)
     // tombstone filter on the corpus side: a deleted document must not
     // produce candidates against new batches (the anti-join composes
     // with the bp= pruning below — both restrict the corpus scan)
     probeAgainst(Tombstones.filter(spark, indexDir,
-        spark.read.parquet(stg(spark, indexDir, "bands")), Seq("doc_id")),
-      batch, nb, rb, prefixLenOf(spark, indexDir))
+        spark.read.parquet(bandsPath), Seq("doc_id")),
+      batch, nb, rb, prefixLenOfPath(spark, bandsPath))
   }
 
   /** The probe join against an arbitrary corpus-bands frame — factored
@@ -406,7 +413,10 @@ object DedupIndex {
     * production width 1.
     */
   def prefixLenOf(spark: SparkSession, indexDir: String): Int =
-    graft.util.Fs.listDirNames(spark, stg(spark, indexDir, "bands"))
+    prefixLenOfPath(spark, stg(spark, indexDir, "bands"))
+
+  private def prefixLenOfPath(spark: SparkSession, bandsPath: String): Int =
+    graft.util.Fs.listDirNames(spark, bandsPath)
       .collectFirst { case d if d.startsWith("bp=") => d.length - 3 }
       .getOrElse(1)
 
@@ -424,8 +434,10 @@ object DedupIndex {
     * probe path exists to avoid exactly that class of scan. An absent
     * or empty bands artifact reports the production 2x8 default.
     */
-  def bandingOf(spark: SparkSession, indexDir: String): (Int, Int) = {
-    val p = stg(spark, indexDir, "bands")
+  def bandingOf(spark: SparkSession, indexDir: String): (Int, Int) =
+    bandingOfPath(spark, stg(spark, indexDir, "bands"))
+
+  private def bandingOfPath(spark: SparkSession, p: String): (Int, Int) = {
     if (!graft.util.Fs.exists(spark, p)) (2, 8)
     else if (graft.util.Fs.isFile(spark, s"$p/_SCHEME")) {
       val Array(nb, rb) = graft.util.Fs.readString(spark, s"$p/_SCHEME")

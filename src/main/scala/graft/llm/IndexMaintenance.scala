@@ -120,6 +120,58 @@ private[graft] object IndexMaintenance {
     if (Fs.isFile(spark, ptr)) Some(Fs.readString(spark, ptr).trim) else None
   }
 
+  /** SNAPSHOT-consistent resolution of a SET of stages — the reader-side
+    * companion to the pointer protocol's flip journal. A multi-stage
+    * reader ([[VectorIndex.searchIvfPq]] composes centroids + lists +
+    * codes; [[DedupIndex.probe]] reads the bands scheme and then the
+    * bands data) that resolves each stage pointer at a slightly
+    * different instant can straddle a concurrent multi-stage flip and
+    * compose NEW centroids with OLD lists — exactly the mixed-index
+    * state the `_ptr/_intent` journal prevents for crash RECOVERY but
+    * which per-stage [[graft.util.Fs.stagePath]] calls cannot prevent
+    * for concurrent READERS. This resolver closes that window with a
+    * seqlock read: (1) the intent journal must be ABSENT, (2) all
+    * pointers are resolved, (3) journal absence and pointer values are
+    * re-checked — any change retries. Because [[swapByPointer]] brackets
+    * every multi-stage flip with the journal, a clean double-read proves
+    * the set is from one side of any flip; and because flips RETAIN what
+    * they supersede ([[retainGens]]), the returned paths stay readable
+    * even if a flip lands right after the snapshot.
+    *
+    * A journal that stays up (a writer crashed mid-flip) fails the read
+    * LOUDLY after ~5 s of retries — the retrain docstring's "do not
+    * serve between a crash and its recovery" contract, enforced
+    * mechanically instead of documented: any maintenance entry
+    * ([[recoverStages]]) converges the flip and unblocks readers.
+    *
+    * Cost: indexes that never pointer-swapped take the one-existence-
+    * probe fast path (`_ptr/` absent ⇒ bare paths, no flip possible);
+    * pointer-governed indexes pay a second round of pointer reads per
+    * query build — control-plane metadata, not data I/O.
+    */
+  private[graft] def snapshotStages(spark: SparkSession, indexDir: String,
+      stages: Seq[String]): Map[String, String] = {
+    def resolveAll(): Map[String, String] =
+      stages.map(s => s -> Fs.stagePath(spark, indexDir, s)).toMap
+    if (!Fs.exists(spark, s"$indexDir/_ptr")) return resolveAll()
+    val intent = s"$indexDir/_ptr/_intent"
+    var attempt = 0
+    while (attempt < 100) {
+      if (!Fs.isFile(spark, intent)) {
+        val resolved = resolveAll()
+        if (!Fs.isFile(spark, intent) && resolveAll() == resolved)
+          return resolved
+      }
+      attempt += 1
+      Thread.sleep(50L)
+    }
+    throw new IllegalStateException(
+      s"snapshot read at $indexDir: a multi-stage pointer flip has been " +
+        "in flight for >5s — a maintenance writer crashed mid-swap; run " +
+        "any maintenance entry (compact/recover) to converge the flip " +
+        "before serving")
+  }
+
   /** Rewrite each stage directory DISTINCT into O(targetFiles) files
     * (one file per partition directory when the stage is
     * directory-partitioned), staging everything under

@@ -564,11 +564,16 @@ object VectorIndex {
     */
   def searchIvf(spark: SparkSession, indexDir: String, queries: DataFrame,
       nprobe: Int, topk: Int): DataFrame = {
-    val cent = spark.read.parquet(stg(spark, indexDir, "centroids"))
+    // snapshot-consistent stage set: a concurrent retrain flip must not
+    // compose new centroids with old lists ([[IndexMaintenance
+    // .snapshotStages]])
+    val snap = IndexMaintenance.snapshotStages(spark, indexDir,
+      Seq("centroids", "lists"))
+    val cent = spark.read.parquet(snap("centroids"))
     // tombstone filter ([[deleteIvf]]): identity when nothing is
     // deleted; otherwise one anti-join below the probe-pruned list read
     val lists = Tombstones.filter(spark, indexDir,
-      spark.read.parquet(stg(spark, indexDir, "lists")), Seq("vec_id"))
+      spark.read.parquet(snap("lists")), Seq("vec_id"))
     val q = queries.select(col("query_id"), col("embedding").as("qv"),
       sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
     val probes = q.join(broadcast(cent))
@@ -617,9 +622,11 @@ object VectorIndex {
   def searchIvfFiltered(spark: SparkSession, indexDir: String,
       queries: DataFrame, allowed: DataFrame, nprobe: Int,
       topk: Int, autoOverProbe: Boolean = false): DataFrame = {
-    val cent = spark.read.parquet(stg(spark, indexDir, "centroids"))
+    val snap = IndexMaintenance.snapshotStages(spark, indexDir,
+      Seq("centroids", "lists"))
+    val cent = spark.read.parquet(snap("centroids"))
     val lists = Tombstones.filter(spark, indexDir,
-      spark.read.parquet(stg(spark, indexDir, "lists")), Seq("vec_id"))
+      spark.read.parquet(snap("lists")), Seq("vec_id"))
     val np = if (autoOverProbe) overProbeOf(spark, indexDir, allowed, nprobe)
       else nprobe
     val q = queries.select(col("query_id"), col("embedding").as("qv"),
@@ -665,16 +672,18 @@ object VectorIndex {
     */
   def overProbeOf(spark: SparkSession, indexDir: String, allowed: DataFrame,
       nprobe: Int): Int = {
+    val snap = IndexMaintenance.snapshotStages(spark, indexDir,
+      Seq("centroids", "lists"))
     // live (tombstone-filtered) counts: a deleted vector neither serves
     // nor should weigh in the selectivity estimate
     val lists = Tombstones.filter(spark, indexDir,
-      spark.read.parquet(stg(spark, indexDir, "lists")), Seq("vec_id"))
+      spark.read.parquet(snap("lists")), Seq("vec_id"))
     val total = lists.count()
     val nAllowed = lists.select(col("vec_id"))
       .join(allowed.select(col("vec_id")).distinct(), Seq("vec_id"),
         "left_semi")
       .count()
-    val k = spark.read.parquet(stg(spark, indexDir, "centroids")).count()
+    val k = spark.read.parquet(snap("centroids")).count()
     if (nAllowed == 0L) nprobe
     else math.min(k, nprobe.toLong * ((total + nAllowed - 1L) / nAllowed)).toInt
   }
@@ -864,7 +873,13 @@ object VectorIndex {
     */
   def searchIvfPq(spark: SparkSession, indexDir: String, queries: DataFrame,
       nprobe: Int, topk: Int): DataFrame = {
-    val cent = spark.read.parquet(stg(spark, indexDir, "centroids"))
+    // snapshot-consistent FOUR-stage set: this is the reader the flip
+    // journal's reader-side gap bites hardest — a concurrent retrain
+    // flips centroids+lists, and a per-stage resolve could compose the
+    // halves from different generations
+    val snap = IndexMaintenance.snapshotStages(spark, indexDir,
+      Seq("centroids", "pq_codebook", "lists", "pq_codes"))
+    val cent = spark.read.parquet(snap("centroids"))
     val q = queries.select(col("query_id"), col("embedding").as("qv"),
       sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
     val probes = q.join(broadcast(cent))
@@ -876,7 +891,7 @@ object VectorIndex {
       .select(col("query_id"), col("c_id"))
     // per-query ADC lookup table: 4x16 inner products against the
     // broadcast codebook — 64 dots per query, not |corpus| of them
-    val codebook = spark.read.parquet(stg(spark, indexDir, "pq_codebook"))
+    val codebook = spark.read.parquet(snap("pq_codebook"))
     val qsubs = queries
       .select(col("query_id"),
         explode(sequence(lit(0L), lit(3L))).as("sub_id"), col("embedding"))
@@ -905,9 +920,9 @@ object VectorIndex {
         // codes joined by a plain keyed shuffle; tombstone-filtering
         // membership covers the codes side too (deleted ids never join)
         val member = Tombstones.filter(spark, indexDir,
-            spark.read.parquet(stg(spark, indexDir, "lists")), Seq("vec_id"))
+            spark.read.parquet(snap("lists")), Seq("vec_id"))
           .select(col("c_id"), col("vec_id").as("neighbor_id"))
-        val codes = spark.read.parquet(stg(spark, indexDir, "pq_codes"))
+        val codes = spark.read.parquet(snap("pq_codes"))
         probes.join(member, Seq("c_id"))
           .select(col("query_id"), col("neighbor_id"))
           .join(codes, col("neighbor_id") === col("vec_id"))
@@ -1037,9 +1052,11 @@ object VectorIndex {
     */
   def searchPq(spark: SparkSession, indexDir: String, queries: DataFrame,
       topk: Int): DataFrame = {
-    val codebook = spark.read.parquet(stg(spark, indexDir, "pq_codebook"))
+    val snap = IndexMaintenance.snapshotStages(spark, indexDir,
+      Seq("pq_codebook", "pq_codes"))
+    val codebook = spark.read.parquet(snap("pq_codebook"))
     val codes = Tombstones.filter(spark, indexDir,
-      spark.read.parquet(stg(spark, indexDir, "pq_codes")), Seq("vec_id"))
+      spark.read.parquet(snap("pq_codes")), Seq("vec_id"))
     val qsubs = queries
       .select(col("query_id"),
         explode(sequence(lit(0L), lit(3L))).as("sub_id"), col("embedding"))

@@ -783,6 +783,48 @@ class VectorIndexSpec extends SparkSpec {
       .where($"vec_id" === deletedIds.min).count() == 1L)
   }
 
+  test("a reader never composes a half-flipped multi-stage pointer swap: blocked loudly, unblocked by recovery") {
+    val dir = Files.createTempDirectory("ivf").toString
+    val idx = s"$dir/idx"
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    VectorIndex.buildIvf(embs, idx)
+    // pointer-govern BOTH stages (a pointer-protocol retrain stages and
+    // flips centroids + lists under the one-file journal)
+    VectorIndex.retrainIvf(spark, idx, swapMode = Some("pointer"))
+    val q = embs.limit(2).select($"vec_id".as("query_id"), $"embedding")
+    val before = VectorIndex.searchIvf(spark, idx, q, 4, 5).collect().toSeq
+    assert(before.nonEmpty)
+    // plant a crashed TWO-stage flip: stage content-identical fresh
+    // generations for both stages, journal both, flip ONLY centroids —
+    // the exact mixed state (new centroids over old lists) a per-stage
+    // resolver would happily compose
+    val stagedC = IndexMaintenance.stagedDir(spark, idx, "centroids")
+    spark.read.parquet(graft.util.Fs.stagePath(spark, idx, "centroids"))
+      .write.parquet(stagedC)
+    val stagedL = IndexMaintenance.stagedDir(spark, idx, "lists")
+    spark.read.parquet(graft.util.Fs.stagePath(spark, idx, "lists"))
+      .write.partitionBy("c_id").parquet(stagedL)
+    graft.util.Fs.writeString(spark, s"$idx/_ptr/_intent",
+      s"centroids ${stagedC.split('/').last}\nlists ${stagedL.split('/').last}")
+    graft.util.Fs.writeString(spark, s"$idx/_ptr/centroids",
+      stagedC.split('/').last)
+    // the snapshot resolver must refuse to serve while the flip journal
+    // is up — the "do not serve between a crash and its recovery"
+    // contract enforced mechanically (retries ~5s, then loud)
+    val ex = intercept[IllegalStateException] {
+      VectorIndex.searchIvf(spark, idx, q, 4, 5).collect()
+    }
+    assert(ex.getMessage.contains("in flight"), ex.getMessage)
+    // any maintenance entry converges the flip; the read then serves
+    // the complete post-flip set (content-identical copies here, so
+    // results must equal the pre-flip read exactly)
+    IndexMaintenance.recoverStages(spark, idx, Seq("centroids", "lists"),
+      swapMode = Some("pointer"))
+    assert(!graft.util.Fs.isFile(spark, s"$idx/_ptr/_intent"))
+    val after = VectorIndex.searchIvf(spark, idx, q, 4, 5).collect().toSeq
+    assert(after == before, "converged read diverged from the flipped content")
+  }
+
   test("retrainIvf trains on the tombstone-filtered corpus and folds the lists") {
     val dir = Files.createTempDirectory("ivf").toString
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
