@@ -75,6 +75,15 @@ object DedupIndex {
   def build(docs: DataFrame, indexDir: String, resume: Boolean = false,
       prefixLen: Int = 1): Unit = {
     val spark = docs.sparkSession
+    // a rebuild into a layout with LIVE tombstones would silently
+    // re-delete any rebuilt doc whose id is tombstoned (every reader
+    // anti-joins the set) — fail loudly; fold first ([[compact]]) or
+    // clear the leftover `_tombstones` with the index it belonged to
+    require(!Tombstones.any(spark, indexDir),
+      s"build into $indexDir: the layout carries live tombstones from a " +
+        "previous index — rebuilt rows with tombstoned ids would be " +
+        "silently filtered; compact the old index (folds and clears " +
+        "them) or remove the directory before rebuilding")
     def done(stage: String): Boolean =
       resume && graft.util.Fs.isFile(spark, s"${stg(spark, indexDir, stage)}/_SUCCESS")
     if (!done("signatures"))

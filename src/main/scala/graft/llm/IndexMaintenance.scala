@@ -43,7 +43,13 @@ import graft.util.Fs
   * `spark.graft.index.swapMode` (`auto`/`rename`/`pointer`) overrides
   * the per-store choice — `rename` for an HCFS connector the deny-list
   * wrongly flags, `pointer` to force the object-store protocol
-  * anywhere (how the specs exercise it on local disk).
+  * anywhere (how the specs exercise it on local disk). The RENAME
+  * protocol, by contrast, swaps the live path IN PLACE, so its reader
+  * contract is strictly weaker and stated honestly: an in-flight
+  * reader must not span a rename-mode maintenance swap at all (the
+  * file paths it planned are moved out from under it) — reader-safe
+  * maintenance (retention + [[snapshotStages]]) is what the pointer
+  * protocol provides, and `swapMode = pointer` opts any store into it.
   *
   * On rename-protocol stores, recovery additionally tolerates a
   * partial rename planted by an ungated writer: a swap-intent marker

@@ -150,6 +150,11 @@ object VectorIndex {
     * every existing oracle pins.
     */
   def buildIvf(embs: DataFrame, indexDir: String, lloydIters: Int = 0): Unit = {
+    // see [[DedupIndex.build]]: a rebuild into a layout with live
+    // tombstones would silently re-delete rebuilt ids — fail loudly
+    require(!Tombstones.any(spark(embs), indexDir),
+      s"buildIvf into $indexDir: the layout carries live tombstones — " +
+        "fold them first (compact/retrain) or remove the directory")
     val e = embs.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     trainQuantizer(embs, indexDir, lloydIters)
@@ -950,6 +955,9 @@ object VectorIndex {
     * 10⁹-vector corpus fit in cluster memory for ADC scanning.
     */
   def buildPq(embs: DataFrame, indexDir: String): Unit = {
+    require(!Tombstones.any(spark(embs), indexDir),
+      s"buildPq into $indexDir: the layout carries live tombstones — " +
+        "fold them first (compact/retrain) or remove the directory")
     trainPqCodebook(embs, indexDir)
     val codebook = spark(embs).read
       .parquet(stg(spark(embs), indexDir, "pq_codebook"))

@@ -765,6 +765,12 @@ class DedupIndexSpec extends SparkSpec {
       DedupIndex.merge(spark, s"$dir/idx", readd)
     }
     assert(ex.getMessage.contains("doc_ids"), ex.getMessage)
+    // and so does an in-place REBUILD over the tombstoned layout — the
+    // stale set would silently re-delete any rebuilt tombstoned id
+    val exb = intercept[IllegalArgumentException] {
+      DedupIndex.build(corpus, s"$dir/idx")
+    }
+    assert(exb.getMessage.contains("tombstones"), exb.getMessage)
 
     // compact folds the removals into the artifacts and clears the set;
     // the served view is unchanged, and the RAW artifacts are now clean

@@ -747,6 +747,11 @@ class VectorIndexSpec extends SparkSpec {
       VectorIndex.mergeIvf(spark, s"$dir/idx", readd)
     }
     assert(ex.getMessage.contains("vec_ids"), ex.getMessage)
+    // an in-place rebuild over the tombstoned layout fails loudly too
+    val exb = intercept[IllegalArgumentException] {
+      VectorIndex.buildIvf(embs, s"$dir/idx")
+    }
+    assert(exb.getMessage.contains("tombstones"), exb.getMessage)
 
     // compactIvf folds the lists but must NOT clear the tombstones
     // while pq_codes still holds the deleted rows

@@ -909,4 +909,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"l90 built a non-broadcast cartesian product:\n$p")
   }
+
+  // The tombstone deletion vector's two scale claims: an index with no
+  // tombstones pays NOTHING (identity plan — no anti-join at all), and
+  // a tombstoned index pays a BROADCAST anti-join (the corpus side
+  // never shuffles for a takedown-sized id set).
+  test("tombstone filter: identity plan when absent, broadcast anti-join when present") {
+    val dir = java.nio.file.Files.createTempDirectory("plants").toString
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    graft.llm.DedupIndex.build(corpus, s"$dir/idx")
+    val before = planOf(graft.llm.DedupIndex.candidatePairs(spark, s"$dir/idx"))
+    assert(!before.contains("Join"),
+      s"tombstone-free pairs read pays a join it should not:\n$before")
+    graft.llm.DedupIndex.delete(spark, s"$dir/idx",
+      corpus.limit(5).select("doc_id"))
+    val p = planOf(graft.llm.DedupIndex.candidatePairs(spark, s"$dir/idx"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"tombstone filter is not a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"tombstone filter shuffles the corpus side:\n$p")
+    // the ANN serving path keeps its probe-pruned shape with the
+    // anti-join riding below the pruned list read
+    val ivfDir = java.nio.file.Files.createTempDirectory("planivf").toString
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    graft.llm.VectorIndex.buildIvf(embs, s"$ivfDir/idx")
+    graft.llm.VectorIndex.deleteIvf(spark, s"$ivfDir/idx",
+      embs.limit(5).select("vec_id"))
+    val q = embs.limit(2).select(
+      org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+      org.apache.spark.sql.functions.col("embedding"))
+    val sp = planOf(graft.llm.VectorIndex.searchIvf(spark, s"$ivfDir/idx", q, 4, 5))
+    assert(sp.contains("LeftAnti"),
+      s"tombstoned searchIvf lost its deletion-vector anti-join:\n$sp")
+    assert(!sp.contains("CartesianProduct"),
+      s"tombstoned searchIvf built a product:\n$sp")
+  }
 }
