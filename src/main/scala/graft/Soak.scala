@@ -423,8 +423,8 @@ object Soak {
         graft.llm.DedupIndex.candidatePairs(spark, s"$dir/idx").count(): Unit)
       timed(s"${mult}x fold (compact)    ")(
         graft.llm.DedupIndex.compact(spark, s"$dir/idx"))
-      require(!graft.util.Fs.exists(spark, s"$dir/idx/_tombstones"),
-        "fold did not clear the tombstones")
+      require(graft.util.Fs.isFile(spark, s"$dir/idx/_tombstones/_FOLDED"),
+        "fold did not retire the tombstones")
       graft.llm.LlmQueries.deleteRecursively(new java.io.File(dir))
       spark.catalog.clearCache()
       System.gc()

@@ -82,8 +82,8 @@ object DedupIndex {
     require(!Tombstones.any(spark, indexDir),
       s"build into $indexDir: the layout carries live tombstones from a " +
         "previous index — rebuilt rows with tombstoned ids would be " +
-        "silently filtered; compact the old index (folds and clears " +
-        "them) or remove the directory before rebuilding")
+        "silently filtered; run the old index through two compacts (fold, " +
+        "then retire) or remove the directory before rebuilding")
     def done(stage: String): Boolean =
       resume && graft.util.Fs.isFile(spark, s"${stg(spark, indexDir, stage)}/_SUCCESS")
     if (!done("signatures"))
@@ -151,7 +151,8 @@ object DedupIndex {
     * it from that moment (a deleted document stops producing candidate
     * pairs, signatures, bands, and shingle rows immediately — the pair
     * dies when EITHER endpoint is deleted), and the next [[compact]]
-    * folds the removals into the artifacts and clears the set. Because
+    * folds the removals into the artifacts and RETIRES the set (kept one
+    * further maintenance cycle for retained-generation readers). Because
     * per-document artifacts are row-local derivations of their
     * document, the filtered index is EXACTLY the index a from-scratch
     * build over the surviving corpus would produce (DedupIndexSpec pins
@@ -273,7 +274,7 @@ object DedupIndex {
       // reader: re-merging a deleted-but-not-yet-folded id would append
       // rows the live tombstone silently filters (a re-delete the
       // caller never asked for) — fail loudly instead; compact (which
-      // folds and clears the tombstones) before re-adding an id
+      // folds, and a second compact retires) before re-adding an id
       val overlap = delta.select(col("doc_id"))
         .join(spark.read.parquet(stg(spark, indexDir, "signatures"))
           .select(col("doc_id")), Seq("doc_id"), "left_semi")
@@ -283,6 +284,22 @@ object DedupIndex {
           "merging would duplicate ids across every artifact (a tombstoned " +
           "id would land pre-deleted); re-key the delta, or compact first " +
           "if the id was deleted")
+      // the raw-signatures check alone misses the folded-but-unretired
+      // window (rows already folded away, tombstones still live): a
+      // delta naming a LIVE tombstone would land pre-deleted — the
+      // silent re-delete VectorIndex.mergeIvf's guard closes, closed
+      // here too. Identity-cheap when no tombstone set exists.
+      if (Tombstones.any(spark, indexDir)) {
+        val hit = delta.select(col("doc_id"))
+          .join(Tombstones.ids(spark, indexDir)
+            .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_semi")
+          .limit(1).count()
+        require(hit == 0L,
+          s"merge delta names tombstoned doc_ids at $indexDir — the rows " +
+            "would land pre-deleted (silently filtered); fold the deletes " +
+            "through TWO maintenance entries (compact retires them one " +
+            "cycle later), then re-add")
+      }
     }
     // band the delta in the INDEX'S OWN scheme: after a [[reband]] the
     // live bands may be finer or coarser than the production 2x8, and
@@ -369,14 +386,16 @@ object DedupIndex {
     * every concurrent maintenance op into the chosen protocol.
     *
     * Compaction is also the [[delete]] FOLD: each staged rewrite drops
-    * the tombstoned rows (pairs by either endpoint), and the tombstone
-    * set is cleared only after every stage has swapped — so readers see
-    * the filtered view at every instant, and a crash anywhere re-runs
-    * to the same result.
+    * the tombstoned rows (pairs by either endpoint), and the observed
+    * tombstone files are RETIRED after the swap ([[Tombstones.endFold]]
+    * — kept one further maintenance cycle for readers on retained
+    * generations, GC'd by the next entry's [[Tombstones.beginFold]]; a
+    * delete landing mid-fold survives untouched and folds next time).
     */
   def compact(spark: SparkSession, indexDir: String, targetFiles: Int = 8,
       swapMode: Option[String] = None): Unit = {
-    IndexMaintenance.compactStages(spark, indexDir,
+    val observed = Tombstones.beginFold(spark, indexDir)
+    val allFolded = IndexMaintenance.compactStages(spark, indexDir,
       Seq("signatures", "bands", "pairs", "shingle_sets"), targetFiles,
       swapMode,
       rowFilter = {
@@ -385,7 +404,9 @@ object DedupIndex {
         case (_, df) =>
           Tombstones.filter(spark, indexDir, df, Seq("doc_id"))
       })
-    Tombstones.clear(spark, indexDir)
+    // a stage skipped as empty-after-filter still holds tombstoned
+    // rows — its tombstones stay live rather than retiring
+    if (allFolded) Tombstones.endFold(spark, indexDir, observed)
   }
 
   /** Banded keys (doc_id, band, bkey, bp) of a (doc_id, text) frame —

@@ -159,11 +159,17 @@ private[graft] object IndexMaintenance {
       stages: Seq[String]): Map[String, String] = {
     def resolveAll(): Map[String, String] =
       stages.map(s => s -> Fs.stagePath(spark, indexDir, s)).toMap
-    if (!Fs.exists(spark, s"$indexDir/_ptr")) return resolveAll()
     val intent = s"$indexDir/_ptr/_intent"
     var attempt = 0
     while (attempt < 100) {
-      if (!Fs.isFile(spark, intent)) {
+      if (!Fs.exists(spark, s"$indexDir/_ptr")) {
+        // never pointer-swapped: bare paths — but the absence check is
+        // itself part of the seqlock (an index's FIRST pointer flip can
+        // land mid-resolve, and an unvalidated fast path would compose
+        // new-pointed with old-bare stages), so re-check after resolving
+        val resolved = resolveAll()
+        if (!Fs.exists(spark, s"$indexDir/_ptr")) return resolved
+      } else if (!Fs.isFile(spark, intent)) {
         val resolved = resolveAll()
         if (!Fs.isFile(spark, intent) && resolveAll() == resolved)
           return resolved
@@ -190,7 +196,7 @@ private[graft] object IndexMaintenance {
     * default keeps plain compaction content-preserving.
     *
     * Crash safety. The rewrite is content-preserving (tombstone-folding
-    * callers clear their tombstone set only AFTER this returns, so
+    * callers retire their tombstone set only AFTER this returns, so
     * "live content" means the tombstone-FILTERED view throughout — see
     * [[Tombstones]]), so correctness needs only that a READABLE copy of
     * each stage exists at every instant. The swap therefore never
@@ -199,13 +205,21 @@ private[graft] object IndexMaintenance {
     * anything is read) finishes an interrupted swap from the
     * `_SUCCESS`-gated staged copy — so "a re-run simply finishes the
     * job" holds at every kill point, including mid-swap.
+    *
+    * Returns whether EVERY stage was rewritten. A directory-partitioned
+    * stage that is EMPTY after filtering is SKIPPED: a partitionBy
+    * write of zero rows leaves an unreadable `_SUCCESS`-only directory
+    * (the trap every ingest fold guards), so the live stage stays in
+    * place — and a tombstone-folding caller must then NOT retire its
+    * tombstones (they are still what hides the stage's remaining rows).
     */
   def compactStages(spark: SparkSession, indexDir: String,
       stages: Seq[String], targetFiles: Int,
       swapMode: Option[String] = None,
-      rowFilter: (String, DataFrame) => DataFrame = (_, df) => df): Unit = {
+      rowFilter: (String, DataFrame) => DataFrame = (_, df) => df): Boolean = {
     recoverStages(spark, indexDir, stages, swapMode)
-    stages.foreach { stage =>
+    // per stage: (swap this staged rewrite?, is the stage fully folded?)
+    val results = stages.map { stage =>
       // mergeSchema: a stage whose generations straddle a schema
       // addition (e.g. the media index's plen column) must compact
       // under the UNION schema — the default single-footer sampling
@@ -214,20 +228,31 @@ private[graft] object IndexMaintenance {
         .parquet(Fs.stagePath(spark, indexDir, stage))
       val parts = PartitionCols.filter(df.columns.contains)
       val deduped = rowFilter(stage, df).distinct()
-      val refiled =
-        if (parts.nonEmpty)
-          // Hash-cluster on the partition keys: each output directory
-          // is then written by exactly one task → one file per dir.
-          deduped.repartition(parts.map(col): _*)
-            .write.mode(SaveMode.Overwrite).partitionBy(parts: _*)
-        else
-          deduped.repartition(targetFiles)
-            .write.mode(SaveMode.Overwrite)
-      refiled.parquet(stagedDir(spark, indexDir, stage, swapMode))
+      if (parts.nonEmpty && deduped.isEmpty)
+        // skip: the live stage stays. It is FOLDED anyway when it held
+        // no rows to begin with (the fold removed nothing); if the
+        // FILTER emptied it, the tombstoned rows remain live and the
+        // caller must not retire the tombstones that hide them.
+        (stage, false, df.isEmpty)
+      else {
+        val refiled =
+          if (parts.nonEmpty)
+            // Hash-cluster on the partition keys: each output directory
+            // is then written by exactly one task → one file per dir.
+            deduped.repartition(parts.map(col): _*)
+              .write.mode(SaveMode.Overwrite).partitionBy(parts: _*)
+          else
+            deduped.repartition(targetFiles)
+              .write.mode(SaveMode.Overwrite)
+        refiled.parquet(stagedDir(spark, indexDir, stage, swapMode))
+        (stage, true, true)
+      }
     }
-    swapStages(spark, indexDir, stages, swapMode)
+    swapStages(spark, indexDir,
+      results.collect { case (s, true, _) => s }, swapMode)
     Fs.delete(spark, s"$indexDir/_compact")
     Fs.delete(spark, s"$indexDir/_merges")
+    results.forall(_._3)
   }
 
   /** Swap each staged rewrite (`_compact/<stage>`, `_SUCCESS`-complete)

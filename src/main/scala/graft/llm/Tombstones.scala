@@ -33,16 +33,29 @@ import graft.util.Fs
   *     anti-join never shuffles the corpus side.
   *   - The FOLD rides the compaction the index already runs:
   *     [[IndexMaintenance.compactStages]] applies the same filter to
-  *     each staged rewrite, and the caller clears the tombstone set
-  *     AFTER the swap commits. Because the clear is last, every reader
-  *     sees the filtered view at every instant of the fold — a crash
-  *     between the swap and the clear leaves tombstones that now filter
-  *     nothing (inert), and the next fold clears them.
+  *     each staged rewrite. Folded tombstones are then RETIRED, not
+  *     deleted: the fold records the tombstone files it observed in a
+  *     `_FOLDED` marker ([[endFold]]) and the NEXT maintenance entry's
+  *     [[beginFold]] is the garbage collector — the same
+  *     one-maintenance-cycle retention discipline superseded
+  *     generations follow ([[IndexMaintenance]] `retainGens`), and for
+  *     the same reader: a query still scanning a RETAINED pre-fold
+  *     generation needs the tombstones its snapshot was filtered by,
+  *     and an eager delete would either crash it (vanished files) or
+  *     silently serve it deleted rows. Post-fold, the anti-join over
+  *     already-folded ids is a no-op on the live generation and exactly
+  *     right on a retained one.
   *
   * At-least-once posture: [[add]] appends; a replayed delete re-appends
   * the same ids, which is inert under anti-join semantics and swept by
   * the next fold. Deleting an id the index never held is a no-op by the
   * same argument (takedown lists routinely name content never crawled).
+  * A delete landing WHILE a fold runs is never lost: the fold retires
+  * only the files it observed at entry ([[beginFold]]), so later
+  * appends survive the marker and the next fold takes them. (A delete
+  * racing the fold's stage rewrites may be folded into some stages and
+  * not others — harmless, since its tombstones stay live and every
+  * reader keeps filtering until a fold that observed them completes.)
   *
   * What tombstones deliberately do NOT do: un-derive. Aggregate
   * artifacts already derived FROM a deleted document (corpus-level
@@ -100,11 +113,52 @@ private[graft] object Tombstones {
         .select(df.columns.map(col).toIndexedSeq: _*)
     }
 
-  /** Clear the tombstone set — called by the index's fold AFTER the
-    * rewritten (tombstone-filtered) stages have swapped in. Crash
-    * before this call: the tombstones remain and now filter nothing;
-    * the next fold re-applies (a no-op) and clears.
+  /** The committed tombstone DATA files currently on disk (markers and
+    * committer metadata excluded).
     */
-  def clear(spark: SparkSession, indexDir: String): Unit =
-    Fs.delete(spark, dir(indexDir))
+  private def dataFiles(spark: SparkSession, indexDir: String): Seq[String] =
+    Fs.listFiles(spark, dir(indexDir))
+      .filterNot { p =>
+        val base = p.split('/').last
+        base.startsWith("_") || base.startsWith(".")
+      }
+
+  /** Enter a fold: GC the tombstone files a PREVIOUS fold already
+    * retired (named in the `_FOLDED` marker — they have now survived
+    * one full maintenance cycle, the retention window), then return the
+    * files THIS fold observes. Call before the stage rewrites; pass the
+    * result to [[endFold]] after the swap. Idempotent at every crash
+    * point: deleting a named file twice is a no-op, and a marker that
+    * outlives a crashed GC is simply re-processed.
+    */
+  def beginFold(spark: SparkSession, indexDir: String): Seq[String] = {
+    val marker = s"${dir(indexDir)}/_FOLDED"
+    if (Fs.isFile(spark, marker)) {
+      Fs.readString(spark, marker).split("\n").toSeq
+        .map(_.trim).filter(_.nonEmpty)
+        .foreach(f => Fs.delete(spark, f))
+      Fs.delete(spark, marker)
+      // nothing left but the _SUCCESS gate: drop the set whole (a
+      // parquet directory with zero data files is unreadable, and
+      // `any` must stop arming the filters)
+      if (dataFiles(spark, indexDir).isEmpty)
+        Fs.delete(spark, dir(indexDir))
+    }
+    dataFiles(spark, indexDir)
+  }
+
+  /** Complete a fold that rewrote EVERY id-bearing stage: retire the
+    * observed tombstone files by naming them in the `_FOLDED` marker.
+    * They stay on disk — still filtering, which is a no-op on the
+    * folded live generation and exactly right for a reader on a
+    * retained pre-fold generation — until the next maintenance entry's
+    * [[beginFold]] GCs them. Folds that covered only SOME id-bearing
+    * stages must not call this (the tombstones are still load-bearing
+    * on the unfolded stages).
+    */
+  def endFold(spark: SparkSession, indexDir: String,
+      observed: Seq[String]): Unit =
+    if (observed.nonEmpty)
+      Fs.writeString(spark, s"${dir(indexDir)}/_FOLDED",
+        observed.mkString("\n"))
 }

@@ -326,12 +326,15 @@ object VectorIndex {
     // vector's ADC partial sums — drop the artifact first (removed rows
     // cannot be reconciled by an append; see [[invalidateAligned]])
     dropAligned(spark, indexDir)
-    IndexMaintenance.compactStages(spark, indexDir, Seq("lists"), targetFiles,
+    val observed = Tombstones.beginFold(spark, indexDir)
+    val allFolded = IndexMaintenance.compactStages(spark, indexDir,
+      Seq("lists"), targetFiles,
       swapMode, rowFilter = vecTombstoneFold(spark, indexDir))
-    // tombstones clear only once every id-bearing stage is folded — a
+    // tombstones retire only once every id-bearing stage is folded — a
     // live pq_codes stage may still hold the deleted rows
-    if (!graft.util.Fs.exists(spark, stg(spark, indexDir, "pq_codes")))
-      Tombstones.clear(spark, indexDir)
+    if (allFolded &&
+        !graft.util.Fs.exists(spark, stg(spark, indexDir, "pq_codes")))
+      Tombstones.endFold(spark, indexDir, observed)
   }
 
   /** [[compactIvf]] for the PQ artifacts: rewrites `pq_codes` distinct
@@ -341,13 +344,16 @@ object VectorIndex {
   def compactPq(spark: SparkSession, indexDir: String,
       targetFiles: Int = 8, swapMode: Option[String] = None): Unit = {
     dropAligned(spark, indexDir)
-    IndexMaintenance.compactStages(spark, indexDir, Seq("pq_codes"),
+    val observed = Tombstones.beginFold(spark, indexDir)
+    val allFolded = IndexMaintenance.compactStages(spark, indexDir,
+      Seq("pq_codes"),
       targetFiles, swapMode, rowFilter = vecTombstoneFold(spark, indexDir))
     // the delete fold is complete only when EVERY id-bearing stage has
-    // been rewritten — clearing with live tombstoned rows still in the
-    // lists would resurrect them
-    if (!graft.util.Fs.exists(spark, stg(spark, indexDir, "lists")))
-      Tombstones.clear(spark, indexDir)
+    // been rewritten — retiring with live tombstoned rows still in the
+    // lists would (one cycle later) resurrect them
+    if (allFolded &&
+        !graft.util.Fs.exists(spark, stg(spark, indexDir, "lists")))
+      Tombstones.endFold(spark, indexDir, observed)
   }
 
   /** DELETE vectors from the index — the takedown verb, mirroring
@@ -381,18 +387,19 @@ object VectorIndex {
     * entry — lists and (when present) pq_codes rewritten under a single
     * swap set — and complete the [[deleteIvf]] fold by clearing the
     * tombstone set afterwards. [[compactIvf]]/[[compactPq]] remain the
-    * single-stage passes (each folds its own stage and clears only when
+    * single-stage passes (each folds its own stage and retires only when
     * it was the last id-bearing one); this is the entry an operator
     * runs to retire a takedown in one call.
     */
   def compact(spark: SparkSession, indexDir: String, targetFiles: Int = 8,
       swapMode: Option[String] = None): Unit = {
     dropAligned(spark, indexDir)
+    val observed = Tombstones.beginFold(spark, indexDir)
     val stages = Seq("lists", "pq_codes")
       .filter(st => graft.util.Fs.exists(spark, stg(spark, indexDir, st)))
-    IndexMaintenance.compactStages(spark, indexDir, stages, targetFiles,
-      swapMode, rowFilter = vecTombstoneFold(spark, indexDir))
-    Tombstones.clear(spark, indexDir)
+    val allFolded = IndexMaintenance.compactStages(spark, indexDir, stages,
+      targetFiles, swapMode, rowFilter = vecTombstoneFold(spark, indexDir))
+    if (allFolded) Tombstones.endFold(spark, indexDir, observed)
   }
 
   /** RETRAIN the coarse quantizer over the CURRENT corpus and re-key
@@ -433,6 +440,7 @@ object VectorIndex {
       lloydIters: Int = 0, swapMode: Option[String] = None): Unit = {
     val stages = Seq("centroids", "lists")
     IndexMaintenance.recoverStages(spark, indexDir, stages, swapMode)
+    val observedTombstones = Tombstones.beginFold(spark, indexDir)
     val live = spark.read.parquet(stg(spark, indexDir, "lists"))
     // A STREAMED layout ([[graft.streaming.VecStream]]) carries a
     // batch_id= partition layer above c_id=; the re-key must preserve
@@ -481,7 +489,7 @@ object VectorIndex {
       // the rebuild folded the lists; the tombstone set retires only if
       // no other id-bearing stage still holds the deleted rows
       if (!graft.util.Fs.exists(spark, stg(spark, indexDir, "pq_codes")))
-        Tombstones.clear(spark, indexDir)
+        Tombstones.endFold(spark, indexDir, observedTombstones)
     } finally { corpus.unpersist(); () }
   }
 
@@ -632,8 +640,13 @@ object VectorIndex {
     val cent = spark.read.parquet(snap("centroids"))
     val lists = Tombstones.filter(spark, indexDir,
       spark.read.parquet(snap("lists")), Seq("vec_id"))
-    val np = if (autoOverProbe) overProbeOf(spark, indexDir, allowed, nprobe)
-      else nprobe
+    // the over-probe estimate shares THIS search's snapshot: resolved
+    // separately it could straddle a flip and size nprobe off a
+    // different generation than the one being served (and would pay a
+    // second seqlock round for nothing)
+    val np = if (autoOverProbe)
+      overProbeOfResolved(spark, indexDir, snap, allowed, nprobe)
+    else nprobe
     val q = queries.select(col("query_id"), col("embedding").as("qv"),
       sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
     val probes = q.join(broadcast(cent))
@@ -676,9 +689,18 @@ object VectorIndex {
     * it under the hash gate).
     */
   def overProbeOf(spark: SparkSession, indexDir: String, allowed: DataFrame,
-      nprobe: Int): Int = {
-    val snap = IndexMaintenance.snapshotStages(spark, indexDir,
-      Seq("centroids", "lists"))
+      nprobe: Int): Int =
+    overProbeOfResolved(spark, indexDir,
+      IndexMaintenance.snapshotStages(spark, indexDir,
+        Seq("centroids", "lists")),
+      allowed, nprobe)
+
+  /** [[overProbeOf]] against an already-resolved stage snapshot — so
+    * [[searchIvfFiltered]]'s estimate and serving read come from the
+    * SAME generation set.
+    */
+  private def overProbeOfResolved(spark: SparkSession, indexDir: String,
+      snap: Map[String, String], allowed: DataFrame, nprobe: Int): Int = {
     // live (tombstone-filtered) counts: a deleted vector neither serves
     // nor should weigh in the selectivity estimate
     val lists = Tombstones.filter(spark, indexDir,

@@ -158,12 +158,17 @@ object DocStream {
     // arrival re-using a deleted id would otherwise land and be
     // silently re-deleted by the read filter — rows drop here until a
     // compactCorpus retires the tombstones (fresh content under a NEW
-    // id is unaffected)
-    val idGated =
-      if (graft.llm.Tombstones.any(spark, corpusDir))
-        gatedBatch.join(graft.llm.Tombstones.ids(spark, corpusDir)
-          .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_anti")
-      else gatedBatch
+    // id is unaffected). The gate consults the CORPUS's tombstones AND
+    // the attached index's: their folds run independently, and a
+    // corpus-side retirement alone would re-open an id whose index
+    // rows would still land pre-deleted (served from the corpus,
+    // invisible to the near-dup probe — a half-alive document).
+    val tombDirs = (Seq(corpusDir) ++ nearDupIndexDir)
+      .filter(graft.llm.Tombstones.any(spark, _))
+    val idGated = tombDirs.foldLeft(gatedBatch) { (acc, d) =>
+      acc.join(graft.llm.Tombstones.ids(spark, d)
+        .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_anti")
+    }
     val keyed = idGated
       .withColumn("h", md5(col("text")))
       .withColumn("norm_key", md5(canon(col("text"))))
@@ -308,7 +313,8 @@ object DocStream {
     * well WANT the same bytes re-admittable under a new id: content
     * policy is the caller's, id removal is ours); the next
     * [[compactCorpus]] folds the removals into the `docs/` stage and
-    * clears the set. When the fold also maintains a near-dup index
+    * retires the set one maintenance cycle later. When the fold also
+    * maintains a near-dup index
     * (`nearDupIndexDir`), pass it here so the SAME ids tombstone the
     * index artifacts through [[graft.llm.DedupIndex.delete]] — a
     * corpus-only delete would leave the index still probing against
@@ -380,13 +386,15 @@ object DocStream {
         legacy.foreach(n => graft.util.Fs.delete(spark, s"$corpusDir/$n"))
       }
     }
-    graft.llm.IndexMaintenance.compactStages(spark, corpusDir,
+    val observed = graft.llm.Tombstones.beginFold(spark, corpusDir)
+    val allFolded = graft.llm.IndexMaintenance.compactStages(spark, corpusDir,
       Seq("docs"), targetFiles, swapMode,
       rowFilter = (_, df) => graft.llm.Tombstones.filter(spark, corpusDir,
         df, Seq("doc_id")))
     // the docs/ stage is the corpus's only id-bearing artifact — the
     // [[deleteDocs]] fold completes here (an attached near-dup index
-    // folds its own tombstones in its own compact)
-    graft.llm.Tombstones.clear(spark, corpusDir)
+    // folds its own tombstones in its own compact); retired one
+    // maintenance cycle later ([[graft.llm.Tombstones.endFold]])
+    if (allFolded) graft.llm.Tombstones.endFold(spark, corpusDir, observed)
   }
 }

@@ -227,7 +227,8 @@ object MediaStream {
     * rejection probes (exact hash and perceptual bands) exclude the
     * deleted assets immediately — a takedown'd image must neither be
     * served NOR keep rejecting fresh arrivals as its duplicates — and
-    * the next [[compactIndex]] folds the removals and clears the set.
+    * the next [[compactIndex]] folds the removals (retired one further
+    * maintenance cycle later).
     * Replay caveat (shared with the corpus fold): replaying a
     * PRE-delete micro-batch after the fold re-ingests whatever the
     * batch held — delete again, or advance the checkpoint past the
@@ -250,12 +251,14 @@ object MediaStream {
     */
   def compactIndex(spark: SparkSession, indexDir: String,
       targetFiles: Int = 8, swapMode: Option[String] = None): Unit = {
-    graft.llm.IndexMaintenance.compactStages(spark, indexDir,
+    val observed = graft.llm.Tombstones.beginFold(spark, indexDir)
+    val allFolded = graft.llm.IndexMaintenance.compactStages(spark, indexDir,
       Seq("fps", "bands"), targetFiles, swapMode,
       rowFilter = (_, df) => graft.llm.Tombstones.filter(spark, indexDir,
         df, Seq("media_id")))
     // both id-bearing stages fold in the one swap set above, so the
-    // delete completes here ([[deleteFromIndex]])
-    graft.llm.Tombstones.clear(spark, indexDir)
+    // delete completes here ([[deleteFromIndex]]); retired one
+    // maintenance cycle later ([[graft.llm.Tombstones.endFold]])
+    if (allFolded) graft.llm.Tombstones.endFold(spark, indexDir, observed)
   }
 }

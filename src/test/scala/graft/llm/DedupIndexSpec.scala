@@ -772,16 +772,27 @@ class DedupIndexSpec extends SparkSpec {
     }
     assert(exb.getMessage.contains("tombstones"), exb.getMessage)
 
-    // compact folds the removals into the artifacts and clears the set;
-    // the served view is unchanged, and the RAW artifacts are now clean
+    // compact folds the removals into the artifacts and RETIRES the
+    // set (kept one further maintenance cycle for readers on retained
+    // generations — the _FOLDED marker names what the NEXT entry GCs);
+    // the served view is unchanged, and the RAW artifacts are clean
     DedupIndex.compact(spark, s"$dir/idx")
-    assert(!new java.io.File(s"$dir/idx/_tombstones").exists(),
-      "tombstones not cleared by the fold")
+    assert(new java.io.File(s"$dir/idx/_tombstones/_FOLDED").exists(),
+      "fold did not retire the observed tombstones")
     assert(pairsOf("idx") == filteredPairs, "fold changed the served pairs")
     val rawSigIds = spark.read.parquet(s"$dir/idx/signatures")
       .select("doc_id").as[Long].collect().toSet
     assert(rawSigIds.intersect(deletedIds).isEmpty, "fold left deleted rows")
-    // post-fold, the id is legitimately re-addable
+    // retired-but-not-yet-GCed tombstones still refuse a re-add (the
+    // conservative direction — they still filter readers)
+    intercept[IllegalArgumentException] {
+      DedupIndex.merge(spark, s"$dir/idx", readd)
+    }
+    // the NEXT maintenance entry garbage-collects the retired files;
+    // the id is then legitimately re-addable
+    DedupIndex.compact(spark, s"$dir/idx")
+    assert(!new java.io.File(s"$dir/idx/_tombstones").exists(),
+      "second maintenance entry did not GC the retired tombstones")
     DedupIndex.merge(spark, s"$dir/idx", readd)
     assert(DedupIndex.signatures(spark, s"$dir/idx")
       .where($"doc_id" === sample).count() == 1L, "re-add after fold failed")

@@ -771,10 +771,11 @@ class VectorIndexSpec extends SparkSpec {
       VectorIndex.mergeIvf(spark, s"$dir/idx", readd)
     }
     assert(ex2.getMessage.contains("tombstoned"), ex2.getMessage)
-    // the full fold (lists + pq_codes in one swap set) clears them
+    // the full fold (lists + pq_codes in one swap set) RETIRES them:
+    // the _FOLDED marker names what the next maintenance entry GCs
     VectorIndex.compact(spark, s"$dir/idx")
-    assert(!new java.io.File(s"$dir/idx/_tombstones").exists(),
-      "compact(all) did not clear the tombstones")
+    assert(new java.io.File(s"$dir/idx/_tombstones/_FOLDED").exists(),
+      "compact(all) did not retire the tombstones")
     assert(spark.read.parquet(s"$dir/idx/pq_codes").select("vec_id")
       .as[Long].collect().toSet.intersect(deletedIds).isEmpty,
       "fold left deleted rows in pq_codes")
@@ -782,7 +783,14 @@ class VectorIndexSpec extends SparkSpec {
     val servedAfter = VectorIndex.searchIvf(spark, s"$dir/idx", queries,
       nprobe = 4, topk = 5).collect().toSeq
     assert(servedAfter == servedBefore, "fold changed served results")
-    // post-fold the id is legitimately re-addable
+    // retired tombstones still refuse a re-add; the next maintenance
+    // entry GCs them and frees the id
+    intercept[IllegalArgumentException] {
+      VectorIndex.mergeIvf(spark, s"$dir/idx", readd)
+    }
+    VectorIndex.compact(spark, s"$dir/idx")
+    assert(!new java.io.File(s"$dir/idx/_tombstones").exists(),
+      "second maintenance entry did not GC the retired tombstones")
     VectorIndex.mergeIvf(spark, s"$dir/idx", readd)
     assert(spark.read.parquet(s"$dir/idx/lists")
       .where($"vec_id" === deletedIds.min).count() == 1L)
@@ -842,9 +850,10 @@ class VectorIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/idx/lists").select("vec_id")
       .as[Long].collect().toSet.intersect(deletedIds).isEmpty,
       "retrain kept deleted vectors")
-    // no pq stage here, so the retrain completed the fold
-    assert(!new java.io.File(s"$dir/idx/_tombstones").exists(),
-      "retrain did not clear a completed fold")
+    // no pq stage here, so the retrain completed the fold (retired —
+    // GC'd by the next maintenance entry)
+    assert(new java.io.File(s"$dir/idx/_tombstones/_FOLDED").exists(),
+      "retrain did not retire a completed fold")
     // parity: retrained == buildIvf over the surviving corpus
     val ref = Files.createTempDirectory("ivf").toString
     VectorIndex.buildIvf(

@@ -389,21 +389,33 @@ class DocStreamSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().sorted.toSeq
     assert(ids == Seq(2L, 3L, 4L, 5L),
       s"expected re-admits 4,5 and id 1 still taken; got $ids")
-    // the fold retires the tombstones on both artifacts
+    // the fold RETIRES the tombstones on both artifacts (kept one more
+    // maintenance cycle; the raw stages are already clean)
     DocStream.compactCorpus(spark, corpusDir)
     graft.llm.DedupIndex.compact(spark, idxDir)
-    assert(!new java.io.File(s"$corpusDir/_tombstones").exists())
-    assert(!new java.io.File(s"$idxDir/_tombstones").exists())
+    assert(new java.io.File(s"$corpusDir/_tombstones/_FOLDED").exists())
+    assert(new java.io.File(s"$idxDir/_tombstones/_FOLDED").exists())
     assert(spark.read.parquet(s"$corpusDir/docs").select("doc_id")
       .as[Long].collect().sorted.toSeq == Seq(2L, 3L, 4L, 5L),
       "fold left the deleted doc in the raw corpus stage")
     assert(spark.read.parquet(s"$idxDir/signatures").where($"doc_id" === 1L)
       .count() == 0L, "fold left the deleted doc in the raw index")
-    // post-fold the id is free again
+    // retired-but-not-GCed tombstones (on EITHER artifact) keep the id
+    // taken — the gate consults both
     DocStream.ingestBatch(
       Seq((1L, "unrelated fresh text entirely new")).toDF("doc_id", "text"),
       corpusDir, 3L, Some(idxDir))
     assert(DocStream.corpus(spark, corpusDir).where($"doc_id" === 1L)
-      .count() == 1L, "post-fold re-use of the retired id failed")
+      .count() == 0L, "retired-but-live tombstone did not keep the id taken")
+    // the NEXT maintenance entries GC the retired sets; the id is free
+    DocStream.compactCorpus(spark, corpusDir)
+    graft.llm.DedupIndex.compact(spark, idxDir)
+    assert(!new java.io.File(s"$corpusDir/_tombstones").exists())
+    assert(!new java.io.File(s"$idxDir/_tombstones").exists())
+    DocStream.ingestBatch(
+      Seq((1L, "unrelated fresh text entirely new")).toDF("doc_id", "text"),
+      corpusDir, 4L, Some(idxDir))
+    assert(DocStream.corpus(spark, corpusDir).where($"doc_id" === 1L)
+      .count() == 1L, "post-GC re-use of the retired id failed")
   }
 }

@@ -263,13 +263,16 @@ class MediaStreamSpec extends SparkSpec {
     assert(ids.contains(900001L), "copy of the deleted asset was rejected")
     assert(!ids.contains(15L), "re-used deleted id was admitted")
     // the fold rewrites both stages minus the tombstoned rows and
-    // clears the set
+    // RETIRES the set; the next maintenance entry GCs it
     MediaStream.compactIndex(spark, dir)
-    assert(!new java.io.File(s"$dir/_tombstones").exists(),
-      "compactIndex did not clear the tombstones")
+    assert(new java.io.File(s"$dir/_tombstones/_FOLDED").exists(),
+      "compactIndex did not retire the tombstones")
     assert(spark.read.parquet(s"$dir/fps").where($"media_id" === 15L)
       .count() == 0L, "fold left the deleted asset in fps")
     assert(spark.read.parquet(s"$dir/bands").where($"media_id" === 15L)
       .count() == 0L, "fold left the deleted asset in bands")
+    MediaStream.compactIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/_tombstones").exists(),
+      "second maintenance entry did not GC the retired tombstones")
   }
 }
