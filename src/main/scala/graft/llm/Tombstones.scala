@@ -28,9 +28,10 @@ import graft.util.Fs
   *     resolves through [[filter]], which no-ops (zero plan change) when
   *     no tombstone set exists and otherwise LEFT ANTI-joins the
   *     artifact's id column(s) against the distinct tombstoned ids.
-  *     The tombstone side is maintenance-cadence-bounded (it is cleared
-  *     at every fold), so Catalyst's size stats broadcast it and the
-  *     anti-join never shuffles the corpus side.
+  *     The tombstone side is maintenance-cadence-bounded (each fold
+  *     retires what it observed; the next entry GCs it), so Catalyst's
+  *     size stats broadcast it and the anti-join never shuffles the
+  *     corpus side.
   *   - The FOLD rides the compaction the index already runs:
   *     [[IndexMaintenance.compactStages]] applies the same filter to
   *     each staged rewrite. Folded tombstones are then RETIRED, not
