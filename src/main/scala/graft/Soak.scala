@@ -423,7 +423,8 @@ object Soak {
         graft.llm.DedupIndex.candidatePairs(spark, s"$dir/idx").count(): Unit)
       timed(s"${mult}x fold (compact)    ")(
         graft.llm.DedupIndex.compact(spark, s"$dir/idx"))
-      require(graft.util.Fs.isFile(spark, s"$dir/idx/_tombstones/_FOLDED"),
+      require(graft.util.Fs.listFiles(spark, s"$dir/idx/_tombstones")
+          .exists(_.split('/').last.startsWith("_FOLDED")),
         "fold did not retire the tombstones")
       graft.llm.LlmQueries.deleteRecursively(new java.io.File(dir))
       spark.catalog.clearCache()

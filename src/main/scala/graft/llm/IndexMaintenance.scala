@@ -206,12 +206,17 @@ private[graft] object IndexMaintenance {
     * `_SUCCESS`-gated staged copy — so "a re-run simply finishes the
     * job" holds at every kill point, including mid-swap.
     *
-    * Returns whether EVERY stage was rewritten. A directory-partitioned
-    * stage that is EMPTY after filtering is SKIPPED: a partitionBy
-    * write of zero rows leaves an unreadable `_SUCCESS`-only directory
-    * (the trap every ingest fold guards), so the live stage stays in
-    * place — and a tombstone-folding caller must then NOT retire its
-    * tombstones (they are still what hides the stage's remaining rows).
+    * Returns whether EVERY stage is fully folded afterwards. A
+    * directory-partitioned stage that was EMPTY BEFORE filtering is
+    * skipped (nothing to compact, nothing tombstoned — a partitionBy
+    * write of zero rows would leave an unreadable `_SUCCESS`-only
+    * directory, the trap every ingest fold guards) and still counts as
+    * folded. A partitioned stage the FILTER empties — a takedown of
+    * everything it indexed — fails LOUDLY instead: an empty partitioned
+    * layout is unrepresentable, a silent skip would leave the fold
+    * never able to complete (the tombstones could never retire, every
+    * deleted id stuck "taken" forever), and the honest remedy for a
+    * fully-deleted index is decommissioning it, not compacting it.
     */
   def compactStages(spark: SparkSession, indexDir: String,
       stages: Seq[String], targetFiles: Int,
@@ -227,22 +232,29 @@ private[graft] object IndexMaintenance {
       val df = spark.read.option("mergeSchema", "true")
         .parquet(Fs.stagePath(spark, indexDir, stage))
       val parts = PartitionCols.filter(df.columns.contains)
-      val deduped = rowFilter(stage, df).distinct()
-      if (parts.nonEmpty && deduped.isEmpty)
-        // skip: the live stage stays. It is FOLDED anyway when it held
-        // no rows to begin with (the fold removed nothing); if the
-        // FILTER emptied it, the tombstoned rows remain live and the
-        // caller must not retire the tombstones that hide them.
-        (stage, false, df.isEmpty)
-      else {
+      val filtered = rowFilter(stage, df)
+      // emptiness probed on the FILTERED frame (no distinct — the
+      // answer is the same and the probe short-circuits at row one)
+      if (parts.nonEmpty && filtered.isEmpty) {
+        require(df.isEmpty,
+          s"compact at $indexDir: the tombstone fold empties the " +
+            s"directory-partitioned stage '$stage' — a takedown of " +
+            "everything it indexed. An empty partitioned layout is " +
+            "unrepresentable (a partitionBy write of zero rows is " +
+            "unreadable); decommission the index (remove its " +
+            "directory) instead of compacting it")
+        // empty before filtering too: nothing to compact, nothing
+        // tombstoned in it — skip the rewrite, counts as folded
+        (stage, false, true)
+      } else {
         val refiled =
           if (parts.nonEmpty)
             // Hash-cluster on the partition keys: each output directory
             // is then written by exactly one task → one file per dir.
-            deduped.repartition(parts.map(col): _*)
+            filtered.distinct().repartition(parts.map(col): _*)
               .write.mode(SaveMode.Overwrite).partitionBy(parts: _*)
           else
-            deduped.repartition(targetFiles)
+            filtered.distinct().repartition(targetFiles)
               .write.mode(SaveMode.Overwrite)
         refiled.parquet(stagedDir(spark, indexDir, stage, swapMode))
         (stage, true, true)
@@ -276,9 +288,16 @@ private[graft] object IndexMaintenance {
     */
   def swapStages(spark: SparkSession, indexDir: String,
       stages: Seq[String], swapMode: Option[String] = None): Unit =
-    if (pointerMode(spark, indexDir, swapMode))
-      swapByPointer(spark, indexDir, stages)
-    else swapByRename(spark, indexDir, stages)
+    // an empty swap set (every stage skipped as empty) must be a
+    // NO-OP: journaling a zero-stage flip would create `_ptr/` on an
+    // index that never pointer-swapped (flipping pointerMode's sticky
+    // detection) and a crash between journal write and delete would
+    // block every snapshot reader behind a content-free intent
+    if (stages.nonEmpty) {
+      if (pointerMode(spark, indexDir, swapMode))
+        swapByPointer(spark, indexDir, stages)
+      else swapByRename(spark, indexDir, stages)
+    }
 
   private def swapByRename(spark: SparkSession, indexDir: String,
       stages: Seq[String]): Unit = {

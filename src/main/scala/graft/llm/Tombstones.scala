@@ -124,42 +124,91 @@ private[graft] object Tombstones {
         base.startsWith("_") || base.startsWith(".")
       }
 
-  /** Enter a fold: GC the tombstone files a PREVIOUS fold already
-    * retired (named in the `_FOLDED` marker — they have now survived
-    * one full maintenance cycle, the retention window), then return the
-    * files THIS fold observes. Call before the stage rewrites; pass the
-    * result to [[endFold]] after the swap. Idempotent at every crash
-    * point: deleting a named file twice is a no-op, and a marker that
-    * outlives a crashed GC is simply re-processed.
+  /** Enter a fold: age every retirement COHORT a previous fold recorded
+    * (each `_FOLDED_<n>` marker names one fold's observed files and
+    * carries a TTL in maintenance entries — see [[endFold]] for why the
+    * TTL mirrors the generation-retention window), GC a cohort's files
+    * when its TTL reaches zero, then return the UNRETIRED files THIS
+    * fold observes (files an older cohort holds are excluded — renaming
+    * them into a fresh cohort would reset their retention clock). Call
+    * before the stage rewrites; pass the result to [[endFold]] after
+    * the swap. Idempotent at every crash point: deleting a named file
+    * twice is a no-op; a marker outliving a crashed GC is re-processed;
+    * and the final teardown disarms the `_SUCCESS` gate BEFORE dropping
+    * the directory, so no kill point can leave a gate-armed directory
+    * with zero data files (which every reader would crash on).
     */
+  /** The retirement-cohort marker files (`_FOLDED_<n>`) currently on
+    * disk — each fold's retirement ages and GCs independently, so a
+    * later fold cannot reset an earlier cohort's clock.
+    */
+  private def markerFiles(spark: SparkSession, indexDir: String): Seq[String] =
+    Fs.listFiles(spark, dir(indexDir))
+      .filter(_.split('/').last.startsWith("_FOLDED"))
+
   def beginFold(spark: SparkSession, indexDir: String): Seq[String] = {
-    val marker = s"${dir(indexDir)}/_FOLDED"
-    if (Fs.isFile(spark, marker)) {
-      Fs.readString(spark, marker).split("\n").toSeq
+    markerFiles(spark, indexDir).foreach { marker =>
+      val lines = Fs.readString(spark, marker).split("\n").toSeq
         .map(_.trim).filter(_.nonEmpty)
-        .foreach(f => Fs.delete(spark, f))
-      Fs.delete(spark, marker)
-      // nothing left but the _SUCCESS gate: drop the set whole (a
-      // parquet directory with zero data files is unreadable, and
-      // `any` must stop arming the filters)
-      if (dataFiles(spark, indexDir).isEmpty)
-        Fs.delete(spark, dir(indexDir))
+      val ttl = lines.headOption.filter(_.startsWith("ttl="))
+        .map(_.drop(4).toInt).getOrElse(1)
+      val named = lines.filterNot(_.startsWith("ttl="))
+      if (ttl > 1)
+        // not yet out of the retention window — age this cohort one entry
+        Fs.writeString(spark, marker,
+          (s"ttl=${ttl - 1}" +: named).mkString("\n"))
+      else {
+        named.foreach(f => Fs.delete(spark, f))
+        Fs.delete(spark, marker)
+      }
     }
-    dataFiles(spark, indexDir)
+    if (markerFiles(spark, indexDir).isEmpty &&
+        dataFiles(spark, indexDir).isEmpty &&
+        Fs.exists(spark, dir(indexDir))) {
+      // nothing left to filter and no cohort pending: disarm the gate
+      // FIRST (readers then see "no tombstones" — correct, all files
+      // are gone), then drop the set whole; a crash between the two
+      // converges here on the next entry
+      Fs.delete(spark, s"${dir(indexDir)}/_SUCCESS")
+      Fs.delete(spark, dir(indexDir))
+    }
+    // this fold observes only the UNRETIRED files: re-naming a file an
+    // earlier cohort already holds would reset its retention clock
+    val retired = markerFiles(spark, indexDir).flatMap { m =>
+      Fs.readString(spark, m).split("\n").toSeq.map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("ttl="))
+    }.toSet
+    dataFiles(spark, indexDir).filterNot(retired)
   }
 
   /** Complete a fold that rewrote EVERY id-bearing stage: retire the
     * observed tombstone files by naming them in the `_FOLDED` marker.
     * They stay on disk — still filtering, which is a no-op on the
     * folded live generation and exactly right for a reader on a
-    * retained pre-fold generation — until the next maintenance entry's
-    * [[beginFold]] GCs them. Folds that covered only SOME id-bearing
-    * stages must not call this (the tombstones are still load-bearing
-    * on the unfolded stages).
+    * retained pre-fold generation — until [[beginFold]] GCs them after
+    * the marker's TTL of further maintenance entries. The TTL mirrors
+    * the GENERATION retention window exactly: on a pointer-governed
+    * index a generation superseded at entry N stays readable until
+    * entry N + retainGens + 1's hygiene pass, and a reader on it needs
+    * the tombstones that were filtering it — so the tombstones must
+    * outlive their fold by the same retainGens + 1 entries. On a
+    * rename-protocol index nothing superseded is retained (readers
+    * cannot span a swap at all), so one entry suffices. Folds that
+    * covered only SOME id-bearing stages must not call this (the
+    * tombstones are still load-bearing on the unfolded stages).
     */
   def endFold(spark: SparkSession, indexDir: String,
       observed: Seq[String]): Unit =
-    if (observed.nonEmpty)
-      Fs.writeString(spark, s"${dir(indexDir)}/_FOLDED",
-        observed.mkString("\n"))
+    if (observed.nonEmpty) {
+      val ttl =
+        if (Fs.exists(spark, s"$indexDir/_ptr"))
+          spark.conf.get("spark.graft.index.retainGens", "1")
+            .trim.toInt.max(0) + 1
+        else 1
+      val next = markerFiles(spark, indexDir)
+        .map(_.split('/').last.stripPrefix("_FOLDED_"))
+        .flatMap(_.toLongOption).maxOption.getOrElse(0L) + 1L
+      Fs.writeString(spark, s"${dir(indexDir)}/_FOLDED_$next",
+        (s"ttl=$ttl" +: observed).mkString("\n"))
+    }
 }

@@ -460,6 +460,14 @@ object VectorIndex {
       .select(col("vec_id"), col("embedding")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // a fully-deleted corpus cannot be re-keyed: the partitionBy
+      // write of zero rows would swap an unreadable _SUCCESS-only
+      // lists stage into place (the compactStages guard, enforced on
+      // the retrain path too)
+      require(!corpus.isEmpty,
+        s"retrainIvf at $indexDir: the tombstone-filtered corpus is " +
+          "empty (a takedown of every indexed vector) — decommission " +
+          "the index (remove its directory) instead of retraining")
       // staging targets per the store's swap protocol: `_compact/…`
       // where renames are atomic, a fresh unreferenced `_gen/…`
       // generation under the object-store pointer protocol

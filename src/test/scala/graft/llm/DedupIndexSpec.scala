@@ -718,6 +718,43 @@ class DedupIndexSpec extends SparkSpec {
     assert(resumed("shingle_sets") == after("shingle_sets"), "shingle_sets not completed")
   }
 
+  test("pointer-mode tombstone retirement matches the generation retention window; cohorts age independently") {
+    val dir = Files.createTempDirectory("dedupttl").toString
+    val idx = s"$dir/idx"
+    DedupIndex.build(corpus, idx)
+    def markers() = Option(new java.io.File(s"$idx/_tombstones").listFiles())
+      .map(_.count(_.getName.startsWith("_FOLDED"))).getOrElse(0)
+    def served() = DedupIndex.signatures(spark, idx)
+      .select($"doc_id").as[Long].collect().toSet
+    val idsA = corpus.where($"doc_id" % 10 === 0 && $"doc_id" < 100000)
+      .select($"doc_id")
+    val idsB = corpus.where($"doc_id" % 10 === 1).select($"doc_id")
+    val setA = idsA.as[Long].collect().toSet
+    val setB = idsB.as[Long].collect().toSet
+    DedupIndex.delete(spark, idx, idsA)
+    // fold A under the pointer protocol: cohort 1 retires with
+    // ttl = retainGens + 1 = 2 — its files must SURVIVE the next entry
+    // (a reader on the retained pre-fold generation still needs them)
+    DedupIndex.compact(spark, idx, swapMode = Some("pointer"))
+    assert(markers() == 1, "fold A did not retire a cohort")
+    DedupIndex.delete(spark, idx, idsB)
+    // entry 2: ages cohort 1 (kept), folds B into its own cohort —
+    // the fresh cohort must NOT reset cohort 1's clock
+    DedupIndex.compact(spark, idx)
+    assert(markers() == 2, s"expected two independent cohorts, got ${markers()}")
+    // entry 3: cohort 1 falls out of the retention window (GC'd),
+    // cohort 2 ages
+    DedupIndex.compact(spark, idx)
+    assert(markers() == 1, s"cohort 1 not GC'd at entry 3 (markers=${markers()})")
+    // entry 4: cohort 2 GC'd; nothing left — the set is dropped whole
+    DedupIndex.compact(spark, idx)
+    assert(!new java.io.File(s"$idx/_tombstones").exists(),
+      "retirement did not converge to an empty tombstone set")
+    // served view was the survivors-only corpus throughout and still is
+    assert(served().intersect(setA ++ setB).isEmpty,
+      "a deleted id was served after retirement converged")
+  }
+
   test("delete tombstones documents: filtered reads equal a survivors-only build; compact folds and clears") {
     val dir = Files.createTempDirectory("dedupidx").toString
     DedupIndex.build(corpus, s"$dir/idx")
@@ -777,7 +814,8 @@ class DedupIndexSpec extends SparkSpec {
     // generations — the _FOLDED marker names what the NEXT entry GCs);
     // the served view is unchanged, and the RAW artifacts are clean
     DedupIndex.compact(spark, s"$dir/idx")
-    assert(new java.io.File(s"$dir/idx/_tombstones/_FOLDED").exists(),
+    assert(Option(new java.io.File(s"$dir/idx/_tombstones").listFiles())
+      .exists(_.exists(_.getName.startsWith("_FOLDED"))),
       "fold did not retire the observed tombstones")
     assert(pairsOf("idx") == filteredPairs, "fold changed the served pairs")
     val rawSigIds = spark.read.parquet(s"$dir/idx/signatures")

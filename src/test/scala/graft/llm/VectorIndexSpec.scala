@@ -774,7 +774,8 @@ class VectorIndexSpec extends SparkSpec {
     // the full fold (lists + pq_codes in one swap set) RETIRES them:
     // the _FOLDED marker names what the next maintenance entry GCs
     VectorIndex.compact(spark, s"$dir/idx")
-    assert(new java.io.File(s"$dir/idx/_tombstones/_FOLDED").exists(),
+    assert(Option(new java.io.File(s"$dir/idx/_tombstones").listFiles())
+      .exists(_.exists(_.getName.startsWith("_FOLDED"))),
       "compact(all) did not retire the tombstones")
     assert(spark.read.parquet(s"$dir/idx/pq_codes").select("vec_id")
       .as[Long].collect().toSet.intersect(deletedIds).isEmpty,
@@ -852,7 +853,8 @@ class VectorIndexSpec extends SparkSpec {
       "retrain kept deleted vectors")
     // no pq stage here, so the retrain completed the fold (retired —
     // GC'd by the next maintenance entry)
-    assert(new java.io.File(s"$dir/idx/_tombstones/_FOLDED").exists(),
+    assert(Option(new java.io.File(s"$dir/idx/_tombstones").listFiles())
+      .exists(_.exists(_.getName.startsWith("_FOLDED"))),
       "retrain did not retire a completed fold")
     // parity: retrained == buildIvf over the surviving corpus
     val ref = Files.createTempDirectory("ivf").toString

@@ -393,8 +393,10 @@ class DocStreamSpec extends SparkSpec {
     // maintenance cycle; the raw stages are already clean)
     DocStream.compactCorpus(spark, corpusDir)
     graft.llm.DedupIndex.compact(spark, idxDir)
-    assert(new java.io.File(s"$corpusDir/_tombstones/_FOLDED").exists())
-    assert(new java.io.File(s"$idxDir/_tombstones/_FOLDED").exists())
+    assert(Option(new java.io.File(s"$corpusDir/_tombstones").listFiles())
+      .exists(_.exists(_.getName.startsWith("_FOLDED"))))
+    assert(Option(new java.io.File(s"$idxDir/_tombstones").listFiles())
+      .exists(_.exists(_.getName.startsWith("_FOLDED"))))
     assert(spark.read.parquet(s"$corpusDir/docs").select("doc_id")
       .as[Long].collect().sorted.toSeq == Seq(2L, 3L, 4L, 5L),
       "fold left the deleted doc in the raw corpus stage")
