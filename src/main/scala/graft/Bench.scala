@@ -118,6 +118,9 @@ object Bench {
     // l95: the l72-shaped serving path + one anti-join below the
     // pruned list read
     "l95_tombstone_ann" -> 0.8,
+    // l96: two pruned pairs reads (live generation + the retained
+    // superseded one); the build+reband fixture amortizes per JVM
+    "l96_time_travel" -> 0.8,
     // q68: the bucket-histogram sliding median pays its x12 window
     // expansion at this fixture's sub-1-event-per-bin density — the
     // docstring's measured crossover; priced at the honest reading

@@ -55,7 +55,8 @@ object ClusterSmoke {
     "l92b_filtered_recall", // filtered recall audit + selectivity-aware over-probe (round 16)
     "l93_band_maintenance", // text-index maintenance loop: flood -> pressure bar -> reband (round 16)
     "l94_tombstone_dedup", // tombstone delete: anti-join deletion vectors on the pairs read (round 16)
-    "l95_tombstone_ann"   // tombstone delete on the IVF serving path (round 16)
+    "l95_tombstone_ann",  // tombstone delete on the IVF serving path (round 16)
+    "l96_time_travel"     // asOf read of the retained superseded generation (round 16)
   )
 
   def main(args: Array[String]): Unit = {

@@ -144,6 +144,22 @@ object DedupIndex {
     Tombstones.filter(spark, indexDir,
       spark.read.parquet(stg(spark, indexDir, "shingle_sets")), Seq("doc_id"))
 
+  /** TIME-TRAVEL read of the candidate pairs: the pairs artifact as it
+    * was `back` maintenance flips ago
+    * ([[IndexMaintenance.stagePathAsOf]] — what the retention window
+    * keeps on disk, served as a query). The one semantic override:
+    * CURRENT tombstones still filter — a takedown beats time travel
+    * (an erased document must not be served from history either), so
+    * an asOf read is "that snapshot, minus everything since deleted".
+    * Bounded by retention; fails loudly past it.
+    */
+  def candidatePairsAsOf(spark: SparkSession, indexDir: String,
+      back: Int = 1): DataFrame =
+    Tombstones.filter(spark, indexDir,
+      spark.read.parquet(
+        IndexMaintenance.stagePathAsOf(spark, indexDir, "pairs", back)),
+      Seq("doc_a", "doc_b"))
+
   /** DELETE documents from the index — the takedown/GDPR verb, closing
     * the lifecycle (build / probe / merge / compact / reband / delete).
     * Tombstone semantics ([[Tombstones]]): the id set lands in O(|ids|)

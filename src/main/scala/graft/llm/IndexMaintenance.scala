@@ -184,6 +184,54 @@ private[graft] object IndexMaintenance {
         "before serving")
   }
 
+  /** TIME-TRAVEL resolution of a single stage: the path serving the
+    * stage as it was `back` pointer flips ago — what the retention
+    * window ([[retainGens]]) already keeps on disk, exposed as a read.
+    * `back = 0` is the live stage; `back = 1` the generation the last
+    * maintenance flip superseded (the bare pre-pointer directory when
+    * the index has flipped only once). Reproducibility is the use case:
+    * "training run X read index snapshot Y" stays answerable, and a
+    * regression introduced by a maintenance pass (a reband that shed
+    * recall, a retrain over a drifted corpus) can be diffed against
+    * the exact artifact it replaced — the Iceberg/Delta snapshot-read
+    * idea on this layout's generation mechanics.
+    *
+    * Bounded by what retention kept: asking past the window (or on an
+    * index that never pointer-swapped, where in-place swaps retain
+    * nothing) fails LOUDLY with the knob that widens it
+    * (`spark.graft.index.retainGens`). Snapshot consistency: this
+    * resolves ONE stage; the journal seqlock ([[snapshotStages]])
+    * covers the live set, and multi-stage historical reads are only
+    * meaningful for stages flipped TOGETHER (reband's bands+pairs,
+    * retrain's centroids+lists), whose generation numbers move in
+    * lockstep by construction.
+    */
+  private[graft] def stagePathAsOf(spark: SparkSession, indexDir: String,
+      stage: String, back: Int): String = {
+    require(back >= 0, s"asOf($back): negative history depth")
+    if (back == 0) return Fs.stagePath(spark, indexDir, stage)
+    val cur = currentGen(spark, indexDir, stage).getOrElse(
+      throw new IllegalArgumentException(
+        s"asOf($back) for $stage at $indexDir: the stage has never " +
+          "pointer-swapped, so no superseded copy exists (rename-protocol " +
+          "swaps retain nothing); run maintenance under " +
+          "swapMode=pointer to get retained history"))
+    val n = cur.drop(1).toLong - back
+    // the bare pre-pointer directory is the OLDEST possible snapshot
+    // (generation zero); history does not reach before the index existed
+    require(n >= 0L,
+      s"asOf($back) for $stage at $indexDir: only ${cur.drop(1)} flip(s) " +
+        "have ever happened — no such snapshot existed. The deepest " +
+        "retained history is bounded by spark.graft.index.retainGens")
+    val p = if (n == 0L) s"$indexDir/$stage" else s"$indexDir/_gen/$stage/g$n"
+    require(Fs.exists(spark, p),
+      s"asOf($back) for $stage at $indexDir: generation " +
+        s"${if (n == 0L) "g0 (bare)" else s"g$n"} is outside the retention " +
+        "window (GC'd by a later maintenance entry) — raise " +
+        "spark.graft.index.retainGens to keep deeper history")
+    p
+  }
+
   /** Rewrite each stage directory DISTINCT into O(targetFiles) files
     * (one file per partition directory when the stage is
     * directory-partitioned), staging everything under

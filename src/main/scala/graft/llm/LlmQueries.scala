@@ -5918,6 +5918,69 @@ object LlmQueries {
        |SELECT query_id, rank, neighbor_id, cos_x1e6
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** The time-travel fixture behind l96: the dup-augmented corpus
+    * indexed under the production 2x8 banding, then REBANDED to 1x16
+    * under the POINTER protocol — the swap that retains what it
+    * supersedes, so the pre-reband pairs generation stays on disk
+    * inside the retention window and
+    * [[DedupIndex.candidatePairsAsOf]] can serve it.
+    */
+  private val timeTravelDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def timeTravelDir(s: SparkSession, d: String): String =
+    timeTravelDirs.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-asof-")
+        .toString
+      deleteOnExit(tmp)
+      DedupIndex.build(docsWithDups(s, d), tmp)
+      DedupIndex.reband(s, tmp, 1, 16, swapMode = Some("pointer"))
+      tmp
+    })
+
+  /** l96: TIME-TRAVEL reads over the retention window — the snapshot
+    * semantics the reader-safe maintenance machinery already pays for
+    * (retained generations), served as a query: the CURRENT pairs
+    * artifact (the post-reband 1x16 scheme) next to the pairs AS OF
+    * one maintenance flip ago ([[DedupIndex.candidatePairsAsOf]] — the
+    * superseded 2x8 generation, still on disk inside the retention
+    * window). Reproducibility is the production use case: "training
+    * run X read snapshot Y" stays answerable, and a maintenance pass
+    * that regressed recall can be diffed against the exact artifact it
+    * replaced. The oracle re-derives BOTH scheme generations over the
+    * same corpus in closed form, so an asOf resolver that serves the
+    * wrong generation, the live one twice, or a torn mix
+    * hash-mismatches. Scale shape: two pruned pairs reads — history
+    * costs what retention already paid; no extra copies, no log replay.
+    */
+  def qTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val dir = timeTravelDir(s, d)
+    DedupIndex.candidatePairs(s, dir)
+      .select(lit("current").as("snapshot"), col("doc_a"), col("doc_b"))
+      .unionByName(DedupIndex.candidatePairsAsOf(s, dir, back = 1)
+        .select(lit("previous").as("snapshot"), col("doc_a"), col("doc_b")))
+      .orderBy("snapshot", "doc_a", "doc_b")
+  }
+  val qTimeTravelSql: String = {
+    val cat16 = (0 until 16).map(j => s"CAST(sig$j AS VARCHAR)")
+      .mkString(" || '|' || ")
+    s"""WITH $docsWithDupsSql,
+       |${sigsSqlCtes("dd")},
+       |$bandedSqlCte,
+       |prev AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |banded1 AS (
+       |  SELECT doc_id, 0 AS band, md5($cat16) AS bkey FROM sigs),
+       |cur AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded1 a JOIN banded1 b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT 'current' AS snapshot, doc_a, doc_b FROM cur
+       |UNION ALL
+       |SELECT 'previous' AS snapshot, doc_a, doc_b FROM prev
+       |ORDER BY snapshot, doc_a, doc_b""".stripMargin
+  }
+
   /** The IVF+PQ fixture behind l77: BOTH index halves built over the
     * corpus (vec_id >= 10) in one directory, once per JVM per data
     * directory — the serving deployment [[VectorIndex.searchIvfPq]]
@@ -7185,6 +7248,7 @@ object LlmQueries {
     "l93_band_maintenance" -> qBandMaintenance _,
     "l94_tombstone_dedup" -> qTombstoneDedup _,
     "l95_tombstone_ann" -> qTombstoneAnn _,
+    "l96_time_travel" -> qTimeTravel _,
     "l79_ann_compact_parity" -> qAnnCompactParity _,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearch _,
     "l81_vec_drift_gate" -> qVecDriftGate _,
@@ -7284,6 +7348,7 @@ object LlmQueries {
     "l93_band_maintenance" -> qBandMaintenanceSql,
     "l94_tombstone_dedup" -> qTombstoneDedupSql,
     "l95_tombstone_ann" -> qTombstoneAnnSql,
+    "l96_time_travel" -> qTimeTravelSql,
     "l79_ann_compact_parity" -> qAnnMergeParitySql,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearchSql,
     "l81_vec_drift_gate" -> qVecDriftGateSql,

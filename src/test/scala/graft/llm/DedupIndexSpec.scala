@@ -755,6 +755,39 @@ class DedupIndexSpec extends SparkSpec {
       "a deleted id was served after retirement converged")
   }
 
+  test("asOf reads serve the retained superseded generation; bounds and takedowns enforced") {
+    val dir = Files.createTempDirectory("dedupasof").toString
+    val idx = s"$dir/idx"
+    DedupIndex.build(corpus, idx)
+    // never pointer-swapped: no history exists, and the error says so
+    val ex0 = intercept[IllegalArgumentException] {
+      DedupIndex.candidatePairsAsOf(spark, idx, back = 1).count()
+    }
+    assert(ex0.getMessage.contains("never"), ex0.getMessage)
+    val pairs2x8 = DedupIndex.candidatePairs(spark, idx)
+      .as[(Long, Long)].collect().toSet
+    DedupIndex.reband(spark, idx, 1, 16, swapMode = Some("pointer"))
+    val pairs1x16 = DedupIndex.candidatePairs(spark, idx)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs1x16 != pairs2x8, "fixture: reband changed nothing to travel to")
+    // back=1 is the pre-reband 2x8 artifact, exactly
+    assert(DedupIndex.candidatePairsAsOf(spark, idx, back = 1)
+      .as[(Long, Long)].collect().toSet == pairs2x8,
+      "asOf(1) is not the superseded generation")
+    // past the retention window: loud, with the widening knob named
+    val ex1 = intercept[IllegalArgumentException] {
+      DedupIndex.candidatePairsAsOf(spark, idx, back = 2).count()
+    }
+    assert(ex1.getMessage.contains("retainGens"), ex1.getMessage)
+    // a takedown beats time travel: current tombstones filter history
+    val victim = pairs2x8.head._1
+    DedupIndex.delete(spark, idx, Seq(victim).toDF("doc_id"))
+    val historic = DedupIndex.candidatePairsAsOf(spark, idx, back = 1)
+      .as[(Long, Long)].collect().toSet
+    assert(!historic.exists(p => p._1 == victim || p._2 == victim),
+      "a deleted id was served from a historical snapshot")
+  }
+
   test("delete tombstones documents: filtered reads equal a survivors-only build; compact folds and clears") {
     val dir = Files.createTempDirectory("dedupidx").toString
     DedupIndex.build(corpus, s"$dir/idx")
