@@ -82,8 +82,9 @@ object DedupIndex {
     require(!Tombstones.any(spark, indexDir),
       s"build into $indexDir: the layout carries live tombstones from a " +
         "previous index — rebuilt rows with tombstoned ids would be " +
-        "silently filtered; run the old index through two compacts (fold, " +
-        "then retire) or remove the directory before rebuilding")
+        "silently filtered; run maintenance entries (compact) until the " +
+        "retirement cohorts age out, or remove the directory before " +
+        "rebuilding")
     def done(stage: String): Boolean =
       resume && graft.util.Fs.isFile(spark, s"${stg(spark, indexDir, stage)}/_SUCCESS")
     if (!done("signatures"))
@@ -174,10 +175,12 @@ object DedupIndex {
     * build over the surviving corpus would produce (DedupIndexSpec pins
     * this; l94 pins it against the DuckDB oracle).
     *
-    * Re-adding a deleted id: [[merge]] fails LOUDLY while the id's rows
-    * are still in the artifacts (its guard reads the raw signatures —
-    * merging would leave the new rows tombstoned too, a silent
-    * re-delete); compact first, then merge.
+    * Re-adding a deleted id: [[merge]] fails LOUDLY while the id's
+    * tombstone is live — folded or not (the rows would land
+    * pre-deleted, a silent re-delete); the id frees once its
+    * retirement cohort falls out of the retention window (one further
+    * compact on a rename-protocol layout, retainGens + 1 on a
+    * pointer-governed one).
     */
   def delete(spark: SparkSession, indexDir: String, ids: DataFrame): Unit =
     Tombstones.add(spark, indexDir, ids, "doc_id")

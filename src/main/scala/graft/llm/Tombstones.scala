@@ -35,12 +35,12 @@ import graft.util.Fs
   *   - The FOLD rides the compaction the index already runs:
   *     [[IndexMaintenance.compactStages]] applies the same filter to
   *     each staged rewrite. Folded tombstones are then RETIRED, not
-  *     deleted: the fold records the tombstone files it observed in a
-  *     `_FOLDED` marker ([[endFold]]) and the NEXT maintenance entry's
-  *     [[beginFold]] is the garbage collector — the same
-  *     one-maintenance-cycle retention discipline superseded
-  *     generations follow ([[IndexMaintenance]] `retainGens`), and for
-  *     the same reader: a query still scanning a RETAINED pre-fold
+  *     deleted: the fold records the files it observed in a TTL-stamped
+  *     retirement cohort (`_FOLDED_<n>`, [[endFold]]) and a later
+  *     maintenance entry's [[beginFold]] is the garbage collector,
+  *     after the cohort has aged through the SAME retention window
+  *     superseded generations get ([[IndexMaintenance]] `retainGens`),
+  *     and for the same reader: a query still scanning a RETAINED pre-fold
   *     generation needs the tombstones its snapshot was filtered by,
   *     and an eager delete would either crash it (vanished files) or
   *     silently serve it deleted rows. Post-fold, the anti-join over
@@ -124,6 +124,14 @@ private[graft] object Tombstones {
         base.startsWith("_") || base.startsWith(".")
       }
 
+  /** The retirement-cohort marker files (`_FOLDED_<n>`) currently on
+    * disk — each fold's retirement ages and GCs independently, so a
+    * later fold cannot reset an earlier cohort's clock.
+    */
+  private def markerFiles(spark: SparkSession, indexDir: String): Seq[String] =
+    Fs.listFiles(spark, dir(indexDir))
+      .filter(_.split('/').last.startsWith("_FOLDED"))
+
   /** Enter a fold: age every retirement COHORT a previous fold recorded
     * (each `_FOLDED_<n>` marker names one fold's observed files and
     * carries a TTL in maintenance entries — see [[endFold]] for why the
@@ -138,14 +146,6 @@ private[graft] object Tombstones {
     * the directory, so no kill point can leave a gate-armed directory
     * with zero data files (which every reader would crash on).
     */
-  /** The retirement-cohort marker files (`_FOLDED_<n>`) currently on
-    * disk — each fold's retirement ages and GCs independently, so a
-    * later fold cannot reset an earlier cohort's clock.
-    */
-  private def markerFiles(spark: SparkSession, indexDir: String): Seq[String] =
-    Fs.listFiles(spark, dir(indexDir))
-      .filter(_.split('/').last.startsWith("_FOLDED"))
-
   def beginFold(spark: SparkSession, indexDir: String): Seq[String] = {
     markerFiles(spark, indexDir).foreach { marker =>
       val lines = Fs.readString(spark, marker).split("\n").toSeq
