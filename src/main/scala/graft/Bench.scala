@@ -121,6 +121,20 @@ object Bench {
     // l96: two pruned pairs reads (live generation + the retained
     // superseded one); the build+reband fixture amortizes per JVM
     "l96_time_travel" -> 0.8,
+    // l97: vocab-bounded 3-round training + the distinct-word merge
+    // replay + one corpus explode/join/agg; fixture-free (trains per
+    // run, like l89)
+    "l97_bpe_oov_encode" -> 1.6,
+    // l98: two probe-pruned searchIvf serving reads (live + the
+    // retained pre-retrain generation); build+merge+retrain fixture
+    // amortizes per JVM
+    "l98_ann_time_travel" -> 1.2,
+    // l99: two partition-pruned corpus snapshot reads + broadcastable
+    // tombstone anti-joins; the two-batch ingest fixture amortizes
+    "l99_corpus_asof" -> 0.8,
+    // m16: one pruned fps read + anti-join + the 2x8-bit banded pair
+    // join over ~20B/asset fingerprint rows; ingest fixture amortizes
+    "m16_media_tombstone" -> 0.8,
     // q68: the bucket-histogram sliding median pays its x12 window
     // expansion at this fixture's sub-1-event-per-bin density — the
     // docstring's measured crossover; priced at the honest reading

@@ -56,7 +56,11 @@ object ClusterSmoke {
     "l93_band_maintenance", // text-index maintenance loop: flood -> pressure bar -> reband (round 16)
     "l94_tombstone_dedup", // tombstone delete: anti-join deletion vectors on the pairs read (round 16)
     "l95_tombstone_ann",  // tombstone delete on the IVF serving path (round 16)
-    "l96_time_travel"     // asOf read of the retained superseded generation (round 16)
+    "l96_time_travel",    // asOf read of the retained superseded generation (round 16)
+    "l97_bpe_oov_encode", // held-out BPE encode: distinct-word merge replay (round 17)
+    "l98_ann_time_travel", // searchIvfAsOf: lockstep centroids+lists at depth (round 17)
+    "l99_corpus_asof",    // batch-axis corpus snapshots + tombstone rule (round 17)
+    "m16_media_tombstone" // media tombstone delete: anti-join on the fps read (round 17)
   )
 
   def main(args: Array[String]): Unit = {

@@ -288,12 +288,33 @@ object DedupIndex {
       markerDir.exists(d => graft.util.Fs.isFile(spark, s"$d/$stage.done"))
     def commit(stage: String): Unit =
       markerDir.foreach(d => graft.util.Fs.touch(spark, s"$d/$stage.done"))
+    // The tombstone guard runs UNCONDITIONALLY — above the per-stage
+    // resume gates: a marker-based retry whose signatures stage already
+    // committed must still refuse a delta naming a LIVE tombstone (a
+    // delete can land between the crash and the retry, and the resumed
+    // merge would append the REMAINING stages' rows pre-deleted — the
+    // silent re-delete this guard exists to prevent). Identity-cheap
+    // when no tombstone set exists, matching
+    // [[VectorIndex.requireNotTombstoned]]'s unconditional placement.
+    if (Tombstones.any(spark, indexDir)) {
+      val hit = delta.select(col("doc_id"))
+        .join(Tombstones.ids(spark, indexDir)
+          .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_semi")
+        .limit(1).count()
+      require(hit == 0L,
+        s"merge delta names tombstoned doc_ids at $indexDir — the rows " +
+          "would land pre-deleted (silently filtered); fold the deletes " +
+          "through TWO maintenance entries (compact retires them one " +
+          "cycle later), then re-add")
+    }
     if (!done("signatures")) {
       // the guard reads the RAW signatures, not the tombstone-filtered
       // reader: re-merging a deleted-but-not-yet-folded id would append
       // rows the live tombstone silently filters (a re-delete the
       // caller never asked for) — fail loudly instead; compact (which
-      // folds, and a second compact retires) before re-adding an id
+      // folds, and a second compact retires) before re-adding an id.
+      // (The folded-but-unretired window — rows already folded away,
+      // tombstones still live — is the unconditional guard above.)
       val overlap = delta.select(col("doc_id"))
         .join(spark.read.parquet(stg(spark, indexDir, "signatures"))
           .select(col("doc_id")), Seq("doc_id"), "left_semi")
@@ -303,22 +324,6 @@ object DedupIndex {
           "merging would duplicate ids across every artifact (a tombstoned " +
           "id would land pre-deleted); re-key the delta, or compact first " +
           "if the id was deleted")
-      // the raw-signatures check alone misses the folded-but-unretired
-      // window (rows already folded away, tombstones still live): a
-      // delta naming a LIVE tombstone would land pre-deleted — the
-      // silent re-delete VectorIndex.mergeIvf's guard closes, closed
-      // here too. Identity-cheap when no tombstone set exists.
-      if (Tombstones.any(spark, indexDir)) {
-        val hit = delta.select(col("doc_id"))
-          .join(Tombstones.ids(spark, indexDir)
-            .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_semi")
-          .limit(1).count()
-        require(hit == 0L,
-          s"merge delta names tombstoned doc_ids at $indexDir — the rows " +
-            "would land pre-deleted (silently filtered); fold the deletes " +
-            "through TWO maintenance entries (compact retires them one " +
-            "cycle later), then re-add")
-      }
     }
     // band the delta in the INDEX'S OWN scheme: after a [[reband]] the
     // live bands may be finer or coarser than the production 2x8, and
@@ -531,7 +536,8 @@ object DedupIndex {
     */
   def reband(spark: SparkSession, indexDir: String, numBands: Int,
       rowsPerBand: Int, prefixLen: Int = 1,
-      swapMode: Option[String] = None): Unit = {
+      swapMode: Option[String] = None): Unit =
+      IndexMaintenance.withLease(spark, indexDir) {
     require(numBands * rowsPerBand == 16,
       s"reband scheme ${numBands}x$rowsPerBand does not tile the 16-lane signature")
     val stages = Seq("bands", "pairs")

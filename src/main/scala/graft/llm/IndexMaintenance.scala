@@ -59,6 +59,87 @@ import graft.util.Fs
   */
 private[graft] object IndexMaintenance {
 
+  /** The cross-process MAINTENANCE LEASE — the single-writer assumption
+    * every marker protocol here makes, enforced instead of assumed. Two
+    * schedulers running `maintainIfDue` (or any compact/retrain/reband
+    * pair) against the same index from different drivers would
+    * interleave staged rewrites and flip journals — each protocol is
+    * crash-SAFE but not concurrent-writer-safe, and the failure mode is
+    * silent (a half-superseded staged generation swapped by the other
+    * writer). Every maintenance entry therefore brackets its work in
+    * [[withLease]]: a one-file lease (`_maintenance/_lease`, owner +
+    * expiry wall-clock) is acquired before anything is staged or
+    * swapped and released after; a LIVE conflicting lease fails the
+    * entry LOUDLY (naming the holder and its expiry), and a CRASHED
+    * holder's lease expires by TTL (`spark.graft.index.leaseMs`,
+    * default 15 min — size it above the longest maintenance pass), so
+    * a crash never wedges maintenance forever. Re-entrant within the
+    * owning thread (compact acquires, its swap re-enters); a SECOND
+    * thread in the same JVM is refused like a second process — two
+    * threads are two writers.
+    *
+    * Best-effort by design, stated honestly: without an atomic
+    * create-if-absent primitive (HDFS has one; S3 PUTs do not) two
+    * writers racing the same few-millisecond acquire window can both
+    * proceed — the lease turns the silent-corruption ASSUMPTION into an
+    * enforced contract for the realistic conflict (overlapping
+    * schedules, a human and a cron), not into a distributed lock
+    * service. Readers never touch it.
+    */
+  private final class LeaseState(val threadId: Long) { var depth: Int = 0 }
+  private val heldLeases =
+    new java.util.concurrent.ConcurrentHashMap[String, LeaseState]()
+
+  private def leasePath(indexDir: String) = s"$indexDir/_maintenance/_lease"
+
+  private[graft] def withLease[T](spark: SparkSession, indexDir: String)
+      (body: => T): T = {
+    val tid = Thread.currentThread().getId
+    val held = heldLeases.get(indexDir)
+    if (held != null) {
+      require(held.threadId == tid,
+        s"maintenance lease at $indexDir is held by thread " +
+          s"${held.threadId} of THIS process — a second concurrent " +
+          "maintenance entry is a second writer; serialize maintenance " +
+          "per index")
+      held.depth += 1
+      try body finally held.depth -= 1
+    } else {
+      val path = leasePath(indexDir)
+      val now = System.currentTimeMillis()
+      if (Fs.isFile(spark, path)) {
+        val lines = Fs.readString(spark, path).split("\n").toSeq.map(_.trim)
+        val owner = lines.collectFirst {
+          case l if l.startsWith("owner=") => l.drop(6)
+        }.getOrElse("<unknown>")
+        val expires = lines.collectFirst {
+          case l if l.startsWith("expires=") => l.drop(8).toLong
+        }.getOrElse(0L)
+        // an expired lease is a crashed holder: take over (the marker
+        // protocols converge whatever it left; recovery runs first in
+        // every entry). A live one is a concurrent writer: refuse.
+        require(expires <= now,
+          s"maintenance lease at $indexDir is held by $owner until " +
+            s"$expires (now $now) — a concurrent maintenance writer is " +
+            "active; wait for it (or for the lease TTL, " +
+            "spark.graft.index.leaseMs, if it crashed) before retrying")
+      }
+      val owner =
+        s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}" +
+          s"/thread-$tid"
+      val ttl = spark.conf.get("spark.graft.index.leaseMs", "900000")
+        .trim.toLong
+      Fs.writeString(spark, path, s"owner=$owner\nexpires=${now + ttl}")
+      val mine = new LeaseState(tid)
+      heldLeases.put(indexDir, mine)
+      try body
+      finally {
+        heldLeases.remove(indexDir)
+        Fs.delete(spark, path)
+      }
+    }
+  }
+
   /** Directory-partition columns an index layout may carry, in their
     * nesting order: the streamed folds put `batch_id=` outermost
     * (DocStream: `bands/batch_id=N/bp=X`; VecStream:
@@ -184,6 +265,41 @@ private[graft] object IndexMaintenance {
         "before serving")
   }
 
+  /** [[snapshotStages]] for a HISTORICAL read: resolve a SET of stages
+    * as they were `back` pointer flips ago ([[stagePathAsOf]]), under
+    * the same seqlock — a concurrent flip shifts every stage's
+    * generation number, so two [[stagePathAsOf]] calls straddling it
+    * would compose "back 1 from the NEW current" with "back 1 from the
+    * OLD current": a mixed snapshot one flip apart. Meaningful only for
+    * stages that flip TOGETHER (retrain's centroids+lists, reband's
+    * bands+pairs — lockstep generations by construction); `back = 0`
+    * is exactly [[snapshotStages]]. The depth bounds ([[stagePathAsOf]]
+    * — no pointer, pre-history, GC'd past retention) fail loudly
+    * through the lock.
+    */
+  private[graft] def snapshotStagesAsOf(spark: SparkSession, indexDir: String,
+      stages: Seq[String], back: Int): Map[String, String] = {
+    if (back == 0) return snapshotStages(spark, indexDir, stages)
+    def resolveAll(): Map[String, String] =
+      stages.map(s => s -> stagePathAsOf(spark, indexDir, s, back)).toMap
+    val intent = s"$indexDir/_ptr/_intent"
+    var attempt = 0
+    while (attempt < 100) {
+      if (!Fs.isFile(spark, intent)) {
+        val resolved = resolveAll()
+        if (!Fs.isFile(spark, intent) && resolveAll() == resolved)
+          return resolved
+      }
+      attempt += 1
+      Thread.sleep(50L)
+    }
+    throw new IllegalStateException(
+      s"historical snapshot read at $indexDir: a multi-stage pointer flip " +
+        "has been in flight for >5s — a maintenance writer crashed " +
+        "mid-swap; run any maintenance entry (compact/recover) to " +
+        "converge the flip before serving")
+  }
+
   /** TIME-TRAVEL resolution of a single stage: the path serving the
     * stage as it was `back` pointer flips ago — what the retention
     * window ([[retainGens]]) already keeps on disk, exposed as a read.
@@ -269,7 +385,8 @@ private[graft] object IndexMaintenance {
   def compactStages(spark: SparkSession, indexDir: String,
       stages: Seq[String], targetFiles: Int,
       swapMode: Option[String] = None,
-      rowFilter: (String, DataFrame) => DataFrame = (_, df) => df): Boolean = {
+      rowFilter: (String, DataFrame) => DataFrame = (_, df) => df): Boolean =
+      withLease(spark, indexDir) {
     recoverStages(spark, indexDir, stages, swapMode)
     // per stage: (swap this staged rewrite?, is the stage fully folded?)
     val results = stages.map { stage =>
@@ -341,7 +458,7 @@ private[graft] object IndexMaintenance {
     // index that never pointer-swapped (flipping pointerMode's sticky
     // detection) and a crash between journal write and delete would
     // block every snapshot reader behind a content-free intent
-    if (stages.nonEmpty) {
+    if (stages.nonEmpty) withLease(spark, indexDir) {
       if (pointerMode(spark, indexDir, swapMode))
         swapByPointer(spark, indexDir, stages)
       else swapByRename(spark, indexDir, stages)

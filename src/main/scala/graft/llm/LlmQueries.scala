@@ -1841,7 +1841,14 @@ object LlmQueries {
     * the corpus.
     */
   private def bpeVocab(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+    bpeVocabOf(docs(s, d))
+  /** The frequency-weighted training vocabulary of an arbitrary
+    * (doc_id, text) corpus — factored from [[bpeVocab]] so a SPLIT
+    * corpus can train (l97 trains on nine tenths and encodes the held
+    * tenth).
+    */
+  private def bpeVocabOf(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(explode(split(col("text"), " ")).as("w"))
       .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -1930,9 +1937,16 @@ object LlmQueries {
     * LlmPipelineSpec pins trainBpe(3) == l89's table cell-for-cell and
     * the 8-round extension's prefix property.
     */
-  def trainBpe(s: SparkSession, d: String, rounds: Int): DataFrame = {
+  def trainBpe(s: SparkSession, d: String, rounds: Int): DataFrame =
+    trainBpeOver(bpeVocab(s, d), rounds)
+
+  /** The [[trainBpe]] driver loop over an explicit vocabulary seed
+    * ([[bpeVocabOf]] shape: w, freq, seq) — so a corpus SPLIT can train
+    * (l97's held-out-batch contract trains on the train split only).
+    */
+  private[graft] def trainBpeOver(vocabSeed: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"trainBpe rounds $rounds < 1")
-    var seqs = bpeVocab(s, d).localCheckpoint(true)
+    var seqs = vocabSeed.localCheckpoint(true)
     val tops = Seq.newBuilder[DataFrame]
     var r = 1
     var exhausted = false
@@ -2053,9 +2067,14 @@ object LlmQueries {
     * so s0 keeps the word column; l89's rounds only read (freq, seq)
     * and ignore it.
     */
-  private lazy val bpeTrainedSqlCtes: String =
+  private lazy val bpeTrainedSqlCtes: String = bpeTrainedSqlCtesOver("documents")
+
+  /** [[bpeTrainedSqlCtes]] over an arbitrary source relation — l97
+    * trains over the train-split CTE instead of the whole table.
+    */
+  private def bpeTrainedSqlCtesOver(src: String): String =
     s"""words AS (
-       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM $src),
        |vocab AS (
        |  SELECT w, COUNT(*) AS freq FROM words
        |  WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) >= 2
@@ -2074,6 +2093,172 @@ object LlmQueries {
        |UNION ALL SELECT round, rank, "left", "right", pair_count FROM top2
        |UNION ALL SELECT round, rank, "left", "right", pair_count FROM top3
        |ORDER BY round, rank""".stripMargin
+
+  /** Library BPE ENCODE of an arbitrary (doc_id, text) batch under an
+    * arbitrary trained merge table — the inference half of [[trainBpe]]
+    * with the out-of-vocabulary path done RIGHT: a word the training
+    * corpus never saw is split to its character sequence and the
+    * trained merge list is REPLAYED over it in rank order (each merge a
+    * left-to-right non-overlapping pair rewrite — the canonical BPE
+    * application), instead of l91's 1-token untrained fallback. This is
+    * the production case: a trained tokenizer's job is token-budgeting
+    * NEW batches (the l24 packer, the l63 budget selector consume these
+    * counts), where every novel word used to be undercounted to 1.
+    * Known words take the same replay and land on exactly their trained
+    * final sequence (merge application is deterministic), so one code
+    * path serves both.
+    *
+    * `merges`: (round, left, right) in application order — the rank-1
+    * rows of a [[trainBpe]] table. It is collected driver-side
+    * (merge-table-bounded — the vocab-bounded training loop caps it,
+    * thousands of rows in a production tokenizer, bytes per row) and
+    * replayed as literal rewrite layers.
+    *
+    * Scale shape: the batch collapses to its DISTINCT trained-domain
+    * words first (the l29/l89 ordering lesson — words repeat
+    * enormously), the replay is a row-local fold over that vocabulary-
+    * sized frame — `localCheckpoint` every 16 merges cuts the stacked-
+    * replace lineage, so a thousand-merge tokenizer costs a thousand
+    * string scans per distinct word and O(vocab) state, never a corpus
+    * re-scan — and the corpus pays one explode + one broadcast-sized
+    * word-key join + one per-document hash agg. Non-`[a-z]+`/1-char
+    * words count 1 token each (the untrained-byte fallback, as l91).
+    * Returns (doc_id, n_words, n_chars, n_tokens) ordered by doc_id.
+    */
+  def encodeBpe(batch: DataFrame, merges: DataFrame): DataFrame = {
+    val rules = merges.select(col("round"), col("left"), col("right"))
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    // the delimiter-wrapped rewrite is only sound over the trained
+    // symbol domain (a '|' inside a symbol would breach token walls)
+    rules.foreach { case (l, r) =>
+      require(l.matches("[a-z]+") && r.matches("[a-z]+"),
+        s"encodeBpe merge ($l, $r) outside the trained [a-z]+ symbol domain")
+    }
+    val words = batch
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    var seqs = words.select("w").distinct()
+      .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .select(col("w"),
+        concat(lit("|"), concat_ws("||", split(col("w"), "")), lit("|"))
+          .as("seq"))
+    rules.grouped(16).foreach { layer =>
+      val folded = layer.foldLeft(col("seq")) { case (c, (l, r)) =>
+        // replace() is a left-to-right non-overlapping scan of the
+        // ORIGINAL string — exactly BPE's in-order pair merge (the
+        // [[qBpeTrain]] delimiter trick, applied query-side)
+        replace(c, lit(s"|$l||$r|"), lit(s"|$l$r|"))
+      }
+      // lineage cut per 16-merge layer: a production-sized merge table
+      // would otherwise stack thousands of replace() nodes into one
+      // analyzer/codegen-breaking expression tree (the trainBpe lesson)
+      seqs = seqs.withColumn("seq", folded)
+      if (rules.length > 16) seqs = seqs.localCheckpoint(true)
+    }
+    val wordTok = seqs.select(col("w"), size(bpeToks(col("seq"))).as("ntok"))
+    words.join(wordTok, Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).as("n_chars"),
+        sum(coalesce(col("ntok").cast("long"), lit(1L))).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** l97: BPE encode of a HELD-OUT batch — [[encodeBpe]] under the
+    * driver's cell-hash gate, closing l91's one stated gap (the 1-token
+    * out-of-vocabulary fallback): the tokenizer trains on nine tenths
+    * of the corpus (`doc_id % 10 != 0` — [[trainBpeOver]], three
+    * rounds, the l89 semantics), then encodes the held-out tenth AS A
+    * NOVEL CRAWL: every long word (`[a-z]{6,}`) arrives DOUBLED
+    * (`stream` → `streamstream`) — deterministic compounds the
+    * training vocabulary provably never saw (the synthetic corpus has
+    * a closed word pool, so an untransformed split would contain zero
+    * OOV words and the fallback path would go untested), while the
+    * short words stay in-vocabulary, so one batch exercises both the
+    * known-word path and the OOV merge replay. `n_oov` counts each
+    * document's trained-domain words the training vocabulary never saw
+    * — nonzero by construction. The oracle replays the identical three
+    * training rounds over the train split and the identical per-word
+    * merge application over the transformed held-out words (the same
+    * delimiter-wrapped `replace` chain), so a wrong merge order, an
+    * overlap-violating rewrite, a fallback that still counts 1, or a
+    * train/held split leak hash-mismatches. Scale shape: training is
+    * vocab-bounded; the encode is one distinct-word replay + one
+    * corpus explode + broadcast word-key join + per-document agg.
+    */
+  def qBpeOovEncode(s: SparkSession, d: String): DataFrame = {
+    val train = docs(s, d).where(col("doc_id") % 10 =!= 0)
+    val held = docs(s, d).where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          w => when(w.rlike("^[a-z]{6,}$"), concat(w, w)).otherwise(w)))
+          .as("text"))
+    val trainVocab = bpeVocabOf(train)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val merges = trainBpeOver(trainVocab, 3).where(col("rank") === 1)
+        .select(col("round"), col("left"), col("right"))
+      val enc = encodeBpe(held, merges)
+      val oov = held
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+        .join(trainVocab.select("w"), Seq("w"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
+      enc.join(oov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"), col("n_chars"),
+          col("n_tokens"), coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally { trainVocab.unpersist(); () }
+  }
+  val qBpeOovEncodeSql: String =
+    s"""WITH tdocs AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+       |${bpeTrainedSqlCtesOver("tdocs")},
+       |hw AS (
+       |  SELECT doc_id,
+       |    CASE WHEN regexp_matches(w, '^[a-z]{6,}$$') THEN w || w ELSE w END
+       |      AS w
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |        FROM documents WHERE doc_id % 10 = 0)),
+       |dom AS (
+       |  SELECT DISTINCT w FROM hw
+       |  WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) >= 2),
+       |d0 AS (
+       |  SELECT w,
+       |    '|' || array_to_string(string_split(w, ''), '||') || '|' AS seq
+       |  FROM dom),
+       |d1 AS (
+       |  SELECT w, replace(seq, '|' || wn.lft || '||' || wn.rgt || '|',
+       |    '|' || wn.lft || wn.rgt || '|') AS seq
+       |  FROM d0 CROSS JOIN win1 wn),
+       |d2 AS (
+       |  SELECT w, replace(seq, '|' || wn.lft || '||' || wn.rgt || '|',
+       |    '|' || wn.lft || wn.rgt || '|') AS seq
+       |  FROM d1 CROSS JOIN win2 wn),
+       |d3 AS (
+       |  SELECT w, replace(seq, '|' || wn.lft || '||' || wn.rgt || '|',
+       |    '|' || wn.lft || wn.rgt || '|') AS seq
+       |  FROM d2 CROSS JOIN win3 wn),
+       |wt AS (
+       |  SELECT w,
+       |    CAST(len(string_split(trim(seq, '|'), '||')) AS BIGINT) AS ntok
+       |  FROM d3),
+       |agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(length(h.w)) AS BIGINT) AS n_chars,
+       |    CAST(SUM(COALESCE(t.ntok, 1)) AS BIGINT) AS n_tokens
+       |  FROM hw h LEFT JOIN wt t ON h.w = t.w
+       |  GROUP BY doc_id),
+       |oov AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_oov
+       |  FROM hw
+       |  WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) >= 2
+       |    AND w NOT IN (SELECT w FROM vocab)
+       |  GROUP BY doc_id)
+       |SELECT a.doc_id, a.n_words, a.n_chars, a.n_tokens,
+       |  COALESCE(o.n_oov, 0) AS n_oov
+       |FROM agg a LEFT JOIN oov o ON a.doc_id = o.doc_id
+       |ORDER BY a.doc_id""".stripMargin
 
   // ------------------------------------------------------- domain mixing
   /** Domain-mix rebalancing — the step that turns a crawl's natural
@@ -5981,6 +6166,220 @@ object LlmQueries {
        |ORDER BY snapshot, doc_a, doc_b""".stripMargin
   }
 
+  /** The pointer-retrained ANN fixture behind l98: the l84 lifecycle —
+    * base split indexed, delta merged under the frozen base quantizer,
+    * then [[VectorIndex.retrainIvf]] — run under the POINTER protocol,
+    * so the flip RETAINS the pre-retrain centroids+lists pair inside
+    * the retention window and [[VectorIndex.searchIvfAsOf]] can serve
+    * it.
+    */
+  private val retrainedAsOfDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def retrainedAsOfDir(s: SparkSession, d: String): String =
+    retrainedAsOfDirs.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-asofann-")
+        .toString
+      deleteOnExit(tmp)
+      val corpus = embs(s, d).where(col("vec_id") >= 10)
+      VectorIndex.buildIvf(corpus.where(col("vec_id") % 9 =!= 5), tmp)
+      VectorIndex.mergeIvf(s, tmp, corpus.where(col("vec_id") % 9 === 5),
+        mergeId = Some("l98-delta"))
+      VectorIndex.retrainIvf(s, tmp, swapMode = Some("pointer"))
+      tmp
+    })
+
+  /** l98: TIME-TRAVEL ANN search over the retention window — the l96
+    * snapshot semantics on the VECTOR index, completing the retrain
+    * lifecycle's reproducibility story: the live search (the
+    * post-retrain union-corpus quantizer — l84's contract) next to the
+    * SAME search against the generation the retrain superseded
+    * ([[VectorIndex.searchIvfAsOf]] — the frozen base quantizer with
+    * the merged delta, l72's exact state, still on disk inside the
+    * retention window). This is the diff a regressed retrain needs:
+    * "what did this query return before the maintenance pass" is a
+    * query, not a restore. The oracle re-derives BOTH quantizer
+    * generations in closed form — the union-corpus stride for the live
+    * side, the base-split stride with union assignment for the
+    * previous — so an asOf resolver that serves the wrong generation,
+    * mixes centroids and lists across the flip, or loses the lockstep
+    * pairing hash-mismatches. Scale shape: two probe-pruned serving
+    * reads — history costs what retention already paid.
+    */
+  def qAnnTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val dir = retrainedAsOfDir(s, d)
+    val q = embs(s, d).where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    VectorIndex.searchIvf(s, dir, q, nprobe = 4, topk = 5)
+      .select(lit("current").as("snapshot"), col("query_id"), col("rank"),
+        col("neighbor_id"), col("cos_x1e6"))
+      .unionByName(
+        VectorIndex.searchIvfAsOf(s, dir, q, nprobe = 4, topk = 5, back = 1)
+          .select(lit("previous").as("snapshot"), col("query_id"),
+            col("rank"), col("neighbor_id"), col("cos_x1e6")))
+      .orderBy("snapshot", "query_id", "rank")
+  }
+  val qAnnTimeTravelSql: String = {
+    // one CTE chain per snapshot: _c = the retrained (union-corpus
+    // stride) quantizer, _p = the superseded base-split quantizer with
+    // the merged union assigned under it (l72's state)
+    def chain(sfx: String, centWhere: String): String =
+      s"""stride$sfx AS (
+         |  SELECT greatest(37, CAST(ceil(COUNT(*) / 1000.0) AS BIGINT)) AS k
+         |  FROM embeddings WHERE $centWhere),
+         |cent$sfx AS (
+         |  SELECT vec_id AS c_id, embedding AS cv, nrm AS cn
+         |  FROM e WHERE $centWhere
+         |    AND vec_id % (SELECT k FROM stride$sfx) = 11),
+         |asg$sfx AS (
+         |  SELECT vec_id AS neighbor_id, embedding AS nv, nrm AS nn, c_id,
+         |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+         |      * 1e6 + 0.5) AS BIGINT) AS cc
+         |  FROM e CROSS JOIN cent$sfx WHERE vec_id >= 10),
+         |lists$sfx AS (
+         |  SELECT neighbor_id, nv, nn, c_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+         |      ORDER BY cc DESC, c_id ASC) AS r FROM asg$sfx)
+         |  WHERE r = 1),
+         |qasg$sfx AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, c_id,
+         |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+         |      * 1e6 + 0.5) AS BIGINT) AS cc
+         |  FROM e CROSS JOIN cent$sfx WHERE vec_id < 10),
+         |probes$sfx AS (
+         |  SELECT query_id, qv, qn, c_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cc DESC, c_id ASC) AS r FROM qasg$sfx)
+         |  WHERE r <= 4),
+         |scored$sfx AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(floor(${dotSql("qv", "nv")} / (qn * nn)
+         |      * 1e6 + 0.5) AS BIGINT) AS cos_x1e6
+         |  FROM probes$sfx JOIN lists$sfx USING (c_id)),
+         |ranked$sfx AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS rank
+         |  FROM scored$sfx)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |${chain("_c", "vec_id >= 10")},
+       |${chain("_p", "vec_id >= 10 AND vec_id % 9 <> 5")}
+       |SELECT 'current' AS snapshot, query_id, rank, neighbor_id, cos_x1e6
+       |FROM ranked_c WHERE rank <= 5
+       |UNION ALL
+       |SELECT 'previous' AS snapshot, query_id, rank, neighbor_id, cos_x1e6
+       |FROM ranked_p WHERE rank <= 5
+       |ORDER BY snapshot, query_id, rank""".stripMargin
+  }
+
+  /** The streamed-corpus fixture behind l99: a dup-augmented corpus —
+    * same-parity exact twins (`%10==0` → +100000, landing in batch 0
+    * WITH their originals: the in-batch exact dedup), cross-parity
+    * exact twins (`%10==4` → +100001, odd ids of even originals: the
+    * cross-batch exact probe), and cross-parity CANONICAL twins
+    * (`%10==7` → +100001, upper-cased text: same normalized key,
+    * different bytes — the canonical probe) — folded as two parity
+    * micro-batches by [[graft.streaming.DocStream.ingestBatch]], then a
+    * takedown of every 20th base id. Every rejection stage of the fold
+    * visibly shapes the snapshots.
+    */
+  private val corpusAsOfDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def corpusAsOfDir(s: SparkSession, d: String): String =
+    corpusAsOfDirs.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-corpusasof-")
+        .toString
+      deleteOnExit(tmp)
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val all = base
+        .unionByName(base.where(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000))
+        .unionByName(base.where(col("doc_id") % 10 === 4)
+          .withColumn("doc_id", col("doc_id") + 100001))
+        .unionByName(base.where(col("doc_id") % 10 === 7)
+          .withColumn("doc_id", col("doc_id") + 100001)
+          .withColumn("text", upper(col("text"))))
+      graft.streaming.DocStream.ingestBatch(
+        all.where(col("doc_id") % 2 === 0), tmp, 0L)
+      graft.streaming.DocStream.ingestBatch(
+        all.where(col("doc_id") % 2 === 1), tmp, 1L)
+      graft.streaming.DocStream.deleteDocs(s, tmp,
+        base.where(col("doc_id") % 20 === 0).select(col("doc_id")))
+      require(Tombstones.any(s, tmp),
+        "l99 fixture: the delete must leave a committed tombstone set")
+      tmp
+    })
+
+  /** l99: BATCH-AXIS time travel over the streamed corpus — the
+    * reproducibility read l96/l98's pointer-flip axis cannot address
+    * ([[graft.streaming.DocStream.corpusAsOfBatch]]): the fold's
+    * `batch_id=` replay partitions are themselves a FULL history
+    * (append-only, compaction-preserved, no retention bound), so "the
+    * corpus as of batch N" is a partition filter. The query serves the
+    * membership of both snapshots — after batch 0 and after batch 1 —
+    * with a takedown landed AFTER both, so it also pins the axis's one
+    * semantic override: current tombstones filter every snapshot (a
+    * takedown beats time travel). The oracle re-derives the whole fold
+    * in closed form — per-batch exact keeper (min id per text), then
+    * canonical keeper (min id per normalized key among exact
+    * survivors), then the cross-batch exact+canonical rejection against
+    * batch 0's survivors, minus the deleted ids — so a fold that keeps
+    * the wrong twin, a probe that misses a cross-batch dup, a snapshot
+    * that leaks a later batch, or a tombstone that fails to filter
+    * history hash-mismatches. Scale shape: each snapshot is one
+    * partition-pruned scan (`batch_id <= n` on the partition column) +
+    * one broadcastable anti-join.
+    */
+  def qCorpusAsOfBatch(s: SparkSession, d: String): DataFrame = {
+    val dir = corpusAsOfDir(s, d)
+    graft.streaming.DocStream.corpusAsOfBatch(s, dir, 0L)
+      .select(lit("batch0").as("snapshot"), col("doc_id"))
+      .unionByName(graft.streaming.DocStream.corpusAsOfBatch(s, dir, 1L)
+        .select(lit("batch1").as("snapshot"), col("doc_id")))
+      .orderBy("snapshot", "doc_id")
+  }
+  val qCorpusAsOfBatchSql: String = {
+    val ckey = "trim(regexp_replace(regexp_replace(lower(text), " +
+      "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    s"""WITH dd AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 100001, text FROM documents WHERE doc_id % 10 = 4
+       |  UNION ALL
+       |  SELECT doc_id + 100001, upper(text) FROM documents
+       |  WHERE doc_id % 10 = 7),
+       |b0x AS (
+       |  SELECT doc_id, text,
+       |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |  FROM dd WHERE doc_id % 2 = 0),
+       |b0c AS (
+       |  SELECT doc_id, text, $ckey AS ckey FROM b0x WHERE rn = 1),
+       |s0 AS (
+       |  SELECT doc_id, text, ckey FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY ckey ORDER BY doc_id)
+       |      AS rn2 FROM b0c) WHERE rn2 = 1),
+       |b1x AS (
+       |  SELECT doc_id, text,
+       |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |  FROM dd WHERE doc_id % 2 = 1),
+       |b1c AS (
+       |  SELECT doc_id, text, $ckey AS ckey FROM b1x WHERE rn = 1),
+       |s1p AS (
+       |  SELECT doc_id, text, ckey FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY ckey ORDER BY doc_id)
+       |      AS rn2 FROM b1c) WHERE rn2 = 1),
+       |s1 AS (
+       |  SELECT doc_id FROM s1p
+       |  WHERE text NOT IN (SELECT text FROM s0)
+       |    AND ckey NOT IN (SELECT ckey FROM s0))
+       |SELECT 'batch0' AS snapshot, doc_id FROM s0 WHERE doc_id % 20 <> 0
+       |UNION ALL
+       |SELECT 'batch1' AS snapshot, doc_id FROM (
+       |  SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM s1)
+       |WHERE doc_id % 20 <> 0
+       |ORDER BY snapshot, doc_id""".stripMargin
+  }
+
   /** The IVF+PQ fixture behind l77: BOTH index halves built over the
     * corpus (vec_id >= 10) in one directory, once per JVM per data
     * directory — the serving deployment [[VectorIndex.searchIvfPq]]
@@ -7249,6 +7648,9 @@ object LlmQueries {
     "l94_tombstone_dedup" -> qTombstoneDedup _,
     "l95_tombstone_ann" -> qTombstoneAnn _,
     "l96_time_travel" -> qTimeTravel _,
+    "l97_bpe_oov_encode" -> qBpeOovEncode _,
+    "l98_ann_time_travel" -> qAnnTimeTravel _,
+    "l99_corpus_asof" -> qCorpusAsOfBatch _,
     "l79_ann_compact_parity" -> qAnnCompactParity _,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearch _,
     "l81_vec_drift_gate" -> qVecDriftGate _,
@@ -7349,6 +7751,9 @@ object LlmQueries {
     "l94_tombstone_dedup" -> qTombstoneDedupSql,
     "l95_tombstone_ann" -> qTombstoneAnnSql,
     "l96_time_travel" -> qTimeTravelSql,
+    "l97_bpe_oov_encode" -> qBpeOovEncodeSql,
+    "l98_ann_time_travel" -> qAnnTimeTravelSql,
+    "l99_corpus_asof" -> qCorpusAsOfBatchSql,
     "l79_ann_compact_parity" -> qAnnMergeParitySql,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearchSql,
     "l81_vec_drift_gate" -> qVecDriftGateSql,

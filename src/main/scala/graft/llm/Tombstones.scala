@@ -35,11 +35,13 @@ import graft.util.Fs
   *   - The FOLD rides the compaction the index already runs:
   *     [[IndexMaintenance.compactStages]] applies the same filter to
   *     each staged rewrite. Folded tombstones are then RETIRED, not
-  *     deleted: the fold records the files it observed in a TTL-stamped
-  *     retirement cohort (`_FOLDED_<n>`, [[endFold]]) and a later
-  *     maintenance entry's [[beginFold]] is the garbage collector,
-  *     after the cohort has aged through the SAME retention window
-  *     superseded generations get ([[IndexMaintenance]] `retainGens`),
+  *     deleted: the fold records the files it observed in an
+  *     age-stamped retirement cohort (`_FOLDED_<n>`, [[endFold]]) and a
+  *     later maintenance entry's [[beginFold]] is the garbage
+  *     collector, after the cohort has aged through the SAME retention
+  *     window superseded generations get ([[IndexMaintenance]]
+  *     `retainGens`, re-read LIVE at each GC decision so a conf change
+  *     widens both windows in lockstep),
   *     and for the same reader: a query still scanning a RETAINED pre-fold
   *     generation needs the tombstones its snapshot was filtered by,
   *     and an eager delete would either crash it (vanished files) or
@@ -115,13 +117,26 @@ private[graft] object Tombstones {
     }
 
   /** The committed tombstone DATA files currently on disk (markers and
-    * committer metadata excluded).
+    * committer metadata excluded). Hidden-ness is judged on every path
+    * SEGMENT below the tombstone directory, not just the basename — an
+    * in-flight (or crashed) Append's `_temporary/**/part-*` task files
+    * carry plain basenames but are invisible to parquet reads (Spark's
+    * file index skips `_`/`.`-prefixed directories), and counting them
+    * here would let [[beginFold]] "observe" files no reader ever saw:
+    * [[endFold]] would retire them and the empty-set teardown would be
+    * deferred behind a cohort of never-visible files.
     */
   private def dataFiles(spark: SparkSession, indexDir: String): Seq[String] =
     Fs.listFiles(spark, dir(indexDir))
       .filterNot { p =>
-        val base = p.split('/').last
-        base.startsWith("_") || base.startsWith(".")
+        // segments below the listing root only (anchored on the
+        // `_tombstones` component, so the store's scheme prefix and the
+        // index path's own segments never trip the filter)
+        val i = p.lastIndexOf("/_tombstones/")
+        val rel = if (i >= 0) p.substring(i + "/_tombstones/".length)
+          else p.split('/').last
+        rel.split('/')
+          .exists(seg => seg.startsWith("_") || seg.startsWith("."))
       }
 
   /** The retirement-cohort marker files (`_FOLDED_<n>`) currently on
@@ -147,16 +162,38 @@ private[graft] object Tombstones {
     * with zero data files (which every reader would crash on).
     */
   def beginFold(spark: SparkSession, indexDir: String): Seq[String] = {
+    // The cohort lifetime is RE-DERIVED from the live conf at every GC
+    // decision, not frozen at fold time: generation hygiene
+    // ([[IndexMaintenance]]) reads the live `retainGens` too, so an
+    // operator who raises it mid-lifecycle widens BOTH windows in
+    // lockstep — a retained pre-fold generation can never outlive the
+    // tombstones that were filtering it (the skew a fold-time TTL
+    // snapshot allowed). A pointer-governed layout retains superseded
+    // generations for retainGens + 1 further entries; a rename-protocol
+    // layout retains nothing (readers cannot span a swap), so one entry
+    // suffices.
+    val lifetime =
+      if (Fs.exists(spark, s"$indexDir/_ptr"))
+        spark.conf.get("spark.graft.index.retainGens", "1")
+          .trim.toInt.max(0) + 1
+      else 1
     markerFiles(spark, indexDir).foreach { marker =>
       val lines = Fs.readString(spark, marker).split("\n").toSeq
         .map(_.trim).filter(_.nonEmpty)
-      val ttl = lines.headOption.filter(_.startsWith("ttl="))
-        .map(_.drop(4).toInt).getOrElse(1)
-      val named = lines.filterNot(_.startsWith("ttl="))
-      if (ttl > 1)
+      val named = lines.filterNot(l =>
+        l.startsWith("age=") || l.startsWith("ttl="))
+      // age = maintenance entries elapsed since the fold; a legacy
+      // `ttl=k` marker (frozen at fold time by earlier versions)
+      // converts to the age its countdown implies under the CURRENT
+      // lifetime, so the re-derivation discipline covers it too
+      val age = lines.collectFirst {
+        case l if l.startsWith("age=") => l.drop(4).toInt
+        case l if l.startsWith("ttl=") => (lifetime - l.drop(4).toInt).max(0)
+      }.getOrElse(lifetime)
+      if (age + 1 < lifetime)
         // not yet out of the retention window — age this cohort one entry
         Fs.writeString(spark, marker,
-          (s"ttl=${ttl - 1}" +: named).mkString("\n"))
+          (s"age=${age + 1}" +: named).mkString("\n"))
       else {
         named.foreach(f => Fs.delete(spark, f))
         Fs.delete(spark, marker)
@@ -186,29 +223,29 @@ private[graft] object Tombstones {
     * They stay on disk — still filtering, which is a no-op on the
     * folded live generation and exactly right for a reader on a
     * retained pre-fold generation — until [[beginFold]] GCs them after
-    * the marker's TTL of further maintenance entries. The TTL mirrors
-    * the GENERATION retention window exactly: on a pointer-governed
-    * index a generation superseded at entry N stays readable until
-    * entry N + retainGens + 1's hygiene pass, and a reader on it needs
-    * the tombstones that were filtering it — so the tombstones must
-    * outlive their fold by the same retainGens + 1 entries. On a
-    * rename-protocol index nothing superseded is retained (readers
-    * cannot span a swap at all), so one entry suffices. Folds that
-    * covered only SOME id-bearing stages must not call this (the
-    * tombstones are still load-bearing on the unfolded stages).
+    * the cohort has aged through the generation-retention window. The
+    * marker records only the cohort's AGE (entries since the fold,
+    * starting at 0); the lifetime itself is re-derived from the LIVE
+    * `retainGens` at each GC decision ([[beginFold]]) so it mirrors
+    * the GENERATION retention window even when the conf changes
+    * mid-lifecycle: on a pointer-governed index a generation
+    * superseded at entry N stays readable until entry
+    * N + retainGens + 1's hygiene pass, and a reader on it needs the
+    * tombstones that were filtering it — so the tombstones outlive
+    * their fold by the same retainGens + 1 entries, whatever
+    * retainGens says when the question is asked. On a rename-protocol
+    * index nothing superseded is retained (readers cannot span a swap
+    * at all), so one entry suffices. Folds that covered only SOME
+    * id-bearing stages must not call this (the tombstones are still
+    * load-bearing on the unfolded stages).
     */
   def endFold(spark: SparkSession, indexDir: String,
       observed: Seq[String]): Unit =
     if (observed.nonEmpty) {
-      val ttl =
-        if (Fs.exists(spark, s"$indexDir/_ptr"))
-          spark.conf.get("spark.graft.index.retainGens", "1")
-            .trim.toInt.max(0) + 1
-        else 1
       val next = markerFiles(spark, indexDir)
         .map(_.split('/').last.stripPrefix("_FOLDED_"))
         .flatMap(_.toLongOption).maxOption.getOrElse(0L) + 1L
       Fs.writeString(spark, s"${dir(indexDir)}/_FOLDED_$next",
-        (s"ttl=$ttl" +: observed).mkString("\n"))
+        ("age=0" +: observed).mkString("\n"))
     }
 }

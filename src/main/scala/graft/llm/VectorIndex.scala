@@ -437,7 +437,8 @@ object VectorIndex {
     * old mergeId afterwards fails loudly on the id-overlap guard.
     */
   def retrainIvf(spark: SparkSession, indexDir: String,
-      lloydIters: Int = 0, swapMode: Option[String] = None): Unit = {
+      lloydIters: Int = 0, swapMode: Option[String] = None): Unit =
+      IndexMaintenance.withLease(spark, indexDir) {
     val stages = Seq("centroids", "lists")
     IndexMaintenance.recoverStages(spark, indexDir, stages, swapMode)
     val observedTombstones = Tombstones.beginFold(spark, indexDir)
@@ -584,12 +585,46 @@ object VectorIndex {
     * exact re-ranked cosine over the `nprobe` nearest lists.
     */
   def searchIvf(spark: SparkSession, indexDir: String, queries: DataFrame,
-      nprobe: Int, topk: Int): DataFrame = {
+      nprobe: Int, topk: Int): DataFrame =
     // snapshot-consistent stage set: a concurrent retrain flip must not
     // compose new centroids with old lists ([[IndexMaintenance
     // .snapshotStages]])
-    val snap = IndexMaintenance.snapshotStages(spark, indexDir,
-      Seq("centroids", "lists"))
+    searchIvfOver(spark, indexDir,
+      IndexMaintenance.snapshotStages(spark, indexDir,
+        Seq("centroids", "lists")),
+      queries, nprobe, topk)
+
+  /** TIME-TRAVEL search: [[searchIvf]] against the index as it was
+    * `back` pointer flips ago — the vector side of
+    * [[DedupIndex.candidatePairsAsOf]], and the diff instrument the
+    * retrain lifecycle needs: a [[retrainIvf]] that regressed recall
+    * (trained over a drifted corpus, or under a bad Lloyd
+    * refinement) can be searched against the EXACT quantizer+lists
+    * pair it replaced, because the retention window
+    * (`spark.graft.index.retainGens`) already keeps it on disk.
+    * Centroids and lists are resolved at the same depth under the
+    * flip-journal seqlock ([[IndexMaintenance.snapshotStagesAsOf]]) —
+    * they flip in lockstep (buildIvf writes both; retrain swaps both in
+    * one journaled set), so the historical pair is always a coherent
+    * index, never new centroids over old lists. The one semantic
+    * override, as on the text side: CURRENT tombstones still filter — a
+    * takedown beats time travel. Bounded loudly by what retention kept;
+    * the error names the widening knob.
+    */
+  def searchIvfAsOf(spark: SparkSession, indexDir: String,
+      queries: DataFrame, nprobe: Int, topk: Int, back: Int): DataFrame =
+    searchIvfOver(spark, indexDir,
+      IndexMaintenance.snapshotStagesAsOf(spark, indexDir,
+        Seq("centroids", "lists"), back),
+      queries, nprobe, topk)
+
+  /** The [[searchIvf]] serving plan over an already-resolved
+    * centroids+lists snapshot — shared by the live and asOf reads so
+    * the two cannot drift.
+    */
+  private def searchIvfOver(spark: SparkSession, indexDir: String,
+      snap: Map[String, String], queries: DataFrame,
+      nprobe: Int, topk: Int): DataFrame = {
     val cent = spark.read.parquet(snap("centroids"))
     // tombstone filter ([[deleteIvf]]): identity when nothing is
     // deleted; otherwise one anti-join below the probe-pruned list read

@@ -248,15 +248,22 @@ object MediaQueries {
 
   def qMediaHammingPairs(s: SparkSession, d: String): DataFrame =
     hammingPairs(s, d).orderBy("media_a", "media_b")
-  /** The m06 CTE chain up to the hamming<=1 pair set, shared with m09. */
-  private val hammingPairsSqlCtes: String = {
-    val bits = (0 until 16).map { j =>
+  /** The 16 aHash bit terms over a CTE exposing (text, n) — the oracle
+    * mirror of [[aHash16]], shared by m06's chain and m16's
+    * survivors-only rebuild.
+    */
+  private lazy val aHash16BitsSql: String =
+    (0 until 16).map { j =>
       val lo = s"(($j * n) // 16)"
       val hi = s"((${j + 1} * n) // 16)"
       s"""CASE WHEN ${asciiSumSql(s"$lo + 1", hi)} * 16 >
          |    ${asciiSumSql("1", "n")}
          |  THEN CAST(${1L << j} AS BIGINT) ELSE 0 END""".stripMargin
     }.mkString(" +\n  ")
+
+  /** The m06 CTE chain up to the hamming<=1 pair set, shared with m09. */
+  private val hammingPairsSqlCtes: String = {
+    val bits = aHash16BitsSql
     s"""$mediaSql,
        |mm AS (
        |  SELECT media_id, text, n FROM media
@@ -996,6 +1003,95 @@ object MediaQueries {
        |  (SUM(contrib_x1e4) OVER () > 25000000) AS drifted
        |FROM scored ORDER BY bucket""".stripMargin
 
+  /** The deleted-media-index fixture behind m16: the streamed
+    * fingerprint fold ([[graft.streaming.MediaStream.ingestBatch]] —
+    * two parity batches, so the cross-batch exact-copy probe and the
+    * `batch_id=` layout are both live) followed by
+    * [[graft.streaming.MediaStream.deleteFromIndex]] of every 10th
+    * asset — served PRE-fold, like l94's text side and l95's vector
+    * side: the measured query exercises the tombstone anti-join itself.
+    */
+  private val deletedMediaDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def deletedMediaDir(s: SparkSession, d: String): String =
+    deletedMediaDirs.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-delmedia-")
+        .toString
+      graft.llm.LlmQueries.deleteOnExit(tmp)
+      val base = MediaOps.mediaTable(s, d).select(col("media_id"), col("payload"))
+      // dup-augmented: same-parity exact twins (`%10==0` → +100000,
+      // arriving WITH their originals — the in-batch exact dedup) and
+      // cross-parity exact twins (`%10==4` → +100001, odd copies of
+      // even originals — the cross-batch exact-copy probe), so both
+      // rejection stages visibly shape the served fingerprint set
+      val assets = base
+        .unionByName(base.where(col("media_id") % 10 === 0)
+          .withColumn("media_id", col("media_id") + 100000))
+        .unionByName(base.where(col("media_id") % 10 === 4)
+          .withColumn("media_id", col("media_id") + 100001))
+      graft.streaming.MediaStream.ingestBatch(
+        assets.where(col("media_id") % 2 === 0), tmp, 0L)
+      graft.streaming.MediaStream.ingestBatch(
+        assets.where(col("media_id") % 2 === 1), tmp, 1L)
+      graft.streaming.MediaStream.deleteFromIndex(s, tmp,
+        base.where(col("media_id") % 10 === 0).select(col("media_id")))
+      require(graft.llm.Tombstones.any(s, tmp),
+        "m16 fixture: the delete must leave a committed tombstone set")
+      tmp
+    })
+
+  /** m16: media-index DELETION (takedown) under the driver's cell-hash
+    * gate — l94's verb on the media fold, completing the
+    * oracle-gated deletion triple (text l94, vector l95, media m16):
+    * [[graft.streaming.MediaStream.deleteFromIndex]] lands O(|ids|)
+    * tombstones and the served fingerprint table anti-joins them from
+    * that moment, so the perceptual pair set (the m06 shape, derived
+    * from the served fingerprints) must equal a from-scratch build over
+    * the SURVIVING assets. The oracle re-derives exactly that in
+    * closed form: the ingest fold's keeper rule (per payload, the
+    * batch-0 even keeper wins over any odd arrival — in-batch min-id
+    * dedup plus the cross-batch exact-copy probe), minus the deleted
+    * ids, re-fingerprinted and re-paired — so a tombstone that fails
+    * to filter, filters the wrong column, or leaks through the
+    * batch-partitioned layout hash-mismatches. Scale shape: one pruned
+    * fps read + one broadcastable anti-join, pairs from 2 equi-joins
+    * on 8-bit bands — never all-pairs, payloads never re-read.
+    */
+  def qMediaTombstone(s: SparkSession, d: String): DataFrame =
+    hammingPairsOf(
+      graft.streaming.MediaStream.fingerprints(s, deletedMediaDir(s, d))
+        .select(col("media_id"), col("fp")))
+      .orderBy("media_a", "media_b")
+  val qMediaTombstoneSql: String =
+    s"""WITH $mediaSql,
+       |mm AS (
+       |  SELECT media_id, text, n FROM media
+       |  UNION ALL
+       |  SELECT media_id + 100000, text, n FROM media WHERE media_id % 10 = 0
+       |  UNION ALL
+       |  SELECT media_id + 100001, text, n FROM media WHERE media_id % 10 = 4),
+       |keep AS (
+       |  SELECT media_id, text, n FROM (
+       |    SELECT media_id, text, n,
+       |      row_number() OVER (PARTITION BY text
+       |        ORDER BY media_id % 2, media_id) AS rn
+       |    FROM mm) WHERE rn = 1),
+       |surv AS (SELECT * FROM keep WHERE media_id % 10 <> 0),
+       |fps AS (SELECT media_id, $aHash16BitsSql AS fp FROM surv),
+       |banded AS (
+       |  SELECT media_id, fp, band_id, (fp >> (band_id * 8)) & 255 AS bv
+       |  FROM fps CROSS JOIN
+       |    (SELECT unnest(generate_series(0, 1)) AS band_id) b),
+       |cand AS (
+       |  SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
+       |    x.fp AS fp_a, y.fp AS fp_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band_id = y.band_id AND x.bv = y.bv
+       |    AND x.media_id < y.media_id)
+       |SELECT media_a, media_b,
+       |  CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 1
+       |ORDER BY media_a, media_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_decode" -> qMediaDecode _,
     "m02_image_resize" -> qImageResize _,
@@ -1011,7 +1107,8 @@ object MediaQueries {
     "m12_paired_dedup" -> qPairedDedup _,
     "m13_audio_fingerprint" -> qAudioFingerprint _,
     "m14_keyframes" -> qKeyframes _,
-    "m15_media_drift_gate" -> qMediaDriftGate _
+    "m15_media_drift_gate" -> qMediaDriftGate _,
+    "m16_media_tombstone" -> qMediaTombstone _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1029,6 +1126,7 @@ object MediaQueries {
     "m12_paired_dedup" -> qPairedDedupSql,
     "m13_audio_fingerprint" -> qAudioFingerprintSql,
     "m14_keyframes" -> qKeyframesSql,
-    "m15_media_drift_gate" -> qMediaDriftGateSql
+    "m15_media_drift_gate" -> qMediaDriftGateSql,
+    "m16_media_tombstone" -> qMediaTombstoneSql
   )
 }

@@ -304,6 +304,31 @@ object DocStream {
     graft.llm.Tombstones.filter(spark, corpusDir,
       spark.read.parquet(dataDir(spark, corpusDir)), Seq("doc_id"))
 
+  /** TIME-TRAVEL read of the streamed corpus along its BATCH axis: the
+    * corpus as it stood once micro-batch `n` had committed — every
+    * surviving document whose owning batch id is <= `n`. The
+    * `batch_id=` replay partitions ARE a history axis the pointer-flip
+    * time travel ([[graft.llm.DedupIndex.candidatePairsAsOf]], l96)
+    * cannot address: the fold only ever APPENDS batch partitions, and
+    * [[compactCorpus]] preserves them, so — unlike generation history,
+    * which a retention window bounds — every committed batch stays
+    * addressable for the corpus's whole life at zero extra storage
+    * ("training run X read the corpus as of batch N" is a partition
+    * filter, not a restore). Two scoping rules, both inherited from the
+    * fold's own semantics: a batch the drift gate rejected wrote
+    * nothing, so it contributes nothing to any snapshot; and CURRENT
+    * tombstones still filter — a takedown beats time travel, exactly
+    * as on the pointer-flip axis. The filter is on the partition
+    * column, so the scan plans only the <= n directories.
+    */
+  def corpusAsOfBatch(spark: org.apache.spark.sql.SparkSession,
+      corpusDir: String, n: Long): DataFrame = {
+    require(n >= 0L, s"corpusAsOfBatch($n): negative batch id")
+    graft.llm.Tombstones.filter(spark, corpusDir,
+      spark.read.parquet(dataDir(spark, corpusDir))
+        .where(col("batch_id") <= n), Seq("doc_id"))
+  }
+
   /** DELETE documents from the streamed corpus — the takedown verb on
     * the corpus itself ([[graft.llm.Tombstones]] semantics): O(|ids|)
     * now; [[corpus]] and the fold's exact/canonical rejection probes
@@ -318,15 +343,22 @@ object DocStream {
     * (`nearDupIndexDir`), pass it here so the SAME ids tombstone the
     * index artifacts through [[graft.llm.DedupIndex.delete]] — a
     * corpus-only delete would leave the index still probing against
-    * the deleted documents' bands. Replay caveat: replaying a
-    * PRE-delete micro-batch after the fold re-ingests whatever the
-    * batch held — delete again, or advance the checkpoint past the
-    * deleted batches before folding.
+    * the deleted documents' bands. The two tombstone appends are NOT
+    * atomic as a pair; the INDEX is tombstoned FIRST, so the one state
+    * a crash between them can leave is "bands dead, corpus still
+    * serving" — conservative (the probe side is never the stale one:
+    * no candidate pair against a doc the operator asked to take down)
+    * and converged by simply RETRYING the call, which is idempotent
+    * under the at-least-once posture (re-appending the same ids is
+    * inert under anti-join semantics and swept by the next fold).
+    * Replay caveat: replaying a PRE-delete micro-batch after the fold
+    * re-ingests whatever the batch held — delete again, or advance the
+    * checkpoint past the deleted batches before folding.
     */
   def deleteDocs(spark: org.apache.spark.sql.SparkSession, corpusDir: String,
       ids: DataFrame, nearDupIndexDir: Option[String] = None): Unit = {
-    graft.llm.Tombstones.add(spark, corpusDir, ids, "doc_id")
     nearDupIndexDir.foreach(idx => graft.llm.DedupIndex.delete(spark, idx, ids))
+    graft.llm.Tombstones.add(spark, corpusDir, ids, "doc_id")
   }
 
   /** COMPACT the streamed corpus between ingest runs — the

@@ -868,4 +868,146 @@ class DedupIndexSpec extends SparkSpec {
     assert(DedupIndex.signatures(spark, s"$dir/idx")
       .where($"doc_id" === sample).count() == 1L, "re-add after fold failed")
   }
+
+  test("raising retainGens mid-lifecycle extends the cohort in lockstep: historical reads never see a tombstoned row") {
+    val dir = Files.createTempDirectory("dedupcohort").toString
+    val idx = s"$dir/idx"
+    DedupIndex.build(corpus, idx)
+    val ids = corpus.where($"doc_id" % 10 === 0 && $"doc_id" < 100000)
+      .select($"doc_id")
+    val deleted = ids.as[Long].collect().toSet
+    DedupIndex.delete(spark, idx, ids)
+    def markers() = Option(new java.io.File(s"$idx/_tombstones").listFiles())
+      .map(_.count(_.getName.startsWith("_FOLDED"))).getOrElse(0)
+    // entry 1: fold under the pointer protocol (cohort retired, age=0)
+    DedupIndex.compact(spark, idx, swapMode = Some("pointer"))
+    assert(markers() == 1, "fold did not retire a cohort")
+    // the operator RAISES retainGens after the fold: generation hygiene
+    // now keeps pre-fold generations longer, and the cohort's lifetime
+    // must stretch with it (a frozen fold-time TTL would GC the
+    // tombstones at entry 3 while the pre-fold bare generation survives
+    // to entry 5 — a historical read would then serve deleted rows)
+    spark.conf.set("spark.graft.index.retainGens", "3")
+    try {
+      DedupIndex.compact(spark, idx) // entry 2
+      DedupIndex.compact(spark, idx) // entry 3
+      assert(markers() == 1,
+        "cohort GC'd at entry 3 — the lifetime was frozen at fold time " +
+          "instead of re-derived from the live retainGens")
+      // the deepest retained snapshot is the PRE-FOLD bare generation:
+      // its raw rows still hold the deleted ids, so the still-live
+      // tombstones are load-bearing here
+      val rawHistoric = spark.read.parquet(
+        IndexMaintenance.stagePathAsOf(spark, idx, "pairs", 3))
+      assert(rawHistoric.where($"doc_a".isin(deleted.toSeq: _*) ||
+        $"doc_b".isin(deleted.toSeq: _*)).count() > 0,
+        "fixture: the pre-fold generation should still hold deleted pairs raw")
+      (1 to 3).foreach { back =>
+        val served = DedupIndex.candidatePairsAsOf(spark, idx, back)
+          .as[(Long, Long)].collect()
+        assert(!served.exists(p => deleted(p._1) || deleted(p._2)),
+          s"asOf($back) served a tombstoned row")
+      }
+      DedupIndex.compact(spark, idx) // entry 4: cohort age 3 < 4 — kept
+      assert(markers() == 1, "cohort GC'd one entry early")
+      DedupIndex.compact(spark, idx) // entry 5: age 4 — out of the window
+      assert(!new java.io.File(s"$idx/_tombstones").exists(),
+        "retirement did not converge once the widened window elapsed")
+    } finally spark.conf.unset("spark.graft.index.retainGens")
+  }
+
+  test("an uncommitted append's _temporary task files are not counted as tombstone data") {
+    val dir = Files.createTempDirectory("deduptemp").toString
+    val idx = s"$dir/idx"
+    DedupIndex.build(corpus, idx)
+    DedupIndex.delete(spark, idx,
+      corpus.where($"doc_id" % 10 === 0 && $"doc_id" < 100000)
+        .select($"doc_id"))
+    DedupIndex.compact(spark, idx) // entry 1: fold + retire
+    // plant the on-disk residue of an in-flight (or crashed) Append:
+    // committer task files under _temporary/ — never visible to a
+    // parquet read, so no reader was ever filtered by them
+    val tmpTask = new java.io.File(
+      s"$idx/_tombstones/_temporary/0/task_0/part-00000.parquet")
+    tmpTask.getParentFile.mkdirs()
+    assert(tmpTask.createNewFile())
+    // entry 2: GCs the retired cohort; with no COMMITTED data files
+    // left the set must tear down whole — counting the task file as
+    // data would defer the teardown (and retire a never-visible file
+    // into a fresh cohort)
+    DedupIndex.compact(spark, idx)
+    assert(!new java.io.File(s"$idx/_tombstones").exists(),
+      "an uncommitted _temporary task file deferred the empty-set teardown")
+  }
+
+  test("a marker-resumed merge still refuses a delta whose ids were deleted after the crash") {
+    val dir = Files.createTempDirectory("dedupresume").toString
+    val idx = s"$dir/idx"
+    val base = corpus.where($"doc_id" % 5 =!= 4)
+    val delta = corpus.where($"doc_id" % 5 === 4)
+    DedupIndex.build(base, idx)
+    DedupIndex.merge(spark, idx, delta, mergeId = Some("d1"))
+    // roll back to the crash state "signatures committed, shingle_sets
+    // not": the resume path whose done("signatures") gate used to skip
+    // the tombstone guard entirely
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+      f.delete(): Unit
+    }
+    assert(new java.io.File(s"$idx/_merges/d1/shingle_sets.done").delete())
+    rmrf(new java.io.File(s"$idx/shingle_sets"))
+    DedupIndex.shingleSetsOf(base).write.parquet(s"$idx/shingle_sets")
+    // a takedown lands between the crash and the retry, naming delta ids
+    DedupIndex.delete(spark, idx, delta.select($"doc_id").limit(3))
+    // the retry must fail LOUDLY instead of appending the remaining
+    // stage's rows pre-deleted (a silent re-delete)
+    val ex = intercept[IllegalArgumentException] {
+      DedupIndex.merge(spark, idx, delta, mergeId = Some("d1"))
+    }
+    assert(ex.getMessage.contains("tombstoned"), ex.getMessage)
+  }
+
+  test("maintenance lease: a live conflicting lease refuses loudly; a crashed holder's expires; two in-JVM threads are two writers") {
+    val dir = Files.createTempDirectory("deduplease").toString
+    val idx = s"$dir/idx"
+    DedupIndex.build(corpus, idx)
+    val lease = new java.io.File(s"$idx/_maintenance/_lease")
+    lease.getParentFile.mkdirs()
+    // a LIVE lease held by another process: the entry must refuse
+    java.nio.file.Files.write(lease.toPath,
+      s"owner=other-driver/thread-1\nexpires=${System.currentTimeMillis() + 3600000L}"
+        .getBytes("UTF-8"))
+    val ex = intercept[IllegalArgumentException] {
+      DedupIndex.compact(spark, idx)
+    }
+    assert(ex.getMessage.contains("lease"), ex.getMessage)
+    // a CRASHED holder's lease (expired TTL): the entry takes over,
+    // completes, and releases
+    java.nio.file.Files.write(lease.toPath,
+      s"owner=crashed-driver/thread-1\nexpires=${System.currentTimeMillis() - 1000L}"
+        .getBytes("UTF-8"))
+    DedupIndex.compact(spark, idx)
+    assert(!lease.exists(), "the completed entry did not release its lease")
+    // a second THREAD of this process is still a second writer: while
+    // thread A holds the lease, thread B's entry must refuse (and A's
+    // own nested swap re-enters fine — every compact above exercises
+    // compactStages -> swapStages under one lease)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    @volatile var holderFailed: Option[Throwable] = None
+    val holder = new Thread(() =>
+      try IndexMaintenance.withLease(spark, idx) {
+        started.countDown(); release.await()
+      } catch { case t: Throwable => holderFailed = Some(t); started.countDown() })
+    holder.start()
+    started.await()
+    assert(holderFailed.isEmpty, s"holder thread failed: $holderFailed")
+    val ex2 = intercept[IllegalArgumentException] {
+      DedupIndex.compact(spark, idx)
+    }
+    assert(ex2.getMessage.contains("THIS process"), ex2.getMessage)
+    release.countDown()
+    holder.join()
+    DedupIndex.compact(spark, idx) // released: the next entry proceeds
+  }
 }

@@ -966,4 +966,51 @@ class LlmQueriesSpec extends SparkSpec {
     assert(winners.distinct.length == winners.length,
       s"a merged pair was re-elected in a later round: $winners")
   }
+
+  test("encodeBpe replays the trained merge list: left-to-right non-overlapping, in rank order, with the untrained fallback") {
+    val d = "/root/testdata/sf0.001"
+    val merges = LlmQueries.trainBpe(spark, d, 3).where($"rank" === 1)
+      .select($"round", $"left", $"right")
+    val rules = merges.as[(Int, String, String)].collect().sortBy(_._1).toSeq
+    assert(rules.length == 3)
+    // reference implementation: the canonical BPE application — each
+    // merge one left-to-right non-overlapping pass over the symbols
+    def applyMerges(w: String): Long = {
+      var toks = w.map(_.toString).toVector
+      rules.foreach { case (_, l, r) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        toks = out.result()
+      }
+      toks.length.toLong
+    }
+    val (l1, r1) = (rules.head._2, rules.head._3)
+    // novel words built FROM the first merge's symbols: the replay must
+    // merge them; adjacent repeats pin the non-overlap rule; 'qq7'
+    // (non-[a-z]) and 'a' (1 char) pin the untrained 1-token fallback
+    val w1 = l1 + r1
+    val w2 = l1 + r1 + l1 + r1
+    val w3 = l1 + l1 + r1 + "zq"
+    val text = s"$w1 $w2 $w3 zz qq7 a"
+    val batch = Seq((1L, text)).toDF("doc_id", "text")
+    val got = LlmQueries.encodeBpe(batch, merges)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val domainToks = Seq(w1, w2, w3, "zz").map(applyMerges).sum
+    val expected = (1L, 6L,
+      Seq(w1, w2, w3, "zz", "qq7", "a").map(_.length.toLong).sum,
+      domainToks + 2L)
+    assert(got == Seq(expected),
+      s"encodeBpe $got != reference replay $expected (rules $rules)")
+    assert(applyMerges(w2) < w2.length,
+      "fixture: the trained merges did not shorten the novel word at all")
+    // the l97 held-out fixture genuinely exercises the OOV path
+    val oov = LlmQueries.qBpeOovEncode(spark, d)
+      .agg(sum($"n_oov")).as[Long].collect().head
+    assert(oov > 0, "held-out split contains no out-of-vocabulary words")
+  }
 }

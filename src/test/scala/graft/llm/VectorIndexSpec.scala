@@ -865,4 +865,41 @@ class VectorIndexSpec extends SparkSpec {
     val want = VectorIndex.searchIvf(spark, s"$ref/idx", q, 4, 5).collect().toSeq
     assert(got == want, "retrained index != survivors-only build")
   }
+
+  test("searchIvfAsOf serves the retained pre-retrain generation; bounds and takedowns enforced") {
+    val dir = Files.createTempDirectory("ivfasof").toString
+    val idx = s"$dir/idx"
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = embs.where($"vec_id" >= 10)
+    VectorIndex.buildIvf(corpus.where($"vec_id" % 9 =!= 5), idx)
+    VectorIndex.mergeIvf(spark, idx, corpus.where($"vec_id" % 9 === 5),
+      mergeId = Some("asof-delta"))
+    val q = embs.where($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    // never pointer-swapped: no history exists, and the error says so
+    val ex0 = intercept[IllegalArgumentException] {
+      VectorIndex.searchIvfAsOf(spark, idx, q, 4, 5, back = 1).count()
+    }
+    assert(ex0.getMessage.contains("never"), ex0.getMessage)
+    val pre = VectorIndex.searchIvf(spark, idx, q, 4, 5)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    VectorIndex.retrainIvf(spark, idx, swapMode = Some("pointer"))
+    // back=1 is the pre-retrain index, exactly — centroids AND lists
+    // resolved at the superseded generation as one lockstep pair
+    val asOf = VectorIndex.searchIvfAsOf(spark, idx, q, 4, 5, back = 1)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(asOf == pre, "asOf(1) != the pre-retrain search")
+    // past what ever existed: loud, with the widening knob named
+    val ex1 = intercept[IllegalArgumentException] {
+      VectorIndex.searchIvfAsOf(spark, idx, q, 4, 5, back = 2).count()
+    }
+    assert(ex1.getMessage.contains("retainGens"), ex1.getMessage)
+    // a takedown beats time travel: current tombstones filter history
+    val victim = pre.head._3
+    VectorIndex.deleteIvf(spark, idx, Seq(victim).toDF("vec_id"))
+    val historic = VectorIndex.searchIvfAsOf(spark, idx, q, 4, 5, back = 1)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(!historic.exists(_._3 == victim),
+      "a deleted vector was served from a historical snapshot")
+  }
 }

@@ -420,4 +420,40 @@ class DocStreamSpec extends SparkSpec {
     assert(DocStream.corpus(spark, corpusDir).where($"doc_id" === 1L)
       .count() == 1L, "post-GC re-use of the retired id failed")
   }
+
+  test("corpusAsOfBatch: batch-axis snapshots, compaction-surviving, takedown-filtered, partition-pruned") {
+    val dir = Files.createTempDirectory("docasof").toString
+    val corpusDir = s"$dir/corpus"
+    DocStream.ingestBatch(
+      Seq((1L, "alpha document one"), (2L, "beta document two"))
+        .toDF("doc_id", "text"), corpusDir, 0L)
+    DocStream.ingestBatch(
+      Seq((3L, "gamma document three"), (4L, "alpha document one"))
+        .toDF("doc_id", "text"), corpusDir, 1L)
+    DocStream.ingestBatch(
+      Seq((5L, "delta document four")).toDF("doc_id", "text"), corpusDir, 2L)
+    def ids(n: Long) = DocStream.corpusAsOfBatch(spark, corpusDir, n)
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    assert(ids(0L) == Seq(1L, 2L), s"asOfBatch(0) = ${ids(0L)}")
+    assert(ids(1L) == Seq(1L, 2L, 3L), "asOfBatch(1) must exclude batch 2 " +
+      "and the cross-batch duplicate the fold rejected")
+    assert(ids(2L) == Seq(1L, 2L, 3L, 5L), s"asOfBatch(2) = ${ids(2L)}")
+    // the partition filter reaches the scan: only batch_id <= n
+    // directories are planned
+    val plan = DocStream.corpusAsOfBatch(spark, corpusDir, 0L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("batch_id"),
+      s"the batch_id <= n filter did not reach the scan as a partition " +
+        s"filter:\n$plan")
+    // unlike generation history, the batch axis SURVIVES compaction
+    // (replay partitions are preserved by the rewrite)
+    DocStream.compactCorpus(spark, corpusDir)
+    assert(ids(1L) == Seq(1L, 2L, 3L),
+      "compaction destroyed the batch-axis history")
+    // a takedown beats time travel: current tombstones filter every
+    // snapshot, including ones taken 'before' the delete
+    DocStream.deleteDocs(spark, corpusDir, Seq(2L).toDF("doc_id"))
+    assert(ids(0L) == Seq(1L),
+      "a deleted doc was served from a batch-axis snapshot")
+  }
 }
