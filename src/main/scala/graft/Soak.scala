@@ -58,6 +58,11 @@ object Soak {
       spark.stop()
       return
     }
+    if (sys.env.get("SOAK_MODE").contains("asof")) {
+      asOfScale(spark, sfDir)
+      spark.stop()
+      return
+    }
 
     val cfg = graft.config.SignalConfig(encoderType = "derivative",
       minPrice = 39000, maxPrice = 44000, tickDerivativeImagScale = 2.0f)
@@ -512,6 +517,84 @@ object Soak {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
     docs.unpersist(): Unit
+  }
+
+  /** Time-travel cost probe (`SOAK_MODE=asof`): the round-17 claim
+    * under test is "history costs what retention (or the batch layout)
+    * already paid — no extra copies, no log replay". Two axes:
+    *
+    *  - BATCH axis: the documents fold into 32 micro-batches; a shallow
+    *    snapshot ([[graft.streaming.DocStream.corpusAsOfBatch]] n=3)
+    *    must cost LESS than the deep one (n=31) and the full live read,
+    *    because the `batch_id <= n` filter is a partition filter — the
+    *    scan plans only the covered directories.
+    *  - GENERATION axis: build+merge+pointer-retrain an IVF index over
+    *    a 1x/4x/10x corpus, then time the LIVE
+    *    [[graft.llm.VectorIndex.searchIvf]] against
+    *    [[graft.llm.VectorIndex.searchIvfAsOf]](back=1) — the
+    *    historical search reads the retained superseded generation
+    *    through the same probe-pruned plan, so the two must track each
+    *    other at every scale (asOf pays only the depth resolution,
+    *    control-plane metadata).
+    */
+  private def asOfScale(spark: SparkSession, sfDir: String): Unit = {
+    def timed(label: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      System.err.println(
+        f"[soak-asof] $label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    // batch axis
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count(): Unit
+    val dir = java.nio.file.Files.createTempDirectory("soak-asof-").toString
+    val corpusDir = s"$dir/corpus"
+    (0 until 32).foreach { b =>
+      graft.streaming.DocStream.ingestBatch(
+        docs.where(pmod(col("doc_id"), lit(32)) === b), corpusDir, b.toLong)
+    }
+    timed("corpus live read (32 batches)")(
+      graft.streaming.DocStream.corpus(spark, corpusDir).count(): Unit)
+    timed("corpusAsOfBatch(31)          ")(
+      graft.streaming.DocStream.corpusAsOfBatch(spark, corpusDir, 31L)
+        .count(): Unit)
+    timed("corpusAsOfBatch(3)           ")(
+      graft.streaming.DocStream.corpusAsOfBatch(spark, corpusDir, 3L)
+        .count(): Unit)
+    docs.unpersist(): Unit
+    graft.llm.LlmQueries.deleteRecursively(new java.io.File(dir))
+    // generation axis
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = base.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    sys.env.getOrElse("SOAK_MULTS", "1,4,10").split(",").map(_.trim.toInt)
+      .toSeq.foreach { mult =>
+      val scaled = (0 until mult).map(i =>
+          base.where(col("vec_id") >= 10)
+            .select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+              col("embedding")))
+        .reduce(_.unionByName(_))
+      val idxDir = java.nio.file.Files.createTempDirectory("soak-asof-ivf-")
+        .toString
+      graft.llm.VectorIndex.buildIvf(scaled.where(col("vec_id") % 9 =!= 5),
+        s"$idxDir/idx")
+      graft.llm.VectorIndex.mergeIvf(spark, s"$idxDir/idx",
+        scaled.where(col("vec_id") % 9 === 5), mergeId = Some("soak-asof"))
+      graft.llm.VectorIndex.retrainIvf(spark, s"$idxDir/idx",
+        swapMode = Some("pointer"))
+      timed(s"${mult}x searchIvf (live)     ")(
+        graft.llm.VectorIndex.searchIvf(spark, s"$idxDir/idx", q, 4, 5)
+          .count(): Unit)
+      timed(s"${mult}x searchIvfAsOf(back=1)")(
+        graft.llm.VectorIndex.searchIvfAsOf(spark, s"$idxDir/idx", q, 4, 5,
+          back = 1).count(): Unit)
+      graft.llm.LlmQueries.deleteRecursively(new java.io.File(idxDir))
+      spark.catalog.clearCache()
+      System.gc()
+    }
   }
 
   /** IVF-PQ serving-layout scale probe (`SOAK_MODE=ivfpq`): time

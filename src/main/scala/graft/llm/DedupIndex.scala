@@ -282,7 +282,12 @@ object DedupIndex {
     * (`build(docs ∪ delta)`), not a re-merge.
     */
   def merge(spark: SparkSession, indexDir: String, delta: DataFrame,
-      mergeId: Option[String] = None): Unit = {
+      mergeId: Option[String] = None): Unit =
+      // merges mutate the same stages compaction rewrites read and swap
+      // — an unleased merge landing mid-rewrite would be silently lost
+      // when the staged copy swaps in; the lease serializes them loudly
+      // ([[IndexMaintenance.withLease]])
+      IndexMaintenance.withLease(spark, indexDir) {
     val markerDir = mergeId.map(id => s"$indexDir/_merges/$id")
     def done(stage: String): Boolean =
       markerDir.exists(d => graft.util.Fs.isFile(spark, s"$d/$stage.done"))
@@ -417,7 +422,13 @@ object DedupIndex {
     * delete landing mid-fold survives untouched and folds next time).
     */
   def compact(spark: SparkSession, indexDir: String, targetFiles: Int = 8,
-      swapMode: Option[String] = None): Unit = {
+      swapMode: Option[String] = None): Unit =
+      // the lease brackets the WHOLE entry — cohort aging/GC
+      // ([[Tombstones.beginFold]]) and retirement ([[endFold]]) are
+      // writers too: an unleased beginFold racing another driver's
+      // fold would age cohorts per refused attempt and race marker
+      // rewrites (the inner compactStages re-enters)
+      IndexMaintenance.withLease(spark, indexDir) {
     val observed = Tombstones.beginFold(spark, indexDir)
     val allFolded = IndexMaintenance.compactStages(spark, indexDir,
       Seq("signatures", "bands", "pairs", "shingle_sets"), targetFiles,

@@ -78,6 +78,21 @@ private[graft] object IndexMaintenance {
     * thread in the same JVM is refused like a second process — two
     * threads are two writers.
     *
+    * Scope: every BATCH writer takes the lease — the compaction
+    * entries whole (including their [[Tombstones.beginFold]] cohort
+    * aging and [[Tombstones.endFold]] retirement, which are marker
+    * writers too), retrain, reband, align, and the O(delta) merges
+    * (a merge landing mid-rewrite would be silently dropped when the
+    * staged copy swaps in). Two writers stay outside it by design:
+    * [[Tombstones.add]] (the takedown verb — append-only, inert under
+    * replay, and explicitly safe against a concurrent fold via the
+    * observed-files discipline; serializing takedowns behind a long
+    * compaction would trade a non-bug for latency) and the streaming
+    * ingest folds (their exclusivity comes from the streaming
+    * checkpoint — one query owns the sink — and their documented
+    * contract already requires maintenance to run with the stream
+    * STOPPED).
+    *
     * Best-effort by design, stated honestly: without an atomic
     * create-if-absent primitive (HDFS has one; S3 PUTs do not) two
     * writers racing the same few-millisecond acquire window can both
@@ -86,56 +101,80 @@ private[graft] object IndexMaintenance {
     * schedules, a human and a cron), not into a distributed lock
     * service. Readers never touch it.
     */
-  private final class LeaseState(val threadId: Long) { var depth: Int = 0 }
+  private final class LeaseState(val threadId: Long, val owner: String)
   private val heldLeases =
     new java.util.concurrent.ConcurrentHashMap[String, LeaseState]()
 
   private def leasePath(indexDir: String) = s"$indexDir/_maintenance/_lease"
 
+  private def leaseOwnerOf(spark: SparkSession, path: String): Option[String] =
+    if (!Fs.isFile(spark, path)) None
+    else try Fs.readString(spark, path).split("\n").toSeq.map(_.trim)
+      .collectFirst { case l if l.startsWith("owner=") => l.drop(6) }
+    // an unreadable (torn, externally replaced) lease reads as
+    // not-ours: release then conservatively leaves it, and the TTL is
+    // what eventually clears a genuinely dead one
+    catch { case _: java.io.IOException => None }
+
   private[graft] def withLease[T](spark: SparkSession, indexDir: String)
       (body: => T): T = {
     val tid = Thread.currentThread().getId
-    val held = heldLeases.get(indexDir)
-    if (held != null) {
-      require(held.threadId == tid,
+    // one unique owner token per ACQUISITION (not per process): release
+    // must delete only its own lease, never a successor's (a holder
+    // that overran its TTL and was legitimately taken over would
+    // otherwise unlock the takeover's live lease on exit)
+    val mine = new LeaseState(tid,
+      s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}" +
+        s"/thread-$tid/${java.util.UUID.randomUUID()}")
+    // in-JVM claim FIRST and atomically (putIfAbsent — a get-then-put
+    // would let two racing threads both reach the file protocol):
+    // whoever wins the map entry runs the file protocol; a loser with
+    // the same thread id is a legitimate re-entrant frame (compact →
+    // its own swap), any other thread is a second writer
+    val prev = heldLeases.putIfAbsent(indexDir, mine)
+    if (prev != null) {
+      require(prev.threadId == tid,
         s"maintenance lease at $indexDir is held by thread " +
-          s"${held.threadId} of THIS process — a second concurrent " +
+          s"${prev.threadId} of THIS process — a second concurrent " +
           "maintenance entry is a second writer; serialize maintenance " +
           "per index")
-      held.depth += 1
-      try body finally held.depth -= 1
+      body
     } else {
       val path = leasePath(indexDir)
-      val now = System.currentTimeMillis()
-      if (Fs.isFile(spark, path)) {
-        val lines = Fs.readString(spark, path).split("\n").toSeq.map(_.trim)
-        val owner = lines.collectFirst {
-          case l if l.startsWith("owner=") => l.drop(6)
-        }.getOrElse("<unknown>")
-        val expires = lines.collectFirst {
-          case l if l.startsWith("expires=") => l.drop(8).toLong
-        }.getOrElse(0L)
-        // an expired lease is a crashed holder: take over (the marker
-        // protocols converge whatever it left; recovery runs first in
-        // every entry). A live one is a concurrent writer: refuse.
-        require(expires <= now,
-          s"maintenance lease at $indexDir is held by $owner until " +
-            s"$expires (now $now) — a concurrent maintenance writer is " +
-            "active; wait for it (or for the lease TTL, " +
-            "spark.graft.index.leaseMs, if it crashed) before retrying")
-      }
-      val owner =
-        s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}" +
-          s"/thread-$tid"
-      val ttl = spark.conf.get("spark.graft.index.leaseMs", "900000")
-        .trim.toLong
-      Fs.writeString(spark, path, s"owner=$owner\nexpires=${now + ttl}")
-      val mine = new LeaseState(tid)
-      heldLeases.put(indexDir, mine)
-      try body
-      finally {
-        heldLeases.remove(indexDir)
-        Fs.delete(spark, path)
+      var acquired = false
+      try {
+        val now = System.currentTimeMillis()
+        if (Fs.isFile(spark, path)) {
+          val lines = Fs.readString(spark, path).split("\n").toSeq.map(_.trim)
+          val owner = lines.collectFirst {
+            case l if l.startsWith("owner=") => l.drop(6)
+          }.getOrElse("<unknown>")
+          val expires = lines.collectFirst {
+            case l if l.startsWith("expires=") => l.drop(8).toLong
+          }.getOrElse(0L)
+          // an expired lease is a crashed holder: take over (the marker
+          // protocols converge whatever it left; recovery runs first in
+          // every entry). A live one is a concurrent writer: refuse.
+          require(expires <= now,
+            s"maintenance lease at $indexDir is held by $owner until " +
+              s"$expires (now $now) — a concurrent maintenance writer is " +
+              "active; wait for it (or for the lease TTL, " +
+              "spark.graft.index.leaseMs, if it crashed) before retrying")
+        }
+        val ttl = spark.conf.get("spark.graft.index.leaseMs", "900000")
+          .trim.toLong
+        Fs.writeString(spark, path,
+          s"owner=${mine.owner}\nexpires=${now + ttl}")
+        acquired = true
+        body
+      } finally {
+        heldLeases.remove(indexDir, mine)
+        // release ONLY a lease this call wrote: an overrunning holder
+        // whose TTL elapsed may have been taken over, and deleting the
+        // successor's live lease would re-open the window to a third
+        // writer (left in place, the successor's own release clears it)
+        if (acquired && leaseOwnerOf(spark, path).contains(mine.owner))
+          Fs.delete(spark, path)
       }
     }
   }

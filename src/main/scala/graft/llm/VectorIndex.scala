@@ -194,7 +194,12 @@ object VectorIndex {
     * safe to re-issue (marker-gated, as in [[DedupIndex.merge]]).
     */
   def mergeIvf(spark: SparkSession, indexDir: String, delta: DataFrame,
-      mergeId: Option[String] = None): Unit = {
+      mergeId: Option[String] = None): Unit =
+      // merges mutate the same stages the compaction rewrites read and
+      // swap — an unleased merge landing mid-rewrite would be silently
+      // lost when the staged copy swaps in ([[IndexMaintenance
+      // .withLease]]); the lease serializes them loudly instead
+      IndexMaintenance.withLease(spark, indexDir) {
     val marker = mergeId.map(id => s"$indexDir/_merges/$id/lists.done")
     if (marker.exists(graft.util.Fs.isFile(spark, _))) return
     val overlap = delta.select(col("vec_id"))
@@ -320,7 +325,11 @@ object VectorIndex {
     * afterwards fails loudly on the id-overlap guard.
     */
   def compactIvf(spark: SparkSession, indexDir: String,
-      targetFiles: Int = 8, swapMode: Option[String] = None): Unit = {
+      targetFiles: Int = 8, swapMode: Option[String] = None): Unit =
+      // whole-entry lease: the aligned-table drop and the cohort
+      // aging/retirement around the inner (re-entrant) compactStages
+      // are maintenance writes too
+      IndexMaintenance.withLease(spark, indexDir) {
     // a crashed-merge duplicate row this rewrite removes from the lists
     // could survive in the aligned code table and double-count that
     // vector's ADC partial sums — drop the artifact first (removed rows
@@ -342,7 +351,8 @@ object VectorIndex {
     * is bounded and overwrite-only). Clears merge markers.
     */
   def compactPq(spark: SparkSession, indexDir: String,
-      targetFiles: Int = 8, swapMode: Option[String] = None): Unit = {
+      targetFiles: Int = 8, swapMode: Option[String] = None): Unit =
+      IndexMaintenance.withLease(spark, indexDir) {
     dropAligned(spark, indexDir)
     val observed = Tombstones.beginFold(spark, indexDir)
     val allFolded = IndexMaintenance.compactStages(spark, indexDir,
@@ -392,7 +402,8 @@ object VectorIndex {
     * runs to retire a takedown in one call.
     */
   def compact(spark: SparkSession, indexDir: String, targetFiles: Int = 8,
-      swapMode: Option[String] = None): Unit = {
+      swapMode: Option[String] = None): Unit =
+      IndexMaintenance.withLease(spark, indexDir) {
     dropAligned(spark, indexDir)
     val observed = Tombstones.beginFold(spark, indexDir)
     val stages = Seq("lists", "pq_codes")
@@ -818,7 +829,8 @@ object VectorIndex {
     * dropping the artifact (compact/retrain) drops it too, and the
     * subsequent full rebuild re-derives everything from scratch.
     */
-  def alignPqToLists(spark: SparkSession, indexDir: String): Unit = {
+  def alignPqToLists(spark: SparkSession, indexDir: String): Unit =
+      IndexMaintenance.withLease(spark, indexDir) {
     val alignedDir = s"$indexDir/pq_codes_by_list"
     val pendLists = s"$indexDir/_align_pending/lists"
     val pendCodes = s"$indexDir/_align_pending/codes"
@@ -1085,7 +1097,8 @@ object VectorIndex {
     * one broadcast join + one per-(vector, subspace) argmin.
     */
   def mergePq(spark: SparkSession, indexDir: String, delta: DataFrame,
-      mergeId: Option[String] = None): Unit = {
+      mergeId: Option[String] = None): Unit =
+      IndexMaintenance.withLease(spark, indexDir) {
     val marker = mergeId.map(id => s"$indexDir/_merges/$id/pq_codes.done")
     if (marker.exists(graft.util.Fs.isFile(spark, _))) return
     val overlap = delta.select(col("vec_id"))

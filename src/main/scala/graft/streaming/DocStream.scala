@@ -393,7 +393,11 @@ object DocStream {
     */
   def compactCorpus(spark: org.apache.spark.sql.SparkSession,
       corpusDir: String, targetFiles: Int = 8,
-      swapMode: Option[String] = None): Unit = {
+      swapMode: Option[String] = None): Unit =
+      // whole-entry lease ([[graft.llm.IndexMaintenance.withLease]]):
+      // the legacy migration and the cohort aging/retirement around
+      // the inner (re-entrant) compactStages are maintenance writes too
+      graft.llm.IndexMaintenance.withLease(spark, corpusDir) {
     val legacy = graft.util.Fs.listDirNames(spark, corpusDir)
       .filter(_.startsWith("batch_id="))
     if (legacy.nonEmpty) {

@@ -250,7 +250,10 @@ object MediaStream {
     * races the swap.
     */
   def compactIndex(spark: SparkSession, indexDir: String,
-      targetFiles: Int = 8, swapMode: Option[String] = None): Unit = {
+      targetFiles: Int = 8, swapMode: Option[String] = None): Unit =
+      // whole-entry lease: cohort aging/retirement around the inner
+      // (re-entrant) compactStages are maintenance writes too
+      graft.llm.IndexMaintenance.withLease(spark, indexDir) {
     val observed = graft.llm.Tombstones.beginFold(spark, indexDir)
     val allFolded = graft.llm.IndexMaintenance.compactStages(spark, indexDir,
       Seq("fps", "bands"), targetFiles, swapMode,

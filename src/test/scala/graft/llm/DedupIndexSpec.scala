@@ -908,6 +908,25 @@ class DedupIndexSpec extends SparkSpec {
         assert(!served.exists(p => deleted(p._1) || deleted(p._2)),
           s"asOf($back) served a tombstoned row")
       }
+      // a REFUSED entry (live foreign lease) must not age the cohort:
+      // beginFold runs inside the lease, so a refused attempt is a
+      // no-op on the retirement clock
+      val lease = new java.io.File(s"$idx/_maintenance/_lease")
+      lease.getParentFile.mkdirs()
+      java.nio.file.Files.write(lease.toPath,
+        s"owner=other/thread-1\nexpires=${System.currentTimeMillis() + 3600000L}"
+          .getBytes("UTF-8"))
+      val marker = new java.io.File(s"$idx/_tombstones").listFiles()
+        .filter(_.getName.startsWith("_FOLDED")).head
+      val ageBefore = new String(
+        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+        .linesIterator.next()
+      intercept[IllegalArgumentException] { DedupIndex.compact(spark, idx) }
+      assert(new String(
+        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+        .linesIterator.next() == ageBefore,
+        "a lease-refused entry aged the retirement cohort")
+      assert(lease.delete())
       DedupIndex.compact(spark, idx) // entry 4: cohort age 3 < 4 — kept
       assert(markers() == 1, "cohort GC'd one entry early")
       DedupIndex.compact(spark, idx) // entry 5: age 4 — out of the window
@@ -981,6 +1000,12 @@ class DedupIndexSpec extends SparkSpec {
       DedupIndex.compact(spark, idx)
     }
     assert(ex.getMessage.contains("lease"), ex.getMessage)
+    // merges are writers too: the same live lease refuses them
+    val exm = intercept[IllegalArgumentException] {
+      DedupIndex.merge(spark, idx,
+        corpus.limit(1).select(($"doc_id" + 700000L).as("doc_id"), $"text"))
+    }
+    assert(exm.getMessage.contains("lease"), exm.getMessage)
     // a CRASHED holder's lease (expired TTL): the entry takes over,
     // completes, and releases
     java.nio.file.Files.write(lease.toPath,
@@ -1009,5 +1034,27 @@ class DedupIndexSpec extends SparkSpec {
     release.countDown()
     holder.join()
     DedupIndex.compact(spark, idx) // released: the next entry proceeds
+  }
+
+  test("an overrunning holder's release leaves a successor's live lease in place") {
+    val idx = Files.createTempDirectory("leaseover").toString
+    val lease = new java.io.File(s"$idx/_maintenance/_lease")
+    // TTL 0: our own lease is expired the moment it is written — the
+    // documented takeover window, forced open
+    spark.conf.set("spark.graft.index.leaseMs", "0")
+    try {
+      IndexMaintenance.withLease(spark, idx) {
+        // a second driver legitimately takes over the expired lease
+        // while we are still (over)running (written through the same
+        // Fs path a real takeover uses)
+        graft.util.Fs.writeString(spark, lease.getPath,
+          s"owner=successor-driver/thread-9\nexpires=${System.currentTimeMillis() + 3600000L}")
+      }
+    } finally spark.conf.unset("spark.graft.index.leaseMs")
+    // our release must NOT delete the successor's live lease — that
+    // would re-open the window to a third writer
+    assert(lease.exists(), "release deleted a successor's live lease")
+    assert(new String(java.nio.file.Files.readAllBytes(lease.toPath), "UTF-8")
+      .contains("successor-driver"), "successor lease content clobbered")
   }
 }
