@@ -2186,30 +2186,38 @@ object LlmQueries {
     * vocab-bounded; the encode is one distinct-word replay + one
     * corpus explode + broadcast word-key join + per-document agg.
     */
-  def qBpeOovEncode(s: SparkSession, d: String): DataFrame = {
-    val train = docs(s, d).where(col("doc_id") % 10 =!= 0)
+  private def bpeOovFrame(s: SparkSession, d: String,
+      trainVocab: DataFrame): DataFrame = {
     val held = docs(s, d).where(col("doc_id") % 10 === 0)
       .select(col("doc_id"),
         concat_ws(" ", transform(split(col("text"), " "),
           w => when(w.rlike("^[a-z]{6,}$"), concat(w, w)).otherwise(w)))
           .as("text"))
-    val trainVocab = bpeVocabOf(train)
+    val merges = trainBpeOver(trainVocab, 3).where(col("rank") === 1)
+      .select(col("round"), col("left"), col("right"))
+    val enc = encodeBpe(held, merges)
+    val oov = held
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .join(trainVocab.select("w"), Seq("w"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
+    enc.join(oov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_tokens"), coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .orderBy("doc_id")
+  }
+
+  /** The l97 chain built lazily off the raw train vocabulary — what
+    * PlanSpec pins (the measured query eagerly checkpoints).
+    */
+  private[graft] def bpeOovPlanFrame(s: SparkSession, d: String): DataFrame =
+    bpeOovFrame(s, d, bpeVocabOf(docs(s, d).where(col("doc_id") % 10 =!= 0)))
+
+  def qBpeOovEncode(s: SparkSession, d: String): DataFrame = {
+    val trainVocab = bpeVocabOf(docs(s, d).where(col("doc_id") % 10 =!= 0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val merges = trainBpeOver(trainVocab, 3).where(col("rank") === 1)
-        .select(col("round"), col("left"), col("right"))
-      val enc = encodeBpe(held, merges)
-      val oov = held
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
-        .join(trainVocab.select("w"), Seq("w"), "left_anti")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
-      enc.join(oov, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_words"), col("n_chars"),
-          col("n_tokens"), coalesce(col("n_oov"), lit(0L)).as("n_oov"))
-        .orderBy("doc_id")
-        .localCheckpoint(true)
-    } finally { trainVocab.unpersist(); () }
+    try bpeOovFrame(s, d, trainVocab).localCheckpoint(true)
+    finally { trainVocab.unpersist(); () }
   }
   val qBpeOovEncodeSql: String =
     s"""WITH tdocs AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),

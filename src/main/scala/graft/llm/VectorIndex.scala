@@ -629,18 +629,53 @@ object VectorIndex {
         Seq("centroids", "lists"), back),
       queries, nprobe, topk)
 
+  /** BATCH-AXIS time travel on a STREAMED layout
+    * ([[graft.streaming.VecStream]]'s `lists/batch_id=N/c_id=M`): the
+    * search as the index stood once micro-batch `n` had folded — the
+    * vector side of [[graft.streaming.DocStream.corpusAsOfBatch]].
+    * Exact by construction: the stream's quantizer is FROZEN (trained
+    * standalone before the fold), so "the index as of batch n" is the
+    * same centroids over the `batch_id <= n` lists — a PARTITION
+    * filter on the outer replay layer, planned before the `c_id=`
+    * probe pruning, at zero extra storage (the fold's replay
+    * partitions are the history). Unlike the generation axis
+    * ([[searchIvfAsOf]]) this history is unbounded — compaction
+    * preserves the batch partitions. Current tombstones still filter
+    * (a takedown beats time travel). Requires a streamed layout; the
+    * read fails loudly on a batch-less index (no `batch_id` column).
+    */
+  def searchIvfAsOfBatch(spark: SparkSession, indexDir: String,
+      queries: DataFrame, nprobe: Int, topk: Int, n: Long): DataFrame = {
+    require(n >= 0L, s"searchIvfAsOfBatch($n): negative batch id")
+    searchIvfOver(spark, indexDir,
+      IndexMaintenance.snapshotStages(spark, indexDir,
+        Seq("centroids", "lists")),
+      queries, nprobe, topk,
+      listsFilter = df => {
+        require(df.columns.contains("batch_id"),
+          s"searchIvfAsOfBatch at $indexDir: the lists carry no " +
+            "batch_id= layer — batch-axis history only exists on a " +
+            "streamed (VecStream) layout; use searchIvfAsOf for " +
+            "generation history")
+        df.where(col("batch_id") <= n)
+      })
+  }
+
   /** The [[searchIvf]] serving plan over an already-resolved
-    * centroids+lists snapshot — shared by the live and asOf reads so
-    * the two cannot drift.
+    * centroids+lists snapshot — shared by the live, generation-asOf
+    * and batch-asOf reads so the three cannot drift. `listsFilter`
+    * scopes the candidate lists (the batch-axis partition filter);
+    * identity for the live and generation reads.
     */
   private def searchIvfOver(spark: SparkSession, indexDir: String,
       snap: Map[String, String], queries: DataFrame,
-      nprobe: Int, topk: Int): DataFrame = {
+      nprobe: Int, topk: Int,
+      listsFilter: DataFrame => DataFrame = identity): DataFrame = {
     val cent = spark.read.parquet(snap("centroids"))
     // tombstone filter ([[deleteIvf]]): identity when nothing is
     // deleted; otherwise one anti-join below the probe-pruned list read
     val lists = Tombstones.filter(spark, indexDir,
-      spark.read.parquet(snap("lists")), Seq("vec_id"))
+      listsFilter(spark.read.parquet(snap("lists"))), Seq("vec_id"))
     val q = queries.select(col("query_id"), col("embedding").as("qv"),
       sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
     val probes = q.join(broadcast(cent))

@@ -221,6 +221,23 @@ object MediaStream {
       spark.read.parquet(graft.util.Fs.stagePath(spark, indexDir, "fps")),
       Seq("media_id"))
 
+  /** BATCH-AXIS time travel on the fingerprint index: the served
+    * fingerprints as they stood once micro-batch `n` had folded — the
+    * media side of [[DocStream.corpusAsOfBatch]], same contract: the
+    * `batch_id=` replay partitions are a full append-only history
+    * (compaction preserves them), the filter is on the partition
+    * column so the scan plans only the covered directories, and
+    * CURRENT tombstones still filter every snapshot (a takedown beats
+    * time travel).
+    */
+  def fingerprintsAsOfBatch(spark: SparkSession, indexDir: String,
+      n: Long): DataFrame = {
+    require(n >= 0L, s"fingerprintsAsOfBatch($n): negative batch id")
+    graft.llm.Tombstones.filter(spark, indexDir,
+      spark.read.parquet(graft.util.Fs.stagePath(spark, indexDir, "fps"))
+        .where(col("batch_id") <= n), Seq("media_id"))
+  }
+
   /** DELETE assets from the index — [[graft.llm.DedupIndex.delete]]'s
     * takedown verb on the media fold ([[graft.llm.Tombstones]]
     * semantics): O(|ids|) now; [[fingerprints]] and both in-fold

@@ -946,4 +946,21 @@ class PlanSpec extends SparkSpec {
     assert(!sp.contains("CartesianProduct"),
       s"tombstoned searchIvf built a product:\n$sp")
   }
+
+  test("l97 OOV encode: merge replay never touches the corpus; accounting is keyed aggregation") {
+    val df = LlmQueries.bpeOovPlanFrame(spark, sf)
+    val p = planOf(df)
+    // the merge replay runs over the DISTINCT-word frame and reaches
+    // the corpus only through keyed joins — no product anywhere
+    assert(!p.contains("CartesianProduct"),
+      s"l97 built a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"l97 built an all-pairs join:\n$p")
+    // per-document accounting is hash aggregation, not a window
+    assert(p.contains("HashAggregate"),
+      s"l97 lost its per-document hash agg:\n$p")
+    assert(df.queryExecution.sparkPlan.collect {
+      case w: WindowExec => w
+    }.isEmpty, s"l97 pays a window for what is keyed aggregation:\n$p")
+  }
 }

@@ -276,4 +276,24 @@ class MediaStreamSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/_tombstones").exists(),
       "second maintenance entry did not GC the retired tombstones")
   }
+
+  test("fingerprintsAsOfBatch: batch-axis snapshots, compaction-surviving, takedown-filtered") {
+    val dir = Files.createTempDirectory("mediaasof").toString
+    val assets = graft.media.MediaOps.mediaTable(spark, sf)
+      .select($"media_id", $"payload")
+    MediaStream.ingestBatch(assets.where($"media_id".between(10, 29)), dir, 0L)
+    MediaStream.ingestBatch(assets.where($"media_id".between(30, 49)), dir, 1L)
+    def ids(n: Long) = MediaStream.fingerprintsAsOfBatch(spark, dir, n)
+      .select($"media_id").as[Long].collect().sorted.toSeq
+    assert(ids(0L) == (10L to 29L).toSeq, s"asOfBatch(0) = ${ids(0L)}")
+    assert(ids(1L) == (10L to 49L).toSeq, s"asOfBatch(1) = ${ids(1L)}")
+    // the batch axis survives compaction (replay partitions preserved)
+    MediaStream.compactIndex(spark, dir)
+    assert(ids(0L) == (10L to 29L).toSeq,
+      "compaction destroyed the batch-axis history")
+    // a takedown beats time travel: current tombstones filter snapshots
+    MediaStream.deleteFromIndex(spark, dir, Seq(15L).toDF("media_id"))
+    assert(!ids(0L).contains(15L),
+      "a deleted asset was served from a batch-axis snapshot")
+  }
 }

@@ -325,4 +325,44 @@ class VecStreamSpec extends SparkSpec {
       .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
     assert(log == Seq((1L, true), (2L, false)), s"gate log $log")
   }
+
+  test("searchIvfAsOfBatch serves the index as of micro-batch n; takedowns filter; batch-less layouts refuse") {
+    val dir = Files.createTempDirectory("vecasof").toString
+    VectorIndex.trainQuantizer(embs, s"$dir/idx")
+    VecStream.ingestBatch(embs.where($"vec_id".between(10, 29)), s"$dir/idx", 0L)
+    VecStream.ingestBatch(embs.where($"vec_id".between(30, 49)), s"$dir/idx", 1L)
+    val q = embs.where($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val atBatch0 = VectorIndex.searchIvfAsOfBatch(spark, s"$dir/idx", q, 4, 5, 0L)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    VecStream.ingestBatch(embs.where($"vec_id".between(50, 69)), s"$dir/idx", 2L)
+    // the snapshot is the search a fold stopped at batch n would serve:
+    // identical to the live search taken when batch n WAS the frontier,
+    // and its candidates never name a later batch's vectors
+    assert(VectorIndex.searchIvfAsOfBatch(spark, s"$dir/idx", q, 4, 5, 0L)
+      .as[(Long, Int, Long, Long)].collect().toSeq == atBatch0,
+      "asOfBatch(0) drifted after later batches folded")
+    val atBatch1 = VectorIndex.searchIvfAsOfBatch(spark, s"$dir/idx", q, 4, 5, 1L)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(!atBatch1.exists(_._3 >= 50), "asOfBatch(1) leaked batch 2")
+    // live == asOfBatch(frontier)
+    assert(VectorIndex.searchIvf(spark, s"$dir/idx", q, 4, 5)
+      .as[(Long, Int, Long, Long)].collect().toSeq ==
+      VectorIndex.searchIvfAsOfBatch(spark, s"$dir/idx", q, 4, 5, 2L)
+        .as[(Long, Int, Long, Long)].collect().toSeq,
+      "asOfBatch(frontier) != the live search")
+    // a takedown beats time travel
+    val victim = atBatch0.head._3
+    VectorIndex.deleteIvf(spark, s"$dir/idx", Seq(victim).toDF("vec_id"))
+    assert(!VectorIndex.searchIvfAsOfBatch(spark, s"$dir/idx", q, 4, 5, 0L)
+      .as[(Long, Int, Long, Long)].collect().exists(_._3 == victim),
+      "a deleted vector was served from a batch-axis snapshot")
+    // a batch-less (buildIvf) layout has no batch axis: loud
+    val flat = Files.createTempDirectory("vecflat").toString
+    VectorIndex.buildIvf(embs, s"$flat/idx")
+    val ex = intercept[IllegalArgumentException] {
+      VectorIndex.searchIvfAsOfBatch(spark, s"$flat/idx", q, 4, 5, 0L).count()
+    }
+    assert(ex.getMessage.contains("batch_id"), ex.getMessage)
+  }
 }
