@@ -142,6 +142,7 @@ private[graft] object IndexMaintenance {
     } else {
       val path = leasePath(indexDir)
       var acquired = false
+      var expiresAt = Long.MaxValue
       try {
         val now = System.currentTimeMillis()
         if (Fs.isFile(spark, path)) {
@@ -163,19 +164,30 @@ private[graft] object IndexMaintenance {
         }
         val ttl = spark.conf.get("spark.graft.index.leaseMs", "900000")
           .trim.toLong
+        expiresAt = now + ttl
         Fs.writeString(spark, path,
-          s"owner=${mine.owner}\nexpires=${now + ttl}")
+          s"owner=${mine.owner}\nexpires=$expiresAt")
         acquired = true
         body
-      } finally {
+      } finally if (acquired) {
         heldLeases.remove(indexDir, mine)
-        // release ONLY a lease this call wrote: an overrunning holder
-        // whose TTL elapsed may have been taken over, and deleting the
-        // successor's live lease would re-open the window to a third
-        // writer (left in place, the successor's own release clears it)
-        if (acquired && leaseOwnerOf(spark, path).contains(mine.owner))
+        // Release. While OUR lease is still live no successor can have
+        // legitimately taken over (takeover requires expiry), so the
+        // file is ours by contract and is deleted without reading it —
+        // the common case pays no read and cannot be wedged by a
+        // transient read failure. A holder that OVERRAN its TTL may
+        // have been taken over: then delete only if the file still
+        // carries our owner token. That check-then-delete is
+        // best-effort (a takeover landing inside the read-delete gap
+        // can still lose its lease — closing it needs a
+        // compare-and-delete primitive the portable FS API lacks), but
+        // it shrinks the exposure from the whole overrun duration to
+        // that gap, and errs conservative on an unreadable file (left
+        // in place; the TTL clears a genuinely dead one).
+        if (System.currentTimeMillis() < expiresAt ||
+            leaseOwnerOf(spark, path).contains(mine.owner))
           Fs.delete(spark, path)
-      }
+      } else heldLeases.remove(indexDir, mine)
     }
   }
 

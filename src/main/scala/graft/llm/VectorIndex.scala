@@ -726,9 +726,6 @@ object VectorIndex {
       topk: Int, autoOverProbe: Boolean = false): DataFrame = {
     val snap = IndexMaintenance.snapshotStages(spark, indexDir,
       Seq("centroids", "lists"))
-    val cent = spark.read.parquet(snap("centroids"))
-    val lists = Tombstones.filter(spark, indexDir,
-      spark.read.parquet(snap("lists")), Seq("vec_id"))
     // the over-probe estimate shares THIS search's snapshot: resolved
     // separately it could straddle a flip and size nprobe off a
     // different generation than the one being served (and would pay a
@@ -736,26 +733,13 @@ object VectorIndex {
     val np = if (autoOverProbe)
       overProbeOfResolved(spark, indexDir, snap, allowed, nprobe)
     else nprobe
-    val q = queries.select(col("query_id"), col("embedding").as("qv"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
-    val probes = q.join(broadcast(cent))
-      .select(col("query_id"), col("qv"), col("qn"), col("c_id"),
-        cosQ(col("qv"), col("qn"), col("cv"), col("cn")).as("cc"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cc").desc, col("c_id").asc)))
-      .where(col("r") <= np)
-      .select(col("query_id"), col("qv"), col("qn"), col("c_id"))
-    val scored = probes.join(lists, Seq("c_id"))
-      .join(allowed.select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi")
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosQ(col("qv"), col("qn"), col("embedding"), col("nrm")).as("cos_x1e6"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_x1e6").desc, col("neighbor_id").asc)
-    graft.plans.TopK.perKey(scored, Seq("query_id"),
-        Seq(("cos_x1e6", false), ("neighbor_id", true)), topk)
-      .withColumn("rank", row_number().over(w))
-      .select("query_id", "rank", "neighbor_id", "cos_x1e6")
-      .orderBy("query_id", "rank")
+    // the ONE shared serving plan ([[searchIvfOver]] — live, asOf and
+    // filtered reads cannot drift), with the allowed set semi-joined
+    // into the LIST read: below the probe join, so disallowed vectors
+    // cost neither the join nor any cosine arithmetic
+    searchIvfOver(spark, indexDir, snap, queries, np, topk,
+      listsFilter = _.join(allowed.select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_semi"))
   }
 
   /** The selectivity-aware EFFECTIVE probe count for a filtered search:
