@@ -135,6 +135,13 @@ object Bench {
     // m16: one pruned fps read + anti-join + the 2x8-bit banded pair
     // join over ~20B/asset fingerprint rows; ingest fixture amortizes
     "m16_media_tombstone" -> 0.8,
+    // l100: two probe-pruned serving reads over the stream-grown lists
+    // (the shallow one plans only batch 0's partitions); fixture
+    // (train + two ingest folds) amortizes per JVM
+    "l100_vec_asof_batch" -> 1.0,
+    // m17: two partition-pruned fps reads + a broadcastable tombstone
+    // anti-join each; shares m16's ingest fixture
+    "m17_media_asof_batch" -> 0.8,
     // q68: the bucket-histogram sliding median pays its x12 window
     // expansion at this fixture's sub-1-event-per-bin density — the
     // docstring's measured crossover; priced at the honest reading

@@ -60,7 +60,9 @@ object ClusterSmoke {
     "l97_bpe_oov_encode", // held-out BPE encode: distinct-word merge replay (round 17)
     "l98_ann_time_travel", // searchIvfAsOf: lockstep centroids+lists at depth (round 17)
     "l99_corpus_asof",    // batch-axis corpus snapshots + tombstone rule (round 17)
-    "m16_media_tombstone" // media tombstone delete: anti-join on the fps read (round 17)
+    "m16_media_tombstone", // media tombstone delete: anti-join on the fps read (round 17)
+    "l100_vec_asof_batch", // batch-axis vector snapshots over stream-grown lists (round 17)
+    "m17_media_asof_batch" // batch-axis fps snapshots over the deleted fixture (round 17)
   )
 
   def main(args: Array[String]): Unit = {

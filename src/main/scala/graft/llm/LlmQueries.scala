@@ -6388,6 +6388,108 @@ object LlmQueries {
        |ORDER BY snapshot, doc_id""".stripMargin
   }
 
+  /** The stream-grown IVF fixture behind l100: quantizer trained
+    * standalone over the corpus ([[VectorIndex.trainQuantizer]] — the
+    * stream-prerequisite artifact), then the lists grown by the ingest
+    * fold alone as two parity micro-batches — the layout whose
+    * `batch_id=` replay partitions ARE the history axis.
+    */
+  private val vecAsOfDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def vecAsOfDir(s: SparkSession, d: String): String =
+    vecAsOfDirs.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-vecasof-")
+        .toString
+      deleteOnExit(tmp)
+      val corpus = embs(s, d).where(col("vec_id") >= 10)
+      VectorIndex.trainQuantizer(corpus, tmp)
+      graft.streaming.VecStream.ingestBatch(
+        corpus.where(col("vec_id") % 2 === 0), tmp, 0L)
+      graft.streaming.VecStream.ingestBatch(
+        corpus.where(col("vec_id") % 2 === 1), tmp, 1L)
+      tmp
+    })
+
+  /** l100: BATCH-AXIS time travel on the streamed VECTOR index —
+    * l99's axis on the embedding side
+    * ([[VectorIndex.searchIvfAsOfBatch]]): the same top-k search
+    * served against the index as of micro-batch 0 (half the corpus)
+    * and as of batch 1 (the frontier — must equal the live search).
+    * The stream's quantizer is FROZEN (trained standalone before the
+    * fold), so the snapshot semantics are exact: "the index as of
+    * batch n" is the same centroids over the `batch_id <= n` lists, a
+    * partition filter on the replay layer at zero extra storage. The
+    * oracle re-derives the frozen stride quantizer, the full-corpus
+    * frozen-quantizer assignment, and BOTH candidate scopes (parity
+    * split for batch 0, whole corpus for batch 1) — so a snapshot that
+    * leaks a later batch, loses one, or drifts from the live search at
+    * the frontier hash-mismatches. Scale shape: two probe-pruned
+    * serving reads, the shallow one planning only the covered batch
+    * directories.
+    */
+  def qVecAsOfBatch(s: SparkSession, d: String): DataFrame = {
+    val dir = vecAsOfDir(s, d)
+    val q = embs(s, d).where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    VectorIndex.searchIvfAsOfBatch(s, dir, q, nprobe = 4, topk = 5, n = 0L)
+      .select(lit("batch0").as("snapshot"), col("query_id"), col("rank"),
+        col("neighbor_id"), col("cos_x1e6"))
+      .unionByName(
+        VectorIndex.searchIvfAsOfBatch(s, dir, q, nprobe = 4, topk = 5, n = 1L)
+          .select(lit("batch1").as("snapshot"), col("query_id"), col("rank"),
+            col("neighbor_id"), col("cos_x1e6")))
+      .orderBy("snapshot", "query_id", "rank")
+  }
+  val qVecAsOfBatchSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |stride AS (SELECT greatest(37, CAST(ceil(COUNT(*) / 1000.0) AS BIGINT)) AS k
+       |  FROM embeddings WHERE vec_id >= 10),
+       |cent AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS cn
+       |  FROM e WHERE vec_id >= 10
+       |    AND vec_id % (SELECT k FROM stride) = 11),
+       |asg AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS nv, nrm AS nn, c_id,
+       |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cc
+       |  FROM e CROSS JOIN cent WHERE vec_id >= 10),
+       |lists AS (
+       |  SELECT neighbor_id, nv, nn, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+       |      ORDER BY cc DESC, c_id ASC) AS r FROM asg)
+       |  WHERE r = 1),
+       |l0 AS (SELECT * FROM lists WHERE neighbor_id % 2 = 0),
+       |qasg AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, c_id,
+       |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+       |      * 1e6 + 0.5) AS BIGINT) AS cc
+       |  FROM e CROSS JOIN cent WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT query_id, qv, qn, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cc DESC, c_id ASC) AS r FROM qasg)
+       |  WHERE r <= 4),
+       |ranked0 AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS rank
+       |  FROM (SELECT query_id, neighbor_id,
+       |      CAST(floor(${dotSql("qv", "nv")} / (qn * nn)
+       |        * 1e6 + 0.5) AS BIGINT) AS cos_x1e6
+       |    FROM probes JOIN l0 USING (c_id))),
+       |ranked1 AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_x1e6 DESC, neighbor_id ASC) AS rank
+       |  FROM (SELECT query_id, neighbor_id,
+       |      CAST(floor(${dotSql("qv", "nv")} / (qn * nn)
+       |        * 1e6 + 0.5) AS BIGINT) AS cos_x1e6
+       |    FROM probes JOIN lists USING (c_id)))
+       |SELECT 'batch0' AS snapshot, query_id, rank, neighbor_id, cos_x1e6
+       |FROM ranked0 WHERE rank <= 5
+       |UNION ALL
+       |SELECT 'batch1' AS snapshot, query_id, rank, neighbor_id, cos_x1e6
+       |FROM ranked1 WHERE rank <= 5
+       |ORDER BY snapshot, query_id, rank""".stripMargin
+
   /** The IVF+PQ fixture behind l77: BOTH index halves built over the
     * corpus (vec_id >= 10) in one directory, once per JVM per data
     * directory — the serving deployment [[VectorIndex.searchIvfPq]]
@@ -7659,6 +7761,7 @@ object LlmQueries {
     "l97_bpe_oov_encode" -> qBpeOovEncode _,
     "l98_ann_time_travel" -> qAnnTimeTravel _,
     "l99_corpus_asof" -> qCorpusAsOfBatch _,
+    "l100_vec_asof_batch" -> qVecAsOfBatch _,
     "l79_ann_compact_parity" -> qAnnCompactParity _,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearch _,
     "l81_vec_drift_gate" -> qVecDriftGate _,
@@ -7762,6 +7865,7 @@ object LlmQueries {
     "l97_bpe_oov_encode" -> qBpeOovEncodeSql,
     "l98_ann_time_travel" -> qAnnTimeTravelSql,
     "l99_corpus_asof" -> qCorpusAsOfBatchSql,
+    "l100_vec_asof_batch" -> qVecAsOfBatchSql,
     "l79_ann_compact_parity" -> qAnnMergeParitySql,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearchSql,
     "l81_vec_drift_gate" -> qVecDriftGateSql,

@@ -1092,6 +1092,53 @@ object MediaQueries {
        |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 1
        |ORDER BY media_a, media_b""".stripMargin
 
+  /** m17: BATCH-AXIS time travel on the media fingerprint index —
+    * l99's axis on the media side
+    * ([[graft.streaming.MediaStream.fingerprintsAsOfBatch]]), served
+    * over m16's DELETED fixture so the axis's semantic override is
+    * under the gate too: the fingerprint set as of batch 0 (the even
+    * keepers) and as of batch 1 (the frontier), BOTH minus the
+    * takedown that landed after the batches folded — a takedown beats
+    * time travel on every axis. The oracle re-derives the fold's
+    * keeper rule per snapshot scope (batch 0 = the even-parity
+    * keepers; batch 1 = all keepers) minus the deleted ids, with the
+    * fingerprint bytes re-derived per survivor, so a snapshot that
+    * leaks a later batch, loses an early one, or serves a tombstoned
+    * asset from history hash-mismatches. Scale shape: two
+    * partition-pruned fps reads + a broadcastable anti-join each;
+    * payloads never re-read.
+    */
+  def qMediaAsOfBatch(s: SparkSession, d: String): DataFrame = {
+    val dir = deletedMediaDir(s, d)
+    graft.streaming.MediaStream.fingerprintsAsOfBatch(s, dir, 0L)
+      .select(lit("batch0").as("snapshot"), col("media_id"), col("fp"))
+      .unionByName(
+        graft.streaming.MediaStream.fingerprintsAsOfBatch(s, dir, 1L)
+          .select(lit("batch1").as("snapshot"), col("media_id"), col("fp")))
+      .orderBy("snapshot", "media_id")
+  }
+  val qMediaAsOfBatchSql: String =
+    s"""WITH $mediaSql,
+       |mm AS (
+       |  SELECT media_id, text, n FROM media
+       |  UNION ALL
+       |  SELECT media_id + 100000, text, n FROM media WHERE media_id % 10 = 0
+       |  UNION ALL
+       |  SELECT media_id + 100001, text, n FROM media WHERE media_id % 10 = 4),
+       |keep AS (
+       |  SELECT media_id, text, n FROM (
+       |    SELECT media_id, text, n,
+       |      row_number() OVER (PARTITION BY text
+       |        ORDER BY media_id % 2, media_id) AS rn
+       |    FROM mm) WHERE rn = 1),
+       |fps AS (
+       |  SELECT media_id, media_id % 2 AS par, $aHash16BitsSql AS fp
+       |  FROM keep WHERE media_id % 10 <> 0)
+       |SELECT 'batch0' AS snapshot, media_id, fp FROM fps WHERE par = 0
+       |UNION ALL
+       |SELECT 'batch1' AS snapshot, media_id, fp FROM fps
+       |ORDER BY snapshot, media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_decode" -> qMediaDecode _,
     "m02_image_resize" -> qImageResize _,
@@ -1108,7 +1155,8 @@ object MediaQueries {
     "m13_audio_fingerprint" -> qAudioFingerprint _,
     "m14_keyframes" -> qKeyframes _,
     "m15_media_drift_gate" -> qMediaDriftGate _,
-    "m16_media_tombstone" -> qMediaTombstone _
+    "m16_media_tombstone" -> qMediaTombstone _,
+    "m17_media_asof_batch" -> qMediaAsOfBatch _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1127,6 +1175,7 @@ object MediaQueries {
     "m13_audio_fingerprint" -> qAudioFingerprintSql,
     "m14_keyframes" -> qKeyframesSql,
     "m15_media_drift_gate" -> qMediaDriftGateSql,
-    "m16_media_tombstone" -> qMediaTombstoneSql
+    "m16_media_tombstone" -> qMediaTombstoneSql,
+    "m17_media_asof_batch" -> qMediaAsOfBatchSql
   )
 }
