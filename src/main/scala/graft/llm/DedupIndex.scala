@@ -293,8 +293,19 @@ object DedupIndex {
       markerDir.exists(d => graft.util.Fs.isFile(spark, s"$d/$stage.done"))
     def commit(stage: String): Unit =
       markerDir.foreach(d => graft.util.Fs.touch(spark, s"$d/$stage.done"))
-    // The tombstone guard runs UNCONDITIONALLY — above the per-stage
-    // resume gates: a marker-based retry whose signatures stage already
+    // A FULLY-committed merge short-circuits before any guard: all four
+    // stage markers present means every append landed and the replay is
+    // an inert no-op — the docstring's "a re-run with the same id SKIPS
+    // committed stages" retry contract. Without this, a doc_id of the
+    // completed merge deleted AFTER it would make the replay throw on
+    // the tombstone guard below (the guard exists for rows ABOUT to be
+    // appended; a completed merge appends nothing), asymmetric with
+    // [[VectorIndex.mergeIvf]]'s marker early-return.
+    if (markerDir.isDefined &&
+        Seq("pairs", "bands", "signatures", "shingle_sets").forall(done))
+      return
+    // The tombstone guard runs above the per-stage resume gates for any
+    // PARTIALLY-resumed retry: a retry whose signatures stage already
     // committed must still refuse a delta naming a LIVE tombstone (a
     // delete can land between the crash and the retry, and the resumed
     // merge would append the REMAINING stages' rows pre-deleted — the

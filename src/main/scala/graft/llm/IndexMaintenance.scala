@@ -100,10 +100,39 @@ private[graft] object IndexMaintenance {
     * enforced contract for the realistic conflict (overlapping
     * schedules, a human and a cron), not into a distributed lock
     * service. Readers never touch it.
+    *
+    * TTL overrun is handled by [[fence]]: every swap/publish point
+    * inside a lease body re-checks ownership first — a holder still
+    * inside its TTL heartbeat-renews (so a pass longer than the TTL
+    * keeps its lease), and a holder whose expired lease was taken over
+    * aborts LOUDLY before publishing anything over the successor's
+    * work (the unfenced-zombie hazard, closed at the only writes that
+    * could corrupt).
     */
-  private final class LeaseState(val threadId: Long, val owner: String)
+  private final class LeaseState(val threadId: Long, val owner: String) {
+    // the expiry WE last wrote — [[fence]] compares against it to decide
+    // whether a successor could legitimately have taken over, and the
+    // heartbeat renewal advances it
+    @volatile var expiresAt: Long = Long.MaxValue
+  }
   private val heldLeases =
     new java.util.concurrent.ConcurrentHashMap[String, LeaseState]()
+
+  /** The in-JVM lease-map key: the FileSystem-qualified URI of
+    * `indexDir`, so two threads addressing the same index via aliased
+    * path spellings (trailing slash, `file://` scheme prefix vs bare
+    * path, redundant slashes) collide on ONE map entry instead of both
+    * winning `putIfAbsent` and racing the non-atomic file protocol —
+    * the same-JVM second-writer refusal the map exists for.
+    */
+  private def leaseKey(spark: SparkSession, indexDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    try p.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(p).toString
+    // an unresolvable scheme falls back to Path's own normalization
+    // (still collapses slashes) rather than failing the acquire
+    catch { case _: java.io.IOException => p.toString }
+  }
 
   private def leasePath(indexDir: String) = s"$indexDir/_maintenance/_lease"
 
@@ -130,8 +159,11 @@ private[graft] object IndexMaintenance {
     // would let two racing threads both reach the file protocol):
     // whoever wins the map entry runs the file protocol; a loser with
     // the same thread id is a legitimate re-entrant frame (compact →
-    // its own swap), any other thread is a second writer
-    val prev = heldLeases.putIfAbsent(indexDir, mine)
+    // its own swap), any other thread is a second writer. Keyed by the
+    // qualified URI ([[leaseKey]]) so aliased spellings of one index
+    // collide here instead of both reaching the file protocol.
+    val key = leaseKey(spark, indexDir)
+    val prev = heldLeases.putIfAbsent(key, mine)
     if (prev != null) {
       require(prev.threadId == tid,
         s"maintenance lease at $indexDir is held by thread " +
@@ -142,7 +174,6 @@ private[graft] object IndexMaintenance {
     } else {
       val path = leasePath(indexDir)
       var acquired = false
-      var expiresAt = Long.MaxValue
       try {
         val now = System.currentTimeMillis()
         if (Fs.isFile(spark, path)) {
@@ -150,8 +181,16 @@ private[graft] object IndexMaintenance {
           val owner = lines.collectFirst {
             case l if l.startsWith("owner=") => l.drop(6)
           }.getOrElse("<unknown>")
+          // toLongOption: a torn/corrupt lease (crash mid-writeString,
+          // external edit) must read as EXPIRED — a crashed holder to
+          // take over — not throw NumberFormatException on every future
+          // acquire forever (takeover is the only path that overwrites
+          // the file, so an unparsable one would otherwise wedge
+          // maintenance until manual deletion, contradicting the "a
+          // crash never wedges maintenance" contract)
           val expires = lines.collectFirst {
-            case l if l.startsWith("expires=") => l.drop(8).toLong
+            case l if l.startsWith("expires=") =>
+              l.drop(8).toLongOption.getOrElse(0L)
           }.getOrElse(0L)
           // an expired lease is a crashed holder: take over (the marker
           // protocols converge whatever it left; recovery runs first in
@@ -164,13 +203,13 @@ private[graft] object IndexMaintenance {
         }
         val ttl = spark.conf.get("spark.graft.index.leaseMs", "900000")
           .trim.toLong
-        expiresAt = now + ttl
+        mine.expiresAt = now + ttl
         Fs.writeString(spark, path,
-          s"owner=${mine.owner}\nexpires=$expiresAt")
+          s"owner=${mine.owner}\nexpires=${mine.expiresAt}")
         acquired = true
         body
       } finally if (acquired) {
-        heldLeases.remove(indexDir, mine)
+        heldLeases.remove(key, mine)
         // Release. While OUR lease is still live no successor can have
         // legitimately taken over (takeover requires expiry), so the
         // file is ours by contract and is deleted without reading it —
@@ -184,11 +223,67 @@ private[graft] object IndexMaintenance {
         // it shrinks the exposure from the whole overrun duration to
         // that gap, and errs conservative on an unreadable file (left
         // in place; the TTL clears a genuinely dead one).
-        if (System.currentTimeMillis() < expiresAt ||
+        if (System.currentTimeMillis() < mine.expiresAt ||
             leaseOwnerOf(spark, path).contains(mine.owner))
           Fs.delete(spark, path)
-      } else heldLeases.remove(indexDir, mine)
+      } else heldLeases.remove(key, mine)
     }
+  }
+
+  /** FENCE a maintenance write against a TTL-overrun takeover — the
+    * zombie-writer hole [[withLease]] alone leaves open: a holder that
+    * overran its TTL may have been legitimately taken over (takeover
+    * requires only expiry), and nothing would stop its still-running
+    * jobs from publishing a pointer or swap AFTER the successor's own —
+    * the classic unfenced-zombie corruption. Every swap/publish point
+    * ([[swapByPointer]]'s journal write, [[flipPointers]],
+    * [[swapByRename]]'s set journal, each [[swapOneByRename]]) and each
+    * [[compactStages]] stage rewrite therefore calls this first:
+    *
+    *  - lease still LIVE and not near expiry: no successor can exist
+    *    (takeover requires expiry) — return at the cost of one map read
+    *    and a clock compare, no file I/O. The hot path pays nothing.
+    *  - live but inside the renewal window (past half the TTL): the
+    *    HEARTBEAT — rewrite `expires=` from the holder, so a pass
+    *    longer than the TTL keeps its lease instead of silently
+    *    expiring mid-run (the ADVICE hole: compact is O(corpus) at
+    *    100 TB while the TTL is a fixed conf). The file is ours by
+    *    contract while live, so the renewal needs no read.
+    *  - EXPIRED: re-read the file and verify the owner token. Ours —
+    *    we overran but nobody took over; renew and continue (the
+    *    acquire-window caveat applies, documented best-effort). Not
+    *    ours, or unreadable/missing — a successor holds the index now;
+    *    abort LOUDLY before publishing anything, leaving the
+    *    successor's artifacts intact.
+    *
+    * No active lease frame for `indexDir` (spec-level direct calls to
+    * the swap mechanics) fences nothing — the contract is scoped to
+    * [[withLease]] bodies.
+    */
+  private[graft] def fence(spark: SparkSession, indexDir: String): Unit = {
+    val st = heldLeases.get(leaseKey(spark, indexDir))
+    if (st == null) return
+    val now = System.currentTimeMillis()
+    val ttl = spark.conf.get("spark.graft.index.leaseMs", "900000")
+      .trim.toLong
+    if (now < st.expiresAt - ttl / 2) return
+    val path = leasePath(indexDir)
+    if (now < st.expiresAt) {
+      // live: the file is ours by contract (no legitimate takeover
+      // before expiry) — heartbeat-renew without reading
+      st.expiresAt = now + ttl
+      Fs.writeString(spark, path, s"owner=${st.owner}\nexpires=${st.expiresAt}")
+    } else if (leaseOwnerOf(spark, path).contains(st.owner)) {
+      // overran the TTL but nobody took over: renew and continue
+      st.expiresAt = now + ttl
+      Fs.writeString(spark, path, s"owner=${st.owner}\nexpires=${st.expiresAt}")
+    } else throw new IllegalStateException(
+      s"maintenance lease at $indexDir was lost: this holder overran its " +
+        "TTL (spark.graft.index.leaseMs) and a successor took over — " +
+        "aborting before publishing anything over the successor's work. " +
+        "Size the TTL above the longest maintenance pass; this entry's " +
+        "staged work is unreferenced garbage the next entry's hygiene " +
+        "pass clears")
   }
 
   /** Directory-partition columns an index layout may carry, in their
@@ -441,6 +536,9 @@ private[graft] object IndexMaintenance {
     recoverStages(spark, indexDir, stages, swapMode)
     // per stage: (swap this staged rewrite?, is the stage fully folded?)
     val results = stages.map { stage =>
+      // heartbeat/fence per stage: each rewrite is a corpus-scale Spark
+      // job, the part of a maintenance pass that can outlive the TTL
+      fence(spark, indexDir)
       // mergeSchema: a stage whose generations straddle a schema
       // addition (e.g. the media index's plen column) must compact
       // under the UNION schema — the default single-footer sampling
@@ -549,6 +647,10 @@ private[graft] object IndexMaintenance {
     // names the whole set; recovery finishes any member whose staged
     // copy is still present. This is the rename-protocol analog of the
     // pointer protocol's one-file `_ptr/_intent` flip journal.
+    // Fenced: the set journal is this swap's first publish — a
+    // TTL-overrun holder taken over by a successor must abort here
+    // rather than swap over the successor's work ([[fence]])
+    fence(spark, indexDir)
     Fs.writeString(spark, s"$indexDir/_compact/_swap_set",
       stages.mkString("\n"))
     stages.foreach(stage => swapOneByRename(spark, indexDir, stage))
@@ -561,6 +663,9 @@ private[graft] object IndexMaintenance {
     val staged = s"$indexDir/_compact/$stage"
     val aside = s"$indexDir/_compact/_old_$stage"
     val intent = s"$indexDir/_compact/_swapping_$stage"
+    // fenced per stage: the rename pair mutates the LIVE path — the
+    // one write a zombie absolutely must not make over a successor's
+    fence(spark, indexDir)
     Fs.touch(spark, intent)
     Fs.delete(spark, aside) // a stale aside from a recovered crash
     require(Fs.rename(spark, live, aside),
@@ -596,6 +701,10 @@ private[graft] object IndexMaintenance {
         s"pointer swap for $stage: staged generation $gen is not " +
           "_SUCCESS-complete")
     }
+    // Fenced: the intent journal is this flip's first publish — a
+    // TTL-overrun holder taken over by a successor must abort here
+    // rather than flip pointers over the successor's work ([[fence]])
+    fence(spark, indexDir)
     Fs.writeString(spark, s"$indexDir/_ptr/_intent",
       plan.map { case (s, g) => s"$s $g" }.mkString("\n"))
     flipPointers(spark, indexDir, plan)
@@ -630,8 +739,14 @@ private[graft] object IndexMaintenance {
     * journal without knowing how far the crashed swap got.
     */
   private def flipPointers(spark: SparkSession, indexDir: String,
-      plan: Seq[(String, String)]): Unit = plan.foreach { case (stage, gen) =>
-    Fs.writeString(spark, s"$indexDir/_ptr/$stage", gen)
+      plan: Seq[(String, String)]): Unit = {
+    // fenced again at the publish itself: covers the recovery replay
+    // path too, and the gap between a swap's journal write and its
+    // flips (the require loop above it can take real time at scale)
+    fence(spark, indexDir)
+    plan.foreach { case (stage, gen) =>
+      Fs.writeString(spark, s"$indexDir/_ptr/$stage", gen)
+    }
   }
 
   /** Restore a consistent live stage after a mid-swap kill, for each

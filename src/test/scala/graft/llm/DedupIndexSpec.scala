@@ -1057,4 +1057,125 @@ class DedupIndexSpec extends SparkSpec {
     assert(new String(java.nio.file.Files.readAllBytes(lease.toPath), "UTF-8")
       .contains("successor-driver"), "successor lease content clobbered")
   }
+
+  test("a torn lease file reads as expired and is taken over, not wedged forever") {
+    val dir = Files.createTempDirectory("leasetorn").toString
+    val idx = s"$dir/idx"
+    DedupIndex.build(corpus, idx)
+    // a crash mid-writeString (or an external edit) leaves an
+    // unparsable expires= — acquisition must read it as a crashed
+    // holder (expired) and take over, NOT throw NumberFormatException:
+    // takeover is the only path that overwrites the file, so a throwing
+    // parse would wedge maintenance until manual deletion
+    graft.util.Fs.writeString(spark, s"$idx/_maintenance/_lease",
+      s"owner=crashed-driver/thread-1\nexpires=${Long.MaxValue}x")
+    DedupIndex.compact(spark, idx) // takes over, completes, releases
+    assert(!new java.io.File(s"$idx/_maintenance/_lease").exists(),
+      "the take-over entry did not release its lease")
+  }
+
+  test("aliased index-path spellings collide on one in-JVM lease entry") {
+    val idx = Files.createTempDirectory("leasealias").toString
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    @volatile var holderFailed: Option[Throwable] = None
+    val holder = new Thread(() =>
+      try IndexMaintenance.withLease(spark, idx) {
+        started.countDown(); release.await()
+      } catch { case t: Throwable => holderFailed = Some(t); started.countDown() })
+    holder.start()
+    started.await()
+    assert(holderFailed.isEmpty, s"holder thread failed: $holderFailed")
+    try {
+      // a trailing slash or a file: scheme prefix spells the SAME index:
+      // both must be refused as a second in-JVM writer — two map keys
+      // would let both threads win putIfAbsent and race the non-atomic
+      // file protocol the map exists to guard
+      for (alias <- Seq(s"$idx/", s"file:$idx")) {
+        val ex = intercept[IllegalArgumentException] {
+          IndexMaintenance.withLease(spark, alias) {
+            fail(s"second writer entered via alias $alias")
+          }
+        }
+        assert(ex.getMessage.contains("THIS process"), ex.getMessage)
+      }
+    } finally { release.countDown(); holder.join() }
+  }
+
+  test("fence: a TTL-overrun holder taken over aborts its swap loudly, leaving the successor intact") {
+    val idx = Files.createTempDirectory("leasefence").toString
+    val leaseFile = s"$idx/_maintenance/_lease"
+    // a _SUCCESS-complete staged rewrite, so the swap reaches its fence
+    // (the pre-fence requires must pass)
+    graft.util.Fs.touch(spark, s"$idx/_compact/st/_SUCCESS")
+    // TTL 0: the holder is expired the moment it acquires — the
+    // overrun window, forced open
+    spark.conf.set("spark.graft.index.leaseMs", "0")
+    try {
+      val ex = intercept[IllegalStateException] {
+        IndexMaintenance.withLease(spark, idx) {
+          // a successor legitimately takes over the expired lease while
+          // our maintenance pass is still (over)running
+          graft.util.Fs.writeString(spark, leaseFile,
+            s"owner=successor-driver/thread-9\nexpires=${System.currentTimeMillis() + 3600000L}")
+          // the zombie's in-flight pass now tries to publish its swap:
+          // the fence must abort BEFORE the journal write or any rename
+          IndexMaintenance.swapStages(spark, idx, Seq("st"),
+            swapMode = Some("rename"))
+        }
+      }
+      assert(ex.getMessage.contains("lease"), ex.getMessage)
+    } finally spark.conf.unset("spark.graft.index.leaseMs")
+    // the successor's world is untouched: its lease survives (release
+    // checked ownership), no swap journal was written, the zombie's
+    // staged copy was never consumed
+    assert(graft.util.Fs.readString(spark, leaseFile)
+      .contains("successor-driver"), "successor lease clobbered")
+    assert(!graft.util.Fs.exists(spark, s"$idx/_compact/_swap_set"),
+      "the fenced zombie still wrote its swap journal")
+    assert(graft.util.Fs.isFile(spark, s"$idx/_compact/st/_SUCCESS"),
+      "the fenced zombie still consumed its staged copy")
+    assert(!graft.util.Fs.exists(spark, s"$idx/st"),
+      "the fenced zombie still renamed a stage into place")
+  }
+
+  test("fence renews an overrun lease nobody took over, instead of aborting") {
+    val idx = Files.createTempDirectory("leaseheart").toString
+    spark.conf.set("spark.graft.index.leaseMs", "0")
+    try {
+      IndexMaintenance.withLease(spark, idx) {
+        // expired, but no successor: the fence re-reads, finds our own
+        // owner token, renews (the heartbeat), and lets the pass go on
+        IndexMaintenance.fence(spark, idx)
+        assert(graft.util.Fs.readString(spark, s"$idx/_maintenance/_lease")
+          .contains("owner="), "renewal lost the lease file")
+      }
+    } finally spark.conf.unset("spark.graft.index.leaseMs")
+  }
+
+  test("a fully-committed merge replays as an inert no-op, even after one of its ids was deleted") {
+    val dir = Files.createTempDirectory("mergenoop").toString
+    val idx = s"$dir/idx"
+    DedupIndex.build(corpus, idx)
+    val delta = corpus.orderBy("doc_id").limit(2)
+      .select(($"doc_id" + 800000L).as("doc_id"), $"text")
+    DedupIndex.merge(spark, idx, delta, mergeId = Some("m1"))
+    val rawSigs = spark.read.parquet(s"$idx/signatures").count()
+    // a takedown of one merged id lands AFTER the merge fully committed
+    DedupIndex.delete(spark, idx, delta.limit(1).select($"doc_id"))
+    // the docstring's retry contract: a re-run with the same id skips
+    // committed stages — ALL four committed means the replay appends
+    // nothing and must not throw on the tombstone guard (the guard
+    // protects rows about to land; a completed merge lands none)
+    DedupIndex.merge(spark, idx, delta, mergeId = Some("m1"))
+    assert(spark.read.parquet(s"$idx/signatures").count() == rawSigs,
+      "the no-op replay appended rows")
+    // a PARTIALLY-committed retry still refuses the tombstoned delta:
+    // its remaining stages would append rows pre-deleted
+    graft.util.Fs.touch(spark, s"$idx/_merges/m2/signatures.done")
+    val ex = intercept[IllegalArgumentException] {
+      DedupIndex.merge(spark, idx, delta, mergeId = Some("m2"))
+    }
+    assert(ex.getMessage.contains("tombstoned"), ex.getMessage)
+  }
 }
