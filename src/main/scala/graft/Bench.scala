@@ -142,6 +142,16 @@ object Bench {
     // m17: two partition-pruned fps reads + a broadcastable tombstone
     // anti-join each; shares m16's ingest fixture
     "m17_media_asof_batch" -> 0.8,
+    // l101: two probe-pruned ADC serving reads (live aligned fast path
+    // + the retained pre-retrain coarse pair through the membership
+    // join); the build+align+merge+retrain+re-align fixture amortizes
+    "l101_ivfpq_time_travel" -> 1.4,
+    // l102: two probe-and-batch-pruned ADC reads over the stream-grown
+    // halves (membership-join plan); shares l90's ingest fixture
+    "l102_ivfpq_asof_batch" -> 1.4,
+    // m18: two pruned fps generation reads + a broadcastable tombstone
+    // anti-join each; own three-batch + pointer-compact fixture
+    "m18_media_asof_gen" -> 1.0,
     // q68: the bucket-histogram sliding median pays its x12 window
     // expansion at this fixture's sub-1-event-per-bin density — the
     // docstring's measured crossover; priced at the honest reading

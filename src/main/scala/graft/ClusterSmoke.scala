@@ -62,7 +62,10 @@ object ClusterSmoke {
     "l99_corpus_asof",    // batch-axis corpus snapshots + tombstone rule (round 17)
     "m16_media_tombstone", // media tombstone delete: anti-join on the fps read (round 17)
     "l100_vec_asof_batch", // batch-axis vector snapshots over stream-grown lists (round 17)
-    "m17_media_asof_batch" // batch-axis fps snapshots over the deleted fixture (round 17)
+    "m17_media_asof_batch", // batch-axis fps snapshots over the deleted fixture (round 17)
+    "l101_ivfpq_time_travel", // searchIvfPqAsOf: mixed-depth snapshot, aligned bypass (round 18)
+    "l102_ivfpq_asof_batch", // batch-axis ADC over stream-grown lists AND codes (round 18)
+    "m18_media_asof_gen"  // fps generation-axis asOf over the pointer-compacted fixture (round 18)
   )
 
   def main(args: Array[String]): Unit = {

@@ -424,10 +424,32 @@ private[graft] object IndexMaintenance {
     * through the lock.
     */
   private[graft] def snapshotStagesAsOf(spark: SparkSession, indexDir: String,
-      stages: Seq[String], back: Int): Map[String, String] = {
-    if (back == 0) return snapshotStages(spark, indexDir, stages)
+      stages: Seq[String], back: Int): Map[String, String] =
+    snapshotStagesMixed(spark, indexDir, stages, back, Seq.empty)
+
+  /** MIXED-DEPTH snapshot: `asOfStages` resolved `back` flips ago,
+    * `liveStages` at their current paths, all under ONE seqlock pass —
+    * the resolution an IVFADC historical read needs
+    * ([[VectorIndex.searchIvfPqAsOf]]): the coarse pair
+    * (centroids+lists) flips in lockstep and time-travels by
+    * generation, while the PQ halves (codebook, codes) did NOT
+    * participate in those flips — a retrain leaves them untouched (the
+    * codebook is the shipped model; codes are per-vector and
+    * quantizer-independent), so "the index as of the coarse flip" is
+    * the old coarse pair composed with the LIVE PQ artifacts. Resolving
+    * the two sets in separate seqlock rounds could straddle a flip and
+    * compose a mixed snapshot; one double-checked pass cannot. The
+    * historical-depth bounds fail loudly through the lock, exactly as
+    * in [[snapshotStagesAsOf]].
+    */
+  private[graft] def snapshotStagesMixed(spark: SparkSession, indexDir: String,
+      asOfStages: Seq[String], back: Int,
+      liveStages: Seq[String]): Map[String, String] = {
+    if (back == 0)
+      return snapshotStages(spark, indexDir, asOfStages ++ liveStages)
     def resolveAll(): Map[String, String] =
-      stages.map(s => s -> stagePathAsOf(spark, indexDir, s, back)).toMap
+      (asOfStages.map(s => s -> stagePathAsOf(spark, indexDir, s, back)) ++
+        liveStages.map(s => s -> Fs.stagePath(spark, indexDir, s))).toMap
     val intent = s"$indexDir/_ptr/_intent"
     var attempt = 0
     while (attempt < 100) {

@@ -374,6 +374,7 @@ object LlmQueries {
     dirs.addAll(rebandedIndexDirs.values())
     dirs.addAll(streamedIvfPqDirs.values())
     dirs.addAll(refinedIvfDirs.values())
+    dirs.addAll(retrainedPqAsOfDirs.values())
     sharedIndexDirs.clear()
     mergedIndexDirs.clear()
     sharedGramDirs.clear()
@@ -387,6 +388,7 @@ object LlmQueries {
     rebandedIndexDirs.clear()
     streamedIvfPqDirs.clear()
     refinedIvfDirs.clear()
+    retrainedPqAsOfDirs.clear()
     dirs.forEach(d => deleteRecursively(new java.io.File(d)))
   }
   private[graft] def deleteOnExit(dir: String): Unit =
@@ -6490,6 +6492,224 @@ object LlmQueries {
        |FROM ranked1 WHERE rank <= 5
        |ORDER BY snapshot, query_id, rank""".stripMargin
 
+  /** The pointer-retrained IVFADC fixture behind l101: the FULL
+    * production lifecycle on both index halves — base split built
+    * (IVF + PQ), aligned, a delta merged into BOTH halves
+    * ([[VectorIndex.mergeIvf]]/[[VectorIndex.mergePq]] — the merges
+    * invalidate the aligned artifact), then [[VectorIndex.retrainIvf]]
+    * under the POINTER protocol (retaining the pre-retrain
+    * centroids+lists pair) and a re-align, so the LIVE search serves
+    * the aligned fast path while the historical read must bypass it.
+    */
+  private val retrainedPqAsOfDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def retrainedPqAsOfDir(s: SparkSession, d: String): String =
+    retrainedPqAsOfDirs.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-asofpq-")
+        .toString
+      deleteOnExit(tmp)
+      val corpus = embs(s, d).where(col("vec_id") >= 10)
+      val base = corpus.where(col("vec_id") % 9 =!= 5)
+      val delta = corpus.where(col("vec_id") % 9 === 5)
+      VectorIndex.buildIvf(base, tmp)
+      VectorIndex.buildPq(base, tmp)
+      VectorIndex.alignPqToLists(s, tmp)
+      VectorIndex.mergeIvf(s, tmp, delta, mergeId = Some("l101-ivf"))
+      VectorIndex.mergePq(s, tmp, delta, mergeId = Some("l101-pq"))
+      VectorIndex.retrainIvf(s, tmp, swapMode = Some("pointer"))
+      VectorIndex.alignPqToLists(s, tmp)
+      tmp
+    })
+
+  /** l101: TIME-TRAVEL IVFADC search — l98's generation axis on the
+    * PRODUCTION serving path ([[VectorIndex.searchIvfPqAsOf]]): at 10⁹
+    * vectors the lifecycle whose retrain-diff story motivates
+    * historical reads is the IVFADC one, and l98 only covered flat
+    * IVF. The live ADC search (post-retrain union-corpus quantizer,
+    * served through the re-aligned `pq_codes_by_list` fast path) next
+    * to the SAME search against the coarse generation the retrain
+    * superseded — the frozen base quantizer with the merged delta,
+    * resolved with the LIVE PQ halves under one mixed-depth seqlock
+    * ([[IndexMaintenance.snapshotStagesMixed]]): a retrain does not
+    * touch the codebook or codes, so the live code table IS the code
+    * table of the historical instant, and the historical read takes
+    * the membership-join plan (the aligned artifact is keyed by the
+    * CURRENT quantizer's c_ids — serving it against old lists would be
+    * a different key space). The oracle re-derives BOTH coarse
+    * generations in closed form over the SHARED base-window codebook
+    * chain, so an asOf resolver that serves the wrong coarse
+    * generation, mixes centroids and lists across the flip, consults
+    * the aligned layout at depth, or loses a merged-delta code
+    * hash-mismatches. Scale shape: two probe-pruned ADC reads —
+    * history costs what retention already paid, and the code scan
+    * never reads a full-precision embedding on either side.
+    */
+  def qIvfPqTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val dir = retrainedPqAsOfDir(s, d)
+    val q = embs(s, d).where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    VectorIndex.searchIvfPq(s, dir, q, nprobe = 4, topk = 5)
+      .select(lit("current").as("snapshot"), col("query_id"), col("rank"),
+        col("neighbor_id"), col("ip_x1e6"))
+      .unionByName(
+        VectorIndex.searchIvfPqAsOf(s, dir, q, nprobe = 4, topk = 5, back = 1)
+          .select(lit("previous").as("snapshot"), col("query_id"),
+            col("rank"), col("neighbor_id"), col("ip_x1e6")))
+      .orderBy("snapshot", "query_id", "rank")
+  }
+  val qIvfPqTimeTravelSql: String = {
+    def ldot(a: String, b: String) =
+      s"""list_sum(list_transform(generate_series(1, len($a)),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+    // one COARSE chain per snapshot: _c = the retrained (union-corpus
+    // stride) quantizer, _p = the superseded base-split quantizer with
+    // the merged union assigned under it. The PQ half (base-window
+    // codebook — trained before the delta, so vec_id % 9 <> 5 — and
+    // the union's codes against it) is SHARED: a retrain does not
+    // touch it, which is exactly the semantics the mixed-depth
+    // snapshot serves.
+    def coarse(sfx: String, centWhere: String): String =
+      s"""stride$sfx AS (
+         |  SELECT greatest(37, CAST(ceil(COUNT(*) / 1000.0) AS BIGINT)) AS k
+         |  FROM embeddings WHERE $centWhere),
+         |cent$sfx AS (
+         |  SELECT vec_id AS c_id, embedding AS cv, nrm AS cn
+         |  FROM e WHERE $centWhere
+         |    AND vec_id % (SELECT k FROM stride$sfx) = 11),
+         |asg$sfx AS (
+         |  SELECT vec_id AS neighbor_id, c_id,
+         |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+         |      * 1e6 + 0.5) AS BIGINT) AS cc
+         |  FROM e CROSS JOIN cent$sfx WHERE vec_id >= 10),
+         |lists$sfx AS (
+         |  SELECT neighbor_id, c_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+         |      ORDER BY cc DESC, c_id ASC) AS r FROM asg$sfx)
+         |  WHERE r = 1),
+         |qasg$sfx AS (
+         |  SELECT vec_id AS query_id, c_id,
+         |    CAST(floor(${dotSql("embedding", "cv")} / (nrm * cn)
+         |      * 1e6 + 0.5) AS BIGINT) AS cc
+         |  FROM e CROSS JOIN cent$sfx WHERE vec_id < 10),
+         |probes$sfx AS (
+         |  SELECT query_id, c_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cc DESC, c_id ASC) AS r FROM qasg$sfx)
+         |  WHERE r <= 4),
+         |member$sfx AS (
+         |  SELECT p.query_id, l.neighbor_id
+         |  FROM probes$sfx p JOIN lists$sfx l USING (c_id)),
+         |scored$sfx AS (
+         |  SELECT mm.query_id, mm.neighbor_id,
+         |    CAST(SUM(a.ip_part) AS BIGINT) AS ip_x1e6
+         |  FROM member$sfx mm
+         |  JOIN codes k ON mm.neighbor_id = k.vec_id
+         |  JOIN adc a ON a.query_id = mm.query_id
+         |    AND a.sub_id = k.sub_id AND a.code = k.code
+         |  GROUP BY mm.query_id, mm.neighbor_id),
+         |ranked$sfx AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ip_x1e6 DESC, neighbor_id ASC) AS rank
+         |  FROM scored$sfx)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |m AS (SELECT unnest(generate_series(0, 3)) AS sub_id),
+       |pcent AS (
+       |  SELECT (vec_id - 10) // 7 AS pc_id, embedding AS pcv
+       |  FROM embeddings
+       |  WHERE vec_id BETWEEN 10 AND 115 AND (vec_id - 10) % 7 = 0
+       |    AND vec_id % 9 <> 5),
+       |csub AS (
+       |  SELECT pc_id, sub_id, list_slice(pcv, sub_id*16+1, sub_id*16+16) AS cs
+       |  FROM pcent CROSS JOIN m),
+       |sub AS (
+       |  SELECT vec_id, sub_id,
+       |    list_slice(embedding, sub_id*16+1, sub_id*16+16) AS sv
+       |  FROM embeddings CROSS JOIN m WHERE vec_id >= 10),
+       |cscored AS (
+       |  SELECT s.vec_id, s.sub_id, c.pc_id,
+       |    CAST(floor((${ldot("s.sv", "s.sv")}
+       |      - 2*${ldot("s.sv", "c.cs")}
+       |      + ${ldot("c.cs", "c.cs")}) * 1e6 + 0.5) AS BIGINT) AS d2_x1e6
+       |  FROM sub s JOIN csub c ON s.sub_id = c.sub_id),
+       |codes AS (
+       |  SELECT vec_id, sub_id, pc_id AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+       |      ORDER BY d2_x1e6 ASC, pc_id ASC) AS r FROM cscored)
+       |  WHERE r = 1),
+       |qsub AS (
+       |  SELECT vec_id AS query_id, sub_id,
+       |    list_slice(embedding, sub_id*16+1, sub_id*16+16) AS qs
+       |  FROM embeddings CROSS JOIN m WHERE vec_id < 10),
+       |adc AS (
+       |  SELECT q.query_id, q.sub_id, c.pc_id AS code,
+       |    CAST(floor(${ldot("q.qs", "c.cs")} * 1e6 + 0.5) AS BIGINT) AS ip_part
+       |  FROM qsub q JOIN csub c ON q.sub_id = c.sub_id),
+       |${coarse("_c", "vec_id >= 10")},
+       |${coarse("_p", "vec_id >= 10 AND vec_id % 9 <> 5")}
+       |SELECT 'current' AS snapshot, query_id, rank, neighbor_id, ip_x1e6
+       |FROM ranked_c WHERE rank <= 5
+       |UNION ALL
+       |SELECT 'previous' AS snapshot, query_id, rank, neighbor_id, ip_x1e6
+       |FROM ranked_p WHERE rank <= 5
+       |ORDER BY snapshot, query_id, rank""".stripMargin
+  }
+
+  /** l102: BATCH-AXIS time travel for the STREAMED IVFADC — l100's
+    * axis on the code-serving path ([[VectorIndex.searchIvfPqAsOfBatch]]
+    * over l90's stream-grown fixture: frozen quantizer AND codebook,
+    * both serving halves accreted under `batch_id=` replay partitions):
+    * the ADC search as of micro-batch 0 (the even half) and as of
+    * batch 1 (the frontier — must equal the live l90 search). Both
+    * models are frozen, so each snapshot is exactly the same broadcast
+    * tables over the `batch_id <= n` slices of lists AND codes — two
+    * partition filters on the replay layers, zero extra storage,
+    * unbounded history; the aligned artifact (no batch layer) is
+    * bypassed for the membership-join plan. The oracle re-derives the
+    * full-corpus models with BOTH membership scopes in closed form, so
+    * a snapshot that leaks a later batch's codes, loses a list slice,
+    * or drifts from the frontier search hash-mismatches. Scale shape:
+    * two probe-AND-batch-pruned ADC reads; the code scan stays
+    * proportional to the snapshot, never the frontier.
+    */
+  def qIvfPqAsOfBatch(s: SparkSession, d: String): DataFrame = {
+    val dir = streamedIvfPqDir(s, d)
+    val q = embs(s, d).where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    VectorIndex.searchIvfPqAsOfBatch(s, dir, q, nprobe = 4, topk = 5, n = 0L)
+      .select(lit("batch0").as("snapshot"), col("query_id"), col("rank"),
+        col("neighbor_id"), col("ip_x1e6"))
+      .unionByName(
+        VectorIndex.searchIvfPqAsOfBatch(s, dir, q, nprobe = 4, topk = 5,
+            n = 1L)
+          .select(lit("batch1").as("snapshot"), col("query_id"), col("rank"),
+            col("neighbor_id"), col("ip_x1e6")))
+      .orderBy("snapshot", "query_id", "rank")
+  }
+  // lazy: composes [[ivfPqSqlCtes]], which is declared further down the
+  // object — strict val order would read it uninitialized
+  lazy val qIvfPqAsOfBatchSql: String =
+    s"""WITH $ivfPqSqlCtes,
+       |member0 AS (SELECT * FROM member WHERE neighbor_id % 2 = 0),
+       |scored0 AS (
+       |  SELECT mm.query_id, mm.neighbor_id,
+       |    CAST(SUM(a.ip_part) AS BIGINT) AS ip_x1e6
+       |  FROM member0 mm
+       |  JOIN codes k ON mm.neighbor_id = k.vec_id
+       |  JOIN adc a ON a.query_id = mm.query_id
+       |    AND a.sub_id = k.sub_id AND a.code = k.code
+       |  GROUP BY mm.query_id, mm.neighbor_id),
+       |ranked0 AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ip_x1e6 DESC, neighbor_id ASC) AS rank
+       |  FROM scored0)
+       |SELECT 'batch0' AS snapshot, query_id, rank, neighbor_id, ip_x1e6
+       |FROM ranked0 WHERE rank <= 5
+       |UNION ALL
+       |SELECT 'batch1' AS snapshot, query_id, rank, neighbor_id, ip_x1e6
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY snapshot, query_id, rank""".stripMargin
+
   /** The IVF+PQ fixture behind l77: BOTH index halves built over the
     * corpus (vec_id >= 10) in one directory, once per JVM per data
     * directory — the serving deployment [[VectorIndex.searchIvfPq]]
@@ -7762,6 +7982,8 @@ object LlmQueries {
     "l98_ann_time_travel" -> qAnnTimeTravel _,
     "l99_corpus_asof" -> qCorpusAsOfBatch _,
     "l100_vec_asof_batch" -> qVecAsOfBatch _,
+    "l101_ivfpq_time_travel" -> qIvfPqTimeTravel _,
+    "l102_ivfpq_asof_batch" -> qIvfPqAsOfBatch _,
     "l79_ann_compact_parity" -> qAnnCompactParity _,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearch _,
     "l81_vec_drift_gate" -> qVecDriftGate _,
@@ -7866,6 +8088,8 @@ object LlmQueries {
     "l98_ann_time_travel" -> qAnnTimeTravelSql,
     "l99_corpus_asof" -> qCorpusAsOfBatchSql,
     "l100_vec_asof_batch" -> qVecAsOfBatchSql,
+    "l101_ivfpq_time_travel" -> qIvfPqTimeTravelSql,
+    "l102_ivfpq_asof_batch" -> qIvfPqAsOfBatchSql,
     "l79_ann_compact_parity" -> qAnnMergeParitySql,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearchSql,
     "l81_vec_drift_gate" -> qVecDriftGateSql,

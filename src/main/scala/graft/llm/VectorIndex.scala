@@ -973,13 +973,96 @@ object VectorIndex {
     * inner-product surrogate (highest first, id tiebreak).
     */
   def searchIvfPq(spark: SparkSession, indexDir: String, queries: DataFrame,
-      nprobe: Int, topk: Int): DataFrame = {
+      nprobe: Int, topk: Int): DataFrame =
     // snapshot-consistent FOUR-stage set: this is the reader the flip
     // journal's reader-side gap bites hardest — a concurrent retrain
     // flips centroids+lists, and a per-stage resolve could compose the
     // halves from different generations
-    val snap = IndexMaintenance.snapshotStages(spark, indexDir,
-      Seq("centroids", "pq_codebook", "lists", "pq_codes"))
+    searchIvfPqOver(spark, indexDir,
+      IndexMaintenance.snapshotStages(spark, indexDir,
+        Seq("centroids", "pq_codebook", "lists", "pq_codes")),
+      queries, nprobe, topk, allowAligned = true)
+
+  /** TIME-TRAVEL IVFADC search: [[searchIvfPq]] against the index as it
+    * was `back` coarse-pair pointer flips ago — [[searchIvfAsOf]] for
+    * the PRODUCTION serving path (at 10⁹ vectors the lifecycle whose
+    * retrain-diff story motivates historical reads IS the IVFADC one:
+    * l84/l80). Resolution is mixed-depth under one seqlock
+    * ([[IndexMaintenance.snapshotStagesMixed]]): centroids+lists at
+    * depth `back` (they flip in lockstep — buildIvf writes both,
+    * retrain swaps both in one journaled set), the PQ halves LIVE —
+    * a retrain does not touch them (the codebook is the shipped model,
+    * codes are per-vector and quantizer-independent), so the live code
+    * table IS the code table of the historical instant, modulo two
+    * principled overrides: codes merged AFTER the flip belong to
+    * vectors absent from the historical lists and never join
+    * (membership scopes them out), and CURRENT tombstones still filter
+    * — a takedown beats time travel on every axis.
+    *
+    * The ALIGNED code layout is always BYPASSED here (the l80
+    * fallback): `pq_codes_by_list` is keyed by the CURRENT quantizer's
+    * c_ids — against a historical coarse pair its partitions are a
+    * different key space, so the historical read takes the
+    * membership-join plan, whose membership side is the probe-pruned
+    * HISTORICAL lists. Bounded loudly by what retention kept; the
+    * error names the widening knob (`spark.graft.index.retainGens`).
+    */
+  def searchIvfPqAsOf(spark: SparkSession, indexDir: String,
+      queries: DataFrame, nprobe: Int, topk: Int, back: Int): DataFrame =
+    searchIvfPqOver(spark, indexDir,
+      IndexMaintenance.snapshotStagesMixed(spark, indexDir,
+        Seq("centroids", "lists"), back, Seq("pq_codebook", "pq_codes")),
+      queries, nprobe, topk, allowAligned = back == 0)
+
+  /** BATCH-AXIS time travel for the STREAMED IVFADC layout
+    * ([[graft.streaming.VecStream]] with `pqCodes = true`:
+    * `lists/batch_id=N/c_id=M` next to `pq_codes/batch_id=N`): the ADC
+    * search as the index stood once micro-batch `n` had folded —
+    * [[searchIvfAsOfBatch]] completed for the code-serving path. Exact
+    * by construction: quantizer AND codebook are frozen (trained
+    * standalone before the fold), so "as of batch n" is the same
+    * models over the `batch_id <= n` slices of both grown halves —
+    * partition filters on the outer replay layer of each, zero extra
+    * storage, unbounded history (compaction preserves the batch
+    * partitions). The codes-side filter is pruning, not correctness
+    * (membership against the sliced lists already scopes later codes
+    * out) — it keeps the code scan's I/O proportional to the snapshot
+    * the way the lists read is. The aligned artifact carries no
+    * batch_id layer and is bypassed (the membership-join plan).
+    * Current tombstones still filter. Fails loudly on a batch-less
+    * layout.
+    */
+  def searchIvfPqAsOfBatch(spark: SparkSession, indexDir: String,
+      queries: DataFrame, nprobe: Int, topk: Int, n: Long): DataFrame = {
+    require(n >= 0L, s"searchIvfPqAsOfBatch($n): negative batch id")
+    def sliced(what: String): DataFrame => DataFrame = df => {
+      require(df.columns.contains("batch_id"),
+        s"searchIvfPqAsOfBatch at $indexDir: the $what carry no " +
+          "batch_id= layer — batch-axis history only exists on a " +
+          "streamed (VecStream pqCodes) layout; use searchIvfPqAsOf " +
+          "for generation history")
+      df.where(col("batch_id") <= n)
+    }
+    searchIvfPqOver(spark, indexDir,
+      IndexMaintenance.snapshotStages(spark, indexDir,
+        Seq("centroids", "pq_codebook", "lists", "pq_codes")),
+      queries, nprobe, topk, allowAligned = false,
+      listsFilter = sliced("lists"), codesFilter = sliced("codes"))
+  }
+
+  /** The [[searchIvfPq]] serving plan over an already-resolved
+    * four-stage snapshot — shared by the live, generation-asOf and
+    * batch-asOf reads so the three cannot drift. `allowAligned` gates
+    * the `pq_codes_by_list` fast path (live reads only — the artifact
+    * is keyed by the CURRENT quantizer's c_ids and carries no batch
+    * layer); `listsFilter`/`codesFilter` scope the two grown halves
+    * (the batch-axis partition filters); identity for live reads.
+    */
+  private def searchIvfPqOver(spark: SparkSession, indexDir: String,
+      snap: Map[String, String], queries: DataFrame,
+      nprobe: Int, topk: Int, allowAligned: Boolean,
+      listsFilter: DataFrame => DataFrame = identity,
+      codesFilter: DataFrame => DataFrame = identity): DataFrame = {
     val cent = spark.read.parquet(snap("centroids"))
     val q = queries.select(col("query_id"), col("embedding").as("qv"),
       sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
@@ -1002,7 +1085,7 @@ object VectorIndex {
     val adc = qsubs.join(broadcast(codebook), Seq("sub_id"))
       .select(col("query_id"), col("sub_id"), col("c_id").as("code"),
         floor(dot(col("qs"), col("cs")) * 1e6 + 0.5).cast("long").as("ip_part"))
-    val aligned =
+    val aligned = allowAligned &&
       graft.util.Fs.isFile(spark, s"$indexDir/pq_codes_by_list/_SUCCESS")
     val perCode =
       if (aligned) {
@@ -1021,9 +1104,9 @@ object VectorIndex {
         // codes joined by a plain keyed shuffle; tombstone-filtering
         // membership covers the codes side too (deleted ids never join)
         val member = Tombstones.filter(spark, indexDir,
-            spark.read.parquet(snap("lists")), Seq("vec_id"))
+            listsFilter(spark.read.parquet(snap("lists"))), Seq("vec_id"))
           .select(col("c_id"), col("vec_id").as("neighbor_id"))
-        val codes = spark.read.parquet(snap("pq_codes"))
+        val codes = codesFilter(spark.read.parquet(snap("pq_codes")))
         probes.join(member, Seq("c_id"))
           .select(col("query_id"), col("neighbor_id"))
           .join(codes, col("neighbor_id") === col("vec_id"))

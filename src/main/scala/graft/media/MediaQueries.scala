@@ -417,7 +417,9 @@ object MediaQueries {
     */
   def invalidateSharedIndexes(): Unit = {
     val dirs = new java.util.ArrayList(sharedMediaDirs.values())
+    dirs.addAll(mediaAsOfGenDirs.values())
     sharedMediaDirs.clear()
+    mediaAsOfGenDirs.clear()
     dirs.forEach(dir =>
       graft.llm.LlmQueries.deleteRecursively(new java.io.File(dir)))
   }
@@ -1139,6 +1141,111 @@ object MediaQueries {
        |SELECT 'batch1' AS snapshot, media_id, fp FROM fps
        |ORDER BY snapshot, media_id""".stripMargin
 
+  /** The pointer-compacted media fixture behind m18: the m16 two-batch
+    * fold, then [[graft.streaming.MediaStream.compactIndex]] under the
+    * POINTER protocol (the flip retains the pre-compact fps generation
+    * inside the retention window), then a THIRD micro-batch of NOVEL
+    * payloads (each a doubled base payload — fresh md5, so the
+    * cross-batch exact probe admits them) landing in the CURRENT
+    * generation only, and finally a takedown of every 10th base asset —
+    * so the two generations differ by real content AND the delete
+    * postdates both.
+    */
+  private val mediaAsOfGenDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mediaAsOfGenDir(s: SparkSession, d: String): String =
+    mediaAsOfGenDirs.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mediaasofgen-")
+        .toString
+      graft.llm.LlmQueries.deleteOnExit(tmp)
+      val base = MediaOps.mediaTable(s, d).select(col("media_id"), col("payload"))
+      val assets = base
+        .unionByName(base.where(col("media_id") % 10 === 0)
+          .withColumn("media_id", col("media_id") + 100000))
+        .unionByName(base.where(col("media_id") % 10 === 4)
+          .withColumn("media_id", col("media_id") + 100001))
+      graft.streaming.MediaStream.ingestBatch(
+        assets.where(col("media_id") % 2 === 0), tmp, 0L)
+      graft.streaming.MediaStream.ingestBatch(
+        assets.where(col("media_id") % 2 === 1), tmp, 1L)
+      graft.streaming.MediaStream.compactIndex(s, tmp,
+        swapMode = Some("pointer"))
+      val b2 = base.where(col("media_id") % 10 === 3)
+        .select((col("media_id") + 200000).as("media_id"),
+          concat(col("payload"), col("payload")).as("payload"))
+      graft.streaming.MediaStream.ingestBatch(b2, tmp, 2L)
+      graft.streaming.MediaStream.deleteFromIndex(s, tmp,
+        base.where(col("media_id") % 10 === 0).select(col("media_id")))
+      require(graft.llm.Tombstones.any(s, tmp),
+        "m18 fixture: the delete must leave a committed tombstone set")
+      tmp
+    })
+
+  /** m18: GENERATION-AXIS time travel on the media fingerprint index —
+    * the axis m17's batch filter cannot address
+    * ([[graft.streaming.MediaStream.fingerprintsAsOf]]), completing
+    * the as-of matrix across all three families (text l96, vector
+    * l98/l101, media here): the live fingerprint set (the compacted
+    * generation PLUS the post-compact batch that appended into it)
+    * next to the set AS OF one maintenance flip ago (the pre-compact
+    * generation — batches 0 and 1 only, still on disk inside the
+    * retention window), BOTH minus a takedown that landed after
+    * everything: current tombstones filter every snapshot on every
+    * axis. The oracle re-derives the fold's keeper rule per
+    * generation scope — the two-batch keepers for the previous
+    * generation; those plus the novel doubled-payload batch-2
+    * survivors (in-batch min-id keeper, then the exact-copy probe
+    * against the held texts) for the current — each minus the deleted
+    * ids, with the aHash16 bits re-derived per survivor (the doubled
+    * payload's fingerprint comes from the doubled text), so a resolver
+    * that serves the wrong generation, leaks the post-flip batch into
+    * history, or serves a tombstoned asset from a retained generation
+    * hash-mismatches. Scale shape: two pruned fps reads + a
+    * broadcastable anti-join each — history costs what retention
+    * already paid; payloads never re-read.
+    */
+  def qMediaAsOfGen(s: SparkSession, d: String): DataFrame = {
+    val dir = mediaAsOfGenDir(s, d)
+    graft.streaming.MediaStream.fingerprints(s, dir)
+      .select(lit("current").as("snapshot"), col("media_id"), col("fp"))
+      .unionByName(
+        graft.streaming.MediaStream.fingerprintsAsOf(s, dir, back = 1)
+          .select(lit("previous").as("snapshot"), col("media_id"), col("fp")))
+      .orderBy("snapshot", "media_id")
+  }
+  val qMediaAsOfGenSql: String =
+    s"""WITH $mediaSql,
+       |mm AS (
+       |  SELECT media_id, text, n FROM media
+       |  UNION ALL
+       |  SELECT media_id + 100000, text, n FROM media WHERE media_id % 10 = 0
+       |  UNION ALL
+       |  SELECT media_id + 100001, text, n FROM media WHERE media_id % 10 = 4),
+       |keep AS (
+       |  SELECT media_id, text, n FROM (
+       |    SELECT media_id, text, n,
+       |      row_number() OVER (PARTITION BY text
+       |        ORDER BY media_id % 2, media_id) AS rn
+       |    FROM mm) WHERE rn = 1),
+       |b2 AS (
+       |  SELECT media_id + 200000 AS media_id, text || text AS text, 2 * n AS n
+       |  FROM media WHERE media_id % 10 = 3),
+       |b2k AS (
+       |  SELECT media_id, text, n FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY media_id)
+       |      AS rn FROM b2) WHERE rn = 1),
+       |b2s AS (
+       |  SELECT media_id, text, n FROM b2k
+       |  WHERE text NOT IN (SELECT text FROM keep)),
+       |prevs AS (SELECT media_id, text, n FROM keep WHERE media_id % 10 <> 0),
+       |curs AS (
+       |  SELECT media_id, text, n FROM prevs
+       |  UNION ALL
+       |  SELECT media_id, text, n FROM b2s)
+       |SELECT 'current' AS snapshot, media_id, $aHash16BitsSql AS fp FROM curs
+       |UNION ALL
+       |SELECT 'previous' AS snapshot, media_id, $aHash16BitsSql AS fp FROM prevs
+       |ORDER BY snapshot, media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_decode" -> qMediaDecode _,
     "m02_image_resize" -> qImageResize _,
@@ -1156,7 +1263,8 @@ object MediaQueries {
     "m14_keyframes" -> qKeyframes _,
     "m15_media_drift_gate" -> qMediaDriftGate _,
     "m16_media_tombstone" -> qMediaTombstone _,
-    "m17_media_asof_batch" -> qMediaAsOfBatch _
+    "m17_media_asof_batch" -> qMediaAsOfBatch _,
+    "m18_media_asof_gen" -> qMediaAsOfGen _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1176,6 +1284,7 @@ object MediaQueries {
     "m14_keyframes" -> qKeyframesSql,
     "m15_media_drift_gate" -> qMediaDriftGateSql,
     "m16_media_tombstone" -> qMediaTombstoneSql,
-    "m17_media_asof_batch" -> qMediaAsOfBatchSql
+    "m17_media_asof_batch" -> qMediaAsOfBatchSql,
+    "m18_media_asof_gen" -> qMediaAsOfGenSql
   )
 }

@@ -238,6 +238,30 @@ object MediaStream {
         .where(col("batch_id") <= n), Seq("media_id"))
   }
 
+  /** GENERATION-AXIS time travel on the fingerprint index — the media
+    * side of [[graft.llm.VectorIndex.searchIvfAsOf]], completing the
+    * as-of triad's second axis (text l96, vector l98, media here): the
+    * served fingerprints as they were `back` maintenance pointer-flips
+    * ago. Each [[compactIndex]] under the pointer protocol retains the
+    * fps generation it supersedes inside the retention window
+    * (`spark.graft.index.retainGens`), so a fold/compaction history is
+    * diffable against the exact artifact a maintenance pass replaced —
+    * and because post-flip micro-batches append into the CURRENT
+    * generation, a superseded generation is also the index "before the
+    * batches that followed the compact". Resolution goes through the
+    * flip-journal seqlock ([[graft.llm.IndexMaintenance
+    * .snapshotStagesAsOf]]); CURRENT tombstones still filter — a
+    * takedown beats time travel on every axis. Bounded loudly by what
+    * retention kept; the error names the widening knob.
+    */
+  def fingerprintsAsOf(spark: SparkSession, indexDir: String,
+      back: Int): DataFrame =
+    graft.llm.Tombstones.filter(spark, indexDir,
+      spark.read.parquet(
+        graft.llm.IndexMaintenance.snapshotStagesAsOf(spark, indexDir,
+          Seq("fps"), back)("fps")),
+      Seq("media_id"))
+
   /** DELETE assets from the index — [[graft.llm.DedupIndex.delete]]'s
     * takedown verb on the media fold ([[graft.llm.Tombstones]]
     * semantics): O(|ids|) now; [[fingerprints]] and both in-fold

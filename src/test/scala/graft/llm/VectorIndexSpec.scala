@@ -902,4 +902,89 @@ class VectorIndexSpec extends SparkSpec {
     assert(!historic.exists(_._3 == victim),
       "a deleted vector was served from a historical snapshot")
   }
+
+  test("searchIvfPqAsOf: retained coarse pair + live PQ halves, aligned bypassed; bounds and takedowns enforced") {
+    val dir = Files.createTempDirectory("ivfpqasof").toString
+    val idx = s"$dir/idx"
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = embs.where($"vec_id" >= 10)
+    val base = corpus.where($"vec_id" % 9 =!= 5)
+    val delta = corpus.where($"vec_id" % 9 === 5)
+    VectorIndex.buildIvf(base, idx)
+    VectorIndex.buildPq(base, idx)
+    VectorIndex.alignPqToLists(spark, idx)
+    VectorIndex.mergeIvf(spark, idx, delta, mergeId = Some("pqasof-ivf"))
+    VectorIndex.mergePq(spark, idx, delta, mergeId = Some("pqasof-pq"))
+    val q = embs.where($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    // never pointer-swapped: no coarse history, and the error says so
+    val ex0 = intercept[IllegalArgumentException] {
+      VectorIndex.searchIvfPqAsOf(spark, idx, q, 4, 5, back = 1).count()
+    }
+    assert(ex0.getMessage.contains("never"), ex0.getMessage)
+    val pre = VectorIndex.searchIvfPq(spark, idx, q, 4, 5)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    VectorIndex.retrainIvf(spark, idx, swapMode = Some("pointer"))
+    VectorIndex.alignPqToLists(spark, idx)
+    // the LIVE search serves the re-aligned fast path; the historical
+    // read must equal the pre-retrain ADC search exactly — old coarse
+    // pair, same frozen codebook/codes, membership-join plan (the
+    // aligned artifact is keyed by the NEW quantizer's c_ids)
+    val asOf = VectorIndex.searchIvfPqAsOf(spark, idx, q, 4, 5, back = 1)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(asOf == pre, "searchIvfPqAsOf(1) != the pre-retrain ADC search")
+    // back = 0 is exactly the live read
+    val live = VectorIndex.searchIvfPq(spark, idx, q, 4, 5)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    val asOf0 = VectorIndex.searchIvfPqAsOf(spark, idx, q, 4, 5, back = 0)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(asOf0 == live, "searchIvfPqAsOf(0) != the live search")
+    // past what ever existed: loud, with the widening knob named
+    val ex1 = intercept[IllegalArgumentException] {
+      VectorIndex.searchIvfPqAsOf(spark, idx, q, 4, 5, back = 2).count()
+    }
+    assert(ex1.getMessage.contains("retainGens"), ex1.getMessage)
+    // a takedown beats time travel: current tombstones filter the
+    // historical membership join too
+    val victim = pre.head._3
+    VectorIndex.deleteIvf(spark, idx, Seq(victim).toDF("vec_id"))
+    val historic = VectorIndex.searchIvfPqAsOf(spark, idx, q, 4, 5, back = 1)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(!historic.exists(_._3 == victim),
+      "a deleted vector was served from a historical ADC snapshot")
+  }
+
+  test("searchIvfPqAsOfBatch slices lists AND codes; the frontier equals live; batch-less layouts fail loudly") {
+    val dir = Files.createTempDirectory("ivfpqasofb").toString
+    val idx = s"$dir/idx"
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = embs.where($"vec_id" >= 10)
+    VectorIndex.trainQuantizer(corpus, idx)
+    VectorIndex.trainPqCodebook(corpus, idx)
+    graft.streaming.VecStream.ingestBatch(
+      corpus.where($"vec_id" % 2 === 0), idx, 0L, pqCodes = true)
+    graft.streaming.VecStream.ingestBatch(
+      corpus.where($"vec_id" % 2 === 1), idx, 1L, pqCodes = true)
+    val q = embs.where($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    // the frontier snapshot IS the live search
+    val live = VectorIndex.searchIvfPq(spark, idx, q, 4, 5)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    val frontier = VectorIndex.searchIvfPqAsOfBatch(spark, idx, q, 4, 5, n = 1L)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(frontier == live, "asOfBatch(frontier) != the live ADC search")
+    // the shallow snapshot serves only batch 0's (even) vectors
+    val b0 = VectorIndex.searchIvfPqAsOfBatch(spark, idx, q, 4, 5, n = 0L)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(b0.nonEmpty && b0.forall(_._3 % 2 == 0),
+      "asOfBatch(0) served a later batch's vector")
+    // a batch-less (buildIvf+buildPq) layout has no batch axis: loud
+    val plain = s"$dir/plain"
+    VectorIndex.buildIvf(corpus, plain)
+    VectorIndex.buildPq(corpus, plain)
+    val ex = intercept[IllegalArgumentException] {
+      VectorIndex.searchIvfPqAsOfBatch(spark, plain, q, 4, 5, n = 0L).count()
+    }
+    assert(ex.getMessage.contains("batch_id"), ex.getMessage)
+  }
 }

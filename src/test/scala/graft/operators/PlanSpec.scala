@@ -947,6 +947,63 @@ class PlanSpec extends SparkSpec {
       s"tombstoned searchIvf built a product:\n$sp")
   }
 
+  test("IVFADC generation time travel: live serves the aligned layout, the historical read bypasses it") {
+    val dir = java.nio.file.Files.createTempDirectory("planpqasof").toString
+    val idx = s"$dir/idx"
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = embs.where(org.apache.spark.sql.functions.col("vec_id") >= 10)
+    graft.llm.VectorIndex.buildIvf(corpus, idx)
+    graft.llm.VectorIndex.buildPq(corpus, idx)
+    graft.llm.VectorIndex.alignPqToLists(spark, idx)
+    graft.llm.VectorIndex.retrainIvf(spark, idx, swapMode = Some("pointer"))
+    graft.llm.VectorIndex.alignPqToLists(spark, idx)
+    val q = embs.limit(2).select(
+      org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+      org.apache.spark.sql.functions.col("embedding"))
+    val liveP = planOf(graft.llm.VectorIndex.searchIvfPq(spark, idx, q, 4, 5))
+    assert(liveP.contains("pq_codes_by_list"),
+      s"the live ADC read lost the aligned fast path:\n$liveP")
+    // the aligned artifact is keyed by the CURRENT quantizer's c_ids —
+    // a historical read consulting it would score against a different
+    // key space; it must take the membership-join plan instead
+    val histP = planOf(
+      graft.llm.VectorIndex.searchIvfPqAsOf(spark, idx, q, 4, 5, back = 1))
+    assert(!histP.contains("pq_codes_by_list"),
+      s"the historical ADC read consulted the current-keyed aligned layout:\n$histP")
+    assert(!histP.contains("CartesianProduct"),
+      s"the historical ADC read built a product:\n$histP")
+  }
+
+  test("batch-axis ADC snapshot: partition filters on BOTH grown halves, no product") {
+    val dir = java.nio.file.Files.createTempDirectory("planpqbatch").toString
+    val idx = s"$dir/idx"
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = embs.where(org.apache.spark.sql.functions.col("vec_id") >= 10)
+    graft.llm.VectorIndex.trainQuantizer(corpus, idx)
+    graft.llm.VectorIndex.trainPqCodebook(corpus, idx)
+    graft.streaming.VecStream.ingestBatch(
+      corpus.where(org.apache.spark.sql.functions.col("vec_id") % 2 === 0),
+      idx, 0L, pqCodes = true)
+    graft.streaming.VecStream.ingestBatch(
+      corpus.where(org.apache.spark.sql.functions.col("vec_id") % 2 === 1),
+      idx, 1L, pqCodes = true)
+    val q = embs.limit(2).select(
+      org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+      org.apache.spark.sql.functions.col("embedding"))
+    val p = planOf(
+      graft.llm.VectorIndex.searchIvfPqAsOfBatch(spark, idx, q, 4, 5, n = 0L))
+    // the batch_id <= n predicate must reach BOTH parquet scans (lists
+    // AND pq_codes) as a partition-directory filter — the snapshot's
+    // I/O is proportional to the covered batches, never the frontier
+    val scanHits = p.linesIterator
+      .filter(l => l.contains("PartitionFilters") && l.contains("batch_id"))
+      .size
+    assert(scanHits >= 2,
+      s"batch filter reached only $scanHits of the 2 grown-half scans:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"batch-axis ADC read built a product:\n$p")
+  }
+
   test("l97 OOV encode: merge replay never touches the corpus; accounting is keyed aggregation") {
     val df = LlmQueries.bpeOovPlanFrame(spark, sf)
     val p = planOf(df)

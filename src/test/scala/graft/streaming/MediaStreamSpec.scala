@@ -296,4 +296,33 @@ class MediaStreamSpec extends SparkSpec {
     assert(!ids(0L).contains(15L),
       "a deleted asset was served from a batch-axis snapshot")
   }
+
+  test("fingerprintsAsOf: generation-axis snapshots; post-flip batches stay current-only; bounds and takedowns enforced") {
+    val dir = Files.createTempDirectory("mediaasofgen").toString
+    val assets = graft.media.MediaOps.mediaTable(spark, sf)
+      .select($"media_id", $"payload")
+    MediaStream.ingestBatch(assets.where($"media_id".between(10, 29)), dir, 0L)
+    // never pointer-flipped: no history exists, and the error says so
+    val ex0 = intercept[IllegalArgumentException] {
+      MediaStream.fingerprintsAsOf(spark, dir, back = 1).count()
+    }
+    assert(ex0.getMessage.contains("never"), ex0.getMessage)
+    MediaStream.compactIndex(spark, dir, swapMode = Some("pointer"))
+    // a post-flip micro-batch appends into the CURRENT generation: the
+    // retained one stays exactly the pre-compact content
+    MediaStream.ingestBatch(assets.where($"media_id".between(30, 39)), dir, 1L)
+    def ids(back: Int) = MediaStream.fingerprintsAsOf(spark, dir, back)
+      .select($"media_id").as[Long].collect().sorted.toSeq
+    assert(ids(1) == (10L to 29L).toSeq, s"asOf(1) = ${ids(1)}")
+    assert(ids(0) == (10L to 39L).toSeq, s"asOf(0) = ${ids(0)}")
+    // past what ever existed: loud, with the widening knob named
+    val ex1 = intercept[IllegalArgumentException] {
+      MediaStream.fingerprintsAsOf(spark, dir, back = 2).count()
+    }
+    assert(ex1.getMessage.contains("retainGens"), ex1.getMessage)
+    // a takedown beats time travel on the generation axis too
+    MediaStream.deleteFromIndex(spark, dir, Seq(15L).toDF("media_id"))
+    assert(!ids(1).contains(15L),
+      "a deleted asset was served from a generation snapshot")
+  }
 }
