@@ -63,6 +63,11 @@ object Soak {
       spark.stop()
       return
     }
+    if (sys.env.get("SOAK_MODE").contains("asofpq")) {
+      asOfPqScale(spark, sfDir)
+      spark.stop()
+      return
+    }
 
     val cfg = graft.config.SignalConfig(encoderType = "derivative",
       minPrice = 39000, maxPrice = 44000, tickDerivativeImagScale = 2.0f)
@@ -600,6 +605,66 @@ object Soak {
           back = 1).count(): Unit)
       timed(s"${mult}x searchIvf (live)     ")(
         graft.llm.VectorIndex.searchIvf(spark, s"$idxDir/idx", q, 4, 5)
+          .count(): Unit)
+      graft.llm.LlmQueries.deleteRecursively(new java.io.File(idxDir))
+      spark.catalog.clearCache()
+      System.gc()
+    }
+  }
+
+  /** IVFADC time-travel cost probe (`SOAK_MODE=asofpq`): the round-18
+    * claim under test is l101's — the historical ADC read
+    * ([[graft.llm.VectorIndex.searchIvfPqAsOf]] back=1: retained coarse
+    * pair + LIVE PQ halves through the membership join) must TRACK the
+    * live [[graft.llm.VectorIndex.searchIvfPq]] at every corpus scale,
+    * because both run the same probe-pruned plan over same-sized
+    * generations; the historical read pays only the mixed-depth
+    * resolution (control-plane metadata) plus the membership join the
+    * live read skips when aligned. The full lifecycle runs per scale:
+    * build both halves over the base split, align, merge the delta into
+    * both, pointer-retrain, re-align — so the timing compares the
+    * aligned live fast path against the historical membership-join
+    * plan honestly. asOf runs FIRST (ordering biases against it —
+    * shared centroid/query warm-up accrues to the live read).
+    */
+  private def asOfPqScale(spark: SparkSession, sfDir: String): Unit = {
+    def timed(label: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      System.err.println(
+        f"[soak-asofpq] $label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = base.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    sys.env.getOrElse("SOAK_MULTS", "1,4,10").split(",").map(_.trim.toInt)
+      .toSeq.foreach { mult =>
+      val scaled = (0 until mult).map(i =>
+          base.where(col("vec_id") >= 10)
+            .select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+              col("embedding")))
+        .reduce(_.unionByName(_))
+      val idxDir = java.nio.file.Files.createTempDirectory("soak-asofpq-")
+        .toString
+      val idx = s"$idxDir/idx"
+      val split = scaled.where(col("vec_id") % 9 =!= 5)
+      val delta = scaled.where(col("vec_id") % 9 === 5)
+      graft.llm.VectorIndex.buildIvf(split, idx)
+      graft.llm.VectorIndex.buildPq(split, idx)
+      graft.llm.VectorIndex.alignPqToLists(spark, idx)
+      graft.llm.VectorIndex.mergeIvf(spark, idx, delta,
+        mergeId = Some("soak-asofpq-ivf"))
+      graft.llm.VectorIndex.mergePq(spark, idx, delta,
+        mergeId = Some("soak-asofpq-pq"))
+      graft.llm.VectorIndex.retrainIvf(spark, idx,
+        swapMode = Some("pointer"))
+      graft.llm.VectorIndex.alignPqToLists(spark, idx)
+      timed(s"${mult}x searchIvfPqAsOf(back=1)")(
+        graft.llm.VectorIndex.searchIvfPqAsOf(spark, idx, q, 4, 5,
+          back = 1).count(): Unit)
+      timed(s"${mult}x searchIvfPq (live)    ")(
+        graft.llm.VectorIndex.searchIvfPq(spark, idx, q, 4, 5)
           .count(): Unit)
       graft.llm.LlmQueries.deleteRecursively(new java.io.File(idxDir))
       spark.catalog.clearCache()

@@ -288,6 +288,14 @@ object DedupIndex {
       // when the staged copy swaps in; the lease serializes them loudly
       // ([[IndexMaintenance.withLease]])
       IndexMaintenance.withLease(spark, indexDir) {
+    // Converge any CRASHED swap before appending: a swap journal left by
+    // a killed compact/reband names _SUCCESS-complete staged rewrites
+    // that a later entry's recovery WILL replay over the live stages —
+    // an append made in between would be silently discarded by that
+    // replay (the staged copies predate it). Passing no stages recovers
+    // exactly the journaled members; a clean index pays two existence
+    // probes.
+    IndexMaintenance.recoverStages(spark, indexDir, Seq.empty)
     val markerDir = mergeId.map(id => s"$indexDir/_merges/$id")
     def done(stage: String): Boolean =
       markerDir.exists(d => graft.util.Fs.isFile(spark, s"$d/$stage.done"))

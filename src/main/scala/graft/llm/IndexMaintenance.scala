@@ -125,16 +125,49 @@ private[graft] object IndexMaintenance {
     * winning `putIfAbsent` and racing the non-atomic file protocol —
     * the same-JVM second-writer refusal the map exists for.
     */
-  private def leaseKey(spark: SparkSession, indexDir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(indexDir)
-    try p.getFileSystem(spark.sessionState.newHadoopConf())
-      .makeQualified(p).toString
-    // an unresolvable scheme falls back to Path's own normalization
-    // (still collapses slashes) rather than failing the acquire
-    catch { case _: java.io.IOException => p.toString }
-  }
+  private val leaseKeys =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def leaseKey(spark: SparkSession, indexDir: String): String =
+    // cached per raw spelling: [[fence]] runs on swap/publish hot paths
+    // and must really pay only a map read — a fresh Hadoop conf +
+    // FileSystem resolution per call would not be "the hot path pays
+    // nothing" (and a transient resolution failure would silently
+    // change the key mid-frame); bounded by distinct index dirs per JVM
+    leaseKeys.computeIfAbsent(indexDir, dir => {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      try p.getFileSystem(spark.sessionState.newHadoopConf())
+        .makeQualified(p).toString
+      // an unresolvable scheme falls back to Path's own normalization
+      // (still collapses slashes) rather than failing the acquire
+      catch { case _: java.io.IOException => p.toString }
+    })
 
   private def leasePath(indexDir: String) = s"$indexDir/_maintenance/_lease"
+
+  /** The lease file's (owner, expires) as written — `None` when absent;
+    * a torn/corrupt/unreadable file reads as owner `<unreadable>` expiring
+    * at 0 (i.e. as a crashed holder, subject to the takeover double-read
+    * in [[withLease]]).
+    */
+  private def readLease(spark: SparkSession, path: String): Option[(String, Long)] =
+    if (!Fs.isFile(spark, path)) None
+    else try {
+      val lines = Fs.readString(spark, path).split("\n").toSeq.map(_.trim)
+      Some((
+        lines.collectFirst {
+          case l if l.startsWith("owner=") => l.drop(6)
+        }.getOrElse("<unknown>"),
+        // toLongOption: a torn/corrupt lease (crash mid-writeString,
+        // external edit) must read as EXPIRED — a crashed holder to
+        // take over — not throw NumberFormatException on every future
+        // acquire forever (takeover is the only path that overwrites
+        // the file, so a throwing parse would wedge maintenance until
+        // manual deletion)
+        lines.collectFirst {
+          case l if l.startsWith("expires=") =>
+            l.drop(8).toLongOption.getOrElse(0L)
+        }.getOrElse(0L)))
+    } catch { case _: java.io.IOException => Some(("<unreadable>", 0L)) }
 
   private def leaseOwnerOf(spark: SparkSession, path: String): Option[String] =
     if (!Fs.isFile(spark, path)) None
@@ -176,22 +209,7 @@ private[graft] object IndexMaintenance {
       var acquired = false
       try {
         val now = System.currentTimeMillis()
-        if (Fs.isFile(spark, path)) {
-          val lines = Fs.readString(spark, path).split("\n").toSeq.map(_.trim)
-          val owner = lines.collectFirst {
-            case l if l.startsWith("owner=") => l.drop(6)
-          }.getOrElse("<unknown>")
-          // toLongOption: a torn/corrupt lease (crash mid-writeString,
-          // external edit) must read as EXPIRED — a crashed holder to
-          // take over — not throw NumberFormatException on every future
-          // acquire forever (takeover is the only path that overwrites
-          // the file, so an unparsable one would otherwise wedge
-          // maintenance until manual deletion, contradicting the "a
-          // crash never wedges maintenance" contract)
-          val expires = lines.collectFirst {
-            case l if l.startsWith("expires=") =>
-              l.drop(8).toLongOption.getOrElse(0L)
-          }.getOrElse(0L)
+        readLease(spark, path).foreach { case (owner, expires) =>
           // an expired lease is a crashed holder: take over (the marker
           // protocols converge whatever it left; recovery runs first in
           // every entry). A live one is a concurrent writer: refuse.
@@ -200,6 +218,22 @@ private[graft] object IndexMaintenance {
               s"$expires (now $now) — a concurrent maintenance writer is " +
               "active; wait for it (or for the lease TTL, " +
               "spark.graft.index.leaseMs, if it crashed) before retrying")
+          // Expired-or-torn DOUBLE-READ before taking over: a torn read
+          // can also be a LIVE holder's heartbeat renewal ([[fence]])
+          // caught mid-rewrite — a single-read takeover there would put
+          // two live writers on the index. A heartbeat completes in
+          // microseconds while a genuinely crashed lease stays
+          // expired/torn forever, so one beat and a re-read separates
+          // the two: take over only if the lease STILL reads expired.
+          Thread.sleep(100L)
+          val now2 = System.currentTimeMillis()
+          readLease(spark, path).foreach { case (owner2, expires2) =>
+            require(expires2 <= now2,
+              s"maintenance lease at $indexDir is held by $owner2 until " +
+                s"$expires2 (now $now2; the first read caught a renewal " +
+                "mid-write) — a concurrent maintenance writer is active; " +
+                "wait for it before retrying")
+          }
         }
         val ttl = spark.conf.get("spark.graft.index.leaseMs", "900000")
           .trim.toLong
@@ -268,13 +302,12 @@ private[graft] object IndexMaintenance {
       .trim.toLong
     if (now < st.expiresAt - ttl / 2) return
     val path = leasePath(indexDir)
-    if (now < st.expiresAt) {
-      // live: the file is ours by contract (no legitimate takeover
-      // before expiry) — heartbeat-renew without reading
-      st.expiresAt = now + ttl
-      Fs.writeString(spark, path, s"owner=${st.owner}\nexpires=${st.expiresAt}")
-    } else if (leaseOwnerOf(spark, path).contains(st.owner)) {
-      // overran the TTL but nobody took over: renew and continue
+    // one renew body for both arms: LIVE (the file is ours by contract —
+    // no legitimate takeover before expiry, so the || short-circuit
+    // keeps the no-read fast path) or overrun-but-unclaimed (the
+    // re-read finds our own token). Anything else means a successor
+    // holds the index now.
+    if (now < st.expiresAt || leaseOwnerOf(spark, path).contains(st.owner)) {
       st.expiresAt = now + ttl
       Fs.writeString(spark, path, s"owner=${st.owner}\nexpires=${st.expiresAt}")
     } else throw new IllegalStateException(
@@ -673,10 +706,40 @@ private[graft] object IndexMaintenance {
     // TTL-overrun holder taken over by a successor must abort here
     // rather than swap over the successor's work ([[fence]])
     fence(spark, indexDir)
-    Fs.writeString(spark, s"$indexDir/_compact/_swap_set",
-      stages.mkString("\n"))
-    stages.foreach(stage => swapOneByRename(spark, indexDir, stage))
-    Fs.delete(spark, s"$indexDir/_compact/_swap_set")
+    val journal = s"$indexDir/_compact/_swap_set"
+    val journalText = stages.mkString("\n")
+    Fs.writeString(spark, journal, journalText)
+    var consumed = 0
+    try stages.foreach { stage =>
+      swapOneByRename(spark, indexDir, stage); consumed += 1
+    } catch {
+      case e: IllegalStateException if consumed == 0 =>
+        // the per-stage fence aborted before ANY stage was touched: the
+        // journal we just wrote must not stay armed — a later entry's
+        // recovery would otherwise replay the zombie's staged rewrites
+        // over work the successor (and any merges) did in between.
+        // Disarmed only if the file is still OURS (a successor running
+        // its own swap in the abort gap keeps its journal); with stages
+        // already swapped the journal must STAY — recovery is then the
+        // only path back to a coherent set, exactly as after a crash
+        // mid-swap.
+        disarmOwnJournal(spark, journal, journalText)
+        throw e
+    }
+    Fs.delete(spark, journal)
+  }
+
+  /** Delete an intent journal this aborted swap just wrote — but only
+    * if its content is still byte-equal to what we wrote: in the abort
+    * gap a successor may have recovered (consuming ours) and journaled
+    * its OWN swap, which must not be disarmed. An unreadable journal is
+    * left in place (conservative — recovery converges it).
+    */
+  private[graft] def disarmOwnJournal(spark: SparkSession, journal: String,
+      ourText: String): Unit = {
+    val cur = try Some(Fs.readString(spark, journal))
+      catch { case _: java.io.IOException => None }
+    if (cur.exists(_.trim == ourText.trim)) Fs.delete(spark, journal)
   }
 
   private def swapOneByRename(spark: SparkSession, indexDir: String,
@@ -727,10 +790,21 @@ private[graft] object IndexMaintenance {
     // TTL-overrun holder taken over by a successor must abort here
     // rather than flip pointers over the successor's work ([[fence]])
     fence(spark, indexDir)
-    Fs.writeString(spark, s"$indexDir/_ptr/_intent",
-      plan.map { case (s, g) => s"$s $g" }.mkString("\n"))
-    flipPointers(spark, indexDir, plan)
-    Fs.delete(spark, s"$indexDir/_ptr/_intent")
+    val intent = s"$indexDir/_ptr/_intent"
+    val intentText = plan.map { case (s, g) => s"$s $g" }.mkString("\n")
+    Fs.writeString(spark, intent, intentText)
+    try flipPointers(spark, indexDir, plan)
+    catch {
+      case e: IllegalStateException =>
+        // the fence inside flipPointers aborted BEFORE any flip: the
+        // journal we just wrote must not stay armed — a later entry's
+        // recovery would otherwise replay the zombie's flips over the
+        // successor's work. Disarmed only if still ours
+        // ([[disarmOwnJournal]]).
+        disarmOwnJournal(spark, intent, intentText)
+        throw e
+    }
+    Fs.delete(spark, intent)
   }
 
   /** How many SUPERSEDED generations a stage retains after a pointer

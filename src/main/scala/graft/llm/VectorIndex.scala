@@ -200,6 +200,9 @@ object VectorIndex {
       // lost when the staged copy swaps in ([[IndexMaintenance
       // .withLease]]); the lease serializes them loudly instead
       IndexMaintenance.withLease(spark, indexDir) {
+    // converge any crashed swap before appending ([[DedupIndex.merge]]'s
+    // rationale: a journal replay after this append would discard it)
+    IndexMaintenance.recoverStages(spark, indexDir, Seq.empty)
     val marker = mergeId.map(id => s"$indexDir/_merges/$id/lists.done")
     if (marker.exists(graft.util.Fs.isFile(spark, _))) return
     val overlap = delta.select(col("vec_id"))
@@ -1201,6 +1204,9 @@ object VectorIndex {
   def mergePq(spark: SparkSession, indexDir: String, delta: DataFrame,
       mergeId: Option[String] = None): Unit =
       IndexMaintenance.withLease(spark, indexDir) {
+    // converge any crashed swap before appending ([[DedupIndex.merge]]'s
+    // rationale: a journal replay after this append would discard it)
+    IndexMaintenance.recoverStages(spark, indexDir, Seq.empty)
     val marker = mergeId.map(id => s"$indexDir/_merges/$id/pq_codes.done")
     if (marker.exists(graft.util.Fs.isFile(spark, _))) return
     val overlap = delta.select(col("vec_id"))

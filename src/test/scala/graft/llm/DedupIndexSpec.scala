@@ -1153,6 +1153,74 @@ class DedupIndexSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.index.leaseMs")
   }
 
+  test("a fence-aborted swap disarms only its OWN just-written journal") {
+    val dir = Files.createTempDirectory("disarm").toString
+    val j = s"$dir/_swap_set"
+    // ours: the abort path deletes it (recovery must not replay it)
+    graft.util.Fs.writeString(spark, j, "signatures")
+    IndexMaintenance.disarmOwnJournal(spark, j, "signatures")
+    assert(!graft.util.Fs.exists(spark, j), "own journal left armed")
+    // a successor's journal written in the abort gap: left in place
+    graft.util.Fs.writeString(spark, j, "lists g2")
+    IndexMaintenance.disarmOwnJournal(spark, j, "signatures")
+    assert(graft.util.Fs.isFile(spark, j), "a successor's journal was disarmed")
+    // already gone: a no-op
+    graft.util.Fs.delete(spark, j)
+    IndexMaintenance.disarmOwnJournal(spark, j, "signatures")
+  }
+
+  test("takeover double-reads an expired/torn lease: a heartbeat completing in the gap refuses the contender") {
+    val dir = Files.createTempDirectory("leasedouble").toString
+    val lease = s"$dir/_maintenance/_lease"
+    // first read will see a TORN lease (unparsable expires= — also what
+    // a heartbeat rewrite caught mid-truncate looks like); a thread
+    // standing in for the live holder completes the "renewal" well
+    // inside the contender's 100ms re-read beat
+    graft.util.Fs.writeString(spark, lease,
+      "owner=live-holder/thread-3\nexpires=")
+    val renewer = new Thread(() => {
+      Thread.sleep(30L)
+      graft.util.Fs.writeString(spark, lease,
+        s"owner=live-holder/thread-3\nexpires=${System.currentTimeMillis() + 3600000L}")
+    })
+    renewer.start()
+    val ex = intercept[IllegalArgumentException] {
+      IndexMaintenance.withLease(spark, dir) {
+        fail("contender acquired over a live holder's mid-renewal lease")
+      }
+    }
+    renewer.join()
+    assert(ex.getMessage.contains("lease"), ex.getMessage)
+    assert(graft.util.Fs.readString(spark, lease).contains("live-holder"),
+      "the contender clobbered the live holder's lease")
+  }
+
+  test("a merge converges a crashed swap's journal BEFORE appending, so the append survives later recovery") {
+    val dir = Files.createTempDirectory("mergeconv").toString
+    val idx = s"$dir/idx"
+    DedupIndex.build(corpus, idx)
+    // plant the crashed-mid-swap state a killed compact leaves: a
+    // _SUCCESS-complete staged rewrite of signatures plus the armed set
+    // journal. A merge appending WITHOUT converging this first would be
+    // silently discarded when a later entry's recovery replays the
+    // (pre-merge) staged copy over the live stage.
+    spark.read.parquet(s"$idx/signatures")
+      .write.parquet(s"$idx/_compact/signatures")
+    graft.util.Fs.writeString(spark, s"$idx/_compact/_swap_set", "signatures")
+    val delta = corpus.orderBy("doc_id").limit(1)
+      .select(($"doc_id" + 900000L).as("doc_id"), $"text")
+    val did = delta.select($"doc_id").as[Long].head()
+    DedupIndex.merge(spark, idx, delta, mergeId = Some("conv1"))
+    assert(!graft.util.Fs.exists(spark, s"$idx/_compact/_swap_set"),
+      "merge appended without converging the crashed swap")
+    // the merged row is in the live stage AND survives the next
+    // maintenance entry (nothing left to replay over it)
+    DedupIndex.compact(spark, idx)
+    assert(spark.read.parquet(s"$idx/signatures")
+      .where($"doc_id" === did).count() == 1L,
+      "the merged row was lost to a stale journal replay")
+  }
+
   test("a fully-committed merge replays as an inert no-op, even after one of its ids was deleted") {
     val dir = Files.createTempDirectory("mergenoop").toString
     val idx = s"$dir/idx"
