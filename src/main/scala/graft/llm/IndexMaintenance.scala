@@ -127,20 +127,31 @@ private[graft] object IndexMaintenance {
     */
   private val leaseKeys =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def leaseKey(spark: SparkSession, indexDir: String): String =
+  private def leaseKey(spark: SparkSession, indexDir: String): String = {
     // cached per raw spelling: [[fence]] runs on swap/publish hot paths
     // and must really pay only a map read — a fresh Hadoop conf +
     // FileSystem resolution per call would not be "the hot path pays
-    // nothing" (and a transient resolution failure would silently
-    // change the key mid-frame); bounded by distinct index dirs per JVM
-    leaseKeys.computeIfAbsent(indexDir, dir => {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      try p.getFileSystem(spark.sessionState.newHadoopConf())
-        .makeQualified(p).toString
-      // an unresolvable scheme falls back to Path's own normalization
-      // (still collapses slashes) rather than failing the acquire
-      catch { case _: java.io.IOException => p.toString }
-    })
+    // nothing"; bounded by distinct index dirs per JVM
+    val cached = leaseKeys.get(indexDir)
+    if (cached != null) cached
+    else {
+      val p = new org.apache.hadoop.fs.Path(indexDir)
+      try {
+        val k = p.getFileSystem(spark.sessionState.newHadoopConf())
+          .makeQualified(p).toString
+        leaseKeys.put(indexDir, k)
+        k
+      } catch {
+        // an unresolvable scheme falls back to Path's own normalization
+        // (still collapses slashes) rather than failing the acquire —
+        // but the fallback is NOT cached: pinning an alias-divergent
+        // key for the JVM's lifetime after one transient failure would
+        // permanently split one index across two heldLeases entries,
+        // silently bypassing the same-JVM second-writer refusal
+        case _: java.io.IOException => p.toString
+      }
+    }
+  }
 
   private def leasePath(indexDir: String) = s"$indexDir/_maintenance/_lease"
 
@@ -228,6 +239,19 @@ private[graft] object IndexMaintenance {
           Thread.sleep(100L)
           val now2 = System.currentTimeMillis()
           readLease(spark, path).foreach { case (owner2, expires2) =>
+            // an UNREADABLE re-read (IOException, not an unparsable
+            // line) is a sustained store-side failure, not a crashed
+            // holder: taking over on it could clobber a LIVE lease the
+            // store just cannot serve right now — fail loudly and let
+            // the caller retry instead (a vanished file reads None and
+            // proceeds; a crashed holder's torn CONTENT parses to
+            // expires=0 with its real owner and is taken over)
+            if (owner2 == "<unreadable>")
+              throw new IllegalStateException(
+                s"maintenance lease at $indexDir is unreadable (store " +
+                  "read failure on both acquisition reads) — refusing to " +
+                  "take over what may be a live holder's lease; retry " +
+                  "when the store serves reads again")
             require(expires2 <= now2,
               s"maintenance lease at $indexDir is held by $owner2 until " +
                 s"$expires2 (now $now2; the first read caught a renewal " +
@@ -707,7 +731,14 @@ private[graft] object IndexMaintenance {
     // rather than swap over the successor's work ([[fence]])
     fence(spark, indexDir)
     val journal = s"$indexDir/_compact/_swap_set"
-    val journalText = stages.mkString("\n")
+    // writer-unique first line (recovery skips '#' lines): swap-set
+    // journals for the SAME stage set are otherwise byte-identical
+    // across maintenance entries, and [[disarmOwnJournal]]'s content
+    // check could then delete a successor's live journal after a
+    // fence-abort + long unwind pause. (Pointer intents are naturally
+    // unique — generation numbers advance — so they need no token.)
+    val journalText = s"#writer=${java.util.UUID.randomUUID()}\n" +
+      stages.mkString("\n")
     Fs.writeString(spark, journal, journalText)
     var consumed = 0
     try stages.foreach { stage =>
@@ -869,9 +900,26 @@ private[graft] object IndexMaintenance {
     */
   def recoverStages(spark: SparkSession, indexDir: String,
       stages: Seq[String], swapMode: Option[String] = None): Unit =
-    if (pointerMode(spark, indexDir, swapMode))
+    if (pointerMode(spark, indexDir, swapMode)) {
       recoverByPointer(spark, indexDir, stages)
-    else recoverByRename(spark, indexDir, stages)
+      // BOTH protocols' journals can coexist on one layout: a pointer-
+      // governed index (say, lists flipped by a pointer retrain) still
+      // admits an explicit swapMode=rename compact of a stage that
+      // never flipped (the rename guard is per-STAGE), and that
+      // compact's crash leaves a rename set journal a pointer-mode
+      // dispatch would never replay — the stale-staged-copy discard
+      // hazard the merge-path convergence exists to close. One
+      // existence probe converges the other journal's members too.
+      if (Fs.isFile(spark, s"$indexDir/_compact/_swap_set"))
+        recoverByRename(spark, indexDir, Seq.empty)
+    } else {
+      recoverByRename(spark, indexDir, stages)
+      // symmetric (free in practice: an intent journal implies _ptr/
+      // exists, which makes pointerMode sticky-true — but an explicit
+      // swapMode=rename caller can still reach here with one up)
+      if (Fs.isFile(spark, s"$indexDir/_ptr/_intent"))
+        recoverByPointer(spark, indexDir, Seq.empty)
+    }
 
   /** Pointer-protocol recovery: (1) an intent journal left by a crashed
     * [[swapByPointer]] is REPLAYED — every journaled generation was
@@ -941,6 +989,10 @@ private[graft] object IndexMaintenance {
       if (Fs.isFile(spark, setJournal))
         Fs.readString(spark, setJournal).split("\n").toSeq
           .map(_.trim).filter(_.nonEmpty)
+          // '#' lines are writer metadata (the disarm-ownership token),
+          // not stage names; journals written before the token are all
+          // bare stage lines and parse unchanged
+          .filterNot(_.startsWith("#"))
       else Seq.empty
     (stages ++ journaled).distinct
       .foreach(stage => recoverOneByRename(spark, indexDir, stage))

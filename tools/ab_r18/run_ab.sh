@@ -34,7 +34,8 @@ for pair in 1 2 3; do
       java $AO $JOPTS -cp "$CP" graft.Bench \
       > "tools/ab_r18/ab_${side}_${pair}.jsonl" \
       2> "tools/ab_r18/ab_${side}_${pair}.log"
-    echo "[ab] pair $pair side $side done  $(date -u +%H:%M:%S) rc=$?"
+    rc=$?   # captured BEFORE the date substitution resets $?
+    echo "[ab] pair $pair side $side done  $(date -u +%H:%M:%S) rc=$rc"
   done
 done
 echo "[ab] all pairs complete"

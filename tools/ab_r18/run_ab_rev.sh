@@ -31,6 +31,7 @@ for side in r18 r16; do
     java $AO $JOPTS -cp "$CP" graft.Bench \
     > "tools/ab_r18/ab_${side}_4.jsonl" \
     2> "tools/ab_r18/ab_${side}_4.log"
-  echo "[ab-rev] side $side done  $(date -u +%H:%M:%S) rc=$?"
+  rc=$?   # captured BEFORE the date substitution resets $?
+  echo "[ab-rev] side $side done  $(date -u +%H:%M:%S) rc=$rc"
 done
 echo "[ab-rev] reversed pair complete"
