@@ -357,16 +357,24 @@ object DedupIndex {
     val deltaBands = bandsOfScheme(delta, nb, rb, prefixLenOf(spark, indexDir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // each stage append is fenced ([[IndexMaintenance.fence]]): the
+      // banding/probe jobs between appends can outlive the lease TTL on
+      // a large delta, and rows landed by a taken-over holder would be
+      // silently dropped when the successor's staged rewrite swaps in —
+      // heartbeat (or abort loudly) before every per-stage append; one
+      // map read and a clock compare on the fast path
       if (!done("pairs")) {
         val crossPairs = probe(spark, indexDir, delta)
           .select(least(col("batch_doc"), col("corpus_doc")).as("doc_a"),
             greatest(col("batch_doc"), col("corpus_doc")).as("doc_b"))
         val selfPairs = LlmQueries.lshSelfJoin(deltaBands)
+        IndexMaintenance.fence(spark, indexDir)
         crossPairs.unionByName(selfPairs).distinct()
           .write.mode(SaveMode.Append).parquet(stg(spark, indexDir, "pairs"))
         commit("pairs")
       }
       if (!done("bands")) {
+        IndexMaintenance.fence(spark, indexDir)
         deltaBands
           .write.mode(SaveMode.Append).partitionBy("bp")
           .parquet(stg(spark, indexDir, "bands"))
@@ -374,11 +382,13 @@ object DedupIndex {
       }
     } finally { deltaBands.unpersist(); () }
     if (!done("signatures")) {
+      IndexMaintenance.fence(spark, indexDir)
       LlmQueries.minhashSignatures(delta)
         .write.mode(SaveMode.Append).parquet(stg(spark, indexDir, "signatures"))
       commit("signatures")
     }
     if (!done("shingle_sets")) {
+      IndexMaintenance.fence(spark, indexDir)
       shingleSetsOf(delta)
         .write.mode(SaveMode.Append).parquet(stg(spark, indexDir, "shingle_sets"))
       commit("shingle_sets")

@@ -99,15 +99,21 @@ private[graft] object IndexMaintenance {
     * proceed — the lease turns the silent-corruption ASSUMPTION into an
     * enforced contract for the realistic conflict (overlapping
     * schedules, a human and a cron), not into a distributed lock
-    * service. Readers never touch it.
+    * service. Readers never touch it. The expired-lease takeover
+    * double-read separates a crashed holder from a live holder's
+    * mid-write renewal only when the renewal completes within one
+    * probe beat (`spark.graft.index.leaseProbeMs`, default 100 ms) —
+    * on a store whose small-file writes can stall longer, raise the
+    * beat or the false-takeover window widens.
     *
     * TTL overrun is handled by [[fence]]: every swap/publish point
     * inside a lease body re-checks ownership first — a holder still
     * inside its TTL heartbeat-renews (so a pass longer than the TTL
     * keeps its lease), and a holder whose expired lease was taken over
     * aborts LOUDLY before publishing anything over the successor's
-    * work (the unfenced-zombie hazard, closed at the only writes that
-    * could corrupt).
+    * work (the unfenced-zombie hazard, closed at every write that
+    * could corrupt: swap/publish points, staged stage rewrites, and
+    * the per-stage merge appends).
     */
   private final class LeaseState(val threadId: Long, val owner: String) {
     // the expiry WE last wrote — [[fence]] compares against it to decide
@@ -147,8 +153,20 @@ private[graft] object IndexMaintenance {
         // but the fallback is NOT cached: pinning an alias-divergent
         // key for the JVM's lifetime after one transient failure would
         // permanently split one index across two heldLeases entries,
-        // silently bypassing the same-JVM second-writer refusal
-        case _: java.io.IOException => p.toString
+        // silently bypassing the same-JVM second-writer refusal.
+        // What CAN be normalized without the FileSystem still is: a
+        // local `file:` scheme spelling collapses to its bare path
+        // component, so "file:///x" and "/x" land on ONE fallback key
+        // while the resolution is down instead of both spellings
+        // reaching the non-atomic file protocol (a scheme-bearing
+        // remote URI keeps scheme+authority — two clusters' /x must
+        // not collide).
+        case _: java.io.IOException =>
+          val u = p.toUri
+          if ((u.getScheme == null || u.getScheme == "file") &&
+              (u.getAuthority == null || u.getAuthority.isEmpty) &&
+              u.getPath != null && u.getPath.nonEmpty) u.getPath
+          else p.toString
       }
     }
   }
@@ -236,7 +254,14 @@ private[graft] object IndexMaintenance {
           // microseconds while a genuinely crashed lease stays
           // expired/torn forever, so one beat and a re-read separates
           // the two: take over only if the lease STILL reads expired.
-          Thread.sleep(100L)
+          // The beat is `spark.graft.index.leaseProbeMs` (default 100):
+          // on a store whose small-file writes can stall past the beat
+          // a live holder's renewal can still read expired twice and be
+          // falsely taken over — size the beat above the store's
+          // worst-case small-write latency (see the class docstring's
+          // best-effort contract; there is no compare-and-swap here).
+          Thread.sleep(spark.conf
+            .get("spark.graft.index.leaseProbeMs", "100").trim.toLong)
           val now2 = System.currentTimeMillis()
           readLease(spark, path).foreach { case (owner2, expires2) =>
             // an UNREADABLE re-read (IOException, not an unparsable
@@ -273,20 +298,57 @@ private[graft] object IndexMaintenance {
         // file is ours by contract and is deleted without reading it —
         // the common case pays no read and cannot be wedged by a
         // transient read failure. A holder that OVERRAN its TTL may
-        // have been taken over: then delete only if the file still
-        // carries our owner token. That check-then-delete is
-        // best-effort (a takeover landing inside the read-delete gap
-        // can still lose its lease — closing it needs a
-        // compare-and-delete primitive the portable FS API lacks), but
-        // it shrinks the exposure from the whole overrun duration to
-        // that gap, and errs conservative on an unreadable file (left
-        // in place; the TTL clears a genuinely dead one).
-        if (System.currentTimeMillis() < mine.expiresAt ||
-            leaseOwnerOf(spark, path).contains(mine.owner))
+        // have been taken over; the overrun release must then never
+        // delete a successor's LIVE lease ([[releaseOverrun]]).
+        if (System.currentTimeMillis() < mine.expiresAt)
           Fs.delete(spark, path)
+        else releaseOverrun(spark, indexDir, path, mine.owner)
       } else heldLeases.remove(key, mine)
     }
   }
+
+  /** Release a lease whose holder OVERRAN its TTL — a successor may
+    * legitimately hold the file now ([[withLease]] takeover), and the
+    * release must not delete that live lease. On rename-capable stores
+    * this CLAIMS by rename first: the lease file is atomically moved
+    * to a release-unique name, read there (its content can no longer
+    * change under us — the claim IS the missing compare primitive),
+    * and either deleted (still ours: nobody took over) or renamed
+    * straight back (a successor's live lease, restored intact, with an
+    * unreadable claim treated as not-ours — conservative). A takeover
+    * racing this release can thus never LOSE its lease: the only
+    * exposure left is the one rename round-trip in which the file sits
+    * under the claim name, where a fresh acquire would see no lease —
+    * the same no-create-if-absent caveat the acquire path already
+    * documents, shrunk from the whole read-delete gap. Should the
+    * restore rename itself fail (the path re-occupied by an even newer
+    * lease inside that round-trip — already a double-writer state),
+    * the claim file is left as inert garbage (acquires never read
+    * `*.releasing.*` names) and the successor's own heartbeat
+    * ([[fence]]) re-materializes its lease file.
+    *
+    * On the [[graft.util.Fs.atomicRename]] deny-list (object stores,
+    * where rename is a non-atomic copy+delete that could itself tear
+    * the live lease) the claim is unavailable, and the release falls
+    * back to best-effort read-then-delete: delete only if the file
+    * still carries our owner token. A takeover landing inside THAT
+    * read-delete gap can still lose its lease — the documented
+    * residual, now confined to stores without an atomic rename.
+    */
+  private def releaseOverrun(spark: SparkSession, indexDir: String,
+      path: String, owner: String): Unit =
+    if (Fs.atomicRename(spark, indexDir)) {
+      val claim = s"$path.releasing.${java.util.UUID.randomUUID()}"
+      if (Fs.rename(spark, path, claim)) {
+        val claimedOwner = try Fs.readString(spark, claim).split("\n")
+            .toSeq.map(_.trim)
+            .collectFirst { case l if l.startsWith("owner=") => l.drop(6) }
+          catch { case _: java.io.IOException => None }
+        if (claimedOwner.contains(owner)) Fs.delete(spark, claim)
+        else if (!Fs.rename(spark, claim, path)) ()
+      }
+    } else if (leaseOwnerOf(spark, path).contains(owner))
+      Fs.delete(spark, path)
 
   /** FENCE a maintenance write against a TTL-overrun takeover — the
     * zombie-writer hole [[withLease]] alone leaves open: a holder that
@@ -295,8 +357,11 @@ private[graft] object IndexMaintenance {
     * jobs from publishing a pointer or swap AFTER the successor's own —
     * the classic unfenced-zombie corruption. Every swap/publish point
     * ([[swapByPointer]]'s journal write, [[flipPointers]],
-    * [[swapByRename]]'s set journal, each [[swapOneByRename]]) and each
-    * [[compactStages]] stage rewrite therefore calls this first:
+    * [[swapByRename]]'s set journal, each [[swapOneByRename]]), each
+    * [[compactStages]] stage rewrite, and each per-stage merge append
+    * ([[DedupIndex.merge]], [[VectorIndex.mergeIvf]]/
+    * [[VectorIndex.mergePq]] — appends a successor's staged rewrite
+    * would otherwise silently drop) therefore calls this first:
     *
     *  - lease still LIVE and not near expiry: no successor can exist
     *    (takeover requires expiry) — return at the cost of one map read
@@ -316,11 +381,15 @@ private[graft] object IndexMaintenance {
     *
     * No active lease frame for `indexDir` (spec-level direct calls to
     * the swap mechanics) fences nothing — the contract is scoped to
-    * [[withLease]] bodies.
+    * [[withLease]] bodies. A frame held by a DIFFERENT thread is
+    * treated the same way: the caller owns nothing, so renewing (or
+    * aborting against) the holder's lease on its behalf would extend
+    * a TTL from a thread outside the lease contract — only the owning
+    * thread's re-entrant frames fence.
     */
   private[graft] def fence(spark: SparkSession, indexDir: String): Unit = {
     val st = heldLeases.get(leaseKey(spark, indexDir))
-    if (st == null) return
+    if (st == null || st.threadId != Thread.currentThread().getId) return
     val now = System.currentTimeMillis()
     val ttl = spark.conf.get("spark.graft.index.leaseMs", "900000")
       .trim.toLong

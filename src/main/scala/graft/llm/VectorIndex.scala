@@ -236,12 +236,19 @@ object VectorIndex {
       // of this merge rewrites it byte-equivalently (invalidation above
       // keeps search on the fallback until the pending record is
       // consumed by alignPqToLists).
+      // fenced per append: the assignment job above can outlive the
+      // lease TTL on a large delta, and rows landed by a taken-over
+      // holder would be silently dropped when the successor's staged
+      // rewrite swaps in — heartbeat (or abort loudly) before each
+      // write, one map read on the fast path ([[IndexMaintenance.fence]])
+      IndexMaintenance.fence(spark, indexDir)
       assignedP.select(col("vec_id"), col("c_id"))
         .coalesce(1)
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$indexDir/_align_pending/lists/pid=${pendingId(mergeId)}")
       // task-per-list alignment, as in build — a delta append otherwise
       // scatters up to tasks×lists files into the layout per merge
+      IndexMaintenance.fence(spark, indexDir)
       assignedP.repartition(col("c_id")).write.mode(SaveMode.Append)
         .partitionBy("c_id").parquet(stg(spark, indexDir, "lists"))
     } finally { assignedP.unpersist(); () }
@@ -1226,9 +1233,13 @@ object VectorIndex {
       // the mergeIvf provenance recipe on the code side: the delta's
       // codes land under a per-merge pid= partition so the re-align is
       // an O(delta) join of the two pending frames, never a corpus scan
+      // fenced per append, as in [[mergeIvf]]: heartbeat or abort
+      // before rows a successor's staged rewrite would silently drop
+      IndexMaintenance.fence(spark, indexDir)
       deltaCodes.coalesce(1)
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$indexDir/_align_pending/codes/pid=${pendingId(mergeId)}")
+      IndexMaintenance.fence(spark, indexDir)
       deltaCodes
         .write.mode(SaveMode.Append).parquet(stg(spark, indexDir, "pq_codes"))
     } finally { deltaCodes.unpersist(); () }

@@ -1246,4 +1246,118 @@ class DedupIndexSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("tombstoned"), ex.getMessage)
   }
+
+  test("fence from a non-holding thread neither renews nor aborts another thread's lease") {
+    val idx = Files.createTempDirectory("fencefgn").toString
+    val leaseFile = s"$idx/_maintenance/_lease"
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    @volatile var holderFailed: Option[Throwable] = None
+    // TTL 0: the holder's lease is expired the moment it is written, so
+    // a fence that DID act would renew (no successor) or abort (with
+    // one) — the two misbehaviors a foreign thread must not produce
+    spark.conf.set("spark.graft.index.leaseMs", "0")
+    val holder = new Thread(() =>
+      try IndexMaintenance.withLease(spark, idx) {
+        started.countDown(); release.await()
+      } catch { case t: Throwable => holderFailed = Some(t); started.countDown() })
+    holder.start()
+    started.await()
+    try {
+      assert(holderFailed.isEmpty, s"holder thread failed: $holderFailed")
+      val before = graft.util.Fs.readString(spark, leaseFile)
+      // a thread that holds nothing calls fence (a spec-level direct
+      // call to swap mechanics): it must NOT heartbeat-renew the
+      // holder's expired lease on its behalf
+      IndexMaintenance.fence(spark, idx)
+      assert(graft.util.Fs.readString(spark, leaseFile) == before,
+        "a foreign thread's fence renewed the holder's lease")
+      // nor abort against a successor it never raced: with a foreign
+      // frame present, fence must behave like the no-frame case
+      graft.util.Fs.writeString(spark, leaseFile,
+        s"owner=successor-driver/thread-9\nexpires=${System.currentTimeMillis() + 3600000L}")
+      IndexMaintenance.fence(spark, idx) // must not throw
+      assert(graft.util.Fs.readString(spark, leaseFile)
+        .contains("successor-driver"), "foreign fence touched the lease")
+    } finally {
+      spark.conf.unset("spark.graft.index.leaseMs")
+      release.countDown(); holder.join()
+    }
+  }
+
+  test("an overrun release with no successor claims by rename, deletes its own lease, and leaves no claim litter") {
+    val idx = Files.createTempDirectory("leaseclaim").toString
+    // TTL 0 forces the overrun-release path (the live fast path never
+    // reads); on this rename-capable store it must go through the
+    // claim-by-rename protocol and still fully clean up after itself
+    spark.conf.set("spark.graft.index.leaseMs", "0")
+    try IndexMaintenance.withLease(spark, idx) { () }
+    finally spark.conf.unset("spark.graft.index.leaseMs")
+    val files = Option(new java.io.File(s"$idx/_maintenance").list())
+      .getOrElse(Array.empty[String])
+    assert(!files.exists(_.startsWith("_lease")),
+      s"overrun release left lease litter: ${files.mkString(",")}")
+  }
+
+  test("the takeover probe beat honors spark.graft.index.leaseProbeMs (a slow store's renewal is not falsely taken over)") {
+    val dir = Files.createTempDirectory("leaseprobe").toString
+    val lease = s"$dir/_maintenance/_lease"
+    // first read sees a TORN lease; the stand-in holder's renewal lands
+    // ~150ms later — PAST the default 100ms beat (a small-file write
+    // stalling on a slow store), but inside the widened 600ms one
+    graft.util.Fs.writeString(spark, lease,
+      "owner=live-holder/thread-3\nexpires=")
+    spark.conf.set("spark.graft.index.leaseProbeMs", "600")
+    val renewer = new Thread(() => {
+      Thread.sleep(150L)
+      graft.util.Fs.writeString(spark, lease,
+        s"owner=live-holder/thread-3\nexpires=${System.currentTimeMillis() + 3600000L}")
+    })
+    renewer.start()
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        IndexMaintenance.withLease(spark, dir) {
+          fail("contender acquired over a slow live renewal inside the widened beat")
+        }
+      }
+      assert(ex.getMessage.contains("lease"), ex.getMessage)
+      assert(graft.util.Fs.readString(spark, lease).contains("live-holder"),
+        "the contender clobbered the slow holder's lease")
+    } finally {
+      renewer.join()
+      spark.conf.unset("spark.graft.index.leaseProbeMs")
+    }
+  }
+
+  test("a merge's per-stage appends are fenced: a taken-over holder aborts before landing rows") {
+    val dir = Files.createTempDirectory("mergefence").toString
+    val idx = s"$dir/idx"
+    DedupIndex.build(corpus.where($"doc_id" % 3 =!= 2), idx)
+    val delta = corpus.where($"doc_id" % 3 === 2)
+    val sigsBefore = spark.read.parquet(s"$idx/signatures").count()
+    val pairsBefore = spark.read.parquet(s"$idx/pairs").count()
+    val leaseFile = s"$idx/_maintenance/_lease"
+    spark.conf.set("spark.graft.index.leaseMs", "0")
+    try {
+      val ex = intercept[IllegalStateException] {
+        IndexMaintenance.withLease(spark, idx) {
+          // a successor legitimately takes over the expired lease while
+          // this (overrunning) pass is still working; the pass then
+          // merges a delta — re-entrant on the same thread, so the
+          // merge runs inside the taken-over frame and its first
+          // per-stage fence must abort BEFORE any append lands
+          graft.util.Fs.writeString(spark, leaseFile,
+            s"owner=successor-driver/thread-9\nexpires=${System.currentTimeMillis() + 3600000L}")
+          DedupIndex.merge(spark, idx, delta)
+        }
+      }
+      assert(ex.getMessage.contains("lease"), ex.getMessage)
+    } finally spark.conf.unset("spark.graft.index.leaseMs")
+    assert(spark.read.parquet(s"$idx/signatures").count() == sigsBefore,
+      "the fenced merge still appended signature rows")
+    assert(spark.read.parquet(s"$idx/pairs").count() == pairsBefore,
+      "the fenced merge still appended pair rows")
+    assert(graft.util.Fs.readString(spark, leaseFile)
+      .contains("successor-driver"), "the successor's lease was clobbered")
+  }
 }
