@@ -479,6 +479,16 @@ private[graft] object IndexMaintenance {
     if (Fs.isFile(spark, ptr)) Some(Fs.readString(spark, ptr).trim) else None
   }
 
+  /** The stage's CURRENT generation number — 0 for a stage that never
+    * pointer-swapped (the bare pre-pointer layout counts as generation
+    * zero, exactly as [[stagePathAsOf]] resolves it). What a flip's
+    * caller uses to key artifacts it retains alongside the superseded
+    * generation ([[VectorIndex.retrainIvf]]'s aligned-code retention).
+    */
+  private[graft] def liveGenNumber(spark: SparkSession, indexDir: String,
+      stage: String): Long =
+    currentGen(spark, indexDir, stage).map(_.drop(1).toLong).getOrElse(0L)
+
   /** SNAPSHOT-consistent resolution of a SET of stages — the reader-side
     * companion to the pointer protocol's flip journal. A multi-stage
     * reader ([[VectorIndex.searchIvfPq]] composes centroids + lists +
@@ -923,7 +933,7 @@ private[graft] object IndexMaintenance {
     * entered — with the default 1, a reader is safe unless it spans
     * two whole maintenance cycles.
     */
-  private def retainGens(spark: SparkSession): Int =
+  private[graft] def retainGens(spark: SparkSession): Int =
     spark.conf.get("spark.graft.index.retainGens", "1").trim.toInt.max(0)
 
   /** Publish each (stage → generation) flip. The superseded copy is

@@ -315,12 +315,95 @@ object VectorIndex {
     * by the full rebuild the next align runs (which also supersedes and
     * clears any pending records).
     */
-  private[graft] def invalidateAligned(spark: SparkSession, indexDir: String): Unit =
+  private[graft] def invalidateAligned(spark: SparkSession, indexDir: String): Unit = {
     graft.util.Fs.delete(spark, s"$indexDir/pq_codes_by_list/_SUCCESS")
+    // A RETAINED historical copy keyed by the CURRENT coarse generation
+    // can only exist after a retrain that retained the artifact but
+    // crashed before its pointer flip ([[retainAligned]]) — the pair it
+    // names is then still live and still growing, and the mutation
+    // landing now makes that frozen copy stale for it. Its serving gate
+    // drops with the live one; the one-probe guard keeps the common
+    // no-history path at a single existence check.
+    if (graft.util.Fs.exists(spark, s"$indexDir/_gen/pq_codes_by_list")) {
+      val cur = IndexMaintenance.liveGenNumber(spark, indexDir, "lists")
+      graft.util.Fs.delete(spark,
+        s"$indexDir/_gen/pq_codes_by_list/g$cur/_RETAINED")
+    }
+  }
 
-  /** The hard form, for content-REMOVING mutations (compacts). */
+  /** The hard form, for content-REMOVING mutations of the LIVE stages
+    * ([[retrainIvf]]'s re-key when nothing is retainable): rows that no
+    * longer exist upstream cannot be reconciled by an append, only by
+    * the full rebuild the next [[alignPqToLists]] runs.
+    */
   private def dropAligned(spark: SparkSession, indexDir: String): Unit =
     graft.util.Fs.delete(spark, s"$indexDir/pq_codes_by_list")
+
+  /** [[dropAligned]] plus every RETAINED historical copy — for the
+    * tombstone-FOLDING compacts: a fold retires the tombstone set, and
+    * a frozen historical code copy written before the fold still
+    * carries the deleted rows, so serving it afterwards would
+    * resurrect them (the membership-join historical plan stays exact —
+    * its codes side is the folded LIVE table). History then falls back
+    * to the membership join, the l80 discipline; conservative for a
+    * tombstone-free compact, and stated in [[compactIvf]]'s docs.
+    */
+  private def dropAlignedAll(spark: SparkSession, indexDir: String): Unit = {
+    dropAligned(spark, indexDir)
+    graft.util.Fs.delete(spark, s"$indexDir/_gen/pq_codes_by_list")
+  }
+
+  /** RETAIN the aligned code artifact alongside the coarse pair a
+    * [[retrainIvf]] flip supersedes — closing the one asymptotic gap
+    * the historical IVFADC read had: `pq_codes_by_list` is keyed by
+    * the superseding quantizer's c_ids only AFTER a re-align, but the
+    * copy that exists AT the flip is keyed by the SUPERSEDED
+    * quantizer's c_ids — exactly the key space a depth-1 historical
+    * read probes — so instead of dropping it, the retrain moves it to
+    * `_gen/pq_codes_by_list/g<N>` (N = the coarse pair's generation
+    * number being superseded, lockstep with `_gen/lists/gN`) and
+    * [[searchIvfPqAsOf]] serves the probe-pruned aligned scan at depth,
+    * falling back to the membership join when no copy was retained.
+    *
+    * Retainable only when the artifact's `_SUCCESS` gate is up (in
+    * sync with the live lists — any unreconciled merge already dropped
+    * the gate) and the flip is pointer-protocol (rename-protocol swaps
+    * retain no history at all). The move is gate-bracketed for
+    * crash-safety on stores whose rename is not atomic: `_SUCCESS` is
+    * dropped first (live reads fall back during the move), and the
+    * retained copy serves only once its own `_RETAINED` gate lands
+    * after the rename — a torn move leaves an ungated directory the
+    * next retention attempt deletes. A rename FAILURE degrades to the
+    * plain drop (leaving a re-keyed artifact in place would let the
+    * next align's no-pending branch re-gate stale c_ids). A retained
+    * copy whose flip never happened (retrain crashed before the swap)
+    * is un-gated by the next mutation of its still-live pair
+    * ([[invalidateAligned]]). Retention budget: the same
+    * `spark.graft.index.retainGens` window the coarse generations
+    * keep — history the lists no longer serve is useless to the codes.
+    */
+  private def retainAligned(spark: SparkSession, indexDir: String,
+      swapMode: Option[String]): Unit = {
+    val alignedDir = s"$indexDir/pq_codes_by_list"
+    val keepRoot = s"$indexDir/_gen/pq_codes_by_list"
+    val retain = IndexMaintenance.retainGens(spark)
+    if (retain > 0 &&
+        IndexMaintenance.pointerMode(spark, indexDir, swapMode) &&
+        graft.util.Fs.isFile(spark, s"$alignedDir/_SUCCESS")) {
+      val n = IndexMaintenance.liveGenNumber(spark, indexDir, "lists")
+      val keep = s"$keepRoot/g$n"
+      graft.util.Fs.delete(spark, keep) // a torn copy from a crashed attempt
+      graft.util.Fs.delete(spark, s"$alignedDir/_SUCCESS")
+      if (graft.util.Fs.rename(spark, alignedDir, keep))
+        graft.util.Fs.touch(spark, s"$keep/_RETAINED")
+      else dropAligned(spark, indexDir)
+      // trim beyond the retention window, newest-first — mirrors the
+      // coarse generations' own hygiene budget
+      graft.util.Fs.listDirNames(spark, keepRoot)
+        .sortBy(g => -g.drop(1).toLong).drop(retain)
+        .foreach(g => graft.util.Fs.delete(spark, s"$keepRoot/$g"))
+    } else dropAligned(spark, indexDir)
+  }
 
   /** COMPACT a persisted IVF index in place — [[DedupIndex.compact]]'s
     * maintenance discipline applied to the embedding side. Every
@@ -343,8 +426,11 @@ object VectorIndex {
     // a crashed-merge duplicate row this rewrite removes from the lists
     // could survive in the aligned code table and double-count that
     // vector's ADC partial sums — drop the artifact first (removed rows
-    // cannot be reconciled by an append; see [[invalidateAligned]])
-    dropAligned(spark, indexDir)
+    // cannot be reconciled by an append; see [[invalidateAligned]]),
+    // and the RETAINED historical copies with it: the tombstone fold
+    // this compact may complete retires ids those frozen copies still
+    // carry ([[dropAlignedAll]])
+    dropAlignedAll(spark, indexDir)
     val observed = Tombstones.beginFold(spark, indexDir)
     val allFolded = IndexMaintenance.compactStages(spark, indexDir,
       Seq("lists"), targetFiles,
@@ -363,7 +449,7 @@ object VectorIndex {
   def compactPq(spark: SparkSession, indexDir: String,
       targetFiles: Int = 8, swapMode: Option[String] = None): Unit =
       IndexMaintenance.withLease(spark, indexDir) {
-    dropAligned(spark, indexDir)
+    dropAlignedAll(spark, indexDir)
     val observed = Tombstones.beginFold(spark, indexDir)
     val allFolded = IndexMaintenance.compactStages(spark, indexDir,
       Seq("pq_codes"),
@@ -414,7 +500,7 @@ object VectorIndex {
   def compact(spark: SparkSession, indexDir: String, targetFiles: Int = 8,
       swapMode: Option[String] = None): Unit =
       IndexMaintenance.withLease(spark, indexDir) {
-    dropAligned(spark, indexDir)
+    dropAlignedAll(spark, indexDir)
     val observed = Tombstones.beginFold(spark, indexDir)
     val stages = Seq("lists", "pq_codes")
       .filter(st => graft.util.Fs.exists(spark, stg(spark, indexDir, st)))
@@ -452,10 +538,15 @@ object VectorIndex {
     * and its recovery (a completed call has no such window for readers
     * that resolve each search from the final directories). The PQ code
     * table is quantizer-independent and survives as-is; the ALIGNED
-    * code layout is keyed by c_id and is dropped whole, with any
-    * pending provenance (superseded by the rebuild the next
-    * [[alignPqToLists]] runs). Merge markers are cleared — a replayed
-    * old mergeId afterwards fails loudly on the id-overlap guard.
+    * code layout is keyed by c_id, so the live view drops it — but a
+    * gate-complete copy is keyed by exactly the quantizer this flip
+    * supersedes, and a POINTER retrain therefore RETAINS it next to
+    * the superseded coarse pair ([[retainAligned]]) for
+    * [[searchIvfPqAsOf]]'s historical fast path, dropping it only when
+    * nothing valid is in hand; pending provenance is superseded by the
+    * rebuild the next [[alignPqToLists]] runs. Merge markers are
+    * cleared — a replayed old mergeId afterwards fails loudly on the
+    * id-overlap guard.
     */
   def retrainIvf(spark: SparkSession, indexDir: String,
       lloydIters: Int = 0, swapMode: Option[String] = None): Unit =
@@ -510,8 +601,12 @@ object VectorIndex {
       withParts
         .repartition(partCols.map(col): _*).write.mode(SaveMode.Overwrite)
         .partitionBy(partCols: _*).parquet(stagedLists)
-      // the re-key invalidates every c_id-keyed derivative
-      dropAligned(spark, indexDir)
+      // the re-key invalidates every c_id-keyed derivative for the LIVE
+      // view — but the copy in hand is keyed by the quantizer this flip
+      // SUPERSEDES, i.e. exactly the historical read's key space, so a
+      // gate-complete artifact is retained next to the superseded
+      // coarse pair instead of dropped ([[retainAligned]])
+      retainAligned(spark, indexDir, swapMode)
       graft.util.Fs.delete(spark, s"$indexDir/_align_pending")
       IndexMaintenance.swapStages(spark, indexDir, stages, swapMode)
       graft.util.Fs.delete(spark, s"$indexDir/_compact")
@@ -991,7 +1086,40 @@ object VectorIndex {
     searchIvfPqOver(spark, indexDir,
       IndexMaintenance.snapshotStages(spark, indexDir,
         Seq("centroids", "pq_codebook", "lists", "pq_codes")),
-      queries, nprobe, topk, allowAligned = true)
+      queries, nprobe, topk, aligned = liveAligned(spark, indexDir))
+
+  /** The LIVE aligned code layout, when its serving gate is up — the
+    * [[alignPqToLists]] artifact, exact for the current lists by the
+    * invalidation discipline.
+    */
+  private def liveAligned(spark: SparkSession, indexDir: String): Option[String] = {
+    val d = s"$indexDir/pq_codes_by_list"
+    if (graft.util.Fs.isFile(spark, s"$d/_SUCCESS")) Some(d) else None
+  }
+
+  /** The RETAINED aligned code layout for the coarse generation a
+    * historical read resolved — [[retainAligned]]'s artifact, keyed by
+    * that generation's own quantizer. The generation number is parsed
+    * from the seqlock-resolved historical lists path itself (bare path
+    * = generation zero), so the aligned copy can never pair with a
+    * different flip than the lists it serves next to. Absent (never
+    * retained, GC'd, un-gated by a mutation, or disabled via
+    * `spark.graft.index.alignedAsOf=off` — the operator escape hatch
+    * to the always-correct membership join) returns None.
+    */
+  private def alignedAsOf(spark: SparkSession, indexDir: String,
+      histListsPath: String): Option[String] = {
+    if (spark.conf.get("spark.graft.index.alignedAsOf", "on").trim == "off")
+      return None
+    val marker = "/_gen/lists/"
+    val gen =
+      if (histListsPath.contains(marker))
+        histListsPath.substring(
+          histListsPath.lastIndexOf('/') + 1)
+      else "g0"
+    val d = s"$indexDir/_gen/pq_codes_by_list/$gen"
+    if (graft.util.Fs.isFile(spark, s"$d/_RETAINED")) Some(d) else None
+  }
 
   /** TIME-TRAVEL IVFADC search: [[searchIvfPq]] against the index as it
     * was `back` coarse-pair pointer flips ago — [[searchIvfAsOf]] for
@@ -1009,20 +1137,32 @@ object VectorIndex {
     * (membership scopes them out), and CURRENT tombstones still filter
     * — a takedown beats time travel on every axis.
     *
-    * The ALIGNED code layout is always BYPASSED here (the l80
-    * fallback): `pq_codes_by_list` is keyed by the CURRENT quantizer's
-    * c_ids — against a historical coarse pair its partitions are a
-    * different key space, so the historical read takes the
-    * membership-join plan, whose membership side is the probe-pruned
-    * HISTORICAL lists. Bounded loudly by what retention kept; the
-    * error names the widening knob (`spark.graft.index.retainGens`).
+    * The ALIGNED code layout: the LIVE `pq_codes_by_list` is keyed by
+    * the CURRENT quantizer's c_ids — against a historical coarse pair
+    * its partitions are a different key space, so it is never consulted
+    * at depth. But each pointer retrain RETAINS the gate-complete
+    * aligned copy next to the pair it supersedes
+    * ([[retainAligned]] — that copy is keyed by the superseded
+    * quantizer, exactly this read's key space), so a historical read
+    * whose depth retention kept serves the probe-pruned aligned scan
+    * with no membership join at all — the live read's asymptotics on
+    * the historical axis. When no copy was retained (pre-retention
+    * history, a merge landed before the flip re-aligned, a compaction
+    * fold dropped history, or `spark.graft.index.alignedAsOf=off`),
+    * the read falls back to the membership-join plan, whose membership
+    * side is the probe-pruned HISTORICAL lists (the l80 discipline).
+    * Bounded loudly by what retention kept; the error names the
+    * widening knob (`spark.graft.index.retainGens`).
     */
   def searchIvfPqAsOf(spark: SparkSession, indexDir: String,
-      queries: DataFrame, nprobe: Int, topk: Int, back: Int): DataFrame =
-    searchIvfPqOver(spark, indexDir,
-      IndexMaintenance.snapshotStagesMixed(spark, indexDir,
-        Seq("centroids", "lists"), back, Seq("pq_codebook", "pq_codes")),
-      queries, nprobe, topk, allowAligned = back == 0)
+      queries: DataFrame, nprobe: Int, topk: Int, back: Int): DataFrame = {
+    val snap = IndexMaintenance.snapshotStagesMixed(spark, indexDir,
+      Seq("centroids", "lists"), back, Seq("pq_codebook", "pq_codes"))
+    searchIvfPqOver(spark, indexDir, snap, queries, nprobe, topk,
+      aligned =
+        if (back == 0) liveAligned(spark, indexDir)
+        else alignedAsOf(spark, indexDir, snap("lists")))
+  }
 
   /** BATCH-AXIS time travel for the STREAMED IVFADC layout
     * ([[graft.streaming.VecStream]] with `pqCodes = true`:
@@ -1056,21 +1196,24 @@ object VectorIndex {
     searchIvfPqOver(spark, indexDir,
       IndexMaintenance.snapshotStages(spark, indexDir,
         Seq("centroids", "pq_codebook", "lists", "pq_codes")),
-      queries, nprobe, topk, allowAligned = false,
+      queries, nprobe, topk, aligned = None,
       listsFilter = sliced("lists"), codesFilter = sliced("codes"))
   }
 
   /** The [[searchIvfPq]] serving plan over an already-resolved
     * four-stage snapshot — shared by the live, generation-asOf and
-    * batch-asOf reads so the three cannot drift. `allowAligned` gates
-    * the `pq_codes_by_list` fast path (live reads only — the artifact
-    * is keyed by the CURRENT quantizer's c_ids and carries no batch
-    * layer); `listsFilter`/`codesFilter` scope the two grown halves
-    * (the batch-axis partition filters); identity for live reads.
+    * batch-asOf reads so the three cannot drift. `aligned` is the
+    * gate-verified aligned code directory to serve, when one exists
+    * for the resolved snapshot: the live artifact ([[liveAligned]]),
+    * a retained historical copy ([[alignedAsOf]]), or None for the
+    * membership-join plan (always the batch axis — the aligned layout
+    * carries no batch_id layer); `listsFilter`/`codesFilter` scope the
+    * two grown halves (the batch-axis partition filters); identity for
+    * live reads.
     */
   private def searchIvfPqOver(spark: SparkSession, indexDir: String,
       snap: Map[String, String], queries: DataFrame,
-      nprobe: Int, topk: Int, allowAligned: Boolean,
+      nprobe: Int, topk: Int, aligned: Option[String],
       listsFilter: DataFrame => DataFrame = identity,
       codesFilter: DataFrame => DataFrame = identity): DataFrame = {
     val cent = spark.read.parquet(snap("centroids"))
@@ -1095,21 +1238,23 @@ object VectorIndex {
     val adc = qsubs.join(broadcast(codebook), Seq("sub_id"))
       .select(col("query_id"), col("sub_id"), col("c_id").as("code"),
         floor(dot(col("qs"), col("cs")) * 1e6 + 0.5).cast("long").as("ip_part"))
-    val aligned = allowAligned &&
-      graft.util.Fs.isFile(spark, s"$indexDir/pq_codes_by_list/_SUCCESS")
     val perCode =
-      if (aligned) {
-        // the aligned layout: the probes join keys on the partition
-        // column, so the code scan plans only the probed c_id=
-        // directories and membership needs no second table at all.
+      aligned match {
+        case Some(alignedDir) =>
+        // the aligned layout (live or retained-at-depth): the probes
+        // join keys on the partition column, so the code scan plans
+        // only the probed c_id= directories and membership needs no
+        // second table at all.
         // Tombstone-filtered: the aligned artifact is NOT invalidated
-        // by a delete — the anti-join keeps it exact until the fold.
+        // by a delete — the anti-join keeps it exact until the fold
+        // (and the fold drops retained copies, [[dropAlignedAll]]).
         val codesByList = Tombstones.filter(spark, indexDir,
-          spark.read.parquet(s"$indexDir/pq_codes_by_list"), Seq("vec_id"))
+          spark.read.parquet(alignedDir), Seq("vec_id"))
         probes.join(codesByList, Seq("c_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             col("sub_id"), col("code"))
-      } else {
+        case None =>
+        {
         // fallback: membership from the pruned lists (two columns),
         // codes joined by a plain keyed shuffle; tombstone-filtering
         // membership covers the codes side too (deleted ids never join)
@@ -1121,6 +1266,7 @@ object VectorIndex {
           .select(col("query_id"), col("neighbor_id"))
           .join(codes, col("neighbor_id") === col("vec_id"))
           .select(col("query_id"), col("neighbor_id"), col("sub_id"), col("code"))
+        }
       }
     val scored = perCode
       .join(broadcast(adc), Seq("query_id", "sub_id", "code"))

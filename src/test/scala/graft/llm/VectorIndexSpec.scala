@@ -987,4 +987,128 @@ class VectorIndexSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("batch_id"), ex.getMessage)
   }
+
+  /** The aligned-at-depth fixture: base+delta merged into BOTH halves,
+    * THEN aligned (gate-complete over the union — exactly the artifact
+    * the upcoming flip supersedes), pointer-retrained, re-aligned.
+    */
+  private def retainedFixture(dir: String): (String,
+      org.apache.spark.sql.DataFrame,
+      Seq[(Long, Int, Long, Long)]) = {
+    val idx = s"$dir/idx"
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = embs.where($"vec_id" >= 10)
+    VectorIndex.buildIvf(corpus.where($"vec_id" % 9 =!= 5), idx)
+    VectorIndex.buildPq(corpus.where($"vec_id" % 9 =!= 5), idx)
+    VectorIndex.mergeIvf(spark, idx, corpus.where($"vec_id" % 9 === 5),
+      mergeId = Some("ret-ivf"))
+    VectorIndex.mergePq(spark, idx, corpus.where($"vec_id" % 9 === 5),
+      mergeId = Some("ret-pq"))
+    VectorIndex.alignPqToLists(spark, idx)
+    assert(graft.util.Fs.isFile(spark, s"$idx/pq_codes_by_list/_SUCCESS"),
+      "fixture: aligned gate not up before the retrain")
+    val q = embs.where($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val pre = VectorIndex.searchIvfPq(spark, idx, q, 4, 5)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    VectorIndex.retrainIvf(spark, idx, swapMode = Some("pointer"))
+    VectorIndex.alignPqToLists(spark, idx)
+    (idx, q, pre)
+  }
+
+  private def asOf1(idx: String, q: org.apache.spark.sql.DataFrame) =
+    VectorIndex.searchIvfPqAsOf(spark, idx, q, 4, 5, back = 1)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+
+  test("pointer retrain retains the gate-complete aligned codes; searchIvfPqAsOf serves them at depth == membership join") {
+    val dir = Files.createTempDirectory("ivfpqret").toString
+    val (idx, q, pre) = retainedFixture(dir)
+    // the superseded pair's aligned copy is retained, gated, keyed by
+    // the generation the flip superseded (g0 = the bare pre-pointer
+    // layout), and the live view dropped it until the re-align
+    assert(graft.util.Fs.isFile(spark,
+      s"$idx/_gen/pq_codes_by_list/g0/_RETAINED"),
+      "retrain did not retain the gate-complete aligned copy")
+    // the historical read serves the retained aligned scan and equals
+    // the pre-retrain ADC search exactly
+    val aligned = asOf1(idx, q)
+    assert(aligned == pre, "aligned-at-depth != the pre-retrain search")
+    // the retained aligned plan IS pruned: the previous leg's code scan
+    // reads only probed c_id= partitions of the retained artifact, and
+    // no bare pq_codes membership join appears anywhere in the plan
+    val hist = VectorIndex.searchIvfPqAsOf(spark, idx, q, 4, 5, back = 1)
+    val plan = hist.queryExecution.executedPlan.toString
+    assert(plan.contains("_gen/pq_codes_by_list/g0"),
+      "historical plan does not scan the retained aligned copy")
+    assert(!plan.contains("/idx/pq_codes]") &&
+      !plan.contains("/idx/pq_codes/"),
+      s"historical plan fell back to the bare pq_codes membership join:\n$plan")
+    // cell-for-cell equal to the always-correct membership join (the
+    // operator escape hatch forces it)
+    spark.conf.set("spark.graft.index.alignedAsOf", "off")
+    val joined = try asOf1(idx, q)
+      finally spark.conf.unset("spark.graft.index.alignedAsOf")
+    assert(joined == aligned, "aligned-at-depth != the membership join")
+    // a takedown beats time travel on the aligned path too: current
+    // tombstones filter the retained copy, which stays gated (the
+    // anti-join keeps it exact until the fold)
+    val victim = pre.head._3
+    VectorIndex.deleteIvf(spark, idx, Seq(victim).toDF("vec_id"))
+    assert(!asOf1(idx, q).exists(_._3 == victim),
+      "a deleted vector was served from the retained aligned copy")
+    assert(graft.util.Fs.isFile(spark,
+      s"$idx/_gen/pq_codes_by_list/g0/_RETAINED"),
+      "a delete un-gated the retained copy the anti-join keeps exact")
+  }
+
+  test("retained aligned lifecycle: retention trims, folds drop history, rename retains nothing, crashed-flip copies un-gate") {
+    val dir = Files.createTempDirectory("ivfpqretlc").toString
+    val (idx, q, _) = retainedFixture(dir)
+    // a crashed pre-flip retrain leaves a retained copy keyed by the
+    // STILL-LIVE generation; the next mutation of that pair un-gates it
+    // (simulated: plant the copy at the current generation, then merge)
+    val cur = IndexMaintenance.liveGenNumber(spark, idx, "lists")
+    val planted = s"$idx/_gen/pq_codes_by_list/g$cur"
+    graft.util.Fs.touch(spark, s"$planted/_RETAINED")
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val lcDelta = embs.where($"vec_id" < 5)
+      .withColumn("vec_id", $"vec_id" + 1000000L)
+    VectorIndex.mergeIvf(spark, idx, lcDelta, mergeId = Some("lc-ivf"))
+    assert(!graft.util.Fs.isFile(spark, s"$planted/_RETAINED"),
+      "a mutation of the still-live pair left its crashed-flip copy gated")
+    VectorIndex.mergePq(spark, idx, lcDelta, mergeId = Some("lc-pq"))
+    graft.util.Fs.delete(spark, planted)
+    // second pointer retrain: g1 retained, g0 trimmed (retainGens = 1
+    // — the aligned copies keep exactly the coarse window)
+    VectorIndex.alignPqToLists(spark, idx)
+    val live = VectorIndex.searchIvfPq(spark, idx, q, 4, 5)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    VectorIndex.retrainIvf(spark, idx, swapMode = Some("pointer"))
+    VectorIndex.alignPqToLists(spark, idx)
+    assert(graft.util.Fs.isFile(spark,
+      s"$idx/_gen/pq_codes_by_list/g1/_RETAINED"),
+      "second retrain did not retain its superseded aligned copy")
+    assert(!graft.util.Fs.exists(spark, s"$idx/_gen/pq_codes_by_list/g0"),
+      "retention did not trim the aligned copy beyond the window")
+    assert(asOf1(idx, q) == live,
+      "aligned-at-depth != the pre-second-retrain search")
+    // a tombstone-folding compact drops ALL retained history; the
+    // historical read falls back to the membership join and stays exact
+    val preCompact = VectorIndex.searchIvfPq(spark, idx, q, 4, 5)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    VectorIndex.compactIvf(spark, idx)
+    assert(!graft.util.Fs.exists(spark, s"$idx/_gen/pq_codes_by_list"),
+      "a fold left frozen aligned history that could resurrect ids")
+    assert(asOf1(idx, q) == preCompact,
+      "post-fold historical read (membership join) != the pre-compact search")
+    // a rename-protocol retrain retains nothing (no history axis at all)
+    val plain = s"$dir/plain"
+    val corpus = embs.where($"vec_id" >= 10)
+    VectorIndex.buildIvf(corpus, plain)
+    VectorIndex.buildPq(corpus, plain)
+    VectorIndex.alignPqToLists(spark, plain)
+    VectorIndex.retrainIvf(spark, plain, swapMode = Some("rename"))
+    assert(!graft.util.Fs.exists(spark, s"$plain/_gen/pq_codes_by_list"),
+      "a rename-protocol retrain retained an aligned copy nothing can serve")
+  }
 }
