@@ -149,6 +149,10 @@ object Bench {
     // l102: two probe-and-batch-pruned ADC reads over the stream-grown
     // halves (membership-join plan); shares l90's ingest fixture
     "l102_ivfpq_asof_batch" -> 1.4,
+    // l103: three ADC reads, ALL on aligned probe-pruned code scans
+    // (live + retained-at-depth + the membership-join control leg);
+    // own merge-then-align-then-retrain fixture amortizes
+    "l103_ivfpq_asof_aligned" -> 1.8,
     // m18: two pruned fps generation reads + a broadcastable tombstone
     // anti-join each; own three-batch + pointer-compact fixture
     "m18_media_asof_gen" -> 1.0,

@@ -65,7 +65,8 @@ object ClusterSmoke {
     "m17_media_asof_batch", // batch-axis fps snapshots over the deleted fixture (round 17)
     "l101_ivfpq_time_travel", // searchIvfPqAsOf: mixed-depth snapshot, aligned bypass (round 18)
     "l102_ivfpq_asof_batch", // batch-axis ADC over stream-grown lists AND codes (round 18)
-    "m18_media_asof_gen"  // fps generation-axis asOf over the pointer-compacted fixture (round 18)
+    "m18_media_asof_gen", // fps generation-axis asOf over the pointer-compacted fixture (round 18)
+    "l103_ivfpq_asof_aligned" // retained aligned codes serve the historical ADC read (round 19)
   )
 
   def main(args: Array[String]): Unit = {

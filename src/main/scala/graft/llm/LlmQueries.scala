@@ -375,6 +375,7 @@ object LlmQueries {
     dirs.addAll(streamedIvfPqDirs.values())
     dirs.addAll(refinedIvfDirs.values())
     dirs.addAll(retrainedPqAsOfDirs.values())
+    dirs.addAll(alignedAsOfDirs.values())
     sharedIndexDirs.clear()
     mergedIndexDirs.clear()
     sharedGramDirs.clear()
@@ -389,6 +390,7 @@ object LlmQueries {
     streamedIvfPqDirs.clear()
     refinedIvfDirs.clear()
     retrainedPqAsOfDirs.clear()
+    alignedAsOfDirs.clear()
     dirs.forEach(d => deleteRecursively(new java.io.File(d)))
   }
   private[graft] def deleteOnExit(dir: String): Unit =
@@ -6556,7 +6558,16 @@ object LlmQueries {
             col("rank"), col("neighbor_id"), col("ip_x1e6")))
       .orderBy("snapshot", "query_id", "rank")
   }
-  val qIvfPqTimeTravelSql: String = {
+  /** The closed-form CTE chain shared by l101 and l103: both coarse
+    * generations (`ranked_c` = the retrained union-corpus quantizer,
+    * `ranked_p` = the superseded base-split quantizer with the merged
+    * union assigned under it) over the SHARED base-window PQ chain.
+    * The two queries differ only in which PHYSICAL plan serves the
+    * `previous` snapshot (membership join for l101's fixture, the
+    * retained aligned scan for l103's) — the semantics, and therefore
+    * this derivation, are identical.
+    */
+  private lazy val ivfPqTimeTravelCtes: String = {
     def ldot(a: String, b: String) =
       s"""list_sum(list_transform(generate_series(1, len($a)),
          |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
@@ -6646,14 +6657,105 @@ object LlmQueries {
        |    CAST(floor(${ldot("q.qs", "c.cs")} * 1e6 + 0.5) AS BIGINT) AS ip_part
        |  FROM qsub q JOIN csub c ON q.sub_id = c.sub_id),
        |${coarse("_c", "vec_id >= 10")},
-       |${coarse("_p", "vec_id >= 10 AND vec_id % 9 <> 5")}
+       |${coarse("_p", "vec_id >= 10 AND vec_id % 9 <> 5")}""".stripMargin
+  }
+
+  lazy val qIvfPqTimeTravelSql: String =
+    s"""$ivfPqTimeTravelCtes
        |SELECT 'current' AS snapshot, query_id, rank, neighbor_id, ip_x1e6
        |FROM ranked_c WHERE rank <= 5
        |UNION ALL
        |SELECT 'previous' AS snapshot, query_id, rank, neighbor_id, ip_x1e6
        |FROM ranked_p WHERE rank <= 5
        |ORDER BY snapshot, query_id, rank""".stripMargin
+
+  /** The aligned-at-depth fixture behind l103: l101's lifecycle with
+    * the align run AFTER the merges, so the artifact the retrain flip
+    * supersedes is gate-complete over the union and the POINTER
+    * retrain RETAINS it next to the superseded coarse pair
+    * ([[VectorIndex.retrainIvf]] → `_gen/pq_codes_by_list/g0`), then a
+    * re-align for the live fast path — BOTH snapshots serve aligned
+    * code scans. The fixture-sanity require pins that the retained
+    * gate is actually up: without it the historical leg would silently
+    * fall back to the membership join and the query would stop
+    * exercising the path it exists to gate.
+    */
+  private val alignedAsOfDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def alignedAsOfDir(s: SparkSession, d: String): String =
+    alignedAsOfDirs.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-asofal-")
+        .toString
+      deleteOnExit(tmp)
+      val corpus = embs(s, d).where(col("vec_id") >= 10)
+      val base = corpus.where(col("vec_id") % 9 =!= 5)
+      val delta = corpus.where(col("vec_id") % 9 === 5)
+      VectorIndex.buildIvf(base, tmp)
+      VectorIndex.buildPq(base, tmp)
+      VectorIndex.mergeIvf(s, tmp, delta, mergeId = Some("l103-ivf"))
+      VectorIndex.mergePq(s, tmp, delta, mergeId = Some("l103-pq"))
+      VectorIndex.alignPqToLists(s, tmp)
+      VectorIndex.retrainIvf(s, tmp, swapMode = Some("pointer"))
+      VectorIndex.alignPqToLists(s, tmp)
+      require(graft.util.Fs.isFile(s,
+        s"$tmp/_gen/pq_codes_by_list/g0/_RETAINED"),
+        "l103 fixture: the pointer retrain did not retain the aligned copy")
+      tmp
+    })
+
+  /** l103: ALIGNED-AT-DEPTH time travel — l101's generation axis with
+    * the historical read on the RETAINED aligned code scan
+    * ([[VectorIndex.retrainIvf]] keeps the gate-complete
+    * `pq_codes_by_list` it supersedes, keyed by the superseded
+    * quantizer's own c_ids — exactly the key space a depth-1 read
+    * probes), closing the one asymptotic gap the l101 plan had: at
+    * 10⁹ vectors the historical membership join reads the FULL code
+    * table where the live read scans nprobe/K of it, and the retained
+    * artifact gives history the live read's asymptotics for storage
+    * retention already pays for. Three snapshots in one result: the
+    * live search, the historical read on the retained aligned scan,
+    * and the SAME historical read with the aligned path disabled
+    * (`spark.graft.index.alignedAsOf=off` — the always-correct
+    * membership join), so the two physical plans are pinned equal
+    * cell-for-cell UNDER the closed-form oracle: an aligned copy
+    * serving the wrong generation, missing a merged delta, or keyed
+    * by the wrong quantizer hash-mismatches twice over. Scale shape:
+    * both legs are probe-pruned `c_id=` partition scans of 4-byte
+    * codes; no full-precision embedding is read anywhere.
+    */
+  def qIvfPqAsOfAligned(s: SparkSession, d: String): DataFrame = {
+    val dir = alignedAsOfDir(s, d)
+    val q = embs(s, d).where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def leg(label: String, df: DataFrame) =
+      df.select(lit(label).as("snapshot"), col("query_id"), col("rank"),
+        col("neighbor_id"), col("ip_x1e6"))
+    // the serving-path choice is baked at plan construction, so the
+    // conf toggle scopes exactly the third leg
+    val joined = {
+      s.conf.set("spark.graft.index.alignedAsOf", "off")
+      try VectorIndex.searchIvfPqAsOf(s, dir, q, nprobe = 4, topk = 5,
+        back = 1)
+      finally s.conf.unset("spark.graft.index.alignedAsOf")
+    }
+    leg("current", VectorIndex.searchIvfPq(s, dir, q, nprobe = 4, topk = 5))
+      .unionByName(leg("previous",
+        VectorIndex.searchIvfPqAsOf(s, dir, q, nprobe = 4, topk = 5,
+          back = 1)))
+      .unionByName(leg("previous_join", joined))
+      .orderBy("snapshot", "query_id", "rank")
   }
+  lazy val qIvfPqAsOfAlignedSql: String =
+    s"""$ivfPqTimeTravelCtes
+       |SELECT 'current' AS snapshot, query_id, rank, neighbor_id, ip_x1e6
+       |FROM ranked_c WHERE rank <= 5
+       |UNION ALL
+       |SELECT 'previous' AS snapshot, query_id, rank, neighbor_id, ip_x1e6
+       |FROM ranked_p WHERE rank <= 5
+       |UNION ALL
+       |SELECT 'previous_join' AS snapshot, query_id, rank, neighbor_id,
+       |  ip_x1e6
+       |FROM ranked_p WHERE rank <= 5
+       |ORDER BY snapshot, query_id, rank""".stripMargin
 
   /** l102: BATCH-AXIS time travel for the STREAMED IVFADC — l100's
     * axis on the code-serving path ([[VectorIndex.searchIvfPqAsOfBatch]]
@@ -7984,6 +8086,7 @@ object LlmQueries {
     "l100_vec_asof_batch" -> qVecAsOfBatch _,
     "l101_ivfpq_time_travel" -> qIvfPqTimeTravel _,
     "l102_ivfpq_asof_batch" -> qIvfPqAsOfBatch _,
+    "l103_ivfpq_asof_aligned" -> qIvfPqAsOfAligned _,
     "l79_ann_compact_parity" -> qAnnCompactParity _,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearch _,
     "l81_vec_drift_gate" -> qVecDriftGate _,
@@ -8090,6 +8193,7 @@ object LlmQueries {
     "l100_vec_asof_batch" -> qVecAsOfBatchSql,
     "l101_ivfpq_time_travel" -> qIvfPqTimeTravelSql,
     "l102_ivfpq_asof_batch" -> qIvfPqAsOfBatchSql,
+    "l103_ivfpq_asof_aligned" -> qIvfPqAsOfAlignedSql,
     "l79_ann_compact_parity" -> qAnnMergeParitySql,
     "l80_ivfpq_merge_search" -> qIvfPqMergeSearchSql,
     "l81_vec_drift_gate" -> qVecDriftGateSql,

@@ -387,22 +387,24 @@ object VectorIndex {
     val alignedDir = s"$indexDir/pq_codes_by_list"
     val keepRoot = s"$indexDir/_gen/pq_codes_by_list"
     val retain = IndexMaintenance.retainGens(spark)
+    val cur = IndexMaintenance.liveGenNumber(spark, indexDir, "lists")
     if (retain > 0 &&
         IndexMaintenance.pointerMode(spark, indexDir, swapMode) &&
         graft.util.Fs.isFile(spark, s"$alignedDir/_SUCCESS")) {
-      val n = IndexMaintenance.liveGenNumber(spark, indexDir, "lists")
-      val keep = s"$keepRoot/g$n"
+      val keep = s"$keepRoot/g$cur"
       graft.util.Fs.delete(spark, keep) // a torn copy from a crashed attempt
       graft.util.Fs.delete(spark, s"$alignedDir/_SUCCESS")
       if (graft.util.Fs.rename(spark, alignedDir, keep))
         graft.util.Fs.touch(spark, s"$keep/_RETAINED")
       else dropAligned(spark, indexDir)
-      // trim beyond the retention window, newest-first — mirrors the
-      // coarse generations' own hygiene budget
-      graft.util.Fs.listDirNames(spark, keepRoot)
-        .sortBy(g => -g.drop(1).toLong).drop(retain)
-        .foreach(g => graft.util.Fs.delete(spark, s"$keepRoot/$g"))
     } else dropAligned(spark, indexDir)
+    // trim beyond the retention window in BOTH branches — mirrors the
+    // coarse generations' own hygiene budget, and a flip that retained
+    // nothing still deepens every existing copy by one (a copy the
+    // lists window no longer covers can never be served)
+    graft.util.Fs.listDirNames(spark, keepRoot)
+      .filter(_.drop(1).toLong <= cur - retain)
+      .foreach(g => graft.util.Fs.delete(spark, s"$keepRoot/$g"))
   }
 
   /** COMPACT a persisted IVF index in place — [[DedupIndex.compact]]'s

@@ -947,7 +947,7 @@ class PlanSpec extends SparkSpec {
       s"tombstoned searchIvf built a product:\n$sp")
   }
 
-  test("IVFADC generation time travel: live serves the aligned layout, the historical read bypasses it") {
+  test("IVFADC generation time travel: live serves the aligned layout; the historical read serves the RETAINED copy, never the current-keyed one") {
     val dir = java.nio.file.Files.createTempDirectory("planpqasof").toString
     val idx = s"$dir/idx"
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
@@ -963,15 +963,47 @@ class PlanSpec extends SparkSpec {
     val liveP = planOf(graft.llm.VectorIndex.searchIvfPq(spark, idx, q, 4, 5))
     assert(liveP.contains("pq_codes_by_list"),
       s"the live ADC read lost the aligned fast path:\n$liveP")
-    // the aligned artifact is keyed by the CURRENT quantizer's c_ids —
-    // a historical read consulting it would score against a different
-    // key space; it must take the membership-join plan instead
+    assert(!liveP.contains("_gen/pq_codes_by_list"),
+      s"the live ADC read consulted a retained HISTORICAL copy:\n$liveP")
+    // the live artifact is keyed by the CURRENT quantizer's c_ids — a
+    // historical read consulting it would score against a different
+    // key space. The gate-complete copy the flip superseded was
+    // RETAINED (keyed by the superseded quantizer — this read's key
+    // space), so the historical plan is the probe-pruned scan of the
+    // retained artifact: the live read's asymptotics, no membership
+    // join over the full code table
     val histP = planOf(
       graft.llm.VectorIndex.searchIvfPqAsOf(spark, idx, q, 4, 5, back = 1))
-    assert(!histP.contains("pq_codes_by_list"),
+    assert(histP.contains("_gen/pq_codes_by_list/g0"),
+      s"the historical ADC read lost the retained aligned fast path:\n$histP")
+    assert(!histP.contains(s"$idx/pq_codes_by_list"),
       s"the historical ADC read consulted the current-keyed aligned layout:\n$histP")
+    assert(histP.linesIterator.exists(l =>
+      l.contains("_gen/pq_codes_by_list/g0") && l.contains("PartitionFilters")
+        && l.contains("c_id")),
+      s"the retained aligned scan is not partition-pruned on c_id:\n$histP")
     assert(!histP.contains("CartesianProduct"),
       s"the historical ADC read built a product:\n$histP")
+    // a merge drops the aligned gate BEFORE the flip retains anything:
+    // that history has no aligned copy and must take the membership
+    // join over the pruned historical lists (the l80 discipline)
+    val delta = embs.where(org.apache.spark.sql.functions.col("vec_id") < 10)
+      .withColumn("vec_id",
+        org.apache.spark.sql.functions.col("vec_id") + 1000000L)
+    graft.llm.VectorIndex.mergeIvf(spark, idx, delta, mergeId = Some("pp-i"))
+    graft.llm.VectorIndex.mergePq(spark, idx, delta, mergeId = Some("pp-p"))
+    graft.llm.VectorIndex.retrainIvf(spark, idx, swapMode = Some("pointer"))
+    val fbP = planOf(
+      graft.llm.VectorIndex.searchIvfPqAsOf(spark, idx, q, 4, 5, back = 1))
+    assert(!fbP.contains("pq_codes_by_list"),
+      s"an un-aligned history served a stale aligned copy:\n$fbP")
+    assert(!fbP.contains("CartesianProduct"),
+      s"the fallback historical read built a product:\n$fbP")
+    // the non-retaining flip still deepened g0 past the retainGens=1
+    // window — the trim runs on both branches, so the unreachable copy
+    // does not leak
+    assert(!graft.util.Fs.exists(spark, s"$idx/_gen/pq_codes_by_list/g0"),
+      "a flip that retained nothing leaked an out-of-window aligned copy")
   }
 
   test("batch-axis ADC snapshot: partition filters on BOTH grown halves, no product") {
