@@ -311,8 +311,42 @@ object ClusterSmoke {
         failures += 1
         System.err.println(s"[cluster-smoke] dedupindex_compact FAILED: ${e.getMessage}")
     }
+    // IndexStatus + layout-recorded retention under real executors: the
+    // report is driver-side metadata probes, but the lifecycle it reads
+    // (pointer retrain with retained aligned codes, recorded retention,
+    // a takedown) runs across the RPC boundary here.
+    try {
+      import org.apache.spark.sql.functions.col
+      val dir = java.nio.file.Files.createTempDirectory("cluster-status-").toString
+      val idx = s"$dir/idx"
+      val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val corpus = embs.where(col("vec_id") >= 10)
+      graft.llm.VectorIndex.buildIvf(corpus, idx)
+      graft.llm.VectorIndex.buildPq(corpus, idx)
+      graft.llm.VectorIndex.alignPqToLists(spark, idx)
+      graft.llm.IndexMaintenance.setRetention(spark, idx, Some(2))
+      graft.llm.VectorIndex.retrainIvf(spark, idx, swapMode = Some("pointer"))
+      graft.llm.VectorIndex.deleteIvf(spark, idx,
+        corpus.limit(2).select(col("vec_id")))
+      val st = graft.llm.IndexStatus.of(spark, idx)
+      val ok = st.protocol == "pointer" && st.retainGens == 2 &&
+        st.retentionRecorded &&
+        st.stages.exists(s => s.stage == "lists" && s.liveGen == 1L &&
+          s.generations.map(_.gen).sorted == Seq(0L, 1L)) &&
+        st.aligned.exists(a => !a.liveGateUp && a.retainedGens == Seq(0L)) &&
+        st.tombstones.exists(t => t.gateUp && t.dataFiles >= 1) &&
+        st.lease.isEmpty && !st.journalPending
+      if (!ok) failures += 1
+      System.err.println(
+        s"[cluster-smoke] index_status: ${if (ok) "OK" else s"MISMATCH\n${st.describe}"}")
+    } catch {
+      case e: Throwable =>
+        failures += 1
+        System.err.println(s"[cluster-smoke] index_status FAILED: ${e.getMessage}")
+    }
     System.err.println(
-      s"[cluster-smoke] ${Queries.size + 5 - failures}/${Queries.size + 5} ok on " +
+      s"[cluster-smoke] ${Queries.size + 6 - failures}/${Queries.size + 6} ok on " +
         s"${spark.sparkContext.master}")
     spark.stop()
     if (failures > 0) sys.exit(1)

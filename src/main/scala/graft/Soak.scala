@@ -612,20 +612,24 @@ object Soak {
     }
   }
 
-  /** IVFADC time-travel cost probe (`SOAK_MODE=asofpq`): the round-18
-    * claim under test is l101's — the historical ADC read
-    * ([[graft.llm.VectorIndex.searchIvfPqAsOf]] back=1: retained coarse
-    * pair + LIVE PQ halves through the membership join) must TRACK the
-    * live [[graft.llm.VectorIndex.searchIvfPq]] at every corpus scale,
-    * because both run the same probe-pruned plan over same-sized
-    * generations; the historical read pays only the mixed-depth
-    * resolution (control-plane metadata) plus the membership join the
-    * live read skips when aligned. The full lifecycle runs per scale:
-    * build both halves over the base split, align, merge the delta into
-    * both, pointer-retrain, re-align — so the timing compares the
-    * aligned live fast path against the historical membership-join
-    * plan honestly. asOf runs FIRST (ordering biases against it —
-    * shared centroid/query warm-up accrues to the live read).
+  /** IVFADC time-travel cost probe (`SOAK_MODE=asofpq`): the round-19
+    * claim under test is l103's — a historical ADC read whose depth
+    * retention kept the aligned copy
+    * ([[graft.llm.VectorIndex.searchIvfPqAsOf]] back=1 over the
+    * retained `_gen/pq_codes_by_list/g0`) runs the live read's
+    * probe-pruned code scan, while the SAME depth forced onto the
+    * membership join (`spark.graft.index.alignedAsOf=off` — exactly
+    * the round-18 plan, whose measured +0.2–0.5 s was the priced
+    * overhead) scans the full code table against the pruned historical
+    * lists. Three timings per scale — retained-aligned asOf,
+    * membership-join asOf, live aligned — so the log shows (a) the
+    * retained path TRACKING the live read and (b) the join control
+    * paying the corpus-proportional code-scan cost the retention
+    * removes. The full lifecycle runs per scale: build both halves
+    * over the base split, merge the delta into both, ALIGN OVER THE
+    * UNION (gate-complete — what the flip retains), pointer-retrain,
+    * re-align. The retained asOf runs FIRST (ordering biases against
+    * it — shared centroid/query warm-up accrues to the later reads).
     */
   private def asOfPqScale(spark: SparkSession, sfDir: String): Unit = {
     def timed(label: String)(body: => Unit): Unit = {
@@ -652,18 +656,26 @@ object Soak {
       val delta = scaled.where(col("vec_id") % 9 === 5)
       graft.llm.VectorIndex.buildIvf(split, idx)
       graft.llm.VectorIndex.buildPq(split, idx)
-      graft.llm.VectorIndex.alignPqToLists(spark, idx)
       graft.llm.VectorIndex.mergeIvf(spark, idx, delta,
         mergeId = Some("soak-asofpq-ivf"))
       graft.llm.VectorIndex.mergePq(spark, idx, delta,
         mergeId = Some("soak-asofpq-pq"))
+      graft.llm.VectorIndex.alignPqToLists(spark, idx)
       graft.llm.VectorIndex.retrainIvf(spark, idx,
         swapMode = Some("pointer"))
       graft.llm.VectorIndex.alignPqToLists(spark, idx)
-      timed(s"${mult}x searchIvfPqAsOf(back=1)")(
+      require(graft.util.Fs.isFile(spark,
+        s"$idx/_gen/pq_codes_by_list/g0/_RETAINED"),
+        "soak fixture: the retrain did not retain the aligned copy")
+      timed(s"${mult}x asOf(back=1) retained-aligned")(
         graft.llm.VectorIndex.searchIvfPqAsOf(spark, idx, q, 4, 5,
           back = 1).count(): Unit)
-      timed(s"${mult}x searchIvfPq (live)    ")(
+      spark.conf.set("spark.graft.index.alignedAsOf", "off")
+      try timed(s"${mult}x asOf(back=1) membership-join")(
+        graft.llm.VectorIndex.searchIvfPqAsOf(spark, idx, q, 4, 5,
+          back = 1).count(): Unit)
+      finally spark.conf.unset("spark.graft.index.alignedAsOf")
+      timed(s"${mult}x live aligned           ")(
         graft.llm.VectorIndex.searchIvfPq(spark, idx, q, 4, 5)
           .count(): Unit)
       graft.llm.LlmQueries.deleteRecursively(new java.io.File(idxDir))

@@ -171,14 +171,14 @@ private[graft] object IndexMaintenance {
     }
   }
 
-  private def leasePath(indexDir: String) = s"$indexDir/_maintenance/_lease"
+  private[graft] def leasePath(indexDir: String) = s"$indexDir/_maintenance/_lease"
 
   /** The lease file's (owner, expires) as written — `None` when absent;
     * a torn/corrupt/unreadable file reads as owner `<unreadable>` expiring
     * at 0 (i.e. as a crashed holder, subject to the takeover double-read
     * in [[withLease]]).
     */
-  private def readLease(spark: SparkSession, path: String): Option[(String, Long)] =
+  private[graft] def readLease(spark: SparkSession, path: String): Option[(String, Long)] =
     if (!Fs.isFile(spark, path)) None
     else try {
       val lines = Fs.readString(spark, path).split("\n").toSeq.map(_.trim)
@@ -642,12 +642,15 @@ private[graft] object IndexMaintenance {
     require(n >= 0L,
       s"asOf($back) for $stage at $indexDir: only ${cur.drop(1)} flip(s) " +
         "have ever happened — no such snapshot existed. The deepest " +
-        "retained history is bounded by spark.graft.index.retainGens")
+        "retained history is bounded by the retention window " +
+        "(spark.graft.index.retainGens, or the layout-recorded " +
+        "_maintenance/retain_gens)")
     val p = if (n == 0L) s"$indexDir/$stage" else s"$indexDir/_gen/$stage/g$n"
     require(Fs.exists(spark, p),
       s"asOf($back) for $stage at $indexDir: generation " +
         s"${if (n == 0L) "g0 (bare)" else s"g$n"} is outside the retention " +
-        "window (GC'd by a later maintenance entry) — raise " +
+        "window (GC'd by a later maintenance entry) — widen it via " +
+        "IndexMaintenance.setRetention (layout-recorded) or " +
         "spark.graft.index.retainGens to keep deeper history")
     p
   }
@@ -933,8 +936,50 @@ private[graft] object IndexMaintenance {
     * entered — with the default 1, a reader is safe unless it spans
     * two whole maintenance cycles.
     */
-  private[graft] def retainGens(spark: SparkSession): Int =
-    spark.conf.get("spark.graft.index.retainGens", "1").trim.toInt.max(0)
+  private[graft] def retainGens(spark: SparkSession, indexDir: String): Int =
+    recordedRetention(spark, indexDir).getOrElse(
+      spark.conf.get("spark.graft.index.retainGens", "1").trim.toInt).max(0)
+
+  /** The retention window RECORDED IN THE LAYOUT, when one is — set by
+    * [[setRetention]], resolved ahead of the session conf by every GC
+    * decision ([[retainGens]]) so the window is a property of the
+    * INDEX, not of whichever writer's session happens to run the next
+    * maintenance entry: a reader planning a `back = N` historical read
+    * can know what history exists without reconstructing the writer's
+    * conf, and two writers with different session confs cannot GC each
+    * other's promised history. A torn/corrupt file reads as unset
+    * (conf fallback) — retention is a budget, not a correctness gate,
+    * and the deepest-read `require` in [[stagePathAsOf]] still bounds
+    * loudly.
+    */
+  private[graft] def recordedRetention(spark: SparkSession,
+      indexDir: String): Option[Int] = {
+    val rec = s"$indexDir/_maintenance/retain_gens"
+    if (!Fs.isFile(spark, rec)) None
+    else try Fs.readString(spark, rec).trim.toIntOption.map(_.max(0))
+    catch { case _: java.io.IOException => None }
+  }
+
+  /** RECORD the index's retention window in its layout (see
+    * [[recordedRetention]]). Takes effect at the NEXT maintenance
+    * entry's hygiene pass — widening keeps more of the generations
+    * that still exist from then on (it cannot resurrect what an
+    * earlier pass already GC'd); narrowing lets the next pass GC down
+    * to the new window, with the tombstone-cohort clocks following in
+    * lockstep ([[Tombstones.beginFold]] re-derives its lifetime from
+    * the same resolution at every GC decision). `gens = None` clears
+    * the record (session conf governs again).
+    */
+  def setRetention(spark: SparkSession, indexDir: String,
+      gens: Option[Int]): Unit = {
+    val rec = s"$indexDir/_maintenance/retain_gens"
+    gens match {
+      case Some(g) =>
+        require(g >= 0, s"setRetention($g): negative retention window")
+        Fs.writeString(spark, rec, g.toString)
+      case None => Fs.delete(spark, rec)
+    }
+  }
 
   /** Publish each (stage → generation) flip. The superseded copy is
     * NOT deleted here — it stays readable for in-flight readers that
@@ -1036,7 +1081,7 @@ private[graft] object IndexMaintenance {
       flipPointers(spark, indexDir, plan)
       Fs.delete(spark, intent)
     }
-    val retain = retainGens(spark)
+    val retain = retainGens(spark, indexDir)
     stages.foreach { stage =>
       currentGen(spark, indexDir, stage).foreach { cur =>
         val curN = cur.drop(1).toLong

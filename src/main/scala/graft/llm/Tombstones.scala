@@ -126,7 +126,7 @@ private[graft] object Tombstones {
     * [[endFold]] would retire them and the empty-set teardown would be
     * deferred behind a cohort of never-visible files.
     */
-  private def dataFiles(spark: SparkSession, indexDir: String): Seq[String] =
+  private[graft] def dataFiles(spark: SparkSession, indexDir: String): Seq[String] =
     Fs.listFiles(spark, dir(indexDir))
       .filterNot { p =>
         // segments below the listing root only (anchored on the
@@ -143,7 +143,7 @@ private[graft] object Tombstones {
     * disk — each fold's retirement ages and GCs independently, so a
     * later fold cannot reset an earlier cohort's clock.
     */
-  private def markerFiles(spark: SparkSession, indexDir: String): Seq[String] =
+  private[graft] def markerFiles(spark: SparkSession, indexDir: String): Seq[String] =
     Fs.listFiles(spark, dir(indexDir))
       .filter(_.split('/').last.startsWith("_FOLDED"))
 
@@ -174,8 +174,7 @@ private[graft] object Tombstones {
     // suffices.
     val lifetime =
       if (Fs.exists(spark, s"$indexDir/_ptr"))
-        spark.conf.get("spark.graft.index.retainGens", "1")
-          .trim.toInt.max(0) + 1
+        IndexMaintenance.retainGens(spark, indexDir) + 1
       else 1
     markerFiles(spark, indexDir).foreach { marker =>
       val lines = Fs.readString(spark, marker).split("\n").toSeq

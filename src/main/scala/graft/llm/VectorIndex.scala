@@ -386,7 +386,7 @@ object VectorIndex {
       swapMode: Option[String]): Unit = {
     val alignedDir = s"$indexDir/pq_codes_by_list"
     val keepRoot = s"$indexDir/_gen/pq_codes_by_list"
-    val retain = IndexMaintenance.retainGens(spark)
+    val retain = IndexMaintenance.retainGens(spark, indexDir)
     val cur = IndexMaintenance.liveGenNumber(spark, indexDir, "lists")
     if (retain > 0 &&
         IndexMaintenance.pointerMode(spark, indexDir, swapMode) &&

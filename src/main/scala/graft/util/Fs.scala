@@ -151,6 +151,15 @@ object Fs {
     else s"$indexDir/$stage"
   }
 
+  /** Modification time (epoch millis) of a path — `None` when absent.
+    * Read-only operability reporting ([[graft.llm.IndexStatus]]'s
+    * generation ages); never a correctness input (store clocks skew).
+    */
+  def modifiedAt(spark: SparkSession, p: String): Option[Long] = {
+    val (f, q) = fs(spark, p)
+    if (f.exists(q)) Some(f.getFileStatus(q).getModificationTime) else None
+  }
+
   /** Immediate child DIRECTORY names of a path (generation listing for
     * pointer-swap hygiene). Missing dir = empty.
     */
