@@ -340,11 +340,19 @@ private[graft] object IndexMaintenance {
     if (Fs.atomicRename(spark, indexDir)) {
       val claim = s"$path.releasing.${java.util.UUID.randomUUID()}"
       if (Fs.rename(spark, path, claim)) {
-        val claimedOwner = try Fs.readString(spark, claim).split("\n")
-            .toSeq.map(_.trim)
-            .collectFirst { case l if l.startsWith("owner=") => l.drop(6) }
-          catch { case _: java.io.IOException => None }
+        val claimedOwner = leaseOwnerOf(spark, claim)
         if (claimedOwner.contains(owner)) Fs.delete(spark, claim)
+        // Claimed a lease that is NOT ours: a successor took over and
+        // we just renamed its live lease away. Restore it — UNLESS the
+        // successor's own fence heartbeat already re-materialized the
+        // file at the lease path (the heartbeat writes blind while
+        // live): restoring over that would roll the on-disk expiry
+        // BACKWARDS (POSIX rename replaces an existing destination)
+        // and re-open a false third-party takeover the successor's
+        // fast-path fence never reads the file to detect. An occupied
+        // path means the newer write is authoritative; the stale claim
+        // copy is deleted instead.
+        else if (Fs.isFile(spark, path)) Fs.delete(spark, claim)
         else if (!Fs.rename(spark, claim, path)) ()
       }
     } else if (leaseOwnerOf(spark, path).contains(owner))
@@ -1098,6 +1106,19 @@ private[graft] object IndexMaintenance {
         // not yet filled the retention budget
         if (superseded.length >= retain)
           Fs.delete(spark, s"$indexDir/$stage")
+        // RETAINED ALIGNED CODE copies ([[VectorIndex]] retainAligned,
+        // keyed in lockstep with the lists generations) are trimmed in
+        // THIS pass — the same one that GCs the lists they serve next
+        // to — never at flip time, which would delete a copy one whole
+        // cycle before its lists and break the in-flight-reader
+        // contract. A copy whose lists are gone is never consulted
+        // (the lists resolution gates first), so the windows coinciding
+        // here is hygiene, not correctness.
+        if (stage == "lists")
+          Fs.listDirNames(spark, s"$indexDir/_gen/pq_codes_by_list")
+            .filter(_.drop(1).toLong < curN - retain)
+            .foreach(g =>
+              Fs.delete(spark, s"$indexDir/_gen/pq_codes_by_list/$g"))
       }
     }
   }

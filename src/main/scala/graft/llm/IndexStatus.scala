@@ -71,7 +71,13 @@ case class IndexStatus(
     aligned: Option[AlignedStatus],
     tombstones: Option[TombstoneStatus],
     lease: Option[LeaseStatus],
-    pendingVerdicts: Seq[String],
+    /* audit families with a RECORDED verdict row under `_maintenance/`
+     * (e.g. `balance`, `banding`). Audits record a row on every run,
+     * healthy or not — presence means "an audit has spoken", not "a
+     * maintenance action is due": reading a verdict's own due flag
+     * costs a Spark job, and this report runs none (maintainIfDue is
+     * the consumer that reads and acts). */
+    recordedVerdicts: Seq[String],
     pendingMerges: Seq[String],
     journalPending: Boolean) {
 
@@ -103,8 +109,8 @@ case class IndexStatus(
     }
     lease.foreach(l => sb ++= s"  lease: ${l.owner} until ${l.expiresAt}" +
       s"${if (l.expired) " (EXPIRED)" else ""}\n")
-    if (pendingVerdicts.nonEmpty)
-      sb ++= pendingVerdicts.mkString("  pending verdicts: ", ", ", "\n")
+    if (recordedVerdicts.nonEmpty)
+      sb ++= recordedVerdicts.mkString("  recorded audit verdicts: ", ", ", "\n")
     if (pendingMerges.nonEmpty)
       sb ++= pendingMerges.mkString("  merge markers: ", ", ", "\n")
     if (journalPending)
@@ -162,16 +168,16 @@ object IndexStatus {
       if (Fs.exists(spark, s"$indexDir/_tombstones")) {
         val lifetime =
           if (Fs.exists(spark, s"$indexDir/_ptr")) retain + 1 else 1
-        val cohorts = Tombstones.markerFiles(spark, indexDir).map { m =>
-          val lines = Fs.readString(spark, m).split("\n").toSeq
-            .map(_.trim).filter(_.nonEmpty)
-          val age = lines.collectFirst {
-            case l if l.startsWith("age=") => l.drop(4).toInt
-            case l if l.startsWith("ttl=") =>
-              (lifetime - l.drop(4).toInt).max(0)
-          }.getOrElse(lifetime)
-          CohortStatus(m.split('/').last, age, lifetime,
-            lines.count(l => !l.startsWith("age=") && !l.startsWith("ttl=")))
+        // the SHARED cohort parser (Tombstones.parseCohort — the GC
+        // decision's own), hardened per-marker: a concurrent fold may
+        // GC a marker between the listing and the read, and the report
+        // promises to be safe to call while maintenance runs
+        val cohorts = Tombstones.markerFiles(spark, indexDir).flatMap { m =>
+          try {
+            val (age, named) =
+              Tombstones.parseCohort(Fs.readString(spark, m), lifetime)
+            Some(CohortStatus(m.split('/').last, age, lifetime, named.size))
+          } catch { case _: java.io.IOException => None }
         }
         Some(TombstoneStatus(
           Fs.isFile(spark, s"$indexDir/_tombstones/_SUCCESS"),
@@ -194,7 +200,7 @@ object IndexStatus {
       aligned = aligned,
       tombstones = tombstones,
       lease = lease,
-      pendingVerdicts =
+      recordedVerdicts =
         Fs.listDirNames(spark, s"$indexDir/_maintenance").sorted,
       pendingMerges = Fs.listDirNames(spark, s"$indexDir/_merges").sorted,
       journalPending =

@@ -139,6 +139,35 @@ private[graft] object Tombstones {
           .exists(seg => seg.startsWith("_") || seg.startsWith("."))
       }
 
+  /** Parse one cohort marker's content into (age, retired file names) —
+    * THE parser, shared by the GC decision ([[beginFold]]) and the
+    * operability report ([[IndexStatus]]) so the two cannot drift.
+    * `age` counts maintenance entries since the fold; a legacy `ttl=k`
+    * marker (frozen at fold time by earlier versions) converts to the
+    * age its countdown implies under the CURRENT lifetime, so the
+    * re-derivation discipline covers it too. An UNPARSEABLE age line
+    * (torn write, external edit) reads as age 0 — the cohort's clock
+    * restarts, which is the conservative direction: its files keep
+    * filtering (a no-op on the folded live generation, exactly right
+    * for a retained pre-fold reader) instead of being GC'd on a guess,
+    * and the next entry's rewrite repairs the line. No line at all
+    * reads as expired (the marker predates the age discipline
+    * entirely).
+    */
+  private[graft] def parseCohort(content: String,
+      lifetime: Int): (Int, Seq[String]) = {
+    val lines = content.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    val named = lines.filterNot(l =>
+      l.startsWith("age=") || l.startsWith("ttl="))
+    val age = lines.collectFirst {
+      case l if l.startsWith("age=") =>
+        l.drop(4).toIntOption.getOrElse(0)
+      case l if l.startsWith("ttl=") =>
+        l.drop(4).toIntOption.map(t => (lifetime - t).max(0)).getOrElse(0)
+    }.getOrElse(lifetime)
+    (age, named)
+  }
+
   /** The retirement-cohort marker files (`_FOLDED_<n>`) currently on
     * disk — each fold's retirement ages and GCs independently, so a
     * later fold cannot reset an earlier cohort's clock.
@@ -177,18 +206,8 @@ private[graft] object Tombstones {
         IndexMaintenance.retainGens(spark, indexDir) + 1
       else 1
     markerFiles(spark, indexDir).foreach { marker =>
-      val lines = Fs.readString(spark, marker).split("\n").toSeq
-        .map(_.trim).filter(_.nonEmpty)
-      val named = lines.filterNot(l =>
-        l.startsWith("age=") || l.startsWith("ttl="))
-      // age = maintenance entries elapsed since the fold; a legacy
-      // `ttl=k` marker (frozen at fold time by earlier versions)
-      // converts to the age its countdown implies under the CURRENT
-      // lifetime, so the re-derivation discipline covers it too
-      val age = lines.collectFirst {
-        case l if l.startsWith("age=") => l.drop(4).toInt
-        case l if l.startsWith("ttl=") => (lifetime - l.drop(4).toInt).max(0)
-      }.getOrElse(lifetime)
+      val (age, named) =
+        parseCohort(Fs.readString(spark, marker), lifetime)
       if (age + 1 < lifetime)
         // not yet out of the retention window — age this cohort one entry
         Fs.writeString(spark, marker,

@@ -393,18 +393,32 @@ object VectorIndex {
         graft.util.Fs.isFile(spark, s"$alignedDir/_SUCCESS")) {
       val keep = s"$keepRoot/g$cur"
       graft.util.Fs.delete(spark, keep) // a torn copy from a crashed attempt
+      // Drop ALL serving/align markers before the move, not just the
+      // read gate: on a copy+delete store a crash mid-rename can leave
+      // a partially-emptied SOURCE, and a surviving `_BASE` would send
+      // the next alignPqToLists down the incremental no-pending branch
+      // — re-gating an artifact whose rows were already moved away
+      // (silently missing vectors). Marker-free, the torn source can
+      // only be replaced by the full rebuild. The retained copy needs
+      // none of them (it serves reads under its own `_RETAINED` gate).
       graft.util.Fs.delete(spark, s"$alignedDir/_SUCCESS")
+      graft.util.Fs.delete(spark, s"$alignedDir/_BASE")
+      graft.util.Fs.delete(spark, s"$alignedDir/_CONSUMED")
+      // HDFS-semantics stores reject a rename into a missing parent
+      // (local FS creates it implicitly — a portability trap)
+      graft.util.Fs.mkdirs(spark, keepRoot)
       if (graft.util.Fs.rename(spark, alignedDir, keep))
         graft.util.Fs.touch(spark, s"$keep/_RETAINED")
       else dropAligned(spark, indexDir)
     } else dropAligned(spark, indexDir)
-    // trim beyond the retention window in BOTH branches — mirrors the
-    // coarse generations' own hygiene budget, and a flip that retained
-    // nothing still deepens every existing copy by one (a copy the
-    // lists window no longer covers can never be served)
-    graft.util.Fs.listDirNames(spark, keepRoot)
-      .filter(_.drop(1).toLong <= cur - retain)
-      .foreach(g => graft.util.Fs.delete(spark, s"$keepRoot/$g"))
+    // The out-of-window TRIM does NOT run here: it runs in the next
+    // maintenance entry's hygiene pass ([[IndexMaintenance]]
+    // recoverByPointer), in the same pass that GCs the lists
+    // generations the copies serve next to — trimming at flip time
+    // would delete an aligned directory one whole cycle before its
+    // lists go, breaking the reader contract ("safe unless it spans
+    // two whole maintenance cycles") for an in-flight historical read
+    // that already resolved the copy.
   }
 
   /** COMPACT a persisted IVF index in place — [[DedupIndex.compact]]'s

@@ -151,6 +151,18 @@ object Fs {
     else s"$indexDir/$stage"
   }
 
+  /** Create a directory (and any missing parents). HDFS-semantics
+    * stores reject a rename whose destination PARENT does not exist, so
+    * a first-ever retention move must mkdirs its keep-root first —
+    * local `RawLocalFileSystem` happens to create it implicitly, which
+    * is exactly the kind of local-only behavior that hides portability
+    * holes ([[graft.llm.VectorIndex]] retainAligned).
+    */
+  def mkdirs(spark: SparkSession, p: String): Boolean = {
+    val (f, q) = fs(spark, p)
+    f.mkdirs(q)
+  }
+
   /** Modification time (epoch millis) of a path — `None` when absent.
     * Read-only operability reporting ([[graft.llm.IndexStatus]]'s
     * generation ages); never a correctness input (store clocks skew).

@@ -1078,8 +1078,10 @@ class VectorIndexSpec extends SparkSpec {
       "a mutation of the still-live pair left its crashed-flip copy gated")
     VectorIndex.mergePq(spark, idx, lcDelta, mergeId = Some("lc-pq"))
     graft.util.Fs.delete(spark, planted)
-    // second pointer retrain: g1 retained, g0 trimmed (retainGens = 1
-    // — the aligned copies keep exactly the coarse window)
+    // second pointer retrain: g1 retained; g0 is trimmed by the NEXT
+    // entry's hygiene pass, in the same pass that GCs lists g0 —
+    // never at flip time, which would break an in-flight historical
+    // reader one cycle early (retainGens = 1)
     VectorIndex.alignPqToLists(spark, idx)
     val live = VectorIndex.searchIvfPq(spark, idx, q, 4, 5)
       .as[(Long, Int, Long, Long)].collect().toSeq
@@ -1088,8 +1090,14 @@ class VectorIndexSpec extends SparkSpec {
     assert(graft.util.Fs.isFile(spark,
       s"$idx/_gen/pq_codes_by_list/g1/_RETAINED"),
       "second retrain did not retain its superseded aligned copy")
+    assert(graft.util.Fs.exists(spark, s"$idx/_gen/pq_codes_by_list/g0"),
+      "the flip itself trimmed an aligned copy whose lists a reader " +
+        "may still hold")
+    IndexMaintenance.recoverStages(spark, idx, Seq("centroids", "lists"))
     assert(!graft.util.Fs.exists(spark, s"$idx/_gen/pq_codes_by_list/g0"),
-      "retention did not trim the aligned copy beyond the window")
+      "the hygiene pass did not trim the aligned copy beyond the window")
+    assert(!graft.util.Fs.exists(spark, s"$idx/lists"),
+      "fixture drift: lists g0 outlived its hygiene pass")
     assert(asOf1(idx, q) == live,
       "aligned-at-depth != the pre-second-retrain search")
     // a tombstone-folding compact drops ALL retained history; the

@@ -999,11 +999,13 @@ class PlanSpec extends SparkSpec {
       s"an un-aligned history served a stale aligned copy:\n$fbP")
     assert(!fbP.contains("CartesianProduct"),
       s"the fallback historical read built a product:\n$fbP")
-    // the non-retaining flip still deepened g0 past the retainGens=1
-    // window — the trim runs on both branches, so the unreachable copy
-    // does not leak
+    // the non-retaining flip deepened g0 past the retainGens=1 window;
+    // the NEXT entry's hygiene pass (not the flip — in-flight readers)
+    // trims it in lockstep with the lists generations
+    graft.llm.IndexMaintenance.recoverStages(spark, idx,
+      Seq("centroids", "lists"))
     assert(!graft.util.Fs.exists(spark, s"$idx/_gen/pq_codes_by_list/g0"),
-      "a flip that retained nothing leaked an out-of-window aligned copy")
+      "hygiene leaked an out-of-window aligned copy")
   }
 
   test("batch-axis ADC snapshot: partition filters on BOTH grown halves, no product") {
