@@ -346,14 +346,35 @@ private[graft] object IndexMaintenance {
         // we just renamed its live lease away. Restore it — UNLESS the
         // successor's own fence heartbeat already re-materialized the
         // file at the lease path (the heartbeat writes blind while
-        // live): restoring over that would roll the on-disk expiry
-        // BACKWARDS (POSIX rename replaces an existing destination)
-        // and re-open a false third-party takeover the successor's
-        // fast-path fence never reads the file to detect. An occupied
-        // path means the newer write is authoritative; the stale claim
-        // copy is deleted instead.
+        // live): an occupied path means the newer write is
+        // authoritative, and the stale claim copy is deleted instead.
+        // The restore itself REWRITES the claimed content with the
+        // expiry bumped a full TTL rather than renaming the stale copy
+        // back: a heartbeat landing inside the check-to-restore window
+        // would otherwise be overwritten with an OLDER expiry (POSIX
+        // rename replaces an existing destination), re-opening the
+        // false third-party takeover this guard closes — with the
+        // bump, the worst cross-write leaves the successor MORE lease,
+        // never less, and the residual failure mode is a phantom lease
+        // blocking maintenance loudly for at most one TTL instead of
+        // two writers corrupting silently.
         else if (Fs.isFile(spark, path)) Fs.delete(spark, claim)
-        else if (!Fs.rename(spark, claim, path)) ()
+        else {
+          val ttl = spark.conf.get("spark.graft.index.leaseMs", "900000")
+            .trim.toLong
+          // never SHORTEN what the successor wrote: the bump is
+          // max(claimed expiry, now + TTL) — monotone in the
+          // successor's favor whatever the TTL conf says
+          val restored = try Fs.readString(spark, claim).split("\n").toSeq
+              .map(l => if (l.startsWith("expires="))
+                s"expires=${math.max(
+                  l.drop(8).trim.toLongOption.getOrElse(0L),
+                  System.currentTimeMillis() + ttl)}" else l)
+              .mkString("\n")
+            catch { case _: java.io.IOException => "" }
+          if (restored.nonEmpty) Fs.writeString(spark, path, restored)
+          Fs.delete(spark, claim)
+        }
       }
     } else if (leaseOwnerOf(spark, path).contains(owner))
       Fs.delete(spark, path)

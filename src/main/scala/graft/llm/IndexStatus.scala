@@ -130,7 +130,11 @@ object IndexStatus {
     // directory was GC'd past the retention budget still exists)
     val bare = Fs.listDirNames(spark, indexDir)
       .filterNot(n => n.startsWith("_") || n == alignedStage)
-    val pointed = Fs.listDirNames(spark, s"$indexDir/_ptr")
+    // stage POINTERS are files (not directories), minus the swap
+    // journal — a stage reachable only through its pointer (bare dir
+    // GC'd past the budget) must still be discovered
+    val pointed = Fs.listFileNames(spark, s"$indexDir/_ptr")
+      .filterNot(_ == "_intent")
     val genned = Fs.listDirNames(spark, s"$indexDir/_gen")
       .filterNot(_ == alignedStage)
     val stageNames = (bare ++ pointed ++ genned).distinct.sorted
@@ -166,8 +170,7 @@ object IndexStatus {
     val retain = IndexMaintenance.retainGens(spark, indexDir)
     val tombstones =
       if (Fs.exists(spark, s"$indexDir/_tombstones")) {
-        val lifetime =
-          if (Fs.exists(spark, s"$indexDir/_ptr")) retain + 1 else 1
+        val lifetime = Tombstones.cohortLifetime(spark, indexDir)
         // the SHARED cohort parser (Tombstones.parseCohort — the GC
         // decision's own), hardened per-marker: a concurrent fold may
         // GC a marker between the listing and the read, and the report
@@ -190,8 +193,13 @@ object IndexStatus {
       }
     IndexStatus(
       indexDir = indexDir,
+      // the protocol GOVERNING THE LAYOUT as it stands — from the
+      // layout alone (a published _ptr is sticky), never the caller's
+      // session conf: this report must describe the index without any
+      // writer's conf, and swapMode only selects what the NEXT
+      // maintenance entry will do on a not-yet-pointed layout
       protocol =
-        if (IndexMaintenance.pointerMode(spark, indexDir)) "pointer"
+        if (Fs.exists(spark, s"$indexDir/_ptr")) "pointer"
         else "rename",
       retainGens = retain,
       retentionRecorded =

@@ -139,6 +139,20 @@ private[graft] object Tombstones {
           .exists(seg => seg.startsWith("_") || seg.startsWith("."))
       }
 
+  /** The cohort LIFETIME in maintenance entries — THE resolver, shared
+    * by the GC decision ([[beginFold]]) and the operability report
+    * ([[IndexStatus]]) so the two cannot drift. A pointer-governed
+    * layout retains superseded generations for retainGens + 1 further
+    * entries and a reader on one needs the tombstones that were
+    * filtering it; a rename-protocol layout retains nothing (readers
+    * cannot span a swap), so one entry suffices.
+    */
+  private[graft] def cohortLifetime(spark: SparkSession,
+      indexDir: String): Int =
+    if (Fs.exists(spark, s"$indexDir/_ptr"))
+      IndexMaintenance.retainGens(spark, indexDir) + 1
+    else 1
+
   /** Parse one cohort marker's content into (age, retired file names) —
     * THE parser, shared by the GC decision ([[beginFold]]) and the
     * operability report ([[IndexStatus]]) so the two cannot drift.
@@ -201,10 +215,7 @@ private[graft] object Tombstones {
     // generations for retainGens + 1 further entries; a rename-protocol
     // layout retains nothing (readers cannot span a swap), so one entry
     // suffices.
-    val lifetime =
-      if (Fs.exists(spark, s"$indexDir/_ptr"))
-        IndexMaintenance.retainGens(spark, indexDir) + 1
-      else 1
+    val lifetime = cohortLifetime(spark, indexDir)
     markerFiles(spark, indexDir).foreach { marker =>
       val (age, named) =
         parseCohort(Fs.readString(spark, marker), lifetime)
@@ -230,8 +241,7 @@ private[graft] object Tombstones {
     // this fold observes only the UNRETIRED files: re-naming a file an
     // earlier cohort already holds would reset its retention clock
     val retired = markerFiles(spark, indexDir).flatMap { m =>
-      Fs.readString(spark, m).split("\n").toSeq.map(_.trim)
-        .filter(l => l.nonEmpty && !l.startsWith("ttl="))
+      parseCohort(Fs.readString(spark, m), lifetime)._2
     }.toSet
     dataFiles(spark, indexDir).filterNot(retired)
   }

@@ -169,7 +169,22 @@ object Fs {
     */
   def modifiedAt(spark: SparkSession, p: String): Option[Long] = {
     val (f, q) = fs(spark, p)
-    if (f.exists(q)) Some(f.getFileStatus(q).getModificationTime) else None
+    // exists->getFileStatus is a racy pair: a concurrent hygiene pass
+    // can GC the path between the two, and the status probe must stay
+    // safe beside running maintenance — absent either way is None
+    try if (f.exists(q)) Some(f.getFileStatus(q).getModificationTime)
+        else None
+    catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Immediate child FILE names of a path (stage-pointer discovery —
+    * `_ptr/<stage>` entries are files, not directories). Missing dir =
+    * empty.
+    */
+  def listFileNames(spark: SparkSession, dir: String): Seq[String] = {
+    val (f, q) = fs(spark, dir)
+    if (!f.exists(q)) Seq.empty
+    else f.listStatus(q).filter(_.isFile).map(_.getPath.getName).toSeq
   }
 
   /** Immediate child DIRECTORY names of a path (generation listing for

@@ -1054,8 +1054,18 @@ class DedupIndexSpec extends SparkSpec {
     // our release must NOT delete the successor's live lease — that
     // would re-open the window to a third writer
     assert(lease.exists(), "release deleted a successor's live lease")
-    assert(new String(java.nio.file.Files.readAllBytes(lease.toPath), "UTF-8")
-      .contains("successor-driver"), "successor lease content clobbered")
+    val restored = new String(
+      java.nio.file.Files.readAllBytes(lease.toPath), "UTF-8")
+    assert(restored.contains("successor-driver"),
+      "successor lease content clobbered")
+    // the rename-claim restore must never SHORTEN the successor's
+    // expiry (the rewrite bumps by max(claimed, now + TTL) — with this
+    // fixture's TTL of 0, the claimed +1h must survive)
+    val expiry = restored.split("\n").collectFirst {
+      case l if l.startsWith("expires=") => l.drop(8).trim.toLong
+    }.get
+    assert(expiry >= System.currentTimeMillis() + 3000000L,
+      s"restore shortened the successor's expiry to $expiry")
   }
 
   test("a torn lease file reads as expired and is taken over, not wedged forever") {

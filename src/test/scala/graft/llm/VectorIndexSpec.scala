@@ -1029,6 +1029,13 @@ class VectorIndexSpec extends SparkSpec {
     assert(graft.util.Fs.isFile(spark,
       s"$idx/_gen/pq_codes_by_list/g0/_RETAINED"),
       "retrain did not retain the gate-complete aligned copy")
+    // the retained copy carries NONE of the live artifact's align
+    // markers: a _BASE surviving a torn copy+delete move would send
+    // the next align down the incremental branch over a partial source
+    for (m <- Seq("_SUCCESS", "_BASE", "_CONSUMED"))
+      assert(!graft.util.Fs.isFile(spark,
+        s"$idx/_gen/pq_codes_by_list/g0/$m"),
+        s"the retained copy kept the live $m marker")
     // the historical read serves the retained aligned scan and equals
     // the pre-retrain ADC search exactly
     val aligned = asOf1(idx, q)
