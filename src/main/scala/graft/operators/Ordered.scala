@@ -35,7 +35,12 @@ object Ordered {
       if (orderCols.isEmpty) df
       else df.repartitionByRange(df.sparkSession.sessionState.conf.numShufflePartitions,
         orderCols.map(col): _*).sortWithinPartitions(orderCols.map(col): _*)
-    zipWithOffsets(sorted, outCol, _ => 1L)
+    // The dense index is strictly increasing in partition-then-row order,
+    // so the output is truthfully range-ordered by it: declare that, and a
+    // downstream orderBy(outCol) costs no Exchange/Sort. (NOT declared for
+    // withPrefixSum: zero weights can tie across a partition boundary,
+    // which would break the same-key-same-partition clustering guarantee.)
+    zipWithOffsets(sorted, outCol, _ => 1L, declareOrdered = true)
   }
 
   /** Append the 1-based global prefix sum (inclusive) of `valueCol`
@@ -59,7 +64,8 @@ object Ordered {
   /** Two-pass scan: per-partition sums of `weight`, driver prefix-scan,
     * then a local running sum per partition starting at its offset.
     */
-  private def zipWithOffsets(df: DataFrame, outCol: String, weight: InternalRow => Long): DataFrame = {
+  private def zipWithOffsets(df: DataFrame, outCol: String, weight: InternalRow => Long,
+      declareOrdered: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val inTypes = df.schema.fields.map(_.dataType)
     val nIn = inTypes.length
@@ -91,6 +97,8 @@ object Ordered {
         new GenericInternalRow(vals): InternalRow
       }
     }
-    GraftInternal.internalCreateDataFrame(spark, out, schema)
+    if (declareOrdered)
+      GraftInternal.internalCreateDataFrameOrdered(spark, out, schema, Seq(outCol))
+    else GraftInternal.internalCreateDataFrame(spark, out, schema)
   }
 }

@@ -71,12 +71,19 @@ object Scan {
     *
     * @param emit (runningStatesBeforeRow, row) => appended column values,
     *             in Catalyst internal representation (primitives / null)
+    * @param orderedBy column names the OUTPUT is globally range-ordered
+    *                  by (ascending) — a truthful restatement of the
+    *                  scan's input-order requirement. When non-empty the
+    *                  result plan declares RangePartitioning+SortOrder so
+    *                  a downstream `orderBy` on the same keys costs
+    *                  nothing (no Exchange, no Sort).
     */
   def scanRounds(
       df: DataFrame,
       appended: Seq[StructField],
       rounds: IndexedSeq[Round],
-      emit: (Array[Any], InternalRow) => Seq[Any]): DataFrame = {
+      emit: (Array[Any], InternalRow) => Seq[Any],
+      orderedBy: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val sc = spark.sparkContext
     val inSchema = df.schema
@@ -144,7 +151,9 @@ object Scan {
         new GenericInternalRow(vals): InternalRow
       }
     }
-    GraftInternal.internalCreateDataFrame(spark, out, schema)
+    if (orderedBy.nonEmpty)
+      GraftInternal.internalCreateDataFrameOrdered(spark, out, schema, orderedBy)
+    else GraftInternal.internalCreateDataFrame(spark, out, schema)
   }
 
   /** The checkpointed Tungsten-row RDD backing a scan: storage level
@@ -179,6 +188,18 @@ object Scan {
     GraftInternal.internalCreateDataFrame(df.sparkSession,
       df.queryExecution.toRdd.map(_.copy()), df.schema)
 
+  /** [[planFence]] that also DECLARES the fenced rows' true physical
+    * layout (globally range-ordered ascending by `sortCols` — see
+    * [[GraftInternal.internalCreateDataFrameOrdered]]'s contract). Use
+    * where the rows are ordered by construction but the ordering column
+    * is computed (e.g. `tick_idx` from a prefix base + replica index), so
+    * Catalyst cannot infer it: the barrier costs one in-task row copy and
+    * deletes a downstream global sort's Exchange+Sort.
+    */
+  def planFenceOrdered(df: DataFrame, sortCols: Seq[String]): DataFrame =
+    GraftInternal.internalCreateDataFrameOrdered(df.sparkSession,
+      df.queryExecution.toRdd.map(_.copy()), df.schema, sortCols)
+
   /** Single-state scan (the common case): see [[scanRounds]].
     *
     * @param emit (stateBeforeRow, row) => appended column values
@@ -189,7 +210,8 @@ object Scan {
       zero: S,
       lift: InternalRow => S,
       combine: (S, S) => S,
-      emit: (S, InternalRow) => Seq[Any]): DataFrame = {
+      emit: (S, InternalRow) => Seq[Any],
+      orderedBy: Seq[String] = Nil): DataFrame = {
     val (z, l, c) = (zero, lift, combine)
     val round: Round = new Round {
       def zero: Any = z
@@ -197,6 +219,6 @@ object Scan {
       def combine(a: Any, b: Any): Any = c(a.asInstanceOf[S], b.asInstanceOf[S])
     }
     scanRounds(df, appended, IndexedSeq(round),
-      (states, row) => emit(states(0).asInstanceOf[S], row))
+      (states, row) => emit(states(0).asInstanceOf[S], row), orderedBy)
   }
 }

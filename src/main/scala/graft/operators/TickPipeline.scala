@@ -455,7 +455,12 @@ object TickPipeline {
           else 0L
           base :+ (st(2).asInstanceOf[Long] + inc) // inclusive running sum
         } else base
-      })
+      },
+      // The scan's input-order requirement, restated as a declared output
+      // property: rows stay globally range-ordered by tick_idx, so the
+      // declared queries' final `orderBy("tick_idx")` plans to nothing
+      // (no Exchange, no Sort) instead of re-sorting the whole stream.
+      orderedBy = Seq("tick_idx"))
 
     val s4 = scanned
       .withColumn("ratio", when(col("is_elig"),
@@ -601,7 +606,8 @@ object TickPipeline {
           else if (n._1) n._2 else 1.0
         Seq(c._1 + r.getInt(hiIdx), c._2 + r.getInt(loIdx),
           if (c._3) c._4 else null, norm)
-      })
+      },
+      orderedBy = Seq("bar_idx")) // bars stay range-ordered: final orderBy("bar_idx") is free
 
     val d0 = coalesce(col("bar_average_raw") - col("prev_avg"), lit(0))
     val maxJ = lit(cfg.maxBarJump); val winz = lit(cfg.winsorizeBarThreshold)

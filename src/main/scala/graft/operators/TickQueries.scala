@@ -154,13 +154,17 @@ object TickQueries {
     * past the JIT budget.
     */
   def qTickParse(s: SparkSession, d: String): DataFrame = {
-    val lines = Scan.planFence(TickPipeline.syntheticTicks(s, d)
+    // The ordered fence declares the synthetic lines' true line_idx range
+    // order (they come off the global-index scan in order), so the final
+    // orderBy("orig_line") — an alias chain down to line_idx — plans to
+    // nothing instead of re-sorting the parsed stream.
+    val lines = Scan.planFenceOrdered(TickPipeline.syntheticTicks(s, d)
       .select(col("line_idx"),
         when(col("line_idx") % 97 === 0, lit("malformed;data"))
           .when(col("line_idx") % 89 === 0, lit(""))
           .otherwise(concat(col("ts_str"), lit(";"), (col("last") - 1).cast("string"),
             lit(";"), col("last").cast("string"), lit(";"), col("last").cast("string"),
-            lit(";"), col("volume").cast("string"))).as("value")))
+            lit(";"), col("volume").cast("string"))).as("value")), Seq("line_idx"))
       .where(length(trim(col("value"))) > 0)
     TickPipeline.parseTickLines(lines, col("value"), col("line_idx"))
       .select(col("file_pos").as("orig_line"),
@@ -199,9 +203,17 @@ object TickQueries {
     * asserted in ChunkedParitySpec and by this oracle).
     */
   def qVolumeExpansion(s: SparkSession, d: String): DataFrame =
-    TickPipeline.syntheticTicksExpanded(s, d)
-      .select(col("tick_idx"), col("line_idx"), col("replica_idx").cast("long"),
-        col("timestamp").as("ts_packed"), col("raw_price"), col("price_delta"))
+    // tick_idx = prefix-volume base + ascending replica index is strictly
+    // increasing in the expand scan's row order, but it is COMPUTED after
+    // the scan barrier so Catalyst cannot see the ordering. The ordered
+    // fence (one in-task row copy) declares it, turning the final
+    // orderBy("tick_idx") into a no-op instead of a full Exchange+Sort of
+    // the expanded stream.
+    Scan.planFenceOrdered(
+      TickPipeline.syntheticTicksExpanded(s, d)
+        .select(col("tick_idx"), col("line_idx"), col("replica_idx").cast("long"),
+          col("timestamp").as("ts_packed"), col("raw_price"), col("price_delta")),
+      Seq("tick_idx"))
       .orderBy("tick_idx")
   val qVolumeExpansionSql: String =
     s"""WITH $ticksCte
@@ -425,12 +437,18 @@ object TickQueries {
     * under the oracle.
     */
   def qTickCapture(s: SparkSession, d: String): DataFrame =
-    graft.sources.Capture.tickCapture(
-      TickPipeline.hotLoopChunked(
-        TickPipeline.syntheticTicksExpanded(s, d, withTimestamp = false)
-          .select("tick_idx", "raw_price", "price_delta"),
-        withCfg("derivative"), assumeOrdered = true),
-      tickStart = 100, numRecords = 2000)
+    // The capture casts tick_idx long→int, which breaks Catalyst's
+    // alias-aware ordering propagation from the hot-loop scan even though
+    // the cast is monotone (values < 2^31 here by the capture window).
+    // The ordered fence re-declares the (unchanged) row order over the
+    // 2000 captured rows so the final orderBy stays a no-op.
+    Scan.planFenceOrdered(
+      graft.sources.Capture.tickCapture(
+        TickPipeline.hotLoopChunked(
+          TickPipeline.syntheticTicksExpanded(s, d, withTimestamp = false)
+            .select("tick_idx", "raw_price", "price_delta"),
+          withCfg("derivative"), assumeOrdered = true),
+        tickStart = 100, numRecords = 2000), Seq("tick_idx"))
       .orderBy("tick_idx")
   val qTickCaptureSql: String =
     s"""SELECT CAST(tick_idx AS INTEGER) AS tick_idx,

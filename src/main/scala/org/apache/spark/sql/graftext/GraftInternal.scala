@@ -20,6 +20,40 @@ object GraftInternal {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** [[internalCreateDataFrame]] variant that DECLARES the rows' true
+    * physical layout: globally range-partitioned and sorted ascending by
+    * `sortCols` (what `repartitionByRange(...).sortWithinPartitions(...)`
+    * + an order-preserving mapPartitions produces). The plan enters
+    * Catalyst as a [[LogicalRDD]] carrying `RangePartitioning` +
+    * `SortOrder` instead of `UnknownPartitioning`, so EnsureRequirements /
+    * RemoveRedundantSorts can elide a downstream `orderBy` on the same
+    * keys — the Exchange+Sort that otherwise re-sorts already-ordered
+    * scan output (optimization guide §2.4: remove shuffles outright when
+    * the data is already partitioned/ordered as needed).
+    *
+    * CONTRACT (caller-asserted, not checked): within each partition rows
+    * are non-descending in `sortCols`, and every row of partition i
+    * orders <= every row of partition i+1. Declaring an untrue layout
+    * silently corrupts downstream sorts/joins.
+    */
+  def internalCreateDataFrameOrdered(
+      spark: SparkSession,
+      rdd: RDD[InternalRow],
+      schema: StructType,
+      sortCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, SortOrder}
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.LogicalRDD
+    val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val attrs = schema.fields.toSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable, f.metadata)())
+    val byName = attrs.map(a => a.name -> a).toMap
+    val order = sortCols.map(c => SortOrder(byName(c), Ascending))
+    val part = RangePartitioning(order, rdd.getNumPartitions)
+    org.apache.spark.sql.classic.Dataset.ofRows(session,
+      LogicalRDD(attrs, rdd, part, order, isStreaming = false, None)(session))
+  }
+
   /** `Dataset.ofRows` (`private[sql]`): wrap a hand-built logical plan —
     * e.g. graft's [[graft.plans.TopKPerKeyPlan]] custom operator — as a
     * public DataFrame.
