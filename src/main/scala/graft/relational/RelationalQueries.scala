@@ -1595,7 +1595,15 @@ object RelationalQueries {
     // be a two-phase COUNT DISTINCT; de-duplicated input makes each
     // (order, pair) unique by construction, so the count is a plain
     // map-side-combining agg — cheaper at every scale.
-    val x = li(s, d).select($"l_orderkey", $"l_partkey").distinct()
+    // One exchange serves everything keyed by order: hash-repartition by
+    // l_orderkey BEFORE the distinct — HashPartitioning(l_orderkey)
+    // satisfies the distinct's (l_orderkey, l_partkey) clustering AND
+    // both sides of the self-join, so the join runs co-partitioned with
+    // zero further shuffles (previously: distinct shuffled by the pair
+    // key, then BOTH join inputs re-shuffled by l_orderkey — three
+    // full exchanges of the projection where one suffices).
+    val x = li(s, d).select($"l_orderkey", $"l_partkey")
+      .repartition($"l_orderkey").distinct()
     x.as("a").join(x.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
@@ -1970,21 +1978,31 @@ object RelationalQueries {
     * final hash agg; output is |groups| rows at any fact volume.
     */
   def q65MadOutliers(s: SparkSession, d: String): DataFrame = {
+    // Single-exchange formulation: every step — both median ranks, both
+    // group medians, the deviation, and the final per-priority agg — is
+    // keyed by o_orderpriority, so ONE hash partitioning up front serves
+    // the whole chain. The group medians attach as unbounded-frame window
+    // aggregates over the SAME partitioning instead of groupBy +
+    // broadcast-join round-trips (previously: orders was scanned three
+    // times and the chain paid two window exchanges plus two
+    // broadcast-joins; now one scan, one exchange, local sorts only).
+    // Expressions are unchanged step-for-step, so values match the
+    // oracle bit-exactly.
     val base = ord(s, d).select($"o_orderpriority",
       floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"), $"o_orderkey")
-    def medianOf(df: DataFrame, value: String, out: String): DataFrame = {
-      val w = Window.partitionBy($"o_orderpriority").orderBy(col(value), $"o_orderkey")
-      val wn = Window.partitionBy($"o_orderpriority")
-      df.withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(wn))
-        .groupBy($"o_orderpriority")
-        .agg(min(when($"rn" === ceil($"n" * 0.5), col(value))).as(out))
-    }
-    val med = medianOf(base, "cents", "med_cents")
-    val devs = base.join(broadcast(med), Seq("o_orderpriority"))
+    val wp = Window.partitionBy($"o_orderpriority")
+    val w1 = wp.orderBy($"cents", $"o_orderkey")
+    val withMed = base
+      .withColumn("rn", row_number().over(w1).cast("long"))
+      .withColumn("n", count(lit(1)).over(wp))
+      .withColumn("med_cents",
+        min(when($"rn" === ceil($"n" * 0.5), $"cents")).over(wp))
       .withColumn("dev", abs($"cents" - $"med_cents"))
-    val mad = medianOf(devs, "dev", "mad_cents")
-    devs.join(broadcast(mad), Seq("o_orderpriority"))
+    val w2 = wp.orderBy($"dev", $"o_orderkey")
+    withMed
+      .withColumn("rn2", row_number().over(w2).cast("long"))
+      .withColumn("mad_cents",
+        min(when($"rn2" === ceil($"n" * 0.5), $"dev")).over(wp))
       .groupBy($"o_orderpriority")
       .agg(first($"med_cents").as("med_cents"), first($"mad_cents").as("mad_cents"),
         count(lit(1)).as("n"),

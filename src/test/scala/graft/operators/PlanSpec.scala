@@ -672,17 +672,20 @@ class PlanSpec extends SparkSpec {
       s"q64 plan has ${unpartitioned.size} unpartitioned WindowExec node(s)")
   }
 
-  // q65's two rank passes must both be group-partitioned and the
-  // median/MAD tables re-enter via broadcast.
-  test("q65 MAD outliers: partitioned rank windows, broadcast stats") {
+  // q65's two rank passes must both be group-partitioned, and the r19
+  // single-exchange formulation must hold: the medians attach as window
+  // aggregates over the SAME group partitioning, so the plan has no join
+  // at all (previously: two groupBy + broadcast-join round-trips and
+  // three scans of orders).
+  test("q65 MAD outliers: partitioned rank windows, join-free single exchange") {
     val df = RelationalQueries.queries("q65_mad_outliers")(spark, sf)
     assertNoAllPairs("q65", df)
     val unpartitioned = df.queryExecution.sparkPlan
       .collect { case w: WindowExec => w }.filter(_.partitionSpec.isEmpty)
     assert(unpartitioned.isEmpty,
       s"q65 plan has ${unpartitioned.size} unpartitioned WindowExec node(s)")
-    assert(planOf(df).contains("BroadcastHashJoin"),
-      s"q65 lost the broadcast stats joins:\n${planOf(df)}")
+    assert(!planOf(df).contains("Join"),
+      s"q65 regained a join (single-exchange window formulation lost):\n${planOf(df)}")
   }
 
   // l60's idf table broadcasts and the pair scoring stays equi-join
