@@ -308,15 +308,26 @@ object Bench {
         System.err.println(s"[bench] WARNING: ${activeTasks.get()} cancelled tasks still running after 30s")
     }
 
+    // Attempt counter so every measurement runs under a UNIQUE job-group
+    // id. cancelJobGroupAndFutureJobs PERSISTENTLY poisons its group id
+    // (Spark keeps the id in the cancelled set), so re-using the bare
+    // query name meant ONE timeout instantly cancelled every later
+    // re-run of that query — observed in the r19c window: m16's first
+    // run hit a 240 s host-stall timeout and its second run "failed"
+    // in milliseconds with SPARK_JOB_CANCELLED. Measurement-harness fix
+    // only (same timed action, same methodology); recorded in
+    // OPTIMIZATION_r19.md.
+    val attempt = new java.util.concurrent.atomic.AtomicLong(0L)
     def once(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
+      val group = s"$name#${attempt.incrementAndGet()}"
       // toRdd.count() materializes every output column (a bare count()
       // would let Catalyst prune the projection being measured). The job
       // group must be set INSIDE the future — SparkContext job groups are
       // thread-local, so setting it on this thread would leave the pool
       // thread ungrouped and make the timeout cancellation a no-op.
       val fut = Future {
-        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
         fn(spark, sfDir).queryExecution.toRdd.count()
       }
       val sec =
@@ -327,7 +338,7 @@ object Bench {
             // sequential jobs; a plain cancelJobGroup landing between two
             // of them cancels nothing and the query keeps running under
             // the next measurement.
-            spark.sparkContext.cancelJobGroupAndFutureJobs(name)
+            spark.sparkContext.cancelJobGroupAndFutureJobs(group)
             System.err.println(s"[bench] $name TIMED OUT after ${timeoutSec}s")
             quiesce()
             -1.0

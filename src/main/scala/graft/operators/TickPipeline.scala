@@ -265,6 +265,10 @@ object TickPipeline {
     */
   private def expandSortedLines(sorted: DataFrame, emitLineIdx: Boolean,
       emitTimestamp: Boolean = true): DataFrame = {
+    // A pre-packed `timestamp` (see syntheticTicksExpanded) skips the
+    // per-tick string pack below: the line-level long rides through the
+    // scan checkpoint and the explode instead of the ts_str string.
+    val prePacked = sorted.columns.contains("timestamp")
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
     val li = sorted.schema.fieldIndex("last")
     val vi = sorted.schema.fieldIndex("volume")
@@ -286,7 +290,7 @@ object TickPipeline {
         explode(when(col("volume") >= 1, sequence(lit(1), col("volume")))
           .otherwise(array().cast("array<int>"))))
       .withColumn("tick_idx", col("tick_base") + col("replica_idx"))
-    (if (emitTimestamp)
+    (if (emitTimestamp && !prePacked)
        exploded.withColumn("timestamp", TickFunctions.encodeTimestamp(col("ts_str")))
      else exploded)
       .withColumn("raw_price", col("last"))
@@ -739,10 +743,16 @@ object TickPipeline {
       withTimestamp: Boolean = true): DataFrame = {
     val keyed = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_suppkey")
+    // The packed timestamp is computed PER LINE inside the pre-scan
+    // projection (build the ts_str, pack it, discard the string), so the
+    // scan checkpoint and the explode carry an 8-byte long instead of a
+    // 23-char string, and the pack runs once per line instead of once
+    // per expanded tick. Identical values: replicas share their line's
+    // timestamp.
     val tsCol =
-      if (withTimestamp) Seq(concat(
+      if (withTimestamp) Seq(TickFunctions.encodeTimestamp(concat(
         (lit(20250301) + (col("l_orderkey") + col("l_linenumber")) % 28).cast("string"),
-        lit(" 070000 0000000")).as("ts_str"))
+        lit(" 070000 0000000"))).as("timestamp"))
       else Nil
     val sorted = keyed.repartitionByRange(
       spark.sessionState.conf.numShufflePartitions, col("l_orderkey"), col("l_linenumber"))
