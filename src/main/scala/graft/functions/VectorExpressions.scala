@@ -65,9 +65,75 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd squared-L2 distance of two quantized long-vector columns —
+  * value-identical to `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)),
+  * 0L, +)` on the equal-length arrays every caller feeds it (exact long
+  * arithmetic, order-independent), but a tight whole-stage-codegen loop
+  * instead of interpreted higher-order lambdas. The hot path of the
+  * Lloyd assignment steps (k-means refinement, quantizer training,
+  * nearest-centroid labeling): vectors x centroids x dims evaluations
+  * per iteration.
+  */
+case class LongVectorL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_vector_l2"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongVectorL2 =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column wrapper for [[FloatVectorDot]]. */
   def vecDot(a: Column, b: Column): Column =
     GraftColumns.column(FloatVectorDot(
+      GraftColumns.expression(a), GraftColumns.expression(b)))
+
+  /** Column wrapper for [[LongVectorL2]]. */
+  def vecL2Long(a: Column, b: Column): Column =
+    GraftColumns.column(LongVectorL2(
       GraftColumns.expression(a), GraftColumns.expression(b)))
 }

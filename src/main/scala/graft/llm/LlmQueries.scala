@@ -1687,9 +1687,11 @@ object LlmQueries {
     val quant = embs(s, d).select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 1024.0 + 0.5).cast("long")).as("qv"))
+    // Codegen'd long L2 (identical exact-integer values to the
+    // interpreted zip_with+aggregate fold — see [[LongVectorL2]]); the
+    // assign step evaluates it vectors x centroids times per iteration.
     def l2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x)
+      graft.functions.VectorFunctions.vecL2Long(a, b)
     // Arg-min via min_by aggregation (map-side combined), not a rank
     // window over the K-fold (vector x centroid) blowup; the
     // (dist, c_id) struct ordering is the window's exact tie-break.
@@ -3924,9 +3926,7 @@ object LlmQueries {
       .groupBy(col("label").as("c_label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s0 => s0.getField("m")).as("cv"))
-    val dist = aggregate(
-      zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    val dist = graft.functions.VectorFunctions.vecL2Long(col("qv"), col("cv"))
     // nearest-centroid label via min_by aggregation (map-side combined;
     // (dist, pred_label) struct = the rank window's tie-break)
     quant.where(col("vec_id") % 5 === 0)

@@ -86,9 +86,10 @@ object VectorIndex {
         val quant = embs.select(col("vec_id"),
           transform(col("embedding"),
             x => floor(x.cast("double") * 1024.0 + 0.5).cast("long")).as("qv"))
+        // Codegen'd long L2 — identical exact-integer values to the
+        // interpreted zip_with+aggregate fold (see [[LongVectorL2]]).
         def l2(a: Column, b: Column): Column =
-          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-            lit(0L), (acc, x) => acc + x)
+          graft.functions.VectorFunctions.vecL2Long(a, b)
         def assignQ(cent: DataFrame): DataFrame =
           quant.join(broadcast(cent))
             .select(col("vec_id"), col("qv"), col("c_id"),
